@@ -1,0 +1,72 @@
+package graft.fhir
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FHIR bundle ingestion: directories or columns of bundle JSON documents →
+  * per-resource-type DataFrames → saved tables.
+  *
+  * Reference: /root/reference/bunsen-spark/.../Bundles.java. Design
+  * divergence (SURVEY §2.1 S1-S6): instead of `wholeTextFiles` → an opaque
+  * `JavaRDD<BundleContainer>` (which reserializes every bundle to JSON text
+  * on each shuffle, Bundles.java:47-68) and a per-task rebuilt HAPI converter
+  * (Bundles.java:458-476), bundles stay a `DataFrame` of raw JSON strings and
+  * every downstream step is a Catalyst expression (`from_json`, `explode`,
+  * struct projection) — fully codegen'd, no driver round-trips, and the
+  * schema is compiled once and shipped inside the plan.
+  */
+object Bundles {
+
+  /** S1: load every file under `path` as one bundle row (JSON files).
+    * Keeps per-file semantics via `wholetext`. */
+  def loadFromDirectory(spark: SparkSession, path: String,
+      minPartitions: Int = 1): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("source_file", input_file_name())
+      .withColumnRenamed("value", "bundle_json")
+
+  /** S2: bundles from a DataFrame column of JSON strings. */
+  def fromJson(df: DataFrame, column: String): DataFrame =
+    df.withColumn("bundle",
+      from_json(col(column), FhirSchemas.bundleEnvelopeSchema))
+
+  /** S4: extract all resources of one type from a bundle DataFrame produced
+    * by [[loadFromDirectory]] or [[fromJson]]; returns a DataFrame with the
+    * compiled schema for that resource (incl. synthetic reference ids and
+    * code "?"→null scrubbing). */
+  def extractEntry(spark: SparkSession, bundles: DataFrame,
+      resourceName: String): DataFrame = {
+    val withParsed =
+      if (bundles.columns.contains("bundle")) bundles
+      else fromJson(bundles, "bundle_json")
+    val entries = withParsed
+      .select(explode(col("bundle.entry")).as("entry"))
+      .select(col("entry.resource").as("resource"))
+      .where(col("resource.resourceType") === resourceName)
+    val shaped = entries.select(
+      FhirSchemas.postParseTransform(resourceName, col("resource"))
+        .as("resource"))
+    shaped.select(col("resource.*"))
+  }
+
+  /** S6: extract every registered resource type and save each as a table in
+    * `database` (table name = lower-cased resource name). */
+  def saveAsDatabase(spark: SparkSession, bundles: DataFrame,
+      database: String, resourceNames: Seq[String]): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    val parsed =
+      if (bundles.columns.contains("bundle")) bundles
+      else fromJson(bundles, "bundle_json")
+    resourceNames.foreach { r =>
+      extractEntry(spark, parsed, r).write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(s"$database.${r.toLowerCase}")
+    }
+  }
+
+  /** U5: serialize resource rows back to JSON strings (decode path).
+    * `to_json` drops null fields by default, matching FHIR JSON shape. */
+  def toJson(df: DataFrame, resourceName: String): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*),
+      Map("ignoreNullFields" -> "true")).as("json"))
+}

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard near-dup.
+  *
+  * Scale design: every variant is a shuffle-on-key groupBy/join — no driver
+  * materialization, no cross-join. MinHash banding turns O(n²) pair
+  * generation into per-bucket joins; at 100 TB the band-bucket groupBy
+  * shuffles only (band, signature) keys and AQE handles hot buckets.
+  */
+object Dedup {
+
+  /** Exact dedup on a hash of the content column: keeps the row with the
+    * minimum `idCol` per distinct content (deterministic winner). */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol)))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact-dup groups: content hash → keeper id + duplicate count (only
+    * groups with >1 row). */
+  def exactDupGroups(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Word shingles (n-grams of whitespace tokens) as an array column.
+    *
+    * Perf note (matters at 100 TB): higher-order functions are interpreted,
+    * not codegen'd, so an expensive expression referenced *inside* a lambda
+    * is re-evaluated per array element. This implementation never puts the
+    * token array inside a lambda body: the i-th shifted views are built with
+    * n top-level `slice` calls and stitched with `arrays_zip`, so the
+    * tokenization runs O(n) times per row, not O(tokens²). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val cnt = size(toks)
+    val parts = (0 until n).map(j =>
+      slice(toks, lit(j + 1), cnt - n + 1).as(s"t$j"))
+    val sh = transform(arrays_zip(parts: _*),
+      s => concat_ws(" ", (0 until n).map(j => s.getField(s"t$j")): _*))
+    when(cnt < n, array(concat_ws(" ", toks))).otherwise(sh)
+  }
+
+  /** MinHash signature from a *bound* shingle column: for k hash functions
+    * h_i(x) = xxhash64(x, seed=i), signature element i is the min over
+    * shingles. Keep `shingles` a materialized/bound column — passing a
+    * complex expression would re-evaluate it k times. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash + LSH near-dup candidate pairs.
+    *
+    * Pipeline: shingle → k-element minhash signature → split into `bands`
+    * bands of k/bands rows → (band, bandSignature) bucket key → self-join
+    * within buckets → distinct candidate pairs (a < b).
+    *
+    * The band-bucket join is an equi-join on the bucket key, so Catalyst
+    * shuffles both sides by key; there is no O(n²) comparison anywhere.
+    */
+  /** Buckets larger than this are dropped (degenerate LSH buckets make the
+    * pair count quadratic; near-dups falling in a huge bucket on one band
+    * are still caught by their other bands). Standard practice at scale. */
+  val MaxBucketSize = 200
+
+  def minhashCandidatePairs(df: DataFrame, idCol: String, contentCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    // two-stage projection: shingles bound once, then k min-hashes over the
+    // bound array; checkpointed so banding/bucketing don't recompute it
+    val sig = df
+      .select(col(idCol).as("id"),
+        wordShingles(col(contentCol), shingleSize).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_sig"))
+      .withColumn("bucket",
+        xxhash64(col("band"), concat_ws(",", col("band_sig"))))
+    // one shuffle on bucket; pair expansion from the sorted per-bucket id
+    // list (ids sorted → id_a < id_b by construction, no self-join)
+    banded.groupBy(col("bucket"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, MaxBucketSize))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("pair"))
+      .select(col("pair.id_a"), col("pair.id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity on word shingles for given candidate pairs
+    * (verification stage after LSH). */
+  def jaccardVerify(df: DataFrame, idCol: String, contentCol: String,
+      pairs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(contentCol), shingleSize)).as("sh"))
+      .localCheckpoint(true)
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(0.0))
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** End-to-end MinHash near-dedup: LSH candidates → Jaccard verify. */
+  def minhashNearDups(df: DataFrame, idCol: String, contentCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    jaccardVerify(df, idCol, contentCol,
+      minhashCandidatePairs(df, idCol, contentCol, shingleSize, numHashes,
+        bands),
+      shingleSize, threshold)
+
+  /** SimHash: 64-bit signature whose bits are majority votes of per-token
+    * hash bits. Rows whose signatures agree on most bits are near-dups.
+    * Pure expressions: per bit b, sum over tokens of (+1 / -1) on
+    * hash-bit b, then pack the sign bits. */
+  def simhash64(text: Column, shingleSize: Int = 2): Column =
+    simhashFromHashes(transform(wordShingles(text, shingleSize),
+      s => xxhash64(s)))
+
+  /** Bit-vote packing over a *bound* array<long> of shingle hashes (the
+    * hashes column must be materialized — the 64 bit votes each traverse
+    * it). */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: LSH on 4 x 16-bit chunks (signatures within
+    * Hamming distance <= 3 of each other share at least one identical
+    * 16-bit chunk), then exact Hamming verify. */
+  def simhashNearDups(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3, shingleSize: Int = 2): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"),
+        wordShingles(col(contentCol), shingleSize).as("sh"))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("h"))
+      .select(col("id"), simhashFromHashes(col("h")).as("sig"))
+      .localCheckpoint(true)
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"), col("sig"), col("pos").as("chunk"),
+        col("col").as("chunk_val"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training pipelines.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct.
+  * The decode/resize/frame-sample kernels would normally call native codec
+  * libraries; those libs are not in this container, so the *kernels* are
+  * deterministic fakes (clearly marked) while everything Spark-side — the
+  * schema, the batched mapPartitions shape (the Scala analog of
+  * `mapInPandas`: iterator-of-batches in, iterator-of-batches out, nothing
+  * materialized per-partition), partitioning, and the exploded frame layout —
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical multimodal asset schema: id + media kind + raw bytes + typed
+    * metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType),           // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("mime", StringType))))))
+
+  /** Build a deterministic fake asset table from any id column (for tests and
+    * for exercising the plumbing without codec libs). */
+  def syntheticAssets(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    ids.select(
+      col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
+      // FAKE payload: deterministic bytes derived from the id
+      unbase64(base64(concat(lit("PAYLOAD:"), col(idCol).cast("string"))
+        .cast("binary"))).as("payload"),
+      struct(
+        (pmod(col(idCol).cast("long"), lit(64)) * 16 + 16).cast("int")
+          .as("width"),
+        (pmod(col(idCol).cast("long"), lit(48)) * 16 + 16).cast("int")
+          .as("height"),
+        (pmod(col(idCol).cast("long"), lit(120)) * 1000).cast("long")
+          .as("duration_ms"),
+        lit("application/x-fake").as("mime")).as("meta"))
+  }
+
+  /** Feature-extraction output schema. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Batched feature extraction over binary payloads.
+    *
+    * Shape: `mapPartitions` with an iterator-in/iterator-out kernel — the
+    * Scala analog of `mapInPandas` batches. The FAKE kernel derives an
+    * 8-dim feature from payload bytes; a real one would decode and run a
+    * model, swapped in behind the same signature.
+    */
+  def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    assets.select("asset_id", "kind", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload = r.getAs[Array[Byte]](2)
+        val n = if (payload == null) 0 else payload.length
+        // FAKE decode kernel: deterministic 8-dim feature from byte stats.
+        val feature = (0 until 8).map { i =>
+          if (n == 0) 0.0f
+          else payload.iterator.zipWithIndex
+            .filter(_._2 % 8 == i).map(_._1.toInt & 0xFF).sum.toFloat / n
+        }.toArray
+        Row(id, kind, n, feature)
+      }
+    }(enc).toDF()
+  }
+
+  /** Frame sampling for video assets: emit one row per sampled frame at
+    * `everyMs` intervals — pure expression layout (sequence + explode), the
+    * decode of each frame being the swappable kernel. */
+  def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
+    assets.where(col("kind") === "video")
+      .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"),
+        posexplode(sequence(lit(0L), col("meta.duration_ms"),
+          lit(everyMs))))
+      .select(col("asset_id"), col("pos").as("frame_index"),
+        col("col").as("frame_ts_ms"))
+
+  /** Resize metadata transform (the byte-level resample is the stubbed
+    * kernel; the metadata math and column flow are real). */
+  def resize(assets: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = when(greatest(w, h) <= maxDim, lit(1.0))
+      .otherwise(lit(maxDim).cast("double") / greatest(w, h))
+    assets.withColumn("meta", struct(
+      ceil(w * scale).cast("int").as("width"),
+      ceil(h * scale).cast("int").as("height"),
+      col("meta.duration_ms").as("duration_ms"),
+      col("meta.mime").as("mime")))
+  }
+}

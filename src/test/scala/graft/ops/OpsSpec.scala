@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline operators: dedup, text analysis, similarity,
+  * multimodal plumbing. */
+class OpsSpec extends SparkSuite {
+
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (4L, "completely different content about spark engines"),
+      (5L, "")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id row per content") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("keeper_id") === 1L)
+    assert(groups.head.getAs[Long]("n_dups") === 2L)
+  }
+
+  test("minhash near-dup finds the near pair but not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs.where(col("doc_id") =!= 5),
+      "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8,
+      threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("simhash: identical texts have distance 0, near texts small distance") {
+    import spark.implicits._
+    val sigs = docs.where(col("doc_id") =!= 5)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val dups = Dedup.simhashNearDups(docs.where(col("doc_id") =!= 5),
+      "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L)))
+  }
+
+  test("text analysis: token counts, ratios, empty-text edge cases") {
+    import spark.implicits._
+    val got = TextAnalysis.analyze(docs, "text")
+      .select("doc_id", "n_tokens", "punct_ratio", "quality", "lang_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("n_tokens") === 9)
+    assert(got(5L).getAs[Int]("n_tokens") === 0)
+    assert(got(5L).getAs[Double]("punct_ratio") === 0.0)
+    assert(got(1L).getAs[String]("lang_id") === "en")
+    // deterministic fingerprint: same text → same fingerprint
+    val fps = TextAnalysis.analyze(docs, "text")
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("similarity: brute-force top-k self-match ranks first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") === 1), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.length === 2)
+    assert(top(0).getAs[Long]("corpus_id") === 1L) // self at rank 1
+    assert(top(1).getAs[Long]("corpus_id") === 2L) // nearest neighbor
+  }
+
+  test("similarity: LSH buckets agree with brute force on clear clusters") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+      else Array(0.0f, 0.0f, 0.0f, 1.0f)
+      (i.toLong, base.map(v => v + (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") === 0), "vec_id", "embedding",
+      dim = 4, k = 3, numPlanes = 2)
+      .collect()
+    assert(lsh.nonEmpty)
+    // all neighbors of an even-cluster query are even-cluster members
+    assert(lsh.forall(_.getAs[Long]("corpus_id") % 2 === 0))
+  }
+
+  test("multimodal: synthetic assets → features, frames, resize") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("id")
+    val assets = Multimodal.syntheticAssets(spark, ids, "id")
+    assert(assets.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(spark, assets).collect()
+    assert(feats.length === 30)
+    assert(feats.forall(_.getAs[scala.collection.Seq[Float]]("feature")
+      .length === 8))
+    val frames = Multimodal.sampleFrames(assets, everyMs = 10000)
+    assert(frames.where(col("frame_ts_ms") % 10000 =!= 0).count() === 0)
+    val resized = Multimodal.resize(assets, maxDim = 256)
+    val metas = resized.select("meta.width", "meta.height").collect()
+    assert(metas.forall(r => r.getInt(0) <= 256 && r.getInt(1) <= 256))
+  }
+}
