@@ -340,6 +340,49 @@ object SparkEntry {
       Multimodal.extractFeatures(s, assets)
         .select(col("asset_id"), col("kind"), col("n_bytes"))
     }),
+
+    // Structured Streaming: watermarked tumbling-window agg over the event
+    // stream; on a static directory the complete-mode result equals the
+    // batch bucketing, so the same oracle verifies the streaming path.
+    "q29_stream_window" -> ((s, dir) => {
+      s.catalog.dropTempView("q29_stream_out")
+      val stream = graft.streaming.Streams.windowedEventAgg(
+        graft.streaming.Streams.eventStream(s, dir))
+      graft.streaming.Streams.runToMemory(s, stream, "q29_stream_out",
+        outputMode = "complete")
+    }),
+
+    // Rollup (hierarchical subtotals — free from Spark SQL, verified)
+    "q30_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // Exact distinct aggregation
+    "q31_count_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Text quality metrics: punctuation/upper ratios + mean token length
+    "q32_text_metrics" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.upperRatio(col("text")).as("upper_ratio"),
+          TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"))
+    }),
+
+    // Language ID: per-language stopword scores, argmax
+    "q33_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_id"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -467,5 +510,47 @@ object SparkEntry {
              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                x -> x IN ('the', 'a', 'data', 'value'))) AS n_hit
            FROM documents)""",
+    "q29_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q30_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q31_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
+    "q32_text_metrics" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END
+             AS punct_ratio,
+           CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                     / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END
+             AS upper_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END
+             AS mean_token_len
+         FROM (SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   x -> length(x) > 0) AS toks
+               FROM documents)""",
+    "q33_lang_id" ->
+      """SELECT doc_id,
+           CASE WHEN (best).score > 0 THEN (best).lang ELSE 'und' END AS lang_id
+         FROM (
+           SELECT doc_id, (list_sort([
+             struct_pack(score := len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))), lang := 'de'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))), lang := 'en'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('el','los','las','una','por','con','para','del'))), lang := 'es'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('le','la','les','des','est','une','dans','que'))), lang := 'fr')
+           ]))[-1] AS best
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents))""",
   )
 }

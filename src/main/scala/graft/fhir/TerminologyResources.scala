@@ -1,0 +1,208 @@
+package graft.fhir
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.terminology.{ConceptMaps, Mapping, Value, ValueSets}
+
+/** Import/export of FHIR ValueSet and ConceptMap *resources* (JSON) into the
+  * flat terminology datasets, and reconstruction of the nested resource
+  * shape from the flat rows.
+  *
+  * Reference: S7 directory import (AbstractValueSets.valueSetDatasetFromDirectory
+  * /root/reference/bunsen-spark/.../AbstractValueSets.java:427-465,
+  * AbstractConceptMaps.java:162-194), value/mapping expansion
+  * (ValueSets.expandValues bunsen-spark-stu3/.../ValueSets.java:200-234,
+  * ConceptMaps.expandMappings ConceptMaps.java:207-275), and the sorted
+  * group-reconstruction O1/O2 (ConceptMaps.addToConceptMap :135-199,
+  * ValueSets.addToValueSet :237-287).
+  *
+  * Divergences: parsing is `from_json` against a compiled schema on a
+  * parallel `wholetext` read (the reference parses with HAPI on a
+  * 1-partition RDD, AbstractValueSets.java:458-460), and reconstruction is
+  * `array_sort(collect_list(struct(...)))` aggregation instead of a
+  * driver-side streamed fold — both fully cluster-side.
+  */
+object TerminologyResources {
+
+  /** Parse schema for a FHIR ValueSet resource (the subset the flat model
+    * round-trips; FIXTURES.md §6). */
+  val valueSetSchema: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("url", StringType),
+    StructField("version", StringType),
+    StructField("name", StringType),
+    StructField("status", StringType),
+    StructField("experimental", BooleanType),
+    StructField("compose", StructType(Seq(
+      StructField("include", ArrayType(StructType(Seq(
+        StructField("system", StringType),
+        StructField("version", StringType),
+        StructField("concept", ArrayType(StructType(Seq(
+          StructField("code", StringType),
+          StructField("display", StringType))))))))))))))
+
+  /** Parse schema for a FHIR ConceptMap resource. */
+  val conceptMapSchema: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("url", StringType),
+    StructField("version", StringType),
+    StructField("name", StringType),
+    StructField("status", StringType),
+    StructField("experimental", BooleanType),
+    StructField("sourceUri", StringType),
+    StructField("targetUri", StringType),
+    StructField("group", ArrayType(StructType(Seq(
+      StructField("source", StringType),
+      StructField("target", StringType),
+      StructField("unmapped", StructType(Seq(
+        StructField("mode", StringType),
+        StructField("url", StringType)))),
+      StructField("element", ArrayType(StructType(Seq(
+        StructField("code", StringType),
+        StructField("display", StringType),
+        StructField("target", ArrayType(StructType(Seq(
+          StructField("code", StringType),
+          StructField("display", StringType),
+          StructField("equivalence", StringType)))))))))))))))
+
+  private def readDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .withColumnRenamed("value", "resource_json")
+
+  /** S7: directory of ValueSet JSON files → (metadata DF, values DS). */
+  def valueSetsFromDirectory(spark: SparkSession,
+      path: String): (DataFrame, Dataset[Value]) = {
+    import spark.implicits._
+    val parsed = readDir(spark, path)
+      .select(from_json(col("resource_json"), valueSetSchema).as("vs"))
+      .where(col("vs.resourceType") === "ValueSet")
+    val meta = parsed.select(
+      col("vs.url").as("url"), col("vs.version").as("version"),
+      coalesce(col("vs.experimental"), lit(false)).as("experimental"))
+    // expandValues (ValueSets.java:200-234): explode include → concept
+    val values = parsed.select(
+      col("vs.url").as("valueSetUri"),
+      col("vs.version").as("valueSetVersion"),
+      explode(col("vs.compose.include")).as("inc"))
+      .select(col("valueSetUri"), col("valueSetVersion"),
+        col("inc.system").as("system"), col("inc.version").as("version"),
+        explode(col("inc.concept")).as("c"))
+      .select(col("valueSetUri"), col("valueSetVersion"), col("system"),
+        col("version"), col("c.code").as("value"))
+      .as[Value]
+    (meta, values)
+  }
+
+  /** Merge a directory of ValueSet resources into a collection (duplicates
+    * rejected — withValueSetsFromDirectory semantics). */
+  def withValueSetsFromDirectory(spark: SparkSession, valueSets: ValueSets,
+      path: String): ValueSets = {
+    val (meta, values) = valueSetsFromDirectory(spark, path)
+    valueSets.withValueSets(meta, values)
+  }
+
+  /** Disjoint variant (J1 semantics). */
+  def withDisjointValueSetsFromDirectory(spark: SparkSession,
+      valueSets: ValueSets, path: String): ValueSets = {
+    val (meta, values) = valueSetsFromDirectory(spark, path)
+    valueSets.withDisjointValueSets(meta, values)
+  }
+
+  /** S7: directory of ConceptMap JSON files → (metadata DF, mappings DS). */
+  def conceptMapsFromDirectory(spark: SparkSession,
+      path: String): (DataFrame, Dataset[Mapping]) = {
+    import spark.implicits._
+    val parsed = readDir(spark, path)
+      .select(from_json(col("resource_json"), conceptMapSchema).as("cm"))
+      .where(col("cm.resourceType") === "ConceptMap")
+    val meta = parsed.select(
+      col("cm.url").as("url"), col("cm.version").as("version"),
+      col("cm.sourceUri").as("source"), col("cm.targetUri").as("target"),
+      coalesce(col("cm.experimental"), lit(false)).as("experimental"))
+    // expandMappings (ConceptMaps.java:207-275)
+    val mappings = parsed.select(
+      col("cm.url").as("conceptMapUri"),
+      col("cm.version").as("conceptMapVersion"),
+      col("cm.sourceUri").as("sourceValueSet"),
+      col("cm.targetUri").as("targetValueSet"),
+      explode(col("cm.group")).as("g"))
+      .select(col("conceptMapUri"), col("conceptMapVersion"),
+        col("sourceValueSet"), col("targetValueSet"),
+        col("g.source").as("sourceSystem"), col("g.target").as("targetSystem"),
+        explode(col("g.element")).as("e"))
+      .select(col("conceptMapUri"), col("conceptMapVersion"),
+        col("sourceValueSet"), col("targetValueSet"), col("sourceSystem"),
+        col("e.code").as("sourceValue"), col("targetSystem"),
+        explode(col("e.target")).as("t"))
+      .select(col("conceptMapUri"), col("conceptMapVersion"),
+        col("sourceValueSet"), col("targetValueSet"), col("sourceSystem"),
+        col("sourceValue"), col("targetSystem"),
+        col("t.code").as("targetValue"), col("t.equivalence").as("equivalence"))
+      .as[Mapping]
+    (meta, mappings)
+  }
+
+  def withConceptMapsFromDirectory(spark: SparkSession,
+      conceptMaps: ConceptMaps, path: String): ConceptMaps = {
+    val (meta, mappings) = conceptMapsFromDirectory(spark, path)
+    conceptMaps.withConceptMaps(meta, mappings)
+  }
+
+  def withDisjointConceptMapsFromDirectory(spark: SparkSession,
+      conceptMaps: ConceptMaps, path: String): ConceptMaps = {
+    val (meta, mappings) = conceptMapsFromDirectory(spark, path)
+    conceptMaps.withDisjointConceptMaps(meta, mappings)
+  }
+
+  /** O2/U5: rebuild the nested ValueSet resource JSON for one (uri, version)
+    * from the flat values — canonical (system, version, value) ordering via
+    * array_sort, matching the reference's sort-then-rebuild
+    * (ValueSets.java:237-287). */
+  def valueSetAsJson(valueSets: ValueSets, uri: String,
+      version: String): Option[String] = {
+    import valueSets.spark.implicits._
+    val nested = valueSets.getValues(uri, version).toDF()
+      .groupBy(col("system"), col("version"))
+      .agg(array_sort(collect_list(struct(col("value").as("code"))))
+        .as("concept"))
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("system"), col("version"), col("concept")))).as("include"))
+      .select(to_json(struct(
+        lit("ValueSet").as("resourceType"),
+        lit(uri).as("url"), lit(version).as("version"),
+        struct(col("include")).as("compose"))).as("json"))
+    nested.as[String].collect().headOption
+  }
+
+  /** O1/U5: rebuild the nested ConceptMap resource JSON for one (uri,
+    * version) — groups keyed by (sourceSystem, targetSystem), elements and
+    * targets canonically sorted (ConceptMaps.addToConceptMap :135-199). */
+  def conceptMapAsJson(conceptMaps: ConceptMaps, uri: String,
+      version: String): Option[String] = {
+    import conceptMaps.spark.implicits._
+    val nested = conceptMaps.getMappings(uri, version).toDF()
+      .groupBy(col("sourceSystem"), col("targetSystem"),
+        col("sourceValue"))
+      .agg(array_sort(collect_list(struct(
+        col("targetValue").as("code"),
+        col("equivalence")))).as("target"))
+      .groupBy(col("sourceSystem"), col("targetSystem"))
+      .agg(array_sort(collect_list(struct(
+        col("sourceValue").as("code"), col("target")))).as("element"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(
+        col("sourceSystem").as("source"),
+        col("targetSystem").as("target"),
+        col("element")))).as("group"))
+      .select(to_json(struct(
+        lit("ConceptMap").as("resourceType"),
+        lit(uri).as("url"), lit(version).as("version"),
+        col("group"))).as("json"))
+    nested.as[String].collect().headOption
+  }
+}

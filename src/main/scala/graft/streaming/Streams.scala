@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.fhir.{Bundles, FhirSchemas}
+
+/** Structured Streaming surface — beyond reference parity (the reference has
+  * no streaming at all, SURVEY §2.10): streaming bundle ingestion reusing
+  * the exact batch `from_json` path, and watermarked windowed event
+  * aggregation. At scale this is the continuous-ingest front door: the same
+  * compiled schemas and extraction expressions serve batch and stream, so
+  * there is one codepath to validate.
+  */
+object Streams {
+
+  /** Streaming FHIR-bundle source: watch a directory of single-line-JSON
+    * bundle files and extract one resource type continuously. The
+    * transformation is *identical* to the batch path (Bundles.extractEntry
+    * expressions) — only the source is `readStream`. */
+  def bundleStream(spark: SparkSession, path: String,
+      resourceName: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(path)
+      .withColumnRenamed("value", "bundle_json")
+    Bundles.extractEntry(spark, Bundles.fromJson(raw, "bundle_json"),
+      resourceName)
+  }
+
+  /** Run a streaming DataFrame into an in-memory table until all currently
+    * available input is processed; returns the materialized result. Local
+    * test/driver harness for the streaming path. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Watermarked sliding/tumbling window aggregation over an event stream:
+    * the Structured Streaming form of the q19 batch bucketing. `complete`
+    * output keeps every window so the result equals the batch equivalent on
+    * a static directory. */
+  def windowedEventAgg(events: DataFrame, watermark: String = "1 hour",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming events source over the testdata parquet layout (ts arrives as
+    * TIMESTAMP(NANOS) → long under nanosAsLong, converted to micros). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+}
