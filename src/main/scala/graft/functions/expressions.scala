@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types._
+import org.apache.spark.SparkException
+
+/** Native Catalyst expressions for the hash-heavy training-data operators.
+  *
+  * These are full `Expression`s with `doGenCode` (not UDFs): they live
+  * inside WholeStageCodegen spans, carry precise nullability, and cost one
+  * static call per row. The interpreted higher-order-function formulations
+  * they replace (graft.ops.Dedup) re-traverse each document's shingle array
+  * once per hash function; at 100 TB that difference is the job.
+  */
+
+/** minhash signature: array<string> tokens → array<long> of `numHashes`
+  * minima over the `shingleSize`-token shingles. */
+private[functions] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.sql}")
+  }
+}
+
+case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression with StringArrayInput {
+  require(shingleSize >= 1 && numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashImpl.shingleMinHash(input.asInstanceOf[ArrayData],
+      shingleSize, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashImpl.shingleMinHash($c, $shingleSize, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+/** Distinct rolling-hash values of the `shingleSize`-token shingles —
+  * the long-typed shingle *set* used for exact-Jaccard verification. */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression with StringArrayInput {
+  require(shingleSize >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashImpl.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashImpl.shingleHashes($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of the `shingleSize`-token shingles. */
+case class SimHash(child: Expression, shingleSize: Int)
+    extends UnaryExpression with StringArrayInput {
+  require(shingleSize >= 1)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashImpl.simHash64(input.asInstanceOf[ArrayData], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashImpl.simHash64($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** LSH band bucket hashes: minhash signature of `numHashes` functions
+  * folded into `bands` per-band 64-bit bucket keys, in one kernel pass. */
+case class MinHashBands(child: Expression, shingleSize: Int, numHashes: Int,
+    bands: Int) extends UnaryExpression with StringArrayInput {
+  require(shingleSize >= 1 && numHashes >= 1 && bands >= 1 &&
+    numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashImpl.shingleMinHashBands(input.asInstanceOf[ArrayData],
+      shingleSize, numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashImpl.shingleMinHashBands($c, $shingleSize, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket signature of a float/double vector. */
+case class HyperplaneLsh(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 63)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_lsh"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_lsh expects array<float> or array<double>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isFloat) GraftHashImpl.hyperplaneF(input.asInstanceOf[ArrayData], numPlanes)
+    else GraftHashImpl.hyperplaneD(input.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (isFloat) "hyperplaneF" else "hyperplaneD"
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashImpl.$kernel($c, $numPlanes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
+    copy(child = newChild)
+}
+
+/** Dot product of two float/double vectors as a double. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot expects two array<float> or two array<double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  private def kernel: String = elemType(left) match {
+    case Some(FloatType) => "dotF"
+    case _ => "dotD"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (kernel == "dotF")
+      GraftHashImpl.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      GraftHashImpl.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftHashImpl.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL surface for the native expressions.
+  *
+  * Column API: `GraftFunctions.shingleMinhash(tokens, 3, 16)`.
+  * SQL: `GraftFunctions.register(spark)` (or the `GraftExtensions`
+  * SparkSessionExtensions class via `spark.sql.extensions`) registers
+  * `shingle_minhash(arr, n, k)`, `shingle_hashes(arr, n)`,
+  * `simhash64(arr, n)`, `vector_dot(a, b)`.
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = GraftShim.column(e)
+  private def expr(c: Column): Expression = GraftShim.expression(c)
+
+  def shingleMinhash(tokens: Column, shingleSize: Int, numHashes: Int): Column =
+    col(ShingleMinHash(expr(tokens), shingleSize, numHashes))
+  def minhashBands(tokens: Column, shingleSize: Int, numHashes: Int,
+      bands: Int): Column =
+    col(MinHashBands(expr(tokens), shingleSize, numHashes, bands))
+  def hyperplaneLsh(vec: Column, numPlanes: Int): Column =
+    col(HyperplaneLsh(expr(vec), numPlanes))
+  def shingleHashes(tokens: Column, shingleSize: Int): Column =
+    col(ShingleHashes(expr(tokens), shingleSize))
+  def simhash64(tokens: Column, shingleSize: Int): Column =
+    col(SimHash(expr(tokens), shingleSize))
+  def vectorDot(a: Column, b: Column): Column =
+    col(VectorDot(expr(a), expr(b)))
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new SparkException(
+      s"$name expects a literal integer argument, got $other")
+  }
+
+  private[functions] val sqlFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => ShingleMinHash(args(0),
+        intArg("shingle_minhash", args(1)), intArg("shingle_minhash", args(2)))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0),
+        intArg("shingle_hashes", args(1)))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash(args(0), intArg("simhash64", args(1)))),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intArg("minhash_bands", args(1)), intArg("minhash_bands", args(2)),
+        intArg("minhash_bands", args(3)))),
+    (FunctionIdentifier("hyperplane_lsh"),
+      new ExpressionInfo(classOf[HyperplaneLsh].getName, "hyperplane_lsh"),
+      (args: Seq[Expression]) => HyperplaneLsh(args(0),
+        intArg("hyperplane_lsh", args(1)))),
+    (FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+
+  /** Register the SQL functions on a live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injects the graft
+  * SQL functions at session build time — the deployment path for clusters
+  * where user code doesn't own session construction. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.sqlFunctions.foreach(ext.injectFunction)
+}

@@ -83,20 +83,17 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, contentCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    // two-stage projection: shingles bound once, then k min-hashes over the
-    // bound array; checkpointed so banding/bucketing don't recompute it
-    val sig = df
+    // native MinHashBands expression: tokenize → k-function signature →
+    // per-band bucket keys, all in ONE codegen'd pass per row (the HOF
+    // formulation re-traversed the shingle array once per hash function,
+    // interpreted, and needed a checkpoint so band slicing wouldn't
+    // recompute the signature)
+    val banded = df
       .select(col(idCol).as("id"),
-        wordShingles(col(contentCol), shingleSize).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .localCheckpoint(true)
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("band_sig"))
-      .withColumn("bucket",
-        xxhash64(col("band"), concat_ws(",", col("band_sig"))))
+        posexplode(graft.functions.GraftFunctions.minhashBands(
+          tokens(col(contentCol)), shingleSize, numHashes, bands)))
+      .select(col("id"),
+        xxhash64(col("pos"), col("col")).as("bucket"))
     // one shuffle on bucket; pair expansion from the sorted per-bucket id
     // list (ids sorted → id_a < id_b by construction, no self-join)
     banded.groupBy(col("bucket"))
@@ -110,13 +107,15 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity on word shingles for given candidate pairs
-    * (verification stage after LSH). */
+    * (verification stage after LSH). Shingles are compared as 64-bit
+    * rolling hashes (ShingleHashes) — set operations over longs, not
+    * strings; identical Jaccard up to hash collisions (~2^-64 per pair). */
   def jaccardVerify(df: DataFrame, idCol: String, contentCol: String,
       pairs: DataFrame, shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(contentCol), shingleSize)).as("sh"))
-      .localCheckpoint(true)
+      graft.functions.GraftFunctions.shingleHashes(
+        tokens(col(contentCol)), shingleSize).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -140,11 +139,15 @@ object Dedup {
         bands),
       shingleSize, threshold)
 
-  /** SimHash: 64-bit signature whose bits are majority votes of per-token
+  /** SimHash: 64-bit signature whose bits are majority votes of per-shingle
     * hash bits. Rows whose signatures agree on most bits are near-dups.
-    * Pure expressions: per bit b, sum over tokens of (+1 / -1) on
-    * hash-bit b, then pack the sign bits. */
+    * Native codegen'd expression — one pass per row. */
   def simhash64(text: Column, shingleSize: Int = 2): Column =
+    graft.functions.GraftFunctions.simhash64(tokens(text), shingleSize)
+
+  /** Interpreted higher-order-function formulation of simhash, kept as the
+    * differential-test oracle for the native expression's vote semantics. */
+  def simhash64Hof(text: Column, shingleSize: Int = 2): Column =
     simhashFromHashes(transform(wordShingles(text, shingleSize),
       s => xxhash64(s)))
 
@@ -169,12 +172,9 @@ object Dedup {
     * 16-bit chunk), then exact Hamming verify. */
   def simhashNearDups(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, shingleSize: Int = 2): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"),
-        wordShingles(col(contentCol), shingleSize).as("sh"))
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("h"))
-      .select(col("id"), simhashFromHashes(col("h")).as("sig"))
-      .localCheckpoint(true)
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(
+        tokens(col(contentCol)), shingleSize).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
