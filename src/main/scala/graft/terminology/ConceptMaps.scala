@@ -127,8 +127,7 @@ class ConceptMaps private (
         throw new IllegalArgumentException(
           "Cannot write concept maps already present in the database")
       }
-      mappings.toDF().write.mode(SaveMode.Append)
-        .format("parquet").insertInto(mappingsTable)
+      TableWrites.appendAligned(spark, mappings.toDF(), mappingsTable)
     } else {
       mappings.toDF().write
         .partitionBy("conceptMapUri", "conceptMapVersion")
@@ -137,8 +136,7 @@ class ConceptMaps private (
     val stamped = conceptMaps.withColumn("timestamp",
       current_timestamp().cast("timestamp"))
     if (spark.catalog.tableExists(metaTable)) {
-      stamped.write.mode(SaveMode.Append).format("parquet")
-        .insertInto(metaTable)
+      TableWrites.appendAligned(spark, stamped, metaTable)
     } else {
       stamped.write.partitionBy("timestamp").format("parquet")
         .saveAsTable(metaTable)

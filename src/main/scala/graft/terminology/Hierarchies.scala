@@ -89,8 +89,7 @@ class Hierarchies private (
         throw new IllegalArgumentException(
           "Cannot write hierarchies already present in the database")
       }
-      ancestors.toDF().write.mode(SaveMode.Append)
-        .format("parquet").insertInto(table)
+      TableWrites.appendAligned(spark, ancestors.toDF(), table)
     } else {
       ancestors.toDF().write
         .partitionBy("uri", "version")

@@ -1,0 +1,24 @@
+package graft.terminology
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Append helper for the partitioned terminology tables.
+  *
+  * `insertInto` matches columns POSITIONALLY, while
+  * `partitionBy(...).saveAsTable(...)` moves the partition columns to the
+  * END of the catalog schema — so appending a case-class-ordered DataFrame
+  * (partition keys first) silently rotates every value into the wrong
+  * column. All columns are strings, so nothing fails: the table is just
+  * corrupt. Reference semantics (S11, AbstractValueSets.java:620-633) write
+  * through explicit column-ordered SQL DDL and avoid this; we align the
+  * DataFrame to the live catalog schema before every insert instead.
+  */
+private[terminology] object TableWrites {
+
+  def appendAligned(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val catalogOrder = spark.table(table).columns
+    df.select(catalogOrder.map(col).toSeq: _*)
+      .write.mode(SaveMode.Append).format("parquet").insertInto(table)
+  }
+}

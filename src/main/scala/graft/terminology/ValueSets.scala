@@ -131,8 +131,7 @@ class ValueSets private (
         throw new IllegalArgumentException(
           "Cannot write valuesets already present in the database")
       }
-      values.toDF().write.mode(SaveMode.Append)
-        .format("parquet").insertInto(valuesTable)
+      TableWrites.appendAligned(spark, values.toDF(), valuesTable)
     } else {
       values.toDF().write.partitionBy("valueSetUri", "valueSetVersion")
         .format("parquet").saveAsTable(valuesTable)
@@ -140,8 +139,7 @@ class ValueSets private (
     val stamped = valueSets.withColumn("timestamp",
       current_timestamp().cast("timestamp"))
     if (spark.catalog.tableExists(metaTable)) {
-      stamped.write.mode(SaveMode.Append).format("parquet")
-        .insertInto(metaTable)
+      TableWrites.appendAligned(spark, stamped, metaTable)
     } else {
       stamped.write.partitionBy("timestamp").format("parquet")
         .saveAsTable(metaTable)

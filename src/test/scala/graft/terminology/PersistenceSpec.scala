@@ -1,0 +1,90 @@
+package graft.terminology
+
+import graft.SparkSuite
+
+/** Persist → append → read round-trips for the partitioned terminology
+  * tables (S10-S13), mirroring the reference's write-read test cases
+  * (/root/reference/bunsen-spark-stu3/src/test/java/com/cerner/bunsen/stu3/
+  * codes/ValueSetsTest.java:107-351, ConceptMapsTest.java, HierarchiesTests
+  * .java). The append cases specifically guard against positional
+  * `insertInto` column rotation: `partitionBy(...).saveAsTable` moves the
+  * partition columns to the end of the catalog schema, so an unaligned
+  * append lands every value in the wrong (all-string) column.
+  */
+class PersistenceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("valuesets: write → append → read round-trip, dup write rejected") {
+    val db = "graft_test_vs_rt"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    ValueSets.getEmpty(spark)
+      .withValueSet("urn:vs:p1", "1", Seq(("sysA", "code1"), ("sysA", "code2")))
+      .writeToDatabase(db)
+    val second = ValueSets.getEmpty(spark)
+      .withValueSet("urn:vs:p2", "9", Seq(("sysB", "codeX")))
+    second.writeToDatabase(db) // append path (table now exists)
+
+    val loaded = ValueSets.getFromDatabase(spark, db)
+    assert(loaded.getValues("urn:vs:p1", "1").collect().map(_.value).sorted
+      === Array("code1", "code2"))
+    // the appended row must land with every column in its right place
+    assert(loaded.getValues("urn:vs:p2", "9").collect().toSet ===
+      Set(Value("urn:vs:p2", "9", "sysB", null, "codeX")))
+    // metadata table round-trips (url, version, experimental)
+    assert(loaded.getValueSet("urn:vs:p2", "9").isDefined)
+    assert(loaded.getLatestVersionsMap(includeExperimental = true) ===
+      Map("urn:vs:p1" -> "1", "urn:vs:p2" -> "9"))
+    // duplicate write against the stored table is an error
+    intercept[IllegalArgumentException] { second.writeToDatabase(db) }
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("conceptmaps: write → append → read round-trip, dup write rejected") {
+    val db = "graft_test_cm_rt"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    ConceptMaps.getEmpty(spark)
+      .withConceptMap("urn:cm:p1", "1",
+        Seq(("s1", "a", "t1", "A", "equivalent")))
+      .writeToDatabase(db)
+    val second = ConceptMaps.getEmpty(spark)
+      .withConceptMap("urn:cm:p2", "3",
+        Seq(("s2", "b", "t2", "B", "wider")), source = "urn:src",
+        target = "urn:tgt")
+    second.writeToDatabase(db)
+
+    val loaded = ConceptMaps.getFromDatabase(spark, db)
+    val m = loaded.getMappings("urn:cm:p2", "3").collect()
+    assert(m.toSet === Set(Mapping("urn:cm:p2", "3", "urn:src", "urn:tgt",
+      "s2", "b", "t2", "B", "wider")))
+    assert(loaded.getMappings("urn:cm:p1", "1").collect().head.targetValue
+      === "A")
+    assert(loaded.getConceptMap("urn:cm:p2", "3").isDefined)
+    intercept[IllegalArgumentException] { second.writeToDatabase(db) }
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("hierarchies: write → append → read round-trip, dup write rejected") {
+    val db = "graft_test_h_rt"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    Hierarchies.getEmpty(spark)
+      .withHierarchyElements("urn:h:p1", "1", Seq(
+        HierarchicalElement("s", "root", "s", "mid"),
+        HierarchicalElement("s", "mid", "s", "leaf")).toDS())
+      .writeToDatabase(db)
+    val second = Hierarchies.getEmpty(spark)
+      .withHierarchyElements("urn:h:p2", "2", Seq(
+        HierarchicalElement("x", "p", "x", "c")).toDS())
+    second.writeToDatabase(db)
+
+    val loaded = Hierarchies.getFromDatabase(spark, db)
+    assert(loaded.getAncestors("urn:h:p1", "1").collect().exists(a =>
+      a.ancestorValue == "root" && a.descendantValue == "leaf"))
+    assert(loaded.getAncestors("urn:h:p2", "2").collect().toSet ===
+      Set(Ancestor("urn:h:p2", "2", "x", "c", "x", "p")))
+    assert(loaded.getLatestVersions ===
+      Map("urn:h:p1" -> "1", "urn:h:p2" -> "2"))
+    intercept[IllegalArgumentException] { second.writeToDatabase(db) }
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+}
