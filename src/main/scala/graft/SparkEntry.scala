@@ -309,19 +309,25 @@ object SparkEntry {
           Dedup.simhash64(col("text"), shingleSize = 2).as("sig"))
     }),
 
-    // Dedup (n-gram Jaccard): LSH candidates + exact verify, rows-only
+    // Dedup (n-gram Jaccard): EXACT prefix-filtered similarity join —
+    // 100% recall by the PPJoin prefix lemma, so the all-pairs DuckDB
+    // Jaccard oracle verifies it hash-exactly
+    // 3-token shingles + t=0.5: unrelated docs share almost no 3-grams, so
+    // the candidate set stays near the true-pair count even at scale
     "q25_jaccard_dups" -> ((s, dir) => {
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.2)
+      Dedup.jaccardNearDupsExact(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
     }),
 
-    // Similarity: brute-force cosine top-k (queries = first 5 vectors)
+    // Similarity: brute-force cosine top-k (queries = first 5 vectors);
+    // oracle-checked — ranking matches DuckDB list_cosine_similarity
     "q26_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
         e, "vec_id", "embedding",
         e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
     }),
 
     // Similarity: LSH-bucketed ANN (scale path), rows-only
@@ -382,6 +388,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.languageId(col("text")).as("lang_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs, quantized-exact (integer dot
+    // products + decimal threshold compare → bit-reproducible, oracle'd);
+    // id range capped so the all-pairs stays bounded at every SF
+    "q34_cosine_neardups" -> ((s, dir) => {
+      // threshold 0.3: the synthetic embeddings are near-orthogonal (max
+      // pairwise cosine ~0.47), so 0.8 would assert an empty result
+      Similarity.cosineNearDupsExact(
+        t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.3)
     }),
   )
 
@@ -510,6 +527,56 @@ object SparkEntry {
              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                x -> x IN ('the', 'a', 'data', 'value'))) AS n_hit
            FROM documents)""",
+    "q25_jaccard_dups" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)) AS jaccard
+         FROM cand
+         JOIN sh x ON x.doc_id = id_a
+         JOIN sh y ON y.doc_id = id_b
+         WHERE jaccard >= 0.5""",
+    "q26_ann_bruteforce" ->
+      """SELECT query_id, corpus_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+         WHERE rank <= 10""",
+    "q34_cosine_neardups" ->
+      """WITH d AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+           FROM embeddings WHERE vec_id < 300),
+         n AS (
+           SELECT id, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nrm
+           FROM d),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.nrm AS na, b.nrm AS nb,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS dot
+           FROM n a JOIN n b ON a.id < b.id)
+         SELECT id_a, id_b FROM p
+         WHERE na > 0 AND nb > 0 AND dot > 0
+           AND CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 100
+             >= CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 9""",
     "q29_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,

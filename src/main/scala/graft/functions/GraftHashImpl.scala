@@ -86,14 +86,15 @@ object GraftHashImpl {
     new GenericArrayData(mins)
   }
 
-  /** 64-bit SimHash over the n-token shingles: per-bit majority vote of
-    * shingle hashes, one pass. */
-  def simHash64(tokens: ArrayData, n: Int): Long = {
-    val sh = shingleHashArray(tokens, n)
+  /** The SimHash vote stage: per-bit majority over the given (already
+    * finalized) hash values. Exposed separately so the vote semantics can be
+    * differential-tested against the interpreted HOF formulation
+    * (Dedup.simhashFromHashes) on identical inputs. */
+  def simHashVotes(hashes: Array[Long]): Long = {
     val votes = new Array[Int](64)
     var j = 0
-    while (j < sh.length) {
-      val h = XXH64.hashLong(sh(j), 0L)
+    while (j < hashes.length) {
+      val h = hashes(j)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -108,6 +109,18 @@ object GraftHashImpl {
       b += 1
     }
     sig
+  }
+
+  /** 64-bit SimHash over the n-token shingles: per-bit majority vote of the
+    * xxhash64-finalized shingle hashes, one pass. */
+  def simHash64(tokens: ArrayData, n: Int): Long = {
+    val sh = shingleHashArray(tokens, n)
+    var j = 0
+    while (j < sh.length) {
+      sh(j) = XXH64.hashLong(sh(j), 0L)
+      j += 1
+    }
+    simHashVotes(sh)
   }
 
   /** Band bucket hashes: the k-element minhash signature split into
@@ -131,11 +144,25 @@ object GraftHashImpl {
     new GenericArrayData(out)
   }
 
+  private def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Random-hyperplane LSH signature: bit p of the result is the sign of
     * the projection of `vec` onto a deterministic pseudo-random ±1
     * hyperplane (sign derived by hashing (p, dim-index)). One pass per
-    * plane over the raw float/double vector — no per-element lambdas. */
-  def hyperplaneF(vec: ArrayData, numPlanes: Int): Long = {
+    * plane over the raw float/double vector — no per-element lambdas.
+    * A vector containing null elements yields a null signature (the
+    * pre-native HOF formulation's semantics: null propagates, it does not
+    * silently read as 0). */
+  def hyperplaneF(vec: ArrayData, numPlanes: Int): java.lang.Long = {
+    if (hasNullElement(vec)) return null
     val n = vec.numElements()
     var sig = 0L
     var p = 0
@@ -153,7 +180,8 @@ object GraftHashImpl {
     sig
   }
 
-  def hyperplaneD(vec: ArrayData, numPlanes: Int): Long = {
+  def hyperplaneD(vec: ArrayData, numPlanes: Int): java.lang.Long = {
+    if (hasNullElement(vec)) return null
     val n = vec.numElements()
     var sig = 0L
     var p = 0
@@ -171,18 +199,27 @@ object GraftHashImpl {
     sig
   }
 
-  /** Dot product of two float vectors, accumulated in double. */
-  def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Dot product of two float vectors, accumulated in double. Null when the
+    * lengths differ or either vector has a null element — a corrupt/short
+    * embedding must surface as a null score, not a plausible partial sum
+    * (the semantics of the zip_with/aggregate formulation this replaced). */
+  def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || hasNullElement(a) || hasNullElement(b)) {
+      return null
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
 
-  /** Dot product of two double vectors. */
-  def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Dot product of two double vectors; null semantics as [[dotF]]. */
+  def dotD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || hasNullElement(a) || hasNullElement(b)) {
+      return null
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -93,11 +93,14 @@ case class MinHashBands(child: Expression, shingleSize: Int, numHashes: Int,
     copy(child = newChild)
 }
 
-/** Random-hyperplane LSH bucket signature of a float/double vector. */
+/** Random-hyperplane LSH bucket signature of a float/double vector.
+  * Null when the vector itself or any element is null (null must not
+  * silently bucket as if it were 0). */
 case class HyperplaneLsh(child: Expression, numPlanes: Int)
     extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 63)
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_lsh"
 
   private def isFloat: Boolean = child.dataType match {
@@ -111,24 +114,37 @@ case class HyperplaneLsh(child: Expression, numPlanes: Int)
       s"hyperplane_lsh expects array<float> or array<double>, got ${t.sql}")
   }
 
+  private def kernel: String = if (isFloat) "hyperplaneF" else "hyperplaneD"
+
   override protected def nullSafeEval(input: Any): Any =
     if (isFloat) GraftHashImpl.hyperplaneF(input.asInstanceOf[ArrayData], numPlanes)
     else GraftHashImpl.hyperplaneD(input.asInstanceOf[ArrayData], numPlanes)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = if (isFloat) "hyperplaneF" else "hyperplaneD"
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GraftHashImpl.$kernel($c, $numPlanes)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("lshRes")
+      s"""
+      java.lang.Long $tmp = graft.functions.GraftHashImpl.$kernel($c, $numPlanes);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.longValue();
+      }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
     copy(child = newChild)
 }
 
-/** Dot product of two float/double vectors as a double. */
+/** Dot product of two float/double vectors as a double. Null when either
+  * input is null, the lengths differ, or any element is null — a
+  * corrupt/short embedding surfaces as a null score, never a plausible
+  * partial sum. */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
@@ -156,8 +172,17 @@ case class VectorDot(left: Expression, right: Expression)
       GraftHashImpl.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.GraftHashImpl.$kernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+      java.lang.Double $tmp = graft.functions.GraftHashImpl.$kernel($a, $b);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.doubleValue();
+      }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
@@ -190,6 +215,10 @@ object GraftFunctions {
     col(SimHash(expr(tokens), shingleSize))
   def vectorDot(a: Column, b: Column): Column =
     col(VectorDot(expr(a), expr(b)))
+  /** Bounded top-k aggregate (score desc, id asc):
+    * array<struct<score,id>> best-first; O(k) partial buffers. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
 
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

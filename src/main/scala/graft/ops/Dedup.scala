@@ -130,7 +130,11 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** End-to-end MinHash near-dedup: LSH candidates → Jaccard verify. */
+  /** End-to-end MinHash near-dedup: LSH candidates → Jaccard verify.
+    * Approximate: recall is the LSH band-collision probability
+    * 1-(1-J^rows)^bands, so low-similarity pairs can be missed. For the
+    * exact variant (100% recall at any threshold) see
+    * [[jaccardNearDupsExact]]. */
   def minhashNearDups(df: DataFrame, idCol: String, contentCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame =
@@ -139,21 +143,55 @@ object Dedup {
         bands),
       shingleSize, threshold)
 
+  /** EXACT Jaccard near-dup pairs via prefix filtering (the PPJoin family's
+    * core lemma): for sets canonically sorted under one global total order
+    * (ascending hash value), two sets with J(A,B) >= t must share an
+    * element within their first |A| - ceil(t*|A|) + 1 elements — so
+    * exploding only those prefixes and equi-joining on the element yields a
+    * candidate set with 100% recall, no all-pairs product anywhere, and one
+    * shuffle keyed by prefix hash. Guarantees exactness where MinHash LSH
+    * is probabilistic, at the cost of a larger candidate set for low
+    * thresholds.
+    *
+    * At 100 TB: candidate generation shuffles (prefix-hash, id) pairs;
+    * frequent shingles make hot keys, which AQE skew-split handles; the
+    * verify join touches only candidates. */
+  def jaccardNearDupsExact(df: DataFrame, idCol: String, contentCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // shingleHashes returns the sorted distinct hash set — already in
+    // canonical global order for prefix filtering
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.shingleHashes(
+        tokens(col(contentCol)), shingleSize).as("sh"))
+    // prefix length |s| - ceil(t*|s|) + 1; the 1e-9 nudge keeps a
+    // floating-point overshoot of an exactly-integer t*|s| from shortening
+    // the prefix (a longer prefix is always safe, a shorter one is not)
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast("int")
+    val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(
+      slice(col("sh"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
+    // length filter (also exact): J >= t forces t·|A| <= |B| <= |A|/t
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.n") >= lit(threshold) * col("a.n") &&
+          col("a.n") >= lit(threshold) * col("b.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerify(df, idCol, contentCol, cand, shingleSize, threshold)
+  }
+
   /** SimHash: 64-bit signature whose bits are majority votes of per-shingle
     * hash bits. Rows whose signatures agree on most bits are near-dups.
     * Native codegen'd expression — one pass per row. */
   def simhash64(text: Column, shingleSize: Int = 2): Column =
     graft.functions.GraftFunctions.simhash64(tokens(text), shingleSize)
 
-  /** Interpreted higher-order-function formulation of simhash, kept as the
-    * differential-test oracle for the native expression's vote semantics. */
-  def simhash64Hof(text: Column, shingleSize: Int = 2): Column =
-    simhashFromHashes(transform(wordShingles(text, shingleSize),
-      s => xxhash64(s)))
-
-  /** Bit-vote packing over a *bound* array<long> of shingle hashes (the
-    * hashes column must be materialized — the 64 bit votes each traverse
-    * it). */
+  /** Bit-vote packing over a *bound* array<long> of shingle hashes — the
+    * interpreted HOF differential oracle for the native kernel's vote stage
+    * (KernelDifferentialSpec feeds both identical hash arrays; the hashes
+    * column must be materialized — the 64 bit votes each traverse it). */
   def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0L),

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -30,15 +29,31 @@ object Similarity {
   private def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
     when(normA * normB === 0, lit(0.0)).otherwise(dotAB / (normA * normB))
 
+  /** Per-query top-k reduction of scored (query_id, corpus_id, score) rows
+    * via the bounded [[graft.functions.TopKByScore]] aggregate. Unlike a
+    * `row_number()` window partitioned by query_id — which shuffles EVERY
+    * scored corpus row for a query into a single reducer task — the
+    * aggregate does map-side partial aggregation with O(k) buffers, so
+    * per-query reducer input is k × numPartitions rows no matter how large
+    * the corpus is. Ties broken by corpus_id asc (deterministic). */
+  private def topKReduce(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("score"), col("corpus_id"), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: for each query row, the k most similar corpus
     * rows. The (small) query set is broadcast against the (large) corpus —
-    * the corpus is never shuffled, only scored map-side and reduced with a
-    * per-query top-k window. Norms are computed once per row on each side
+    * the corpus is never shuffled, only scored map-side and reduced with the
+    * bounded top-k aggregate. Norms are computed once per row on each side
     * *before* the join, so the pair loop does one dot product only.
     *
     * At 1000-executor scale: queries broadcast once; scoring is map-local;
-    * the only shuffle is the final top-k per query (k rows per partition per
-    * query after partial aggregation).
+    * the only shuffle carries k-entry aggregation buffers per (query,
+    * partition).
     */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -48,13 +63,10 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"))
     val scored = c.join(broadcast(q))
-      .withColumn("score",
-        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "score", "rank")
+      .select(col("query_id"), col("corpus_id"),
+        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
+          .as("score"))
+    topKReduce(scored, k)
   }
 
   /** Random-hyperplane LSH bucket id — native HyperplaneLsh expression
@@ -76,13 +88,10 @@ object Similarity {
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
       hyperplaneBucket(col(queryVec), dim, numPlanes).as("bucket"))
     val scored = bCorpus.join(broadcast(bQueries), Seq("bucket"))
-      .withColumn("score",
-        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "score", "rank")
+      .select(col("query_id"), col("corpus_id"),
+        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
+          .as("score"))
+    topKReduce(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
@@ -100,34 +109,38 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
 
-  /** Exact all-pairs cosine near-duplicates, decimal-exact scoring (for
-    * oracle-parity with DuckDB: the per-element products and their sum are
-    * DECIMAL(38,12), so reduction order cannot change bits). Quadratic in
-    * the filtered id range — the scale path is `cosineNearDups`. */
+  /** Exact all-pairs cosine near-duplicates over QUANTIZED embeddings —
+    * each element is rounded to 1/quantScale (default 1e-4), making every
+    * dot product an integer that is exact in double arithmetic (≤ 2^53),
+    * and the threshold test an integer/decimal compare with no float
+    * reduction-order sensitivity at all. The quantization noise (~1e-4 on
+    * the cosine) is irrelevant for near-dup thresholds; in exchange the
+    * result is bit-reproducible on any engine, which is what makes this the
+    * oracle-checkable variant (q34). Quadratic in the filtered id range —
+    * the scale path is `cosineNearDups`.
+    *
+    * Threshold exactness: t is interpreted at its shortest decimal
+    * representation (BigDecimal.valueOf), t² = num/10^s exactly, and the
+    * test is dot²·10^s >= na·nb·num in DECIMAL(38,0) — pure integers. The
+    * dot>0 guard makes the squared compare equivalent to cosine >= t, which
+    * is why t must be positive. */
   def cosineNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, quantScale: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val t2 = java.math.BigDecimal.valueOf(threshold).pow(2)
+    val num = t2.unscaledValue()
+    val den = java.math.BigInteger.TEN.pow(t2.scale())
     val d = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<decimal(20,9)>").as("vec"))
-    val pairs = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
-    pairs
-      .withColumn("dotd", aggregate(
-        zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
-        lit(0).cast("decimal(38,12)"),
-        (acc, v) => acc + coalesce(v, lit(0)).cast("decimal(38,12)")))
-      .withColumn("na", aggregate(
-        transform(col("a.vec"), x => x * x),
-        lit(0).cast("decimal(38,12)"),
-        (acc, v) => acc + coalesce(v, lit(0)).cast("decimal(38,12)")))
-      .withColumn("nb", aggregate(
-        transform(col("b.vec"), x => x * x),
-        lit(0).cast("decimal(38,12)"),
-        (acc, v) => acc + coalesce(v, lit(0)).cast("decimal(38,12)")))
-      .where(col("na") > 0 && col("nb") > 0)
-      .withColumn("cos2_num", col("dotd") * col("dotd"))
-      .withColumn("cos2_den", col("na") * col("nb"))
-      // dot>0 and dot² >= t²·na·nb  ⇔  cosine >= t (exact integer-ish compare)
-      .where(col("dotd") > 0 &&
-        col("cos2_num") >= col("cos2_den") * lit(threshold * threshold))
+      transform(col(vecCol), x => round(x.cast("double") * quantScale))
+        .as("qv"))
+      .withColumn("nrm", dot(col("qv"), col("qv")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dotd", dot(col("a.qv"), col("b.qv")))
+      .where(col("a.nrm") > 0 && col("b.nrm") > 0 && col("dotd") > 0 &&
+        dec(col("dotd")) * dec(col("dotd")) * lit(new java.math.BigDecimal(den)) >=
+          dec(col("a.nrm")) * dec(col("b.nrm")) * lit(new java.math.BigDecimal(num)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 }

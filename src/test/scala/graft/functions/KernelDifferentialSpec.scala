@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Differential tests for the native hash kernels against independent
+  * formulations on IDENTICAL inputs: the optimized one-pass kernels
+  * (Kirsch-Mitzenmacher minhash derivation, fused band folding, vote
+  * packing) vs naive obviously-correct loops / the interpreted HOF
+  * pipeline. This is the hard correctness signal for the hash-seeded
+  * operators (q23/q24/q27) that no external SQL oracle can reproduce.
+  */
+class KernelDifferentialSpec extends SparkSuite {
+
+  private val rnd = new scala.util.Random(20260812)
+
+  private def randTokens(n: Int): Array[String] =
+    Array.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+
+  private def toArrayData(tokens: Array[String]): GenericArrayData =
+    new GenericArrayData(tokens.map(t =>
+      UTF8String.fromString(t).asInstanceOf[Any]))
+
+  /** Naive reference: rolling shingle hashes exactly as documented —
+    * xxhash64 each token (seed 42), fold windows of n with the golden-ratio
+    * polynomial; < n tokens → one shingle over what's present. */
+  private def naiveShingleHashes(tokens: Array[String], n: Int): Array[Long] = {
+    val prime = 0x9E3779B97F4A7C15L
+    val tok = tokens.map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+    val windows =
+      if (tok.length < n) Seq(tok.toSeq)
+      else tok.toSeq.sliding(n).toSeq
+    windows.map(w => w.foldLeft(prime)((h, t) => h * prime + t)).toArray
+  }
+
+  test("shingle hashes: kernel == naive sliding-window fold") {
+    for (len <- Seq(0, 1, 2, 3, 10, 50); n <- Seq(1, 2, 3)) {
+      val tokens = randTokens(len)
+      val got = GraftHashImpl.shingleHashArray(toArrayData(tokens), n)
+      assert(got.toSeq === naiveShingleHashes(tokens, n).toSeq,
+        s"len=$len n=$n")
+    }
+  }
+
+  test("minhash signature: kernel == naive per-function minimum") {
+    for (len <- Seq(1, 5, 40); n <- Seq(2, 3); k <- Seq(4, 16)) {
+      val tokens = randTokens(len)
+      val sh = naiveShingleHashes(tokens, n)
+      // naive: h_i(s) = hashLong(s, 0) + i * (hashLong(s, 1) | 1)
+      val expected = (0 until k).map { i =>
+        sh.map(s => XXH64.hashLong(s, 0L) + i * (XXH64.hashLong(s, 1L) | 1L))
+          .min
+      }
+      val got = GraftHashImpl.shingleMinHash(toArrayData(tokens), n, k)
+        .asInstanceOf[GenericArrayData].toLongArray().toSeq
+      assert(got === expected, s"len=$len n=$n k=$k")
+    }
+  }
+
+  test("minhash bands: kernel == fold of the signature's band slices") {
+    val tokens = randTokens(30)
+    val n = 2; val k = 16; val bands = 8
+    val sig = GraftHashImpl.shingleMinHash(toArrayData(tokens), n, k)
+      .asInstanceOf[GenericArrayData].toLongArray()
+    val prime = 0x9E3779B97F4A7C15L
+    val expected = (0 until bands).map { b =>
+      val slice = sig.slice(b * (k / bands), (b + 1) * (k / bands))
+      XXH64.hashLong(slice.foldLeft(1125899906842597L)((h, v) => h * prime + v),
+        b.toLong)
+    }
+    val got = GraftHashImpl.shingleMinHashBands(toArrayData(tokens), n, k,
+      bands).asInstanceOf[GenericArrayData].toLongArray().toSeq
+    assert(got === expected)
+  }
+
+  test("simhash vote stage: kernel == interpreted HOF oracle on same hashes") {
+    import spark.implicits._
+    val cases = Seq.fill(20)(Array.fill(1 + rnd.nextInt(30))(rnd.nextLong()))
+    // HOF path: Dedup.simhashFromHashes over a bound array<long> column
+    val viaHof = cases.zipWithIndex.map { case (hs, i) => (i, hs) }
+      .toDF("i", "hashes")
+      .select(col("i"), graft.ops.Dedup.simhashFromHashes(col("hashes"))
+        .as("sig"))
+      .as[(Int, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case (hs, i) =>
+      assert(viaHof(i) === GraftHashImpl.simHashVotes(hs), s"case $i")
+    }
+  }
+
+  test("simhash end-to-end: kernel == votes over hashed naive shingles") {
+    for (len <- Seq(0, 1, 7, 25); n <- Seq(2, 3)) {
+      val tokens = randTokens(len)
+      val expected = GraftHashImpl.simHashVotes(
+        naiveShingleHashes(tokens, n).map(XXH64.hashLong(_, 0L)))
+      assert(GraftHashImpl.simHash64(toArrayData(tokens), n) === expected,
+        s"len=$len n=$n")
+    }
+  }
+
+  test("hyperplane lsh: kernel == naive signed projection") {
+    val dims = Seq(1, 8, 64)
+    for (d <- dims; planes <- Seq(4, 8)) {
+      val vec = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      var expected = 0L
+      for (p <- 0 until planes) {
+        val s = (0 until d).map { i =>
+          val sign =
+            if ((XXH64.hashLong(p.toLong * 1000003L + i, 7L) & 1L) == 1L) 1.0
+            else -1.0
+          vec(i).toDouble * sign
+        }.sum
+        if (s > 0) expected |= (1L << p)
+      }
+      val got = GraftHashImpl.hyperplaneF(
+        new GenericArrayData(vec.map(_.asInstanceOf[Any])), planes)
+      assert(got === expected, s"d=$d planes=$planes")
+    }
+  }
+}

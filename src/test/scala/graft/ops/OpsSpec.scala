@@ -86,6 +86,47 @@ class OpsSpec extends SparkSuite {
     assert(top(1).getAs[Long]("corpus_id") === 2L) // nearest neighbor
   }
 
+  test("topk aggregate matches row_number window on random scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random scores incl. exact ties across 40 corpus
+    // rows x 3 queries, spread over several partitions so merge() runs
+    val rnd = new scala.util.Random(7)
+    val scored = (for {
+      q <- 0L until 3L
+      c <- 0L until 40L
+    } yield (q, c, math.floor(rnd.nextDouble() * 10) / 10)) // coarse → ties
+      .toDF("query_id", "corpus_id", "score").repartition(8)
+    val viaAgg = scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("score"), col("corpus_id"), 5).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("topk aggregate supports string ids") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "b", 0.5), (1L, "a", 0.5), (1L, "c", 0.9), (1L, "d", 0.1))
+      .toDF("query_id", "corpus_id", "score")
+    val got = scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("score"), col("corpus_id"), 3).as("topk"))
+      .select(explode(col("topk.id")).as("id"))
+      .as[String].collect()
+    assert(got.toSeq === Seq("c", "a", "b")) // tie at 0.5 → id asc
+  }
+
   test("similarity: LSH buckets agree with brute force on clear clusters") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
@@ -100,6 +141,26 @@ class OpsSpec extends SparkSuite {
     assert(lsh.nonEmpty)
     // all neighbors of an even-cluster query are even-cluster members
     assert(lsh.forall(_.getAs[Long]("corpus_id") % 2 === 0))
+  }
+
+  test("vector kernels: null on length mismatch and null elements") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val vecs = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)), // short
+      (3L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f))) // null elem
+      .toDF("id", "a", "b")
+    val got = vecs.select(col("id"),
+      GraftFunctions.vectorDot(col("a"), col("b")).as("dot"),
+      GraftFunctions.hyperplaneLsh(col("a"), 4).as("lsh"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L)._1 === Some(11.0))
+    assert(got(1L)._2.isDefined)
+    assert(got(2L)._1 === None) // length mismatch → null, not partial sum
+    assert(got(3L)._1 === None) // null element → null
+    assert(got(3L)._2 === None)
   }
 
   test("multimodal: synthetic assets → features, frames, resize") {
