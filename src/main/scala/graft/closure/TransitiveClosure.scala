@@ -1,8 +1,7 @@
 package graft.closure
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed transitive closure over a parent-child edge list.
   *
@@ -13,51 +12,57 @@ import org.apache.spark.storage.StorageLevel
   * driver-memory-bound and cannot scale past a few million edges.
   *
   * This implementation keeps the computation on the cluster as an iterative
-  * self-join with *prefix doubling*: after iteration i, `closure` holds every
-  * path of length <= 2^i, so the number of rounds is O(log(longest path))
-  * instead of O(longest path). Each round:
+  * self-join, with two strategies:
   *
-  *   closure' = distinct(closure ∪ (closure ⋈ closure))
+  *  - **Prefix doubling** (default): after round i, `closure` holds every
+  *    path of length <= 2^i, so the round count is O(log d) for depth d.
+  *    Each round joins closure ⋈ closure — whose build side keyed on
+  *    `ancestor` is skewed at hub nodes (a root is the ancestor of every
+  *    descendant), which AQE skew-splitting must absorb. Right choice for
+  *    DEEP graphs (chains, DAG closures) where d is large.
+  *  - **Linear** (`linear = true`): each round extends paths by ONE edge:
+  *    closure ⋈ edges on closure.descendant == edge.parent. The probe side
+  *    is keyed by descendant (≤ d rows per key — no hub skew), the build
+  *    side is the original edge list (often broadcastable), and rounds = d.
+  *    Right choice for SHALLOW hierarchies — real code systems (LOINC,
+  *    SNOMED) are 10–20 deep, so d rounds of a skew-free join beat log₂(d)
+  *    rounds of a skewed one.
   *
-  * joined on closure.ancestor == closure.descendant. `distinct` makes the
-  * iteration cycle-safe (a cycle just stops producing new rows) and is the
-  * fixpoint test. Results are localCheckpoint()ed every round to truncate the
-  * exponentially growing lineage — without it Catalyst replans the whole
-  * history each iteration.
+  * Both are cycle-safe (`distinct` + self-loop drop reach a fixpoint) and
+  * localCheckpoint() every round to truncate the growing lineage. The
+  * fixpoint test carries the previous round's count forward, so each round
+  * runs exactly ONE counting job.
   *
-  * At 100 TB scale: the join is an equi-join on (system, value) pairs so it
-  * shuffles by key, partial aggregation (distinct) is map-side combined, and
-  * AQE can rebalance skewed hub codes. No driver materialization at any point.
+  * At 100 TB scale: equi-joins shuffle by key, `distinct` partially
+  * aggregates map-side, AQE rebalances; no driver materialization anywhere.
   */
 object TransitiveClosure {
 
-  /** Generic closure over a two-column (ancestor, descendant) edge DataFrame.
-    *
-    * @param edges  DataFrame with columns (ancestorSystem, ancestorValue,
-    *               descendantSystem, descendantValue)
-    * @param maxIterations  hard stop (2^n path length) as a safety bound
-    * @return DataFrame with the same four columns, containing every
-    *         transitive (ancestor, descendant) pair, paths of length >= 1.
-    */
+  /** Closure over (ancestorSystem, ancestorValue, descendantSystem,
+    * descendantValue) edges; returns every transitive pair, paths >= 1. */
   def closure(
       spark: SparkSession,
-      edges: Dataset[_],
-      maxIterations: Int = 25): org.apache.spark.sql.DataFrame = {
+      edges: org.apache.spark.sql.Dataset[_],
+      maxIterations: Int = 25,
+      linear: Boolean = false): DataFrame = {
     val cols = Seq("ancestorSystem", "ancestorValue",
       "descendantSystem", "descendantValue")
-    var current = edges.toDF().select(cols.map(col): _*)
+    val cleanEdges = edges.toDF().select(cols.map(col): _*)
       .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .distinct()
       .localCheckpoint(eager = true)
+    var current = cleanEdges
+    var prevCount = current.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // closure ⋈ closure: (a isAncestorOf m) and (m isAncestorOf d) => (a, d)
       val left = current.select(
         col("ancestorSystem"), col("ancestorValue"),
         col("descendantSystem").as("midSystem"),
         col("descendantValue").as("midValue"))
-      val right = current.select(
+      // prefix doubling: closure ⋈ closure; linear: closure ⋈ edges
+      val rightSrc = if (linear) cleanEdges else current
+      val right = rightSrc.select(
         col("ancestorSystem").as("midSystem"),
         col("ancestorValue").as("midValue"),
         col("descendantSystem"), col("descendantValue"))
@@ -69,11 +74,11 @@ object TransitiveClosure {
           col("ancestorValue") === col("descendantValue")))
         .distinct()
         .localCheckpoint(eager = true)
-      val prevCount = current.count()
       val nextCount = next.count()
       current.unpersist()
       current = next
       converged = nextCount == prevCount
+      prevCount = nextCount
       i += 1
     }
     current
@@ -84,29 +89,33 @@ object TransitiveClosure {
     * descendant). */
   def closureLong(
       spark: SparkSession,
-      edges: org.apache.spark.sql.DataFrame, // columns: parent, child
-      maxIterations: Int = 25): org.apache.spark.sql.DataFrame = {
-    var current = edges
+      edges: DataFrame, // columns: parent, child
+      maxIterations: Int = 25,
+      linear: Boolean = false): DataFrame = {
+    val cleanEdges = edges
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .where(col("parent").isNotNull && col("child").isNotNull)
       .distinct()
       .localCheckpoint(eager = true)
+    var current = cleanEdges
+    var prevCount = current.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      val rightSrc = if (linear) cleanEdges else current
       val extended = current.as("l")
-        .join(current.as("r"), col("l.descendant") === col("r.ancestor"))
+        .join(rightSrc.as("r"), col("l.descendant") === col("r.ancestor"))
         .select(col("l.ancestor").as("ancestor"),
           col("r.descendant").as("descendant"))
       val next = current.union(extended)
         .where(col("ancestor") =!= col("descendant"))
         .distinct()
         .localCheckpoint(eager = true)
-      val prevCount = current.count()
       val nextCount = next.count()
       current.unpersist()
       current = next
       converged = nextCount == prevCount
+      prevCount = nextCount
       i += 1
     }
     current

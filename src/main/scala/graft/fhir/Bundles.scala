@@ -30,12 +30,43 @@ object Bundles {
     df.withColumn("bundle",
       from_json(col(column), FhirSchemas.bundleEnvelopeSchema))
 
+  private val xmlToJsonUdf =
+    udf((s: String) => if (s == null) null else FhirXml.bundleXmlToJson(s))
+
+  /** S3: bundles from a DataFrame column of FHIR XML strings — converted
+    * to JSON executor-side (FhirXml), then the same `from_json` path as S2,
+    * so XML and JSON ingestion produce identical rows
+    * (Bundles.fromXml, reference Bundles.java:160-175). */
+  def fromXml(df: DataFrame, column: String): DataFrame =
+    fromJson(df.withColumn("bundle_json", xmlToJsonUdf(col(column))),
+      "bundle_json")
+
+  /** S1 end-to-end: load a directory of bundle files, parsing each by
+    * extension (.xml → XML, anything else → JSON), matching the
+    * reference's per-file dispatch (Bundles.java:117-125,354-403). */
+  def fromDirectory(spark: SparkSession, path: String,
+      minPartitions: Int = 1): DataFrame = {
+    val raw = loadFromDirectory(spark, path, minPartitions)
+    fromJson(raw.withColumn("bundle_json",
+      when(col("source_file").endsWith(".xml"),
+        xmlToJsonUdf(col("bundle_json")))
+        .otherwise(col("bundle_json"))), "bundle_json")
+  }
+
   /** S4: extract all resources of one type from a bundle DataFrame produced
     * by [[loadFromDirectory]] or [[fromJson]]; returns a DataFrame with the
-    * compiled schema for that resource (incl. synthetic reference ids and
-    * code "?"→null scrubbing). */
+    * compiled schema for that resource (incl. synthetic reference ids,
+    * code "?"→null scrubbing, and hoisted profile extensions). */
   def extractEntry(spark: SparkSession, bundles: DataFrame,
-      resourceName: String): DataFrame = {
+      resourceName: String): DataFrame =
+    extractEntry(spark, bundles, resourceName, Nil)
+
+  /** S5: extraction with statically-declared contained resource types —
+    * adds a `contained` column: array of one-field-per-declared-type
+    * structs (Bundles.extractEntry(…, containedUrls),
+    * /root/reference/bunsen-spark/.../Bundles.java:262-279). */
+  def extractEntry(spark: SparkSession, bundles: DataFrame,
+      resourceName: String, containedTypes: Seq[String]): DataFrame = {
     val withParsed =
       if (bundles.columns.contains("bundle")) bundles
       else fromJson(bundles, "bundle_json")
@@ -43,10 +74,17 @@ object Bundles {
       .select(explode(col("bundle.entry")).as("entry"))
       .select(col("entry.resource").as("resource"))
       .where(col("resource.resourceType") === resourceName)
-    val shaped = entries.select(
+    val shapedCols =
       FhirSchemas.postParseTransform(resourceName, col("resource"))
-        .as("resource"))
-    shaped.select(col("resource.*"))
+        .as("resource") +:
+        (if (containedTypes.nonEmpty)
+          Seq(FhirSchemas.containedTransform(containedTypes, col("resource"))
+            .as("contained"))
+        else Nil)
+    val shaped = entries.select(shapedCols: _*)
+    if (containedTypes.nonEmpty)
+      shaped.select(col("resource.*"), col("contained"))
+    else shaped.select(col("resource.*"))
   }
 
   /** S6: extract every registered resource type and save each as a table in

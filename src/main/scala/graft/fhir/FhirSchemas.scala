@@ -40,11 +40,20 @@ object FhirSchemas {
   case object FBool extends FhirType
   /** Named composite type, resolved via [[complexTypes]] or [[resources]]. */
   final case class FComplex(name: String) extends FhirType
-  /** Choice value[x]: field名 base + capitalized type name per alternative. */
+  /** Choice value[x]: field name base + capitalized type name per
+    * alternative (DefinitionToSparkVisitor.java:580-636). */
   final case class FChoice(base: String, alternatives: Seq[(String, FhirType)])
       extends FhirType
   /** Reference with declared target resource types (for synthetic ids). */
   final case class FReference(targets: Seq[String]) extends FhirType
+  /** A profile extension hoisted out of FHIR's generic
+    * `extension[{url,value[x]}]` list into a named field, keyed by its
+    * canonical url — the reference's LeafExtensionConverter semantics
+    * (bunsen-core/.../LeafExtensionConverter.java:16-114). `tpe` is either a
+    * leaf type (valueString/valueCode/...) or an FComplex whose definition
+    * consists solely of FExtension fields — a parent extension with nested
+    * sub-extensions (DefinitionToSparkVisitor.java:522-562). */
+  final case class FExtension(url: String, tpe: FhirType) extends FhirType
 
   /** One element: name, type, multi-valued? */
   final case class FField(name: String, tpe: FhirType, multi: Boolean = false)
@@ -100,6 +109,13 @@ object FhirSchemas {
     "DateTime" -> FDate,
     "Period" -> FComplex("Period")))
 
+  // US-Core-style profile extension urls (the reference hoists these via its
+  // profile SPI, UsCoreStu3ProfileProvider; we declare them on the resource
+  // definitions directly — additive: plain resources parse with nulls)
+  val RaceExtensionUrl = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+  val EthnicityExtensionUrl = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity"
+  val BirthSexExtensionUrl = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+
   // ---- core resources ----------------------------------------------------
   val resources: Map[String, FDefinition] = Seq(
     FDefinition("Patient", Seq(
@@ -110,7 +126,12 @@ object FhirSchemas {
       FField("gender", FCode), FField("birthDate", FDate),
       FField("deceasedBoolean", FBool),
       FField("address", FComplex("Address"), multi = true),
-      FField("multipleBirthBoolean", FBool))),
+      FField("multipleBirthBoolean", FBool),
+      // hoisted profile extensions: a parent extension with nested
+      // sub-extensions (race) and a leaf extension (birthsex) — mirrors
+      // SparkRowConverterTest.testNestedExtension/testSimpleExtension
+      FField("race", FExtension(RaceExtensionUrl, FComplex("RaceExtension"))),
+      FField("birthSex", FExtension(BirthSexExtensionUrl, FCode)))),
     FDefinition("Observation", Seq(
       FField("id", FString), FField("meta", FComplex("Meta")),
       FField("status", FCode),
@@ -120,9 +141,9 @@ object FhirSchemas {
       FField("encounter", FReference(Seq("Encounter"))),
       FField("effectiveDateTime", FDate),
       FField("issued", FDate),
-      FField("valueQuantity", FComplex("Quantity")),
-      FField("valueCodeableConcept", FComplex("CodeableConcept")),
-      FField("valueString", FString),
+      // choice type routed through the FChoice machinery: compiles to one
+      // flat field per alternative (valueQuantity, valueString, ...)
+      FField("value", valueChoice),
       FField("interpretation", FComplex("CodeableConcept")),
       FField("note", FComplex("Annotation"), multi = true))),
     FDefinition("Condition", Seq(
@@ -151,10 +172,22 @@ object FhirSchemas {
     FDefinition("MedicationRequest", Seq(
       FField("id", FString), FField("meta", FComplex("Meta")),
       FField("status", FCode), FField("intent", FCode),
-      FField("medicationReference", FReference(Seq("Medication"))),
-      FField("medicationCodeableConcept", FComplex("CodeableConcept")),
+      // medication[x] choice: Reference | CodeableConcept
+      FField("medication", FChoice("medication", Seq(
+        "Reference" -> FReference(Seq("Medication")),
+        "CodeableConcept" -> FComplex("CodeableConcept")))),
       FField("subject", FReference(Seq("Patient"))),
       FField("authoredOn", FDate))),
+  ).map(d => d.name -> d).toMap
+
+  /** Nested parent-extension definition for us-core race: sub-extensions
+    * keyed by relative url (ombCategory: Coding, text: string) —
+    * DefinitionToSparkVisitor.java:522-562 parent-extension shape. */
+  val extensionDefinitions: Map[String, FDefinition] = Seq(
+    FDefinition("RaceExtension", Seq(
+      FField("ombCategory", FExtension("ombCategory", FComplex("Coding")),
+        multi = true),
+      FField("text", FExtension("text", FString)))),
   ).map(d => d.name -> d).toMap
 
   /** Max times one (type, path-element) pair may repeat on the traversal
@@ -164,10 +197,48 @@ object FhirSchemas {
   def lowerFirst(s: String): String =
     if (s.isEmpty) s else s.substring(0, 1).toLowerCase + s.substring(1)
 
+  private def lookupDef(name: String): FDefinition =
+    complexTypes.getOrElse(name, extensionDefinitions.getOrElse(name,
+      resources.getOrElse(name,
+        throw new IllegalArgumentException(s"Unknown FHIR type: $name"))))
+
+  /** FHIR JSON field carrying an extension's value: value + capitalized
+    * type name (valueCode, valueCoding, valueString, ...). */
+  private def valueFieldName(tpe: FhirType): String = tpe match {
+    case FString => "valueString"
+    case FCode => "valueCode"
+    case FDate => "valueDateTime"
+    case FDecimal => "valueDecimal"
+    case FInt => "valueInteger"
+    case FBool => "valueBoolean"
+    case FComplex(n) => "value" + n
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported extension value: $other")
+  }
+
+  /** Leaf value slots of the generic extension parse struct. One fixed
+    * struct for every resource so the merged bundle schema stays
+    * conflict-free. */
+  private lazy val extensionLeafFields: Seq[StructField] = Seq(
+    StructField("url", StringType),
+    StructField("valueString", StringType),
+    StructField("valueCode", StringType),
+    StructField("valueDateTime", StringType),
+    StructField("valueDecimal", DecimalType(12, 4)),
+    StructField("valueInteger", IntegerType),
+    StructField("valueBoolean", BooleanType),
+    StructField("valueCoding", parseSchemaFor("Coding")))
+
+  /** Generic `extension` element as it appears in FHIR JSON: leaf value
+    * slots plus ONE nested level of sub-extensions (parent extensions),
+    * matching the reference's one-level extension tests. */
+  lazy val extensionParseStruct: StructType =
+    StructType(extensionLeafFields :+
+      StructField("extension", ArrayType(StructType(extensionLeafFields))))
+
   /** Compile a named resource/complex type to its Spark schema. */
   def schemaFor(name: String): StructType = {
-    val d = resources.getOrElse(name, complexTypes.getOrElse(name,
-      throw new IllegalArgumentException(s"Unknown FHIR type: $name")))
+    val d = lookupDef(name)
     compileComposite(d, Map(name -> 1)).asInstanceOf[StructType]
   }
 
@@ -200,13 +271,16 @@ object FhirSchemas {
         alternatives.flatMap { case (suffix, tpe) =>
           compileField(FField(f.name + suffix, tpe), seen)
         }
+      case FExtension(_, tpe) =>
+        // hoisted: the named field carries the extension VALUE type directly
+        compileField(FField(f.name, tpe, f.multi), seen)
       case FComplex(name) =>
         // recursion budget: drop the field once the type already appears on
         // the traversal stack MaxDepth times (Stu3StructureDefinitions:88-114)
         val count = seen.getOrElse(name, 0)
         if (count >= MaxDepth && seen.contains(name)) Nil
         else {
-          val d = complexTypes.getOrElse(name, resources(name))
+          val d = lookupDef(name)
           wrap(compileComposite(d, seen.updated(name, count + 1)))
         }
     }
@@ -220,8 +294,14 @@ object FhirSchemas {
   }
 
   private def parseFields(d: FDefinition,
-      seen: Map[String, Int]): Seq[StructField] =
-    d.fields.flatMap(f => parseField(f, seen))
+      seen: Map[String, Int]): Seq[StructField] = {
+    val base = d.fields.flatMap(f => parseField(f, seen))
+    // declared extensions parse from the GENERIC extension list; hoisting to
+    // the named fields happens in postParseTransform
+    if (d.fields.exists(_.tpe.isInstanceOf[FExtension]))
+      base :+ StructField("extension", ArrayType(extensionParseStruct))
+    else base
+  }
 
   private def parseField(f: FField,
       seen: Map[String, Int]): Seq[StructField] = {
@@ -242,11 +322,12 @@ object FhirSchemas {
         alternatives.flatMap { case (suffix, tpe) =>
           parseField(FField(f.name + suffix, tpe), seen)
         }
+      case FExtension(_, _) => Nil // parsed via the generic extension list
       case FComplex(name) =>
         val count = seen.getOrElse(name, 0)
         if (count >= MaxDepth && seen.contains(name)) Nil
         else {
-          val d = complexTypes.getOrElse(name, resources(name))
+          val d = lookupDef(name)
           wrap(StructType(parseFields(d, seen.updated(name, count + 1))))
         }
     }
@@ -276,22 +357,41 @@ object FhirSchemas {
     StructType(merged.values.toSeq)
   }
 
+  /** Merged schema + a `contained` array of the same (one level deep —
+    * the reference's recursion budget cuts contained-in-contained too). */
+  lazy val mergedResourceParseSchemaWithContained: StructType =
+    StructType(mergedResourceParseSchema.fields :+
+      StructField("contained", ArrayType(mergedResourceParseSchema)))
+
   lazy val bundleEnvelopeSchema: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
     StructField("type", StringType),
     StructField("entry", ArrayType(StructType(Seq(
       StructField("fullUrl", StringType),
-      StructField("resource", mergedResourceParseSchema)))))))
+      StructField("resource", mergedResourceParseSchemaWithContained)))))))
 
   /** Column transform: scrub bound-code "?" to null recursively
-    * (EnumConverter.java:12-28 semantics) and fill synthetic reference id
+    * (EnumConverter.java:12-28 semantics), fill synthetic reference id
     * fields by stripping 'Type/' prefixes from relative references
-    * (RelativeValueConverter, DefinitionToSparkVisitor.java:342-378). */
+    * (RelativeValueConverter, DefinitionToSparkVisitor.java:342-378), and
+    * hoist declared extensions out of the generic extension list. */
   def postParseTransform(resourceName: String, c: Column): Column =
     transformFor(resources(resourceName), resourceName, c)
 
-  private def transformFor(d: FDefinition, name: String, c: Column): Column = {
+  /** S5: shape a parsed `contained` array (merged-schema elements) into the
+    * reference's one-field-per-declared-type struct
+    * (DefinitionToSparkVisitor.java:457-473): field lowerFirst(type) is the
+    * shaped resource when the element is of that type, else null. */
+  def containedTransform(containedTypes: Seq[String], resourceCol: Column): Column =
+    transform(resourceCol.getField("contained"), x =>
+      struct(containedTypes.map { n =>
+        when(x.getField("resourceType") === n,
+          transformFor(resources(n), n, x)).as(lowerFirst(n))
+      }: _*))
+
+  private[fhir] def transformFor(d: FDefinition, name: String,
+      c: Column): Column = {
     val cols = d.fields.flatMap { f =>
       f.tpe match {
         case FChoice(_, alternatives) =>
@@ -322,6 +422,8 @@ object FhirSchemas {
                 expr_substring_after(r, prefix)).as(lowerFirst(t) + "Id")
             }): _*))
         if (f.multi) transform(child, refStruct(_)) else refStruct(child)
+      case FExtension(url, tpe) =>
+        extensionValue(parent.getField("extension"), url, tpe, f.multi)
       case FComplex(n) =>
         val d = complexTypes.getOrElse(n, resources.get(n).orNull)
         if (d == null) child
@@ -330,6 +432,39 @@ object FhirSchemas {
       case _ => child
     }
     out.as(f.name)
+  }
+
+  /** Hoist one declared extension from a generic extension array: select
+    * elements matching `url`, then read the typed value slot (leaf) or
+    * assemble the nested sub-extension struct (parent). */
+  private def extensionValue(extArray: Column, url: String, tpe: FhirType,
+      multi: Boolean): Column = {
+    val matching = filter(extArray, e => e.getField("url") === lit(url))
+    def leaf(e: Column): Column = tpe match {
+      case FCode =>
+        val v = e.getField(valueFieldName(tpe))
+        when(v === "?", lit(null)).otherwise(v)
+      case FComplex(n) if extensionDefinitions.contains(n) =>
+        // parent extension: children parse from the element's own
+        // (one-level) extension list
+        val d = extensionDefinitions(n)
+        when(e.isNotNull, struct(d.fields.map { cf =>
+          cf.tpe match {
+            case FExtension(curl, ctpe) =>
+              extensionValue(e.getField("extension"), curl, ctpe, cf.multi)
+                .as(cf.name)
+            case other => throw new IllegalArgumentException(
+              s"Parent extension ${d.name} may only contain FExtension " +
+                s"fields, found $other")
+          }
+        }: _*))
+      case FComplex(n) =>
+        val cd = complexTypes(n)
+        transformFor(cd, n, e.getField(valueFieldName(tpe)))
+      case _ => e.getField(valueFieldName(tpe))
+    }
+    if (multi) transform(matching, leaf(_))
+    else leaf(try_element_at(matching, lit(1)))
   }
 
   private def expr_substring_after(c: Column, prefix: String): Column =

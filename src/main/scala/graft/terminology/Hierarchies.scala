@@ -56,7 +56,10 @@ class Hierarchies private (
       throw new IllegalArgumentException(
         s"Hierarchy $uri version $version already exists")
     }
-    val closed = TransitiveClosure.closure(spark, elements)
+    // linear mode: real code hierarchies (LOINC/SNOMED) are 10-20 deep, so
+    // d rounds of the skew-free closure ⋈ edges join beat log₂(d) rounds of
+    // the hub-skewed closure ⋈ closure (TransitiveClosure doc)
+    val closed = TransitiveClosure.closure(spark, elements, linear = true)
       .select(lit(uri).as("uri"), lit(version).as("version"),
         $"descendantSystem", $"descendantValue",
         $"ancestorSystem", $"ancestorValue")

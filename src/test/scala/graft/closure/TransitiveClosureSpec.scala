@@ -23,10 +23,11 @@ class TransitiveClosureSpec extends SparkSuite {
     }.toSet
   }
 
-  private def run(edges: Seq[(Int, Int)]): Set[(Int, Int)] = {
+  private def run(edges: Seq[(Int, Int)],
+      linear: Boolean = false): Set[(Int, Int)] = {
     import spark.implicits._
     val df = edges.toDF("parent", "child")
-    TransitiveClosure.closureLong(spark, df)
+    TransitiveClosure.closureLong(spark, df, linear = linear)
       .as[(Long, Long)].collect().map { case (a, d) => (a.toInt, d.toInt) }
       .toSet
   }
@@ -67,5 +68,18 @@ class TransitiveClosureSpec extends SparkSuite {
         .filter(e => e._1 != e._2).distinct
       assert(run(edges) === dfsOracle(edges), s"seed=$seed edges=$edges")
     }
+  }
+
+  test("linear mode produces the same closure as prefix doubling") {
+    (10 to 13).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(14)((rnd.nextInt(9), rnd.nextInt(9)))
+        .filter(e => e._1 != e._2).distinct
+      assert(run(edges, linear = true) === dfsOracle(edges),
+        s"seed=$seed edges=$edges")
+    }
+    // deep chain exercises many linear rounds
+    val chain = (1 until 12).map(i => i -> (i + 1))
+    assert(run(chain, linear = true) === dfsOracle(chain))
   }
 }

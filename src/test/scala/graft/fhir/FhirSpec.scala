@@ -104,6 +104,159 @@ class FhirSpec extends SparkSuite {
     assert(spark.table("fhir_test.condition").count() === 1)
   }
 
+  test("extensions: leaf + nested parent hoisted to named fields") {
+    import spark.implicits._
+    // mirrors SparkRowConverterTest.testSimpleExtension/testNestedExtension:
+    // us-core birthsex (leaf code) and race (parent with ombCategory coding
+    // sub-extension + text sub-extension)
+    val json = Seq(
+      s"""{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Patient","id":"px","gender":"female",
+          "extension":[
+            {"url":"${FhirSchemas.BirthSexExtensionUrl}","valueCode":"F"},
+            {"url":"${FhirSchemas.RaceExtensionUrl}","extension":[
+              {"url":"ombCategory","valueCoding":{
+                "system":"urn:oid:2.16.840.1.113883.6.238",
+                "code":"2106-3","display":"White"}},
+              {"url":"text","valueString":"Mixed"}]}]}},
+        {"resource":{"resourceType":"Patient","id":"plain","gender":"male"}}]}""")
+      .toDF("bundle_json")
+    val p = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "Patient")
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(p("px").getAs[String]("birthSex") === "F")
+    val race = p("px").getAs[org.apache.spark.sql.Row]("race")
+    assert(race.getAs[String]("text") === "Mixed")
+    val omb = race.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "ombCategory")
+    assert(omb.length === 1)
+    assert(omb.head.getAs[String]("code") === "2106-3")
+    assert(omb.head.getAs[String]("display") === "White")
+    // a patient without extensions parses with null hoisted fields
+    assert(p("plain").getAs[String]("birthSex") === null)
+    assert(p("plain").getAs[org.apache.spark.sql.Row]("race") === null)
+  }
+
+  test("contained resources extracted as one-field-per-type structs") {
+    import spark.implicits._
+    // mirrors SparkRowConverterTest.testContained / BundlesTest contained
+    // extraction: a MedicationRequest with a contained Medication
+    val json = Seq(
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"MedicationRequest","id":"mr1",
+          "status":"active","intent":"order",
+          "medicationReference":{"reference":"#med1"},
+          "subject":{"reference":"Patient/p1"},
+          "contained":[{"resourceType":"Medication","id":"med1",
+            "status":"active",
+            "code":{"coding":[{"system":"http://www.nlm.nih.gov/research/umls/rxnorm",
+              "code":"582620"}]}}]}}]}""")
+      .toDF("bundle_json")
+    val mr = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "MedicationRequest",
+      containedTypes = Seq("Medication"))
+    val row = mr.collect().head
+    assert(row.getAs[String]("id") === "mr1")
+    val contained = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "contained")
+    assert(contained.length === 1)
+    val med = contained.head.getAs[org.apache.spark.sql.Row]("medication")
+    assert(med.getAs[String]("id") === "med1")
+    assert(med.getAs[org.apache.spark.sql.Row]("code")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")
+      .head.getAs[String]("code") === "582620")
+    // the medication[x] choice parsed through FChoice machinery
+    assert(row.getAs[org.apache.spark.sql.Row]("medicationReference")
+      .getAs[String]("reference") === "#med1")
+  }
+
+  test("choice type: exactly the populated alternative is non-null") {
+    import spark.implicits._
+    val json = Seq(
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Observation","id":"os","status":"final",
+          "code":{"coding":[{"system":"http://loinc.org","code":"1234-5"}]},
+          "valueString":"positive"}}]}""").toDF("bundle_json")
+    val o = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "Observation").collect().head
+    assert(o.getAs[String]("valueString") === "positive")
+    assert(o.getAs[org.apache.spark.sql.Row]("valueQuantity") === null)
+    assert(o.getAs[org.apache.spark.sql.Row]("valueCodeableConcept") === null)
+  }
+
+  // XML equivalent of [[bundleJson]] — mirrors the reference's
+  // xml/bundles/*.fhir-bundle.xml fixtures (BundlesTest.java:81-278)
+  private val bundleXml =
+    """<Bundle xmlns="http://hl7.org/fhir">
+      |  <type value="collection"/>
+      |  <entry><resource><Patient>
+      |    <id value="p1"/><gender value="?"/>
+      |    <name><family value="Smith"/><given value="Ann"/><given value="B"/></name>
+      |  </Patient></resource></entry>
+      |  <entry><resource><Observation>
+      |    <id value="o1"/><status value="final"/>
+      |    <code><coding><system value="http://loinc.org"/><code value="8867-4"/></coding></code>
+      |    <subject><reference value="Patient/p1"/></subject>
+      |    <valueQuantity><value value="74.5"/><unit value="bpm"/></valueQuantity>
+      |  </Observation></resource></entry>
+      |  <entry><resource><Condition>
+      |    <id value="c1"/>
+      |    <code><coding><system value="http://snomed.info/sct"/><code value="44054006"/></coding></code>
+      |    <subject><reference value="Patient/p1"/></subject>
+      |  </Condition></resource></entry>
+      |</Bundle>""".stripMargin
+
+  test("xml bundles: fromXml produces identical rows to the JSON path") {
+    import spark.implicits._
+    val viaJson = Bundles.extractEntry(spark,
+      Bundles.fromJson(bundleJson.toDF("bundle_json"), "bundle_json"),
+      "Observation").collect()
+    val viaXml = Bundles.extractEntry(spark,
+      Bundles.fromXml(Seq(bundleXml).toDF("bundle_xml"), "bundle_xml"),
+      "Observation").collect()
+    assert(viaXml.toSeq === viaJson.toSeq)
+    // "?" scrub applies on the XML path too
+    val px = Bundles.extractEntry(spark,
+      Bundles.fromXml(Seq(bundleXml).toDF("bundle_xml"), "bundle_xml"),
+      "Patient").collect().head
+    assert(px.getAs[String]("gender") === null)
+    assert(px.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("name")
+      .head.getAs[scala.collection.Seq[String]]("given") === Seq("Ann", "B"))
+  }
+
+  test("xml extensions parse identically to JSON extensions") {
+    import spark.implicits._
+    val xml =
+      s"""<Bundle xmlns="http://hl7.org/fhir"><type value="collection"/>
+        |<entry><resource><Patient><id value="px"/>
+        |  <extension url="${FhirSchemas.BirthSexExtensionUrl}"><valueCode value="F"/></extension>
+        |  <extension url="${FhirSchemas.RaceExtensionUrl}">
+        |    <extension url="ombCategory"><valueCoding>
+        |      <system value="urn:oid:2.16.840.1.113883.6.238"/><code value="2106-3"/>
+        |    </valueCoding></extension>
+        |    <extension url="text"><valueString value="Mixed"/></extension>
+        |  </extension>
+        |</Patient></resource></entry></Bundle>""".stripMargin
+    val p = Bundles.extractEntry(spark,
+      Bundles.fromXml(Seq(xml).toDF("x"), "x"), "Patient").collect().head
+    assert(p.getAs[String]("birthSex") === "F")
+    val race = p.getAs[org.apache.spark.sql.Row]("race")
+    assert(race.getAs[String]("text") === "Mixed")
+    assert(race.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "ombCategory").head.getAs[String]("code") === "2106-3")
+  }
+
+  test("directory load dispatches per file extension") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bundles")
+    java.nio.file.Files.writeString(dir.resolve("a.json"), bundleJson.head)
+    java.nio.file.Files.writeString(dir.resolve("b.xml"), bundleXml)
+    val bundles = Bundles.fromDirectory(spark, dir.toString)
+    val obs = Bundles.extractEntry(spark, bundles, "Observation")
+    assert(obs.count() === 2) // one per file, identical content
+    assert(obs.distinct().count() === 1)
+  }
+
   test("toJson round-trips non-null fields") {
     import spark.implicits._
     val bundles = Bundles.fromJson(bundleJson.toDF("bundle_json"),
