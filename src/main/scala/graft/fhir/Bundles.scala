@@ -102,9 +102,32 @@ object Bundles {
     }
   }
 
-  /** U5: serialize resource rows back to JSON strings (decode path).
-    * `to_json` drops null fields by default, matching FHIR JSON shape. */
-  def toJson(df: DataFrame, resourceName: String): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*),
+  /** U5: serialize resource rows back to spec-shaped FHIR JSON strings
+    * (decode path): resourceType first, hoisted extension fields folded
+    * back into the generic `extension` list (inverse of ingestion), null
+    * fields dropped. The output re-ingests through [[fromJson]] to
+    * identical rows. */
+  def toJson(df: DataFrame, resourceName: String): DataFrame = {
+    val extNames = FhirSchemas.extensionFieldNames(resourceName).toSet
+    val plain = df.columns.filterNot(extNames.contains).map(col).toSeq
+    val cols = lit(resourceName).as("resourceType") +: plain
+    val all = FhirSchemas.decodeExtensions(resourceName) match {
+      case Some(ext) if df.columns.exists(extNames.contains) =>
+        cols :+ ext.as("extension")
+      case _ => cols
+    }
+    df.select(to_json(struct(all: _*),
       Map("ignoreNullFields" -> "true")).as("json"))
+  }
+
+  /** U5: collect a resource DataFrame into ONE bundle JSON document
+    * (reference python/Functions.java:32-77 toBundle). Driver-side by
+    * contract — the result is a single document. */
+  def toBundle(df: DataFrame, resourceName: String): String = {
+    val entries = toJson(df, resourceName)
+      .collect().map(_.getString(0))
+      .map(r => s"""{"resource":$r}""")
+    s"""{"resourceType":"Bundle","type":"collection","entry":[${
+      entries.mkString(",")}]}"""
+  }
 }

@@ -469,4 +469,70 @@ object FhirSchemas {
 
   private def expr_substring_after(c: Column, prefix: String): Column =
     substring(c, prefix.length + 1, Int.MaxValue)
+
+  // ---- decode path: rebuild the generic extension list from hoisted
+  // fields (inverse of extensionValue), so toJson/toBundle emit spec-shaped
+  // FHIR JSON that re-ingests identically --------------------------------
+
+  private lazy val innerExtType = StructType(extensionLeafFields)
+
+  /** Inner (nested) extension element: url + exactly one populated value
+    * slot, all other slots null. */
+  private def innerElem(url: String, slot: String, v: Column): Column =
+    struct(extensionLeafFields.map { sf =>
+      (if (sf.name == "url") lit(url)
+       else if (sf.name == slot) v
+       else lit(null).cast(sf.dataType)).as(sf.name)
+    }: _*)
+
+  /** Outer extension element: leaf slots + a nested extension array. */
+  private def outerElem(url: String, slot: Option[(String, Column)],
+      children: Option[Column]): Column =
+    struct((extensionLeafFields.map { sf =>
+      (if (sf.name == "url") lit(url)
+       else slot.collect { case (n, v) if n == sf.name => v }
+         .getOrElse(lit(null).cast(sf.dataType))).as(sf.name)
+    } :+ children.getOrElse(lit(null).cast(ArrayType(innerExtType)))
+      .as("extension")): _*)
+
+  /** Rebuild the generic `extension` array for a resource's hoisted
+    * extension fields; None when the resource declares none. The result
+    * column is null when no extension is populated. */
+  def decodeExtensions(resourceName: String): Option[Column] = {
+    val d = resources(resourceName)
+    val extFields = d.fields.filter(_.tpe.isInstanceOf[FExtension])
+    if (extFields.isEmpty) return None
+    val arrays: Seq[Column] = extFields.map { f =>
+      val FExtension(url, tpe) = f.tpe: @unchecked
+      val src = col(f.name)
+      tpe match {
+        case FComplex(n) if extensionDefinitions.contains(n) =>
+          val dd = extensionDefinitions(n)
+          val childArrays: Seq[Column] = dd.fields.map { cf =>
+            val FExtension(curl, ctpe) = cf.tpe: @unchecked
+            val cslot = valueFieldName(ctpe)
+            val csrc = src.getField(cf.name)
+            if (cf.multi) transform(csrc, x => innerElem(curl, cslot, x))
+            else array(when(csrc.isNotNull, innerElem(curl, cslot, csrc)))
+          }
+          val children = filter(concat(childArrays: _*), _.isNotNull)
+          array(when(src.isNotNull,
+            outerElem(url, None, Some(children))))
+        case leafTpe =>
+          val slot = valueFieldName(leafTpe)
+          if (f.multi)
+            transform(src, x => outerElem(url, Some(slot -> x), None))
+          else array(when(src.isNotNull,
+            outerElem(url, Some(slot -> src), None)))
+      }
+    }
+    val all = filter(concat(arrays: _*), _.isNotNull)
+    Some(when(size(all) > 0, all))
+  }
+
+  /** Names of the hoisted extension fields of a resource (to exclude from
+    * the plain-column JSON emit). */
+  def extensionFieldNames(resourceName: String): Seq[String] =
+    resources(resourceName).fields
+      .filter(_.tpe.isInstanceOf[FExtension]).map(_.name)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.terminology.{ConceptMaps, Mapping, Value, ValueSets}
+import graft.terminology.{BroadcastableConceptMap, ConceptMapDependencies, ConceptMaps, Mapping, Value, ValueSets}
 
 /** Import/export of FHIR ValueSet and ConceptMap *resources* (JSON) into the
   * flat terminology datasets, and reconstruction of the nested resource
@@ -36,6 +36,8 @@ object TerminologyResources {
     StructField("name", StringType),
     StructField("status", StringType),
     StructField("experimental", BooleanType),
+    StructField("publisher", StringType),
+    StructField("date", StringType),
     StructField("compose", StructType(Seq(
       StructField("include", ArrayType(StructType(Seq(
         StructField("system", StringType),
@@ -53,6 +55,8 @@ object TerminologyResources {
     StructField("name", StringType),
     StructField("status", StringType),
     StructField("experimental", BooleanType),
+    StructField("publisher", StringType),
+    StructField("date", StringType),
     StructField("sourceUri", StringType),
     StructField("targetUri", StringType),
     StructField("group", ArrayType(StructType(Seq(
@@ -69,20 +73,36 @@ object TerminologyResources {
           StructField("display", StringType),
           StructField("equivalence", StringType)))))))))))))))
 
-  private def readDir(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .withColumnRenamed("value", "resource_json")
+  private val vsXmlUdf = udf((s: String) =>
+    if (s == null) null else FhirXml.resourceXmlToJson(s, valueSetSchema))
+  private val cmXmlUdf = udf((s: String) =>
+    if (s == null) null else FhirXml.resourceXmlToJson(s, conceptMapSchema))
 
-  /** S7: directory of ValueSet JSON files → (metadata DF, values DS). */
+  /** Read every file; `.xml` files are converted to JSON executor-side so
+    * one `from_json` handles both formats (reference parses either by
+    * extension, AbstractValueSets.java:427-448 ToValueSet.call). */
+  private def readDir(spark: SparkSession, path: String,
+      xmlUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("source_file", input_file_name())
+      .select(when(col("source_file").endsWith(".xml"), xmlUdf(col("value")))
+        .otherwise(col("value")).as("resource_json"))
+
+  /** S7: directory of ValueSet JSON/XML files → (metadata DF, values DS). */
   def valueSetsFromDirectory(spark: SparkSession,
       path: String): (DataFrame, Dataset[Value]) = {
     import spark.implicits._
-    val parsed = readDir(spark, path)
+    val parsed = readDir(spark, path, vsXmlUdf)
       .select(from_json(col("resource_json"), valueSetSchema).as("vs"))
       .where(col("vs.resourceType") === "ValueSet")
+    // full resource metadata row (AbstractValueSets stores the whole
+    // encoded resource, AbstractValueSets.java:242-266; we keep the
+    // queryable scalar fields)
     val meta = parsed.select(
       col("vs.url").as("url"), col("vs.version").as("version"),
-      coalesce(col("vs.experimental"), lit(false)).as("experimental"))
+      col("vs.name").as("name"), col("vs.status").as("status"),
+      coalesce(col("vs.experimental"), lit(false)).as("experimental"),
+      col("vs.publisher").as("publisher"), col("vs.date").as("date"))
     // expandValues (ValueSets.java:200-234): explode include → concept
     val values = parsed.select(
       col("vs.url").as("valueSetUri"),
@@ -112,17 +132,19 @@ object TerminologyResources {
     valueSets.withDisjointValueSets(meta, values)
   }
 
-  /** S7: directory of ConceptMap JSON files → (metadata DF, mappings DS). */
+  /** S7: directory of ConceptMap JSON/XML files → (metadata DF, mappings DS). */
   def conceptMapsFromDirectory(spark: SparkSession,
       path: String): (DataFrame, Dataset[Mapping]) = {
     import spark.implicits._
-    val parsed = readDir(spark, path)
+    val parsed = readDir(spark, path, cmXmlUdf)
       .select(from_json(col("resource_json"), conceptMapSchema).as("cm"))
       .where(col("cm.resourceType") === "ConceptMap")
     val meta = parsed.select(
       col("cm.url").as("url"), col("cm.version").as("version"),
+      col("cm.name").as("name"), col("cm.status").as("status"),
       col("cm.sourceUri").as("source"), col("cm.targetUri").as("target"),
-      coalesce(col("cm.experimental"), lit(false)).as("experimental"))
+      coalesce(col("cm.experimental"), lit(false)).as("experimental"),
+      col("cm.publisher").as("publisher"), col("cm.date").as("date"))
     // expandMappings (ConceptMaps.java:207-275)
     val mappings = parsed.select(
       col("cm.url").as("conceptMapUri"),
@@ -150,6 +172,46 @@ object TerminologyResources {
       conceptMaps: ConceptMaps, path: String): ConceptMaps = {
     val (meta, mappings) = conceptMapsFromDirectory(spark, path)
     conceptMaps.withConceptMaps(meta, mappings)
+  }
+
+  /** G2: other-map delegate urls per concept-map url, from the parsed
+    * `group.unmapped{mode,url}` (ConceptMaps.getMapChildren,
+    * /root/reference/bunsen-spark-stu3/.../ConceptMaps.java:447-455). */
+  def conceptMapDelegates(spark: SparkSession,
+      path: String): Map[String, Seq[String]] = {
+    import spark.implicits._
+    readDir(spark, path, cmXmlUdf)
+      .select(from_json(col("resource_json"), conceptMapSchema).as("cm"))
+      .where(col("cm.resourceType") === "ConceptMap")
+      .select(col("cm.url").as("url"), explode(col("cm.group")).as("g"))
+      .where(col("g.unmapped.mode") === "other-map" &&
+        col("g.unmapped.url").isNotNull)
+      .select(col("url"), col("g.unmapped.url").as("delegate"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
+  /** G2 end-to-end: load `uri` and its other-map delegation closure from a
+    * directory, dependency-ordered (ConceptMaps.sortMapsToLoad :390-441),
+    * and build the chained broadcastable lookup — unmapped source codes
+    * fall through to the delegate map at translate time. */
+  def broadcastConceptMapFromDirectory(spark: SparkSession, path: String,
+      uri: String): BroadcastableConceptMap = {
+    val children = conceptMapDelegates(spark, path)
+    val order = ConceptMapDependencies.sortMapsToLoad(Seq(uri),
+      u => children.getOrElse(u, Nil))
+    val (_, mappings) = conceptMapsFromDirectory(spark, path)
+    // small-by-contract driver collect (the reference collects every
+    // broadcast map the same way, ConceptMaps.broadcast :330-385)
+    val byUri = mappings.collect().toSeq.groupBy(_.conceptMapUri)
+    val built = order.foldLeft(
+      Map.empty[String, BroadcastableConceptMap]) { (acc, u) =>
+      val delegate = children.getOrElse(u, Nil).headOption.flatMap(acc.get)
+      acc + (u -> BroadcastableConceptMap(u,
+        byUri.getOrElse(u, Nil), delegate))
+    }
+    built.getOrElse(uri, throw new IllegalArgumentException(
+      s"Concept map $uri not found in $path"))
   }
 
   def withDisjointConceptMapsFromDirectory(spark: SparkSession,

@@ -74,7 +74,8 @@ class ConceptMaps private (
       throw new IllegalArgumentException(
         "Cannot add concept maps having duplicate url and version")
     }
-    new ConceptMaps(spark, conceptMaps.unionByName(newMaps),
+    new ConceptMaps(spark,
+      conceptMaps.unionByName(newMaps, allowMissingColumns = true),
       mappings.union(newMappings))
   }
 
@@ -107,7 +108,8 @@ class ConceptMaps private (
     val keepMappings = newMappings
       .join(broadcast(keep), Seq("conceptMapUri", "conceptMapVersion"),
         "left_semi").as[Mapping]
-    new ConceptMaps(spark, conceptMaps.unionByName(disjoint),
+    new ConceptMaps(spark,
+      conceptMaps.unionByName(disjoint, allowMissingColumns = true),
       mappings.union(keepMappings))
   }
 
@@ -148,10 +150,17 @@ object ConceptMaps {
   val MappingsTable = "mappings"
   val ConceptMapsTable = "conceptmaps"
 
+  /** Metadata row columns — the queryable scalars of the full ConceptMap
+    * resource the reference stores (AbstractConceptMaps.java:350-375). */
+  val MetaColumns: Seq[String] =
+    Seq("url", "version", "name", "status", "source", "target",
+      "experimental", "publisher", "date")
+
   def getEmpty(spark: SparkSession): ConceptMaps = {
     import spark.implicits._
-    val emptyMeta = Seq.empty[(String, String, String, String, Boolean)]
-      .toDF("url", "version", "source", "target", "experimental")
+    val emptyMeta = Seq.empty[(String, String, String, String, String,
+        String, Boolean, String, String)]
+      .toDF(MetaColumns: _*)
     new ConceptMaps(spark, emptyMeta, spark.emptyDataset[Mapping])
   }
 
@@ -159,7 +168,7 @@ object ConceptMaps {
     import spark.implicits._
     val mappings = spark.table(s"$database.$MappingsTable").as[Mapping]
     val meta = spark.table(s"$database.$ConceptMapsTable")
-      .select("url", "version", "source", "target", "experimental")
+      .select(MetaColumns.map(col): _*)
     new ConceptMaps(spark, meta, mappings)
   }
 }

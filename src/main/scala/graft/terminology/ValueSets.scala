@@ -81,7 +81,8 @@ class ValueSets private (
       throw new IllegalArgumentException(
         "Cannot add valuesets having duplicate url and version")
     }
-    new ValueSets(spark, valueSets.unionByName(newValueSets),
+    new ValueSets(spark,
+      valueSets.unionByName(newValueSets, allowMissingColumns = true),
       values.union(newValues))
   }
 
@@ -112,7 +113,8 @@ class ValueSets private (
     val disjointValues = newValues
       .join(broadcast(keep), Seq("valueSetUri", "valueSetVersion"),
         "left_semi").as[Value]
-    new ValueSets(spark, valueSets.unionByName(disjointVs),
+    new ValueSets(spark,
+      valueSets.unionByName(disjointVs, allowMissingColumns = true),
       values.union(disjointValues))
   }
 
@@ -151,10 +153,17 @@ object ValueSets {
   val ValuesTable = "values"
   val ValueSetsTable = "valuesets"
 
+  /** Metadata row columns — the queryable scalars of the full ValueSet
+    * resource the reference stores (AbstractValueSets.java:242-266). */
+  val MetaColumns: Seq[String] =
+    Seq("url", "version", "name", "status", "experimental", "publisher",
+      "date")
+
   def getEmpty(spark: SparkSession): ValueSets = {
     import spark.implicits._
-    val emptyMeta = Seq.empty[(String, String, Boolean)]
-      .toDF("url", "version", "experimental")
+    val emptyMeta = Seq.empty[
+        (String, String, String, String, Boolean, String, String)]
+      .toDF(MetaColumns: _*)
     new ValueSets(spark, emptyMeta, spark.emptyDataset[Value])
   }
 
@@ -162,7 +171,7 @@ object ValueSets {
     import spark.implicits._
     val values = spark.table(s"$database.$ValuesTable").as[Value]
     val meta = spark.table(s"$database.$ValueSetsTable")
-      .select("url", "version", "experimental")
+      .select(MetaColumns.map(col): _*)
     new ValueSets(spark, meta, values)
   }
 }

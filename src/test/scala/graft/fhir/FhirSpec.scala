@@ -268,6 +268,37 @@ class FhirSpec extends SparkSuite {
     assert(!json.contains("valueString")) // nulls dropped
   }
 
+  test("toBundle: bundle → extract → toBundle → re-ingest → identical rows") {
+    import spark.implicits._
+    // includes hoisted extensions so the decode path must rebuild the
+    // generic extension list (Functions.java:32-77 toBundle semantics)
+    val json = Seq(
+      s"""{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Patient","id":"px","gender":"female",
+          "extension":[
+            {"url":"${FhirSchemas.BirthSexExtensionUrl}","valueCode":"F"},
+            {"url":"${FhirSchemas.RaceExtensionUrl}","extension":[
+              {"url":"ombCategory","valueCoding":{"system":"urn:oid:2.16.840.1.113883.6.238","code":"2106-3"}},
+              {"url":"text","valueString":"Mixed"}]}]}},
+        {"resource":{"resourceType":"Patient","id":"p2","gender":"male",
+          "name":[{"family":"Doe","given":["Jo"]}]}}]}""")
+      .toDF("bundle_json")
+    val extracted = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "Patient")
+    val bundleDoc = Bundles.toBundle(extracted, "Patient")
+    val reextracted = Bundles.extractEntry(spark,
+      Bundles.fromJson(Seq(bundleDoc).toDF("bundle_json"), "bundle_json"),
+      "Patient")
+    val a = extracted.orderBy("id").collect().toSeq
+    val b = reextracted.orderBy("id").collect().toSeq
+    assert(a === b)
+    // the extension data specifically survived the round trip
+    val px = b.find(_.getAs[String]("id") == "px").get
+    assert(px.getAs[String]("birthSex") === "F")
+    assert(px.getAs[org.apache.spark.sql.Row]("race")
+      .getAs[String]("text") === "Mixed")
+  }
+
   test("flagship entry() flow returns heart-rate rows") {
     val df = graft.SparkEntry.entry(spark)
     val rows = df.collect()
