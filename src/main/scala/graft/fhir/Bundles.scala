@@ -107,6 +107,9 @@ object Bundles {
     * back into the generic `extension` list (inverse of ingestion), null
     * fields dropped. The output re-ingests through [[fromJson]] to
     * identical rows. */
+  private val containedFixupUdf =
+    udf((s: String) => if (s == null) null else FhirJson.fixupContained(s))
+
   def toJson(df: DataFrame, resourceName: String): DataFrame = {
     val extNames = FhirSchemas.extensionFieldNames(resourceName).toSet
     val plain = df.columns.filterNot(extNames.contains).map(col).toSeq
@@ -116,8 +119,20 @@ object Bundles {
         cols :+ ext.as("extension")
       case _ => cols
     }
-    df.select(to_json(struct(all: _*),
+    val raw = df.select(to_json(struct(all: _*),
       Map("ignoreNullFields" -> "true")).as("json"))
+    // contained decodes as one-field-per-type structs; reshape to the
+    // spec's inline resourceType form so the output re-ingests
+    if (df.columns.contains("contained"))
+      raw.select(containedFixupUdf(col("json")).as("json"))
+    else raw
+  }
+
+  /** U6: serialize resource rows to FHIR XML documents. */
+  def resourceToXml(df: DataFrame, resourceName: String): DataFrame = {
+    val toXmlUdf =
+      udf((s: String) => if (s == null) null else FhirJson.resourceJsonToXml(s))
+    toJson(df, resourceName).select(toXmlUdf(col("json")).as("xml"))
   }
 
   /** U5: collect a resource DataFrame into ONE bundle JSON document

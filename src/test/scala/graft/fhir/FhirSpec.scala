@@ -299,6 +299,51 @@ class FhirSpec extends SparkSuite {
       .getAs[String]("text") === "Mixed")
   }
 
+  test("resourceToXml: rows → XML → re-ingest → identical rows") {
+    import spark.implicits._
+    val json = Seq(
+      s"""{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Observation","id":"ox","status":"final",
+          "code":{"coding":[{"system":"http://loinc.org","code":"8867-4"}]},
+          "subject":{"reference":"Patient/p9"},
+          "valueQuantity":{"value":61.5,"unit":"bpm"}}}]}""")
+      .toDF("bundle_json")
+    val obs = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "Observation")
+    val xml = Bundles.resourceToXml(obs, "Observation")
+      .as[String].collect().head
+    assert(xml.startsWith("<Observation xmlns=\"http://hl7.org/fhir\">"))
+    assert(xml.contains("<code value=\"8867-4\"/>"))
+    // wrap in a bundle and re-ingest through the XML path
+    val bundleXml2 =
+      s"""<Bundle xmlns="http://hl7.org/fhir"><type value="collection"/>
+         |<entry><resource>$xml</resource></entry></Bundle>""".stripMargin
+    val back = Bundles.extractEntry(spark,
+      Bundles.fromXml(Seq(bundleXml2).toDF("x"), "x"), "Observation")
+    assert(back.collect().toSeq === obs.collect().toSeq)
+  }
+
+  test("toBundle with contained resources re-ingests the contained rows") {
+    import spark.implicits._
+    val json = Seq(
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"MedicationRequest","id":"mr2",
+          "status":"active","intent":"order",
+          "medicationReference":{"reference":"#m2"},
+          "subject":{"reference":"Patient/p1"},
+          "contained":[{"resourceType":"Medication","id":"m2",
+            "status":"active"}]}}]}""").toDF("bundle_json")
+    val mr = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "MedicationRequest",
+      containedTypes = Seq("Medication"))
+    val doc = Bundles.toBundle(mr, "MedicationRequest")
+    assert(doc.contains("\"resourceType\":\"Medication\""))
+    val back = Bundles.extractEntry(spark,
+      Bundles.fromJson(Seq(doc).toDF("bundle_json"), "bundle_json"),
+      "MedicationRequest", containedTypes = Seq("Medication"))
+    assert(back.collect().toSeq === mr.collect().toSeq)
+  }
+
   test("flagship entry() flow returns heart-rate rows") {
     val df = graft.SparkEntry.entry(spark)
     val rows = df.collect()
