@@ -28,6 +28,8 @@ object Prof {
         println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
       }
       time("warmup count") { df.count() }
+      time("jaccard exact") { println(Dedup.jaccardNearDupsExact(df, "doc_id", "text", 3, 0.5).count()) }
+      time("jaccard exact(2)") { println(Dedup.jaccardNearDupsExact(df, "doc_id", "text", 3, 0.5).count()) }
       time("minhash pairs") { println(Dedup.minhashCandidatePairs(df, "doc_id", "text", 2, 16, 8).count()) }
       time("minhash pairs(2)") { println(Dedup.minhashCandidatePairs(df, "doc_id", "text", 2, 16, 8).count()) }
       time("minhash neardups") { println(Dedup.minhashNearDups(df, "doc_id", "text", 2, 16, 8, 0.2).count()) }

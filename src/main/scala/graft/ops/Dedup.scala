@@ -143,40 +143,63 @@ object Dedup {
         bands),
       shingleSize, threshold)
 
-  /** EXACT Jaccard near-dup pairs via prefix filtering (the PPJoin family's
-    * core lemma): for sets canonically sorted under one global total order
-    * (ascending hash value), two sets with J(A,B) >= t must share an
-    * element within their first |A| - ceil(t*|A|) + 1 elements — so
-    * exploding only those prefixes and equi-joining on the element yields a
-    * candidate set with 100% recall, no all-pairs product anywhere, and one
-    * shuffle keyed by prefix hash. Guarantees exactness where MinHash LSH
-    * is probabilistic, at the cost of a larger candidate set for low
-    * thresholds.
+  /** EXACT Jaccard near-dup pairs via PPJoin-style prefix filtering: for
+    * sets canonically sorted under ONE global total order, two sets with
+    * J(A,B) >= t must share an element within their first
+    * |A| - ceil(t*|A|) + 1 elements — so exploding only those prefixes and
+    * equi-joining on the element yields a candidate set with 100% recall
+    * and no all-pairs product anywhere. Guarantees exactness where MinHash
+    * LSH is probabilistic.
     *
-    * At 100 TB: candidate generation shuffles (prefix-hash, id) pairs;
-    * frequent shingles make hot keys, which AQE skew-split handles; the
-    * verify join touches only candidates. */
+    * Selectivity (the part that makes it fast, not just correct): the
+    * canonical order is GLOBAL DOCUMENT FREQUENCY ascending — prefixes then
+    * hold each document's rarest shingles, so unrelated documents that
+    * share only common n-grams never collide (hash order put common
+    * shingles in prefixes and generated ~1700x more candidates than true
+    * pairs on the benchmark corpus). The classic positional filter prunes
+    * further: a match at positions (i, j) caps the possible overlap at
+    * 1 + min(|A|-i-1, |B|-j-1), which must reach
+    * ceil(t/(1+t)·(|A|+|B|)); and the length filter needs
+    * t·|A| <= |B| <= |A|/t. All three are recall-preserving.
+    *
+    * At 100 TB: one extra aggregation for the frequency table (shuffle on
+    * shingle hash, map-side combined), the candidate join shuffles only
+    * rare-shingle prefix entries, and the verify join touches only
+    * surviving candidates. */
   def jaccardNearDupsExact(df: DataFrame, idCol: String, contentCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    // shingleHashes returns the sorted distinct hash set — already in
-    // canonical global order for prefix filtering
     val sh = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.shingleHashes(
         tokens(col(contentCol)), shingleSize).as("sh"))
+    val exAll = sh.select(col("id"), explode(col("sh")).as("h"))
+    val freq = exAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingle list re-sorted rare-first ((df, h) struct sort is
+    // lexicographic, ties broken by hash — one consistent global order)
+    val ordered = exAll.join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ofh"))
+      .select(col("id"),
+        transform(col("ofh"), x => x.getField("h")).as("osh"),
+        size(col("ofh")).as("n"))
     // prefix length |s| - ceil(t*|s|) + 1; the 1e-9 nudge keeps a
     // floating-point overshoot of an exactly-integer t*|s| from shortening
     // the prefix (a longer prefix is always safe, a shorter one is not)
-    val prefixLen = (size(col("sh")) -
-      ceil(lit(threshold) * size(col("sh")) - lit(1e-9)) + 1).cast("int")
-    val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(
-      slice(col("sh"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
-    // length filter (also exact): J >= t forces t·|A| <= |B| <= |A|/t
+    val prefixLen = (col("n") -
+      ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")
+    val ex = ordered.select(col("id"), col("n"),
+      posexplode(slice(col("osh"), lit(1), greatest(prefixLen, lit(1)))))
+      .select(col("id"), col("n"), col("pos"), col("col").as("h"))
+    // minimum required overlap ceil(t/(1+t)·(na+nb))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") >= lit(threshold) * col("a.n") &&
-          col("a.n") >= lit(threshold) * col("b.n"))
+          col("a.n") >= lit(threshold) * col("b.n") &&
+          lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardVerify(df, idCol, contentCol, cand, shingleSize, threshold)
