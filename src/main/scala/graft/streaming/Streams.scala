@@ -46,6 +46,26 @@ object Streams {
     spark.table(name)
   }
 
+  /** Production sink: append-mode partitioned parquet with checkpointing —
+    * the shape that runs continuously on a cluster (exactly-once via the
+    * checkpoint + file-sink manifest; `complete`+memory is only the local
+    * test harness). Watermark closure emits each window once, so the sink
+    * receives append-only finalized rows. Returns the running query; caller
+    * owns its lifecycle. */
+  def runToParquet(stream: DataFrame, outPath: String,
+      checkpointPath: String,
+      partitionCols: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).start()
+  }
+
   /** Watermarked sliding/tumbling window aggregation over an event stream:
     * the Structured Streaming form of the q19 batch bucketing. `complete`
     * output keeps every window so the result equals the batch equivalent on

@@ -117,6 +117,7 @@ class ConceptMaps private (
     * conceptMapVersion) + timestamped `db.conceptmaps` metadata
     * (AbstractConceptMaps.java:515-678). */
   def writeToDatabase(database: String): Unit = {
+    TableWrites.validateName(database)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     val mappingsTable = s"$database.${ConceptMaps.MappingsTable}"
     val metaTable = s"$database.${ConceptMaps.ConceptMapsTable}"

@@ -83,6 +83,7 @@ class Hierarchies private (
     * (reference DDL Hierarchies.java:475-517). Appends only new members;
     * duplicate (uri,version) against the stored table is an error. */
   def writeToDatabase(database: String): Unit = {
+    TableWrites.validateName(database)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     val table = s"$database.${Hierarchies.AncestorsTable}"
     if (spark.catalog.tableExists(table)) {

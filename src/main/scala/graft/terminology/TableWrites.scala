@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions.col
   */
 private[terminology] object TableWrites {
 
+  /** Database/table-name guard before SQL interpolation — the reference
+    * enforces the same shape with a regex plus a ';' check
+    * (AbstractValueSets.createValuesTable :569-610 TABLE_NAME_PATTERN). */
+  def validateName(name: String): String = {
+    require(name != null && name.matches("[A-Za-z0-9_]+"),
+      s"Invalid database/table name: $name")
+    name
+  }
+
   def appendAligned(spark: SparkSession, df: DataFrame, table: String): Unit = {
     val catalogOrder = spark.table(table).columns
     df.select(catalogOrder.map(col).toSeq: _*)

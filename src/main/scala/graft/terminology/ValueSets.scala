@@ -122,6 +122,7 @@ class ValueSets private (
     * partitioned by (valueSetUri, valueSetVersion)
     * (AbstractValueSets.java:499-633, S11/S12). */
   def writeToDatabase(database: String): Unit = {
+    TableWrites.validateName(database)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     val valuesTable = s"$database.${ValueSets.ValuesTable}"
     val metaTable = s"$database.${ValueSets.ValueSetsTable}"

@@ -15,6 +15,17 @@ class PersistenceSpec extends SparkSuite {
 
   import spark.implicits._
 
+  test("database names are validated before SQL interpolation") {
+    val vs = ValueSets.getEmpty(spark)
+      .withValueSet("urn:vs:inj", "1", Seq(("s", "c")))
+    intercept[IllegalArgumentException] {
+      vs.writeToDatabase("x; DROP DATABASE y")
+    }
+    intercept[IllegalArgumentException] {
+      vs.writeToDatabase("bad-name")
+    }
+  }
+
   test("valuesets: write → append → read round-trip, dup write rejected") {
     val db = "graft_test_vs_rt"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")

@@ -24,6 +24,16 @@ class TerminologySpec extends SparkSuite {
       Map("urn:vs:a" -> "2", "urn:vs:b" -> "1"))
   }
 
+  test("valuesets: experimental filter (P4) excludes experimental versions") {
+    val vsx = ValueSets.getEmpty(spark)
+      .withValueSet("urn:vs:e", "1", Seq(("s", "a")))
+      .withValueSet("urn:vs:e", "2", Seq(("s", "b")), experimental = true)
+    assert(vsx.getLatestVersionsMap(includeExperimental = false) ===
+      Map("urn:vs:e" -> "1"))
+    assert(vsx.getLatestVersionsMap(includeExperimental = true) ===
+      Map("urn:vs:e" -> "2"))
+  }
+
   test("valuesets: duplicate url+version rejected") {
     intercept[IllegalArgumentException] {
       vs.withValueSet("urn:vs:a", "1", Seq(("sys1", "zz")))
