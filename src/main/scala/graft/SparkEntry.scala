@@ -339,7 +339,9 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
     }),
 
-    // Multimodal plumbing: synthetic assets → batched feature extraction
+    // Multimodal plumbing: synthetic assets → batched feature extraction;
+    // the id/kind/byte-count plumbing is oracle-checked (deterministic),
+    // the fake decode feature vector is covered by OpsSpec
     "q28_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(s,
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
@@ -577,6 +579,11 @@ object SparkEntry {
          WHERE na > 0 AND nb > 0 AND dot > 0
            AND CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 100
              >= CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 9""",
+    "q28_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(8 + length(CAST(doc_id AS VARCHAR)) AS INT) AS n_bytes
+         FROM documents""",
     "q29_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,

@@ -3,8 +3,9 @@ package graft.terminology
 import java.util.ArrayDeque
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.api.java.{UDF2, UDF3}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BooleanType, StringType, StructField, StructType}
 
 /** SQL UDF surface over broadcast terminology.
@@ -91,6 +92,30 @@ object ValueSetUdfs {
     spark.udf.register("in_valueset", new InValuesetUdf(b), BooleanType)
     spark.udf.register("in_valueset_code", new InValuesetCodeUdf(b),
       BooleanType)
+  }
+
+  /** Catalyst-VISIBLE membership predicate (SURVEY §4 v2 option): the
+    * valueset is embedded as a literal map<system, array<code>> and the
+    * check is `exists(coding, …)` + `array_contains` — plain Column
+    * expressions the optimizer can reason about (and ship inside the plan,
+    * no broadcast variable or opaque UDF). Same null semantics as the UDF:
+    * null codeable/coding → false. Best for small-to-medium valuesets; the
+    * UDF + broadcast path remains the choice for very large ones. */
+  def inValueSetColumn(codeable: Column, referenceName: String,
+      valueSets: BroadcastableValueSets): Column = {
+    val bySystem: Map[String, Seq[String]] =
+      valueSets.valueSets.getOrElse(referenceName,
+        throw new IllegalArgumentException(
+          s"Unknown value set reference name: $referenceName"))
+        .map { case (s, codes) => s -> codes.toSeq }
+    val lmap = typedLit(bySystem)
+    coalesce(
+      exists(codeable.getField("coding"), c =>
+        array_contains(
+          coalesce(element_at(lmap, c.getField("system")),
+            array().cast("array<string>")),
+          c.getField("code"))),
+      lit(false))
   }
 
   private val translateResultType = ArrayType(StructType(Seq(

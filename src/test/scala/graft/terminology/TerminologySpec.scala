@@ -154,6 +154,28 @@ class TerminologySpec extends SparkSuite {
       .as[String].collect().toSeq === Seq("o1"))
   }
 
+  test("inValueSetColumn relational variant matches the UDF") {
+    import spark.implicits._
+    val b = BroadcastableValueSets.newBuilder()
+      .addCode("hr2", "http://loinc.org", "8867-4")
+      .addCode("hr2", "sys2", "x1")
+      .build(spark, ValueSets.getEmpty(spark), Hierarchies.getEmpty(spark))
+    val df = Seq(
+      ("m1", "http://loinc.org", "8867-4"),
+      ("m2", "http://loinc.org", "9999-9"),
+      ("m3", "sys2", "x1"),
+      ("m4", null, null))
+      .toDF("id", "system", "code")
+      .selectExpr("id",
+        "named_struct('coding', array(named_struct('system', system, 'code', code)), 'text', id) as codeable")
+    val got = df.where(ValueSetUdfs.inValueSetColumn($"codeable", "hr2", b))
+      .select("id").as[String].collect().sorted
+    assert(got.toSeq === Seq("m1", "m3"))
+    intercept[IllegalArgumentException] {
+      ValueSetUdfs.inValueSetColumn($"codeable", "nope", b)
+    }
+  }
+
   test("loinc + snomed hierarchy file readers") {
     val loincCsv = java.nio.file.Files.createTempFile("loinc", ".csv")
     java.nio.file.Files.writeString(loincCsv,
