@@ -250,7 +250,13 @@ object GraftFunctions {
         intArg("hyperplane_lsh", args(1)))),
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression on resolution
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1),
+        intArg("topk_by_score", args(2)))))
 
   /** Register the SQL functions on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.terminology._
+
+/** ScalaCheck property tests declared in SURVEY §5: closure is a fixpoint,
+  * in_valueset membership ⊇ the explicit codes it was built from, and
+  * latest-version resolution is the string-max lattice join. (Raw
+  * scalacheck Gen with fixed seeds — the scalatest bridge artifact is not
+  * in the offline dependency cache.) */
+class PropertySpec extends SparkSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xB0B5L + i)))
+
+  private val smallEdges: Gen[List[(Int, Int)]] =
+    Gen.listOfN(10, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6)))
+      .map(_.filter(e => e._1 != e._2).distinct)
+
+  test("property: closure is a fixpoint (closing the closure adds nothing)") {
+    import spark.implicits._
+    samples(smallEdges, 5).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("parent", "child")
+      val closed = graft.closure.TransitiveClosure.closureLong(spark, df)
+        .as[(Long, Long)].collect().toSet
+      val reclosed = graft.closure.TransitiveClosure.closureLong(spark,
+        closed.toSeq.toDF("parent", "child"))
+        .as[(Long, Long)].collect().toSet
+      assert(reclosed === closed, s"edges=$edges")
+    }
+  }
+
+  private val codeSets: Gen[List[(String, String)]] =
+    Gen.listOfN(8, Gen.zip(Gen.oneOf("sysA", "sysB", "sysC"),
+      Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString))).map(_.distinct)
+
+  test("property: in_valueset membership contains exactly the explicit codes") {
+    samples(codeSets, 10).filter(_.nonEmpty).foreach { codes =>
+      val builder = BroadcastableValueSets.newBuilder()
+      codes.foreach { case (s, c) => builder.addCode("ref", s, c) }
+      val b = builder.build(spark, ValueSets.getEmpty(spark),
+        Hierarchies.getEmpty(spark))
+      codes.foreach { case (s, c) =>
+        assert(b.hasCode("ref", s, c), s"missing ($s,$c)")
+      }
+      assert(!b.hasCode("ref", "sysA", "not-a-code-zz"))
+      assert(!b.hasCode("ref", null, codes.head._2))
+    }
+  }
+
+  private val versionLists: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1, 30).map(_.toString)).map(_.distinct)
+
+  test("property: latest version is the string-compare max (lattice join)") {
+    import spark.implicits._
+    samples(versionLists, 10).filter(_.nonEmpty).foreach { versions =>
+      val meta = versions.map(v => ("urn:vs:prop", v, false))
+        .toDF("url", "version", "experimental")
+      val values = versions.map(v =>
+        Value("urn:vs:prop", v, "s", null, "c")).toDS()
+      val vs = ValueSets.getEmpty(spark).withValueSets(meta, values)
+      val got = vs.getLatestVersionsMap(includeExperimental = true)
+      // string max, NOT numeric max — the reference's (lexicographic)
+      // semantics preserved bit-for-bit
+      assert(got === Map("urn:vs:prop" -> versions.max),
+        s"versions=$versions")
+    }
+  }
+}

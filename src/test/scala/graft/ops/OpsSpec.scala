@@ -127,6 +127,19 @@ class OpsSpec extends SparkSuite {
     assert(got.toSeq === Seq("c", "a", "b")) // tie at 0.5 → id asc
   }
 
+  test("topk_by_score usable as a SQL aggregate") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.7))
+      .toDF("query_id", "corpus_id", "score")
+      .createOrReplaceTempView("scores_sql")
+    val got = spark.sql("""
+      SELECT query_id, transform(topk_by_score(score, corpus_id, 2),
+        x -> x.id) AS ids
+      FROM scores_sql GROUP BY query_id""").collect().head
+    assert(got.getAs[scala.collection.Seq[Long]]("ids") === Seq(10L, 12L))
+  }
+
   test("similarity: LSH buckets agree with brute force on clear clusters") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
