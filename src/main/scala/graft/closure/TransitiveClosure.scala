@@ -68,12 +68,14 @@ object TransitiveClosure {
         col("descendantSystem"), col("descendantValue"))
       val extended = left.join(right, Seq("midSystem", "midValue"))
         .select(cols.map(col): _*)
+      // lazy checkpoint: the count() below is the materializing action, so
+      // each round runs exactly one job (checkpoint + fixpoint test fused)
       val next = current.union(extended)
         // drop self-loops introduced by cycles: a node is not its own ancestor
         .where(!(col("ancestorSystem") === col("descendantSystem") &&
           col("ancestorValue") === col("descendantValue")))
         .distinct()
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       current.unpersist()
       current = next
@@ -107,10 +109,11 @@ object TransitiveClosure {
         .join(rightSrc.as("r"), col("l.descendant") === col("r.ancestor"))
         .select(col("l.ancestor").as("ancestor"),
           col("r.descendant").as("descendant"))
+      // lazy checkpoint: count() materializes it — one job per round
       val next = current.union(extended)
         .where(col("ancestor") =!= col("descendant"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       current.unpersist()
       current = next
