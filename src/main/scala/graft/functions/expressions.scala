@@ -219,6 +219,10 @@ object GraftFunctions {
     * array<struct<score,id>> best-first; O(k) partial buffers. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
+  /** Capped distinct-collect aggregate: sorted array<bigint>, null when
+    * the group exceeds `cap` distinct values; O(cap) partial buffers. */
+  def boundedCollectSet(e: Column, cap: Int): Column =
+    col(BoundedCollectSet(expr(e), cap).toAggregateExpression())
 
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -95,10 +95,14 @@ object Dedup {
       .select(col("id"),
         xxhash64(col("pos"), col("col")).as("bucket"))
     // one shuffle on bucket; pair expansion from the sorted per-bucket id
-    // list (ids sorted → id_a < id_b by construction, no self-join)
+    // list (ids sorted → id_a < id_b by construction, no self-join).
+    // bounded_collect_set caps the aggregation buffer itself at
+    // MaxBucketSize (null = degenerate bucket, dropped) — an unbounded
+    // collect_set would OOM on a hot bucket long before a size filter ran
     banded.groupBy(col("bucket"))
-      .agg(array_sort(collect_set(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, MaxBucketSize))
+      .agg(graft.functions.GraftFunctions
+        .boundedCollectSet(col("id"), MaxBucketSize).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("pair"))

@@ -127,6 +127,26 @@ class OpsSpec extends SparkSuite {
     assert(got.toSeq === Seq("c", "a", "b")) // tie at 0.5 → id asc
   }
 
+  test("bounded_collect_set caps buffers and nulls oversize groups") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i % 3, i)).toDF("g", "v")
+      .union(Seq((99L, 7L), (99L, 7L)).toDF("g", "v")) // dup values, 1 distinct
+      .repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions
+        .boundedCollectSet(col("v"), 10).as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(0L) === None) // 34 distinct values > cap 10 → null
+    assert(got(99L).get.asInstanceOf[scala.collection.Seq[Long]] === Seq(7L))
+    // exactly-at-cap group is kept and sorted
+    val atCap = (0L until 10L).map(i => (1L, 9L - i)).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions
+        .boundedCollectSet(col("v"), 10).as("ids"))
+      .collect().head.getAs[scala.collection.Seq[Long]]("ids")
+    assert(atCap === (0L until 10L))
+  }
+
   test("topk_by_score usable as a SQL aggregate") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
