@@ -80,6 +80,24 @@ object Dedup {
     * are still caught by their other bands). Standard practice at scale. */
   val MaxBucketSize = 200
 
+  /** (bucket, id) rows → distinct candidate (id_a < id_b) pairs, with the
+    * aggregation buffer capped at [[MaxBucketSize]] per bucket
+    * (bounded_collect_set: null = degenerate bucket, dropped — an
+    * unbounded collect_set would OOM on a hot key long before any size
+    * filter ran). One shuffle on bucket; pair expansion from the sorted
+    * per-bucket id list (ids sorted → id_a < id_b by construction, no
+    * self-join anywhere). */
+  private[ops] def candidatePairsFromBuckets(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy(col("bucket"))
+      .agg(graft.functions.GraftFunctions
+        .boundedCollectSet(col("id"), MaxBucketSize).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("pair"))
+      .select(col("pair.id_a"), col("pair.id_b"))
+      .distinct()
+
   def minhashCandidatePairs(df: DataFrame, idCol: String, contentCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -94,20 +112,7 @@ object Dedup {
           tokens(col(contentCol)), shingleSize, numHashes, bands)))
       .select(col("id"),
         xxhash64(col("pos"), col("col")).as("bucket"))
-    // one shuffle on bucket; pair expansion from the sorted per-bucket id
-    // list (ids sorted → id_a < id_b by construction, no self-join).
-    // bounded_collect_set caps the aggregation buffer itself at
-    // MaxBucketSize (null = degenerate bucket, dropped) — an unbounded
-    // collect_set would OOM on a hot bucket long before a size filter ran
-    banded.groupBy(col("bucket"))
-      .agg(graft.functions.GraftFunctions
-        .boundedCollectSet(col("id"), MaxBucketSize).as("ids"))
-      .where(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("pair"))
-      .select(col("pair.id_a"), col("pair.id_b"))
-      .distinct()
+    candidatePairsFromBuckets(banded)
   }
 
   /** Exact Jaccard similarity on word shingles for given candidate pairs
@@ -234,24 +239,25 @@ object Dedup {
 
   /** SimHash near-dup pairs: LSH on 4 x 16-bit chunks (signatures within
     * Hamming distance <= 3 of each other share at least one identical
-    * 16-bit chunk), then exact Hamming verify. */
+    * 16-bit chunk), then exact Hamming verify. Bucketed through the same
+    * capped-bucket pair expansion as MinHash — no self-join, bounded
+    * buffers under chunk-value skew. */
   def simhashNearDups(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, shingleSize: Int = 2): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(
         tokens(col(contentCol)), shingleSize).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
+    val bucketed = sigs.select(col("id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("id"), col("sig"), col("pos").as("chunk"),
-        col("col").as("chunk_val"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
+      .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
+    candidatePairsFromBuckets(bucketed)
+      .join(sigs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
+      .join(sigs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sig", "sig_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -95,18 +95,26 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
-    * buckets (exact within-bucket scoring, a-id < b-id dedup). */
+    * buckets (exact within-bucket scoring, a-id < b-id dedup). Candidate
+    * pairs come from the capped-bucket expansion (bounded buffers, no
+    * self-join) shared with the dedup operators; vectors are joined back
+    * only for surviving candidates. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
-      hyperplaneBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("score", cosinePre(dot(col("a.vec"), col("b.vec")),
-        col("a.nrm"), col("b.nrm")))
+    val b = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, numPlanes))
+    val cand = Dedup.candidatePairsFromBuckets(b.select(col("id"),
+      col("bucket")))
+    cand
+      .join(b.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("score", cosinePre(dot(col("vec_a"), col("vec_b")),
+        col("nrm_a"), col("nrm_b")))
       .where(col("score") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+      .select(col("id_a"), col("id_b"), col("score"))
   }
 
   /** Exact all-pairs cosine near-duplicates over QUANTIZED embeddings —
