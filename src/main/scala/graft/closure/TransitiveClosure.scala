@@ -83,7 +83,22 @@ object TransitiveClosure {
       prevCount = nextCount
       i += 1
     }
+    requireConverged(converged, linear, maxIterations)
     current
+  }
+
+  /** A truncated closure is silently-wrong data: in linear mode the depth
+    * budget is maxIterations+1 hops (realistic to exceed), so non-
+    * convergence must fail loudly instead of returning partial ancestors. */
+  private def requireConverged(converged: Boolean, linear: Boolean,
+      maxIterations: Int): Unit = {
+    if (!converged) {
+      val reach = if (linear) s"${maxIterations + 1} hops"
+        else s"2^$maxIterations hops"
+      throw new IllegalStateException(
+        s"Transitive closure did not converge within $maxIterations rounds " +
+          s"($reach); raise maxIterations for deeper graphs")
+    }
   }
 
   /** Closure over arbitrary (parent, child) long-keyed edges — used by the
@@ -121,6 +136,7 @@ object TransitiveClosure {
       prevCount = nextCount
       i += 1
     }
+    requireConverged(converged, linear, maxIterations)
     current
   }
 }

@@ -502,6 +502,11 @@ object FhirSchemas {
     val d = resources(resourceName)
     val extFields = d.fields.filter(_.tpe.isInstanceOf[FExtension])
     if (extFields.isEmpty) return None
+    // every per-field array is coalesced to empty before concat: a null
+    // multi-field array (transform over null) would otherwise null the
+    // whole concat and silently drop every SIBLING extension
+    def orEmpty(c: Column, et: DataType): Column =
+      coalesce(c, array().cast(ArrayType(et)))
     val arrays: Seq[Column] = extFields.map { f =>
       val FExtension(url, tpe) = f.tpe: @unchecked
       val src = col(f.name)
@@ -512,8 +517,10 @@ object FhirSchemas {
             val FExtension(curl, ctpe) = cf.tpe: @unchecked
             val cslot = valueFieldName(ctpe)
             val csrc = src.getField(cf.name)
-            if (cf.multi) transform(csrc, x => innerElem(curl, cslot, x))
-            else array(when(csrc.isNotNull, innerElem(curl, cslot, csrc)))
+            val arr =
+              if (cf.multi) transform(csrc, x => innerElem(curl, cslot, x))
+              else array(when(csrc.isNotNull, innerElem(curl, cslot, csrc)))
+            orEmpty(arr, innerExtType)
           }
           val children = filter(concat(childArrays: _*), _.isNotNull)
           array(when(src.isNotNull,
@@ -526,7 +533,10 @@ object FhirSchemas {
             outerElem(url, Some(slot -> src), None)))
       }
     }
-    val all = filter(concat(arrays: _*), _.isNotNull)
+    val outerType = StructType(extensionLeafFields :+
+      StructField("extension", ArrayType(innerExtType)))
+    val all = filter(concat(arrays.map(orEmpty(_, outerType)): _*),
+      _.isNotNull)
     Some(when(size(all) > 0, all))
   }
 

@@ -123,7 +123,11 @@ case class TopKByScore(
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val s = left.eval(input)
     val id = right.eval(input)
-    if (s != null && id != null) {
+    // NaN scores are skipped like nulls: NaN compares false against
+    // everything, so once inserted it could never be evicted and would
+    // permanently occupy a top-k slot
+    if (s != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]) &&
+      id != null) {
       // UTF8String from unsafe rows may point into reused buffers — copy
       val stableId = id match {
         case u: UTF8String => u.clone()

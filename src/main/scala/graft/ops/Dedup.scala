@@ -87,10 +87,11 @@ object Dedup {
     * filter ran). One shuffle on bucket; pair expansion from the sorted
     * per-bucket id list (ids sorted → id_a < id_b by construction, no
     * self-join anywhere). */
-  private[ops] def candidatePairsFromBuckets(bucketed: DataFrame): DataFrame =
+  private[ops] def candidatePairsFromBuckets(bucketed: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
     bucketed.groupBy(col("bucket"))
       .agg(graft.functions.GraftFunctions
-        .boundedCollectSet(col("id"), MaxBucketSize).as("ids"))
+        .boundedCollectSet(col("id"), maxBucketSize).as("ids"))
       .where(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
@@ -121,10 +122,16 @@ object Dedup {
     * strings; identical Jaccard up to hash collisions (~2^-64 per pair). */
   def jaccardVerify(df: DataFrame, idCol: String, contentCol: String,
       pairs: DataFrame, shingleSize: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      threshold: Double = 0.8): DataFrame =
+    jaccardVerifyHashed(df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.shingleHashes(
-        tokens(col(contentCol)), shingleSize).as("sh"))
+        tokens(col(contentCol)), shingleSize).as("sh")), pairs, threshold)
+
+  /** Verify stage over a precomputed (id, sh) shingle-hash-set DataFrame —
+    * callers that already built the shingle index pass it here instead of
+    * paying a second full tokenize+hash scan of the corpus. */
+  def jaccardVerifyHashed(sh: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -200,18 +207,21 @@ object Dedup {
     val ex = ordered.select(col("id"), col("n"),
       posexplode(slice(col("osh"), lit(1), greatest(prefixLen, lit(1)))))
       .select(col("id"), col("n"), col("pos"), col("col").as("h"))
-    // minimum required overlap ceil(t/(1+t)·(na+nb))
+    // minimum required overlap ceil(t/(1+t)·(na+nb)); the -1e-9 nudges keep
+    // double overshoot of an exactly-integer product from dropping an
+    // exact-boundary pair (recall-preserving: they only widen the filters)
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("b.n") >= lit(threshold) * col("a.n") &&
-          col("a.n") >= lit(threshold) * col("b.n") &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9) &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9) &&
           lit(1) + least(col("a.n") - col("a.pos") - 1,
             col("b.n") - col("b.pos") - 1) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    jaccardVerify(df, idCol, contentCol, cand, shingleSize, threshold)
+    // reuse the shingle index built above — no second corpus scan
+    jaccardVerifyHashed(sh, cand, threshold)
   }
 
   /** SimHash: 64-bit signature whose bits are majority votes of per-shingle
@@ -241,9 +251,16 @@ object Dedup {
     * Hamming distance <= 3 of each other share at least one identical
     * 16-bit chunk), then exact Hamming verify. Bucketed through the same
     * capped-bucket pair expansion as MinHash — no self-join, bounded
-    * buffers under chunk-value skew. */
+    * buffers under chunk-value skew.
+    *
+    * Recall note: unlike MinHash there is no independent second band to
+    * rescue a pair whose ONLY matching chunk lands in an over-cap bucket,
+    * so the default cap here is much higher than MinHash's; lowering
+    * `maxBucketSize` trades recall under heavy chunk-value skew for
+    * bounded memory. */
   def simhashNearDups(df: DataFrame, idCol: String, contentCol: String,
-      maxHamming: Int = 3, shingleSize: Int = 2): DataFrame = {
+      maxHamming: Int = 3, shingleSize: Int = 2,
+      maxBucketSize: Int = 2000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(
         tokens(col(contentCol)), shingleSize).as("sig"))
@@ -251,7 +268,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
-    candidatePairsFromBuckets(bucketed)
+    candidatePairsFromBuckets(bucketed, maxBucketSize)
       .join(sigs.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
       .join(sigs.withColumnRenamed("id", "id_b")

@@ -101,7 +101,7 @@ object Similarity {
     * only for surviving candidates. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).cast("long").as("id"),
+    val b = df.select(col(idCol).as("id"),
       col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, numPlanes))
     val cand = Dedup.candidatePairsFromBuckets(b.select(col("id"),

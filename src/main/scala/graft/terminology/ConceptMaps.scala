@@ -168,8 +168,12 @@ object ConceptMaps {
   def getFromDatabase(spark: SparkSession, database: String): ConceptMaps = {
     import spark.implicits._
     val mappings = spark.table(s"$database.$MappingsTable").as[Mapping]
-    val meta = spark.table(s"$database.$ConceptMapsTable")
-      .select(MetaColumns.map(col): _*)
+    // tolerant read: tables persisted before the metadata widening load
+    // with nulls for the newer columns
+    val meta = TableWrites.selectOrNull(
+      spark.table(s"$database.$ConceptMapsTable"),
+      MetaColumns.map(c => c -> (if (c == "experimental") "boolean"
+        else "string")))
     new ConceptMaps(spark, meta, mappings)
   }
 }

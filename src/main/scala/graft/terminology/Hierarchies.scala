@@ -58,8 +58,11 @@ class Hierarchies private (
     }
     // linear mode: real code hierarchies (LOINC/SNOMED) are 10-20 deep, so
     // d rounds of the skew-free closure ⋈ edges join beat log₂(d) rounds of
-    // the hub-skewed closure ⋈ closure (TransitiveClosure doc)
-    val closed = TransitiveClosure.closure(spark, elements, linear = true)
+    // the hub-skewed closure ⋈ closure (TransitiveClosure doc). The round
+    // budget allows 65-hop depth — far past any real code system — and the
+    // closure throws rather than truncating if it is ever exceeded.
+    val closed = TransitiveClosure.closure(spark, elements,
+      maxIterations = 64, linear = true)
       .select(lit(uri).as("uri"), lit(version).as("version"),
         $"descendantSystem", $"descendantValue",
         $"ancestorSystem", $"ancestorValue")

@@ -1,7 +1,7 @@
 package graft.terminology
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Append helper for the partitioned terminology tables.
   *
@@ -24,6 +24,14 @@ private[terminology] object TableWrites {
       s"Invalid database/table name: $name")
     name
   }
+
+  /** Select `cols` (name → SQL type), substituting typed nulls for columns
+    * absent from `df` — so metadata tables written before the schema gained
+    * name/status/publisher/date still load instead of failing analysis. */
+  def selectOrNull(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+    df.select(cols.map { case (c, t) =>
+      if (df.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
+    }: _*)
 
   def appendAligned(spark: SparkSession, df: DataFrame, table: String): Unit = {
     val catalogOrder = spark.table(table).columns

@@ -171,8 +171,12 @@ object ValueSets {
   def getFromDatabase(spark: SparkSession, database: String): ValueSets = {
     import spark.implicits._
     val values = spark.table(s"$database.$ValuesTable").as[Value]
-    val meta = spark.table(s"$database.$ValueSetsTable")
-      .select(MetaColumns.map(col): _*)
+    // tolerant read: tables persisted before the metadata widening load
+    // with nulls for the newer columns
+    val meta = TableWrites.selectOrNull(
+      spark.table(s"$database.$ValueSetsTable"),
+      MetaColumns.map(c => c -> (if (c == "experimental") "boolean"
+        else "string")))
     new ValueSets(spark, meta, values)
   }
 }

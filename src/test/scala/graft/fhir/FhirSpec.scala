@@ -344,6 +344,25 @@ class FhirSpec extends SparkSuite {
     assert(back.collect().toSeq === mr.collect().toSeq)
   }
 
+  test("toBundle keeps sibling sub-extensions when one child is null") {
+    import spark.implicits._
+    // race with ONLY text (no ombCategory): the null child array must not
+    // null the concat and drop text from the decode output
+    val json = Seq(
+      s"""{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Patient","id":"pt","gender":"female",
+          "extension":[{"url":"${FhirSchemas.RaceExtensionUrl}","extension":[
+            {"url":"text","valueString":"OnlyText"}]}]}}]}""")
+      .toDF("bundle_json")
+    val extracted = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "Patient")
+    val back = Bundles.extractEntry(spark,
+      Bundles.fromJson(Seq(Bundles.toBundle(extracted, "Patient"))
+        .toDF("bundle_json"), "bundle_json"), "Patient")
+    assert(back.collect().head.getAs[org.apache.spark.sql.Row]("race")
+      .getAs[String]("text") === "OnlyText")
+  }
+
   test("flagship entry() flow returns heart-rate rows") {
     val df = graft.SparkEntry.entry(spark)
     val rows = df.collect()

@@ -147,6 +147,36 @@ class OpsSpec extends SparkSuite {
     assert(atCap === (0L until 10L))
   }
 
+  test("topk aggregate skips NaN scores instead of pinning them") {
+    import spark.implicits._
+    val scored = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.3), (1L, 12L, 0.9))
+      .toDF("query_id", "corpus_id", "score")
+    val ids = scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("score"), col("corpus_id"), 2).as("topk"))
+      .select(explode(col("topk.id")).as("id")).as[Long].collect()
+    assert(ids.toSeq === Seq(12L, 11L)) // NaN row excluded, not rank 1
+  }
+
+  test("bounded_collect_set and cosineNearDups accept string/long ids") {
+    import spark.implicits._
+    val got = Seq((1L, "a"), (1L, "b"), (1L, "a"))
+      .toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions
+        .boundedCollectSet(col("v"), 5).as("ids"))
+      .collect().head.getAs[scala.collection.Seq[String]]("ids")
+    assert(got === Seq("a", "b"))
+    val vecs = Seq(
+      (7L, Array(1.0f, 0.0f)), (8L, Array(0.99f, 0.01f)),
+      (9L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dups = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      dim = 2, threshold = 0.9, numPlanes = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSet === Set((7L, 8L)))
+  }
+
   test("topk_by_score usable as a SQL aggregate") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

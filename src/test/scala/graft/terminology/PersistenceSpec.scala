@@ -75,6 +75,23 @@ class PersistenceSpec extends SparkSuite {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("metadata tables written before the schema widening still load") {
+    import org.apache.spark.sql.functions._
+    val db = "graft_test_oldmeta"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    // simulate a pre-widening table: only (url, version, experimental)
+    Seq(("urn:vs:old", "1", false)).toDF("url", "version", "experimental")
+      .write.saveAsTable(s"$db.valuesets")
+    Seq(Value("urn:vs:old", "1", "s", null, "c")).toDS()
+      .write.saveAsTable(s"$db.values")
+    val loaded = ValueSets.getFromDatabase(spark, db)
+    val row = loaded.getValueSet("urn:vs:old", "1").get
+    assert(row.getAs[String]("name") === null) // absent column → null
+    assert(row.getAs[Boolean]("experimental") === false)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("hierarchies: write → append → read round-trip, dup write rejected") {
     val db = "graft_test_h_rt"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
