@@ -402,6 +402,14 @@ object SparkEntry {
         t(s, dir, "embeddings").where(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.3)
     }),
+
+    // Dedup keeper selection: connected components over the q34 pairs via
+    // distributed min-label propagation (cluster_id = component min id)
+    "q35_neardup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(Similarity.cosineNearDupsExact(
+        t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.3))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -584,6 +592,34 @@ object SparkEntry {
            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
            CAST(8 + length(CAST(doc_id AS VARCHAR)) AS INT) AS n_bytes
          FROM documents""",
+    "q35_neardup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+           FROM embeddings WHERE vec_id < 300),
+         n AS (
+           SELECT id, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nrm
+           FROM d),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.nrm AS na, b.nrm AS nb,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS dot
+           FROM n a JOIN n b ON a.id < b.id),
+         pairs AS (
+           SELECT id_a, id_b FROM p
+           WHERE na > 0 AND nb > 0 AND dot > 0
+             AND CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 100
+               >= CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 9),
+         und AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+         SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""",
     "q29_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,

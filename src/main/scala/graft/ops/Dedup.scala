@@ -247,6 +247,53 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-dup pairs — the keeper-selection step
+    * of a dedup pipeline: every document in a duplicate component gets the
+    * component's minimum id as `cluster_id` (keep the row where
+    * id == cluster_id, drop the rest).
+    *
+    * Distributed min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; labels only decrease
+    * and reach the component minimum in diameter rounds (near-dup
+    * components are shallow in practice — dup clusters are cliques or
+    * near-cliques). Same shuffle-by-key + fixpoint shape as the transitive
+    * closure; no driver materialization. */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = false)
+    // labels only decrease, so the label sum is a monotone convergence
+    // measure: unchanged sum == fixpoint
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborLabels = und
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .select(col("a").as("id"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = false)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"Label propagation did not converge within $maxIterations rounds")
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs: LSH on 4 x 16-bit chunks (signatures within
     * Hamming distance <= 3 of each other share at least one identical
     * 16-bit chunk), then exact Hamming verify. Bucketed through the same

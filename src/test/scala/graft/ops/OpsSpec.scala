@@ -177,6 +177,16 @@ class OpsSpec extends SparkSuite {
     assert(dups.toSet === Set((7L, 8L)))
   }
 
+  test("nearDupClusters assigns component-min cluster ids") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {7,9}, singleton 5 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("topk_by_score usable as a SQL aggregate") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
