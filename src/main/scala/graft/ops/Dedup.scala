@@ -263,6 +263,8 @@ object Dedup {
     val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(eager = false)
+    // lazy checkpoints: the plan is a leaf either way (the labelSum action
+    // below materializes it), so each round runs a single job
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(eager = false)
@@ -274,11 +276,24 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      // the explicit .as aliases mint fresh attribute ids on every union
+      // branch — `labels` feeds both branches and the jump join below, and
+      // shared attrs across a union + self-referencing join break
+      // Catalyst's union constraint rewrite
       val neighborLabels = und
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .select(col("a").as("id"), col("label"))
-      val next = labels.union(neighborLabels)
+        .select(col("a").as("id"), col("label").as("label"))
+      val step1 = labels.select(col("id").as("id"), col("label").as("label"))
+        .union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // pointer jump: follow the label's own (previous-round) label —
+      // every label IS a node id, so the join is total; chain components
+      // converge in O(log diameter) rounds instead of O(diameter)
+      val next = step1.as("x")
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          col("x.label") === col("lid"))
+        .select(col("x.id").as("id"),
+          least(col("x.label"), col("llabel")).as("label"))
         .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       labels.unpersist()
