@@ -178,6 +178,40 @@ object FhirSchemas {
         "CodeableConcept" -> FComplex("CodeableConcept")))),
       FField("subject", FReference(Seq("Patient"))),
       FField("authoredOn", FDate))),
+    FDefinition("Procedure", Seq(
+      FField("id", FString), FField("meta", FComplex("Meta")),
+      FField("status", FCode),
+      FField("code", FComplex("CodeableConcept")),
+      FField("subject", FReference(Seq("Patient"))),
+      FField("performedDateTime", FDate),
+      FField("performedPeriod", FComplex("Period")),
+      FField("bodySite", FComplex("CodeableConcept"), multi = true))),
+    FDefinition("Immunization", Seq(
+      FField("id", FString), FField("meta", FComplex("Meta")),
+      FField("status", FCode), FField("notGiven", FBool),
+      FField("vaccineCode", FComplex("CodeableConcept")),
+      FField("patient", FReference(Seq("Patient"))),
+      FField("date", FDate),
+      FField("primarySource", FBool),
+      FField("doseQuantity", FComplex("Quantity")))),
+    FDefinition("AllergyIntolerance", Seq(
+      FField("id", FString), FField("meta", FComplex("Meta")),
+      FField("clinicalStatus", FCode),
+      FField("verificationStatus", FCode),
+      FField("criticality", FCode),
+      FField("code", FComplex("CodeableConcept")),
+      FField("patient", FReference(Seq("Patient"))),
+      FField("onsetDateTime", FDate),
+      FField("assertedDate", FDate))),
+    FDefinition("DiagnosticReport", Seq(
+      FField("id", FString), FField("meta", FComplex("Meta")),
+      FField("status", FCode),
+      FField("code", FComplex("CodeableConcept")),
+      FField("subject", FReference(Seq("Patient"))),
+      FField("issued", FDate),
+      FField("effectiveDateTime", FDate),
+      FField("result", FReference(Seq("Observation")), multi = true),
+      FField("conclusion", FString))),
   ).map(d => d.name -> d).toMap
 
   /** Nested parent-extension definition for us-core race: sub-extensions

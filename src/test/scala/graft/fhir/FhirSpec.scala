@@ -29,6 +29,46 @@ class FhirSpec extends SparkSuite {
       .contains("resourceType"))
   }
 
+  test("broader resource catalog: extractEntry for each registered type") {
+    import spark.implicits._
+    val json = Seq(
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Procedure","id":"pr1","status":"completed",
+          "code":{"coding":[{"system":"http://snomed.info/sct","code":"80146002"}]},
+          "subject":{"reference":"Patient/p1"},
+          "performedDateTime":"2019-03-04"}},
+        {"resource":{"resourceType":"Immunization","id":"im1","status":"completed",
+          "vaccineCode":{"coding":[{"system":"http://hl7.org/fhir/sid/cvx","code":"140"}]},
+          "patient":{"reference":"Patient/p1"},"date":"2020-10-01",
+          "doseQuantity":{"value":0.5,"unit":"mL"}}},
+        {"resource":{"resourceType":"AllergyIntolerance","id":"al1",
+          "clinicalStatus":"active","criticality":"high",
+          "code":{"coding":[{"system":"http://snomed.info/sct","code":"91936005"}]},
+          "patient":{"reference":"Patient/p1"}}},
+        {"resource":{"resourceType":"DiagnosticReport","id":"dr1","status":"final",
+          "code":{"coding":[{"system":"http://loinc.org","code":"58410-2"}]},
+          "subject":{"reference":"Patient/p1"},
+          "result":[{"reference":"Observation/o1"},{"reference":"Observation/o2"}],
+          "conclusion":"normal"}}]}""").toDF("bundle_json")
+    val bundles = Bundles.fromJson(json, "bundle_json")
+    val pr = Bundles.extractEntry(spark, bundles, "Procedure").collect().head
+    assert(pr.getAs[String]("performedDateTime") === "2019-03-04")
+    val im = Bundles.extractEntry(spark, bundles, "Immunization").collect().head
+    assert(im.getAs[org.apache.spark.sql.Row]("doseQuantity")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("0.5")) === 0)
+    assert(im.getAs[org.apache.spark.sql.Row]("patient")
+      .getAs[String]("patientId") === "p1")
+    val al = Bundles.extractEntry(spark, bundles, "AllergyIntolerance")
+      .collect().head
+    assert(al.getAs[String]("criticality") === "high")
+    val dr = Bundles.extractEntry(spark, bundles, "DiagnosticReport")
+      .collect().head
+    val results = dr.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "result")
+    assert(results.map(_.getAs[String]("observationId")) === Seq("o1", "o2"))
+  }
+
   private val bundleJson = Seq(
     """{"resourceType":"Bundle","type":"collection","entry":[
       {"resource":{"resourceType":"Patient","id":"p1","gender":"?",
