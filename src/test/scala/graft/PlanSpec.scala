@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans ARE the product at
+  * 100 TB, so the scale-critical properties — filters reaching the parquet
+  * scan, map-side partial top-k, bounded bucket aggregation, broadcast
+  * small-side joins — are asserted here and fail loudly if a refactor
+  * silently degrades them. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+
+  test("q01: filters are pushed to the parquet scan") {
+    val p = plan("q01_scan_pushdown")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity") &&
+      p.contains("EqualTo(l_returnfl")) // toString truncates long lists
+    // column pruning: only the needed columns are read
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+  }
+
+  test("q26: top-k is a partial (map-side) aggregate, not a global window") {
+    val p = plan("q26_ann_bruteforce")
+    assert(p.contains("partial_topk_by_score"))
+    assert(!p.contains("Window"), "a window would single-reduce each query")
+  }
+
+  test("q23: bucket aggregation is the bounded collect set") {
+    val p = plan("q23_minhash_pairs")
+    assert(p.contains("bounded_collect_set"))
+    assert(p.contains("partial_bounded_collect_set")) // map-side partial
+  }
+
+  test("q09: small dimension side is broadcast") {
+    val p = plan("q09_join_agg")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q02: point lookup pushes the key predicate") {
+    val p = plan("q02_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"))
+  }
+
+  test("q14: grouped aggregation has a map-side partial phase") {
+    val p = plan("q14_group_agg")
+    assert(p.contains("partial_sum") || p.contains("Partial"))
+  }
+}
