@@ -30,8 +30,13 @@ object Bundles {
     df.withColumn("bundle",
       from_json(col(column), FhirSchemas.bundleEnvelopeSchema))
 
-  private val xmlToJsonUdf =
-    udf((s: String) => if (s == null) null else FhirXml.bundleXmlToJson(s))
+  // malformed XML → null row (dropped downstream), matching from_json's
+  // PERMISSIVE behavior on malformed JSON — one bad document must not
+  // fail a 100 TB ingest task
+  private val xmlToJsonUdf = udf((s: String) =>
+    if (s == null) null
+    else try FhirXml.bundleXmlToJson(s)
+    catch { case scala.util.control.NonFatal(_) => null })
 
   /** S3: bundles from a DataFrame column of FHIR XML strings — converted
     * to JSON executor-side (FhirXml), then the same `from_json` path as S2,

@@ -73,10 +73,15 @@ object TerminologyResources {
           StructField("display", StringType),
           StructField("equivalence", StringType)))))))))))))))
 
+  // malformed XML → null row (filtered by the resourceType predicate)
   private val vsXmlUdf = udf((s: String) =>
-    if (s == null) null else FhirXml.resourceXmlToJson(s, valueSetSchema))
+    if (s == null) null
+    else try FhirXml.resourceXmlToJson(s, valueSetSchema)
+    catch { case scala.util.control.NonFatal(_) => null })
   private val cmXmlUdf = udf((s: String) =>
-    if (s == null) null else FhirXml.resourceXmlToJson(s, conceptMapSchema))
+    if (s == null) null
+    else try FhirXml.resourceXmlToJson(s, conceptMapSchema)
+    catch { case scala.util.control.NonFatal(_) => null })
 
   /** Read every file; `.xml` files are converted to JSON executor-side so
     * one `from_json` handles both formats (reference parses either by

@@ -403,6 +403,26 @@ class FhirSpec extends SparkSuite {
       .getAs[String]("text") === "OnlyText")
   }
 
+  test("malformed bundles drop cleanly instead of failing the job") {
+    import spark.implicits._
+    val mixed = Seq(
+      "{this is not json",
+      """{"resourceType":"Bundle","type":"collection"}""", // no entries
+      "<Bundle xmlns=\"http://hl7.org/fhir\"><unclosed>",
+      bundleJson.head).toDF("bundle_json")
+    // JSON path: PERMISSIVE parse nulls bad rows, explode drops them
+    val obs = Bundles.extractEntry(spark,
+      Bundles.fromJson(mixed, "bundle_json"), "Observation")
+    assert(obs.count() === 1)
+    // XML path: a parse failure on genuinely mixed input must surface
+    // per-row as null (dropped), not kill the task
+    val xmlMixed = Seq("<Bundle xmlns=\"x\"><unclosed>", bundleXml)
+      .toDF("x")
+    val viaXml = Bundles.extractEntry(spark,
+      Bundles.fromXml(xmlMixed, "x"), "Observation")
+    assert(viaXml.count() === 1)
+  }
+
   test("flagship entry() flow returns heart-rate rows") {
     val df = graft.SparkEntry.entry(spark)
     val rows = df.collect()
