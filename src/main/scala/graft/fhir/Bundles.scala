@@ -32,11 +32,16 @@ object Bundles {
 
   // malformed XML → null row (dropped downstream), matching from_json's
   // PERMISSIVE behavior on malformed JSON — one bad document must not
-  // fail a 100 TB ingest task
+  // fail a 100 TB ingest task. The catch is NARROW (parse-level failures
+  // only): a systematic converter defect still fails loudly instead of
+  // silently emptying the ingest.
   private val xmlToJsonUdf = udf((s: String) =>
     if (s == null) null
     else try FhirXml.bundleXmlToJson(s)
-    catch { case scala.util.control.NonFatal(_) => null })
+    catch {
+      case _: javax.xml.stream.XMLStreamException => null
+      case _: IllegalArgumentException => null // empty document require
+    })
 
   /** S3: bundles from a DataFrame column of FHIR XML strings — converted
     * to JSON executor-side (FhirXml), then the same `from_json` path as S2,

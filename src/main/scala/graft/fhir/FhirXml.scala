@@ -29,13 +29,20 @@ object FhirXml {
       attrs: Map[String, String],
       children: Vector[XNode])
 
-  private def parse(xml: String): XNode = {
+  // XMLInputFactory.newInstance does a ServiceLoader lookup and the
+  // factory is not guaranteed thread-safe — cache one per task thread so
+  // only createXMLStreamReader runs per document on the ingest hot path
+  private val factory = ThreadLocal.withInitial[XMLInputFactory] { () =>
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
       java.lang.Boolean.FALSE)
-    val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+    f
+  }
+
+  private def parse(xml: String): XNode = {
+    val r = factory.get().createXMLStreamReader(new java.io.StringReader(xml))
     try {
       var root: XNode = null
       // manual stack of (name, attrs, childrenBuilder)

@@ -73,15 +73,16 @@ object TerminologyResources {
           StructField("display", StringType),
           StructField("equivalence", StringType)))))))))))))))
 
-  // malformed XML → null row (filtered by the resourceType predicate)
+  // FAIL-FAST on malformed XML: terminology directories are small curated
+  // inputs — a corrupt ValueSet/ConceptMap must abort the import (the
+  // reference's behavior), not silently vanish and skew every membership
+  // check or translation built from the collection. (The lenient
+  // null-on-parse-error policy is reserved for the Bundles bulk-ingest
+  // path.)
   private val vsXmlUdf = udf((s: String) =>
-    if (s == null) null
-    else try FhirXml.resourceXmlToJson(s, valueSetSchema)
-    catch { case scala.util.control.NonFatal(_) => null })
+    if (s == null) null else FhirXml.resourceXmlToJson(s, valueSetSchema))
   private val cmXmlUdf = udf((s: String) =>
-    if (s == null) null
-    else try FhirXml.resourceXmlToJson(s, conceptMapSchema)
-    catch { case scala.util.control.NonFatal(_) => null })
+    if (s == null) null else FhirXml.resourceXmlToJson(s, conceptMapSchema))
 
   /** Read every file; `.xml` files are converted to JSON executor-side so
     * one `from_json` handles both formats (reference parses either by

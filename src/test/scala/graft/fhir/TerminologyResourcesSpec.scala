@@ -64,6 +64,18 @@ class TerminologyResourcesSpec extends SparkSuite {
       .map(_.value).sorted === Array("8480-6", "8867-4"))
   }
 
+  test("corrupt XML in a terminology directory fails the import loudly") {
+    val dir = writeDir(
+      "good.json" ->
+        """{"resourceType":"ValueSet","url":"urn:vs:ok","version":"1",
+          "compose":{"include":[{"system":"s","concept":[{"code":"c"}]}]}}""",
+      "corrupt.xml" -> "<ValueSet xmlns=\"http://hl7.org/fhir\"><unclosed>")
+    intercept[org.apache.spark.SparkException] {
+      TerminologyResources.withValueSetsFromDirectory(spark,
+        ValueSets.getEmpty(spark), dir)
+    }
+  }
+
   test("concept map delegation: unmapped codes fall through to other-map") {
     val dir = writeDir(
       "a.json" ->
