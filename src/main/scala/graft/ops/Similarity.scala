@@ -94,6 +94,59 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the second scale
+    * path besides hyperplane LSH: a k-means coarse quantizer partitions the
+    * corpus into `numCentroids` cells ONCE (at scale the assigned table is
+    * persisted partitioned by cell, so probes prune partitions), and each
+    * query scores only the corpus rows in its `nprobe` closest cells.
+    *
+    * Plan shape: centroids are a driver-side literal (small by
+    * construction); per-query cell ranking and the final top-k both run
+    * through the bounded TopKByScore aggregate; the corpus is touched only
+    * via an equi-join on cell id. Deterministic for a fixed seed.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusVec).as("cvec"))
+      .withColumn("features",
+        array_to_vector(col("cvec").cast("array<double>")))
+    val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setMaxIter(20).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("corpus_id"), col("cvec"),
+        norm(col("cvec")).as("cnorm"), col("prediction").as("cell"))
+    val centroids: Seq[Seq[Double]] =
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // rank each query's cells by dot product with the centroid literals,
+    // keep the nprobe best (bounded aggregate — no window)
+    val cellScored = queries
+      .select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("qvecd"))
+      .select(col("query_id"),
+        posexplode(transform(typedLit(centroids),
+          c => GraftFunctions.vectorDot(c, col("qvecd")))))
+      .select(col("query_id"), col("pos").cast("int").as("cell"),
+        col("col").as("score"))
+    val probes = cellScored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("score"),
+        col("cell").cast("long"), nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+      .join(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm")),
+        Seq("query_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("corpus_id"),
+        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
+          .as("score"))
+    topKReduce(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
     * buckets (exact within-bucket scoring, a-id < b-id dedup). Candidate
     * pairs come from the capped-bucket expansion (bounded buffers, no

@@ -236,6 +236,26 @@ class OpsSpec extends SparkSuite {
     assert(got(3L)._2 === None)
   }
 
+  test("similarity: IVF top-k matches brute force on clear clusters") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+      else Array(0.0f, 0.0f, 0.0f, 1.0f)
+      (i.toLong, base.map(v => v + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id").isin(0, 1))
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numCentroids = 2, nprobe = 1)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // with 2 well-separated clusters and nprobe=1, IVF recall is exact
+    assert(ivf === brute)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
