@@ -280,12 +280,14 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
     }),
 
-    // Text analysis: token/char counts (whitespace tokenization)
+    // Text analysis: token/char/subword counts (whitespace + BPE-ish regex)
     "q21_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          length(col("text")).cast("long").as("n_chars_txt"))
+          length(col("text")).cast("long").as("n_chars_txt"),
+          TextAnalysis.subwordCount(col("text")).cast("long")
+            .as("n_subwords"))
     }),
 
     // Text quality: stopword ratio (expression-only, oracle-checkable)
@@ -523,7 +525,9 @@ object SparkEntry {
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
              AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_txt
+           CAST(length(text) AS BIGINT) AS n_chars_txt,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+             AS n_subwords
          FROM documents""",
     "q22_stopword_ratio" ->
       """SELECT doc_id,

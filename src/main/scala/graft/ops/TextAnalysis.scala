@@ -17,12 +17,13 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: word chunks + digits + punctuation as separate
-    * tokens (a cheap proxy for BPE vocab tokenization). */
+  /** BPE-ish subword count: alphanumeric runs + each non-space symbol as
+    * separate tokens (a cheap proxy for BPE vocab tokenization). Expressed
+    * as a match count over an RE2-compatible pattern (no lookarounds) so
+    * the same regex verifies in the SQL oracle. */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-      t => length(t) > 0 && t =!= " "))
+    when(text.isNull, lit(0))
+      .otherwise(regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")))
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
