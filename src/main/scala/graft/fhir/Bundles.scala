@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Bundles {
 
-  /** S1: load every file under `path` as one bundle row (JSON files).
-    * Keeps per-file semantics via `wholetext`. */
+  /** S1: load every file under `path` as one bundle row. Keeps per-file
+    * semantics via `wholetext`; `minPartitions` widens small directories
+    * for parallel parsing (the reference forwards the same knob to
+    * wholeTextFiles, Bundles.java:117-125). */
   def loadFromDirectory(spark: SparkSession, path: String,
-      minPartitions: Int = 1): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
+      minPartitions: Int = 1): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
       .withColumn("source_file", input_file_name())
       .withColumnRenamed("value", "bundle_json")
+    if (minPartitions > 1) raw.repartition(minPartitions) else raw
+  }
 
   /** S2: bundles from a DataFrame column of JSON strings. */
   def fromJson(df: DataFrame, column: String): DataFrame =

@@ -152,6 +152,9 @@ class TerminologySpec extends SparkSuite {
     assert(spark.sql(
       "SELECT id FROM obs_cc WHERE in_valueset(codeable, 'hr')")
       .as[String].collect().toSeq === Seq("o1"))
+    // the current (restored) registration is introspectable
+    assert(ValueSetUdfs.currentValueSets.exists(
+      _.getReferenceNames.contains("hr")))
   }
 
   test("inValueSetColumn relational variant matches the UDF") {
