@@ -202,8 +202,12 @@ object SparkEntry {
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          // the product sum carries scale 8; round to scale 4 (exact — the
+          // inputs have only 2+2 decimal digits) BEFORE the double cast so
+          // the unscaled value stays < 2^53 and decimal→double conversion
+          // is bit-identical across engines at any SF
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+            .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -476,7 +480,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
