@@ -77,16 +77,31 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: bucket the corpus once (reusable,
     * write-out-able as a partitioned table at scale), bucket the queries,
-    * then score only within matching buckets. */
+    * then score only within matching buckets.
+    *
+    * `multiProbe` > 0 additionally probes that many Hamming-1 neighbor
+    * buckets per query (single sign-bit flips) — the standard multi-probe
+    * LSH recall boost: a near neighbor on the wrong side of one hyperplane
+    * is still found, at the cost of probing a few more (mostly small)
+    * buckets. The corpus side is untouched — only the broadcast query side
+    * fans out. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      dim: Int, k: Int, numPlanes: Int = 8): DataFrame = {
+      dim: Int, k: Int, numPlanes: Int = 8, multiProbe: Int = 0): DataFrame = {
     val bCorpus = corpus.select(col(corpusId).as("corpus_id"),
       col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
       hyperplaneBucket(col(corpusVec), dim, numPlanes).as("bucket"))
-    val bQueries = queries.select(col(queryId).as("query_id"),
+    val bQueries0 = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
       hyperplaneBucket(col(queryVec), dim, numPlanes).as("bucket"))
+    val bQueries =
+      if (multiProbe <= 0) bQueries0
+      else {
+        val probes = array((col("bucket") +:
+          (0 until math.min(multiProbe, numPlanes)).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+        bQueries0.withColumn("bucket", explode(probes))
+      }
     val scored = bCorpus.join(broadcast(bQueries), Seq("bucket"))
       .select(col("query_id"), col("corpus_id"),
         cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))

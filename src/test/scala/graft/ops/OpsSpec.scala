@@ -256,6 +256,30 @@ class OpsSpec extends SparkSuite {
     assert(ivf === brute)
   }
 
+  test("multi-probe LSH returns a superset of single-bucket results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 4)
+    def run(probe: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(vecs, "vec_id", "embedding", queries,
+        "vec_id", "embedding", dim = 8, k = 50, numPlanes = 6,
+        multiProbe = probe)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = run(0)
+    val probed = run(6)
+    assert(plain.subsetOf(probed))
+    assert(probed.size > plain.size) // hamming-1 buckets add candidates
+    // no duplicate (query, corpus) pairs from multiple probes
+    val rows = Similarity.lshTopK(vecs, "vec_id", "embedding", queries,
+      "vec_id", "embedding", dim = 8, k = 50, numPlanes = 6, multiProbe = 6)
+      .select("query_id", "corpus_id").collect()
+    assert(rows.length === rows.distinct.length)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
