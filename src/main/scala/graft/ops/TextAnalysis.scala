@@ -102,6 +102,32 @@ object TextAnalysis {
     xxhash64(text)
   }
 
+  /** Per-document top-k TF-IDF terms — keyword extraction for corpus
+    * exploration and near-dup triage. Shape at scale: one shuffle for the
+    * per-(doc, term) counts (map-side combined), one for the document
+    * frequencies, then the bounded top-k aggregate per document (string
+    * ids, O(k) buffers). Smoothed idf = ln((N+1)/(df+1)) + 1. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    tf.join(docFreq, Seq("term"))
+      .withColumn("weight", col("tf") *
+        (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("weight"), col("term"), k).as("topk"))
+      .select(col("doc_id"), posexplode(col("topk")))
+      .select(col("doc_id"), col("col.id").as("term"),
+        col("col.score").as("weight"), (col("pos") + 1).as("rank"))
+  }
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

