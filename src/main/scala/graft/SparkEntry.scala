@@ -416,6 +416,14 @@ object SparkEntry {
         t(s, dir, "embeddings").where(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.3))
     }),
+
+    // Corpus scrubbing: email/URL redaction + redactable-span counts
+    "q36_pii_redaction" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_hash"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -628,6 +636,16 @@ object SparkEntry {
            UNION
            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
          SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""",
+    "q36_pii_redaction" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS BIGINT)
+             AS n_pii,
+           md5(regexp_replace(
+             regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+             AS redacted_hash
+         FROM documents""",
     "q29_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,

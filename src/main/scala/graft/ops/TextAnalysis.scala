@@ -102,6 +102,23 @@ object TextAnalysis {
     xxhash64(text)
   }
 
+  /** C4-style scrubbing for training corpora: replace emails and URLs with
+    * placeholder tokens (RE2-compatible patterns — no lookarounds — so the
+    * exact same regexes verify in the SQL oracle and port to other
+    * engines). Pure regexp_replace: codegen'd, pushdown-friendly. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n\\r]+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
+  /** Count of redactable spans (cheap corpus-quality signal). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(text, lit(UrlPattern))
+
   /** Per-document top-k TF-IDF terms — keyword extraction for corpus
     * exploration and near-dup triage. Shape at scale: one shuffle for the
     * per-(doc, term) counts (map-side combined), one for the document

@@ -256,6 +256,20 @@ class OpsSpec extends SparkSuite {
     assert(ivf === brute)
   }
 
+  test("redactPii replaces emails and urls with placeholders") {
+    import spark.implicits._
+    val got = Seq(
+      "contact me at jane.doe+x@example.org or https://example.com/a?b=1 ok",
+      "no pii here").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+      .collect()
+    assert(got(0).getString(0) === "contact me at <EMAIL> or <URL> ok")
+    assert(got(0).getInt(1) === 2)
+    assert(got(1).getString(0) === "no pii here")
+    assert(got(1).getInt(1) === 0)
+  }
+
   test("topTerms ranks rare distinctive words above ubiquitous ones") {
     import spark.implicits._
     val corpus = Seq(
