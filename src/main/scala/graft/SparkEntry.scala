@@ -302,7 +302,8 @@ object SparkEntry {
             Seq("the", "a", "data", "value")).as("stop_ratio"))
     }),
 
-    // Dedup (MinHash+LSH near-dup): deterministic pipeline, rows-only check
+    // Dedup (MinHash+LSH near-dup): deterministic pipeline; rows-only
+    // (xxhash64-seeded buckets), kernels pinned by differential tests
     "q23_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 2, numHashes = 16, bands = 8)
@@ -362,8 +363,11 @@ object SparkEntry {
       s.catalog.dropTempView("q29_stream_out")
       val stream = graft.streaming.Streams.windowedEventAgg(
         graft.streaming.Streams.eventStream(s, dir))
+      // state partitions sized to the window-key count (a few thousand) —
+      // spill-aware sizing per the 100 TB design notes, not the session's
+      // generic shuffle parallelism
       graft.streaming.Streams.runToMemory(s, stream, "q29_stream_out",
-        outputMode = "complete")
+        outputMode = "complete", statePartitions = Some(8))
     }),
 
     // Rollup (hierarchical subtotals — free from Spark SQL, verified)
@@ -427,8 +431,11 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the hash/float-dependent ops
-    * (q23-q28) → driver records a rows-only check. */
+    * the same parquet tables. Omitted only for the hash-SEED-dependent ops
+    * (q23 minhash buckets, q24 simhash signatures, q27 hyperplane LSH —
+    * xxhash64-derived values no external engine can reproduce; the kernels
+    * are pinned by KernelDifferentialSpec instead) → driver records a
+    * rows-only check for those three. */
   def oracleSql: Map[String, String] = Map(
     "q01_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,

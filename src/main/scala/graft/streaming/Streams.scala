@@ -32,17 +32,32 @@ object Streams {
 
   /** Run a streaming DataFrame into an in-memory table until all currently
     * available input is processed; returns the materialized result. Local
-    * test/driver harness for the streaming path. */
+    * test/driver harness for the streaming path.
+    *
+    * `statePartitions`: a stateful query fixes its state-store partition
+    * count from `spark.sql.shuffle.partitions` AT START and keeps it for
+    * life — size it to the expected distinct-key count (each partition
+    * costs a state store to initialize/commit every batch; thousands of
+    * windows do not need hundreds of stores). Temporarily applied around
+    * query start and restored. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String = "append"): DataFrame = {
-    val q: StreamingQuery = stream.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      outputMode: String = "append",
+      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val previous = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set(key, previous))
+    }
     spark.table(name)
   }
 
