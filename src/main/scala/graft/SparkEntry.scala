@@ -222,13 +222,14 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
     }),
 
-    // G1: distributed transitive closure (prefix-doubling fixpoint join)
+    // G1: distributed transitive closure (prefix-doubling fixpoint join);
+    // shuffle width sized to the iteration data, not session parallelism
     "q16_closure" -> ((s, dir) => {
       val edges = t(s, dir, "customer")
         .where(col("c_custkey") >= 1)
         .select((col("c_custkey") / 2).cast("long").as("parent"),
           col("c_custkey").cast("long").as("child"))
-      TransitiveClosure.closureLong(s, edges)
+      TransitiveClosure.closureLong(s, edges, shufflePartitions = Some(8))
     }),
 
     // U1/U2: broadcast valueset membership via the in_valueset UDF surface
@@ -418,7 +419,8 @@ object SparkEntry {
     "q35_neardup_clusters" -> ((s, dir) => {
       Dedup.nearDupClusters(Similarity.cosineNearDupsExact(
         t(s, dir, "embeddings").where(col("vec_id") < 300),
-        "vec_id", "embedding", threshold = 0.3))
+        "vec_id", "embedding", threshold = 0.3),
+        shufflePartitions = Some(8))
     }),
 
     // Corpus scrubbing: email/URL redaction + redactable-span counts

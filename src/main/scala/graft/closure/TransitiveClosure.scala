@@ -38,13 +38,38 @@ import org.apache.spark.sql.functions._
   */
 object TransitiveClosure {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set —
+    * iterative fixpoint loops materialize every round, so shuffle width
+    * should track the ITERATION data size, not the session's generic
+    * parallelism (32 near-empty partitions cost a fixed scheduling/commit
+    * overhead per round; AQE won't coalesce below its minPartitionNum). */
+  private def withShuffleWidth[T](spark: SparkSession,
+      partitions: Option[Int])(body: => T): T = partitions match {
+    case None => body
+    case Some(n) =>
+      val key = "spark.sql.shuffle.partitions"
+      val previous = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, previous)
+  }
+
   /** Closure over (ancestorSystem, ancestorValue, descendantSystem,
     * descendantValue) edges; returns every transitive pair, paths >= 1. */
   def closure(
       spark: SparkSession,
       edges: org.apache.spark.sql.Dataset[_],
       maxIterations: Int = 25,
-      linear: Boolean = false): DataFrame = {
+      linear: Boolean = false,
+      shufflePartitions: Option[Int] = None): DataFrame =
+    withShuffleWidth(spark, shufflePartitions) {
+      closureImpl(spark, edges, maxIterations, linear)
+    }
+
+  private def closureImpl(
+      spark: SparkSession,
+      edges: org.apache.spark.sql.Dataset[_],
+      maxIterations: Int,
+      linear: Boolean): DataFrame = {
     val cols = Seq("ancestorSystem", "ancestorValue",
       "descendantSystem", "descendantValue")
     val cleanEdges = edges.toDF().select(cols.map(col): _*)
@@ -108,7 +133,17 @@ object TransitiveClosure {
       spark: SparkSession,
       edges: DataFrame, // columns: parent, child
       maxIterations: Int = 25,
-      linear: Boolean = false): DataFrame = {
+      linear: Boolean = false,
+      shufflePartitions: Option[Int] = None): DataFrame =
+    withShuffleWidth(spark, shufflePartitions) {
+      closureLongImpl(spark, edges, maxIterations, linear)
+    }
+
+  private def closureLongImpl(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIterations: Int,
+      linear: Boolean): DataFrame = {
     val cleanEdges = edges
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .where(col("parent").isNotNull && col("child").isNotNull)

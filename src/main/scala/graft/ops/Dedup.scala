@@ -258,7 +258,20 @@ object Dedup {
     * components are shallow in practice — dup clusters are cliques or
     * near-cliques). Same shuffle-by-key + fixpoint shape as the transitive
     * closure; no driver materialization. */
-  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    // iterative fixpoint: size shuffle width to the pair-graph, not the
+    // session's generic parallelism (see TransitiveClosure.withShuffleWidth)
+    val spark = pairs.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val previous = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try nearDupClustersImpl(pairs, maxIterations)
+    finally shufflePartitions.foreach(_ => spark.conf.set(key, previous))
+  }
+
+  private def nearDupClustersImpl(pairs: DataFrame,
+      maxIterations: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
