@@ -423,12 +423,18 @@ object SparkEntry {
         shufflePartitions = Some(8))
     }),
 
-    // Corpus scrubbing: email/URL redaction + redactable-span counts
+    // Corpus scrubbing: email/URL redaction + redactable-span counts.
+    // The fixture text contains no natural emails/urls, so deterministic
+    // PII is appended per row — otherwise the oracle would only ever
+    // verify the no-op path, not the replacements themselves.
     "q36_pii_redaction" -> ((s, dir) => {
       t(s, dir, "documents")
+        .withColumn("seeded", concat(col("text"),
+          lit(" reach user"), col("doc_id"),
+          lit("@example.org via https://example.org/d/"), col("doc_id")))
         .select(col("doc_id"),
-          TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"),
-          md5(TextAnalysis.redactPii(col("text"))).as("redacted_hash"))
+          TextAnalysis.piiCount(col("seeded")).cast("long").as("n_pii"),
+          md5(TextAnalysis.redactPii(col("seeded"))).as("redacted_hash"))
     }),
   )
 
@@ -547,8 +553,9 @@ object SparkEntry {
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
              AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_txt,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
-             AS n_subwords
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[!-/:-@\[-`{-~]'))
+           END AS n_subwords
          FROM documents""",
     "q22_stopword_ratio" ->
       """SELECT doc_id,
@@ -647,14 +654,17 @@ object SparkEntry {
          SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""",
     "q36_pii_redaction" ->
       """SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS BIGINT)
+           CAST(len(regexp_extract_all(seeded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(seeded, 'https?://[^ \t\n\r]+')) AS BIGINT)
              AS n_pii,
            md5(regexp_replace(
-             regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g'),
+             regexp_replace(seeded, 'https?://[^ \t\n\r]+', '<URL>', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
              AS redacted_hash
-         FROM documents""",
+         FROM (SELECT doc_id,
+                 text || ' reach user' || doc_id ||
+                 '@example.org via https://example.org/d/' || doc_id AS seeded
+               FROM documents)""",
     "q29_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,

@@ -38,21 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object TransitiveClosure {
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set —
-    * iterative fixpoint loops materialize every round, so shuffle width
-    * should track the ITERATION data size, not the session's generic
-    * parallelism (32 near-empty partitions cost a fixed scheduling/commit
-    * overhead per round; AQE won't coalesce below its minPartitionNum). */
-  private def withShuffleWidth[T](spark: SparkSession,
-      partitions: Option[Int])(body: => T): T = partitions match {
-    case None => body
-    case Some(n) =>
-      val key = "spark.sql.shuffle.partitions"
-      val previous = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try body finally spark.conf.set(key, previous)
-  }
-
   /** Closure over (ancestorSystem, ancestorValue, descendantSystem,
     * descendantValue) edges; returns every transitive pair, paths >= 1. */
   def closure(
@@ -61,7 +46,7 @@ object TransitiveClosure {
       maxIterations: Int = 25,
       linear: Boolean = false,
       shufflePartitions: Option[Int] = None): DataFrame =
-    withShuffleWidth(spark, shufflePartitions) {
+    graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
       closureImpl(spark, edges, maxIterations, linear)
     }
 
@@ -135,7 +120,7 @@ object TransitiveClosure {
       maxIterations: Int = 25,
       linear: Boolean = false,
       shufflePartitions: Option[Int] = None): DataFrame =
-    withShuffleWidth(spark, shufflePartitions) {
+    graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
       closureLongImpl(spark, edges, maxIterations, linear)
     }
 

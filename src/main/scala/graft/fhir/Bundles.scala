@@ -18,15 +18,23 @@ import org.apache.spark.sql.functions._
 object Bundles {
 
   /** S1: load every file under `path` as one bundle row. Keeps per-file
-    * semantics via `wholetext`; `minPartitions` widens small directories
-    * for parallel parsing (the reference forwards the same knob to
-    * wholeTextFiles, Bundles.java:117-125). */
+    * semantics via `wholetext`; `minPartitions` > 1 switches to
+    * `wholeTextFiles(path, minPartitions)` — the reference's mechanism
+    * (Bundles.java:117-125) — which widens the READ splits for parallel
+    * parsing with zero shuffle (a post-read repartition would ship every
+    * ingested byte through an exchange). */
   def loadFromDirectory(spark: SparkSession, path: String,
       minPartitions: Int = 1): DataFrame = {
-    val raw = spark.read.option("wholetext", "true").text(path)
-      .withColumn("source_file", input_file_name())
-      .withColumnRenamed("value", "bundle_json")
-    if (minPartitions > 1) raw.repartition(minPartitions) else raw
+    if (minPartitions > 1) {
+      import spark.implicits._
+      spark.sparkContext.wholeTextFiles(path, minPartitions)
+        .toDF("source_file", "bundle_json")
+        .select(col("bundle_json"), col("source_file"))
+    } else {
+      spark.read.option("wholetext", "true").text(path)
+        .withColumn("source_file", input_file_name())
+        .withColumnRenamed("value", "bundle_json")
+    }
   }
 
   /** S2: bundles from a DataFrame column of JSON strings. */

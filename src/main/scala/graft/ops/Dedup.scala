@@ -259,16 +259,10 @@ object Dedup {
     * near-cliques). Same shuffle-by-key + fixpoint shape as the transitive
     * closure; no driver materialization. */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20,
-      shufflePartitions: Option[Int] = None): DataFrame = {
-    // iterative fixpoint: size shuffle width to the pair-graph, not the
-    // session's generic parallelism (see TransitiveClosure.withShuffleWidth)
-    val spark = pairs.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val previous = spark.conf.get(key)
-    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try nearDupClustersImpl(pairs, maxIterations)
-    finally shufflePartitions.foreach(_ => spark.conf.set(key, previous))
-  }
+      shufflePartitions: Option[Int] = None): DataFrame =
+    graft.ConfScope.withShuffleWidth(pairs.sparkSession, shufflePartitions) {
+      nearDupClustersImpl(pairs, maxIterations)
+    }
 
   private def nearDupClustersImpl(pairs: DataFrame,
       maxIterations: Int): DataFrame = {
@@ -282,9 +276,14 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint(eager = false)
     // labels only decrease, so the label sum is a monotone convergence
-    // measure: unchanged sum == fixpoint
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    // measure: unchanged sum == fixpoint. Summed in DECIMAL(38,0): ids may
+    // be hash-derived values spanning the full 64-bit range, where a long
+    // sum overflows (ANSI mode: ArithmeticException mid-loop). coalesce
+    // covers the empty-pair-graph case (sum of zero rows is null).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head()
+        .getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -311,7 +310,7 @@ object Dedup {
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
     }

@@ -137,8 +137,12 @@ object Similarity {
         norm(col("cvec")).as("cnorm"), col("prediction").as("cell"))
     val centroids: Seq[Seq[Double]] =
       model.clusterCenters.map(_.toArray.toSeq).toSeq
-    // rank each query's cells by dot product with the centroid literals,
-    // keep the nprobe best (bounded aggregate — no window)
+    // rank each query's cells by the SAME metric k-means assigned corpus
+    // rows with — Euclidean distance. argmin ||q-c||² == argmax of
+    // 2·q·c − ||c||² (the ||q||² term is constant per query), so the cell
+    // score is 2·dot − centroidNorm². Ranking by raw dot product instead
+    // would send queries with non-unit-norm centroids to the wrong cells.
+    val centroidNorm2: Seq[Double] = centroids.map(c => c.map(x => x * x).sum)
     val cellScored = queries
       .select(col(queryId).as("query_id"),
         col(queryVec).cast("array<double>").as("qvecd"))
@@ -146,7 +150,8 @@ object Similarity {
         posexplode(transform(typedLit(centroids),
           c => GraftFunctions.vectorDot(c, col("qvecd")))))
       .select(col("query_id"), col("pos").cast("int").as("cell"),
-        col("col").as("score"))
+        (col("col") * 2 - element_at(typedLit(centroidNorm2), col("pos") + 1))
+          .as("score"))
     val probes = cellScored.groupBy(col("query_id"))
       .agg(GraftFunctions.topKByScore(col("score"),
         col("cell").cast("long"), nprobe).as("cells"))

@@ -17,13 +17,18 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: alphanumeric runs + each non-space symbol as
-    * separate tokens (a cheap proxy for BPE vocab tokenization). Expressed
-    * as a match count over an RE2-compatible pattern (no lookarounds) so
-    * the same regex verifies in the SQL oracle. */
+  /** BPE-ish subword count: alphanumeric runs + each ASCII symbol as
+    * separate tokens (a cheap proxy for BPE vocab tokenization). The
+    * pattern is engine-portable BY CONSTRUCTION: explicit ASCII ranges
+    * only — no `\s` (Java includes \x0B, RE2 does not) and no negated
+    * classes that would count astral characters differently under UTF-16
+    * (Java) vs UTF-8 (RE2) — so the identical regex verifies in the SQL
+    * oracle. */
+  val SubwordPattern = "[A-Za-z0-9]+|[!-/:-@\\[-`{-~]"
+
   def subwordCount(text: Column): Column =
     when(text.isNull, lit(0))
-      .otherwise(regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")))
+      .otherwise(regexp_count(text, lit(SubwordPattern)))
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {

@@ -43,20 +43,17 @@ object Streams {
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "append",
       statePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val previous = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
+    graft.ConfScope.withShuffleWidth(spark, statePartitions) {
       val q: StreamingQuery = stream.writeStream
         .outputMode(outputMode)
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      statePartitions.foreach(_ => spark.conf.set(key, previous))
+      // stop in finally: a failed micro-batch must not leak a running
+      // query registered under `name` (the next run would refuse to start)
+      try q.processAllAvailable()
+      finally q.stop()
     }
     spark.table(name)
   }

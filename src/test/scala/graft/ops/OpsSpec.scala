@@ -177,6 +177,23 @@ class OpsSpec extends SparkSuite {
     assert(dups.toSet === Set((7L, 8L)))
   }
 
+  test("nearDupClusters on an empty pair set returns an empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupClusters(empty).count() === 0)
+  }
+
+  test("nearDupClusters handles full-range hash ids without overflow") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Long.MaxValue - 1, Long.MaxValue),
+      (Long.MinValue, Long.MinValue + 2)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(Long.MaxValue) === Long.MaxValue - 1)
+    assert(got(Long.MinValue + 2) === Long.MinValue)
+  }
+
   test("nearDupClusters assigns component-min cluster ids") {
     import spark.implicits._
     // components: {1,2,3} (chain), {7,9}, singleton 5 not in pairs
