@@ -112,7 +112,9 @@ object ValueSetUdfs {
     coalesce(
       exists(codeable.getField("coding"), c =>
         array_contains(
-          coalesce(element_at(lmap, c.getField("system")),
+          // try_element_at: explicitly null (not ANSI-error) on systems
+          // absent from the map
+          coalesce(try_element_at(lmap, c.getField("system")),
             array().cast("array<string>")),
           c.getField("code"))),
       lit(false))

@@ -167,7 +167,8 @@ class TerminologySpec extends SparkSuite {
       ("m1", "http://loinc.org", "8867-4"),
       ("m2", "http://loinc.org", "9999-9"),
       ("m3", "sys2", "x1"),
-      ("m4", null, null))
+      ("m4", null, null),
+      ("m5", "unknown-system", "8867-4")) // system absent from the map
       .toDF("id", "system", "code")
       .selectExpr("id",
         "named_struct('coding', array(named_struct('system', system, 'code', code)), 'text', id) as codeable")
