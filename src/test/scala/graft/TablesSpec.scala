@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table co-location: a join between two tables bucketed on the
+  * join key must run with NO shuffle exchange on either side. */
+class TablesSpec extends SparkSuite {
+
+  test("co-bucketed join plans contain no shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_scores")
+    val docs = (0L until 1000L).map(i => (i, s"doc-$i")).toDF("id", "body")
+    val scores = (0L until 1000L).map(i => (i, i * 0.5)).toDF("id", "score")
+    Tables.saveBucketed(docs, "graft_bkt_docs", "id", 4)
+    Tables.saveBucketed(scores, "graft_bkt_scores", "id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_docs")
+        .join(spark.table("graft_bkt_scores"), Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free co-bucketed join, got:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_scores")
+    }
+  }
+}
