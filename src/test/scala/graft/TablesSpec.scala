@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
   * join key must run with NO shuffle exchange on either side. */
 class TablesSpec extends SparkSuite {
 
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    // 90% of fact rows carry one hot key — the salting target
+    val fact = (0 until 2000).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 999L, s"v$i")).toDF("k", "payload")
+    val dim = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (5L, "f"))
+      .toDF("k", "label")
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "label").collect().toSet
+    val salted = Tables.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .select("k", "payload", "label").collect().toSet
+    assert(salted === plain)
+    // the salt spreads the hot key: distinct (k, salt) combos > distinct k
+    val spread = Tables.saltedJoin(fact, dim, "k", saltFactor = 8,
+      factSaltExpr = None)
+    assert(spread.count() === plain.size)
+  }
+
   test("co-bucketed join plans contain no shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
