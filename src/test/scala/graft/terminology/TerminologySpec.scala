@@ -180,6 +180,22 @@ class TerminologySpec extends SparkSuite {
     }
   }
 
+  test("broadcast valuesets are safe under concurrent readers") {
+    // mirrors BroadcastableValueSetsTest's thread-safety case: the lookup
+    // structure is immutable, so parallel hasCode calls must agree
+    val b = BroadcastableValueSets.newBuilder()
+      .addCode("ts", "sys", "c1").addCode("ts", "sys", "c2")
+      .build(spark, ValueSets.getEmpty(spark), Hierarchies.getEmpty(spark))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 64).toList.map { i =>
+        Future(i -> b.hasCode("ts", "sys", if (i % 2 == 0) "c1" else "nope"))
+      }), 30.seconds)
+    assert(results.forall { case (i, r) => r == (i % 2 == 0) })
+  }
+
   test("loinc + snomed hierarchy file readers") {
     val loincCsv = java.nio.file.Files.createTempFile("loinc", ".csv")
     java.nio.file.Files.writeString(loincCsv,
