@@ -423,6 +423,19 @@ object SparkEntry {
         shufflePartitions = Some(8))
     }),
 
+    // Gap-based sessionization: per-user session assignment (30-min gap)
+    // rolled up to session stats — one user-keyed shuffle, window lag +
+    // running sum
+    "q37_sessionize" -> ((s, dir) => {
+      graft.ops.Sessions.sessionStats(t(s, dir, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_s"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("end_s"))
+    }),
+
     // Corpus scrubbing: email/URL redaction + redactable-span counts.
     // The fixture text contains no natural emails/urls, so deterministic
     // PII is appended per row — otherwise the oracle would only ever
@@ -652,6 +665,25 @@ object SparkEntry {
            UNION
            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
          SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src""",
+    "q37_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         assigned AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+         FROM assigned GROUP BY user_id, session_id""",
     "q36_pii_redaction" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(seeded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))

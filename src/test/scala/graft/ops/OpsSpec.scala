@@ -273,6 +273,26 @@ class OpsSpec extends SparkSuite {
     assert(ivf === brute)
   }
 
+  test("sessionize: gaps over the threshold start new sessions") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 2L), // same session (10 min gap)
+      (1L, "2024-01-01 11:00:00", 3L), // new session (50 min gap)
+      (2L, "2024-01-01 10:05:00", 4L)) // other user
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Sessions.sessionize(events, "user_id", "ts", "event_id",
+      gapSeconds = 1800)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    val stats = Sessions.sessionStats(events, "user_id", "ts", "event_id",
+      1800).where(col("user_id") === 1 && col("session_id") === 1)
+      .collect().head
+    assert(stats.getAs[Long]("n_events") === 2L)
+  }
+
   test("redactPii replaces emails and urls with placeholders") {
     import spark.implicits._
     val got = Seq(
