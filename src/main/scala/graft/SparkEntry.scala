@@ -303,18 +303,24 @@ object SparkEntry {
             Seq("the", "a", "data", "value")).as("stop_ratio"))
     }),
 
-    // Dedup (MinHash+LSH near-dup): deterministic pipeline; rows-only
-    // (xxhash64-seeded buckets), kernels pinned by differential tests
+    // Dedup (MinHash+LSH near-dup): the native banded-minhash pipeline in
+    // portable-hash mode (md5-derived 60-bit minima — GraftHashImpl
+    // portable mode), so DuckDB reproduces the signatures and the bucket
+    // partition end-to-end and the driver gets a full rows+schema+hash
+    // check; the xxhash64 production hash shares the same kernel structure
+    // and is pinned by KernelDifferentialSpec
     "q23_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 2, numHashes = 16, bands = 8)
+        shingleSize = 2, numHashes = 16, bands = 8, portable = true)
     }),
 
-    // Dedup (SimHash): 64-bit signatures, rows-only check
+    // Dedup (SimHash): 64-bit majority-vote signatures over portable
+    // shingle hashes — same vote kernel as production, oracle-reproducible
     "q24_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          Dedup.simhash64(col("text"), shingleSize = 2).as("sig"))
+          Dedup.simhash64(col("text"), shingleSize = 2, portable = true)
+            .as("sig"))
     }),
 
     // Dedup (n-gram Jaccard): EXACT prefix-filtered similarity join —
@@ -338,13 +344,32 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // Similarity: LSH-bucketed ANN (scale path), rows-only
+    // Similarity: LSH-bucketed ANN (scale path) in portable-signature mode
+    // (quantized projections, md5-derived plane signs) — DuckDB rebuilds
+    // the same buckets and re-ranks with exact cosine, full hash check
     "q27_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, "vec_id", "embedding",
         e.where(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, k = 10, numPlanes = 6)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
+        dim = 64, k = 10, numPlanes = 6, portable = true)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Similarity: IVF ANN (second scale path) — seeded-centroid variant:
+    // cells anchored at the first 16 corpus vectors, integer-quantized
+    // assignment, nprobe=4 probing, exact-cosine re-rank. The oracle
+    // rebuilds the identical cell partition and probe sets, so the pruned
+    // (not brute-force) result is verified hash-exactly; the k-means
+    // variant shares this plan and has its recall pinned in OpsSpec
+    "q38_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKSeeded(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        e.where(col("vec_id") < 16), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
     }),
 
     // Multimodal plumbing: synthetic assets → batched feature extraction;
@@ -403,13 +428,19 @@ object SparkEntry {
           TextAnalysis.languageId(col("text")).as("lang_id"))
     }),
 
-    // Embedding-cosine near-dup pairs, quantized-exact (integer dot
-    // products + decimal threshold compare → bit-reproducible, oracle'd);
-    // id range capped so the all-pairs stays bounded at every SF
+    // Embedding-cosine near-dup pairs via the BANDED LSH SCALE PATH
+    // (multi-table hyperplane buckets, capped-bucket pair expansion, no
+    // all-pairs product), verified candidate-by-candidate with the
+    // quantized integer threshold test — bit-reproducible, so the
+    // all-pairs DuckDB oracle checks it hash-exactly (precision is exact
+    // by construction; recall = 1.0 at these table/bit settings, pinned
+    // by OpsSpec against the exact kernel). The id cap only bounds the
+    // ORACLE's all-pairs SQL — the Spark plan itself has no quadratic
+    // stage.
     "q34_cosine_neardups" -> ((s, dir) => {
       // threshold 0.3: the synthetic embeddings are near-orthogonal (max
       // pairwise cosine ~0.47), so 0.8 would assert an empty result
-      Similarity.cosineNearDupsExact(
+      Similarity.cosineNearDupsBanded(
         t(s, dir, "embeddings").where(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.3)
     }),
@@ -417,7 +448,7 @@ object SparkEntry {
     // Dedup keeper selection: connected components over the q34 pairs via
     // distributed min-label propagation (cluster_id = component min id)
     "q35_neardup_clusters" -> ((s, dir) => {
-      Dedup.nearDupClusters(Similarity.cosineNearDupsExact(
+      Dedup.nearDupClusters(Similarity.cosineNearDupsBanded(
         t(s, dir, "embeddings").where(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.3),
         shufflePartitions = Some(8))
@@ -452,12 +483,126 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for the hash-SEED-dependent ops
-    * (q23 minhash buckets, q24 simhash signatures, q27 hyperplane LSH —
-    * xxhash64-derived values no external engine can reproduce; the kernels
-    * are pinned by KernelDifferentialSpec instead) → driver records a
-    * rows-only check for those three. */
+    * the same parquet tables — every query has one (no rows-only checks):
+    * the hash-kernel queries (q23/q24/q27) run the portable md5-derived
+    * hash mode, whose signatures DuckDB rebuilds verbatim via
+    * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    "q23_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 CAST(('0x' || substr(md5(x || chr(30) || CAST(i AS VARCHAR)), 1, 15))
+                   AS BIGINT)))) AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key HAVING count(*) > 200)
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+           AND x.doc_id < y.doc_id
+         WHERE NOT EXISTS (SELECT 1 FROM big
+                           WHERE big.b = x.b AND big.key = x.key)""",
+    "q24_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hs AS (
+           SELECT doc_id,
+             list_transform(s, x ->
+               CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+           FROM sh)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN 2 * len(list_filter(h, v -> ((v >> b) & 1) = 1)) > len(h)
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+         FROM hs""",
+    "q27_ann_lsh" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         pl AS (
+           SELECT p.range AS p, i.range AS i,
+             CASE WHEN (CAST(('0x' ||
+                 substr(md5(p.range || ':' || i.range), 1, 15)) AS BIGINT) & 1) = 1
+               THEN 1 ELSE -1 END AS sgn
+           FROM range(0, 6) p, range(0, 64) i),
+         proj AS (
+           SELECT q.vec_id, pl.p, SUM(q.qv[pl.i + 1] * pl.sgn) AS s
+           FROM q, pl GROUP BY 1, 2),
+         sig AS (
+           SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+               AS BIGINT) AS sig
+           FROM proj GROUP BY 1),
+         ranked AS (
+           SELECT qs.vec_id AS query_id, cs.vec_id AS corpus_id,
+             row_number() OVER (PARTITION BY qs.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, qq.embedding) DESC,
+                        cs.vec_id ASC) AS rank
+           FROM sig qs
+           JOIN sig cs ON qs.sig = cs.sig
+           JOIN embeddings qq ON qq.vec_id = qs.vec_id
+           JOIN embeddings c ON c.vec_id = cs.vec_id
+           WHERE qs.vec_id < 5)
+         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 10""",
+    "q38_ann_ivf" ->
+      """WITH qd AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cell, qv AS cv,
+             list_sum(list_transform(qv, x -> x * x)) AS cn
+           FROM qd WHERE vec_id < 16),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 5),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        corpus_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON q.vec_id = query_id
+           JOIN embeddings c ON c.vec_id = corpus_id)
+         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 10""",
     "q01_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
            CAST(l_shipdate AS DATE) AS ship_date

@@ -128,8 +128,11 @@ object GraftHashImpl {
     * Doing this inside the kernel (instead of slicing the signature array
     * with per-band expressions) evaluates the signature exactly once. */
   def shingleMinHashBands(tokens: ArrayData, n: Int, k: Int,
-      bands: Int): ArrayData = {
-    val mins = shingleMinHash(tokens, n, k).asInstanceOf[GenericArrayData]
+      bands: Int): ArrayData =
+    foldBands(shingleMinHash(tokens, n, k), k, bands)
+
+  private def foldBands(sig: ArrayData, k: Int, bands: Int): ArrayData = {
+    val mins = sig.asInstanceOf[GenericArrayData]
     val rowsPerBand = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -224,5 +227,237 @@ object GraftHashImpl {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  // ---- Engine-portable (md5-derived) hash mode ----------------------------
+  //
+  // The production kernels above hash with xxhash64 — fast, but no external
+  // engine reproduces Spark's seeded xxhash64, so queries built on them could
+  // only ever get a rows-only correctness check. Portable mode derives every
+  // hash from md5, which every engine computes identically: the value is the
+  // first 15 hex nibbles (60 bits) of md5(s), which DuckDB reproduces
+  // verbatim as CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT). 60 bits
+  // keeps the value non-negative in a signed 64-bit long, so min/ordering
+  // can never diverge between signed and unsigned integer engines. The
+  // banding / vote / projection structure is SHARED with the production
+  // kernels — only the hash primitive changes — so a green DuckDB oracle on
+  // the portable path pins the same code the xxhash64 path runs.
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) as a non-negative long (DuckDB:
+    * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`). */
+  def portableHash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** The n-token shingles as STRINGS (tokens joined with one space) — the
+    * portable kernels hash shingle text directly, because that is what an
+    * external engine can rebuild (`tk[i] || ' ' || tk[i+1] ...`); the
+    * production kernels hash token-wise and combine arithmetically, which
+    * nothing else reproduces. Same shingle windows as shingleHashArray:
+    * fewer than n tokens (including zero) → one shingle over whatever is
+    * present. */
+  private def portableShingles(tokens: ArrayData, n: Int): Array[String] = {
+    val cnt = tokens.numElements()
+    val tok = new Array[String](cnt)
+    var i = 0
+    while (i < cnt) {
+      val s = tokens.getUTF8String(i)
+      tok(i) = if (s == null) "" else s.toString
+      i += 1
+    }
+    if (cnt < n) Array(tok.mkString(" "))
+    else {
+      val out = new Array[String](cnt - n + 1)
+      var j = 0
+      while (j < out.length) {
+        val sb = new java.lang.StringBuilder
+        var t = j
+        while (t < j + n) {
+          if (t > j) sb.append(' ')
+          sb.append(tok(t))
+          t += 1
+        }
+        out(j) = sb.toString
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Separator between shingle text and hash-function index (ASCII RS —
+    * cannot appear inside whitespace-split tokens, so h_i inputs never
+    * collide across functions). DuckDB side: `s || chr(30) || i`. */
+  private final val FnSep = '\u001e'
+
+  /** Portable k-element minhash signature: h_i(shingle) = md5_60(shingle ++
+    * RS ++ i), signature element i = min over shingles. Same min-signature
+    * structure as [[shingleMinHash]]; k md5 calls per shingle instead of the
+    * double-hashing trick, because the per-function hashes must each be
+    * reproducible externally, not merely pairwise-independent. */
+  def portableShingleMinHash(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val sh = portableShingles(tokens, n)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      var i = 0
+      while (i < k) {
+        val h = portableHash60(sh(j) + FnSep + i)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Portable band bucket hashes: portable minhash signature, then the SAME
+    * band fold as the production kernel. The fold itself may stay native —
+    * bucket keys only ever feed equality joins, and xxhash64-folding equal
+    * band slices yields equal buckets — so an external oracle joins on the
+    * raw signature slices and still reproduces the bucket partition. */
+  def portableMinHashBands(tokens: ArrayData, n: Int, k: Int,
+      bands: Int): ArrayData =
+    foldBands(portableShingleMinHash(tokens, n, k), k, bands)
+
+  /** Portable 64-bit SimHash: per-bit majority vote ([[simHashVotes]], the
+    * exact production vote stage) over md5_60 shingle hashes. Bits 60-63 are
+    * always 0 (60-bit hashes vote them strictly negative). */
+  def portableSimHash64(tokens: ArrayData, n: Int): Long = {
+    val sh = portableShingles(tokens, n)
+    val hs = new Array[Long](sh.length)
+    var j = 0
+    while (j < sh.length) { hs(j) = portableHash60(sh(j)); j += 1 }
+    simHashVotes(hs)
+  }
+
+  /** Plane-sign cache for the portable hyperplane signature: sign(p, i) =
+    * md5_60("p:i") & 1, memoized (the table is tiny — planes × dim — and
+    * identical for every row). */
+  private val planeSignCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]
+
+  private def portablePlaneSign(p: Int, i: Int): Boolean = {
+    val key = java.lang.Long.valueOf((p.toLong << 32) | i.toLong)
+    var v = planeSignCache.get(key)
+    if (v == null) {
+      v = java.lang.Boolean.valueOf(
+        (portableHash60(p.toString + ":" + i) & 1L) == 1L)
+      planeSignCache.put(key, v)
+    }
+    v.booleanValue()
+  }
+
+  /** Element quantization shared with the exact cosine oracle variant:
+    * round(x * 10000) with HALF_UP on the shortest-decimal rendering —
+    * bit-identical to both Spark's `round` and DuckDB's `round` (away from
+    * zero on exact .5 ties, nearest otherwise). */
+  private def quant10k(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 10000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  private def portableHyperplaneSig(q: Array[Long], numPlanes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var s = 0L
+      var i = 0
+      while (i < q.length) {
+        s += (if (portablePlaneSign(p, i)) q(i) else -q(i))
+        i += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Portable random-hyperplane signature: the vector is quantized to
+    * integers (×10000, exact in long arithmetic), so each projection is an
+    * exact integer sum — no float reduction-order sensitivity — and the
+    * sign bits are reproducible on any engine. Null semantics as the
+    * production kernel (null element → null signature). */
+  def portableHyperplaneF(vec: ArrayData, numPlanes: Int): java.lang.Long = {
+    if (hasNullElement(vec)) return null
+    val n = vec.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = quant10k(vec.getFloat(i).toDouble); i += 1 }
+    portableHyperplaneSig(q, numPlanes)
+  }
+
+  def portableHyperplaneD(vec: ArrayData, numPlanes: Int): java.lang.Long = {
+    if (hasNullElement(vec)) return null
+    val n = vec.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = quant10k(vec.getDouble(i)); i += 1 }
+    portableHyperplaneSig(q, numPlanes)
+  }
+
+  // ---- Multi-table (OR-construction) hyperplane LSH -----------------------
+
+  /** `numTables` independent hyperplane bucket hashes in one pass — the
+    * OR-construction that makes sign-LSH usable for low-similarity
+    * thresholds: a pair colliding in ANY table becomes a candidate, so
+    * per-pair recall is 1-(1-p^bits)^tables (p = 1 - θ/π). Table t uses
+    * global planes [t·bits, (t+1)·bits); its bits-wide signature is folded
+    * with the table index into one 64-bit bucket value (equality-preserving,
+    * like the minhash band fold). Null vector elements → null (whole row
+    * drops out of bucketing rather than bucketing as zero). */
+  def hyperplaneBandsF(vec: ArrayData, bits: Int, numTables: Int): ArrayData = {
+    if (hasNullElement(vec)) return null
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    hyperplaneBandsImpl(v, bits, numTables)
+  }
+
+  def hyperplaneBandsD(vec: ArrayData, bits: Int, numTables: Int): ArrayData = {
+    if (hasNullElement(vec)) return null
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = vec.getDouble(i); i += 1 }
+    hyperplaneBandsImpl(v, bits, numTables)
+  }
+
+  private def hyperplaneBandsImpl(v: Array[Double], bits: Int,
+      numTables: Int): ArrayData = {
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val p = t * bits + b
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          val sign =
+            if ((XXH64.hashLong(p.toLong * 1000003L + i, 7L) & 1L) == 1L) 1.0
+            else -1.0
+          s += v(i) * sign
+          i += 1
+        }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = XXH64.hashLong(sig, t.toLong)
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -29,17 +29,24 @@ private[functions] trait StringArrayInput { self: UnaryExpression =>
   }
 }
 
-case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int)
+case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int,
+    portable: Boolean = false)
     extends UnaryExpression with StringArrayInput {
   require(shingleSize >= 1 && numHashes >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_minhash"
+  private def kernel: String =
+    if (portable) "portableShingleMinHash" else "shingleMinHash"
   override protected def nullSafeEval(input: Any): Any =
-    GraftHashImpl.shingleMinHash(input.asInstanceOf[ArrayData],
-      shingleSize, numHashes)
+    if (portable)
+      GraftHashImpl.portableShingleMinHash(input.asInstanceOf[ArrayData],
+        shingleSize, numHashes)
+    else
+      GraftHashImpl.shingleMinHash(input.asInstanceOf[ArrayData],
+        shingleSize, numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GraftHashImpl.shingleMinHash($c, $shingleSize, $numHashes)")
+      s"graft.functions.GraftHashImpl.$kernel($c, $shingleSize, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
     copy(child = newChild)
 }
@@ -61,16 +68,22 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
 }
 
 /** 64-bit SimHash of the `shingleSize`-token shingles. */
-case class SimHash(child: Expression, shingleSize: Int)
+case class SimHash(child: Expression, shingleSize: Int,
+    portable: Boolean = false)
     extends UnaryExpression with StringArrayInput {
   require(shingleSize >= 1)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  private def kernel: String =
+    if (portable) "portableSimHash64" else "simHash64"
   override protected def nullSafeEval(input: Any): Any =
-    GraftHashImpl.simHash64(input.asInstanceOf[ArrayData], shingleSize)
+    if (portable)
+      GraftHashImpl.portableSimHash64(input.asInstanceOf[ArrayData], shingleSize)
+    else
+      GraftHashImpl.simHash64(input.asInstanceOf[ArrayData], shingleSize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GraftHashImpl.simHash64($c, $shingleSize)")
+      s"graft.functions.GraftHashImpl.$kernel($c, $shingleSize)")
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
@@ -78,17 +91,24 @@ case class SimHash(child: Expression, shingleSize: Int)
 /** LSH band bucket hashes: minhash signature of `numHashes` functions
   * folded into `bands` per-band 64-bit bucket keys, in one kernel pass. */
 case class MinHashBands(child: Expression, shingleSize: Int, numHashes: Int,
-    bands: Int) extends UnaryExpression with StringArrayInput {
+    bands: Int, portable: Boolean = false)
+    extends UnaryExpression with StringArrayInput {
   require(shingleSize >= 1 && numHashes >= 1 && bands >= 1 &&
     numHashes % bands == 0, "numHashes must be divisible by bands")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
+  private def kernel: String =
+    if (portable) "portableMinHashBands" else "shingleMinHashBands"
   override protected def nullSafeEval(input: Any): Any =
-    GraftHashImpl.shingleMinHashBands(input.asInstanceOf[ArrayData],
-      shingleSize, numHashes, bands)
+    if (portable)
+      GraftHashImpl.portableMinHashBands(input.asInstanceOf[ArrayData],
+        shingleSize, numHashes, bands)
+    else
+      GraftHashImpl.shingleMinHashBands(input.asInstanceOf[ArrayData],
+        shingleSize, numHashes, bands)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GraftHashImpl.shingleMinHashBands($c, $shingleSize, $numHashes, $bands)")
+      s"graft.functions.GraftHashImpl.$kernel($c, $shingleSize, $numHashes, $bands)")
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
 }
@@ -96,7 +116,8 @@ case class MinHashBands(child: Expression, shingleSize: Int, numHashes: Int,
 /** Random-hyperplane LSH bucket signature of a float/double vector.
   * Null when the vector itself or any element is null (null must not
   * silently bucket as if it were 0). */
-case class HyperplaneLsh(child: Expression, numPlanes: Int)
+case class HyperplaneLsh(child: Expression, numPlanes: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 63)
   override def dataType: DataType = LongType
@@ -114,11 +135,23 @@ case class HyperplaneLsh(child: Expression, numPlanes: Int)
       s"hyperplane_lsh expects array<float> or array<double>, got ${t.sql}")
   }
 
-  private def kernel: String = if (isFloat) "hyperplaneF" else "hyperplaneD"
+  private def kernel: String = (portable, isFloat) match {
+    case (true, true) => "portableHyperplaneF"
+    case (true, false) => "portableHyperplaneD"
+    case (false, true) => "hyperplaneF"
+    case (false, false) => "hyperplaneD"
+  }
 
-  override protected def nullSafeEval(input: Any): Any =
-    if (isFloat) GraftHashImpl.hyperplaneF(input.asInstanceOf[ArrayData], numPlanes)
-    else GraftHashImpl.hyperplaneD(input.asInstanceOf[ArrayData], numPlanes)
+  override protected def nullSafeEval(input: Any): Any = kernel match {
+    case "portableHyperplaneF" =>
+      GraftHashImpl.portableHyperplaneF(input.asInstanceOf[ArrayData], numPlanes)
+    case "portableHyperplaneD" =>
+      GraftHashImpl.portableHyperplaneD(input.asInstanceOf[ArrayData], numPlanes)
+    case "hyperplaneF" =>
+      GraftHashImpl.hyperplaneF(input.asInstanceOf[ArrayData], numPlanes)
+    case _ =>
+      GraftHashImpl.hyperplaneD(input.asInstanceOf[ArrayData], numPlanes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -134,6 +167,57 @@ case class HyperplaneLsh(child: Expression, numPlanes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
+    copy(child = newChild)
+}
+
+/** Multi-table hyperplane LSH bucket hashes: `numTables` independent
+  * `bitsPerTable`-bit sign signatures (OR-construction), each folded with
+  * its table index into one 64-bit bucket value — one kernel pass. The
+  * scale path for low-threshold cosine near-dup candidate generation. */
+case class HyperplaneBands(child: Expression, bitsPerTable: Int,
+    numTables: Int) extends UnaryExpression {
+  require(bitsPerTable >= 1 && bitsPerTable <= 63 && numTables >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_bands"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands expects array<float> or array<double>, got ${t.sql}")
+  }
+
+  private def kernel: String =
+    if (isFloat) "hyperplaneBandsF" else "hyperplaneBandsD"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isFloat)
+      GraftHashImpl.hyperplaneBandsF(input.asInstanceOf[ArrayData],
+        bitsPerTable, numTables)
+    else
+      GraftHashImpl.hyperplaneBandsD(input.asInstanceOf[ArrayData],
+        bitsPerTable, numTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hbRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        graft.functions.GraftHashImpl.$kernel($c, $bitsPerTable, $numTables);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp;
+      }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
     copy(child = newChild)
 }
 
@@ -202,17 +286,25 @@ object GraftFunctions {
   private def col(e: Expression): Column = GraftShim.column(e)
   private def expr(c: Column): Expression = GraftShim.expression(c)
 
-  def shingleMinhash(tokens: Column, shingleSize: Int, numHashes: Int): Column =
-    col(ShingleMinHash(expr(tokens), shingleSize, numHashes))
+  // `portable = true` switches the kernels from xxhash64 to the md5-derived
+  // 60-bit hash any engine reproduces (GraftHashImpl portable mode) — the
+  // oracle-verifiable variants; production defaults stay on xxhash64.
+  def shingleMinhash(tokens: Column, shingleSize: Int, numHashes: Int,
+      portable: Boolean = false): Column =
+    col(ShingleMinHash(expr(tokens), shingleSize, numHashes, portable))
   def minhashBands(tokens: Column, shingleSize: Int, numHashes: Int,
-      bands: Int): Column =
-    col(MinHashBands(expr(tokens), shingleSize, numHashes, bands))
-  def hyperplaneLsh(vec: Column, numPlanes: Int): Column =
-    col(HyperplaneLsh(expr(vec), numPlanes))
+      bands: Int, portable: Boolean = false): Column =
+    col(MinHashBands(expr(tokens), shingleSize, numHashes, bands, portable))
+  def hyperplaneLsh(vec: Column, numPlanes: Int,
+      portable: Boolean = false): Column =
+    col(HyperplaneLsh(expr(vec), numPlanes, portable))
+  def hyperplaneBands(vec: Column, bitsPerTable: Int, numTables: Int): Column =
+    col(HyperplaneBands(expr(vec), bitsPerTable, numTables))
   def shingleHashes(tokens: Column, shingleSize: Int): Column =
     col(ShingleHashes(expr(tokens), shingleSize))
-  def simhash64(tokens: Column, shingleSize: Int): Column =
-    col(SimHash(expr(tokens), shingleSize))
+  def simhash64(tokens: Column, shingleSize: Int,
+      portable: Boolean = false): Column =
+    col(SimHash(expr(tokens), shingleSize, portable))
   def vectorDot(a: Column, b: Column): Column =
     col(VectorDot(expr(a), expr(b)))
   /** Bounded top-k aggregate (score desc, id asc):

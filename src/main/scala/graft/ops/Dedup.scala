@@ -99,8 +99,13 @@ object Dedup {
       .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
 
+  /** `portable = true` computes the minhash minima with the md5-derived
+    * portable hash (GraftHashImpl portable mode) so an external engine can
+    * reproduce the bucket partition — the oracle-verified variant; the
+    * banding/bucketing/pair-expansion plan is IDENTICAL either way. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, contentCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // native MinHashBands expression: tokenize → k-function signature →
     // per-band bucket keys, all in ONE codegen'd pass per row (the HOF
@@ -110,7 +115,7 @@ object Dedup {
     val banded = df
       .select(col(idCol).as("id"),
         posexplode(graft.functions.GraftFunctions.minhashBands(
-          tokens(col(contentCol)), shingleSize, numHashes, bands)))
+          tokens(col(contentCol)), shingleSize, numHashes, bands, portable)))
       .select(col("id"),
         xxhash64(col("pos"), col("col")).as("bucket"))
     candidatePairsFromBuckets(banded)
@@ -227,8 +232,10 @@ object Dedup {
   /** SimHash: 64-bit signature whose bits are majority votes of per-shingle
     * hash bits. Rows whose signatures agree on most bits are near-dups.
     * Native codegen'd expression — one pass per row. */
-  def simhash64(text: Column, shingleSize: Int = 2): Column =
-    graft.functions.GraftFunctions.simhash64(tokens(text), shingleSize)
+  def simhash64(text: Column, shingleSize: Int = 2,
+      portable: Boolean = false): Column =
+    graft.functions.GraftFunctions.simhash64(tokens(text), shingleSize,
+      portable)
 
   /** Bit-vote packing over a *bound* array<long> of shingle hashes — the
     * interpreted HOF differential oracle for the native kernel's vote stage

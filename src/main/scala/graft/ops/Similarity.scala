@@ -71,9 +71,12 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id — native HyperplaneLsh expression
     * (sign bits of projections onto `numPlanes` deterministic pseudo-random
-    * ±1 hyperplanes). */
-  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int): Column =
-    GraftFunctions.hyperplaneLsh(vec, numPlanes)
+    * ±1 hyperplanes). `portable = true` uses the md5-derived plane signs
+    * over the quantized vector (engine-reproducible signatures — the
+    * oracle-verified variant). */
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int,
+      portable: Boolean = false): Column =
+    GraftFunctions.hyperplaneLsh(vec, numPlanes, portable)
 
   /** LSH-bucketed approximate top-k: bucket the corpus once (reusable,
     * write-out-able as a partitioned table at scale), bucket the queries,
@@ -87,13 +90,14 @@ object Similarity {
     * fans out. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      dim: Int, k: Int, numPlanes: Int = 8, multiProbe: Int = 0): DataFrame = {
+      dim: Int, k: Int, numPlanes: Int = 8, multiProbe: Int = 0,
+      portable: Boolean = false): DataFrame = {
     val bCorpus = corpus.select(col(corpusId).as("corpus_id"),
       col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
-      hyperplaneBucket(col(corpusVec), dim, numPlanes).as("bucket"))
+      hyperplaneBucket(col(corpusVec), dim, numPlanes, portable).as("bucket"))
     val bQueries0 = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
-      hyperplaneBucket(col(queryVec), dim, numPlanes).as("bucket"))
+      hyperplaneBucket(col(queryVec), dim, numPlanes, portable).as("bucket"))
     val bQueries =
       if (multiProbe <= 0) bQueries0
       else {
@@ -167,6 +171,65 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** IVF with EXTERNALLY SUPPLIED centroid rows ("seeded" IVF) — identical
+    * probe/cell-join/top-k plan to [[ivfTopK]], but the coarse quantizer is
+    * a set of designated seed vectors instead of fitted k-means centers,
+    * and cell assignment runs on QUANTIZED integers (exact in double
+    * arithmetic), so the cell partition and probe sets are bit-reproducible
+    * on any engine — the oracle-verified variant (q38). At scale the seeds
+    * are the persisted centroids of a prior clustering job; here they are
+    * small by contract and collected to a driver-side literal exactly like
+    * the k-means `clusterCenters`.
+    *
+    * Cell ids are indices into the seed rows in ascending `seedId` order;
+    * assignment argmax and probe ranking both break score ties by lowest
+    * cell id (matching `row_number() OVER (ORDER BY score DESC, cell ASC)`
+    * in an external engine). */
+  def ivfTopKSeeded(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      seeds: DataFrame, seedId: String, seedVec: String,
+      k: Int, nprobe: Int = 4, quantScale: Int = 10000): DataFrame = {
+    val seedRows = seeds
+      .select(col(seedId).as("sid"),
+        transform(col(seedVec), x => round(x.cast("double") * quantScale))
+          .as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .orderBy(col("sid"))
+      .select("cv", "cn").collect()
+    val cents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](0)).toSeq
+    val cn: Seq[Double] = seedRows.map(_.getDouble(1)).toSeq
+    // argmin ||q-c||² == argmax 2·q·c - ||c||²; all terms exact integers
+    // after quantization, so no float-order sensitivity anywhere
+    def cellScores(qv: Column): Column =
+      transform(typedLit(cents), (c, i) =>
+        GraftFunctions.vectorDot(c, qv) * 2 - element_at(typedLit(cn), i + 1))
+    val quant = (v: Column) =>
+      transform(v, x => round(x.cast("double") * quantScale))
+    val assigned = corpus.select(col(corpusId).as("corpus_id"),
+        col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
+        cellScores(quant(col(corpusVec))).as("scores"))
+      .select(col("corpus_id"), col("cvec"), col("cnorm"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int").as("cell"))
+    val q0 = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
+      cellScores(quant(col(queryVec))).as("scores"))
+    val probes = q0
+      .select(col("query_id"), posexplode(col("scores")))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+      .join(q0.select(col("query_id"), col("qvec"), col("qnorm")),
+        Seq("query_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("corpus_id"),
+        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
+          .as("score"))
+    topKReduce(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
     * buckets (exact within-bucket scoring, a-id < b-id dedup). Candidate
     * pairs come from the capped-bucket expansion (bounded buffers, no
@@ -207,21 +270,74 @@ object Similarity {
     * is why t must be positive. */
   def cosineNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, quantScale: Int = 10000): DataFrame = {
+    val d = quantized(df, idCol, vecCol, quantScale)
+    val cand = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.qv").as("qv_a"),
+        col("a.nrm").as("nrm_a"), col("b.id").as("id_b"),
+        col("b.qv").as("qv_b"), col("b.nrm").as("nrm_b"))
+    quantizedThresholdFilter(cand, threshold)
+  }
+
+  /** (id, qv, nrm) rows: each element rounded to 1/quantScale — every dot
+    * product an exact integer — plus the squared norm. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => round(x.cast("double") * quantScale))
+        .as("qv"))
+      .withColumn("nrm", dot(col("qv"), col("qv")))
+
+  /** The bit-reproducible cosine >= t test over quantized candidate rows
+    * (id_a, qv_a, nrm_a, id_b, qv_b, nrm_b): t² = num/10^s at t's shortest
+    * decimal representation, and the test is dot²·10^s >= na·nb·num in
+    * DECIMAL(38,0) — pure integers, no float reduction-order sensitivity.
+    * The dot>0 guard makes the squared compare equivalent to cosine >= t,
+    * which is why t must be positive. */
+  private def quantizedThresholdFilter(cand: DataFrame,
+      threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val t2 = java.math.BigDecimal.valueOf(threshold).pow(2)
     val num = t2.unscaledValue()
     val den = java.math.BigInteger.TEN.pow(t2.scale())
-    val d = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => round(x.cast("double") * quantScale))
-        .as("qv"))
-      .withColumn("nrm", dot(col("qv"), col("qv")))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
-      .withColumn("dotd", dot(col("a.qv"), col("b.qv")))
-      .where(col("a.nrm") > 0 && col("b.nrm") > 0 && col("dotd") > 0 &&
+    cand
+      .withColumn("dotd", dot(col("qv_a"), col("qv_b")))
+      .where(col("nrm_a") > 0 && col("nrm_b") > 0 && col("dotd") > 0 &&
         dec(col("dotd")) * dec(col("dotd")) * lit(new java.math.BigDecimal(den)) >=
-          dec(col("a.nrm")) * dec(col("b.nrm")) * lit(new java.math.BigDecimal(num)))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          dec(col("nrm_a")) * dec(col("nrm_b")) * lit(new java.math.BigDecimal(num)))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Cosine near-duplicate pairs via MULTI-TABLE hyperplane LSH — the scale
+    * path for the same semantics as [[cosineNearDupsExact]]: candidates come
+    * from `numTables` independent `bitsPerTable`-bit sign-LSH tables
+    * (HyperplaneBands kernel, capped-bucket pair expansion — bounded
+    * buffers, no self-join, no all-pairs product anywhere), and every
+    * candidate is verified with the SAME quantized integer threshold test,
+    * so precision is exact by construction and the only approximation is
+    * candidate recall: per pair 1-(1-p^bits)^tables with p = 1 - θ/π.
+    *
+    * Sizing: bits ~ log2(n/targetBucketSize) bounds per-table bucket sizes;
+    * tables buys recall — for threshold 0.3 (p ≈ 0.597, the weakest pair
+    * this operator accepts), bits=4/tables=96 gives per-pair miss
+    * probability (1-0.597⁴)⁹⁶ ≈ 2e-6. OpsSpec pins measured recall = 1.0
+    * against the exact kernel on the test corpus, and the q34/q35
+    * CORRECTNESS entries run THIS path against the all-pairs oracle. */
+  def cosineNearDupsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numTables: Int = 96, bitsPerTable: Int = 4,
+      quantScale: Int = 10000,
+      maxBucketSize: Int = Dedup.MaxBucketSize): DataFrame = {
+    val d = quantized(df, idCol, vecCol, quantScale)
+      .withColumn("buckets",
+        GraftFunctions.hyperplaneBands(col("qv"), bitsPerTable, numTables))
+    val bucketed = d.select(col("id"), posexplode(col("buckets")))
+      .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
+    val cand = Dedup.candidatePairsFromBuckets(bucketed, maxBucketSize)
+      .join(d.select(col("id").as("id_a"), col("qv").as("qv_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("qv").as("qv_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+    quantizedThresholdFilter(cand, threshold)
   }
 }
