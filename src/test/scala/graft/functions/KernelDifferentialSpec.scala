@@ -100,6 +100,108 @@ class KernelDifferentialSpec extends SparkSuite {
     }
   }
 
+  // ---- portable (md5-derived) mode ---------------------------------------
+  // The portable kernels power the oracle-verified q23/q24/q27 paths; these
+  // differentials pin them against (a) Spark's OWN md5/conv expressions —
+  // a third engine-independent implementation of the same hash — and
+  // (b) naive loops over the documented signature structure.
+
+  /** Reference impl of the portable hash via Spark SQL's md5 + conv —
+    * independent of GraftHashImpl's MessageDigest path. */
+  private def sparkMd5_60(strings: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    strings.toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .as[Long].collect().toSeq
+  }
+
+  test("portable hash: kernel md5-60 == Spark's conv(substr(md5)) on UTF-8") {
+    val cases = Seq("", "a", "hello world", "héllo wörld é世界",
+      "x" * 300, "tab\tand\nnewline")
+    val viaSpark = sparkMd5_60(cases)
+    cases.zip(viaSpark).foreach { case (s, expected) =>
+      assert(GraftHashImpl.portableHash60(s) === expected, s"input '$s'")
+    }
+    // non-negative by construction (60 bits)
+    assert(cases.forall(s => GraftHashImpl.portableHash60(s) >= 0))
+  }
+
+  /** Naive portable shingle strings: token windows joined with spaces. */
+  private def naivePortableShingles(tokens: Array[String], n: Int): Seq[String] =
+    if (tokens.length < n) Seq(tokens.mkString(" "))
+    else tokens.toSeq.sliding(n).map(_.mkString(" ")).toSeq
+
+  test("portable minhash: kernel == naive min over md5 per-function hashes") {
+    for (len <- Seq(0, 1, 5, 40); n <- Seq(2, 3); k <- Seq(4, 16)) {
+      val tokens = randTokens(len)
+      val sh = naivePortableShingles(tokens, n)
+      val expected = (0 until k).map { i =>
+        sh.map(s => GraftHashImpl.portableHash60(s + "\u001e" + i)).min
+      }
+      val got = GraftHashImpl.portableShingleMinHash(toArrayData(tokens), n, k)
+        .asInstanceOf[GenericArrayData].toLongArray().toSeq
+      assert(got === expected, s"len=$len n=$n k=$k")
+    }
+  }
+
+  test("portable simhash: kernel == votes over md5 shingle hashes") {
+    for (len <- Seq(0, 1, 7, 25); n <- Seq(2, 3)) {
+      val tokens = randTokens(len)
+      val expected = GraftHashImpl.simHashVotes(
+        naivePortableShingles(tokens, n)
+          .map(GraftHashImpl.portableHash60).toArray)
+      assert(GraftHashImpl.portableSimHash64(toArrayData(tokens), n) ===
+        expected, s"len=$len n=$n")
+      // 60-bit hashes never vote bits 60-63 up
+      assert((GraftHashImpl.portableSimHash64(toArrayData(tokens), n) >>> 60)
+        === 0L)
+    }
+  }
+
+  test("portable hyperplane: kernel == naive quantized signed projection") {
+    for (d <- Seq(1, 8, 64); planes <- Seq(4, 6)) {
+      val vec = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val q = vec.map(x => java.math.BigDecimal.valueOf(x.toDouble * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      var expected = 0L
+      for (p <- 0 until planes) {
+        val s = (0 until d).map { i =>
+          val plus =
+            (GraftHashImpl.portableHash60(p.toString + ":" + i) & 1L) == 1L
+          if (plus) q(i) else -q(i)
+        }.sum
+        if (s > 0) expected |= (1L << p)
+      }
+      val got = GraftHashImpl.portableHyperplaneF(
+        new GenericArrayData(vec.map(_.asInstanceOf[Any])), planes)
+      assert(got === expected, s"d=$d planes=$planes")
+    }
+  }
+
+  test("hyperplane bands: kernel == per-table fold of global-plane signs") {
+    val d = 16; val bits = 4; val tables = 8
+    val vec = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+    val expected = (0 until tables).map { t =>
+      var sig = 0L
+      for (b <- 0 until bits) {
+        val p = t * bits + b
+        val s = (0 until d).map { i =>
+          val sign =
+            if ((XXH64.hashLong(p.toLong * 1000003L + i, 7L) & 1L) == 1L) 1.0
+            else -1.0
+          vec(i) * sign
+        }.sum
+        if (s > 0) sig |= (1L << b)
+      }
+      XXH64.hashLong(sig, t.toLong)
+    }
+    val got = GraftHashImpl.hyperplaneBandsD(
+      new GenericArrayData(vec.map(_.asInstanceOf[Any])), bits, tables)
+      .asInstanceOf[GenericArrayData].toLongArray().toSeq
+    assert(got === expected)
+  }
+
   test("hyperplane lsh: kernel == naive signed projection") {
     val dims = Seq(1, 8, 64)
     for (d <- dims; planes <- Seq(4, 8)) {

@@ -345,6 +345,90 @@ class OpsSpec extends SparkSuite {
     assert(rows.length === rows.distinct.length)
   }
 
+  // ---- scale-path recall differentials on the real embeddings fixture ----
+  // These pin the approximate SCALE paths against the exact kernels on the
+  // driver's own test data, so the plan we'd ship at 100 TB carries a
+  // measured recall, not an assumption. The fixture is deterministic, so
+  // the measured values are stable round over round.
+
+  private lazy val fixtureEmbeddings: Option[DataFrame] = {
+    val p = s"$sfDir/embeddings.parquet"
+    if (new java.io.File(p).isDirectory || new java.io.File(p).isFile)
+      Some(spark.read.parquet(p))
+    else None
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("banded LSH near-dups == exact all-pairs kernel (recall 1.0)") {
+    val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
+    // q34's exact setting: threshold 0.3 catches the weakest pairs this
+    // operator accepts — the hardest case for sign-LSH recall
+    val exact = pairSet(Similarity.cosineNearDupsExact(
+      e, "vec_id", "embedding", threshold = 0.3))
+    val banded = pairSet(Similarity.cosineNearDupsBanded(
+      e, "vec_id", "embedding", threshold = 0.3))
+    assert(exact.nonEmpty) // the fixture must actually exercise the kernels
+    // precision is exact by construction (same quantized verify); recall
+    // must be 1.0 at the default 96x4 table setting on this fixture
+    val missed = exact -- banded
+    assert(missed.isEmpty, s"LSH path missed ${missed.size} true pairs")
+    assert(banded === exact)
+  }
+
+  test("ANN scale paths: measured recall@10 vs brute force on the fixture") {
+    val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
+    val q = e.where(col("vec_id") < 5)
+    def resultSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = resultSet(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10))
+    assert(brute.size === 50)
+    // IVF, probing all cells == brute force exactly (cell partition is a
+    // partition: probing everything loses nothing)
+    val ivfAll = resultSet(Similarity.ivfTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 16))
+    assert(ivfAll === brute)
+    // IVF at the pruned q38-style setting: recall floor pinned (measured
+    // 0.8 at sf0.001-sf0.01 on near-orthogonal noise — the worst case for
+    // cell pruning; real clustered corpora do better)
+    val ivf4 = resultSet(Similarity.ivfTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 4))
+    val ivfRecall = (ivf4 & brute).size.toDouble / brute.size
+    assert(ivfRecall >= 0.6, s"IVF nprobe=4 recall $ivfRecall")
+    // hyperplane LSH with multi-probe: recall floor pinned. On this
+    // near-orthogonal noise fixture (no cluster structure — every
+    // neighbor sits near the decision boundary of every plane) measured
+    // recall is ~0.3; single-table sign-LSH is the wrong tool for such
+    // data, which is exactly why cosineNearDupsBanded uses the
+    // multi-TABLE OR-construction (recall 1.0 above)
+    val lsh = resultSet(Similarity.lshTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", dim = 64, k = 10, numPlanes = 6,
+      multiProbe = 6))
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.25, s"LSH multiProbe=6 recall $lshRecall")
+    info(f"measured recall@10: ivf(nprobe=4)=$ivfRecall%.2f " +
+      f"lsh(6 planes, probe 6)=$lshRecall%.2f")
+  }
+
+  test("seeded IVF == brute force when probing all cells") {
+    val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
+    val q = e.where(col("vec_id") < 5)
+    def resultSet(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = resultSet(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10))
+    val seededAll = resultSet(Similarity.ivfTopKSeeded(e, "vec_id",
+      "embedding", q, "vec_id", "embedding",
+      e.where(col("vec_id") < 16), "vec_id", "embedding",
+      k = 10, nprobe = 16))
+    assert(seededAll === brute)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
