@@ -65,7 +65,24 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Per-query regression guard: flag any query slower than
+    // max(2x, +2s noise floor) its best recorded time (bench_baseline.json,
+    // committed — the local-mode noise band is ~±2s total, well under 2x on
+    // any query that matters). A regression thus surfaces in the round's
+    // BENCH output instead of hiding inside a stable-looking total.
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results.collect {
+      case (k, v) if v >= 0 && baseline.get(k).exists(b =>
+        v > math.max(2 * b, b + 2.0)) =>
+        s"""{"query":"$k","sec":$v,"best":${baseline(k)}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regressions,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
