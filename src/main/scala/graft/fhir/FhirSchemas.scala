@@ -228,12 +228,31 @@ object FhirSchemas {
     * stack — reference getMaxDepth == 1 (Stu3StructureDefinitions:88-114). */
   val MaxDepth = 1
 
+  /** A resolvable set of definitions. The default is the hand-authored DSL;
+    * [[StructureDefinitions.compile]] produces registries from real FHIR
+    * StructureDefinition JSON (the reference's conformance-driven path,
+    * Stu3StructureDefinitions.java:509-539), which every compile/transform
+    * entry point below accepts in place of the default. */
+  final case class FRegistry(
+      complexTypes: Map[String, FDefinition],
+      resources: Map[String, FDefinition],
+      extensionDefinitions: Map[String, FDefinition]) {
+    def withExtra(extraResources: Map[String, FDefinition],
+        extraComplex: Map[String, FDefinition],
+        extraExtensions: Map[String, FDefinition]): FRegistry =
+      FRegistry(complexTypes ++ extraComplex, resources ++ extraResources,
+        extensionDefinitions ++ extraExtensions)
+  }
+
+  lazy val defaultRegistry: FRegistry =
+    FRegistry(complexTypes, resources, extensionDefinitions)
+
   def lowerFirst(s: String): String =
     if (s.isEmpty) s else s.substring(0, 1).toLowerCase + s.substring(1)
 
-  private def lookupDef(name: String): FDefinition =
-    complexTypes.getOrElse(name, extensionDefinitions.getOrElse(name,
-      resources.getOrElse(name,
+  private def lookupDef(name: String, reg: FRegistry): FDefinition =
+    reg.complexTypes.getOrElse(name, reg.extensionDefinitions.getOrElse(name,
+      reg.resources.getOrElse(name,
         throw new IllegalArgumentException(s"Unknown FHIR type: $name"))))
 
   /** FHIR JSON field carrying an extension's value: value + capitalized
@@ -271,19 +290,20 @@ object FhirSchemas {
       StructField("extension", ArrayType(StructType(extensionLeafFields))))
 
   /** Compile a named resource/complex type to its Spark schema. */
-  def schemaFor(name: String): StructType = {
-    val d = lookupDef(name)
-    compileComposite(d, Map(name -> 1)).asInstanceOf[StructType]
+  def schemaFor(name: String,
+      reg: FRegistry = defaultRegistry): StructType = {
+    val d = lookupDef(name, reg)
+    compileComposite(d, Map(name -> 1), reg).asInstanceOf[StructType]
   }
 
   private def compileComposite(d: FDefinition,
-      seen: Map[String, Int]): DataType = {
-    val fields = d.fields.flatMap(f => compileField(f, seen))
+      seen: Map[String, Int], reg: FRegistry): DataType = {
+    val fields = d.fields.flatMap(f => compileField(f, seen, reg))
     StructType(fields)
   }
 
   private def compileField(f: FField,
-      seen: Map[String, Int]): Seq[StructField] = {
+      seen: Map[String, Int], reg: FRegistry): Seq[StructField] = {
     def wrap(dt: DataType): Seq[StructField] = {
       val t = if (f.multi) ArrayType(dt, containsNull = true) else dt
       Seq(StructField(f.name, t, nullable = true))
@@ -303,33 +323,34 @@ object FhirSchemas {
       case FChoice(_, alternatives) =>
         // one field per alternative, named base + TypeName (FHIR JSON style)
         alternatives.flatMap { case (suffix, tpe) =>
-          compileField(FField(f.name + suffix, tpe), seen)
+          compileField(FField(f.name + suffix, tpe), seen, reg)
         }
       case FExtension(_, tpe) =>
         // hoisted: the named field carries the extension VALUE type directly
-        compileField(FField(f.name, tpe, f.multi), seen)
+        compileField(FField(f.name, tpe, f.multi), seen, reg)
       case FComplex(name) =>
         // recursion budget: drop the field once the type already appears on
         // the traversal stack MaxDepth times (Stu3StructureDefinitions:88-114)
         val count = seen.getOrElse(name, 0)
         if (count >= MaxDepth && seen.contains(name)) Nil
         else {
-          val d = lookupDef(name)
-          wrap(compileComposite(d, seen.updated(name, count + 1)))
+          val d = lookupDef(name, reg)
+          wrap(compileComposite(d, seen.updated(name, count + 1), reg))
         }
     }
   }
 
   /** Parse-time schema (no synthetic reference-id fields — those are filled
     * by [[postParseTransform]]). */
-  def parseSchemaFor(name: String): StructType = {
-    val d = resources.getOrElse(name, complexTypes(name))
-    StructType(parseFields(d, Map(name -> 1)))
+  def parseSchemaFor(name: String,
+      reg: FRegistry = defaultRegistry): StructType = {
+    val d = reg.resources.getOrElse(name, reg.complexTypes(name))
+    StructType(parseFields(d, Map(name -> 1), reg))
   }
 
   private def parseFields(d: FDefinition,
-      seen: Map[String, Int]): Seq[StructField] = {
-    val base = d.fields.flatMap(f => parseField(f, seen))
+      seen: Map[String, Int], reg: FRegistry): Seq[StructField] = {
+    val base = d.fields.flatMap(f => parseField(f, seen, reg))
     // declared extensions parse from the GENERIC extension list; hoisting to
     // the named fields happens in postParseTransform
     if (d.fields.exists(_.tpe.isInstanceOf[FExtension]))
@@ -338,7 +359,7 @@ object FhirSchemas {
   }
 
   private def parseField(f: FField,
-      seen: Map[String, Int]): Seq[StructField] = {
+      seen: Map[String, Int], reg: FRegistry): Seq[StructField] = {
     def wrap(dt: DataType): Seq[StructField] = {
       val t = if (f.multi) ArrayType(dt, containsNull = true) else dt
       Seq(StructField(f.name, t, nullable = true))
@@ -354,15 +375,15 @@ object FhirSchemas {
           StructField("display", StringType))))
       case FChoice(_, alternatives) =>
         alternatives.flatMap { case (suffix, tpe) =>
-          parseField(FField(f.name + suffix, tpe), seen)
+          parseField(FField(f.name + suffix, tpe), seen, reg)
         }
       case FExtension(_, _) => Nil // parsed via the generic extension list
       case FComplex(name) =>
         val count = seen.getOrElse(name, 0)
         if (count >= MaxDepth && seen.contains(name)) Nil
         else {
-          val d = lookupDef(name)
-          wrap(StructType(parseFields(d, seen.updated(name, count + 1))))
+          val d = lookupDef(name, reg)
+          wrap(StructType(parseFields(d, seen.updated(name, count + 1), reg)))
         }
     }
   }
@@ -410,36 +431,39 @@ object FhirSchemas {
     * fields by stripping 'Type/' prefixes from relative references
     * (RelativeValueConverter, DefinitionToSparkVisitor.java:342-378), and
     * hoist declared extensions out of the generic extension list. */
-  def postParseTransform(resourceName: String, c: Column): Column =
-    transformFor(resources(resourceName), resourceName, c)
+  def postParseTransform(resourceName: String, c: Column,
+      reg: FRegistry = defaultRegistry): Column =
+    transformFor(reg.resources(resourceName), resourceName, c, reg)
 
   /** S5: shape a parsed `contained` array (merged-schema elements) into the
     * reference's one-field-per-declared-type struct
     * (DefinitionToSparkVisitor.java:457-473): field lowerFirst(type) is the
     * shaped resource when the element is of that type, else null. */
-  def containedTransform(containedTypes: Seq[String], resourceCol: Column): Column =
+  def containedTransform(containedTypes: Seq[String], resourceCol: Column,
+      reg: FRegistry = defaultRegistry): Column =
     transform(resourceCol.getField("contained"), x =>
       struct(containedTypes.map { n =>
         when(x.getField("resourceType") === n,
-          transformFor(resources(n), n, x)).as(lowerFirst(n))
+          transformFor(reg.resources(n), n, x, reg)).as(lowerFirst(n))
       }: _*))
 
   private[fhir] def transformFor(d: FDefinition, name: String,
-      c: Column): Column = {
+      c: Column, reg: FRegistry = defaultRegistry): Column = {
     val cols = d.fields.flatMap { f =>
       f.tpe match {
         case FChoice(_, alternatives) =>
           alternatives.map { case (suffix, tpe) =>
             val n = f.name + suffix
-            transformLeaf(FField(n, tpe, f.multi), c)
+            transformLeaf(FField(n, tpe, f.multi), c, reg)
           }
-        case _ => Seq(transformLeaf(f, c))
+        case _ => Seq(transformLeaf(f, c, reg))
       }
     }
     when(c.isNotNull, struct(cols: _*))
   }
 
-  private def transformLeaf(f: FField, parent: Column): Column = {
+  private def transformLeaf(f: FField, parent: Column,
+      reg: FRegistry): Column = {
     val child = parent.getField(f.name)
     val out: Column = f.tpe match {
       case FCode =>
@@ -457,12 +481,12 @@ object FhirSchemas {
             }): _*))
         if (f.multi) transform(child, refStruct(_)) else refStruct(child)
       case FExtension(url, tpe) =>
-        extensionValue(parent.getField("extension"), url, tpe, f.multi)
+        extensionValue(parent.getField("extension"), url, tpe, f.multi, reg)
       case FComplex(n) =>
-        val d = complexTypes.getOrElse(n, resources.get(n).orNull)
+        val d = reg.complexTypes.getOrElse(n, reg.resources.get(n).orNull)
         if (d == null) child
-        else if (f.multi) transform(child, x => transformFor(d, n, x))
-        else transformFor(d, n, child)
+        else if (f.multi) transform(child, x => transformFor(d, n, x, reg))
+        else transformFor(d, n, child, reg)
       case _ => child
     }
     out.as(f.name)
@@ -472,29 +496,29 @@ object FhirSchemas {
     * elements matching `url`, then read the typed value slot (leaf) or
     * assemble the nested sub-extension struct (parent). */
   private def extensionValue(extArray: Column, url: String, tpe: FhirType,
-      multi: Boolean): Column = {
+      multi: Boolean, reg: FRegistry): Column = {
     val matching = filter(extArray, e => e.getField("url") === lit(url))
     def leaf(e: Column): Column = tpe match {
       case FCode =>
         val v = e.getField(valueFieldName(tpe))
         when(v === "?", lit(null)).otherwise(v)
-      case FComplex(n) if extensionDefinitions.contains(n) =>
+      case FComplex(n) if reg.extensionDefinitions.contains(n) =>
         // parent extension: children parse from the element's own
         // (one-level) extension list
-        val d = extensionDefinitions(n)
+        val d = reg.extensionDefinitions(n)
         when(e.isNotNull, struct(d.fields.map { cf =>
           cf.tpe match {
             case FExtension(curl, ctpe) =>
-              extensionValue(e.getField("extension"), curl, ctpe, cf.multi)
-                .as(cf.name)
+              extensionValue(e.getField("extension"), curl, ctpe, cf.multi,
+                reg).as(cf.name)
             case other => throw new IllegalArgumentException(
               s"Parent extension ${d.name} may only contain FExtension " +
                 s"fields, found $other")
           }
         }: _*))
       case FComplex(n) =>
-        val cd = complexTypes(n)
-        transformFor(cd, n, e.getField(valueFieldName(tpe)))
+        val cd = reg.complexTypes(n)
+        transformFor(cd, n, e.getField(valueFieldName(tpe)), reg)
       case _ => e.getField(valueFieldName(tpe))
     }
     if (multi) transform(matching, leaf(_))
@@ -532,8 +556,9 @@ object FhirSchemas {
   /** Rebuild the generic `extension` array for a resource's hoisted
     * extension fields; None when the resource declares none. The result
     * column is null when no extension is populated. */
-  def decodeExtensions(resourceName: String): Option[Column] = {
-    val d = resources(resourceName)
+  def decodeExtensions(resourceName: String,
+      reg: FRegistry = defaultRegistry): Option[Column] = {
+    val d = reg.resources(resourceName)
     val extFields = d.fields.filter(_.tpe.isInstanceOf[FExtension])
     if (extFields.isEmpty) return None
     // every per-field array is coalesced to empty before concat: a null
@@ -545,8 +570,8 @@ object FhirSchemas {
       val FExtension(url, tpe) = f.tpe: @unchecked
       val src = col(f.name)
       tpe match {
-        case FComplex(n) if extensionDefinitions.contains(n) =>
-          val dd = extensionDefinitions(n)
+        case FComplex(n) if reg.extensionDefinitions.contains(n) =>
+          val dd = reg.extensionDefinitions(n)
           val childArrays: Seq[Column] = dd.fields.map { cf =>
             val FExtension(curl, ctpe) = cf.tpe: @unchecked
             val cslot = valueFieldName(ctpe)
@@ -576,7 +601,8 @@ object FhirSchemas {
 
   /** Names of the hoisted extension fields of a resource (to exclude from
     * the plain-column JSON emit). */
-  def extensionFieldNames(resourceName: String): Seq[String] =
-    resources(resourceName).fields
+  def extensionFieldNames(resourceName: String,
+      reg: FRegistry = defaultRegistry): Seq[String] =
+    reg.resources(resourceName).fields
       .filter(_.tpe.isInstanceOf[FExtension]).map(_.name)
 }

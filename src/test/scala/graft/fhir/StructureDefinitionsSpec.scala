@@ -1,0 +1,115 @@
+package graft.fhir
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** StructureDefinition-JSON schema compilation against the real US-Core
+  * conformance resources shipped with the reference
+  * (bunsen-uscore-resources-stu3/src/main/resources/definitions — public
+  * HL7 FHIR artifacts, read-only test input). */
+class StructureDefinitionsSpec extends SparkSuite {
+
+  private val defsDir = "/root/reference/bunsen-uscore-resources-stu3/" +
+    "src/main/resources/definitions"
+
+  private lazy val compiled: StructureDefinitions.CompiledProfiles = {
+    if (!new java.io.File(defsDir).isDirectory)
+      cancel(s"definitions dir not present: $defsDir")
+    StructureDefinitions.fromDirectory(defsDir)
+  }
+
+  /** dsl ⊑ json: every DSL field exists in the JSON-compiled schema (field
+    * names case-insensitively — profile slice names are lowercase) with the
+    * same leaf type; structs recurse as subsets. Strict equality is the
+    * wrong assertion: the hand DSL is a deliberate subset of full FHIR
+    * (real HumanName has `period`, real Patient has `contact`, ...). */
+  private def assertSubset(dsl: DataType, json: DataType, at: String): Unit =
+    (dsl, json) match {
+      case (ArrayType(a, _), ArrayType(b, _)) => assertSubset(a, b, s"$at[]")
+      case (a: StructType, b: StructType) =>
+        a.fields.foreach { f =>
+          b.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(g) => assertSubset(f.dataType, g.dataType,
+              s"$at.${f.name}")
+            case None => fail(s"field $at.${f.name} missing from " +
+              s"JSON-compiled schema (has: ${b.fieldNames.mkString(",")})")
+          }
+        }
+      case (a, b) => assert(a === b, s"type mismatch at $at")
+    }
+
+  test("US-core Patient compiled from JSON covers the hand-DSL schema") {
+    val reg = compiled.registry
+    assert(compiled.resources.contains("Patient"))
+    // the JSON compile must resolve the profile extension slices
+    // (race/ethnicity/birthsex) exactly like the DSL's hoisted fields
+    val dsl = FhirSchemas.schemaFor("Patient")
+    val json = FhirSchemas.schemaFor("Patient",
+      reg.copy(resources = reg.resources)) // compiled Patient shadows DSL
+    assertSubset(dsl, json, "Patient")
+    // and the extension VALUE types match: birthsex → code (string),
+    // race → parent struct with multi ombCategory Coding + text string
+    val race = json("race").dataType.asInstanceOf[StructType]
+    assert(race("ombCategory").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.contains("code"))
+    assert(race("text").dataType === StringType)
+    assert(json("birthsex").dataType === StringType)
+  }
+
+  test("CarePlan compiles from JSON with zero hand-written fields") {
+    val reg = compiled.registry
+    assert(!FhirSchemas.defaultRegistry.resources.contains("CarePlan"))
+    val schema = FhirSchemas.schemaFor("CarePlan", reg)
+    assert(schema("id").dataType === StringType)
+    assert(schema("status").dataType === StringType)
+    assert(schema("intent").dataType === StringType)
+    // profile reference target resolved THROUGH the profile url to the
+    // base resource type (us-core-patient → Patient → patientId)
+    val subject = schema("subject").dataType.asInstanceOf[StructType]
+    assert(subject.fieldNames.contains("patientId"))
+    // inline BackboneElement chain compiled from the snapshot paths
+    val activity = schema("activity").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val detail = activity("detail").dataType.asInstanceOf[StructType]
+    assert(detail("status").dataType === StringType)
+    assert(detail("description").dataType === StringType)
+  }
+
+  test("CarePlan JSON parses end-to-end with the compiled schema") {
+    import spark.implicits._
+    val reg = compiled.registry
+    val json =
+      """{"resourceType":"CarePlan","id":"cp1","status":"active",
+         "intent":"plan","subject":{"reference":"Patient/p1","display":"P"},
+         "category":[{"coding":[{"system":"http://hl7.org/fhir/us/core/CodeSystem/careplan-category","code":"assess-plan"}]}],
+         "activity":[{"detail":{"status":"scheduled","description":"walk 30m"}}]}"""
+    val parsed = Seq(json).toDF("j")
+      .select(from_json(col("j"),
+        FhirSchemas.parseSchemaFor("CarePlan", reg)).as("r"))
+      .select(FhirSchemas.postParseTransform("CarePlan", col("r"), reg)
+        .as("r"))
+    val row = parsed.select(
+      col("r.id"), col("r.status"), col("r.subject.patientId"),
+      try_element_at(col("r.activity"), lit(1)).getField("detail")
+        .getField("description"),
+      try_element_at(try_element_at(col("r.category"), lit(1))
+        .getField("coding"), lit(1)).getField("code")).head()
+    assert(row.getString(0) === "cp1")
+    assert(row.getString(1) === "active")
+    assert(row.getString(2) === "p1")
+    assert(row.getString(3) === "walk 30m")
+    assert(row.getString(4) === "assess-plan")
+  }
+
+  test("unsupported datatypes are reported, never silently dropped") {
+    // the US-core set exercises types outside the registry (Narrative,
+    // Attachment, Timing, ...) — each dropped path must appear in `skipped`
+    assert(compiled.skipped.nonEmpty)
+    assert(compiled.skipped.exists(_.contains("unsupported type")))
+    // and every compiled resource is still structurally non-trivial
+    compiled.resources.foreach { case (n, d) =>
+      assert(d.fields.nonEmpty, s"resource $n compiled to zero fields")
+    }
+  }
+}
