@@ -46,4 +46,25 @@ class PlanSpec extends SparkSuite {
     val p = plan("q14_group_agg")
     assert(p.contains("partial_sum") || p.contains("Partial"))
   }
+
+  test("q34: near-dup plan has no quadratic join anywhere") {
+    // the shipped q34/q35 path is the banded-LSH candidate pipeline; the
+    // all-pairs `a.id < b.id` kernel (BroadcastNestedLoopJoin) exists ONLY
+    // as the oracle/differential reference. A regression that reintroduces
+    // a nested-loop or cartesian stage into the shipped plan fails here.
+    val p = plan("q34_cosine_neardups")
+    assert(!p.contains("NestedLoopJoin"), "quadratic join in the scale path")
+    assert(!p.contains("CartesianProduct"), "cartesian stage in the scale path")
+    // candidate generation is the capped bucket aggregate with a map-side
+    // partial, joined back by equi-join on id
+    assert(p.contains("partial_bounded_collect_set"))
+  }
+
+  test("q38: seeded IVF probes are broadcast; corpus is never shuffled " +
+      "for the join") {
+    val p = plan("q38_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("partial_topk_by_score"))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
