@@ -37,10 +37,23 @@ object Bundles {
     }
   }
 
-  /** S2: bundles from a DataFrame column of JSON strings. */
+  /** S2: bundles from a DataFrame column of JSON strings. With a custom
+    * registry (user-compiled StructureDefinition profiles), the envelope is
+    * merged over `resourceNames` (default: every registry resource). */
   def fromJson(df: DataFrame, column: String): DataFrame =
     df.withColumn("bundle",
       from_json(col(column), FhirSchemas.bundleEnvelopeSchema))
+
+  def fromJson(df: DataFrame, column: String,
+      reg: FhirSchemas.FRegistry,
+      resourceNames: Seq[String] = Nil): DataFrame = {
+    val envelope =
+      if (reg eq FhirSchemas.defaultRegistry) FhirSchemas.bundleEnvelopeSchema
+      else FhirSchemas.bundleEnvelopeSchemaFor(
+        if (resourceNames.nonEmpty) resourceNames
+        else reg.resources.keys.toSeq.sorted, reg)
+    df.withColumn("bundle", from_json(col(column), envelope))
+  }
 
   // malformed XML → null row (dropped downstream), matching from_json's
   // PERMISSIVE behavior on malformed JSON — one bad document must not
@@ -86,22 +99,26 @@ object Bundles {
   /** S5: extraction with statically-declared contained resource types —
     * adds a `contained` column: array of one-field-per-declared-type
     * structs (Bundles.extractEntry(…, containedUrls),
-    * /root/reference/bunsen-spark/.../Bundles.java:262-279). */
+    * /root/reference/bunsen-spark/.../Bundles.java:262-279).
+    * `reg` plugs in user-compiled profiles: unparsed bundle text is then
+    * parsed with an envelope merged over exactly the types requested. */
   def extractEntry(spark: SparkSession, bundles: DataFrame,
-      resourceName: String, containedTypes: Seq[String]): DataFrame = {
+      resourceName: String, containedTypes: Seq[String],
+      reg: FhirSchemas.FRegistry = FhirSchemas.defaultRegistry): DataFrame = {
     val withParsed =
       if (bundles.columns.contains("bundle")) bundles
-      else fromJson(bundles, "bundle_json")
+      else fromJson(bundles, "bundle_json", reg,
+        resourceName +: containedTypes)
     val entries = withParsed
       .select(explode(col("bundle.entry")).as("entry"))
       .select(col("entry.resource").as("resource"))
       .where(col("resource.resourceType") === resourceName)
     val shapedCols =
-      FhirSchemas.postParseTransform(resourceName, col("resource"))
+      FhirSchemas.postParseTransform(resourceName, col("resource"), reg)
         .as("resource") +:
         (if (containedTypes.nonEmpty)
-          Seq(FhirSchemas.containedTransform(containedTypes, col("resource"))
-            .as("contained"))
+          Seq(FhirSchemas.containedTransform(containedTypes, col("resource"),
+            reg).as("contained"))
         else Nil)
     val shaped = entries.select(shapedCols: _*)
     if (containedTypes.nonEmpty)
@@ -112,13 +129,14 @@ object Bundles {
   /** S6: extract every registered resource type and save each as a table in
     * `database` (table name = lower-cased resource name). */
   def saveAsDatabase(spark: SparkSession, bundles: DataFrame,
-      database: String, resourceNames: Seq[String]): Unit = {
+      database: String, resourceNames: Seq[String],
+      reg: FhirSchemas.FRegistry = FhirSchemas.defaultRegistry): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     val parsed =
       if (bundles.columns.contains("bundle")) bundles
-      else fromJson(bundles, "bundle_json")
+      else fromJson(bundles, "bundle_json", reg, resourceNames)
     resourceNames.foreach { r =>
-      extractEntry(spark, parsed, r).write.mode("overwrite")
+      extractEntry(spark, parsed, r, Nil, reg).write.mode("overwrite")
         .format("parquet")
         .saveAsTable(s"$database.${r.toLowerCase}")
     }
@@ -132,11 +150,12 @@ object Bundles {
   private val containedFixupUdf =
     udf((s: String) => if (s == null) null else FhirJson.fixupContained(s))
 
-  def toJson(df: DataFrame, resourceName: String): DataFrame = {
-    val extNames = FhirSchemas.extensionFieldNames(resourceName).toSet
+  def toJson(df: DataFrame, resourceName: String,
+      reg: FhirSchemas.FRegistry = FhirSchemas.defaultRegistry): DataFrame = {
+    val extNames = FhirSchemas.extensionFieldNames(resourceName, reg).toSet
     val plain = df.columns.filterNot(extNames.contains).map(col).toSeq
     val cols = lit(resourceName).as("resourceType") +: plain
-    val all = FhirSchemas.decodeExtensions(resourceName) match {
+    val all = FhirSchemas.decodeExtensions(resourceName, reg) match {
       case Some(ext) if df.columns.exists(extNames.contains) =>
         cols :+ ext.as("extension")
       case _ => cols

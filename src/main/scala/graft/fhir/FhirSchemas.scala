@@ -395,11 +395,20 @@ object FhirSchemas {
     * extraction is a filter + column subset — replacing the reference's
     * opaque `JavaRDD<BundleContainer>` with JSON-string reserialization on
     * every shuffle (Bundles.java:35-91). */
-  lazy val mergedResourceParseSchema: StructType = {
+  lazy val mergedResourceParseSchema: StructType =
+    mergedResourceParseSchemaFor(resources.keys.toSeq)
+
+  /** Merged parse schema over a chosen resource subset/registry — the
+    * envelope for ingesting user-compiled profiles: restricting the merge
+    * to the types actually extracted keeps the disjoint-or-identically-
+    * typed field requirement easy to satisfy (field-shape conflicts
+    * between unrelated resources fail loudly here, never silently). */
+  def mergedResourceParseSchemaFor(names: Seq[String],
+      reg: FRegistry = defaultRegistry): StructType = {
     val merged = scala.collection.mutable.LinkedHashMap[String, StructField](
       "resourceType" -> StructField("resourceType", StringType))
-    resources.keys.foreach { r =>
-      parseSchemaFor(r).fields.foreach { sf =>
+    names.foreach { r =>
+      parseSchemaFor(r, reg).fields.foreach { sf =>
         merged.get(sf.name) match {
           case None => merged(sf.name) = sf
           case Some(existing) =>
@@ -418,13 +427,25 @@ object FhirSchemas {
     StructType(mergedResourceParseSchema.fields :+
       StructField("contained", ArrayType(mergedResourceParseSchema)))
 
-  lazy val bundleEnvelopeSchema: StructType = StructType(Seq(
-    StructField("resourceType", StringType),
-    StructField("id", StringType),
-    StructField("type", StringType),
-    StructField("entry", ArrayType(StructType(Seq(
-      StructField("fullUrl", StringType),
-      StructField("resource", mergedResourceParseSchemaWithContained)))))))
+  lazy val bundleEnvelopeSchema: StructType =
+    bundleEnvelopeFrom(mergedResourceParseSchemaWithContained)
+
+  /** Bundle envelope over a chosen resource subset/registry. */
+  def bundleEnvelopeSchemaFor(names: Seq[String],
+      reg: FRegistry = defaultRegistry): StructType = {
+    val merged = mergedResourceParseSchemaFor(names, reg)
+    bundleEnvelopeFrom(StructType(merged.fields :+
+      StructField("contained", ArrayType(merged))))
+  }
+
+  private def bundleEnvelopeFrom(resourceSchema: StructType): StructType =
+    StructType(Seq(
+      StructField("resourceType", StringType),
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("entry", ArrayType(StructType(Seq(
+        StructField("fullUrl", StringType),
+        StructField("resource", resourceSchema)))))))
 
   /** Column transform: scrub bound-code "?" to null recursively
     * (EnumConverter.java:12-28 semantics), fill synthetic reference id

@@ -102,6 +102,22 @@ class StructureDefinitionsSpec extends SparkSuite {
     assert(row.getString(4) === "assess-plan")
   }
 
+  test("bundle ingestion end-to-end with a user-compiled registry") {
+    import spark.implicits._
+    val reg = compiled.registry
+    val bundle =
+      """{"resourceType":"Bundle","type":"collection","entry":[
+         {"resource":{"resourceType":"CarePlan","id":"cp9","status":"active",
+           "intent":"plan","subject":{"reference":"Patient/p9"}}},
+         {"resource":{"resourceType":"Patient","id":"p9","gender":"other"}}]}"""
+    val carePlans = Bundles.extractEntry(spark,
+      Seq(bundle).toDF("bundle_json"), "CarePlan", Nil, reg)
+    val row = carePlans.select("id", "status", "subject.patientId").head()
+    assert(row.getString(0) === "cp9")
+    assert(row.getString(1) === "active")
+    assert(row.getString(2) === "p9")
+  }
+
   test("unsupported datatypes are reported, never silently dropped") {
     // the US-core set exercises types outside the registry (Narrative,
     // Attachment, Timing, ...) — each dropped path must appear in `skipped`
