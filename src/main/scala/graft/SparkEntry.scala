@@ -500,13 +500,18 @@ object SparkEntry {
                   ELSE list_transform(range(1, len(tk)),
                     i -> tk[i] || ' ' || tk[i+1]) END AS s
            FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
          sig AS (
            SELECT doc_id,
              list_transform(range(0, 16), i ->
-               list_min(list_transform(s, x ->
-                 CAST(('0x' || substr(md5(x || chr(30) || CAST(i AS VARCHAR)), 1, 15))
-                   AS BIGINT)))) AS sig
-           FROM sh),
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
          bands AS (
            SELECT doc_id, b.range AS b,
              sig[2 * b.range + 1 : 2 * b.range + 2] AS key

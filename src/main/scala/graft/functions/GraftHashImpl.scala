@@ -295,25 +295,36 @@ object GraftHashImpl {
     }
   }
 
-  /** Separator between shingle text and hash-function index (ASCII RS —
-    * cannot appear inside whitespace-split tokens, so h_i inputs never
-    * collide across functions). DuckDB side: `s || chr(30) || i`. */
-  private final val FnSep = '\u001e'
-
-  /** Portable k-element minhash signature: h_i(shingle) = md5_60(shingle ++
-    * RS ++ i), signature element i = min over shingles. Same min-signature
-    * structure as [[shingleMinHash]]; k md5 calls per shingle instead of the
-    * double-hashing trick, because the per-function hashes must each be
-    * reproducible externally, not merely pairwise-independent. */
+  /** Portable k-element minhash signature with ONE md5 per shingle: the
+    * digest's first two 32-bit halves seed a Kirsch-Mitzenmacher family
+    * h_i = (h1 + i·h2) mod 2^32 (h2 forced odd), signature element i = min
+    * over shingles — the same double-hashing structure as the production
+    * kernel, in arithmetic an external engine reproduces exactly:
+    *   h1 = CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)
+    *   h2 = CAST(('0x' || substr(md5(s),9,8)) AS BIGINT) | 1
+    *   h_i = (h1 + i*h2) % 4294967296
+    * Every intermediate stays below 2^36, so engines whose 64-bit integer
+    * arithmetic THROWS on overflow (DuckDB) evaluate it verbatim; values
+    * are non-negative, so signed/unsigned min order cannot diverge. */
   def portableShingleMinHash(tokens: ArrayData, n: Int, k: Int): ArrayData = {
     val sh = portableShingles(tokens, n)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5Local.get()
     var j = 0
     while (j < sh.length) {
+      md.reset()
+      val d = md.digest(
+        sh(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L
+      var h2 = 0L
+      var b = 0
+      while (b < 4) { h1 = (h1 << 8) | (d(b) & 0xFFL); b += 1 }
+      while (b < 8) { h2 = (h2 << 8) | (d(b) & 0xFFL); b += 1 }
+      h2 |= 1L
       var i = 0
       while (i < k) {
-        val h = portableHash60(sh(j) + FnSep + i)
+        val h = (h1 + i * h2) & 0xFFFFFFFFL // mod 2^32
         if (h < mins(i)) mins(i) = h
         i += 1
       }

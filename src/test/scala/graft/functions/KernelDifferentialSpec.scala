@@ -132,12 +132,22 @@ class KernelDifferentialSpec extends SparkSuite {
     if (tokens.length < n) Seq(tokens.mkString(" "))
     else tokens.toSeq.sliding(n).map(_.mkString(" ")).toSeq
 
-  test("portable minhash: kernel == naive min over md5 per-function hashes") {
+  test("portable minhash: kernel == naive Kirsch-Mitzenmacher over md5 halves") {
+    // reference impl via Spark's own md5: h1/h2 are the digest's first two
+    // 32-bit halves (hex substrings, as an external engine reads them),
+    // h_i = (h1 + i*h2) mod 2^32 with h2 odd
+    import spark.implicits._
     for (len <- Seq(0, 1, 5, 40); n <- Seq(2, 3); k <- Seq(4, 16)) {
       val tokens = randTokens(len)
       val sh = naivePortableShingles(tokens, n)
+      val halves = sh.toDF("s").select(
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"),
+        conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long"))
+        .as[(Long, Long)].collect()
       val expected = (0 until k).map { i =>
-        sh.map(s => GraftHashImpl.portableHash60(s + "\u001e" + i)).min
+        halves.map { case (h1, h2) =>
+          (h1 + i * (h2 | 1L)) & 0xFFFFFFFFL
+        }.min
       }
       val got = GraftHashImpl.portableShingleMinHash(toArrayData(tokens), n, k)
         .asInstanceOf[GenericArrayData].toLongArray().toSeq
