@@ -93,6 +93,102 @@ object Streams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  // ---- custom stateful operator: streaming sessionization ----------------
+
+  /** One input event for [[sessionStream]]. */
+  case class SEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+
+  /** Per-user state: `counter` sessions closed so far (keeps session ids
+    * stable across the user's lifetime), plus the open session if any
+    * (bounds in epoch-micros). ~40 bytes per user — the state store scales
+    * to user count, not event count. */
+  case class SessionAcc(counter: Long, hasOpen: Boolean, openStart: Long,
+      openEnd: Long, openN: Long)
+
+  /** One finalized session — same shape as the batch
+    * [[graft.ops.Sessions.sessionStats]] row. */
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Streaming gap-based sessionization — the `flatMapGroupsWithState`
+    * custom-state form of the batch `Sessions.sessionStats` (q37): events
+    * grouped by user, a session closes when the gap to the next event
+    * exceeds `gapSeconds`, and CLOSED sessions are emitted append-only.
+    *
+    * Finalization is two-path: a newer in-batch event past the gap closes
+    * the session immediately, and an event-time timeout (watermark passing
+    * sessionEnd + gap) closes a session no further event will extend.
+    * Events later than the watermark delay are dropped by the engine — the
+    * delay equals the gap, so any event that could legally extend an open
+    * session is still in flight when it closes. Session ids per user are
+    * 1-based in event-time order, identical to the batch operator.
+    *
+    * At scale: one shuffle on user_id into the state store; state is O(1)
+    * per user; emission is append-only so the production sink is the same
+    * checkpointed parquet writer as every other stream here. */
+  def sessionStream(events: DataFrame, gapSeconds: Long)
+      : org.apache.spark.sql.Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"))
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .as[SEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          var acc = state.getOption.getOrElse(SessionAcc(0L, false, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          def close(): Unit = {
+            out += SessionRow(user, acc.counter + 1, acc.openN,
+              fromMicros(acc.openStart), fromMicros(acc.openEnd))
+            acc = SessionAcc(acc.counter + 1, false, 0L, 0L, 0L)
+          }
+          if (state.hasTimedOut) {
+            // watermark passed openEnd + gap: nothing can extend it
+            if (acc.hasOpen) close()
+            state.update(acc)
+            // no open session → no new timeout; the counter stays so a
+            // returning user continues its session numbering
+          } else {
+            // same total order as the batch operator: (ts, event_id)
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (!acc.hasOpen) {
+                acc = acc.copy(hasOpen = true, openStart = t, openEnd = t,
+                  openN = 1L)
+              } else if (t - acc.openEnd > gapUs) {
+                close()
+                acc = acc.copy(hasOpen = true, openStart = t, openEnd = t,
+                  openN = 1L)
+              } else {
+                acc = acc.copy(openEnd = math.max(acc.openEnd, t),
+                  openN = acc.openN + 1)
+              }
+            }
+            state.update(acc)
+            if (acc.hasOpen) {
+              state.setTimeoutTimestamp((acc.openEnd + gapUs) / 1000L + 1)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming events source over the testdata parquet layout (ts arrives as
     * TIMESTAMP(NANOS) → long under nanosAsLong, converted to micros). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -65,4 +65,42 @@ class StreamsSpec extends SparkSuite {
         r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
     assert(got.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+
+  test("streaming sessionization equals the batch operator on the fixture") {
+    import spark.implicits._
+    val gap = 1800L
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"))
+    val batch = graft.ops.Sessions.sessionStats(events,
+      "user_id", "ts", "event_id", gapSeconds = gap)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    // flush sentinels: one far-future event per user forces the final real
+    // session past the gap inside the batch, so every real session is
+    // CLOSED and emitted; the sentinel's own session stays open in state
+    // and is never emitted (append mode emits finalized sessions only)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 3 * gap * 1000)
+    val sentinels = events.select(col("user_id")).distinct()
+      .withColumn("ts", lit(flushTs))
+      .withColumn("event_id", lit(-1L))
+    val in = tmp("sessions_in")
+    events.unionByName(sentinels).coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType))))
+      .parquet(in)
+    val sessions = Streams.sessionStream(stream, gapSeconds = gap)
+    val got = Streams.runToMemory(spark, sessions.toDF(), "sessions_stream",
+      outputMode = "append", statePartitions = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(got.nonEmpty)
+    assert(got === batch)
+  }
 }
