@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.closure.TransitiveClosure
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Similarity, Splits, TextAnalysis}
 import graft.terminology._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -480,6 +480,76 @@ object SparkEntry {
           TextAnalysis.piiCount(col("seeded")).cast("long").as("n_pii"),
           md5(TextAnalysis.redactPii(col("seeded"))).as("redacted_hash"))
     }),
+
+    // Deterministic train/val/test split: salted portable hash of the row
+    // id — stable under retries/re-partitioning/engines, no rand(), pure
+    // map-side projection (zero shuffles)
+    "q39_split" -> ((s, dir) => {
+      Splits.assignSplit(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // Sequence packing (concat-and-chunk): two-phase distributed prefix
+    // sum over token counts — no global-order single-reducer window — then
+    // capacity-512 context-window assignment
+    "q40_pack" -> ((s, dir) => {
+      Packing.packChunks(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 512, buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Incremental dedup: the steady-state 100 TB ingestion shape — a new
+    // batch (doc_id >= 250) LSH-hashed and joined against the persisted
+    // corpus band index (doc_id < 250); the corpus is never re-shingled.
+    // Portable hash mode so the oracle rebuilds both sides bit-for-bit.
+    "q41_incremental_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def buckets(d: DataFrame) = Dedup.minhashBandBuckets(d, "doc_id",
+        "text", shingleSize = 2, numHashes = 16, bands = 8, portable = true)
+      Dedup.incrementalMinhashCandidates(
+        buckets(docs.where(col("doc_id") < 250)),
+        buckets(docs.where(col("doc_id") >= 250)))
+    }),
+
+    // TF-IDF top terms per document: two map-side-combined shuffles plus
+    // the bounded top-k aggregate; weights rounded to 4dp on BOTH sides so
+    // last-ulp ln() differences between engines cannot surface
+    "q42_tfidf" -> ((s, dir) => {
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("term"),
+          round(col("weight"), 4).as("weight"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Streaming dedup: watermark-bounded first-occurrence state
+    // (dropDuplicatesWithinWatermark); on the static directory the emitted
+    // keys equal batch DISTINCT, which is the oracle
+    "q43_stream_dedup" -> ((s, dir) => {
+      s.catalog.dropTempView("q43_stream_out")
+      val st = graft.streaming.Streams.dedupStream(
+        graft.streaming.Streams.eventStream(s, dir),
+        Seq("user_id", "event_type"), watermark = "30 days")
+        .select(col("user_id"), col("event_type"))
+      graft.streaming.Streams.runToMemory(s, st, "q43_stream_out",
+        outputMode = "append", statePartitions = Some(8))
+    }),
+
+    // Quality-gate filter at an exact quantile threshold: distributed
+    // percentile aggregate (the quality score takes few discrete values,
+    // so the exact percentile's value-count buffer stays tiny; a
+    // continuous metric would use approx_percentile at scale), threshold
+    // broadcast back — no driver-side action in the plan
+    "q44_quality_quantile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val thr = docs.agg(expr("percentile(quality, 0.5)").as("thr"))
+      // report at 4dp: Spark sums the weight terms in doubles, DuckDB's
+      // numeric literals are DECIMAL (exact) — same ranking and row set,
+      // last-ulp different repr (0.9000000000000001 vs 0.9)
+      docs.crossJoin(broadcast(thr)).where(col("quality") >= col("thr"))
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -889,5 +959,123 @@ object SparkEntry {
            FROM (SELECT doc_id,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
                  FROM documents))""",
+    "q39_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('graft:' || doc_id), 1, 15))
+                   AS BIGINT) % 10000 AS b
+               FROM documents)""",
+    "q40_pack" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+           FROM tok)
+         SELECT doc_id, n_tokens, start_tok,
+           CAST(start_tok // 512 AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512
+                ELSE start_tok // 512 END AS BIGINT) AS last_chunk
+         FROM c""",
+    "q41_incremental_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         old AS (SELECT * FROM bands WHERE doc_id < 250),
+         big AS (
+           SELECT b, key FROM old GROUP BY b, key HAVING count(*) > 200)
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS index_id
+         FROM bands n JOIN old o ON n.b = o.b AND n.key = o.key
+         WHERE n.doc_id >= 250
+           AND NOT EXISTS (SELECT 1 FROM big
+                           WHERE big.b = n.b AND big.key = n.key)""",
+    "q42_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         w AS (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS weight
+           FROM tf JOIN dfreq USING (term), nd),
+         r AS (
+           SELECT doc_id, term, weight,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY weight DESC, term ASC) AS rank
+           FROM w)
+         SELECT doc_id, term, round(weight, 4) AS weight,
+           CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5""",
+    "q43_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q44_quality_quantile" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                  WHEN n_tok > 0 THEN 0.3 ELSE 0.0 END * 0.4
+             + CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.2 END * 0.2
+             + CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.5 END * 0.2
+             + CASE WHEN upper_ratio <= 0.5 THEN 1.0 ELSE 0.4 END * 0.2
+               AS quality
+           FROM (
+             SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END
+                 AS punct_ratio,
+               CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                         / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END
+                 AS upper_ratio,
+               CASE WHEN length(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> x IN ('the','of','and','to','a','in','is','it','that','was',
+                                   'for','on','are','with','as','at','be','this','have','or')))
+                      AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS stop_ratio
+             FROM documents)),
+         thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM q)
+         SELECT doc_id, round(quality, 4) AS quality
+         FROM q, thr WHERE quality >= t""",
   )
 }

@@ -105,6 +105,16 @@ object Dedup {
     * banding/bucketing/pair-expansion plan is IDENTICAL either way. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, contentCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      portable: Boolean = false): DataFrame =
+    candidatePairsFromBuckets(minhashBandBuckets(df, idCol, contentCol,
+      shingleSize, numHashes, bands, portable))
+
+  /** (id, bucket) band-bucket rows for a corpus — the LSH index. This is
+    * the artifact an incremental pipeline PERSISTS (partitioned/bucketed
+    * by `bucket`): ingesting a new batch then only re-hashes the batch and
+    * joins it against this table, never re-shingling the corpus. */
+  def minhashBandBuckets(df: DataFrame, idCol: String, contentCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
       portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // native MinHashBands expression: tokenize → k-function signature →
@@ -112,13 +122,36 @@ object Dedup {
     // formulation re-traversed the shingle array once per hash function,
     // interpreted, and needed a checkpoint so band slicing wouldn't
     // recompute the signature)
-    val banded = df
-      .select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         posexplode(graft.functions.GraftFunctions.minhashBands(
           tokens(col(contentCol)), shingleSize, numHashes, bands, portable)))
       .select(col("id"),
         xxhash64(col("pos"), col("col")).as("bucket"))
-    candidatePairsFromBuckets(banded)
+  }
+
+  /** Incremental near-dup candidates: a NEW batch of (id, bucket) rows
+    * joined against the EXISTING corpus index — (new_id, index_id) pairs.
+    * This is how dedup runs at 100 TB in steady state: the quadratic-ish
+    * full-corpus pass happens once; every later ingestion batch is
+    * index-build (batch only) + one equi-join on bucket against the
+    * persisted index, with the small batch side broadcast-able.
+    *
+    * Hot-bucket policy matches the batch path: index buckets holding more
+    * than `maxBucketSize` entries are degenerate (stop-shingle collisions)
+    * and are dropped — at scale the bucket counts are materialized with
+    * the index, so the filter is a metadata lookup, not a second scan. */
+  def incrementalMinhashCandidates(index: DataFrame, batch: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val hot = index.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select(col("bucket"))
+    index.join(hot, Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("id").as("index_id"))
+      .join(batch.select(col("bucket"), col("id").as("new_id")),
+        Seq("bucket"))
+      .select(col("new_id"), col("index_id"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity on word shingles for given candidate pairs

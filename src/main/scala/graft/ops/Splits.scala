@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines:
+  * train/val/test assignment, fractional and stratified sampling — all
+  * derived from a salted content-addressable hash of the row id, never
+  * from `rand()`.
+  *
+  * Why not `rand()`/`randomSplit`: at 100 TB a split must be (a) stable
+  * under retries, re-partitioning and incremental re-runs — the same row
+  * always lands in the same split; (b) reproducible by any other engine
+  * auditing the pipeline; (c) free of coordination — no persisted split
+  * table, no join. A salted hash of the id gives all three as a pure
+  * map-side projection: no shuffle, no state, and new data arriving later
+  * is assigned consistently. Changing the salt re-draws the entire
+  * assignment (the standard trick for split-version bumps).
+  *
+  * The hash is the engine-portable md5-derived 60-bit value (same scheme
+  * as the portable dedup kernels): `md5(salt:id)` first 15 hex chars as a
+  * non-negative BIGINT. Spark evaluates it with built-in `md5`/`conv`
+  * (codegen'd); DuckDB and any SQL engine reproduce it verbatim, which is
+  * what makes the q39 oracle a full rows+schema+hash check.
+  */
+object Splits {
+
+  /** Number of assignment buckets: weights resolve at 1/10000 granularity. */
+  val Buckets = 10000
+
+  /** Salted portable bucket in [0, Buckets) for a row id. */
+  def splitBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(Buckets))
+
+  /** The split label column for (label, weight) fractions summing to ~1.
+    * Weights resolve to cumulative integer bucket thresholds; the final
+    * label absorbs rounding remainder so every bucket is assigned. */
+  def splitLabel(id: Column, weights: Seq[(String, Double)],
+      salt: String): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
+    val b = splitBucket(id, salt)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * Buckets))
+    weights.init.zip(cuts.init).foldRight(
+      lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
+      when(b < cut, lit(label)).otherwise(rest)
+    }
+  }
+
+  /** Adds a `split` column with the deterministic assignment. */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "graft"): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), weights, salt))
+
+  /** Deterministic `fraction` sample: keeps rows whose bucket falls below
+    * `fraction * Buckets`. Same row set on every run and every engine. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    df.where(splitBucket(col(idCol), salt) <
+      math.round(fraction * Buckets))
+  }
+
+  /** Deterministic stratified sample: per-stratum fractions (strata absent
+    * from the map are dropped). The stratum key joins into the hash salt,
+    * so two strata sample independently even over the same id space. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double],
+      salt: String = "graft"): DataFrame = {
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(lit(-1): Column) {
+      case ((stratum, f), rest) =>
+        when(col(stratumCol) === stratum,
+          lit(math.round(f * Buckets))).otherwise(rest)
+    }
+    df.where(splitBucket(
+      concat(col(stratumCol), lit("/"), col(idCol).cast("string")),
+      salt) < cut)
+  }
+}

@@ -93,6 +93,24 @@ object Streams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: emits the FIRST occurrence of each key
+    * and drops later arrivals — `dropDuplicatesWithinWatermark`, the
+    * state-BOUNDED streaming form of batch `distinct`. Per-key state is
+    * evicted once the watermark passes first-seen + `watermark` delay, so
+    * the state store scales with key arrival rate × delay, not with stream
+    * lifetime (plain streaming `dropDuplicates` on non-time keys grows
+    * forever — a 100 TB pipeline cannot run it). Duplicates separated by
+    * more than the delay re-emit; downstream idempotent sinks (or the
+    * batch dedup over the landed table) absorb that tail.
+    *
+    * On a static directory with a delay covering the input's time range
+    * this equals batch `SELECT DISTINCT keys`, which is how the q43 oracle
+    * verifies the streaming path. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- custom stateful operator: streaming sessionization ----------------
 
   /** One input event for [[sessionStream]]. */

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting/sampling and sequence packing. */
+class SplitsPackingSpec extends SparkSuite {
+
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val ids: DataFrame = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+  }
+
+  test("split: assignment is deterministic, total, and near the weights") {
+    val a = Splits.assignSplit(ids, "id").cache()
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // hash-uniformity: within ~4 sigma of the weights on 2000 rows
+    assert(math.abs(counts("train") - 1600L) < 80,
+      s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 200L) < 60)
+    // re-evaluation gives the identical assignment (no rand() anywhere)
+    val b = Splits.assignSplit(ids, "id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    // a different salt re-draws: some rows move
+    val c = Splits.assignSplit(ids, "id", salt = "v2")
+    assert(c.except(a).count() > 0)
+    a.unpersist()
+  }
+
+  test("split: weights validated, custom weights respected") {
+    intercept[IllegalArgumentException] {
+      Splits.assignSplit(ids, "id", Seq("x" -> 0.5, "y" -> 0.2))
+    }
+    val two = Splits.assignSplit(ids, "id", Seq("l" -> 0.5, "r" -> 0.5))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two.keySet === Set("l", "r"))
+    assert(math.abs(two("l") - 1000L) < 90)
+  }
+
+  test("deterministic sample: stable subset of the right size") {
+    val s = Splits.deterministicSample(ids, "id", 0.3)
+    val n = s.count()
+    assert(math.abs(n - 600L) < 90, s"n=$n")
+    assert(s.except(Splits.deterministicSample(ids, "id", 0.3)).count() === 0)
+    // monotone: a smaller fraction is a subset of a larger one
+    val s01 = Splits.deterministicSample(ids, "id", 0.1)
+    assert(s01.except(s).count() === 0)
+  }
+
+  test("stratified sample: per-stratum fractions, absent strata dropped") {
+    val s = Splits.stratifiedSample(ids, "id", "stratum",
+      Map("a" -> 0.5, "b" -> 0.1)).cache()
+    val byStratum = s.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("a") - 500L) < 90, s"a=${byStratum("a")}")
+    assert(math.abs(byStratum("b") - 100L) < 60, s"b=${byStratum("b")}")
+    val none = Splits.stratifiedSample(ids, "id", "stratum",
+      Map("a" -> 0.5))
+    assert(none.where(col("stratum") === "b").count() === 0)
+    s.unpersist()
+  }
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq((10L, 100L), (11L, 0L), (12L, 600L), (13L, 200L), (14L, 512L),
+      (15L, 1L)).toDF("doc_id", "n_tok")
+  }
+
+  test("packing: chunk spans equal the single-reducer global cumsum") {
+    val got = Packing.packChunks(docs, "doc_id", col("n_tok"),
+      capacity = 512, buckets = 3)
+    // naive oracle: one global window (fine on 6 rows)
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("first_chunk", floor(col("start_tok") / 512))
+      .withColumn("last_chunk",
+        when(col("n_tok") > 0,
+          floor((col("start_tok") + col("n_tok") - 1) / 512))
+          .otherwise(col("first_chunk")))
+      .select(col("doc_id").as("id"), col("n_tok").as("n_tokens"),
+        col("start_tok"), col("first_chunk").cast("long"),
+        col("last_chunk").cast("long"))
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("packing: zero-token docs keep an address; spans match capacity") {
+    val rows = Packing.packChunks(docs, "doc_id", col("n_tok"),
+      capacity = 512, buckets = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 100 tokens from offset 0 → chunk 0 only
+    assert(rows(10L) === ((100L, 0L, 0L, 0L)))
+    // zero tokens at offset 100 → first == last
+    assert(rows(11L) === ((0L, 100L, 0L, 0L)))
+    // 600 tokens from offset 100 → spans chunks 0 and 1
+    assert(rows(12L) === ((600L, 100L, 0L, 1L)))
+    // exactly hitting a boundary: 512 tokens from 900 → chunks 1..2
+    assert(rows(14L) === ((512L, 900L, 1L, 2L)))
+    val fan = Packing.chunkAssignments(
+      Packing.packChunks(docs, "doc_id", col("n_tok"), 512, 2))
+    assert(fan.where(col("id") === 12L).select("chunk_id").collect()
+      .map(_.getLong(0)).sorted === Array(0L, 1L))
+  }
+
+  test("packing: empty input returns empty result") {
+    assert(Packing.packChunks(docs.where(col("doc_id") < 0), "doc_id",
+      col("n_tok"), 512).count() === 0)
+  }
+
+  test("incremental minhash: batch joins index without re-pairing index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an unrelated document about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (4L, "another unrelated piece of text entirely different"))
+      .toDF("doc_id", "text")
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandBuckets(d, "doc_id", "text", shingleSize = 2,
+        numHashes = 16, bands = 8)
+    val got = Dedup.incrementalMinhashCandidates(
+      buckets(corpus.where(col("doc_id") <= 2)),
+      buckets(corpus.where(col("doc_id") >= 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((3L, 1L))) // new dup found against the index
+    assert(!got.exists { case (n, i) => n <= 2 || i >= 3 }) // direction
+    assert(!got.contains((4L, 2L))) // unrelated pair not produced
+  }
+
+  test("incremental minhash: hot index buckets are dropped") {
+    import spark.implicits._
+    // 30 identical index docs → every band bucket holds 30 entries > cap 10
+    val index = (1L to 30L).map(i => (i, "same same text here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "same same text here")).toDF("doc_id", "text")
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandBuckets(d, "doc_id", "text", shingleSize = 2,
+        numHashes = 16, bands = 8)
+    val got = Dedup.incrementalMinhashCandidates(
+      buckets(index), buckets(batch), maxBucketSize = 10)
+    assert(got.count() === 0)
+  }
+}

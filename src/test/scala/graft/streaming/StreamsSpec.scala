@@ -103,4 +103,19 @@ class StreamsSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got === batch)
   }
+
+  test("streaming dedup equals batch distinct on the fixture") {
+    val events = Streams.eventStream(spark, sfDir)
+    val deduped = Streams.dedupStream(events, Seq("user_id", "event_type"),
+      watermark = "30 days")
+      .select(col("user_id"), col("event_type"))
+    val got = Streams.runToMemory(spark, deduped, "dedup_stream",
+      outputMode = "append", statePartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
