@@ -67,4 +67,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_topk_by_score"))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q39: split assignment is a pure projection — zero shuffles") {
+    val p = plan("q39_split")
+    assert(!p.contains("Exchange"), "split must not shuffle:\n" + p.take(2000))
+    assert(!p.contains("Window"))
+  }
+
+  test("q40: packing never plans a single-partition global window") {
+    val p = plan("q40_pack")
+    // the running sum must be partitioned by the range block — a plain
+    // ORDER BY window would serialize the whole corpus through one task
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"),
+      "global-order window detected:\n" + p.take(2000))
+  }
+
+  test("q41: incremental dedup joins batch to index by equi-join only") {
+    val p = plan("q41_incremental_minhash")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    // candidate generation is bucket equi-join, not pair expansion, so the
+    // bounded-collect aggregate of the batch path must NOT appear
+    assert(!p.contains("bounded_collect_set"))
+  }
+
+  test("q44: quantile threshold is broadcast back, not collected") {
+    val p = plan("q44_quality_quantile")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }

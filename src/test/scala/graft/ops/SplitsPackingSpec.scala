@@ -137,6 +137,26 @@ class SplitsPackingSpec extends SparkSuite {
     assert(!got.contains((4L, 2L))) // unrelated pair not produced
   }
 
+  test("incremental minhash equals the batch cross-boundary pairs " +
+      "on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def b(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandBuckets(d, "doc_id", "text", shingleSize = 2,
+        numHashes = 16, bands = 8)
+    val inc = Dedup.incrementalMinhashCandidates(
+      b(docs.where(col("doc_id") < 25)), b(docs.where(col("doc_id") >= 25)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch pairs are (id_a < id_b); incremental reports (new, old)
+    val cross = full.collect {
+      case (a, n) if a < 25 && n >= 25 => (n, a)
+    }
+    assert(full.nonEmpty, "fixture has no candidate pairs at all")
+    assert(inc === cross)
+  }
+
   test("incremental minhash: hot index buckets are dropped") {
     import spark.implicits._
     // 30 identical index docs → every band bucket holds 30 entries > cap 10
