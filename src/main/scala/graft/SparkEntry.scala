@@ -550,6 +550,17 @@ object SparkEntry {
       docs.crossJoin(broadcast(thr)).where(col("quality") >= col("thr"))
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
     }),
+
+    // Repetition filters (Gopher-style): duplicate-token and top token /
+    // bigram shares via map-side-combined explode+count aggregations — no
+    // per-row O(tokens × distinct) interpreted lambda scans
+    "q45_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_token_ratio"), 4).as("dup_token_ratio"),
+          round(col("top_token_ratio"), 4).as("top_token_ratio"),
+          round(col("top_bigram_ratio"), 4).as("top_bigram_ratio"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1077,5 +1088,43 @@ object SparkEntry {
          thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM q)
          SELECT doc_id, round(quality, 4) AS quality
          FROM q, thr WHERE quality >= t""",
+    "q45_repetition" ->
+      """WITH tkk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS f
+           FROM (SELECT doc_id, unnest(tk) AS term FROM tkk)
+           GROUP BY 1, 2),
+         ts AS (
+           SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+             count(*) AS nd, max(f) AS top
+           FROM tf GROUP BY 1),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM tkk),
+         bf AS (
+           SELECT doc_id, gram, count(*) AS f
+           FROM (SELECT doc_id, unnest(s) AS gram FROM sh)
+           GROUP BY 1, 2),
+         bs AS (
+           SELECT doc_id, CAST(sum(f) AS BIGINT) AS total, max(f) AS top
+           FROM bf GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(ts.n_tokens, 0) AS n_tokens,
+           round(COALESCE(1.0 - CAST(ts.nd AS DOUBLE) / ts.n_tokens, 0.0), 4)
+             AS dup_token_ratio,
+           round(COALESCE(CAST(ts.top AS DOUBLE) / ts.n_tokens, 0.0), 4)
+             AS top_token_ratio,
+           round(COALESCE(CAST(bs.top AS DOUBLE) / bs.total, 0.0), 4)
+             AS top_bigram_ratio
+         FROM documents d
+         LEFT JOIN ts ON ts.doc_id = d.doc_id
+         LEFT JOIN bs ON bs.doc_id = d.doc_id""",
   )
 }

@@ -150,6 +150,45 @@ object TextAnalysis {
         col("col.score").as("weight"), (col("pos") + 1).as("rank"))
   }
 
+  /** Gopher-style repetition signals — the standard pretraining filters for
+    * boilerplate/spam: fraction of tokens that are repeats of an earlier
+    * token (`dup_token_ratio`), the most frequent token's share
+    * (`top_token_ratio`), and the most frequent word-bigram's share
+    * (`top_bigram_ratio`). Documents with no tokens report 0 everywhere.
+    *
+    * Shape at scale: explode → per-(doc, term) counts → per-doc maxima,
+    * all map-side-combined aggregations (same plan family as TF-IDF) —
+    * NOT a per-row higher-order-function scan over distinct tokens, which
+    * would be O(tokens × distinct) interpreted work per document. */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ids = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    def shareAgg(grams: DataFrame): DataFrame =
+      grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).as("total"), count(lit(1)).as("nd"),
+          max(col("f")).as("top"))
+    val tok = shareAgg(ids.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("gram")))
+      .select(col("doc_id"), col("total").as("n_tokens"),
+        (lit(1.0) - col("nd").cast("double") / col("total"))
+          .as("dup_token_ratio"),
+        (col("top").cast("double") / col("total")).as("top_token_ratio"))
+    val bi = shareAgg(ids.select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), 2)).as("gram")))
+      .select(col("doc_id"),
+        (col("top").cast("double") / col("total")).as("top_bigram_ratio"))
+    ids.select(col("doc_id"))
+      .join(tok, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dup_token_ratio"), lit(0.0)).as("dup_token_ratio"),
+        coalesce(col("top_token_ratio"), lit(0.0)).as("top_token_ratio"),
+        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"))
+  }
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

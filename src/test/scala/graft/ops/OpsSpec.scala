@@ -55,6 +55,21 @@ class OpsSpec extends SparkSuite {
     assert(dups.contains((1L, 2L)))
   }
 
+  test("repetition stats: duplicate-token and top-gram shares") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "spam spam spam ham"), // 'spam' 3/4, distinct 2/4
+      (2L, "all words here differ"), // no repeats
+      (3L, "go go go go")) // single token+bigram dominates
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) === ((4L, 0.5, 0.75, 2.0 / 3)))   // bigrams: spam spam ×2 of 3
+    assert(got(2L) === ((4L, 0.0, 0.25, 1.0 / 3)))
+    assert(got(3L) === ((4L, 0.75, 1.0, 1.0)))
+  }
+
   test("text analysis: token counts, ratios, empty-text edge cases") {
     import spark.implicits._
     val got = TextAnalysis.analyze(docs, "text")
