@@ -551,6 +551,14 @@ object SparkEntry {
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing any 3-gram with the
+    // (broadcast) benchmark set — docs 0-4 stand in for an eval set
+    "q46_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlap(docs.where(col("doc_id") >= 5), "doc_id", "text",
+        docs.where(col("doc_id") < 5), "doc_id", "text", n = 3)
+    }),
+
     // Repetition filters (Gopher-style): duplicate-token and top token /
     // bigram shares via map-side-combined explode+count aggregations — no
     // per-row O(tokens × distinct) interpreted lambda scans
@@ -1088,6 +1096,23 @@ object SparkEntry {
          thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM q)
          SELECT doc_id, round(quality, 4) AS quality
          FROM q, thr WHERE quality >= t""",
+    "q46_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         b AS (SELECT doc_id AS bench_id, gram FROM ex WHERE doc_id < 5),
+         c AS (SELECT doc_id, gram FROM ex WHERE doc_id >= 5)
+         SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         FROM c JOIN b USING (gram) GROUP BY 1, 2""",
     "q45_repetition" ->
       """WITH tkk AS (
            SELECT doc_id,

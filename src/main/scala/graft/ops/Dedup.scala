@@ -154,6 +154,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: (doc, benchmark) pairs that share at least
+    * one word n-gram, with the count of distinct shared n-grams — the
+    * standard eval-set contamination sweep before training. The benchmark
+    * side is small by contract (eval sets are thousands of documents) and
+    * is broadcast, so the corpus is scanned once map-side and never
+    * shuffled on the gram key; the only shuffle carries the (doc, bench)
+    * hit pairs, which are rare.
+    *
+    * Grams join as strings here (oracle-portable); at extreme scale hash
+    * them first (`GraftFunctions.shingleHashes`) to shrink the broadcast —
+    * the plan shape is identical. */
+  def ngramOverlap(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("gram"))
+    val b = benchmark.select(col(benchIdCol).as("bench_id"),
+      explode(array_distinct(wordShingles(col(benchTextCol), n))).as("gram"))
+    c.join(broadcast(b), Seq("gram"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact Jaccard similarity on word shingles for given candidate pairs
     * (verification stage after LSH). Shingles are compared as 64-bit
     * rolling hashes (ShingleHashes) — set operations over longs, not

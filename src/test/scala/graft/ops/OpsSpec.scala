@@ -55,6 +55,23 @@ class OpsSpec extends SparkSuite {
     assert(dups.contains((1L, 2L)))
   }
 
+  test("decontamination: overlap counts against a broadcast benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the capital of france is paris"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we know the capital of france is paris indeed"), // contaminated
+      (2L, "a completely unrelated training document"),
+      (3L, "capital of france appears here too")) // shares one 3-gram
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramOverlap(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 100L)) === 4L) // all 4 benchmark 3-grams appear
+    assert(got((3L, 100L)) === 1L) // "capital of france" only
+    assert(!got.contains((2L, 100L)))
+  }
+
   test("repetition stats: duplicate-token and top-gram shares") {
     import spark.implicits._
     val in = Seq(
