@@ -111,6 +111,49 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous incremental near-dedup: every micro-batch of documents is
+    * LSH-hashed once, joined against the PERSISTED corpus band index for
+    * cross-batch candidates (appended to `pairsPath`), and its own buckets
+    * appended to the index — so each batch dedups against everything
+    * ingested before it and the corpus is never re-shingled. This is the
+    * steady-state 100 TB shape: per batch, work is proportional to the
+    * batch, plus one equi-join against the index.
+    *
+    * Within-batch duplicates are the batch operator's job
+    * (`Dedup.minhashCandidatePairs` on the micro-batch) — this stream only
+    * adds the cross-batch increment. foreachBatch is at-least-once: on
+    * retry a batch may append its buckets twice, which can only produce
+    * duplicate candidate PAIRS (dedup downstream is idempotent), never
+    * missed ones. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsPath: String, checkpointPath: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val spark = batch.sparkSession
+          val buckets = graft.ops.Dedup.minhashBandBuckets(batch.toDF(),
+            idCol, textCol, shingleSize, numHashes, bands).persist()
+          try {
+            val ip = new org.apache.hadoop.fs.Path(indexPath)
+            val exists = ip.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(ip)
+            val index =
+              if (exists) spark.read.parquet(indexPath)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                buckets.schema)
+            graft.ops.Dedup.incrementalMinhashCandidates(index, buckets)
+              .write.mode("append").parquet(pairsPath)
+            buckets.write.mode("append").parquet(indexPath)
+          } finally { buckets.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
   // ---- custom stateful operator: streaming sessionization ----------------
 
   /** One input event for [[sessionStream]]. */

@@ -69,4 +69,32 @@ class PropertySpec extends SparkSuite {
         s"versions=$versions")
     }
   }
+
+  test("property: distributed packing equals the sequential prefix sum") {
+    import spark.implicits._
+    // sparse ids (non-contiguous, skewed blocks) and varied token counts,
+    // including zeros — the distributed two-phase prefix sum must agree
+    // with a driver-side sequential scan for every (capacity, buckets)
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0L, 700L)))
+      .map(_.distinctBy(_._1))
+    samples(gen, 4).filter(_.nonEmpty).zipWithIndex.foreach {
+      case (rows, i) =>
+        val cap = Seq(128L, 512L, 1L)(i % 3)
+        val got = graft.ops.Packing.packChunks(
+          rows.toDF("id", "n_tok"),
+          "id", org.apache.spark.sql.functions.col("n_tok"), cap,
+          buckets = Seq(1, 7, 64)(i % 3))
+          .collect().map(r => (r.getLong(0),
+            (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        var acc = 0L
+        rows.sortBy(_._1).foreach { case (id, n) =>
+          val first = acc / cap
+          val last = if (n > 0) (acc + n - 1) / cap else first
+          assert(got(id) === ((acc, first, last)),
+            s"id=$id cap=$cap rows=$rows")
+          acc += n
+        }
+    }
+  }
 }

@@ -104,6 +104,47 @@ class StreamsSpec extends SparkSuite {
     assert(got === batch)
   }
 
+  test("incremental dedup stream flags cross-batch near-dups via the " +
+      "persisted index") {
+    import spark.implicits._
+    val in = tmp("incdedup_in")
+    val index = s"${tmp("incdedup")}/index"
+    val pairs = s"${tmp("incdedup")}/pairs"
+    val ckpt = tmp("incdedup_ckpt")
+    def writeFile(name: String, mtime: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val dir = tmp("incdedup_stage")
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(dir)
+      val src = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    // two files with ordered mtimes → two micro-batches (1 file each)
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile("batch1.parquet", t0, Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an unrelated document about query engines")))
+    writeFile("batch2.parquet", t0 + 30000, Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "yet another unrelated piece of text")))
+    val docs = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val q = Streams.incrementalDedupStream(docs, "doc_id", "text",
+      index, pairs, ckpt, shingleSize = 2, numHashes = 16, bands = 8)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 1L))) // batch-2 dup of the indexed batch-1 doc
+    // the index now holds band buckets for all four documents
+    assert(spark.read.parquet(index).select("id").distinct().count() === 4)
+  }
+
   test("streaming dedup equals batch distinct on the fixture") {
     val events = Streams.eventStream(spark, sfDir)
     val deduped = Streams.dedupStream(events, Seq("user_id", "event_type"),
