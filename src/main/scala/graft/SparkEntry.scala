@@ -559,6 +559,26 @@ object SparkEntry {
         docs.where(col("doc_id") < 5), "doc_id", "text", n = 3)
     }),
 
+    // Full dedup pipeline composition: LSH candidates → connected-component
+    // clusters → QUALITY-based keeper per cluster (max_by on
+    // (quality, -id): best quality wins, ties keep the lowest id) — the
+    // end-to-end shape a training pipeline actually runs; keeper selection
+    // is a map-side-combinable aggregate, not a window over all members
+    "q47_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 8, portable = true)
+      val clusters = Dedup.nearDupClusters(pairs,
+        shufflePartitions = Some(8))
+      clusters
+        .join(docs.select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")), Seq("id"))
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("id"), struct(col("quality"), -col("id")))
+          .as("keeper_id"),
+          count(lit(1)).as("n_members"))
+    }),
+
     // Repetition filters (Gopher-style): duplicate-token and top token /
     // bigram shares via map-side-combined explode+count aggregations — no
     // per-row O(tokens × distinct) interpreted lambda scans
@@ -1096,6 +1116,90 @@ object SparkEntry {
          thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM q)
          SELECT doc_id, round(quality, 4) AS quality
          FROM q, thr WHERE quality >= t""",
+    "q47_dedup_pipeline" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key HAVING count(*) > 200),
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+                             WHERE big.b = x.b AND big.key = x.key)),
+         und AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         clusters AS (
+           SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         qual AS (
+           SELECT doc_id,
+             CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                  WHEN n_tok > 0 THEN 0.3 ELSE 0.0 END * 0.4
+             + CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.2 END * 0.2
+             + CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.5 END * 0.2
+             + CASE WHEN upper_ratio <= 0.5 THEN 1.0 ELSE 0.4 END * 0.2
+               AS quality
+           FROM (
+             SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END
+                 AS punct_ratio,
+               CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                         / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END
+                 AS upper_ratio,
+               CASE WHEN length(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> x IN ('the','of','and','to','a','in','is','it','that','was',
+                                   'for','on','are','with','as','at','be','this','have','or')))
+                      AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS stop_ratio
+             FROM documents)),
+         m AS (
+           SELECT c.cluster_id, c.id, q.quality
+           FROM clusters c JOIN qual q ON q.doc_id = c.id),
+         r AS (
+           SELECT cluster_id, id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY quality DESC, id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n
+           FROM m)
+         SELECT cluster_id, id AS keeper_id, CAST(n AS BIGINT) AS n_members
+         FROM r WHERE rn = 1""",
     "q46_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -96,4 +96,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("q45: repetition shares are map-side-combined aggregations") {
+    val p = plan("q45_repetition")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.take(2000))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("q46: benchmark side of the decontamination join is broadcast") {
+    val p = plan("q46_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle on the gram key")
+  }
+
+  test("q47: keeper selection is an aggregate, not a window") {
+    val p = plan("q47_dedup_pipeline")
+    assert(p.contains("max_by") || p.contains("partial_max_by"), p.take(2000))
+    assert(!p.contains("Window"),
+      "keeper per cluster must not serialize cluster members via a window")
+  }
 }
