@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.closure.TransitiveClosure
-import graft.ops.{Dedup, Multimodal, Packing, Similarity, Splits, TextAnalysis}
+import graft.ops.{Dedup, Mixing, Multimodal, Packing, Similarity, Splits, TextAnalysis}
 import graft.terminology._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -588,6 +588,26 @@ object SparkEntry {
           round(col("dup_token_ratio"), 4).as("dup_token_ratio"),
           round(col("top_token_ratio"), 4).as("top_token_ratio"),
           round(col("top_bigram_ratio"), 4).as("top_bigram_ratio"))
+    }),
+
+    // Mixture planning: per-source stats + capped sampling rates toward a
+    // token budget under a uniform target mixture — one groupBy(source)
+    // shuffle (one surviving row per source), totals attached via a
+    // broadcast cross join of the already-tiny stats frame
+    "q48_mixing_plan" -> ((s, dir) => {
+      Mixing.samplingRates(t(s, dir, "documents"), "source",
+        col("n_chars"), targetTokens = 2000000L, maxRate = 4.0)
+    }),
+
+    // SemDeDup-style semantic pruning over the full embeddings table:
+    // seeded-cell assignment (quantized-integer argmax, same quantizer as
+    // q38) confines the pair join to cells, then the exact integer
+    // threshold test marks smaller-id-dominated rows as drops
+    "q49_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDedup(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 16), "vec_id", "embedding",
+        threshold = 0.3)
     }),
   )
 
@@ -1255,5 +1275,61 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN ts ON ts.doc_id = d.doc_id
          LEFT JOIN bs ON bs.doc_id = d.doc_id""",
+    "q48_mixing_plan" ->
+      """WITH s AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS tokens
+           FROM documents GROUP BY source),
+         t AS (
+           SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             count(*) AS n_sources
+           FROM s),
+         r AS (
+           SELECT source, n_docs, tokens,
+             round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4)
+               AS share,
+             round(least(CAST(4.0 AS DOUBLE),
+               (CAST(2000000 AS DOUBLE) / n_sources)
+                 / CAST(tokens AS DOUBLE)), 4) AS rate
+           FROM s, t)
+         SELECT source, n_docs, tokens, share, rate,
+           CAST(round(rate * tokens) AS BIGINT) AS expect_tokens
+         FROM r""",
+    "q49_semantic_dedup" ->
+      """WITH d AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT id, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nrm
+           FROM d),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY id) - 1 AS cell, qv AS cv,
+             list_sum(list_transform(qv, x -> x * x)) AS cn
+           FROM d WHERE id < 16),
+         scored AS (
+           SELECT n.id, c.cell,
+             row_number() OVER (PARTITION BY n.id ORDER BY
+               2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+                 j -> n.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM n, cents c),
+         cellof AS (SELECT id, cell FROM scored WHERE rk = 1),
+         p AS (
+           SELECT ca.id AS id_a, cb.id AS id_b, a.nrm AS na, b.nrm AS nb,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS dot
+           FROM cellof ca JOIN cellof cb
+             ON ca.cell = cb.cell AND ca.id < cb.id
+           JOIN n a ON a.id = ca.id
+           JOIN n b ON b.id = cb.id),
+         dropped AS (
+           SELECT DISTINCT id_b AS id FROM p
+           WHERE na > 0 AND nb > 0 AND dot > 0
+             AND CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 100
+               >= CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 9)
+         SELECT c.id, CAST(c.cell AS INT) AS cell, (dr.id IS NULL) AS keep
+         FROM cellof c LEFT JOIN dropped dr ON dr.id = c.id""",
   )
 }

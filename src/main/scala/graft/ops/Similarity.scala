@@ -189,20 +189,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       seeds: DataFrame, seedId: String, seedVec: String,
       k: Int, nprobe: Int = 4, quantScale: Int = 10000): DataFrame = {
-    val seedRows = seeds
-      .select(col(seedId).as("sid"),
-        transform(col(seedVec), x => round(x.cast("double") * quantScale))
-          .as("cv"))
-      .withColumn("cn", dot(col("cv"), col("cv")))
-      .orderBy(col("sid"))
-      .select("cv", "cn").collect()
-    val cents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](0)).toSeq
-    val cn: Seq[Double] = seedRows.map(_.getDouble(1)).toSeq
-    // argmin ||q-c||² == argmax 2·q·c - ||c||²; all terms exact integers
-    // after quantization, so no float-order sensitivity anywhere
-    def cellScores(qv: Column): Column =
-      transform(typedLit(cents), (c, i) =>
-        GraftFunctions.vectorDot(c, qv) * 2 - element_at(typedLit(cn), i + 1))
+    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
     val quant = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
     val assigned = corpus.select(col(corpusId).as("corpus_id"),
@@ -228,6 +215,29 @@ object Similarity {
         cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
           .as("score"))
     topKReduce(scored, k)
+  }
+
+  /** Driver-side cell scorer compiled from the (small-by-contract) seed
+    * rows: `qv => array(2·qv·c_i − ||c_i||²)` over the quantized seed
+    * vectors c_i, indexed in ascending `seedId` order. argmin ||q−c||² ==
+    * argmax 2·q·c − ||c||² (the ||q||² term is constant per row), and all
+    * terms are exact integers after quantization, so cell assignment has no
+    * float-order sensitivity on any engine. The input Column must already
+    * be quantized with the same `quantScale`. */
+  private[ops] def seededCellScorer(seeds: DataFrame, seedId: String,
+      seedVec: String, quantScale: Int): Column => Column = {
+    val seedRows = seeds
+      .select(col(seedId).as("sid"),
+        transform(col(seedVec), x => round(x.cast("double") * quantScale))
+          .as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .orderBy(col("sid"))
+      .select("cv", "cn").collect()
+    val cents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](0)).toSeq
+    val cn: Seq[Double] = seedRows.map(_.getDouble(1)).toSeq
+    (qv: Column) =>
+      transform(typedLit(cents), (c, i) =>
+        GraftFunctions.vectorDot(c, qv) * 2 - element_at(typedLit(cn), i + 1))
   }
 
   /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
@@ -339,5 +349,43 @@ object Similarity {
       .join(d.select(col("id").as("id_b"), col("qv").as("qv_b"),
         col("nrm").as("nrm_b")), Seq("id_b"))
     quantizedThresholdFilter(cand, threshold)
+  }
+
+  /** SemDeDup-style semantic pruning: assign every row to its nearest
+    * seeded cell (quantized-integer argmax, ties to the lowest cell id —
+    * bit-reproducible on any engine, same quantizer as [[ivfTopKSeeded]]),
+    * then mark as duplicates the rows that have a WITHIN-CELL cosine
+    * near-duplicate with a smaller id ("keep first", transitive-free greedy:
+    * a row is dropped iff any smaller-id row in its cell clears the
+    * threshold, whether or not that row is itself kept). Pair verification
+    * is the same exact integer threshold test as [[cosineNearDupsExact]].
+    *
+    * Scale design (the SemDeDup trick): the pair join is confined to cells
+    * by an equi-join on cell id, so the quadratic term is Σ|cell|², not
+    * n² — at 100 TB the seed count grows with the corpus (centroids from a
+    * prior clustering job) to keep per-cell populations bounded, and the
+    * assigned table persists partitioned by cell. No all-pairs product, no
+    * driver-side state beyond the small-by-contract seed literal.
+    *
+    * Returns (id, cell, keep) for every input row. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedId: String, seedVec: String,
+      threshold: Double, quantScale: Int = 10000): DataFrame = {
+    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
+    val assigned = quantized(df, idCol, vecCol, quantScale)
+      .withColumn("scores", cellScores(col("qv")))
+      .select(col("id"), col("qv"), col("nrm"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int").as("cell"))
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.qv").as("qv_a"),
+        col("a.nrm").as("nrm_a"), col("b.id").as("id_b"),
+        col("b.qv").as("qv_b"), col("b.nrm").as("nrm_b"))
+    val dropped = quantizedThresholdFilter(cand, threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cell"))
+      .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
   }
 }

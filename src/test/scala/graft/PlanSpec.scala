@@ -117,4 +117,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"),
       "keeper per cluster must not serialize cluster members via a window")
   }
+
+  test("q48: mixing stats are map-side partial; totals attach by broadcast") {
+    val p = plan("q48_mixing_plan")
+    // one groupBy(source) with a partial phase — the shuffle carries one
+    // row per source, never per document
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(2000))
+    // corpus totals come from the tiny stats frame via a broadcast cross
+    // join, NOT a global window or a re-scan of the documents
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("Window"))
+  }
+
+  test("q49: semantic dedup pairs join by cell equi-join, never all-pairs") {
+    val p = plan("q49_semantic_dedup")
+    assert(!p.contains("NestedLoopJoin"),
+      "pair generation must stay confined to cells:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -461,6 +461,64 @@ class OpsSpec extends SparkSuite {
     assert(seededAll === brute)
   }
 
+  test("semanticDedup drops within-cell smaller-id near-dups only") {
+    import spark.implicits._
+    // two orthogonal seed cells; 11 is a near-dup of 10 inside cell 0;
+    // 12/13 share cell 1 but are orthogonal (dot 0 → kept)
+    val seeds = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(rows, "vec_id", "embedding",
+      seeds, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(out === Map(10L -> (0, true), 11L -> (0, false),
+      12L -> (1, true), 13L -> (1, true)))
+  }
+
+  test("semanticDedup == exact pair kernel restricted to cells (fixture)") {
+    val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+      e.where(col("vec_id") < 16), "vec_id", "embedding", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(out.size === e.count())
+    val cellOf = out.view.mapValues(_._1).toMap
+    // ground truth: ALL exact near-dup pairs, then confine to same cell
+    val exactPairs = pairSet(Similarity.cosineNearDupsExact(
+      e, "vec_id", "embedding", threshold = 0.3))
+    val expectedDrops =
+      exactPairs.filter(p => cellOf(p._1) == cellOf(p._2)).map(_._2)
+    val drops = out.collect { case (id, (_, false)) => id }.toSet
+    assert(drops === expectedDrops)
+  }
+
+  test("mixing plan: shares sum to 1, rates capped, budget math exact") {
+    import spark.implicits._
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 90) "big" else "tiny", 1000L)) // big:90k, tiny:10k
+      .toDF("doc_id", "source", "n_chars")
+    val plan = Mixing.samplingRates(docs, "source", col("n_chars"),
+      targetTokens = 60000L, maxRate = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    // big: 30000/90000 → rate 0.3333 (4dp), expect 0.3333×90000 = 29997;
+    // tiny: 30000/10000 = 3 (under the cap)
+    assert(plan("big") === ((90L, 90000L, 0.9, 0.3333, 29997L)))
+    assert(plan("tiny") === ((10L, 10000L, 0.1, 3.0, 30000L)))
+    // a microscopic source hits the maxRate epoch cap instead
+    val capped = Mixing.samplingRates(
+      docs.where(col("doc_id") < 91), "source", col("n_chars"),
+      targetTokens = 60000L, maxRate = 4.0)
+      .where(col("source") === "tiny").collect().head
+    assert(capped.getDouble(4) === 4.0) // 30000/1000 = 30 → capped
+    assert(capped.getLong(5) === 4000L)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
