@@ -609,6 +609,27 @@ object SparkEntry {
         e.where(col("vec_id") < 16), "vec_id", "embedding",
         threshold = 0.3)
     }),
+
+    // Temperature-based target mixture (p^alpha multilingual sampling):
+    // power/normalize math over the one-row-per-source stats frame; the
+    // documents are scanned once
+    "q50_temperature_mixing" -> ((s, dir) => {
+      Mixing.temperatureRates(t(s, dir, "documents"), "source",
+        col("n_chars"), targetTokens = 2000000L, alpha = 0.7)
+    }),
+
+    // Applying a mixture plan: rate >= 1 repeats documents as extra
+    // epochs, the fractional part keeps a salted-hash subset — fully
+    // deterministic (no rand()), broadcast rates, map-side epoch fan-out
+    "q51_apply_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = Mixing.samplingRates(docs, "source", col("n_chars"),
+        targetTokens = 2000000L, maxRate = 4.0)
+      Mixing.applyMixture(
+        docs.select(col("doc_id"), col("source")), "doc_id", "source",
+        rates)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1331,5 +1352,56 @@ object SparkEntry {
                >= CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 9)
          SELECT c.id, CAST(c.cell AS INT) AS cell, (dr.id IS NULL) AS keep
          FROM cellof c LEFT JOIN dropped dr ON dr.id = c.id""",
+    "q50_temperature_mixing" ->
+      """WITH s AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS tokens
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM s),
+         w AS (
+           SELECT source, n_docs, tokens,
+             round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4)
+               AS share,
+             power(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+               0.7) AS pw
+           FROM s, t),
+         z AS (SELECT SUM(pw) AS z FROM w),
+         r AS (
+           SELECT source, n_docs, tokens, share,
+             round(pw / z, 4) AS target_share,
+             round(least(CAST(4.0 AS DOUBLE),
+               CAST(2000000 AS DOUBLE) * (pw / z)
+                 / CAST(tokens AS DOUBLE)), 4) AS rate
+           FROM w, z)
+         SELECT source, n_docs, tokens, share, target_share, rate,
+           CAST(round(rate * tokens) AS BIGINT) AS expect_tokens
+         FROM r""",
+    "q51_apply_mixture" ->
+      """WITH s AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS tokens
+           FROM documents GROUP BY source),
+         t AS (
+           SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             count(*) AS n_sources
+           FROM s),
+         r AS (
+           SELECT source,
+             round(least(CAST(4.0 AS DOUBLE),
+               (CAST(2000000 AS DOUBLE) / n_sources)
+                 / CAST(tokens AS DOUBLE)), 4) AS rate
+           FROM s, t),
+         c AS (
+           SELECT d.doc_id, d.source,
+             CAST(FLOOR(r.rate) AS INT)
+               + CASE WHEN
+                   CAST(('0x' || substr(md5('graft:' || d.source || '/'
+                     || d.doc_id), 1, 15)) AS BIGINT) % 10000
+                   < CAST(round((r.rate - FLOOR(r.rate)) * 10000) AS BIGINT)
+                 THEN 1 ELSE 0 END AS copies
+           FROM documents d JOIN r ON r.source = d.source)
+         SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+         FROM (SELECT doc_id, source, unnest(range(copies)) AS epoch
+               FROM c WHERE copies > 0)""",
   )
 }

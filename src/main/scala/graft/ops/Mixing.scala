@@ -59,4 +59,65 @@ object Mixing {
             col("tokens").cast("double")), 4).as("rate"))
       .withColumn("expect_tokens",
         round(col("rate") * col("tokens")).cast("long"))
+
+  /** Temperature-based mixture (the multilingual-sampling standard): the
+    * target share of source i is pᵢᵅ / Σⱼ pⱼᵅ where pᵢ is its natural
+    * share — α = 1 keeps the natural mixture, α → 0 approaches uniform,
+    * in between it upweights the tail without flattening the head. The
+    * per-source rate is the one that hits `targetTokens · targetShare`
+    * tokens, capped at `maxRate` epochs like [[samplingRates]].
+    *
+    * Same plan shape as [[samplingRates]]: the power/normalize math runs
+    * on the one-row-per-source stats frame, with the Σ pᵅ normalizer
+    * attached by a second broadcast cross join of a scalar aggregate —
+    * the documents are still scanned exactly once. */
+  def temperatureRates(df: DataFrame, sourceCol: String, weight: Column,
+      targetTokens: Long, alpha: Double,
+      maxRate: Double = 4.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val s = sourceStats(df, sourceCol, weight)
+      .withColumn("pw",
+        pow(col("tokens").cast("double") /
+          col("total_tokens").cast("double"), alpha))
+    val z = s.agg(sum(col("pw")).as("z"))
+    s.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("tokens"), col("share"),
+        round(col("pw") / col("z"), 4).as("target_share"),
+        round(least(lit(maxRate),
+          lit(targetTokens).cast("double") * (col("pw") / col("z")) /
+            col("tokens").cast("double")), 4).as("rate"))
+      .withColumn("expect_tokens",
+        round(col("rate") * col("tokens")).cast("long"))
+  }
+
+  /** Applies a per-source rate plan deterministically: each document is
+    * emitted `floor(rate)` times, plus one more copy iff its salted
+    * portable hash bucket (the [[Splits]] scheme — stable under retries,
+    * re-partitioning and engines, `rand()`-free) falls below the
+    * fractional part. Output rows carry an `epoch` column (0-based copy
+    * index) so downstream packing/shuffling can distinguish repeats.
+    *
+    * Scale design: the rates frame is one row per source and broadcast;
+    * the epoch fan-out is a map-side `explode(sequence(...))` — no
+    * shuffle anywhere, so this composes with [[Splits.assignSplit]] and
+    * [[Packing]] without adding an exchange. Rows from sources absent in
+    * `rates` are dropped (rate 0). */
+  def applyMixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: DataFrame, salt: String = "graft"): DataFrame = {
+    val r = rates.select(col("source").as(sourceCol),
+      col("rate").cast("double").as("rate"))
+    val whole = floor(col("rate")).cast("int")
+    val fracBuckets =
+      round((col("rate") - floor(col("rate"))) * Splits.Buckets).cast("long")
+    val copies = (whole +
+      when(Splits.splitBucket(
+        concat(col(sourceCol), lit("/"), col(idCol).cast("string")), salt)
+        < fracBuckets, 1).otherwise(0)).as("copies")
+    df.join(broadcast(r), Seq(sourceCol))
+      .withColumn("copies", copies)
+      .where(col("copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("copies") - 1)))
+      .drop("rate", "copies")
+  }
 }

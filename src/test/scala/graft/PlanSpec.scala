@@ -136,4 +136,15 @@ class PlanSpec extends SparkSuite {
       "pair generation must stay confined to cells:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q51: mixture application is a broadcast join + map-side fan-out") {
+    val p = plan("q51_apply_mixture")
+    // the documents side must never shuffle on source: rates are tiny
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "documents shuffled on the rate key:\n" + p.take(2000))
+    // the epoch fan-out is a Generate (explode), not a join against a
+    // per-epoch table
+    assert(p.contains("Generate"), p.take(2000))
+  }
 }

@@ -519,6 +519,53 @@ class OpsSpec extends SparkSuite {
     assert(capped.getLong(5) === 4000L)
   }
 
+  test("temperature mixing: alpha=1 keeps natural shares, low alpha lifts " +
+      "the tail") {
+    import spark.implicits._
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 90) "big" else "tiny", 1000L))
+      .toDF("doc_id", "source", "n_chars")
+    def shares(alpha: Double): Map[String, Double] =
+      Mixing.temperatureRates(docs, "source", col("n_chars"),
+        targetTokens = 60000L, alpha = alpha)
+        .select("source", "target_share").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val natural = shares(1.0)
+    assert(natural("big") === 0.9 && natural("tiny") === 0.1)
+    val tempered = shares(0.5)
+    assert(tempered("tiny") > 0.1 && tempered("big") < 0.9)
+    // p^0.5 normalized: 0.9487.., 0.3162.. → tiny 0.25
+    assert(tempered("tiny") === 0.25)
+  }
+
+  test("applyMixture: whole epochs + deterministic fractional keep") {
+    import spark.implicits._
+    val docs = Seq.tabulate(200)(i => (i.toLong, "s"))
+      .toDF("doc_id", "source")
+    val rates = Seq(("s", 2.5)).toDF("source", "rate")
+    val out = Mixing.applyMixture(docs, "doc_id", "source", rates)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("epoch"))).as("epochs"))
+      .collect()
+    assert(out.length === 200) // every doc keeps at least floor(2.5)=2
+    assert(out.forall { r =>
+      val n = r.getLong(1)
+      (n == 2 || n == 3) &&
+        r.getSeq[Int](2) == (0 until n.toInt) // epochs are 0..copies-1
+    })
+    // the fractional half keeps ~50% (hash-uniform), exactly reproducibly
+    val n3 = out.count(_.getLong(1) == 3L)
+    assert(n3 > 60 && n3 < 140, s"fractional keep wildly off: $n3/200")
+    val again = Mixing.applyMixture(docs, "doc_id", "source", rates)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === again)
+    // sources without a rate row are dropped entirely
+    val dropped = Mixing.applyMixture(
+      docs.withColumn("source", lit("unknown")), "doc_id", "source", rates)
+    assert(dropped.count() === 0)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
