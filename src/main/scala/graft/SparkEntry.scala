@@ -630,6 +630,25 @@ object SparkEntry {
         rates)
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
+
+    // Leakage-safe split: near-dup clusters (portable minhash pairs →
+    // connected components) hash as ONE unit, so no near-duplicate ever
+    // straddles train/test
+    "q52_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 8, portable = true)
+      val clusters = Dedup.nearDupClusters(pairs,
+        shufflePartitions = Some(8))
+      Splits.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+        clusters)
+    }),
+
+    // Deterministic per-source quota (20 docs/source by hash order) via
+    // the bounded top-k aggregate — no row_number window, no rand()
+    "q53_quota_sample" -> ((s, dir) => {
+      Splits.quotaSample(t(s, dir, "documents"), "doc_id", "source", n = 20)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1403,5 +1422,76 @@ object SparkEntry {
          SELECT doc_id, source, CAST(epoch AS INT) AS epoch
          FROM (SELECT doc_id, source, unnest(range(copies)) AS epoch
                FROM c WHERE copies > 0)""",
+    "q52_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key HAVING count(*) > 200),
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+                             WHERE big.b = x.b AND big.key = x.key)),
+         und AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         clusters AS (
+           SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         sel AS (
+           SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS key
+           FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+         bk AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('graft:' || key), 1, 15)) AS BIGINT)
+               % 10000 AS b
+           FROM sel)
+         SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM bk""",
+    "q53_quota_sample" ->
+      """WITH h AS (
+           SELECT source, doc_id,
+             CAST(('0x' || substr(md5('graft:' || source || '/' || doc_id),
+               1, 13)) AS BIGINT) AS hv
+           FROM documents),
+         r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY hv ASC, doc_id ASC) AS rank
+           FROM h)
+         SELECT source AS stratum, doc_id AS id, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 20""",
   )
 }

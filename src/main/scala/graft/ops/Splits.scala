@@ -81,4 +81,51 @@ object Splits {
       concat(col(stratumCol), lit("/"), col(idCol).cast("string")),
       salt) < cut)
   }
+
+  /** Leakage-safe split: every near-duplicate cluster lands in ONE split.
+    * `clusters` is the (id, cluster_id) output of
+    * [[Dedup.nearDupClusters]]; rows absent from it are singletons and
+    * hash on their own id. Hashing the cluster representative instead of
+    * the document id makes train/test contamination through near-dups
+    * structurally impossible — the standard leakage hole in naive per-doc
+    * splits, where two near-identical documents draw independent buckets.
+    *
+    * Plan shape: one equi-join on id against the cluster membership (at
+    * scale both sides hash-partition on id; membership carries only the
+    * paired documents, not the corpus), then the same map-side projection
+    * as [[assignSplit]]. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "graft"): DataFrame =
+    df.join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("cluster_id"), col(idCol)), weights, salt))
+      .drop("cluster_id")
+
+  /** Deterministic per-stratum quota: min(n, |stratum|) rows per stratum,
+    * picked by ascending salted portable hash — a reproducible "take N
+    * documents per source" with no `rand()` and no global sort. Runs
+    * through the bounded [[graft.functions.TopKByScore]] aggregate (O(n)
+    * partial buffers, map-side combine), NOT a `row_number()` window,
+    * which would shuffle every row of a stratum into a single reducer
+    * task. The hash keeps 13 hex chars (52 bits) so its negation is exact
+    * in the aggregate's double score and any external engine orders
+    * identically. Returns (stratum, id, rank) with rank 1..n by hash
+    * order. */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(stratumCol), lit("/"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("long")
+    df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        h.as("h"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        -col("h").cast("double"), col("id"), n).as("picks"))
+      .select(col("stratum"), posexplode(col("picks")))
+      .select(col("stratum"), col("col.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -137,6 +137,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q53: quota sample is a partial top-k aggregate, not a window") {
+    val p = plan("q53_quota_sample")
+    assert(p.contains("partial_topk_by_score"), p.take(2000))
+    assert(!p.contains("Window"),
+      "per-stratum quota must not serialize strata through row_number")
+  }
+
   test("q51: mixture application is a broadcast join + map-side fan-out") {
     val p = plan("q51_apply_mixture")
     // the documents side must never shuffle on source: rates are tiny

@@ -170,4 +170,47 @@ class SplitsPackingSpec extends SparkSuite {
       buckets(index), buckets(batch), maxBucketSize = 10)
     assert(got.count() === 0)
   }
+
+  test("leakageSafeSplit: clusters move as one unit, singletons unchanged") {
+    import spark.implicits._
+    // 0-2 form one near-dup cluster (rep 0); 10-11 another (rep 10)
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val out = Splits.leakageSafeSplit(ids.select("id"), "id", clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 2000)
+    assert(Set(out(0L), out(1L), out(2L)).size === 1, "cluster 0 split")
+    assert(Set(out(10L), out(11L)).size === 1, "cluster 10 split")
+    // members inherit the REPRESENTATIVE's bucket…
+    val plain = Splits.assignSplit(ids.select("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === plain(0L) && out(11L) === plain(10L))
+    // …and every non-clustered row keeps its per-id assignment
+    assert(out.filterNot(kv => Set(1L, 2L, 11L)(kv._1)) ===
+      plain.filterNot(kv => Set(1L, 2L, 11L)(kv._1)))
+  }
+
+  test("quotaSample: n per stratum by hash order, matches a window ref") {
+    val q = Splits.quotaSample(ids, "id", "stratum", n = 25).cache()
+    val counts = q.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 25L, "b" -> 25L))
+    // ranks are 1..n within each stratum
+    assert(q.where(col("rank") < 1 || col("rank") > 25).count() === 0)
+    // differential: the bounded aggregate must equal the row_number()
+    // window reference it replaces (same hash, same tie order)
+    val h = conv(substring(md5(concat(lit("graft:"), col("stratum"),
+      lit("/"), col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val ref = ids.withColumn("h", h)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("h"), col("id"))))
+      .where(col("rank") <= 25)
+      .select(col("stratum"), col("id"), col("rank"))
+    assert(q.except(ref).count() === 0 && ref.except(q).count() === 0)
+    // small strata yield all their rows, not an error
+    val tiny = Splits.quotaSample(ids.where(col("id") < 3), "id",
+      "stratum", n = 25)
+    assert(tiny.count() === 3)
+    q.unpersist()
+  }
 }
