@@ -649,6 +649,14 @@ object SparkEntry {
     "q53_quota_sample" -> ((s, dir) => {
       Splits.quotaSample(t(s, dir, "documents"), "doc_id", "source", n = 20)
     }),
+
+    // Span-level repeated-substring coverage (exact-substring dedup
+    // family): sliding 8-token windows fingerprinted with the portable
+    // hash, corpus-repeated ones counted back per document
+    "q54_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8, minDf = 2)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1493,5 +1501,34 @@ object SparkEntry {
            FROM h)
          SELECT source AS stratum, doc_id AS id, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 20""",
+    "q54_repeated_spans" ->
+      """WITH tkk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         w AS (
+           SELECT doc_id, len(tk) - 7 AS n_windows,
+             list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) AS wins
+           FROM tkk WHERE len(tk) >= 8),
+         wh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(win), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, unnest(wins) AS win FROM w)),
+         hot AS (
+           SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+         rep AS (
+           SELECT doc_id, count(*) AS n_repeated
+           FROM wh JOIN hot USING (h) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(w.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+           round(CASE WHEN COALESCE(w.n_windows, 0) > 0
+             THEN CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / w.n_windows
+             ELSE 0.0 END, 4) AS repeat_ratio
+         FROM documents d
+         LEFT JOIN w ON w.doc_id = d.doc_id
+         LEFT JOIN rep r ON r.doc_id = d.doc_id""",
   )
 }

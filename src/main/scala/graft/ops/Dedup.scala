@@ -414,4 +414,59 @@ object Dedup {
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Span-level repeated-substring detection — the exact-substring dedup
+    * family (repeated boilerplate/licenses/templates that document-level
+    * dedup misses because the surrounding text differs): every
+    * `windowTokens`-token sliding window is fingerprinted, and windows
+    * whose fingerprint occurs at least `minDf` times corpus-wide (within
+    * or across documents) are returned with their position and global
+    * frequency. Fingerprints are the md5-derived 60-bit portable hash of
+    * the window text, so an external engine reproduces them. Only
+    * documents with >= windowTokens tokens produce windows.
+    *
+    * Shape at scale: posexplode of top-level-built shingles (no lambda
+    * re-evaluation of the token array), one groupBy(fingerprint) count
+    * with map-side partial aggregation, then an equi-join of window rows
+    * against the (minDf-filtered, small) hot set — two shuffles, nothing
+    * quadratic. Returns (doc_id, pos, span_hash, n_global). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minDf: Long = 2): DataFrame = {
+    require(windowTokens >= 1 && minDf >= 2,
+      s"need windowTokens >= 1 and minDf >= 2, got $windowTokens/$minDf")
+    val toks = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= windowTokens)
+    val win = toks
+      .select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("tk"), windowTokens)))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long")
+          .as("span_hash"))
+    val hot = win.groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_global"))
+      .where(col("n_global") >= minDf)
+    win.join(hot, Seq("span_hash"))
+      .select(col("doc_id"), col("pos"), col("span_hash"), col("n_global"))
+  }
+
+  /** Per-document summary of [[repeatedSpans]]: how much of each document
+    * is covered by corpus-repeated windows — the span-level analogue of
+    * the Gopher repetition filters, used to drop or deprioritize
+    * boilerplate-heavy documents. Every input row is returned;
+    * documents shorter than the window report 0 windows. */
+  def repeatedSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minDf: Long = 2): DataFrame = {
+    val rep = repeatedSpans(df, idCol, textCol, windowTokens, minDf)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+    df.select(col(idCol).as("doc_id"),
+        greatest(size(tokens(col(textCol))) - windowTokens + 1, lit(0))
+          .cast("long").as("n_windows"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("n_repeated"), lit(0L)).cast("double") /
+            col("n_windows")).otherwise(lit(0.0)), 4).as("repeat_ratio"))
+  }
 }

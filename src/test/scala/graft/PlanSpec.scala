@@ -144,6 +144,13 @@ class PlanSpec extends SparkSuite {
       "per-stratum quota must not serialize strata through row_number")
   }
 
+  test("q54: repeated-span counting is partial-aggregated, equi-joined") {
+    val p = plan("q54_repeated_spans")
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
   test("q51: mixture application is a broadcast join + map-side fan-out") {
     val p = plan("q51_apply_mixture")
     // the documents side must never shuffle on source: rates are tiny

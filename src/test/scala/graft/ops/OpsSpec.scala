@@ -566,6 +566,30 @@ class OpsSpec extends SparkSuite {
     assert(dropped.count() === 0)
   }
 
+  test("repeatedSpans: shared windows flagged with position + global df") {
+    import spark.implicits._
+    val boiler = "copyright notice all rights reserved do not redistribute"
+    val corpus = Seq(
+      (1L, s"$boiler unique tail one"),
+      (2L, s"leading words here $boiler"),
+      (3L, "completely unrelated text with eight distinct tokens inside"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "doc_id", "text",
+      windowTokens = 8, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // the 8-token boilerplate matches at 0-based token offset 0 in doc 1
+    // and offset 3 in doc 2 — and nothing else repeats
+    assert(spans.toSet === Set((1L, 0, 2L), (2L, 3, 2L)))
+    val cov = Dedup.repeatedSpanCoverage(corpus, "doc_id", "text",
+      windowTokens = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(1L) === ((4L, 1L, 0.25)))  // 11 tokens → 4 windows, 1 hot
+    assert(cov(2L) === ((4L, 1L, 0.25)))
+    assert(cov(3L) === ((1L, 0L, 0.0)))   // 8 tokens → 1 window, not hot
+    assert(cov(4L) === ((0L, 0L, 0.0)))   // shorter than the window
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
