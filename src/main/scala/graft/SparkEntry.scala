@@ -657,6 +657,15 @@ object SparkEntry {
       Dedup.repeatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
         windowTokens = 8, minDf = 2)
     }),
+
+    // Prototypicality (SSL-prototypes pruning): cosine to the assigned
+    // seeded-cell centroid, map-side only — integer quantized assignment
+    // + fixed IEEE op sequence makes the rounded score engine-exact
+    "q55_prototypicality" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.prototypicality(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 16), "vec_id", "embedding")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1530,5 +1539,35 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN w ON w.doc_id = d.doc_id
          LEFT JOIN rep r ON r.doc_id = d.doc_id""",
+    "q55_prototypicality" ->
+      """WITH d AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT id, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nrm
+           FROM d),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY id) - 1 AS cell, qv AS cv,
+             list_sum(list_transform(qv, x -> x * x)) AS cn
+           FROM d WHERE id < 16),
+         dots AS (
+           SELECT n.id, n.nrm, c.cell, c.cn,
+             list_sum(list_transform(range(1, len(n.qv) + 1),
+               j -> n.qv[j] * c.cv[j])) AS dt
+           FROM n, cents c),
+         ranked AS (
+           SELECT id, nrm, cell, cn, dt,
+             row_number() OVER (PARTITION BY id
+               ORDER BY 2 * dt - cn DESC, cell ASC) AS rk
+           FROM dots)
+         SELECT id, CAST(cell AS INT) AS cell,
+           round(CASE WHEN nrm > 0 AND cn > 0
+             THEN CAST(dt AS DOUBLE)
+               / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+             ELSE 0.0 END, 4) AS proto_score
+         FROM ranked WHERE rk = 1""",
   )
 }

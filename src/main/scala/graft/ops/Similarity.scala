@@ -388,4 +388,44 @@ object Similarity {
       .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
   }
+
+  /** Prototypicality scoring (the "SSL prototypes" pruning family —
+    * Sorscher et al., Beyond neural scaling laws): each row's cosine to
+    * its assigned seeded-cell centroid. Rows far from every prototype are
+    * outliers/noise (prune lowest scores); rows too close to a prototype
+    * are redundant (prune highest scores, keeping [[semanticDedup]] for
+    * the pairwise-exact version). Cell assignment is the bit-reproducible
+    * quantized argmax shared with [[ivfTopKSeeded]]; the cosine is
+    * computed from the quantized integer dot/norms with a fixed operation
+    * sequence (`dot / (sqrt(na)·sqrt(nb))`, each step correctly-rounded
+    * IEEE), so any engine reproduces the rounded score exactly.
+    *
+    * A pure map-side projection after the (tiny) seed collect — no join,
+    * no shuffle, nothing pairwise. Returns (id, cell, proto_score). */
+  def prototypicality(df: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedId: String, seedVec: String,
+      quantScale: Int = 10000): DataFrame = {
+    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
+    val centNorm: Seq[Double] = seeds
+      .select(transform(col(seedVec),
+        x => round(x.cast("double") * quantScale)).as("cv"),
+        col(seedId).as("sid"))
+      .orderBy(col("sid"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .select("cn").collect().map(_.getDouble(0)).toSeq
+    // the argmax score is 2·dot − ||c||², so the centroid dot falls out
+    // arithmetically — no second vector pass, all terms exact integers
+    quantized(df, idCol, vecCol, quantScale)
+      .withColumn("scores", cellScores(col("qv")))
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int"))
+      .withColumn("cn", element_at(typedLit(centNorm), col("cell") + 1))
+      .withColumn("cdot",
+        (element_at(col("scores"), col("cell") + 1) + col("cn")) / 2)
+      .select(col("id"), col("cell"),
+        round(when(col("nrm") > 0 && col("cn") > 0,
+          col("cdot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+          .otherwise(lit(0.0)), 4).as("proto_score"))
+  }
 }

@@ -144,6 +144,13 @@ class PlanSpec extends SparkSuite {
       "per-stratum quota must not serialize strata through row_number")
   }
 
+  test("q55: prototypicality is a pure map-side projection") {
+    val p = plan("q55_prototypicality")
+    assert(!p.contains("Exchange"),
+      "centroid scoring must not shuffle:\n" + p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("q54: repeated-span counting is partial-aggregated, equi-joined") {
     val p = plan("q54_repeated_spans")
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))

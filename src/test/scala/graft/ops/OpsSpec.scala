@@ -590,6 +590,33 @@ class OpsSpec extends SparkSuite {
     assert(cov(4L) === ((0L, 0L, 0.0)))   // shorter than the window
   }
 
+  test("prototypicality: cosine to assigned centroid, cells match dedup") {
+    import spark.implicits._
+    val seeds = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Seq(
+      (10L, Seq(1.0f, 0.0f)),   // exactly the cell-0 prototype → 1.0
+      (11L, Seq(0.6f, 0.8f)),   // nearer cell 1; cos to [0,1] = 0.8
+      (12L, Seq(0.0f, 0.0f)))   // zero vector → score 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.prototypicality(rows, "vec_id", "embedding",
+      seeds, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(10L -> (0, 1.0), 11L -> (1, 0.8), 12L -> (0, 0.0)))
+    // on the fixture, cell assignment must agree with semanticDedup's
+    val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
+    val cellsA = Similarity.prototypicality(e, "vec_id", "embedding",
+      e.where(col("vec_id") < 16), "vec_id", "embedding")
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellsB = Similarity.semanticDedup(e, "vec_id", "embedding",
+      e.where(col("vec_id") < 16), "vec_id", "embedding", threshold = 0.3)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsA === cellsB)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
