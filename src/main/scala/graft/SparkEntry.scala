@@ -666,6 +666,13 @@ object SparkEntry {
       Similarity.prototypicality(e, "vec_id", "embedding",
         e.where(col("vec_id") < 16), "vec_id", "embedding")
     }),
+
+    // Per-source dataset-card report: volume, language spread, PII
+    // incidence, DECIMAL-summed mean quality — one groupBy(source) pass
+    "q56_corpus_report" -> ((s, dir) => {
+      TextAnalysis.corpusReport(t(s, dir, "documents"), "text", "source",
+        "lang")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1569,5 +1576,50 @@ object SparkEntry {
                / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
              ELSE 0.0 END, 4) AS proto_score
          FROM ranked WHERE rk = 1""",
+    "q56_corpus_report" ->
+      """WITH qual AS (
+           SELECT doc_id,
+             CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                  WHEN n_tok > 0 THEN 0.3 ELSE 0.0 END * 0.4
+             + CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.2 END * 0.2
+             + CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.5 END * 0.2
+             + CASE WHEN upper_ratio <= 0.5 THEN 1.0 ELSE 0.4 END * 0.2
+               AS quality,
+             n_tok
+           FROM (
+             SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tok,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END
+                 AS punct_ratio,
+               CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                         / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END
+                 AS upper_ratio,
+               CASE WHEN length(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> x IN ('the','of','and','to','a','in','is','it','that','was',
+                                   'for','on','are','with','as','at','be','this','have','or')))
+                      AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS stop_ratio
+             FROM documents)),
+         base AS (
+           SELECT d.source, d.lang, q.n_tok,
+             CAST(q.quality AS DECIMAL(18,4)) AS q,
+             CASE WHEN len(regexp_extract_all(d.text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(d.text, 'https?://[^ \t\n\r]+')) > 0
+               THEN 1 ELSE 0 END AS has_pii
+           FROM documents d JOIN qual q ON q.doc_id = d.doc_id)
+         SELECT source, count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           CAST(SUM(has_pii) AS BIGINT) AS pii_docs,
+           round(CAST(SUM(q) AS DOUBLE) / count(*), 4) AS mean_quality,
+           round(CAST(SUM(n_tok) AS DOUBLE) / count(*), 4) AS mean_tokens
+         FROM base GROUP BY source""",
   )
 }

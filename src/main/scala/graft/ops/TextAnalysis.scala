@@ -189,6 +189,29 @@ object TextAnalysis {
         coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"))
   }
 
+  /** Per-source "dataset card" summary — the corpus-audit table a
+    * training run starts from: document/token volume, language spread,
+    * PII incidence and mean quality per source. One groupBy(source)
+    * shuffle; every per-document signal is computed map-side in the same
+    * pass, and the quality mean is summed in DECIMAL(18,4) (exact,
+    * order-independent) before the final divide, so the rounded result is
+    * engine-reproducible (the q44 trick). */
+  def corpusReport(df: DataFrame, textCol: String, sourceCol: String,
+      langCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        tokenCount(col(textCol)).cast("long").as("n_tok"),
+        qualityScore(col(textCol)).cast("decimal(18,4)").as("q"),
+        (piiCount(col(textCol)) > 0).cast("int").as("has_pii"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("has_pii")).cast("long").as("pii_docs"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 4)
+          .as("mean_quality"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+          .as("mean_tokens"))
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -144,6 +144,12 @@ class PlanSpec extends SparkSuite {
       "per-stratum quota must not serialize strata through row_number")
   }
 
+  test("q56: corpus report is one partial-aggregated pass, no window") {
+    val p = plan("q56_corpus_report")
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("q55: prototypicality is a pure map-side projection") {
     val p = plan("q55_prototypicality")
     assert(!p.contains("Exchange"),

@@ -617,6 +617,26 @@ class OpsSpec extends SparkSuite {
     assert(cellsA === cellsB)
   }
 
+  test("corpusReport: per-source volume, langs, pii, mean quality") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("s1", "en", "the quick brown fox jumps over the lazy dog today"),
+      ("s1", "fr", "contact me at someone@example.org for more details ok"),
+      ("s2", "en", "")).toDF("source", "lang", "text")
+    val rep = TextAnalysis.corpusReport(corpus, "text", "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: 2 docs, 10+8 tokens, 2 langs, 1 pii doc; s2: 1 empty doc
+    assert(rep("s1") === ((2L, 18L, 2L, 1L)))
+    assert(rep("s2") === ((1L, 0L, 1L, 0L)))
+    val q = TextAnalysis.corpusReport(corpus, "text", "source", "lang")
+      .where(col("source") === "s2").select("mean_quality")
+      .collect().head.getDouble(0)
+    // empty text: length component 0, punct/stopword/case defaults
+    // contribute 0.2 + 0.1 + 0.2
+    assert(q === 0.5)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
