@@ -673,6 +673,23 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"), "text", "source",
         "lang")
     }),
+
+    // As-of join: each click aligned to the user's most recent purchase
+    // at-or-before it — single-sort merge shape, one shuffle on user,
+    // verified against DuckDB's native ASOF JOIN
+    "q57_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOf.asOfJoin(clicks, "user_id", "ts",
+        purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
+          coalesce(date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("none")).as("asof_s"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1621,5 +1638,14 @@ object SparkEntry {
            round(CAST(SUM(q) AS DOUBLE) / count(*), 4) AS mean_quality,
            round(CAST(SUM(n_tok) AS DOUBLE) / count(*), 4) AS mean_tokens
          FROM base GROUP BY source""",
+    "q57_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+           COALESCE(r.value, -1.0) AS asof_value,
+           COALESCE(strftime(r.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS asof_s
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
   )
 }

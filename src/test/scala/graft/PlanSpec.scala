@@ -144,6 +144,16 @@ class PlanSpec extends SparkSuite {
       "per-stratum quota must not serialize strata through row_number")
   }
 
+  test("q57: as-of join is a single-sort merge, not a range join") {
+    val p = plan("q57_asof_join")
+    // the whole operator is union + keyed window — no join node at all,
+    // so no theta/range pair explosion is even possible
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "as-of window must partition by key:\n" + p.take(2000))
+  }
+
   test("q56: corpus report is one partial-aggregated pass, no window") {
     val p = plan("q56_corpus_report")
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))

@@ -637,6 +637,36 @@ class OpsSpec extends SparkSuite {
     assert(q === 0.5)
   }
 
+  test("asOfJoin: latest at-or-before match per key, inclusive, null miss") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, 7L, ts(100)), // after r@50 and r@100 → inclusive match r@100
+      (2L, 7L, ts(99)),  // between r@50 and r@100 → r@50
+      (3L, 7L, ts(10)),  // before every right row → no match
+      (4L, 8L, ts(500))) // key with no right rows at all → no match
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts(50), 1.5), (7L, ts(100), 2.5), (9L, ts(1), 9.9))
+      .toDF("user_id", "ts", "value")
+    val out = AsOf.asOfJoin(left, "user_id", "ts",
+      right, "user_id", "ts", Seq("value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("asof_value")).map(_.toString),
+          Option(r.getAs[Timestamp]("asof_ts"))))
+      .toMap
+    assert(out(1L)._1 === Some("2.5") && out(1L)._2 === Some(ts(100)))
+    assert(out(2L)._1 === Some("1.5"))
+    assert(out(3L) === ((None, None)))
+    assert(out(4L) === ((None, None)))
+    // left columns pass through untouched
+    val cols = AsOf.asOfJoin(left, "user_id", "ts",
+      right, "user_id", "ts", Seq("value")).columns.toSeq
+    assert(cols === Seq("event_id", "user_id", "ts", "asof_ts",
+      "asof_value"))
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
