@@ -690,6 +690,25 @@ object SparkEntry {
           coalesce(date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss"),
             lit("none")).as("asof_s"))
     }),
+
+    // Range join via interval binning: clicks joined to the one-hour
+    // window after every purchase (no key) — equi-join on bin + residual
+    // BETWEEN, never a broadcast-nested-loop over the range predicate
+    "q58_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourUs = 3600L * 1000000L
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("pt"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("ws"),
+          (unix_micros(col("ts")) + hourUs).as("we"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "click_id", "pt",
+        windows, "window_id", "ws", "we", binWidth = hourUs)
+        .select(col("point_id").as("click_id"),
+          col("interval_id").as("window_id"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1647,5 +1666,12 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                          WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q58_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS window_id
+         FROM (SELECT event_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+           ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""",
   )
 }

@@ -154,6 +154,15 @@ class PlanSpec extends SparkSuite {
       "as-of window must partition by key:\n" + p.take(2000))
   }
 
+  test("q58: range join is a hash equi-join on bins, never nested-loop") {
+    val p = plan("q58_range_join")
+    assert(!p.contains("NestedLoopJoin"),
+      "range predicate fell back to nested-loop:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
   test("q56: corpus report is one partial-aggregated pass, no window") {
     val p = plan("q56_corpus_report")
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))

@@ -667,6 +667,27 @@ class OpsSpec extends SparkSuite {
       "asof_value"))
   }
 
+  test("rangeJoin: exact containment, bin-crossing intervals, no dupes") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L))
+      .toDF("pid", "p")
+    val intervals = Seq(
+      (100L, 0L, 10L),   // catches p=5 and p=10 (inclusive end)
+      (200L, 8L, 27L),   // crosses 3 bins at width 10; catches 10 and 25
+      (300L, 26L, 24L),  // inverted → dropped
+      (400L, 90L, 90L))  // zero-length; misses 99
+      .toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "pid", "p",
+      intervals, "iid", "s", "e", binWidth = 10L)
+      .select("point_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per true pair — a bin-crossing interval must not
+    // duplicate matches
+    assert(out.length === out.toSet.size)
+    assert(out.toSet === Set((1L, 100L), (2L, 100L), (2L, 200L),
+      (3L, 200L)))
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
