@@ -709,6 +709,25 @@ object SparkEntry {
         .select(col("point_id").as("click_id"),
           col("interval_id").as("window_id"))
     }),
+
+    // Interval-overlap join: one-hour windows after purchases vs errors —
+    // bin equi-join, each overlapping pair claimed by exactly one
+    // responsibility bin (no dedupe shuffle)
+    "q59_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourUs = 3600L * 1000000L
+      def win(kind: String, idAs: String) =
+        ev.where(col("event_type") === kind)
+          .select(col("event_id").as(idAs),
+            unix_micros(col("ts")).as(s"${idAs}_s"),
+            (unix_micros(col("ts")) + hourUs).as(s"${idAs}_e"))
+      graft.ops.RangeJoin.intervalOverlap(
+        win("purchase", "pid"), "pid", "pid_s", "pid_e",
+        win("error", "eid"), "eid", "eid_s", "eid_e",
+        binWidth = hourUs)
+        .select(col("left_id").as("purchase_id"),
+          col("right_id").as("error_id"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1673,5 +1692,13 @@ object SparkEntry {
          JOIN (SELECT event_id, ts FROM events
                WHERE event_type = 'purchase') p
            ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""",
+    "q59_interval_overlap" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id
+         FROM (SELECT event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT event_id, ts FROM events
+               WHERE event_type = 'error') e
+           ON p.ts <= e.ts + INTERVAL 1 HOUR
+          AND e.ts <= p.ts + INTERVAL 1 HOUR""",
   )
 }

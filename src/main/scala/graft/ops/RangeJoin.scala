@@ -43,4 +43,34 @@ object RangeJoin {
       .select(col("point_id"), col("interval_id"), col("p"), col("s"),
         col("e"))
   }
+
+  /** Interval-overlap join: every (left, right) pair whose inclusive
+    * [start, end] ranges intersect. Both sides explode to their covered
+    * bins; a true pair shares every bin in the intersection, so to emit
+    * it exactly once WITHOUT a dedupe shuffle each pair is claimed by the
+    * "responsibility bin" — the bin containing max(left.start,
+    * right.start), the first bin where both intervals are present. The
+    * join itself is a plain equi-join on the bin key with the overlap
+    * test and the responsibility predicate as residual filters — same
+    * scale behavior as [[pointInInterval]]. Returns
+    * (left_id, right_id). */
+  def intervalOverlap(lefts: DataFrame, leftId: String, leftStart: String,
+      leftEnd: String, rights: DataFrame, rightId: String,
+      rightStart: String, rightEnd: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, id: String, s: String, e: String,
+        p: String): DataFrame =
+      df.select(col(id).as(s"${p}_id"), col(s).as(s"${p}_s"),
+          col(e).as(s"${p}_e"))
+        .where(col(s"${p}_e") >= col(s"${p}_s"))
+        .withColumn("bin", explode(sequence(
+          floor(col(s"${p}_s") / binWidth).cast("long"),
+          floor(col(s"${p}_e") / binWidth).cast("long"))))
+    binned(lefts, leftId, leftStart, leftEnd, "l")
+      .join(binned(rights, rightId, rightStart, rightEnd, "r"), Seq("bin"))
+      .where(col("l_s") <= col("r_e") && col("r_s") <= col("l_e") &&
+        col("bin") ===
+          floor(greatest(col("l_s"), col("r_s")) / binWidth).cast("long"))
+      .select(col("l_id").as("left_id"), col("r_id").as("right_id"))
+  }
 }

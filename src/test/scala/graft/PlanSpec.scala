@@ -163,6 +163,14 @@ class PlanSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("q59: interval overlap is a hash equi-join on bins") {
+    val p = plan("q59_interval_overlap")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
   test("q56: corpus report is one partial-aggregated pass, no window") {
     val p = plan("q56_corpus_report")
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))

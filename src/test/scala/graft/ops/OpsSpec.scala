@@ -688,6 +688,23 @@ class OpsSpec extends SparkSuite {
       (3L, 200L)))
   }
 
+  test("intervalOverlap: each overlapping pair exactly once") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 25L), (2L, 40L, 45L), (3L, 60L, 60L))
+      .toDF("id", "s", "e")
+    val b = Seq(
+      (10L, 5L, 100L),  // overlaps all three, spans many shared bins
+      (20L, 26L, 39L),  // gap between 1 and 2 → overlaps nothing
+      (30L, 60L, 70L))  // touches 3 at a point (inclusive)
+      .toDF("id", "s", "e")
+    val out = RangeJoin.intervalOverlap(a, "id", "s", "e",
+      b, "id", "s", "e", binWidth = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === out.toSet.size,
+      "a pair crossed bins and was emitted twice")
+    assert(out.toSet === Set((1L, 10L), (2L, 10L), (3L, 10L), (3L, 30L)))
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
