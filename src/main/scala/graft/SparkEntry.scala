@@ -728,6 +728,29 @@ object SparkEntry {
         .select(col("left_id").as("purchase_id"),
           col("right_id").as("error_id"))
     }),
+
+    // The same range join as q58, but written as a RAW BETWEEN join and
+    // planned by the RangeJoinRewrite optimizer rule — proving the
+    // injected Catalyst rule produces the hash plan (and the same rows)
+    // for users who never call the explicit operator
+    "q60_range_join_rewrite" -> ((s, dir) => {
+      import graft.plans.RangeJoinRewrite
+      if (!s.experimental.extraOptimizations.contains(RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ RangeJoinRewrite
+      val hourUs = 3600L * 1000000L
+      s.conf.set(RangeJoinRewrite.BinWidthKey, hourUs.toString)
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("pt"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("ws"),
+          (unix_micros(col("ts")) + hourUs).as("we"))
+      clicks.join(windows, col("pt") >= col("ws") && col("pt") <= col("we"))
+        .select(col("click_id"), col("window_id"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1700,5 +1723,12 @@ object SparkEntry {
                WHERE event_type = 'error') e
            ON p.ts <= e.ts + INTERVAL 1 HOUR
           AND e.ts <= p.ts + INTERVAL 1 HOUR""",
+    "q60_range_join_rewrite" ->
+      """SELECT c.event_id AS click_id, p.event_id AS window_id
+         FROM (SELECT event_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+           ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""",
   )
 }

@@ -363,11 +363,14 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the graft
-  * SQL functions at session build time — the deployment path for clusters
-  * where user code doesn't own session construction. */
+  * SQL functions and optimizer rules at session build time — the
+  * deployment path for clusters where user code doesn't own session
+  * construction. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.sqlFunctions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

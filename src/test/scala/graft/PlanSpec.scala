@@ -163,6 +163,14 @@ class PlanSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("q60: the optimizer rule plans the raw BETWEEN join hash-based") {
+    val p = plan("q60_range_join_rewrite")
+    assert(!p.contains("NestedLoopJoin"),
+      "RangeJoinRewrite did not fire in the gate plan:\n" + p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
   test("q59: interval overlap is a hash equi-join on bins") {
     val p = plan("q59_interval_overlap")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
