@@ -751,6 +751,13 @@ object SparkEntry {
       clicks.join(windows, col("pt") >= col("ws") && col("pt") <= col("we"))
         .select(col("click_id"), col("window_id"))
     }),
+
+    // RAG-style sliding-window chunking (8-token windows, stride 4 →
+    // 4-token overlap): pure map-side generate, zero shuffles
+    "q61_chunk_text" -> ((s, dir) => {
+      TextAnalysis.chunkText(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8, strideTokens = 4)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1730,5 +1737,21 @@ object SparkEntry {
          JOIN (SELECT event_id, ts FROM events
                WHERE event_type = 'purchase') p
            ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""",
+    "q61_chunk_text" ->
+      """WITH tkk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(k AS INT) AS chunk_id,
+             tk[CAST(k AS INT) * 4 + 1 : CAST(k AS INT) * 4 + 8] AS ck
+           FROM (SELECT doc_id, tk,
+                   unnest(range(0,
+                     CAST(floor((len(tk) - 1) / 4.0) AS BIGINT) + 1)) AS k
+                 FROM tkk WHERE len(tk) > 0))
+         SELECT doc_id, chunk_id, CAST(len(ck) AS INT) AS n_chunk_tokens,
+           array_to_string(ck, ' ') AS chunk_text
+         FROM c""",
   )
 }

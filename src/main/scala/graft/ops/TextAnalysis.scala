@@ -212,6 +212,33 @@ object TextAnalysis {
         round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
           .as("mean_tokens"))
 
+  /** Sliding-window text chunking with overlap — the RAG/embedding
+    * pipeline splitter: chunk k covers tokens [k·stride, k·stride+window)
+    * of the lower-cased whitespace tokenization ([[Dedup.tokens]]), so
+    * consecutive chunks overlap by (window − stride) tokens. The final
+    * chunk may be shorter; empty documents produce no chunks. Pure
+    * map-side generate (one posexplode over the chunk indices, token
+    * array bound ONCE per row before the lambda), zero shuffles. Returns
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1 &&
+      strideTokens <= windowTokens,
+      s"need 1 <= stride <= window, got $strideTokens/$windowTokens")
+    df.select(col(idCol).as("doc_id"),
+        graft.ops.Dedup.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0L),
+          floor((size(col("tk")) - 1) / strideTokens).cast("long"))))
+      .select(col("doc_id"), col("col").cast("int").as("chunk_id"),
+        slice(col("tk"), col("col").cast("int") * strideTokens + 1,
+          lit(windowTokens)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).as("n_chunk_tokens"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+  }
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -171,6 +171,13 @@ class PlanSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("q61: chunking is a pure map-side generate — zero shuffles") {
+    val p = plan("q61_chunk_text")
+    assert(!p.contains("Exchange"),
+      "chunking must not shuffle:\n" + p.take(2000))
+    assert(p.contains("Generate"))
+  }
+
   test("q59: interval overlap is a hash equi-join on bins") {
     val p = plan("q59_interval_overlap")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),

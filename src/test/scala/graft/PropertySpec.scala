@@ -97,4 +97,41 @@ class PropertySpec extends SparkSuite {
         }
     }
   }
+
+  private val randIntervals: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.choose(-50L, 150L), Gen.choose(0L, 40L)))
+      .map(_.zipWithIndex.map { case ((s, len), i) =>
+        // mix of proper, zero-length and inverted intervals
+        (i.toLong, s, if (i % 7 == 0) s - 1 else s + len)
+      })
+
+  test("property: bin range/overlap joins equal the naive quadratic join") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val points = (0L until 40L).map(i => (i, i * 5 - 30)).toDF("pid", "p")
+    samples(randIntervals, 5).foreach { ivs =>
+      val idf = ivs.toDF("iid", "s", "e")
+      for (width <- Seq(3L, 10L, 64L)) {
+        val got = RangeJoin.pointInInterval(points, "pid", "p",
+          idf, "iid", "s", "e", binWidth = width)
+          .select("point_id", "interval_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val want = for {
+          (pid, p) <- (0L until 40L).map(i => (i, i * 5 - 30))
+          (iid, s, e) <- ivs if p >= s && p <= e
+        } yield (pid, iid)
+        assert(got.length === got.toSet.size, s"dupes at width=$width")
+        assert(got.toSet === want.toSet, s"width=$width ivs=$ivs")
+        val gotO = RangeJoin.intervalOverlap(idf, "iid", "s", "e",
+          idf, "iid", "s", "e", binWidth = width)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val wantO = for {
+          (a, as, ae) <- ivs if ae >= as
+          (b, bs, be) <- ivs if be >= bs && as <= be && bs <= ae
+        } yield (a, b)
+        assert(gotO.length === gotO.toSet.size, s"overlap dupes w=$width")
+        assert(gotO.toSet === wantO.toSet, s"width=$width ivs=$ivs")
+      }
+    }
+  }
 }

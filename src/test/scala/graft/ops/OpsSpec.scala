@@ -705,6 +705,26 @@ class OpsSpec extends SparkSuite {
     assert(out.toSet === Set((1L, 10L), (2L, 10L), (3L, 10L), (3L, 30L)))
   }
 
+  test("chunkText: overlapping windows, short tail, empty doc dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than the window
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(docs, "doc_id", "text",
+      windowTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    // doc 1: starts 0,2,4,6,8 → last two chunks shorten
+    assert(out((1L, 0)) === ((4, "a b c d")))
+    assert(out((1L, 1)) === ((4, "c d e f")))
+    assert(out((1L, 3)) === ((4, "g h i j")))
+    assert(out((1L, 4)) === ((2, "i j")))
+    assert(out((2L, 0)) === ((2, "x y")))
+    assert(!out.keySet.exists(_._1 == 3L)) // empty doc → no chunks
+    assert(out.size === 6)
+  }
+
   test("multimodal: synthetic assets → features, frames, resize") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
