@@ -758,6 +758,37 @@ object SparkEntry {
       TextAnalysis.chunkText(t(s, dir, "documents"), "doc_id", "text",
         windowTokens = 8, strideTokens = 4)
     }),
+
+    // Line-level boilerplate removal (CCNet/RefinedWeb): the synthetic
+    // docs are single-line, so the query appends the footer lines a web
+    // crawl would carry ("source: X", "lang: Y", an unsubscribe line) —
+    // each repeated across many docs — and the operator strips exactly
+    // those while the unique body lines survive
+    "q62_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val multi = docs.select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("source: "), col("source")),
+          concat(lit("lang: "), col("lang")),
+          lit("unsubscribe from this newsletter")).as("text"))
+      TextAnalysis.removeDuplicateLines(multi, "doc_id", "text",
+        minCount = 5)
+    }),
+
+    // Corpus heavy hitters: top-20 word trigrams with occurrence and
+    // document counts via the bounded top-k aggregate (O(k) partial
+    // buffers), NOT a global sort-limit over the gram table
+    "q63_frequent_ngrams" -> ((s, dir) => {
+      TextAnalysis.frequentNgrams(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, k = 20)
+    }),
+
+    // Deterministic global shuffle: salted portable key + dense global
+    // position via the two-phase distributed prefix count — no
+    // single-reducer row_number window
+    "q64_global_shuffle" -> ((s, dir) => {
+      Splits.deterministicShuffle(t(s, dir, "documents"), "doc_id")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1753,5 +1784,65 @@ object SparkEntry {
          SELECT doc_id, chunk_id, CAST(len(ck) AS INT) AS n_chunk_tokens,
            array_to_string(ck, ' ') AS chunk_text
          FROM c""",
+    "q62_line_dedup" ->
+      """WITH docs2 AS (
+           SELECT doc_id,
+             text || chr(10) || 'source: ' || source || chr(10) ||
+               'lang: ' || lang || chr(10) ||
+               'unsubscribe from this newsletter' AS text
+           FROM documents),
+         lx AS (
+           SELECT doc_id, arr,
+             CAST(unnest(range(1, len(arr) + 1)) AS INT) AS pos
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+                 FROM docs2)),
+         ln AS (SELECT doc_id, pos, arr[pos] AS line FROM lx),
+         dup AS (
+           SELECT line, count(*) AS n FROM ln
+           WHERE trim(line) <> '' GROUP BY line
+           HAVING count(*) >= 5),
+         j AS (
+           SELECT l.doc_id, l.pos, l.line,
+             (d.line IS NOT NULL) AS rm
+           FROM ln l LEFT JOIN dup d ON l.line = d.line)
+         SELECT doc_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+             FILTER (WHERE NOT rm), '') AS clean_text
+         FROM j GROUP BY doc_id""",
+    "q63_frequent_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS s
+           FROM toks),
+         g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         stats AS (
+           SELECT gram, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+           FROM g GROUP BY gram),
+         r AS (
+           SELECT gram, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rk
+           FROM stats)
+         SELECT CAST(rk AS INT) AS rank, gram, n_occurrences, n_docs
+         FROM r WHERE rk <= 20""",
+    "q64_global_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id AS id,
+             CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+               1, 13)) AS BIGINT) AS shuffle_key
+           FROM documents)
+         SELECT id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, id) - 1 AS BIGINT)
+             AS position
+         FROM k""",
   )
 }

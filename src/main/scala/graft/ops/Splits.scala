@@ -104,6 +104,48 @@ object Splits {
         splitLabel(coalesce(col("cluster_id"), col(idCol)), weights, salt))
       .drop("cluster_id")
 
+  /** Deterministic global shuffle: every row gets a salted portable
+    * 52-bit `shuffle_key` and its dense global `position` (0-based) in
+    * key order — the reproducible corpus permutation a training run reads
+    * in, with ties (hash collisions) broken by id so the order is total.
+    * Changing the salt re-draws the whole permutation.
+    *
+    * `position` is a GLOBAL rank, which a bare `row_number()` window
+    * computes on ONE reducer task (the 100 TB killer). This runs the
+    * two-phase distributed prefix count instead (the [[Packing]] scheme,
+    * but blocked on the KEY space, which the hash makes uniform by
+    * construction): per-block row counts → `buckets` longs on the driver
+    * → per-block `row_number` windows that run in parallel, shifted by
+    * the broadcast cumulative offsets. The block is a pure function of
+    * the key, so both phases agree under retries/re-partitioning and
+    * nothing needs caching. One aggregate + one window shuffle of the
+    * (id, key) projection; the widest driver state is `buckets` longs. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = "graft", buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val key = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val blockWidth = (1L << 52) / buckets + 1
+    val base = df.select(col(idCol).as("id"), key.as("shuffle_key"),
+      (key / blockWidth).cast("long").as("block"))
+    val offsets: Map[Long, Long] = {
+      val counts = base.groupBy(col("block"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      counts.map { case (b, c) => val o = acc; acc += c; b -> o }.toMap
+    }
+    if (offsets.isEmpty)
+      return base.select(col("id"), col("shuffle_key"),
+        lit(0L).as("position")).limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"))
+      .orderBy(col("shuffle_key"), col("id"))
+    base.select(col("id"), col("shuffle_key"),
+      (row_number().over(w).cast("long") - 1L +
+        element_at(typedLit(offsets), col("block"))).as("position"))
+  }
+
   /** Deterministic per-stratum quota: min(n, |stratum|) rows per stratum,
     * picked by ascending salted portable hash — a reproducible "take N
     * documents per source" with no `rand()` and no global sort. Runs

@@ -239,6 +239,74 @@ object TextAnalysis {
         concat_ws(" ", col("ck")).as("chunk_text"))
   }
 
+  /** CCNet/RefinedWeb-style line-level dedup: strips lines that repeat
+    * across the corpus at least `minCount` times (navigation chrome,
+    * cookie banners, unsubscribe footers — the boilerplate that survives
+    * document-level dedup because every HOSTING page differs). Blank /
+    * whitespace-only lines are structure, not content: they are never
+    * counted and never removed. Returns one row per input document:
+    * (doc_id, n_lines, n_removed, clean_text) with surviving lines
+    * rejoined in original order (empty string when nothing survives).
+    *
+    * Shape at scale: lines join the frequency table AS STRINGS (the
+    * Dedup.jaccard precedent — oracle-portable; hash them first at
+    * extreme scale), but the frequency side is pre-filtered to lines at
+    * or above `minCount`, so the join's build side is only the
+    * boilerplate set — small enough that AQE turns the join broadcast —
+    * and the corpus-wide line table crosses the wire once for the count
+    * and once for the doc-reassembly groupBy. `collect_list` buffers are
+    * document-bounded (one doc's lines), never corpus-bounded. */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val dup = lines.where(length(trim(col("line"))) > 0)
+      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    lines.join(dup, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("n")).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("n").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
+  /** Corpus-wide heavy hitters: the k most frequent word n-grams with
+    * occurrence and document counts — the audit table behind boilerplate
+    * detection, stopword-list induction and contamination triage. Ties
+    * break by gram ascending (deterministic). N-gram construction is
+    * [[Dedup.wordShingles]] (a document shorter than n tokens contributes
+    * its whole token string as one gram).
+    *
+    * Shape at scale: explode → one map-side-combined groupBy(gram) for
+    * (count, doc-count), then the bounded [[graft.functions.TopKByScore]]
+    * aggregate — O(k) partial buffers per map task, k×partitions rows
+    * into the single final reducer — NOT a global ORDER BY ... LIMIT,
+    * which would sort the full gram table. The k winners broadcast back
+    * onto the stats frame for their doc counts; Catalyst's ReuseExchange
+    * evaluates the underlying gram aggregation once. */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got $n/$k")
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    val stats = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val top = stats.groupBy()
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("n_occurrences").cast("double"), col("gram"), k).as("topk"))
+      .select(posexplode(col("topk")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("gram"))
+    stats.join(broadcast(top), Seq("gram"))
+      .select(col("rank"), col("gram"), col("n_occurrences"),
+        col("n_docs"))
+  }
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -216,4 +216,32 @@ class PlanSpec extends SparkSuite {
     // per-epoch table
     assert(p.contains("Generate"), p.take(2000))
   }
+
+  test("q62: line dedup joins the pre-filtered boilerplate set, no " +
+      "cartesian") {
+    val p = plan("q62_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // reassembly buffers are doc-bounded collect_list aggregates
+    assert(p.contains("collect_list"), p.take(2000))
+  }
+
+  test("q63: heavy hitters run the bounded top-k aggregate, not a global " +
+      "sort-limit or window") {
+    val p = plan("q63_frequent_ngrams")
+    assert(p.contains("partial_topk_by_score"), p.take(2000))
+    assert(!p.contains("Window"),
+      "a rank window would single-reduce the gram table:\n" + p.take(2000))
+    // winners broadcast back onto the stats frame
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q64: global shuffle rank windows are PARTITIONED (two-phase " +
+      "prefix count, no single-reducer rank)") {
+    val p = plan("q64_global_shuffle")
+    assert(p.contains("Window"), p.take(2000))
+    // a bare global row_number plans as Exchange SinglePartition before
+    // the window — the 100 TB killer this operator exists to avoid
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
 }

@@ -741,4 +741,64 @@ class OpsSpec extends SparkSuite {
     val metas = resized.select("meta.width", "meta.height").collect()
     assert(metas.forall(r => r.getInt(0) <= 256 && r.getInt(1) <= 256))
   }
+
+  test("removeDuplicateLines: strips corpus-frequent lines, keeps blanks " +
+      "and order") {
+    import spark.implicits._
+    val footer = "unsubscribe here"
+    val in = Seq(
+      (1L, s"alpha body one\n\n$footer"),
+      (2L, s"beta body two\n$footer"),
+      (3L, s"$footer\ngamma body three\n$footer"),
+      (4L, footer), // nothing survives
+      (5L, "")). // single blank line, untouched
+      toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateLines(in, "doc_id", "text",
+      minCount = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // footer appears 4x (docs 1,2,3x2) >= 3 → removed everywhere
+    assert(out(1L) === ((3L, 1L, "alpha body one\n"))) // blank line kept
+    assert(out(2L) === ((2L, 1L, "beta body two")))
+    assert(out(3L) === ((3L, 2L, "gamma body three"))) // order preserved
+    assert(out(4L) === ((1L, 1L, "")))
+    assert(out(5L) === ((1L, 0L, "")))
+  }
+
+  test("removeDuplicateLines: below-threshold lines survive") {
+    import spark.implicits._
+    val in = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateLines(in, "doc_id", "text",
+      minCount = 3).where(col("n_removed") > 0).count()
+    assert(out === 0)
+  }
+
+  test("frequentNgrams: counts, doc counts, deterministic tie order") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "a b c a b c"), // "a b c" x2, "b c a" x1, "c a b" x1
+      (2L, "a b c d"),     // "a b c" x1, "b c d" x1
+      (3L, "x y")).        // short doc → single gram "x y"
+      toDF("doc_id", "text")
+    val rows = TextAnalysis.frequentNgrams(in, "doc_id", "text", n = 3,
+      k = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows(0) === ((1, "a b c", 3L, 2L)))
+    // count-1 ties break by gram ascending
+    assert(rows(1) === ((2, "b c a", 1L, 1L)))
+    assert(rows(2) === ((3, "b c d", 1L, 1L)))
+  }
+
+  test("frequentNgrams equals sort-limit reference on the fixture") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fast = TextAnalysis.frequentNgrams(d, "doc_id", "text", 2, 25)
+    val grams = d.select(col("doc_id"),
+      explode(Dedup.wordShingles(col("text"), 2)).as("gram"))
+    val ref = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram")).limit(25)
+    assert(fast.orderBy("rank").drop("rank").collect().toSeq ===
+      ref.collect().toSeq)
+  }
 }

@@ -190,6 +190,37 @@ class SplitsPackingSpec extends SparkSuite {
       plain.filterNot(kv => Set(1L, 2L, 11L)(kv._1)))
   }
 
+  test("deterministicShuffle: dense total order matching the global sort, " +
+      "stable under physical layout") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val out = Splits.deterministicShuffle(ids, "doc_id", buckets = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are a dense permutation 0..N-1
+    assert(out.map(_._3).sorted === (0L until 500L).toArray)
+    // and equal the rank in a plain (key, id) sort
+    val expected = out.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> i.toLong }.toMap
+    assert(out.forall(t => expected(t._1) === t._3))
+    // re-partitioning the input must not move anyone
+    val shuffled = Splits.deterministicShuffle(
+      ids.repartition(13), "doc_id", buckets = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall(t => shuffled(t._1) === t._3))
+    // a different salt is a different permutation
+    val reseeded = Splits.deterministicShuffle(ids, "doc_id", salt = "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.exists(t => reseeded(t._1) !== t._3))
+  }
+
+  test("deterministicShuffle: empty input yields empty output") {
+    import spark.implicits._
+    val out = Splits.deterministicShuffle(
+      Seq.empty[Long].toDF("doc_id"), "doc_id")
+    assert(out.count() === 0)
+    assert(out.columns === Array("id", "shuffle_key", "position"))
+  }
+
   test("quotaSample: n per stratum by hash order, matches a window ref") {
     val q = Splits.quotaSample(ids, "id", "stratum", n = 25).cache()
     val counts = q.groupBy("stratum").count().collect()
