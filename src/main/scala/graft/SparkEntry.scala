@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.closure.TransitiveClosure
-import graft.ops.{Dedup, Mixing, Multimodal, Packing, Similarity, Splits, TextAnalysis}
+import graft.ops.{Dedup, Layout, Mixing, Multimodal, Packing, Profiling, Similarity, Splits, TextAnalysis}
 import graft.terminology._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -788,6 +788,55 @@ object SparkEntry {
     // single-reducer row_number window
     "q64_global_shuffle" -> ((s, dir) => {
       Splits.deterministicShuffle(t(s, dir, "documents"), "doc_id")
+    }),
+
+    // Z-order layout key: Morton code of (user_id, event time) quantized
+    // to 8 bits each against their global ranges (one-row stats aggregate
+    // attached by broadcast cross join) — the sort key behind
+    // OPTIMIZE ZORDER BY, giving file-level min/max pruning on BOTH
+    // columns after a range-partitioned write
+    "q65_zorder_key" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"))
+      Layout.withZValue(ev, Seq("user_id", "tsu"), bits = 8)
+        .select(col("event_id"), col("zval"))
+    }),
+
+    // Join-skew diagnosis: top-15 heaviest user_ids with share and
+    // over-representation ratio — the table you read before deciding to
+    // salt a 100 TB shuffle; bounded top-k aggregate, no global sort
+    "q66_key_skew" -> ((s, dir) => {
+      Profiling.keySkew(t(s, dir, "events"), "user_id", k = 15)
+    }),
+
+    // Stream-static enrichment: the event stream left-joins the customer
+    // dimension (explicitly broadcast → stateless map-side hash join per
+    // micro-batch, no state store); verified against the batch left join
+    "q68_stream_enrich" -> ((s, dir) => {
+      s.catalog.dropTempView("q68_stream_out")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val st = graft.streaming.Streams.enrichStream(
+        graft.streaming.Streams.eventStream(s, dir), dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("segment"), lit("unknown")).as("segment"))
+      graft.streaming.Streams.runToMemory(s, st, "q68_stream_out",
+        outputMode = "append", statePartitions = Some(8))
+    }),
+
+    // Incremental exact dedup: the first half of the corpus is the
+    // persisted fingerprint index, the second half the new ingestion
+    // batch — each batch row classified index_dup / batch_dup / new with
+    // one join on content_hash + one batch-only window
+    "q67_incremental_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.exactFingerprints(
+        docs.where(col("doc_id") < 250), "doc_id", "text")
+      val batch = Dedup.exactFingerprints(
+        docs.where(col("doc_id") >= 250), "doc_id", "text")
+      Dedup.incrementalExactDedup(index, batch)
     }),
   )
 
@@ -1844,5 +1893,66 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY shuffle_key, id) - 1 AS BIGINT)
              AS position
          FROM k""",
+    "q65_zorder_key" ->
+      """WITH src AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+         st AS (
+           SELECT min(user_id) AS lo0, max(user_id) AS hi0,
+                  min(tsu) AS lo1, max(tsu) AS hi1
+           FROM src),
+         q AS (
+           SELECT event_id,
+             CASE WHEN hi0 <= lo0 THEN 0 ELSE CAST(floor(
+               (CAST(user_id AS DOUBLE) - CAST(lo0 AS DOUBLE)) * 255 /
+               (CAST(hi0 AS DOUBLE) - CAST(lo0 AS DOUBLE))) AS BIGINT)
+             END AS q0,
+             CASE WHEN hi1 <= lo1 THEN 0 ELSE CAST(floor(
+               (CAST(tsu AS DOUBLE) - CAST(lo1 AS DOUBLE)) * 255 /
+               (CAST(hi1 AS DOUBLE) - CAST(lo1 AS DOUBLE))) AS BIGINT)
+             END AS q1
+           FROM src CROSS JOIN st)
+         SELECT event_id,
+           CAST(list_sum(list_transform(range(0, 8), b ->
+             (((q0 >> b) & 1) << (2 * b)) +
+             (((q1 >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zval
+         FROM q""",
+    "q66_key_skew" ->
+      """WITH c AS (
+           SELECT user_id AS key, count(*) AS n_rows
+           FROM events GROUP BY user_id),
+         t AS (
+           SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             count(*) AS n_keys
+           FROM c),
+         r AS (
+           SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key) AS rk
+           FROM c)
+         SELECT CAST(rk AS INT) AS rank, key, n_rows,
+           round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+           round(CAST(n_rows AS DOUBLE) * n_keys / total, 4) AS skew_ratio
+         FROM r CROSS JOIN t WHERE rk <= 15""",
+    "q67_incremental_exact" ->
+      """WITH idx AS (
+           SELECT DISTINCT md5(text) AS content_hash
+           FROM documents WHERE doc_id < 250),
+         b AS (
+           SELECT doc_id AS id, md5(text) AS content_hash
+           FROM documents WHERE doc_id >= 250),
+         m AS (
+           SELECT id, content_hash,
+             min(id) OVER (PARTITION BY content_hash) AS min_id,
+             content_hash IN (SELECT content_hash FROM idx) AS hit
+           FROM b)
+         SELECT id, content_hash,
+           CASE WHEN hit THEN 'index_dup'
+                WHEN id = min_id THEN 'new'
+                ELSE 'batch_dup' END AS status
+         FROM m""",
+    "q68_stream_enrich" ->
+      """SELECT e.event_id, e.user_id,
+           COALESCE(c.c_mktsegment, 'unknown') AS segment
+         FROM events e
+         LEFT JOIN customer c ON c.c_custkey = e.user_id""",
   )
 }

@@ -33,6 +33,39 @@ object Dedup {
         count(lit(1)).as("n_dups"))
       .where(col("n_dups") > 1)
 
+  /** Content-fingerprint index for exact dedup — the persisted artifact
+    * an incremental pipeline keeps (partition/bucket it by
+    * `content_hash`): (id, content_hash) per corpus row. */
+  def exactFingerprints(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(col(contentCol)).as("content_hash"))
+
+  /** Incremental exact dedup: classify a NEW batch against the persisted
+    * fingerprint index — the steady-state form of [[exact]] at 100 TB,
+    * where re-hashing the whole corpus per ingestion is the cost to kill.
+    * Each batch row gets a `status`: `index_dup` (content already in the
+    * corpus), `batch_dup` (first seen in this batch, but a smaller-id
+    * batch row is the keeper), or `new` (the keeper). Keep `new`, drop
+    * the rest, append the kept fingerprints to the index.
+    *
+    * Shape at scale: one semi-join-shaped left join on content_hash
+    * (batch side tiny vs corpus; both sides hash-partition on the join
+    * key — bucket the index by content_hash and the index side never
+    * re-shuffles) plus one batch-only window partitioned by hash. */
+  def incrementalExactDedup(index: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val hits = index.select(col("content_hash")).distinct()
+      .withColumn("__hit", lit(1))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("id").asc)
+    batch.select(col("id"), col("content_hash"))
+      .join(hits, Seq("content_hash"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("id"), col("content_hash"),
+        when(col("__hit").isNotNull, lit("index_dup"))
+          .when(col("__rn") === 1, lit("new"))
+          .otherwise(lit("batch_dup")).as("status"))
+  }
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning at 100 TB: Z-order
+  * (Morton) clustering. Sorting a table by one column gives perfect
+  * min/max pruning on that column and none on any other; interleaving the
+  * bits of several quantized columns into one sort key gives every
+  * interleaved column locality, so file-level min/max statistics prune
+  * scans filtered on ANY of them (the standard lakehouse OPTIMIZE ZORDER
+  * BY). The z-value is a pure per-row expression — quantize each column
+  * against its global range, interleave bits — so the whole operator is
+  * one range repartition + within-partition sort, exactly the shuffle a
+  * plain global sort costs.
+  *
+  * Quantization needs each column's global (min, max): computed in one
+  * tiny aggregate and attached via a broadcast cross join (one row), so
+  * the plan stays fully declarative — no driver-side collect between the
+  * stats and the layout.
+  */
+object Layout {
+
+  /** Morton interleave of already-quantized non-negative long columns
+    * (each in [0, 2^bits)): bit b of column i lands at position
+    * b * numCols + i. Total bits must fit a signed long. */
+  def interleaveBits(qs: Seq[Column], bits: Int): Column = {
+    require(qs.nonEmpty, "need at least one column")
+    require(bits >= 1 && bits * qs.size <= 62,
+      s"bits * cols must fit a signed long, got $bits * ${qs.size}")
+    val terms = for {
+      b <- 0 until bits
+      (q, i) <- qs.zipWithIndex
+    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)),
+      b * qs.size + i)
+    terms.reduce((a, c) => a.bitwiseOR(c)).cast("long")
+  }
+
+  /** Scales `x` from [lo, hi] onto the integer grid [0, 2^bits); a
+    * degenerate range (hi = lo) maps everything to 0. */
+  def quantize(x: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val cells = (1L << bits) - 1
+    when(hi <= lo, lit(0L)).otherwise(
+      floor((x.cast("double") - lo.cast("double")) * cells /
+        (hi.cast("double") - lo.cast("double"))).cast("long"))
+  }
+
+  /** Adds a `zval` column: the Morton code of the given numeric columns,
+    * each quantized to `bits` bits against its global min/max (computed
+    * in one one-row aggregate, attached by broadcast cross join). */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val stats = df.agg(
+      min(col(cols.head)).as(s"__lo_0"),
+      (max(col(cols.head)).as(s"__hi_0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).as(s"__lo_${i + 1}"),
+            max(col(c)).as(s"__hi_${i + 1}"))
+        }): _*)
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      quantize(col(c), col(s"__lo_$i"), col(s"__hi_$i"), bits)
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("zval", interleaveBits(qs, bits))
+      .drop(cols.indices.flatMap(i => Seq(s"__lo_$i", s"__hi_$i")): _*)
+  }
+
+  /** Z-order the table: compute `zval` and lay rows out by it (range
+    * repartition so partitions are contiguous z-ranges, then sort within
+    * partitions — the same two steps a plain global sort costs). A
+    * downstream partitioned/bucketed write then produces files whose
+    * min/max stats are tight on EVERY interleaved column. */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      partitions: Option[Int] = None): DataFrame = {
+    val z = withZValue(df, cols, bits)
+    val ranged = partitions match {
+      case Some(n) => z.repartitionByRange(n, col("zval"))
+      case None => z.repartitionByRange(col("zval"))
+    }
+    ranged.sortWithinPartitions(col("zval"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution profiling for join/aggregation planning at scale: before
+  * shuffling 100 TB on a key, you want to know whether one key owns half
+  * the table (→ salt it, or let AQE split it) — after the shuffle the
+  * straggler has already happened.
+  */
+object Profiling {
+
+  /** Heavy-hitter profile of a key column: the k most frequent keys with
+    * row counts, share of the table, and `skew_ratio` — share × distinct
+    * key count, i.e. how many times over-represented the key is vs a
+    * uniform spread (1.0 = perfectly uniform; a key with ratio 50 makes
+    * its shuffle partition ~50× the average). Ties break by key
+    * ascending.
+    *
+    * Shape at scale: one map-side-combined groupBy(key) — the same
+    * shuffle the join under diagnosis would do, but carrying only
+    * (key, count) — then the bounded [[graft.functions.TopKByScore]]
+    * aggregate (O(k) partial buffers) for the winners and a broadcast of
+    * the k-row result back onto the counts; the one-row totals frame
+    * attaches by broadcast cross join. No global sort, no window. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    val top = counts.groupBy()
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("n_rows").cast("double"), col("key"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("key"))
+    counts.join(broadcast(top), Seq("key"))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") * col("__n_keys") /
+          col("__total"), 4).as("skew_ratio"))
+  }
+}

@@ -250,6 +250,18 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: every micro-batch left-joins a STATIC
+    * dimension (feature/profile lookup — the standard streaming enrich).
+    * The dimension is explicitly broadcast, so each micro-batch is a
+    * map-side hash join: no per-batch shuffle of the stream, no state
+    * store (stateless — late data needs no watermark here). At 100 TB/day
+    * the dimension is the thing to keep small or pre-bucketed; a
+    * stream-STREAM join is a different operator (stateful, watermarked)
+    * and deliberately not this one. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming events source over the testdata parquet layout (ts arrives as
     * TIMESTAMP(NANOS) → long under nanosAsLong, converted to micros). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

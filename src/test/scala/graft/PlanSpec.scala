@@ -244,4 +244,18 @@ class PlanSpec extends SparkSuite {
     // the window — the 100 TB killer this operator exists to avoid
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
+
+  test("q65: z-value stats attach by broadcast; the table itself never " +
+      "joins shuffled") {
+    val p = plan("q65_zorder_key")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q66: key-skew profile is a bounded top-k aggregate, not a " +
+      "global sort or window") {
+    val p = plan("q66_key_skew")
+    assert(p.contains("partial_topk_by_score"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }

@@ -134,4 +134,75 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: line dedup equals the sequential reference") {
+    import spark.implicits._
+    // random multi-line docs over a tiny line alphabet so cross-doc
+    // repetition actually occurs; blank lines mixed in
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "", "  ")
+    val docGen = Gen.listOfN(5, lineGen).map(_.mkString("\n"))
+    val corpusGen = Gen.listOfN(12, docGen)
+    samples(corpusGen, 5).foreach { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      for (minCount <- Seq(2, 4)) {
+        val got = graft.ops.TextAnalysis.removeDuplicateLines(
+          rows.toDF("doc_id", "text"), "doc_id", "text", minCount)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getString(3)))).toMap
+        val counts = rows.flatMap(_._2.split("\n", -1))
+          .filter(_.trim.nonEmpty).groupBy(identity).map {
+            case (l, o) => l -> o.size
+          }
+        rows.foreach { case (id, text) =>
+          val lines = text.split("\n", -1)
+          val removed = lines.count(l =>
+            l.trim.nonEmpty && counts(l) >= minCount)
+          val kept = lines.filterNot(l =>
+            l.trim.nonEmpty && counts(l) >= minCount).mkString("\n")
+          assert(got(id) === ((lines.length.toLong, removed.toLong, kept)),
+            s"doc=$id minCount=$minCount texts=$texts")
+        }
+      }
+    }
+  }
+
+  test("property: deterministic shuffle position is the sorted-key rank " +
+      "for any bucket count") {
+    import spark.implicits._
+    val idGen = Gen.listOfN(80, Gen.choose(0L, 10000L)).map(_.distinct)
+    samples(idGen, 4).zipWithIndex.foreach { case (ids, i) =>
+      val out = graft.ops.Splits.deterministicShuffle(
+        ids.toDF("id"), "id", salt = s"s$i",
+        buckets = Seq(1, 5, 64, 1000)(i % 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val byRank = out.sortBy(t => (t._2, t._1)).map(_._1)
+      out.foreach { case (id, _, pos) =>
+        assert(byRank(pos.toInt) === id, s"ids=$ids")
+      }
+      assert(out.map(_._3).sorted === ids.indices.map(_.toLong).toArray)
+    }
+  }
+
+  test("property: z-value interleave preserves per-dimension bit order") {
+    import spark.implicits._
+    val pairGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))
+    samples(pairGen, 3).foreach { pairs =>
+      val out = pairs.toDF("a", "b")
+        .select(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"),
+          graft.ops.Layout.interleaveBits(Seq(
+            org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")), 8).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out.foreach { case (a, b, z) =>
+        // de-interleave recovers both inputs
+        def unpick(z: Long, off: Int): Long =
+          (0 until 8).map(bit => ((z >> (2 * bit + off)) & 1L) << bit).sum
+        assert(unpick(z, 0) === a && unpick(z, 1) === b,
+          s"a=$a b=$b z=$z")
+      }
+    }
+  }
 }

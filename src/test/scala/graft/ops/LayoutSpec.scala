@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSuite {
+
+  private def mortonRef(xs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (b <- 0 until bits; i <- xs.indices)
+      z |= ((xs(i) >> b) & 1L) << (b * xs.size + i)
+    z
+  }
+
+  test("interleaveBits matches the reference morton code") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val out = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.interleaveBits(Seq(col("a"), col("b"), col("c")), 8)
+          .as("z"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(3) ===
+        mortonRef(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 8))
+    }
+  }
+
+  test("quantize maps range endpoints to grid endpoints, degenerate to 0") {
+    import spark.implicits._
+    val out = Seq((0L, 0L, 100L), (100L, 0L, 100L), (50L, 0L, 100L),
+      (7L, 7L, 7L))
+      .toDF("x", "lo", "hi")
+      .select(Layout.quantize(col("x"), col("lo"), col("hi"), 8).as("q"))
+      .collect().map(_.getLong(0))
+    assert(out === Array(0L, 255L, 127L, 0L))
+  }
+
+  test("zorder layout bounds per-partition spans on BOTH dimensions") {
+    import spark.implicits._
+    // deterministic 64x64 grid
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    def avgSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df
+        .select(col("x"), col("y"), spark_partition_id().as("p"))
+        .groupBy(col("p"))
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).head()
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val (zx, zy) = avgSpans(
+      Layout.zorderBy(grid, Seq("x", "y"), bits = 6,
+        partitions = Some(16)).drop("zval"))
+    val (sx, sy) = avgSpans(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")))
+    // x-sort gives perfect x locality but NO y locality; z-order bounds
+    // both: each of 16 partitions covers ~1/16 of z-space = a box of
+    // ~1/4 x-range x 1/4 y-range
+    assert(sy > 55.0, s"x-sorted layout should have no y locality: $sy")
+    assert(zx < 32.0 && zy < 32.0,
+      s"z-order should bound both spans, got x=$zx y=$zy")
+    assert(zy < sy / 2, s"z-order y span $zy vs x-sort y span $sy")
+  }
+
+  test("withZValue: stats attach by broadcast, zval agrees with explicit " +
+      "quantization") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1000L), (2L, 20L, 2000L), (3L, 30L, 3000L))
+      .toDF("id", "a", "b")
+    val out = Layout.withZValue(df, Seq("a", "b"), bits = 8)
+      .select("id", "zval").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a,b ranges [10,30] / [1000,3000]: quantized 0/127/255 each
+    assert(out(1L) === mortonRef(Seq(0L, 0L), 8))
+    assert(out(2L) === mortonRef(Seq(127L, 127L), 8))
+    assert(out(3L) === mortonRef(Seq(255L, 255L), 8))
+    val plan = Layout.withZValue(df, Seq("a", "b"), bits = 8)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+}

@@ -789,6 +789,43 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, "b c d", 1L, 1L)))
   }
 
+  test("incrementalExactDedup: index hits, within-batch keepers, new") {
+    import spark.implicits._
+    val index = Dedup.exactFingerprints(
+      Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = Dedup.exactFingerprints(Seq(
+      (10L, "seen before"),   // index_dup
+      (11L, "brand new"),     // new (keeper of its batch group)
+      (12L, "brand new"),     // batch_dup of 11
+      (13L, "alone")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Dedup.incrementalExactDedup(index, batch)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(10L -> "index_dup", 11L -> "new",
+      12L -> "batch_dup", 13L -> "new"))
+  }
+
+  test("keySkew: counts, shares, over-representation ratio, tie order") {
+    import spark.implicits._
+    // key 1: 6 rows, key 2: 2 rows, keys 3/4: 1 row each → 10 rows, 4 keys
+    val in = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .toDF("k")
+    val rows = Profiling.keySkew(in, "k", k = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows(0) === ((1, 1L, 6L, 0.6, 2.4))) // 0.6 share x 4 keys
+    assert(rows(1) === ((2, 2L, 2L, 0.2, 0.8)))
+    assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
+  }
+
+  test("keySkew: uniform keys profile at ratio 1.0") {
+    import spark.implicits._
+    val in = (0L until 40L).map(i => i % 8).toDF("k")
+    val rows = Profiling.keySkew(in, "k", k = 8).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getDouble(4) === 1.0))
+  }
+
   test("frequentNgrams equals sort-limit reference on the fixture") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val fast = TextAnalysis.frequentNgrams(d, "doc_id", "text", 2, 25)
