@@ -94,11 +94,18 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // The query set grows every round, so the headline total is not
+    // comparable across rounds by itself: subset37_total restricts to the
+    // q01–q37 set the BASELINE-era rounds ran, for apples-to-apples.
+    val subset37 = results.collect {
+      case (k, v) if v >= 0 &&
+        k.matches("q(0[1-9]|[12][0-9]|3[0-7])_.*") => v
+    }.sum
     val regressions = results.collect {
       case (k, v) if overGuard(k, v) =>
         s"""{"query":"$k","sec":$v,"best":${baseline(k)}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regressions,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"queries":$qs,"errors":$errors,"regressions":$regressions,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+/** Whole-surface plan lint: every SparkEntry query's physical plan is
+  * swept for the patterns that kill 100 TB runs. Individual PlanSpec
+  * tests pin the plans we designed; THIS suite guards the queries nobody
+  * wrote a pin for yet — a new query entry with a cartesian join or a
+  * global-rank window fails here by default and must either be fixed or
+  * explicitly justified in an allowlist below.
+  */
+class PlanLintSpec extends SparkSuite {
+
+  // Queries allowed to contain BroadcastNestedLoopJoin: all of them
+  // attach a ONE-ROW (or k-row, k tiny and fixed) statistics/threshold
+  // frame via broadcast cross join — constant-size build side by
+  // construction, so the "nested loop" is a map-side constant lookup.
+  private val oneRowBroadcastCross = Set(
+    "q44_quality_quantile", // percentile threshold row
+    "q48_mixing_plan", "q50_temperature_mixing", // corpus totals row
+    "q51_apply_mixture", // rates frame (one row per source)
+    "q55_prototypicality", // centroid list (k cells)
+    "q49_semantic_dedup", // centroid list (k cells)
+    "q65_zorder_key", // min/max stats row
+    "q66_key_skew", // totals row
+    "q56_corpus_report", // totals row
+    "q26_ann_bruteforce" // the ANN query set (k rows, broadcast by
+                         // design: corpus never shuffles, map-side TopK)
+  )
+
+  // Streaming entries run a query to a memory sink when invoked; their
+  // returned frame is a memory-table scan, so plan text is not the
+  // micro-batch plan. They are covered by StreamsSpec equivalences.
+  private val streaming = Set(
+    "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.keysIterator
+      .filterNot(streaming)
+      .map { name =>
+        name -> SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString()
+      }.toMap
+
+  test("no query plans a cartesian product") {
+    val bad = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }
+    assert(bad.isEmpty, s"cartesian product in: $bad")
+  }
+
+  test("nested-loop joins only where a constant-size frame is attached") {
+    val bad = plans.collect {
+      case (name, p) if p.contains("BroadcastNestedLoopJoin") &&
+        !oneRowBroadcastCross(name) => name
+    }
+    assert(bad.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: $bad — fix the plan or " +
+        "justify the query in oneRowBroadcastCross")
+  }
+
+  test("no window function runs on a single-partition exchange") {
+    // an ORDER BY window with no PARTITION BY plans as
+    // Exchange SinglePartition → Window: the whole input serializes
+    // through one task
+    val bad = plans.collect {
+      case (name, p) if p.contains("Window") &&
+        p.contains("Exchange SinglePartition") => name
+    }
+    assert(bad.isEmpty, s"single-partition window in: $bad")
+  }
+
+  test("every parquet scan prunes columns (no full-schema reads of wide " +
+      "tables)") {
+    // lineitem is the widest table: a scan reading l_comment when no
+    // query output needs it marks a missing projection pushdown
+    val bad = plans.collect {
+      case (name, p) if p.contains("l_comment") &&
+        name != "q01_scan_pushdown" => name
+    }
+    assert(bad.isEmpty, s"unpruned lineitem scan in: $bad")
+  }
+}
