@@ -826,6 +826,14 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Per-document n-gram novelty: fraction of a doc's distinct trigrams
+    // appearing in no other document — the inverse boilerplate signal;
+    // two map-side-combined shuffles, text never crosses the wire twice
+    "q69_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 3)
+    }),
+
     // Incremental exact dedup: the first half of the corpus is the
     // persisted fingerprint index, the second half the new ingestion
     // batch — each batch row classified index_dup / batch_dup / new with
@@ -1954,5 +1962,34 @@ object SparkEntry {
            COALESCE(c.c_mktsegment, 'unknown') AS segment
          FROM events e
          LEFT JOIN customer c ON c.c_custkey = e.user_id""",
+    "q69_ngram_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS s
+           FROM toks),
+         g AS (
+           SELECT DISTINCT doc_id, gram
+           FROM (SELECT doc_id, unnest(s) AS gram FROM sh)
+           WHERE length(gram) > 0),
+         dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         pd AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+           FROM g JOIN dfreq f ON f.gram = g.gram
+           GROUP BY g.doc_id)
+         SELECT d.doc_id,
+           COALESCE(pd.n_grams, 0) AS n_grams,
+           COALESCE(pd.n_unique, 0) AS n_unique,
+           round(COALESCE(CAST(pd.n_unique AS DOUBLE) / pd.n_grams, 0.0), 4)
+             AS novelty
+         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""",
   )
 }

@@ -65,6 +65,26 @@ object Layout {
       .drop(cols.indices.flatMap(i => Seq(s"__lo_$i", s"__hi_$i")): _*)
   }
 
+  /** Small-file compaction plan: assign files (or any sized work units)
+    * to contiguous output groups of ~`targetBytes` each — the rewrite
+    * plan that fixes the many-small-files problem a streaming/append
+    * pipeline accumulates (every file under ~100 MB costs a task and a
+    * footer read per scan). Files are taken in ascending `idCol` order
+    * and a group is the files whose cumulative byte range falls in one
+    * target-sized window, so groups are stable under retries and
+    * incremental re-planning. Runs on [[Packing.packChunks]]'s two-phase
+    * distributed prefix sum — no single-reducer cumulative window.
+    * Returns (id, bytes, group_id): a file joins the group whose window
+    * its cumulative start offset falls in, so every group reaches the
+    * target before the next opens (a file larger than the target
+    * overfills its group; skip such files upstream if rewrite cost is
+    * the concern). */
+  def compactionGroups(files: DataFrame, idCol: String,
+      bytes: org.apache.spark.sql.Column, targetBytes: Long): DataFrame =
+    Packing.packChunks(files, idCol, bytes, targetBytes)
+      .select(col("id"), col("n_tokens").as("bytes"),
+        col("first_chunk").as("group_id"))
+
   /** Z-order the table: compute `zval` and lay rows out by it (range
     * repartition so partitions are contiguous z-ranges, then sort within
     * partitions — the same two steps a plain global sort costs). A

@@ -307,6 +307,41 @@ object TextAnalysis {
         col("n_docs"))
   }
 
+  /** Per-document novelty: the fraction of a document's distinct word
+    * n-grams that appear in NO other document — the inverse signal of
+    * boilerplate/near-dup coverage (low novelty → the document is mostly
+    * assembled from corpus-common text; a training-data pruning signal
+    * complementary to [[Dedup]]'s pair detection, which only fires on
+    * concentrated overlap with a single partner). Documents with no
+    * tokens report 0 novelty and 0 grams.
+    *
+    * Shape at scale: distinct (doc, gram) pairs → one map-side-combined
+    * groupBy(gram) for document frequency → per-doc ratio of df=1 grams;
+    * the same two-shuffle plan family as TF-IDF, shuffling only hashes
+    * and counts — never text — after the first projection. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .where(length(col("gram")) > 0)
+      .distinct()
+    val dfreq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("n_unique").cast("double") / col("n_grams")), 4)
+          .as("novelty"))
+  }
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

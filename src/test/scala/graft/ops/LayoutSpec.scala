@@ -66,6 +66,22 @@ class LayoutSpec extends SparkSuite {
     assert(zy < sy / 2, s"z-order y span $zy vs x-sort y span $sy")
   }
 
+  test("compactionGroups: cumulative target-sized windows") {
+    import spark.implicits._
+    // cumulative starts 0,60,90,340,380 at target 100 → groups 0,0,0,3,3:
+    // the 250-byte file overfills group 0, the next file opens group 3
+    val files = Seq((1L, 60L), (2L, 30L), (3L, 250L), (4L, 40L), (5L, 80L))
+      .toDF("fid", "sz")
+    val out = Layout.compactionGroups(files, "fid", col("sz"), 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // cumulative starts: 0, 60, 90, 340, 380
+    assert(out === Array((1L, 60L, 0L), (2L, 30L, 0L), (3L, 250L, 0L),
+      (4L, 40L, 3L), (5L, 80L, 3L)))
+    // groups are contiguous in id order and non-decreasing
+    assert(out.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
   test("withZValue: stats attach by broadcast, zval agrees with explicit " +
       "quantization") {
     import spark.implicits._

@@ -805,6 +805,23 @@ class OpsSpec extends SparkSuite {
       12L -> "batch_dup", 13L -> "new"))
   }
 
+  test("ngramNovelty: unique-gram fraction, shared grams, empty doc") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "a b c d"),   // grams: "a b c","b c d" — "a b c" shared with 2
+      (2L, "a b c x"),   // grams: "a b c","b c x"
+      (3L, "p q r"),     // single gram "p q r", unique
+      (4L, "")).         // no grams
+      toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(in, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((1L, 1L, 1.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+  }
+
   test("keySkew: counts, shares, over-representation ratio, tie order") {
     import spark.implicits._
     // key 1: 6 rows, key 2: 2 rows, keys 3/4: 1 row each → 10 rows, 4 keys
