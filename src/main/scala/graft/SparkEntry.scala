@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.closure.TransitiveClosure
-import graft.ops.{Dedup, Layout, Mixing, Multimodal, Packing, Profiling, Similarity, Splits, TextAnalysis}
+import graft.ops.{Dedup, Layout, Mixing, Multimodal, Packing, Profiling, Sessions, Similarity, Splits, TextAnalysis}
 import graft.terminology._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,10 +28,14 @@ object SparkEntry {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
     // spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench
-    // sessions), surfacing as a long we convert to a microsecond timestamp.
+    // sessions), surfacing as a long we convert to a microsecond
+    // timestamp. Integral `div`, NOT `/ 1000`: the `/` operator divides
+    // as DOUBLE, and 2024-era nano timestamps (~1.7e18) are above 2^53,
+    // so the double round-trip perturbs individual stamps by ±1us —
+    // caught by the q70 funnel oracle, which exposes raw per-user micros.
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
@@ -824,6 +828,15 @@ object SparkEntry {
           coalesce(col("segment"), lit("unknown")).as("segment"))
       graft.streaming.Streams.runToMemory(s, st, "q68_stream_out",
         outputMode = "append", statePartitions = Some(8))
+    }),
+
+    // Ordered conversion funnel view→click→purchase within 30 days:
+    // greedy-earliest stage anchoring, every shuffle keyed on user_id so
+    // the partitioning is reused down the whole stage chain
+    "q70_funnel" -> ((s, dir) => {
+      Sessions.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        withinSeconds = Some(30L * 24 * 3600))
     }),
 
     // Per-document n-gram novelty: fraction of a doc's distinct trigrams
@@ -1991,5 +2004,31 @@ object SparkEntry {
            round(COALESCE(CAST(pd.n_unique AS DOUBLE) / pd.n_grams, 0.0), 4)
              AS novelty
          FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""",
+    "q70_funnel" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM b
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT b.user_id, min(b.ts) AS t2
+           FROM b JOIN s1 USING (user_id)
+           WHERE b.event_type = 'click' AND b.ts > s1.t1
+             AND b.ts <= s1.t1 + 2592000000000
+           GROUP BY b.user_id),
+         s3 AS (
+           SELECT b.user_id, min(b.ts) AS t3
+           FROM b JOIN s2 USING (user_id)
+           WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+             AND b.ts <= s2.t2 + 2592000000000
+           GROUP BY b.user_id)
+         SELECT s1.user_id,
+           CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS stage,
+           s1.t1 AS t1, COALESCE(t2, -1) AS t2, COALESCE(t3, -1) AS t3
+         FROM s1
+         LEFT JOIN s2 ON s2.user_id = s1.user_id
+         LEFT JOIN s3 ON s3.user_id = s1.user_id""",
   )
 }

@@ -40,4 +40,46 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
+
+  /** Ordered funnel analysis: per user, the earliest time each step of
+    * `steps` is completed IN ORDER — step k+1 must occur strictly after
+    * the user's step-k time (and within `withinSeconds` of it, when set).
+    * Returns one row per user who completed step 1: `user_id`, `stage`
+    * (how many steps completed), and `t1..tk` microsecond timestamps
+    * (-1 for unreached stages). This is the "greedy earliest" funnel
+    * semantics (each stage anchors at its earliest legal time), the
+    * standard product-analytics conversion table.
+    *
+    * Plan shape at scale: stage k is a filtered equi-join on user against
+    * the accumulated stage frame followed by a min-aggregate — every
+    * shuffle keys on `user_id`, so after the first exchange Catalyst
+    * reuses the partitioning for the whole chain; no windows, no
+    * per-user sort, state per user is k longs. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      withinSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val base = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("ts"), col(typeCol).as("etype"))
+    var stage = base.where(col("etype") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    steps.tail.zipWithIndex.foreach { case (s, i) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val bound = withinSeconds
+        .map(w => col("ts") <= col(prev) + w * 1000000L)
+        .getOrElse(lit(true))
+      val next = base.where(col("etype") === s)
+        .join(stage.select(col("user_id"), col(prev)), Seq("user_id"))
+        .where(col("ts") > col(prev) && bound)
+        .groupBy(col("user_id")).agg(min(col("ts")).as(cur))
+      stage = stage.join(next, Seq("user_id"), "left")
+    }
+    val reached = steps.indices.tail
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    stage.select(col("user_id") +: reached.cast("int").as("stage") +:
+      steps.indices.map(i =>
+        coalesce(col(s"t${i + 1}"), lit(-1L)).as(s"t${i + 1}")): _*)
+  }
 }

@@ -273,6 +273,8 @@ object Streams {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integral div: `/ 1000` divides as DOUBLE and nano timestamps
+      // exceed 2^53, perturbing stamps by ±1us (same fix as SparkEntry.t)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -805,6 +805,36 @@ class OpsSpec extends SparkSuite {
       12L -> "batch_dup", 13L -> "new"))
   }
 
+  test("funnel: ordered stages, within-bound, greedy earliest anchor") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1000000L), "view"), (1L, ts(2000000L), "click"),
+      (1L, ts(3000000L), "purchase"),
+      // user 2: purchase BEFORE click → stage 2 only
+      (2L, ts(1000000L), "view"), (2L, ts(5000000L), "click"),
+      (2L, ts(4000000L), "purchase"),
+      // user 3: click outside the within-bound → stage 1
+      (3L, ts(1000000L), "view"), (3L, ts(100000000L), "click"),
+      // user 4: never views → absent even though they click
+      (4L, ts(1000000L), "click"),
+      // user 5: greedy anchor — earliest view at 1s, click at 2s counts
+      // even though a later view (9s) also precedes a click
+      (5L, ts(9000000L), "view"), (5L, ts(1000000L), "view"),
+      (5L, ts(2000000L), "click")).toDF("user_id", "ts", "event_type")
+    val out = Sessions.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), withinSeconds = Some(10))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(1L) === ((3, 1000000L, 2000000L, 3000000L)))
+    assert(out(2L) === ((2, 1000000L, 5000000L, -1L)))
+    assert(out(3L) === ((1, 1000000L, -1L, -1L)))
+    assert(!out.contains(4L))
+    assert(out(5L) === ((2, 1000000L, 2000000L, -1L)))
+  }
+
   test("ngramNovelty: unique-gram fraction, shared grams, empty doc") {
     import spark.implicits._
     val in = Seq(
