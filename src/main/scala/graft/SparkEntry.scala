@@ -830,6 +830,15 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Weekly cohort retention anchored on signup: cohort = period of the
+    // user's first signup, activity = any event; the final aggregation
+    // runs over (cohort, offset) pairs — cohorts x horizon rows, tiny
+    "q71_cohort_retention" -> ((s, dir) => {
+      Sessions.cohortRetention(t(s, dir, "events"), "user_id", "ts",
+        "event_type", anchorType = "signup",
+        periodSeconds = 7L * 24 * 3600)
+    }),
+
     // Ordered conversion funnel view→click→purchase within 30 days:
     // greedy-earliest stage anchoring, every shuffle keyed on user_id so
     // the partitioning is reused down the whole stage chain
@@ -2030,5 +2039,29 @@ object SparkEntry {
          FROM s1
          LEFT JOIN s2 ON s2.user_id = s1.user_id
          LEFT JOIN s3 ON s3.user_id = s1.user_id""",
+    "q71_cohort_retention" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         c AS (
+           SELECT user_id, min(ts_us // 604800000000) AS cohort_period
+           FROM b WHERE event_type = 'signup' GROUP BY user_id),
+         sz AS (
+           SELECT cohort_period, count(DISTINCT user_id) AS cohort_size
+           FROM c GROUP BY cohort_period),
+         a AS (
+           SELECT DISTINCT user_id, ts_us // 604800000000 AS period
+           FROM b),
+         r AS (
+           SELECT c.cohort_period,
+             a.period - c.cohort_period AS period_offset,
+             count(DISTINCT a.user_id) AS n_active
+           FROM a JOIN c USING (user_id)
+           WHERE a.period >= c.cohort_period
+           GROUP BY 1, 2)
+         SELECT r.cohort_period, r.period_offset, r.n_active,
+           sz.cohort_size,
+           round(CAST(r.n_active AS DOUBLE) / sz.cohort_size, 4)
+             AS retention
+         FROM r JOIN sz USING (cohort_period)""",
   )
 }

@@ -41,6 +41,44 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** Cohort retention: users cohort by the period of their first
+    * `anchorType` event (period = `periodSeconds`-wide windows of the
+    * epoch, integral microsecond division — no float drift); for every
+    * later period offset, the fraction of the cohort active with ANY
+    * event. The product-analytics retention triangle.
+    *
+    * Shape at scale: one groupBy(user) for the anchor, one distinct over
+    * (user, period) for activity — both keyed on user so the exchange is
+    * reused — then a groupBy over (cohort, offset) pairs whose
+    * cardinality is cohorts × horizon, tiny by construction. Cohort
+    * sizes attach by broadcast. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, anchorType: String,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, s"bad period $periodSeconds")
+    val periodUs = periodSeconds * 1000000L
+    val base = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("ts_us"), col(typeCol).as("etype"))
+    val cohorts = base.where(col("etype") === anchorType)
+      .groupBy(col("user_id"))
+      .agg(min(expr(s"ts_us div $periodUs")).as("cohort_period"))
+    val activity = base
+      .select(col("user_id"), expr(s"ts_us div $periodUs").as("period"))
+      .distinct()
+    val sizes = cohorts.groupBy(col("cohort_period"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    activity.join(cohorts, Seq("user_id"))
+      .where(col("period") >= col("cohort_period"))
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_period"))
+      .select(col("cohort_period"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+  }
+
   /** Ordered funnel analysis: per user, the earliest time each step of
     * `steps` is completed IN ORDER — step k+1 must occur strictly after
     * the user's step-k time (and within `withinSeconds` of it, when set).

@@ -835,6 +835,33 @@ class OpsSpec extends SparkSuite {
     assert(out(5L) === ((2, 1000000L, 2000000L, -1L)))
   }
 
+  test("cohortRetention: cohort by first anchor, any-event activity") {
+    import spark.implicits._
+    val week = 7L * 24 * 3600 * 1000000L
+    def ts(w: Long, off: Long = 0) = new java.sql.Timestamp(
+      (w * week + off) / 1000)
+    val ev = Seq(
+      // users 1,2 sign up week 0; user 3 signs up week 1
+      (1L, ts(0), "signup"), (2L, ts(0, 5000000L), "signup"),
+      (3L, ts(1), "signup"),
+      // week 1: only user 1 active; week 2: users 1 and 3
+      (1L, ts(1), "click"), (1L, ts(2), "view"), (3L, ts(2), "click"),
+      // user 4 never signs up → excluded entirely
+      (4L, ts(0), "click"), (4L, ts(1), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.cohortRetention(ev, "user_id", "ts", "event_type",
+      "signup", periodSeconds = 7L * 24 * 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val w0 = ts(0).getTime * 1000 / week // absolute epoch week of "week 0"
+    assert(out((w0, 0L)) === ((2L, 2L, 1.0))) // signup week itself
+    assert(out((w0, 1L)) === ((1L, 2L, 0.5))) // only user 1
+    assert(out((w0, 2L)) === ((1L, 2L, 0.5)))
+    assert(out((w0 + 1, 0L)) === ((1L, 1L, 1.0))) // user 3's cohort
+    assert(out((w0 + 1, 1L)) === ((1L, 1L, 1.0)))
+    assert(!out.keys.exists(_._2 < 0)) // nothing before the cohort week
+  }
+
   test("ngramNovelty: unique-gram fraction, shared grams, empty doc") {
     import spark.implicits._
     val in = Seq(
