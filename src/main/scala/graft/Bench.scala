@@ -87,7 +87,11 @@ object Bench {
     // retrying cannot hide a real regression, only transient noise.
     val results = firstPass.map { case (name, sec) =>
       if (!overGuard(name, sec)) (name, sec)
-      else (name, math.min(sec, timeOne(name, SparkEntry.queries(name))))
+      else {
+        // a FAILED retry (-1) must not overwrite a valid slow measurement
+        val retry = timeOne(name, SparkEntry.queries(name))
+        (name, if (retry >= 0) math.min(sec, retry) else sec)
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

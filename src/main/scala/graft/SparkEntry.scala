@@ -1902,7 +1902,9 @@ object SparkEntry {
                   ELSE list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS s
            FROM toks),
-         g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         g AS (SELECT doc_id, gram
+               FROM (SELECT doc_id, unnest(s) AS gram FROM sh)
+               WHERE length(gram) > 0),
          stats AS (
            SELECT gram, count(*) AS n_occurrences,
              count(DISTINCT doc_id) AS n_docs

@@ -80,10 +80,20 @@ object Layout {
     * overfills its group; skip such files upstream if rewrite cost is
     * the concern). */
   def compactionGroups(files: DataFrame, idCol: String,
-      bytes: org.apache.spark.sql.Column, targetBytes: Long): DataFrame =
+      bytes: org.apache.spark.sql.Column, targetBytes: Long): DataFrame = {
+    // packChunks blocks on a numeric id range: a string id (file PATHS,
+    // the natural mistake) would cast to all-null longs and silently
+    // collapse every file into group 0 — assign dense numeric ids
+    // upstream (e.g. via row ordinal on the file listing) instead
+    val idType = files.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(idType.typeName),
+      s"compactionGroups needs an integral id column, got $idCol: " +
+        s"${idType.typeName} — number the file listing first")
     Packing.packChunks(files, idCol, bytes, targetBytes)
       .select(col("id"), col("n_tokens").as("bytes"),
         col("first_chunk").as("group_id"))
+  }
 
   /** Z-order the table: compute `zval` and lay rows out by it (range
     * repartition so partitions are contiguous z-ranges, then sort within

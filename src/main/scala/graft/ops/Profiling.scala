@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
-  /** Heavy-hitter profile of a key column: the k most frequent keys with
-    * row counts, share of the table, and `skew_ratio` — share × distinct
-    * key count, i.e. how many times over-represented the key is vs a
-    * uniform spread (1.0 = perfectly uniform; a key with ratio 50 makes
-    * its shuffle partition ~50× the average). Ties break by key
-    * ascending.
+  /** Heavy-hitter profile of a key column: the k most frequent non-null
+    * keys with row counts, share of the table, and `skew_ratio` — share ×
+    * distinct key count, i.e. how many times over-represented the key is
+    * vs a uniform spread (1.0 = perfectly uniform; a key with ratio 50
+    * makes its shuffle partition ~50× the average). Ties break by key
+    * ascending. A NULL-key group — the most common real-world skew
+    * culprit, and one a top-k over join keys can never surface because
+    * nulls don't equi-join — is reported unconditionally as a dedicated
+    * `rank 0` row whenever present, regardless of its size.
     *
     * Shape at scale: one map-side-combined groupBy(key) — the same
     * shuffle the join under diagnosis would do, but carrying only
@@ -29,13 +32,18 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"))
     val totals = counts.agg(sum(col("n_rows")).as("__total"),
       count(lit(1)).as("__n_keys"))
-    val top = counts.groupBy()
+    val top = counts.where(col("key").isNotNull).groupBy()
       .agg(graft.functions.GraftFunctions.topKByScore(
         col("n_rows").cast("double"), col("key"), k).as("tk"))
       .select(posexplode(col("tk")))
       .select((col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("key"))
-    counts.join(broadcast(top), Seq("key"))
+    val ranked = counts.where(col("key").isNotNull)
+      .join(broadcast(top), Seq("key"))
+      .select(col("rank"), col("key"), col("n_rows"))
+    val nullRow = counts.where(col("key").isNull)
+      .select(lit(0).as("rank"), col("key"), col("n_rows"))
+    nullRow.unionByName(ranked)
       .crossJoin(broadcast(totals))
       .select(col("rank"), col("key"), col("n_rows"),
         round(col("n_rows").cast("double") / col("__total"), 6)

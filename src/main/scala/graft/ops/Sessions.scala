@@ -65,8 +65,10 @@ object Sessions {
     val activity = base
       .select(col("user_id"), expr(s"ts_us div $periodUs").as("period"))
       .distinct()
+    // cohorts is one row per user by construction — plain count, no
+    // distinct-expand
     val sizes = cohorts.groupBy(col("cohort_period"))
-      .agg(countDistinct(col("user_id")).as("cohort_size"))
+      .agg(count(lit(1)).as("cohort_size"))
     activity.join(cohorts, Seq("user_id"))
       .where(col("period") >= col("cohort_period"))
       .groupBy(col("cohort_period"),

@@ -291,8 +291,11 @@ object TextAnalysis {
   def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got $n/$k")
+    // token-less documents shingle to [""] — drop those, or a corpus
+    // with many empty docs ranks "" as a top heavy hitter
     val grams = df.select(col(idCol).as("doc_id"),
-      explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .where(length(col("gram")) > 0)
     val stats = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))

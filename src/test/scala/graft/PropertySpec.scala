@@ -184,6 +184,42 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: funnel equals the per-user sequential greedy scan") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 6L),
+      Gen.choose(0L, 40L), Gen.oneOf("a", "b", "c", "x")))
+    samples(evGen, 5).foreach { evs =>
+      val rows = evs.map { case (u, t, k) =>
+        (u, new java.sql.Timestamp(t * 1000), k)
+      }
+      val within = 15L // seconds; ts are second-granular above
+      val got = graft.ops.Sessions.funnel(
+        rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, Some(within))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // sequential reference: greedy earliest stage anchoring
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val byType = steps.map(s =>
+          s -> es.filter(_._3 == s).map(_._2 * 1000000L).sorted)
+        val t1 = byType.head._2.headOption
+        t1.map { start =>
+          val ts = scala.collection.mutable.ListBuffer(start)
+          var prev = Option(start)
+          byType.tail.foreach { case (_, cand) =>
+            prev = prev.flatMap(p =>
+              cand.find(t => t > p && t <= p + within * 1000000L))
+            ts += prev.getOrElse(-1L)
+          }
+          u -> ((ts.count(_ >= 0), ts(0), ts(1), ts(2)))
+        }
+      }
+      assert(got === want, s"evs=$evs")
+    }
+  }
+
   test("property: z-value interleave preserves per-dimension bit order") {
     import spark.implicits._
     val pairGen = Gen.listOfN(40,

@@ -82,6 +82,15 @@ class LayoutSpec extends SparkSuite {
     assert(out.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
   }
 
+  test("compactionGroups rejects non-numeric id columns loudly") {
+    import spark.implicits._
+    val files = Seq(("a/part-0.parquet", 10L)).toDF("path", "sz")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactionGroups(files, "path", col("sz"), 100L)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("withZValue: stats attach by broadcast, zval agrees with explicit " +
       "quantization") {
     import spark.implicits._

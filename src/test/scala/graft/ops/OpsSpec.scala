@@ -892,6 +892,19 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("keySkew: null-key group surfaces as rank 0, not silently dropped") {
+    import spark.implicits._
+    // half the table has a null key — the classic join-skew culprit
+    val in = (Seq.fill(10)(Option.empty[Long]) ++
+      (1L to 10L).map(Option(_))).toDF("k")
+    val rows = Profiling.keySkew(in, "k", k = 3).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2)))
+    val nullRow = rows.find(_._1 === 0)
+    assert(nullRow === Some((0, -1L, 10L)))
+    assert(rows.count(_._1 > 0) === 3) // top-k of the non-null keys
+  }
+
   test("keySkew: uniform keys profile at ratio 1.0") {
     import spark.implicits._
     val in = (0L until 40L).map(i => i % 8).toDF("k")

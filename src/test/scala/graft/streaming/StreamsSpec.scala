@@ -70,7 +70,7 @@ class StreamsSpec extends SparkSuite {
     import spark.implicits._
     val gap = 1800L
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact, as eventStream
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"))
     val batch = graft.ops.Sessions.sessionStats(events,
