@@ -830,6 +830,18 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Corpus snapshot diff: previous = ids <400, current = ids >=100
+    // with every 50th document's text mutated — per-id added / removed /
+    // changed / unchanged over one full-outer join carrying only md5s
+    "q72_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.where(col("doc_id") < 400)
+      val cur = docs.where(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Profiling.corpusDiff(prev, cur, "doc_id", "text")
+    }),
+
     // Weekly cohort retention anchored on signup: cohort = period of the
     // user's first signup, activity = any event; the final aggregation
     // runs over (cohort, offset) pairs — cohorts x horizon rows, tiny
@@ -2065,5 +2077,20 @@ object SparkEntry {
            round(CAST(r.n_active AS DOUBLE) / sz.cohort_size, 4)
              AS retention
          FROM r JOIN sz USING (cohort_period)""",
+    "q72_corpus_diff" ->
+      """WITH prev AS (
+           SELECT doc_id AS id, md5(text) AS old_hash
+           FROM documents WHERE doc_id < 400),
+         cur AS (
+           SELECT doc_id AS id,
+             md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2'
+                      ELSE text END) AS new_hash
+           FROM documents WHERE doc_id >= 100)
+         SELECT COALESCE(prev.id, cur.id) AS id,
+           CASE WHEN prev.id IS NULL THEN 'added'
+                WHEN cur.id IS NULL THEN 'removed'
+                WHEN old_hash = new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM prev FULL OUTER JOIN cur ON cur.id = prev.id""",
   )
 }

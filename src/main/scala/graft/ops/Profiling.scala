@@ -51,4 +51,24 @@ object Profiling {
         round(col("n_rows").cast("double") * col("__n_keys") /
           col("__total"), 4).as("skew_ratio"))
   }
+
+  /** Snapshot diff between two corpus versions: per id, whether the row
+    * was `added`, `removed`, `changed` (same id, different content hash)
+    * or `unchanged` — the audit table an incremental ingestion run emits
+    * so downstream consumers (dedup indexes, embeddings, splits) know
+    * exactly what to recompute. One full-outer hash join on id carrying
+    * only (id, md5) — content never crosses the wire; at steady state
+    * both snapshots are bucketed by id and the join is exchange-free. */
+  def corpusDiff(previous: DataFrame, current: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    def fp(df: DataFrame, h: String) =
+      df.select(col(idCol).as("id"), md5(col(contentCol)).as(h))
+    fp(previous, "old_hash")
+      .join(fp(current, "new_hash"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -892,6 +892,18 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("corpusDiff: added/removed/changed/unchanged per id") {
+    import spark.implicits._
+    val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Profiling.corpusDiff(prev, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("keySkew: null-key group surfaces as rank 0, not silently dropped") {
     import spark.implicits._
     // half the table has a null key — the classic join-skew culprit
