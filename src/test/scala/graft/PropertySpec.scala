@@ -220,6 +220,39 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: cohort retention equals the sequential reference") {
+    import spark.implicits._
+    val week = 7L * 24 * 3600
+    val evGen = Gen.listOfN(50, Gen.zip(Gen.choose(1L, 8L),
+      Gen.choose(0L, 5L * week), Gen.oneOf("signup", "click")))
+    samples(evGen, 4).foreach { evs =>
+      val rows = evs.map { case (u, t, k) =>
+        (u, new java.sql.Timestamp(t * 1000), k)
+      }
+      val got = graft.ops.Sessions.cohortRetention(
+        rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "signup", week)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      // sequential reference
+      val cohort = evs.filter(_._3 == "signup").groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2 / week).min }
+      val sizes = cohort.groupBy(_._2).map { case (c, m) => c -> m.size }
+      val active = evs.map(e => (e._1, e._2 / week)).distinct
+        .flatMap { case (u, p) =>
+          cohort.get(u).filter(_ <= p).map(c => (c, p - c, u))
+        }
+      val want = active.groupBy(t => (t._1, t._2)).map { case (k, m) =>
+        val n = m.map(_._3).distinct.size
+        val sz = sizes(k._1)
+        k -> ((n.toLong, sz.toLong,
+          BigDecimal(n.toDouble / sz)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got === want, s"evs=$evs")
+    }
+  }
+
   test("property: z-value interleave preserves per-dimension bit order") {
     import spark.implicits._
     val pairGen = Gen.listOfN(40,
