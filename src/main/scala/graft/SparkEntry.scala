@@ -830,6 +830,27 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Watermarked stream-stream interval join: per-user click→purchase
+    // attribution within 1 hour; the relative time bound lets Spark
+    // evict both join buffers at the watermark, so state is
+    // window-bounded — verified against the batch interval join
+    "q73_stream_interval_join" -> ((s, dir) => {
+      s.catalog.dropTempView("q73_stream_out")
+      val ev = graft.streaming.Streams.eventStream(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val st = graft.streaming.Streams.intervalJoinStream(
+        clicks, purchases, "user_id", windowSeconds = 3600,
+        watermark = "365 days")
+        .select(col("click_id"), col("purchase_id"))
+      graft.streaming.Streams.runToMemory(s, st, "q73_stream_out",
+        outputMode = "append", statePartitions = Some(8))
+    }),
+
     // Corpus snapshot diff: previous = ids <400, current = ids >=100
     // with every 50th document's text mutated — per-id added / removed /
     // changed / unchanged over one full-outer join carrying only md5s
@@ -2092,5 +2113,13 @@ object SparkEntry {
                 WHEN old_hash = new_hash THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM prev FULL OUTER JOIN cur ON cur.id = prev.id""",
+    "q73_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+           ON p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
   )
 }

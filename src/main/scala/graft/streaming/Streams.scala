@@ -250,6 +250,31 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-STREAM interval join: left events match right
+    * events with the same key whose time falls in [left.ts,
+    * left.ts + windowSeconds] — the canonical streaming correlation
+    * (click→purchase attribution, request→error windows). Both sides
+    * carry a watermark and the join condition bounds right.ts relative
+    * to left.ts, so Spark derives state-eviction watermarks for BOTH
+    * join buffers: state holds only the window's worth of events per
+    * side, not the stream's history — the property that makes this
+    * runnable forever at 100 TB/day. Inner join, append mode.
+    *
+    * Equals the batch [[graft.ops.RangeJoin.pointInInterval]] family on
+    * a static input with a covering watermark, which is how the oracle
+    * verifies it. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, windowSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(
+          s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Stream-static enrichment: every micro-batch left-joins a STATIC
     * dimension (feature/profile lookup — the standard streaming enrich).
     * The dimension is explicitly broadcast, so each micro-batch is a

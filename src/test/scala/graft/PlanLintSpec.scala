@@ -30,7 +30,8 @@ class PlanLintSpec extends SparkSuite {
   // returned frame is a memory-table scan, so plan text is not the
   // micro-batch plan. They are covered by StreamsSpec equivalences.
   private val streaming = Set(
-    "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich")
+    "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich",
+    "q73_stream_interval_join")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keysIterator
