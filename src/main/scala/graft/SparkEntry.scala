@@ -830,6 +830,15 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Period-over-period trend report keyed on a JSON property (the
+    // codegen'd get_json_object path): one conditional-counter groupBy,
+    // no per-period scans or joins
+    "q74_trend_report" -> ((s, dir) => {
+      Profiling.trendReport(t(s, dir, "events"),
+        get_json_object(col("props"), "$.k").cast("int"),
+        col("ts"), to_timestamp(lit("2024-01-24 00:00:00")))
+    }),
+
     // Watermarked stream-stream interval join: per-user click→purchase
     // attribution within 1 hour; the relative time bound lets Spark
     // evict both join buffers at the watermark, so state is
@@ -2121,5 +2130,16 @@ object SparkEntry {
                WHERE event_type = 'purchase') p
            ON p.user_id = c.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+    "q74_trend_report" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS key,
+           CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-24')
+             AS BIGINT) AS n_prior,
+           CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-24')
+             AS BIGINT) AS n_recent,
+           round((count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-24')
+               + 1.0)
+             / (count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-24')
+               + 1.0), 4) AS rise_ratio
+         FROM events GROUP BY 1""",
   )
 }

@@ -52,6 +52,25 @@ object Profiling {
           col("__total"), 4).as("skew_ratio"))
   }
 
+  /** Period-over-period trend report: per key, event counts before and
+    * at-or-after `cutoff` plus the add-one-smoothed rise ratio — the
+    * drift/trending table read off ingestion telemetry (which sources,
+    * topics or error codes are accelerating). One map-side-combined
+    * groupBy carrying two conditional counters per key; no second scan,
+    * no join between the periods. */
+  def trendReport(df: DataFrame, key: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column,
+      cutoff: org.apache.spark.sql.Column): DataFrame =
+    df.select(key.as("key"), ts.as("__ts"))
+      .groupBy(col("key"))
+      .agg(sum(when(col("__ts") < cutoff, 1L).otherwise(0L))
+          .as("n_prior"),
+        sum(when(col("__ts") >= cutoff, 1L).otherwise(0L))
+          .as("n_recent"))
+      .select(col("key"), col("n_prior"), col("n_recent"),
+        round((col("n_recent") + lit(1.0)) / (col("n_prior") + lit(1.0)),
+          4).as("rise_ratio"))
+
   /** Snapshot diff between two corpus versions: per id, whether the row
     * was `added`, `removed`, `changed` (same id, different content hash)
     * or `unchanged` — the audit table an incremental ingestion run emits

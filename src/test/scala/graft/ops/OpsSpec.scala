@@ -892,6 +892,26 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("trendReport: conditional period counters and smoothed rise") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val ev = Seq(
+      ("a", ts(1)), ("a", ts(2)), ("a", ts(8)), // 2 prior, 1 recent
+      ("b", ts(9)), ("b", ts(9)),               // 0 prior, 2 recent
+      ("c", ts(1))).                             // 1 prior, 0 recent
+      toDF("k", "ts")
+    val out = Profiling.trendReport(ev, col("k"), col("ts"),
+      lit(ts(7))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out("a") === ((2L, 1L, round2(2.0 / 3.0))))
+    assert(out("b") === ((0L, 2L, 3.0)))
+    assert(out("c") === ((1L, 0L, 0.5)))
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("corpusDiff: added/removed/changed/unchanged per id") {
     import spark.implicits._
     val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
