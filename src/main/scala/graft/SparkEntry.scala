@@ -830,6 +830,16 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Rolling trailing-hour mean of each user's event values (leakage-
+    // free feature engineering): a user-partitioned RANGE frame over
+    // exact micros, decimal-summed for engine-reproducible rounding
+    "q75_rolling_mean" -> ((s, dir) => {
+      Sessions.rollingUserMean(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", windowSeconds = 3600)
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          col("rolling_mean"))
+    }),
+
     // Period-over-period trend report keyed on a JSON property (the
     // codegen'd get_json_object path): one conditional-counter groupBy,
     // no per-period scans or joins
@@ -2141,5 +2151,13 @@ object SparkEntry {
              / (count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-24')
                + 1.0), 4) AS rise_ratio
          FROM events GROUP BY 1""",
+    "q75_rolling_mean" ->
+      """SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w
+             / count(*) OVER w AS DOUBLE), 4) AS rolling_mean
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
   )
 }

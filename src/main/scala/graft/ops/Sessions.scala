@@ -41,6 +41,33 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** Rolling event-time feature: for every event, the mean `value` of
+    * the SAME user's events in the trailing `windowSeconds` (inclusive)
+    * — the standard leakage-free feature-engineering primitive (only
+    * past data enters each row's feature). A RANGE frame over exact
+    * integer microseconds, partitioned by user: parallelism scales with
+    * users and ties in ts contribute symmetrically regardless of sort
+    * order. The mean is summed in DECIMAL(18,4) (order-independent, the
+    * q44 trick) so the rounded result is engine-reproducible.
+    *
+    * At 100 TB this is ONE shuffle on user + a per-user time sort —
+    * same cost family as sessionize; never a self-join. */
+  def rollingUserMean(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"bad window $windowSeconds")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    events.select(col(idCol), col(userCol), col(tsCol),
+        col(valueCol).cast("decimal(18,4)").as("__v"))
+      .withColumn("n_window", count(col("__v")).over(w))
+      .withColumn("rolling_mean",
+        round((sum(col("__v")).over(w) / col("n_window"))
+          .cast("double"), 4))
+      .drop("__v")
+  }
+
   /** Cohort retention: users cohort by the period of their first
     * `anchorType` event (period = `periodSeconds`-wide windows of the
     * epoch, integral microsecond division — no float drift); for every

@@ -892,6 +892,26 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("rollingUserMean: trailing window per user, ties symmetric") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(0), 2.0), (2L, 10L, ts(30), 4.0),
+      (3L, 10L, ts(100), 6.0),  // event 1 fell out of the 60s window
+      (4L, 20L, ts(0), 8.0),    // other user unaffected
+      (5L, 10L, ts(100), 10.0)) // tie with event 3: both include both
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Sessions.rollingUserMean(ev, "user_id", "ts", "event_id",
+      "value", windowSeconds = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((1L, 2.0)))
+    assert(out(2L) === ((2L, 3.0)))  // (2+4)/2
+    assert(out(3L) === ((2L, 8.0)))  // window [40,100]: (6+10)/2, tie in
+    assert(out(5L) === ((2L, 8.0)))
+    assert(out(4L) === ((1L, 8.0)))
+  }
+
   test("trendReport: conditional period counters and smoothed rise") {
     import spark.implicits._
     def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
