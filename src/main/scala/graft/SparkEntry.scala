@@ -830,6 +830,23 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Deterministic importance sampling: keep probability proportional
+    // to the document's quality-ish weight (n_chars scaled), decided by
+    // the salted portable hash — map-side, no rand(), no shuffle
+    "q76_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Splits.weightedSample(docs, "doc_id",
+        col("n_chars").cast("double") / 1000.0, scale = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Per-source z-score of document length: exact two-moment sums →
+    // engine-reproducible normalized feature; stats broadcast back
+    "q77_group_zscore" -> ((s, dir) => {
+      Profiling.groupZScore(t(s, dir, "documents"), "source", "doc_id",
+        "n_chars")
+    }),
+
     // Rolling trailing-hour mean of each user's event values (leakage-
     // free feature engineering): a user-partitioned RANGE frame over
     // exact micros, decimal-summed for engine-reproducible rounding
@@ -2159,5 +2176,30 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+    "q76_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE CAST(('0x' || substr(md5('graft:' ||
+             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+           < round(least(CAST(10000 AS DOUBLE),
+               greatest(CAST(0 AS DOUBLE),
+                 ((CAST(n_chars AS DOUBLE) / 1000.0) * 0.5) * 10000)))""",
+    "q77_group_zscore" ->
+      """WITH st AS (
+           SELECT source, count(*) AS n,
+             sum(CAST(n_chars AS DECIMAL(38,0))) AS s,
+             sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS s2
+           FROM documents GROUP BY source),
+         m AS (
+           SELECT source,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+               0.0)) AS std
+           FROM st)
+         SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN m.std > 0
+             THEN round((CAST(d.n_chars AS DOUBLE) - m.mean) / m.std, 4)
+             ELSE 0.0 END AS zscore
+         FROM documents d JOIN m ON m.source = d.source""",
   )
 }

@@ -52,6 +52,34 @@ object Profiling {
           col("__total"), 4).as("skew_ratio"))
   }
 
+  /** Per-group z-score normalization: (value − group mean) / group
+    * population stddev, the group-relative outlier/feature scale. The
+    * two moments are EXACT integer/decimal sums (sum and sum-of-squares
+    * in DECIMAL(38,0)), so mean and variance are order-independent and
+    * the double arithmetic that follows is one fixed expression — which
+    * is what lets an external engine reproduce the rounded z-scores
+    * bit-for-bit. A zero-variance group z-scores to 0.
+    *
+    * Shape at scale: one map-side-combined groupBy for the moments (one
+    * surviving row per group), broadcast back onto the table — the data
+    * is scanned once and never self-joined. */
+  def groupZScore(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)"))
+          .as("__s2"))
+    val mean = col("__s").cast("double") / col("__n")
+    val m2 = col("__s2").cast("double") / col("__n")
+    val std = sqrt(greatest(m2 - mean * mean, lit(0.0)))
+    df.join(broadcast(stats), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        when(std > 0, round((v - mean) / std, 4)).otherwise(lit(0.0))
+          .as("zscore"))
+  }
+
   /** Period-over-period trend report: per key, event counts before and
     * at-or-after `cutoff` plus the add-one-smoothed rise ratio — the
     * drift/trending table read off ingestion telemetry (which sources,

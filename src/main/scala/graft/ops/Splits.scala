@@ -104,6 +104,24 @@ object Splits {
         splitLabel(coalesce(col("cluster_id"), col(idCol)), weights, salt))
       .drop("cluster_id")
 
+  /** Deterministic weighted (importance) sample: row i survives with
+    * probability min(1, weight_i × scale), where `scale` calibrates the
+    * expected kept-row count — quality-weighted subsampling without
+    * `rand()`. The acceptance test compares the row's salted portable
+    * bucket (uniform on [0, Buckets)) against its own weight-derived
+    * threshold, so the decision is per-row deterministic, stable under
+    * retries/re-partitioning, reproducible by any engine, and
+    * re-drawable by changing the salt. Weights resolve at 1/Buckets
+    * granularity (clamped to [0, 1] after scaling); NULL or negative
+    * weights drop the row. Pure map-side projection — no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      scale: Double, salt: String = "graft"): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val threshold = least(lit(Buckets.toDouble),
+      greatest(lit(0.0), weight * scale * Buckets))
+    df.where(splitBucket(col(idCol), salt) < round(threshold))
+  }
+
   /** Deterministic global shuffle: every row gets a salted portable
     * 52-bit `shuffle_key` and its dense global `position` (0-based) in
     * key order — the reproducible corpus permutation a training run reads

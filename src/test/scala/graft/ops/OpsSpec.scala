@@ -892,6 +892,19 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("groupZScore: exact moments, zero-variance group scores 0") {
+    import spark.implicits._
+    val in = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L), (5L, "b", 7L)).toDF("id", "g", "v")
+    val out = Profiling.groupZScore(in, "g", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // group a: mean 20, pop std sqrt(200/3)≈8.1650
+    assert(out(1L) === -1.2247 && out(3L) === 1.2247)
+    assert(out(2L) === 0.0)
+    // zero variance group
+    assert(out(4L) === 0.0 && out(5L) === 0.0)
+  }
+
   test("rollingUserMean: trailing window per user, ties symmetric") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -213,6 +213,28 @@ class SplitsPackingSpec extends SparkSuite {
     assert(out.exists(t => reseeded(t._1) !== t._3))
   }
 
+  test("weightedSample: keep rate tracks weight, deterministic, " +
+      "null/negative weights drop") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) 2.0 else 0.2)).toDF("id", "w")
+    val kept = Splits.weightedSample(rows, "id", col("w"), scale = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // w=2.0 scale 0.5 → threshold 1.0 → always kept
+    assert((0L until 2000L by 4).forall(kept))
+    // w=0.2 scale 0.5 → p=0.1: expect ~150 of 1500, loose band
+    val light = kept.count(_ % 4 != 0)
+    assert(light > 80 && light < 250, s"kept $light of 1500 at p=0.1")
+    // deterministic
+    val again = Splits.weightedSample(rows, "id", col("w"), scale = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+    // null / negative weights never survive
+    val bad = Seq((1L, Option.empty[Double]), (2L, Some(-5.0)))
+      .toDF("id", "w")
+    assert(Splits.weightedSample(bad, "id", col("w"), 1.0).count() === 0)
+  }
+
   test("deterministicShuffle: empty input yields empty output") {
     import spark.implicits._
     val out = Splits.deterministicShuffle(
