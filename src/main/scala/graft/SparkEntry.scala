@@ -830,6 +830,22 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // First-order Markov transition matrix of user event streams: lag
+    // window per user (deterministic tie-break on event id), then a
+    // tiny (from, to) count aggregation
+    "q78_transition_matrix" -> ((s, dir) => {
+      Sessions.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")
+    }),
+
+    // Hashing-trick bag-of-words features (no fitted vocabulary): tokens
+    // hash into 64 buckets via the portable hash; sparse (doc, bucket,
+    // count) rows
+    "q79_hashed_features" -> ((s, dir) => {
+      TextAnalysis.hashedFeatures(t(s, dir, "documents"), "doc_id",
+        "text", dims = 64)
+    }),
+
     // Deterministic importance sampling: keep probability proportional
     // to the document's quality-ish weight (n_chars scaled), decided by
     // the salted portable hash — map-side, no rand(), no shuffle
@@ -2201,5 +2217,24 @@ object SparkEntry {
              THEN round((CAST(d.n_chars AS DOUBLE) - m.mean) / m.std, 4)
              ELSE 0.0 END AS zscore
          FROM documents d JOIN m ON m.source = d.source""",
+    "q78_transition_matrix" ->
+      """WITH seq AS (
+           SELECT event_type AS to_type,
+             COALESCE(lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), '^') AS from_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n_transitions
+         FROM seq GROUP BY 1, 2""",
+    "q79_hashed_features" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64
+             AS bucket,
+           count(*) AS count
+         FROM toks GROUP BY 1, 2""",
   )
 }

@@ -41,6 +41,30 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** Event-transition matrix: counts of consecutive (from → to) event
+    * types within each user's time-ordered stream — the first-order
+    * Markov view of behavior (what follows what), with each user's
+    * first event counted from the synthetic state '^'. Ties on ts break
+    * by event id, so the sequence — and therefore the matrix — is
+    * deterministic.
+    *
+    * Shape at scale: one shuffle keyed by user, one lag window over each
+    * user's locally-sorted events (same plan family as sessionize), then
+    * a map-side-combined count over (from, to) pairs — at most
+    * |event types|² surviving rows. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type",
+        coalesce(lag(col("to_type"), 1).over(w), lit("^")))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Rolling event-time feature: for every event, the mean `value` of
     * the SAME user's events in the trailing `windowSeconds` (inclusive)
     * — the standard leakage-free feature-engineering primitive (only

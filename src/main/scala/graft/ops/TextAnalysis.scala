@@ -345,6 +345,27 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Hashing-trick text features: each document's tokens hash into
+    * `dims` buckets and the per-bucket counts are the document's sparse
+    * bag-of-words vector — the vectorizer that needs NO fitted
+    * vocabulary (no second pass, no dictionary broadcast), which is what
+    * makes it the 100 TB featurizer. Emitted exploded as
+    * (doc_id, bucket, count) — the natural sparse representation; pivot
+    * downstream if a dense array is wanted. The bucket is the
+    * engine-portable md5-derived hash mod dims, so external engines
+    * reproduce the exact feature indices. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    df.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long"), lit(dims.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("count"))
+  }
+
   /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -892,6 +892,34 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("transitionMatrix: per-user ordered pairs with start state") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(1), "view"), (2L, 10L, ts(2), "click"),
+      (3L, 10L, ts(3), "click"),
+      (4L, 20L, ts(1), "view"), (5L, 20L, ts(2), "buy"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessions.transitionMatrix(ev, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("^", "view") -> 2L, ("view", "click") -> 1L,
+      ("click", "click") -> 1L, ("view", "buy") -> 1L))
+  }
+
+  test("hashedFeatures: same token same bucket, counts sum to tokens") {
+    import spark.implicits._
+    val in = Seq((1L, "a b a"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedFeatures(in, "doc_id", "text", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.filter(_._1 == 1L).map(_._3).sum === 3L)
+    val aBucket1 = rows.filter(t => t._1 == 1L && t._3 == 2L).map(_._2)
+    val aBucket2 = rows.filter(_._1 == 2L).map(_._2)
+    assert(aBucket1.toSeq === aBucket2.toSeq) // "a" lands identically
+    assert(!rows.exists(_._1 == 3L)) // empty doc → no features
+    assert(rows.forall(t => t._2 >= 0 && t._2 < 8))
+  }
+
   test("groupZScore: exact moments, zero-variance group scores 0") {
     import spark.implicits._
     val in = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
