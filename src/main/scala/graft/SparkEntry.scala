@@ -830,6 +830,14 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Per-source percentile rank of document length — the scale-free
+    // group-relative feature (skew-robust alternative to q77's z-score);
+    // one group-partitioned window
+    "q80_group_percentile" -> ((s, dir) => {
+      Profiling.groupPercentile(t(s, dir, "documents"), "source",
+        "doc_id", "n_chars")
+    }),
+
     // First-order Markov transition matrix of user event streams: lag
     // window per user (deterministic tie-break on event id), then a
     // tiny (from, to) count aggregation
@@ -2236,5 +2244,10 @@ object SparkEntry {
              AS bucket,
            count(*) AS count
          FROM toks GROUP BY 1, 2""",
+    "q80_group_percentile" ->
+      """SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+             ORDER BY n_chars), 6) AS pct_rank
+         FROM documents""",
   )
 }

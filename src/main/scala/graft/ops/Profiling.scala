@@ -99,6 +99,22 @@ object Profiling {
         round((col("n_recent") + lit(1.0)) / (col("n_prior") + lit(1.0)),
           4).as("rise_ratio"))
 
+  /** Per-group percentile rank: each row's relative position of `value`
+    * within its group, as `percent_rank` (0 for the group minimum, 1 for
+    * the maximum, ties share a rank) — the scale-free alternative to
+    * z-scores when the distribution is skewed or heavy-tailed (document
+    * quality, lengths). One window PARTITIONED by group, ordered by
+    * (value, id) only for within-frame determinism of the sort — the
+    * rank itself depends on value ties alone, so it is
+    * engine-reproducible exactly. */
+  def groupPercentile(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.select(col(idCol), col(groupCol), col(valueCol),
+      round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the row
     * was `added`, `removed`, `changed` (same id, different content hash)
     * or `unchanged` — the audit table an incremental ingestion run emits

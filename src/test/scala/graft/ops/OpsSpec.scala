@@ -892,6 +892,23 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("groupPercentile: 0 at min, 1 at max, ties share ranks") {
+    import spark.implicits._
+    val in = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 40L), (5L, "b", 9L)).toDF("id", "g", "v")
+    val out = Profiling.groupPercentile(in, "g", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === out(3L))
+    assert(out(2L) === round4(1.0 / 3.0, 6))
+    assert(out(4L) === 1.0)
+    assert(out(5L) === 0.0) // singleton group
+  }
+
+  private def round4(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   test("transitionMatrix: per-user ordered pairs with start state") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
