@@ -830,6 +830,13 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // Per-user inter-event gap stats (dwell-time cadence): exact-micros
+    // gaps via one user-keyed lag window, exact interpolated percentiles
+    "q81_event_gaps" -> ((s, dir) => {
+      Sessions.interEventGaps(t(s, dir, "events"), "user_id", "ts",
+        "event_id")
+    }),
+
     // Per-source percentile rank of document length — the scale-free
     // group-relative feature (skew-robust alternative to q77's z-score);
     // one group-partitioned window
@@ -2249,5 +2256,19 @@ object SparkEntry {
            round(percent_rank() OVER (PARTITION BY source
              ORDER BY n_chars), 6) AS pct_rank
          FROM documents""",
+    "q81_event_gaps" ->
+      """WITH g AS (
+           SELECT user_id,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+               / 1000000.0 AS gap_s
+           FROM events)
+         SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(CAST(avg(CAST(gap_s AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS mean_gap_s,
+           round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+         FROM g GROUP BY user_id""",
   )
 }

@@ -41,6 +41,37 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** Per-user inter-event gap statistics: count, mean, median and p90 of
+    * the gaps (seconds) between a user's consecutive events — the
+    * dwell-time/behavioral-cadence features (bot detection reads the p90,
+    * engagement models the median). Gaps are exact integer microseconds
+    * (ties broken by event id) and the quantiles use Spark's EXACT
+    * `percentile` with linear interpolation — the same definition as the
+    * SQL oracle's `quantile_cont`, so results hash-match. Users with a
+    * single event report zero gaps and null statistics.
+    *
+    * Shape at scale: one user-keyed shuffle + lag window (the
+    * sessionize family), then a map-side-combined per-user aggregation;
+    * exact percentile buffers hold one user's gaps, bounded by that
+    * user's event count. */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("__id").asc)
+    events
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"), col(idCol).as("__id"))
+      .withColumn("gap_s",
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double")
+          / 1000000.0)
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_s")).as("n_gaps"),
+        round(avg(col("gap_s").cast("decimal(18,6)")).cast("double"), 4)
+          .as("mean_gap_s"),
+        round(percentile(col("gap_s"), lit(0.5)), 4).as("median_gap_s"),
+        round(percentile(col("gap_s"), lit(0.9)), 4).as("p90_gap_s"))
+  }
+
   /** Event-transition matrix: counts of consecutive (from → to) event
     * types within each user's time-ordered stream — the first-order
     * Markov view of behavior (what follows what), with each user's

@@ -892,6 +892,25 @@ class OpsSpec extends SparkSuite {
     assert(rows(2) === ((3, 3L, 1L, 0.1, 0.4))) // count-1 tie → key asc
   }
 
+  test("interEventGaps: exact gaps, interpolated quantiles, singletons") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(30)),
+      (4L, 10L, ts(100)), // gaps: 10, 20, 70
+      (5L, 20L, ts(5)))   // singleton: no gaps
+      .toDF("event_id", "user_id", "ts")
+    val out = Sessions.interEventGaps(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    // median of (10,20,70) = 20; p90 interpolated = 20+0.8*50 = 60
+    assert(out(10L) === ((3L, 33.3333, 20.0, 60.0)))
+    assert(out(20L) === ((0L, -1.0, -1.0, -1.0)))
+  }
+
   test("groupPercentile: 0 at min, 1 at max, ties share ranks") {
     import spark.implicits._
     val in = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
