@@ -13,9 +13,13 @@ import graft.terminology._
   * Each `queries` entry exercises one operator family from SURVEY §2 (the
   * bunsen operator inventory) or one of the beyond-parity training-pipeline
   * operators, expressed against the driver's TPC-H-ish testdata so the
-  * DuckDB oracle can verify it. FHIR-specific semantics (schema compile,
-  * bundle extraction, "?"-scrub, reference ids) are verified in ScalaTest
-  * (src/test/scala/graft) since they are not expressible over these tables.
+  * DuckDB oracle can verify it. FHIR-specific semantics are verified two
+  * ways: ScalaTest (src/test/scala/graft) for the object surface, and —
+  * since q82/q83/q84 — under the DuckDB oracle by constructing synthetic
+  * FHIR documents FROM the relational tables inside the query, running
+  * them through the real ingestion path (fromJson/fromXml → compiled
+  * schema → extractEntry → toJson round trip), and flattening back to
+  * scalars the oracle recomputes directly from the parquet.
   *
   * Numeric discipline for oracle hash-parity: every aggregate over doubles
   * is computed in DECIMAL(18,4) (exact, associative, order-independent) and
@@ -967,6 +971,140 @@ object SparkEntry {
       val batch = Dedup.exactFingerprints(
         docs.where(col("doc_id") >= 250), "doc_id", "text")
       Dedup.incrementalExactDedup(index, batch)
+    }),
+
+    // FHIR ingestion under the DuckDB oracle (S2→S4, U7, extension
+    // hoisting): customers become synthetic Patient resources, batched
+    // 10-per-bundle, ingested through the REAL path — to_json →
+    // Bundles.fromJson (compiled envelope schema) → extractEntry — then
+    // flattened back to scalars the oracle recomputes directly from the
+    // parquet. Any converter defect (schema drift, lost "?"-scrub,
+    // missed extension hoist, array mangling) breaks the hash match.
+    // Scale shape: one map-side-combined groupBy on the bundle key;
+    // parse + extract are pure codegen'd projections.
+    "q82_fhir_patient_bundles" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val resource = to_json(struct(
+        lit("Patient").as("resourceType"),
+        concat(lit("p"), col("c_custkey")).as("id"),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END").as("gender"),
+        concat((lit(1950) + col("c_custkey") % 50).cast("string"),
+          lit("-06-15")).as("birthDate"),
+        (col("c_custkey") % 2 === 0).as("active"),
+        array(struct(col("c_name").as("family"),
+          array(col("c_mktsegment")).as("given"))).as("name"),
+        array(struct(
+          lit(graft.fhir.FhirSchemas.BirthSexExtensionUrl).as("url"),
+          expr("CASE c_custkey % 3 WHEN 0 THEN 'M' " +
+            "WHEN 1 THEN 'F' ELSE '?' END").as("valueCode")))
+          .as("extension")))
+      val bundles = c.select(resource.as("r"),
+          expr("c_custkey div 10").as("bundle_key"))
+        .groupBy(col("bundle_key"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      graft.fhir.Bundles.extractEntry(s,
+          graft.fhir.Bundles.fromJson(bundles, "bundle_json"), "Patient")
+        .select(col("id").as("patient_id"),
+          col("gender"),
+          col("birthDate").as("birth_date"),
+          col("active"),
+          try_element_at(col("name"), lit(1)).getField("family")
+            .as("family_name"),
+          try_element_at(
+            try_element_at(col("name"), lit(1)).getField("given"), lit(1))
+            .as("given_name"),
+          col("birthSex").as("birth_sex"))
+    }),
+
+    // FHIR decode/re-ingest round trip under the oracle (S4 + U5 + the
+    // synthetic reference ids): orders → Observation bundles → extract →
+    // toJson (spec-shaped decode) → re-wrap → extract AGAIN → flat
+    // scalars. Exercises the decimal(12,4) Quantity path, the value[x]
+    // choice flattening, and subject.patientId synthesis; the oracle
+    // never sees FHIR — it recomputes the scalars from orders.parquet.
+    "q83_fhir_obs_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val resource = to_json(struct(
+        lit("Observation").as("resourceType"),
+        concat(lit("o"), col("o_orderkey")).as("id"),
+        expr("CASE o_orderstatus WHEN 'F' THEN 'final' " +
+          "WHEN 'O' THEN 'preliminary' ELSE 'amended' END").as("status"),
+        struct(concat(lit("Patient/p"), col("o_custkey")).as("reference"))
+          .as("subject"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("effectiveDateTime"),
+        struct(col("o_totalprice").cast("decimal(12,4)").as("value"),
+          lit("USD").as("unit")).as("valueQuantity")),
+        Map("ignoreNullFields" -> "true"))
+      val bundles = o.select(resource.as("r"),
+          expr("o_orderkey div 20").as("bundle_key"))
+        .groupBy(col("bundle_key"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      val first = graft.fhir.Bundles.extractEntry(s,
+        graft.fhir.Bundles.fromJson(bundles, "bundle_json"), "Observation")
+      val rewrapped = graft.fhir.Bundles.toJson(first, "Observation")
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":[{"resource":"""),
+          col("json"), lit("}]}")).as("bundle_json"))
+      graft.fhir.Bundles.extractEntry(s,
+          graft.fhir.Bundles.fromJson(rewrapped, "bundle_json"),
+          "Observation")
+        .select(col("id").as("obs_id"),
+          col("subject").getField("patientId").as("patient_id"),
+          col("subject").getField("reference").as("subject_ref"),
+          col("status"),
+          // the decimal(12,4) Quantity path is exercised internally
+          // (parse → decimal → serialize → reparse); the compare column
+          // is double per the repo's oracle-portability convention
+          col("valueQuantity").getField("value").cast("double")
+            .as("value_qty"),
+          col("effectiveDateTime").as("effective_ts"))
+    }),
+
+    // FHIR XML ingestion under the oracle (S3): the same synthetic
+    // Patients serialized as spec-shaped FHIR XML (`value=` attributes,
+    // element-per-field), converted executor-side by the schema-guided
+    // StAX path (FhirXml), then the identical from_json pipeline. The
+    // oracle recomputes the scalars relationally, so a conversion defect
+    // anywhere in XML→JSON→struct breaks the hash.
+    "q84_fhir_xml_ingest" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val xml = concat(
+        lit("""<Bundle xmlns="http://hl7.org/fhir"><type value="collection"/>"""),
+        lit("<entry><resource><Patient>"),
+        lit("""<id value="p"""), col("c_custkey"), lit("\"/>"),
+        lit("""<gender value=""""),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END"), lit("\"/>"),
+        lit("""<birthDate value=""""),
+        (lit(1950) + col("c_custkey") % 50).cast("string"),
+        lit("-06-15\"/>"),
+        lit("""<name><family value=""""), col("c_name"),
+        lit("\"/><given value=\""), col("c_mktsegment"),
+        lit("\"/></name>"),
+        lit("</Patient></resource></entry></Bundle>"))
+      graft.fhir.Bundles.extractEntry(s,
+          graft.fhir.Bundles.fromXml(c.select(xml.as("bundle_xml")),
+            "bundle_xml"), "Patient")
+        .select(col("id").as("patient_id"),
+          col("gender"),
+          col("birthDate").as("birth_date"),
+          try_element_at(col("name"), lit(1)).getField("family")
+            .as("family_name"),
+          try_element_at(
+            try_element_at(col("name"), lit(1)).getField("given"), lit(1))
+            .as("given_name"))
     }),
   )
 
@@ -2059,11 +2197,16 @@ object SparkEntry {
          r AS (
            SELECT key, n_rows,
              row_number() OVER (ORDER BY n_rows DESC, key) AS rk
-           FROM c)
+           FROM c WHERE key IS NOT NULL)
          SELECT CAST(rk AS INT) AS rank, key, n_rows,
            round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
            round(CAST(n_rows AS DOUBLE) * n_keys / total, 4) AS skew_ratio
-         FROM r CROSS JOIN t WHERE rk <= 15""",
+         FROM r CROSS JOIN t WHERE rk <= 15
+         UNION ALL
+         SELECT 0 AS rank, key, n_rows,
+           round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+           round(CAST(n_rows AS DOUBLE) * n_keys / total, 4) AS skew_ratio
+         FROM c CROSS JOIN t WHERE key IS NULL""",
     "q67_incremental_exact" ->
       """WITH idx AS (
            SELECT DISTINCT md5(text) AS content_hash
@@ -2218,7 +2361,8 @@ object SparkEntry {
       """WITH st AS (
            SELECT source, count(*) AS n,
              sum(CAST(n_chars AS DECIMAL(38,0))) AS s,
-             sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS s2
+             sum(CAST(CAST(n_chars AS DECIMAL(19,0)) *
+               CAST(n_chars AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS s2
            FROM documents GROUP BY source),
          m AS (
            SELECT source,
@@ -2270,5 +2414,40 @@ object SparkEntry {
            round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
            round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
          FROM g GROUP BY user_id""",
+    // The FHIR oracles never see FHIR: they recompute the flat scalars
+    // relationally from the same parquet, so the whole construct→parse→
+    // extract→(decode→re-ingest) pipeline must be value-preserving for
+    // the hashes to match.
+    "q82_fhir_patient_bundles" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender,
+           CAST(1950 + c_custkey % 50 AS VARCHAR) || '-06-15'
+             AS birth_date,
+           c_custkey % 2 = 0 AS active,
+           c_name AS family_name,
+           c_mktsegment AS given_name,
+           CASE c_custkey % 3 WHEN 0 THEN 'M'
+             WHEN 1 THEN 'F' ELSE NULL END AS birth_sex
+         FROM customer""",
+    "q83_fhir_obs_roundtrip" ->
+      """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS obs_id,
+           'p' || CAST(o_custkey AS VARCHAR) AS patient_id,
+           'Patient/p' || CAST(o_custkey AS VARCHAR) AS subject_ref,
+           CASE o_orderstatus WHEN 'F' THEN 'final'
+             WHEN 'O' THEN 'preliminary' ELSE 'amended' END AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE)
+             AS value_qty,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS effective_ts
+         FROM orders""",
+    "q84_fhir_xml_ingest" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender,
+           CAST(1950 + c_custkey % 50 AS VARCHAR) || '-06-15'
+             AS birth_date,
+           c_name AS family_name,
+           c_mktsegment AS given_name
+         FROM customer""",
   )
 }

@@ -54,10 +54,13 @@ object Profiling {
 
   /** Per-group z-score normalization: (value − group mean) / group
     * population stddev, the group-relative outlier/feature scale. The
-    * two moments are EXACT integer/decimal sums (sum and sum-of-squares
-    * in DECIMAL(38,0)), so mean and variance are order-independent and
-    * the double arithmetic that follows is one fixed expression — which
-    * is what lets an external engine reproduce the rounded z-scores
+    * value column is assumed INTEGRAL (counts, lengths): the two moments
+    * are EXACT integer sums — each square is computed in
+    * DECIMAL(19,0)×DECIMAL(19,0) (never the narrow input type, so an
+    * int column can't silently wrap at 46341²) and accumulated in
+    * DECIMAL(38,0) — so mean and variance are order-independent and the
+    * double arithmetic that follows is one fixed expression, which is
+    * what lets an external engine reproduce the rounded z-scores
     * bit-for-bit. A zero-variance group z-scores to 0.
     *
     * Shape at scale: one map-side-combined groupBy for the moments (one
@@ -69,7 +72,8 @@ object Profiling {
     val stats = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
-        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)"))
+        sum((col(valueCol).cast("decimal(19,0)") *
+            col(valueCol).cast("decimal(19,0)")).cast("decimal(38,0)"))
           .as("__s2"))
     val mean = col("__s").cast("double") / col("__n")
     val m2 = col("__s2").cast("double") / col("__n")

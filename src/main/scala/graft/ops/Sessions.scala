@@ -103,7 +103,10 @@ object Sessions {
     * integer microseconds, partitioned by user: parallelism scales with
     * users and ties in ts contribute symmetrically regardless of sort
     * order. The mean is summed in DECIMAL(18,4) (order-independent, the
-    * q44 trick) so the rounded result is engine-reproducible.
+    * q44 trick) so the rounded result is engine-reproducible. `n_window`
+    * counts ALL frame rows (`count(*)` semantics); a NULL value adds
+    * nothing to the sum but still inflates the denominator — matching
+    * the SQL `count(*) OVER w` an external engine would write.
     *
     * At 100 TB this is ONE shuffle on user + a per-user time sort —
     * same cost family as sessionize; never a self-join. */
@@ -116,7 +119,7 @@ object Sessions {
       .rangeBetween(-windowSeconds * 1000000L, 0)
     events.select(col(idCol), col(userCol), col(tsCol),
         col(valueCol).cast("decimal(18,4)").as("__v"))
-      .withColumn("n_window", count(col("__v")).over(w))
+      .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("rolling_mean",
         round((sum(col("__v")).over(w) / col("n_window"))
           .cast("double"), 4))

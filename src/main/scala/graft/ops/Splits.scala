@@ -144,8 +144,11 @@ object Splits {
     val key = conv(substring(md5(concat(lit(salt), lit(":"),
       col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
     val blockWidth = (1L << 52) / buckets + 1
-    val base = df.select(col(idCol).as("id"), key.as("shuffle_key"),
-      (key / blockWidth).cast("long").as("block"))
+    // integral div: `/` on Columns divides as DOUBLE, which is exact
+    // only below 2^53 — safe for today's 13-hex (52-bit) keys but a
+    // silent misassignment the moment the key widens. `div` stays long.
+    val base = df.select(col(idCol).as("id"), key.as("shuffle_key"))
+      .withColumn("block", expr(s"shuffle_key div ${blockWidth}L"))
     val offsets: Map[Long, Long] = {
       val counts = base.groupBy(col("block"))
         .agg(count(lit(1)).as("c"))
