@@ -331,11 +331,11 @@ object FhirSchemas {
       case FComplex(name) =>
         // recursion budget: drop the field once the type already appears on
         // the traversal stack MaxDepth times (Stu3StructureDefinitions:88-114)
-        val count = seen.getOrElse(name, 0)
-        if (count >= MaxDepth && seen.contains(name)) Nil
+        if (!budgetSurvives(f.tpe, seen)) Nil
         else {
           val d = lookupDef(name, reg)
-          wrap(compileComposite(d, seen.updated(name, count + 1), reg))
+          wrap(compileComposite(d,
+            seen.updated(name, seen.getOrElse(name, 0) + 1), reg))
         }
     }
   }
@@ -379,11 +379,11 @@ object FhirSchemas {
         }
       case FExtension(_, _) => Nil // parsed via the generic extension list
       case FComplex(name) =>
-        val count = seen.getOrElse(name, 0)
-        if (count >= MaxDepth && seen.contains(name)) Nil
+        if (!budgetSurvives(f.tpe, seen)) Nil
         else {
           val d = lookupDef(name, reg)
-          wrap(StructType(parseFields(d, seen.updated(name, count + 1), reg)))
+          wrap(StructType(parseFields(d,
+            seen.updated(name, seen.getOrElse(name, 0) + 1), reg)))
         }
     }
   }
@@ -456,6 +456,17 @@ object FhirSchemas {
       reg: FRegistry = defaultRegistry): Column =
     transformFor(reg.resources(resourceName), resourceName, c, reg)
 
+  /** Fields of `d` that survive the recursion budget given the traversal
+    * stack `seen` — the single truncation rule shared by schema compile,
+    * parse schema, and post-parse transform, so a recursive definition
+    * (Questionnaire.item → #Questionnaire.item) truncates IDENTICALLY in
+    * all three and the transform never references a parse-dropped field. */
+  private def budgetSurvives(tpe: FhirType, seen: Map[String, Int]): Boolean =
+    tpe match {
+      case FComplex(n) => seen.getOrElse(n, 0) < MaxDepth
+      case _ => true
+    }
+
   /** S5: shape a parsed `contained` array (merged-schema elements) into the
     * reference's one-field-per-declared-type struct
     * (DefinitionToSparkVisitor.java:457-473): field lowerFirst(type) is the
@@ -469,22 +480,29 @@ object FhirSchemas {
       }: _*))
 
   private[fhir] def transformFor(d: FDefinition, name: String,
-      c: Column, reg: FRegistry = defaultRegistry): Column = {
+      c: Column, reg: FRegistry = defaultRegistry,
+      seen: Map[String, Int] = null): Column = {
+    // default traversal stack: the root type counts as one occurrence,
+    // mirroring schemaFor/parseSchemaFor
+    val seen1 = if (seen == null) Map(name -> 1) else seen
     val cols = d.fields.flatMap { f =>
       f.tpe match {
         case FChoice(_, alternatives) =>
-          alternatives.map { case (suffix, tpe) =>
+          alternatives.flatMap { case (suffix, tpe) =>
             val n = f.name + suffix
-            transformLeaf(FField(n, tpe, f.multi), c, reg)
+            transformLeaf(FField(n, tpe, f.multi), c, reg, seen1)
           }
-        case _ => Seq(transformLeaf(f, c, reg))
+        case _ => transformLeaf(f, c, reg, seen1)
       }
     }
     when(c.isNotNull, struct(cols: _*))
   }
 
   private def transformLeaf(f: FField, parent: Column,
-      reg: FRegistry): Column = {
+      reg: FRegistry, seen: Map[String, Int]): Seq[Column] = {
+    // recursion budget: drop exactly the fields parseField dropped, so the
+    // transform never does getField on a field the parse schema truncated
+    if (!budgetSurvives(f.tpe, seen)) return Nil
     val child = parent.getField(f.name)
     val out: Column = f.tpe match {
       case FCode =>
@@ -505,12 +523,14 @@ object FhirSchemas {
         extensionValue(parent.getField("extension"), url, tpe, f.multi, reg)
       case FComplex(n) =>
         val d = reg.complexTypes.getOrElse(n, reg.resources.get(n).orNull)
+        val deeper = seen.updated(n, seen.getOrElse(n, 0) + 1)
         if (d == null) child
-        else if (f.multi) transform(child, x => transformFor(d, n, x, reg))
-        else transformFor(d, n, child, reg)
+        else if (f.multi)
+          transform(child, x => transformFor(d, n, x, reg, deeper))
+        else transformFor(d, n, child, reg, deeper)
       case _ => child
     }
-    out.as(f.name)
+    Seq(out.as(f.name))
   }
 
   /** Hoist one declared extension from a generic extension array: select

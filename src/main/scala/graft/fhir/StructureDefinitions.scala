@@ -112,7 +112,23 @@ object StructureDefinitions {
         complexBuilder ++= inlineDefs
       } else skipped += s"$typeName: empty snapshot"
     }
-    CompiledProfiles(resBuilder.result(), complexBuilder.result(),
+    // prune dangling contentReference targets: a '.'-named FComplex can
+    // only come from a minted BackboneElement (always registered when
+    // created) or a contentReference — so an unresolvable one is a bad
+    // #Type.path and is dropped LOUDLY via `skipped`, never left to fail
+    // at schema-compile time deep inside a query plan
+    val complexes = complexBuilder.result()
+    def prune(d: FDefinition): FDefinition = FDefinition(d.name,
+      d.fields.filter { f =>
+        f.tpe match {
+          case FComplex(n) if n.contains('.') && !complexes.contains(n) =>
+            skipped += s"${d.name}.${f.name}: unresolved contentReference #$n"
+            false
+          case _ => true
+        }
+      })
+    CompiledProfiles(resBuilder.result().view.mapValues(prune).toMap,
+      complexes.view.mapValues(prune).toMap,
       extensionDefs, skipped.result().distinct)
   }
 
@@ -212,7 +228,22 @@ object StructureDefinitions {
       } else {
         val codes = typeEntries(el)
         codes.headOption match {
-          case None => () // the root/recapitulated element itself
+          case None =>
+            // contentReference: an element typed "same as #Type.path" — the
+            // FHIR recursion mechanism (Questionnaire.item.item →
+            // #Questionnaire.item). Compiled as FComplex(path): the
+            // referenced BackboneElement is minted under exactly that path
+            // name, and the shared per-(type,path) recursion budget in
+            // FhirSchemas truncates the cycle at MaxDepth — matching
+            // Stu3StructureDefinitions.java:88-114 + recurseToDepth.
+            // Unresolved targets are pruned (and reported) in compile().
+            text(el, "contentReference") match {
+              case Some(ref) if ref.startsWith("#") && ref.contains('.') =>
+                fields += FField(name, FComplex(ref.drop(1)), isMulti(el))
+              case Some(ref) =>
+                skipped += s"$path: unsupported contentReference $ref"
+              case None => () // the root/recapitulated element itself
+            }
           case Some(t) =>
             val code = text(t, "code").getOrElse("")
             if (code == "Reference") {

@@ -118,6 +118,83 @@ class StructureDefinitionsSpec extends SparkSuite {
     assert(row.getString(2) === "p9")
   }
 
+  // Recursive StructureDefinition (Questionnaire.item.item →
+  // #Questionnaire.item): the FHIR contentReference recursion mechanism.
+  // The reference cuts this with a per-(type, path) depth budget of 1
+  // (Stu3StructureDefinitions.java:88-114); ours must compile, truncate
+  // identically in schema/parse/transform, and round-trip.
+  private val questionnaireJson =
+    """{"resourceType":"StructureDefinition",
+       "url":"http://example.org/StructureDefinition/Questionnaire",
+       "kind":"resource","type":"Questionnaire",
+       "snapshot":{"element":[
+         {"path":"Questionnaire","max":"1"},
+         {"path":"Questionnaire.id","max":"1","type":[{"code":"id"}]},
+         {"path":"Questionnaire.status","max":"1","type":[{"code":"code"}]},
+         {"path":"Questionnaire.item","max":"*",
+          "type":[{"code":"BackboneElement"}]},
+         {"path":"Questionnaire.item.linkId","max":"1",
+          "type":[{"code":"string"}]},
+         {"path":"Questionnaire.item.prefix","max":"1",
+          "type":[{"code":"string"}]},
+         {"path":"Questionnaire.item.item","max":"*",
+          "contentReference":"#Questionnaire.item"}]}}"""
+
+  test("recursive contentReference compiles and truncates at the depth " +
+    "budget in schema, parse schema, and transform alike") {
+    val cp = StructureDefinitions.compile(Seq(questionnaireJson))
+    assert(cp.resources.contains("Questionnaire"))
+    assert(!cp.skipped.exists(_.contains("Questionnaire.item.item")),
+      s"recursion wrongly skipped: ${cp.skipped}")
+    val reg = cp.registry
+    val schema = FhirSchemas.schemaFor("Questionnaire", reg)
+    val item = schema("item").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(item.fieldNames.contains("linkId"))
+    // the cycle is cut: one level of item, no item.item
+    assert(!item.fieldNames.contains("item"))
+    val parseItem = FhirSchemas.parseSchemaFor("Questionnaire", reg)("item")
+      .dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]
+    assert(!parseItem.fieldNames.contains("item"))
+  }
+
+  test("recursive Questionnaire ingests end-to-end (nested items beyond " +
+    "the budget are dropped, not fatal)") {
+    import spark.implicits._
+    val reg = StructureDefinitions.compile(Seq(questionnaireJson)).registry
+    val bundle =
+      """{"resourceType":"Bundle","type":"collection","entry":[
+         {"resource":{"resourceType":"Questionnaire","id":"q1",
+           "status":"active",
+           "item":[{"linkId":"1","prefix":"A",
+                    "item":[{"linkId":"1.1"}]},
+                   {"linkId":"2"}]}}]}"""
+    val rows = Bundles.extractEntry(spark,
+      Seq(bundle).toDF("bundle_json"), "Questionnaire", Nil, reg)
+    val r = rows.select(col("id"), col("status"),
+      try_element_at(col("item"), lit(1)).getField("linkId"),
+      try_element_at(col("item"), lit(2)).getField("linkId")).head()
+    assert(r.getString(0) === "q1")
+    assert(r.getString(1) === "active")
+    assert(r.getString(2) === "1")
+    assert(r.getString(3) === "2")
+  }
+
+  test("dangling contentReference is pruned and reported") {
+    val bad = questionnaireJson.replace("#Questionnaire.item\"",
+      "#Questionnaire.nothere\"")
+    val cp = StructureDefinitions.compile(Seq(bad))
+    assert(cp.skipped.exists(_.contains("unresolved contentReference")),
+      s"expected an unresolved-contentReference skip, got: ${cp.skipped}")
+    // the resource still compiles minus the dangling field
+    val item = FhirSchemas.schemaFor("Questionnaire", cp.registry)("item")
+      .dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]
+    assert(item.fieldNames.contains("linkId"))
+    assert(!item.fieldNames.contains("item"))
+  }
+
   test("unsupported datatypes are reported, never silently dropped") {
     // the US-core set exercises types outside the registry (Narrative,
     // Attachment, Timing, ...) — each dropped path must appear in `skipped`
