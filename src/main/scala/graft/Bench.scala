@@ -62,8 +62,14 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) sec else -1.0
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .map { case (name, fn) => (name, timeOne(name, fn)) }
+    // Optional local-iteration filter (NOT set by the driver): comma list
+    // of query-name substrings, e.g. SPARK_GRAFT_BENCH_ONLY=q49,q35
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+    val firstPass = selected.map { case (name, fn) => (name, timeOne(name, fn)) }
     // Per-query regression guard: flag any query slower than
     // max(2x, +2s noise floor) its best recorded time (bench_baseline.json,
     // committed — the local-mode noise band is ~±2s total, well under 2x on
@@ -109,7 +115,9 @@ object Bench {
       case (k, v) if overGuard(k, v) =>
         s"""{"query":"$k","sec":$v,"best":${baseline(k)}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"queries":$qs,"errors":$errors,"regressions":$regressions,"sf":"$sfDir"}""")
+    // headline fields FIRST, per-query map LAST: if the consumer's log
+    // capture truncates the line's tail, the totals still survive
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -1803,7 +1803,7 @@ object SparkEntry {
              list_sum(list_transform(qv, x -> x * x)) AS nrm
            FROM d),
          cents AS (
-           SELECT row_number() OVER (ORDER BY id) - 1 AS cell, qv AS cv,
+           SELECT CAST(id AS INT) AS cell, qv AS cv,
              list_sum(list_transform(qv, x -> x * x)) AS cn
            FROM d WHERE id < 16),
          scored AS (
@@ -1820,7 +1820,9 @@ object SparkEntry {
            FROM cellof ca JOIN cellof cb
              ON ca.cell = cb.cell AND ca.id < cb.id
            JOIN n a ON a.id = ca.id
-           JOIN n b ON b.id = cb.id),
+           JOIN n b ON b.id = cb.id
+           WHERE ca.cell IN (SELECT cell FROM cellof
+             GROUP BY cell HAVING count(*) <= 10000)),
          dropped AS (
            SELECT DISTINCT id_b AS id FROM p
            WHERE na > 0 AND nb > 0 AND dot > 0

@@ -360,31 +360,56 @@ object Similarity {
     * threshold, whether or not that row is itself kept). Pair verification
     * is the same exact integer threshold test as [[cosineNearDupsExact]].
     *
-    * Scale design (the SemDeDup trick): the pair join is confined to cells
-    * by an equi-join on cell id, so the quadratic term is Σ|cell|², not
-    * n² — at 100 TB the seed count grows with the corpus (centroids from a
-    * prior clustering job) to keep per-cell populations bounded, and the
-    * assigned table persists partitioned by cell. No all-pairs product, no
-    * driver-side state beyond the small-by-contract seed literal.
+    * Scale design (the SemDeDup trick, made safe at 100 TB):
+    *  - Centroids join as a broadcast TABLE, not a plan literal — a
+    *    typedLit of 100k×d vectors bloats the plan tree and kills codegen;
+    *    a table is just data. The broadcast cross join has a k-row build
+    *    side by contract (same legitimate class as the ANN query-set
+    *    broadcast), and the argmax is a map-side-combined
+    *    `max(struct(score, -cell))` — every centroid row for an id is
+    *    produced in the id's own partition, so the shuffle carries ONE
+    *    row per id. Cell ids are the seeds' OWN ids (cast to int):
+    *    centroid tables come from a prior clustering job that already owns
+    *    a dense id space; re-ranking them would need a global window.
+    *  - Within-cell pairs route through the same capped
+    *    [[Dedup.candidatePairsFromBuckets]] machinery as MinHash/LSH
+    *    (bounded aggregation buffers, explode from collected id lists, no
+    *    self-join): the quadratic term is min(|cell|, maxCellSize)² per
+    *    cell, a hot cell can never melt an executor, and an over-budget
+    *    cell (> `maxCellSize`) contributes no pairs — the signal to re-run
+    *    the clustering job with more centroids, not a crash.
     *
     * Returns (id, cell, keep) for every input row. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       seeds: DataFrame, seedId: String, seedVec: String,
-      threshold: Double, quantScale: Int = 10000): DataFrame = {
-    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
-    val assigned = quantized(df, idCol, vecCol, quantScale)
-      .withColumn("scores", cellScores(col("qv")))
-      .select(col("id"), col("qv"), col("nrm"),
-        (array_position(col("scores"), array_max(col("scores"))) - 1)
-          .cast("int").as("cell"))
-    val cand = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.qv").as("qv_a"),
-        col("a.nrm").as("nrm_a"), col("b.id").as("id_b"),
-        col("b.qv").as("qv_b"), col("b.nrm").as("nrm_b"))
+      threshold: Double, quantScale: Int = 10000,
+      maxCellSize: Int = 10000): DataFrame = {
+    val q = quantized(df, idCol, vecCol, quantScale)
+    val s = seeds.select(col(seedId).cast("int").as("cell"),
+        transform(col(seedVec), x => round(x.cast("double") * quantScale))
+          .as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    val assigned = q.crossJoin(broadcast(s))
+      // argmin ||q−c||² == argmax 2·q·c − ||c||²; all terms exact
+      // integers after quantization (dim·quantScale² ≪ 2^53)
+      .select(col("id"), col("cell"),
+        (dot(col("qv"), col("cv")) * 2 - col("cn")).as("score"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("score"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("id"), (-col("best.nc")).cast("int").as("cell"))
+    val pairs = Dedup.candidatePairsFromBuckets(
+        assigned.select(col("id"), col("cell").cast("long").as("bucket")),
+        maxCellSize)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val cand = pairs
+      .join(q.select(col("id").as("id_a"), col("qv").as("qv_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(q.select(col("id").as("id_b"), col("qv").as("qv_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
     val dropped = quantizedThresholdFilter(cand, threshold)
       .select(col("id_b").as("id")).distinct()
-    assigned.select(col("id"), col("cell"))
+    assigned
       .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
   }

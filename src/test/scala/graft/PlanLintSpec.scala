@@ -18,7 +18,9 @@ class PlanLintSpec extends SparkSuite {
     "q48_mixing_plan", "q50_temperature_mixing", // corpus totals row
     "q51_apply_mixture", // rates frame (one row per source)
     "q55_prototypicality", // centroid list (k cells)
-    "q49_semantic_dedup", // centroid list (k cells)
+    "q49_semantic_dedup", // centroid TABLE broadcast (k rows by
+                          // contract; within-cell pairs are capped —
+                          // the quadratic path is bounded elsewhere)
     "q65_zorder_key", // min/max stats row
     "q66_key_skew", // totals row
     "q56_corpus_report", // totals row

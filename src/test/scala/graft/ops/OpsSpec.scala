@@ -479,6 +479,25 @@ class OpsSpec extends SparkSuite {
       12L -> (1, true), 13L -> (1, true)))
   }
 
+  test("semanticDedup: an over-budget cell contributes no pairs (bounded " +
+    "hot-cell behavior), an in-budget cell dedups normally") {
+    import spark.implicits._
+    val seeds = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // 30 near-identical vectors, all landing in the single cell
+    val rows = (0L until 30L).map(i => (i, Seq(1.0f, i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.semanticDedup(rows, "vec_id", "embedding",
+      seeds, "vec_id", "embedding", threshold = 0.9, maxCellSize = 10)
+    // cell size 30 > cap 10 → no pairs, everything kept — bounded, not OOM
+    assert(capped.where(!col("keep")).count() === 0)
+    assert(capped.count() === 30)
+    val uncapped = Similarity.semanticDedup(rows, "vec_id", "embedding",
+      seeds, "vec_id", "embedding", threshold = 0.9, maxCellSize = 100)
+    // within budget the greedy keep-first dedup applies: only id 0 kept
+    assert(uncapped.where(col("keep")).collect().map(_.getLong(0)).toSeq
+      === Seq(0L))
+  }
+
   test("semanticDedup == exact pair kernel restricted to cells (fixture)") {
     val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
     val out = Similarity.semanticDedup(e, "vec_id", "embedding",
