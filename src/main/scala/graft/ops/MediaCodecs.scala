@@ -1,0 +1,190 @@
+package graft.ops
+
+/** Pure-JVM media decoders for the multimodal kernel slot: 24-bit
+  * uncompressed BMP, binary PPM (P6), and 16-bit PCM WAV. No codec
+  * libraries, no native code — each is a single forward pass over the
+  * byte array that accumulates the statistics the feature kernel emits,
+  * never materializing a decoded pixel/sample buffer (a 100 MP image
+  * costs O(1) memory here).
+  *
+  * Anything malformed or out of the supported profile returns None — the
+  * caller falls back to its byte-level fallback feature, so one corrupt
+  * asset can never fail a 100 TB extraction job (same failure discipline
+  * as the bundle XML path).
+  */
+object MediaCodecs {
+
+  /** Decoded-image summary: dimensions, per-channel means, and the mean /
+    * population-stddev of Rec.601 luma (0.299 R + 0.587 G + 0.114 B). */
+  final case class ImageStats(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double,
+      lumaMean: Double, lumaStd: Double)
+
+  /** Decoded-audio summary over channel-averaged PCM samples normalized
+    * to [-1, 1]: mean absolute amplitude, RMS, zero-crossing rate, and
+    * duration from the fmt-chunk sample rate. */
+  final case class AudioStats(sampleRate: Int, nSamples: Int,
+      meanAbs: Double, rms: Double, zeroCrossRate: Double) {
+    def durationMs: Double =
+      if (sampleRate <= 0) 0.0 else nSamples * 1000.0 / sampleRate
+  }
+
+  /** Container sniff by magic bytes: "bmp" | "ppm" | "wav" | "unknown". */
+  def sniff(b: Array[Byte]): String =
+    if (b == null) "unknown"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') "ppm"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E') "wav"
+    else "unknown"
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** One-pass RGB accumulator shared by both image decoders. */
+  private final class RgbAcc {
+    var n = 0L
+    var sr, sg, sb, sl, sl2 = 0.0
+    def add(r: Int, g: Int, bl: Int): Unit = {
+      n += 1; sr += r; sg += g; sb += bl
+      val l = 0.299 * r + 0.587 * g + 0.114 * bl
+      sl += l; sl2 += l * l
+    }
+    def stats(w: Int, h: Int): Option[ImageStats] =
+      if (n != w.toLong * h) None
+      else {
+        val m = sl / n
+        Some(ImageStats(w, h, sr / n, sg / n, sb / n, m,
+          math.sqrt(math.max(sl2 / n - m * m, 0.0))))
+      }
+  }
+
+  /** Decode a 24-bit uncompressed (BI_RGB) BMP. Rows are 4-byte aligned
+    * and stored bottom-up (negative biHeight = top-down); pixels are
+    * accumulated in IMAGE row-major order regardless of storage order, so
+    * the same pixels produce bit-identical float statistics from any
+    * supported container (pinned by the PPM ≡ BMP differential test). */
+  def decodeBmp(b: Array[Byte]): Option[ImageStats] = try {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOffset = i32(b, 10)
+    val width = i32(b, 18)
+    val rawHeight = i32(b, 22)
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val bpp = u16(b, 28)
+    val compression = i32(b, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height == 0)
+      return None
+    val stride = (width * 3 + 3) & ~3
+    if (dataOffset.toLong + stride.toLong * height > b.length) return None
+    val acc = new RgbAcc
+    var row = 0
+    while (row < height) {
+      val storageRow = if (bottomUp) height - 1 - row else row
+      var o = dataOffset + storageRow * stride
+      var x = 0
+      while (x < width) {
+        // BMP stores BGR
+        acc.add(b(o + 2) & 0xFF, b(o + 1) & 0xFF, b(o) & 0xFF)
+        o += 3; x += 1
+      }
+      row += 1
+    }
+    acc.stats(width, height)
+  } catch { case _: RuntimeException => None }
+
+  /** Decode a binary PPM (P6, maxval 255): ASCII header (with `#`
+    * comments) then raw RGB triplets. */
+  def decodePpm(b: Array[Byte]): Option[ImageStats] = try {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var pos = 2
+    // read the next ASCII token, skipping whitespace and # comments
+    def token(): Option[String] = {
+      while (pos < b.length &&
+        (Character.isWhitespace(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos))) pos += 1
+      if (pos > start) Some(new String(b, start, pos - start, "US-ASCII"))
+      else None
+    }
+    val hdr = Seq(token(), token(), token())
+    if (hdr.exists(_.isEmpty)) return None
+    val Seq(w, h, maxv) = hdr.map(_.get.toInt)
+    pos += 1 // exactly one whitespace byte separates header and raster
+    if (w <= 0 || h <= 0 || maxv != 255 ||
+      pos.toLong + 3L * w * h > b.length) return None
+    val acc = new RgbAcc
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val o = pos + i * 3
+      acc.add(b(o) & 0xFF, b(o + 1) & 0xFF, b(o + 2) & 0xFF)
+      i += 1
+    }
+    acc.stats(w, h)
+  } catch { case _: RuntimeException => None }
+
+  /** Decode a RIFF/WAVE file with PCM (format 1) 16-bit samples. Walks
+    * the chunk list for `fmt ` and `data`; multi-channel audio is mixed
+    * down by per-frame channel averaging before the statistics. */
+  def decodeWav(b: Array[Byte]): Option[AudioStats] = try {
+    if (sniff(b) != "wav") return None
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = i32(b, pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val audioFormat = u16(b, pos + 8)
+        channels = u16(b, pos + 10)
+        sampleRate = i32(b, pos + 12)
+        bits = u16(b, pos + 22)
+        fmtOk = audioFormat == 1
+      } else if (id == "data") {
+        dataOff = pos + 8; dataLen = len
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || channels <= 0 || sampleRate <= 0 ||
+      dataOff < 0) return None
+    val frameBytes = 2 * channels
+    val nFrames = dataLen / frameBytes
+    if (nFrames == 0) return Some(AudioStats(sampleRate, 0, 0.0, 0.0, 0.0))
+    var sAbs, s2 = 0.0
+    var crossings = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      var acc = 0.0
+      val base = dataOff + i * frameBytes
+      while (c < channels) {
+        acc += u16(b, base + 2 * c).toShort.toInt
+        c += 1
+      }
+      val v = acc / channels / 32768.0
+      sAbs += math.abs(v); s2 += v * v
+      val sign = java.lang.Double.compare(v, 0.0).sign
+      if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    Some(AudioStats(sampleRate, nFrames, sAbs / nFrames,
+      math.sqrt(s2 / nFrames),
+      if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0))
+  } catch { case _: RuntimeException => None }
+}

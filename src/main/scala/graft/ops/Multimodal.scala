@@ -60,9 +60,15 @@ object Multimodal {
   /** Batched feature extraction over binary payloads.
     *
     * Shape: `mapPartitions` with an iterator-in/iterator-out kernel — the
-    * Scala analog of `mapInPandas` batches. The FAKE kernel derives an
-    * 8-dim feature from payload bytes; a real one would decode and run a
-    * model, swapped in behind the same signature.
+    * Scala analog of `mapInPandas` batches. The kernel sniffs the payload's
+    * container magic and runs a REAL pure-JVM decoder where one exists
+    * ([[MediaCodecs]]: 24-bit BMP, binary PPM, 16-bit PCM WAV — one-pass
+    * statistics, no decoded buffer materialized); unrecognized or
+    * malformed payloads fall back to the deterministic byte-stats feature
+    * (clearly a fake — the slot where a codec library would plug in for
+    * formats the JVM can't decode), so a corrupt asset degrades instead of
+    * failing the job. Decoded features carry a discriminator in the last
+    * slot (1 = image, 2 = audio); fallback features are raw byte stats.
     */
   def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -72,12 +78,27 @@ object Multimodal {
         val kind = r.getString(1)
         val payload = r.getAs[Array[Byte]](2)
         val n = if (payload == null) 0 else payload.length
-        // FAKE decode kernel: deterministic 8-dim feature from byte stats.
-        val feature = (0 until 8).map { i =>
+        val decoded: Option[Array[Float]] = MediaCodecs.sniff(payload) match {
+          case "bmp" | "ppm" =>
+            (if (payload(0) == 'B') MediaCodecs.decodeBmp(payload)
+             else MediaCodecs.decodePpm(payload)).map(s => Array(
+              s.width.toFloat, s.height.toFloat, s.meanR.toFloat,
+              s.meanG.toFloat, s.meanB.toFloat, s.lumaMean.toFloat,
+              s.lumaStd.toFloat, 1.0f))
+          case "wav" => MediaCodecs.decodeWav(payload).map(s => Array(
+            s.sampleRate.toFloat, s.nSamples.toFloat, s.meanAbs.toFloat,
+            s.rms.toFloat, s.zeroCrossRate.toFloat, s.durationMs.toFloat,
+            0.0f, 2.0f))
+          case _ => None
+        }
+        // FAKE fallback kernel: deterministic 8-dim byte-stats feature —
+        // the slot where a codec library would plug in for formats the
+        // JVM can't decode (JPEG/MP4/...).
+        val feature = decoded.getOrElse((0 until 8).map { i =>
           if (n == 0) 0.0f
           else payload.iterator.zipWithIndex
             .filter(_._2 % 8 == i).map(_._1.toInt & 0xFF).sum.toFloat / n
-        }.toArray
+        }.toArray)
         Row(id, kind, n, feature)
       }
     }(enc).toDF()

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Differential tests for the pure-JVM media decoders: fixtures are
+  * ENCODED here, independently of the decoders, from known pixels/samples
+  * whose statistics are computed by hand — so an off-by-one in stride,
+  * row order, channel order, or chunk walking shows up as a wrong mean,
+  * not as a silently-consistent bug.
+  */
+class MediaCodecsSpec extends SparkSuite {
+
+  // ---- independent encoders (test-side only) -----------------------------
+
+  /** Encode pixels (row-major, top-down, (r,g,b)) as a 24-bit BI_RGB BMP:
+    * bottom-up rows, BGR bytes, 4-byte-aligned stride. */
+  private def encodeBmp(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dataSize = stride * h
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF) }
+    out.write('B'); out.write('M')
+    u32(54 + dataSize); u32(0); u32(54) // file size, reserved, data offset
+    u32(40); u32(w); u32(h)             // BITMAPINFOHEADER, width, height
+    u16(1); u16(24); u32(0)             // planes, bpp, BI_RGB
+    u32(dataSize); u32(2835); u32(2835); u32(0); u32(0)
+    for (y <- (h - 1) to 0 by -1) {     // bottom-up
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        out.write(b); out.write(g); out.write(r) // BGR
+      }
+      (w * 3 until stride).foreach(_ => out.write(0)) // row padding
+    }
+    out.toByteArray
+  }
+
+  private def encodePpm(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n# test fixture\n$w $h\n255\n".getBytes("US-ASCII"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      out.write(r); out.write(g); out.write(b)
+    }
+    out.toByteArray
+  }
+
+  /** Encode 16-bit PCM samples (per-channel interleaved) as RIFF/WAVE. */
+  private def encodeWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes); u32(36 + dataLen)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); u32(16)
+    u16(1); u16(channels); u32(sampleRate)
+    u32(sampleRate * channels * 2); u16(channels * 2); u16(16)
+    out.write("data".getBytes); u32(dataLen)
+    samples.foreach(s => u16(s & 0xFFFF))
+    out.toByteArray
+  }
+
+  // 2x3 test image: left column red-ish, middle green, right blue
+  private val W = 3; private val H = 2
+  private def pix(x: Int, y: Int): (Int, Int, Int) = x match {
+    case 0 => (200, 10 * (y + 1), 0)
+    case 1 => (0, 250, 10 * (y + 1))
+    case _ => (30 * (y + 1), 0, 220)
+  }
+
+  private def expectedImageStats: MediaCodecs.ImageStats = {
+    val ps = for (y <- 0 until H; x <- 0 until W) yield pix(x, y)
+    val n = ps.size.toDouble
+    val lumas = ps.map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
+    val lm = lumas.sum / n
+    MediaCodecs.ImageStats(W, H,
+      ps.map(_._1).sum / n, ps.map(_._2).sum / n, ps.map(_._3).sum / n,
+      lm, math.sqrt(lumas.map(l => (l - lm) * (l - lm)).sum / n))
+  }
+
+  test("BMP decode recovers exact per-channel and luma statistics " +
+    "(bottom-up rows, BGR order, padded stride)") {
+    val got = MediaCodecs.decodeBmp(encodeBmp(W, H, pix)).get
+    val exp = expectedImageStats
+    assert(got.width === W && got.height === H)
+    assert(math.abs(got.meanR - exp.meanR) < 1e-9)
+    assert(math.abs(got.meanG - exp.meanG) < 1e-9)
+    assert(math.abs(got.meanB - exp.meanB) < 1e-9)
+    assert(math.abs(got.lumaMean - exp.lumaMean) < 1e-9)
+    assert(math.abs(got.lumaStd - exp.lumaStd) < 1e-9)
+  }
+
+  test("PPM decode ≡ BMP decode on the same pixels (different container, " +
+    "identical statistics)") {
+    val a = MediaCodecs.decodeBmp(encodeBmp(W, H, pix)).get
+    val b = MediaCodecs.decodePpm(encodePpm(W, H, pix)).get
+    assert(a === b)
+  }
+
+  test("WAV decode: known square wave → exact amplitude/RMS/ZCR") {
+    // mono alternating +8192/-8192: |mean| = rms = 0.25, every adjacent
+    // pair crosses zero → zcr = 1
+    val sq = Array.tabulate[Short](800)(i =>
+      if (i % 2 == 0) 8192 else -8192)
+    val s = MediaCodecs.decodeWav(encodeWav(8000, 1, sq)).get
+    assert(s.sampleRate === 8000 && s.nSamples === 800)
+    assert(math.abs(s.meanAbs - 0.25) < 1e-9)
+    assert(math.abs(s.rms - 0.25) < 1e-9)
+    assert(math.abs(s.zeroCrossRate - 1.0) < 1e-9)
+    assert(math.abs(s.durationMs - 100.0) < 1e-9)
+  }
+
+  test("WAV decode: stereo channels are averaged per frame") {
+    // L = +16384, R = -16384 → per-frame mix 0 → silence statistics
+    val st = Array.tabulate[Short](200)(i =>
+      if (i % 2 == 0) 16384 else -16384)
+    val s = MediaCodecs.decodeWav(encodeWav(16000, 2, st)).get
+    assert(s.nSamples === 100)
+    assert(s.meanAbs === 0.0 && s.rms === 0.0 && s.zeroCrossRate === 0.0)
+  }
+
+  test("malformed and unsupported payloads return None, never throw") {
+    val bmp = encodeBmp(W, H, pix)
+    assert(MediaCodecs.decodeBmp(bmp.take(30)) === None)  // truncated
+    assert(MediaCodecs.decodePpm("P6\n9999 9999\n255\n"
+      .getBytes("US-ASCII")) === None)                    // raster missing
+    assert(MediaCodecs.decodeWav("RIFFxxxxWAVE".getBytes) === None)
+    val bpp8 = bmp.clone(); bpp8(28) = 8                  // unsupported bpp
+    assert(MediaCodecs.decodeBmp(bpp8) === None)
+  }
+
+  test("extractFeatures runs the real decoders inside the kernel and " +
+    "falls back to byte stats for unknown payloads") {
+    import spark.implicits._
+    val bmp = encodeBmp(W, H, pix)
+    val ppm = encodePpm(W, H, pix)
+    val wav = encodeWav(8000, 1,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 8192 else -8192))
+    val other = "PAYLOAD:junk".getBytes("UTF-8")
+    val assets = Seq(
+      (1L, "image", bmp), (2L, "image", ppm),
+      (3L, "audio", wav), (4L, "image", other))
+      .toDF("asset_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(spark, assets)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("feature")).toMap
+    val exp = expectedImageStats
+    // BMP: real pixel statistics, image discriminator
+    assert(out(1L)(0) === W.toFloat && out(1L)(1) === H.toFloat)
+    assert(math.abs(out(1L)(2) - exp.meanR) < 1e-4)
+    assert(out(1L)(7) === 1.0f)
+    // PPM decodes to the SAME feature as the BMP of the same pixels
+    assert(out(2L) === out(1L))
+    // WAV: real sample statistics, audio discriminator
+    assert(out(3L)(0) === 8000.0f && out(3L)(1) === 800.0f)
+    assert(math.abs(out(3L)(3) - 0.25f) < 1e-6)
+    assert(out(3L)(7) === 2.0f)
+    // unknown container → byte-stats fallback (kernel still total)
+    assert(out(4L).length === 8)
+    assert(out(4L) !== out(1L))
+  }
+}
