@@ -132,6 +132,33 @@ object StructureDefinitions {
       extensionDefs, skipped.result().distinct)
   }
 
+  /** The conformance pack SHIPPED with the library — the SPI analog of
+    * the reference's bundled `UsCoreStu3ProfileProvider`
+    * (bunsen-uscore-resources-stu3/.../UsCoreStu3ProfileProvider.java:
+    * 17-60, which loads classpath definitions into the converter): a
+    * hand-authored minimal US-Core subset (patient + careplan profiles,
+    * race/ethnicity/birthsex extensions) under `resources/definitions/`,
+    * compiled once on first use. `shippedRegistry` is the default DSL
+    * registry overlaid with these profiles — the registry a user gets
+    * without providing any conformance JSON of their own. */
+  lazy val shipped: CompiledProfiles = fromClasspath()
+
+  lazy val shippedRegistry: FRegistry = shipped.registry
+
+  /** Compile a conformance pack from the classpath: `dir/index.txt` lists
+    * the definition files (jar-safe — classpath directories are not
+    * enumerable), each loaded relative to `dir`. */
+  def fromClasspath(dir: String = "definitions"): CompiledProfiles = {
+    def read(name: String): String = {
+      val in = getClass.getClassLoader.getResourceAsStream(name)
+      require(in != null, s"classpath resource not found: $name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val files = read(s"$dir/index.txt").linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    compile(files.map(f => read(s"$dir/$f")))
+  }
+
   /** Compile all `*.json` StructureDefinitions under a directory (driver-
     * side; conformance resources are small by contract, like the
     * reference's classpath-loaded definitions). */

@@ -118,6 +118,56 @@ class StructureDefinitionsSpec extends SparkSuite {
     assert(row.getString(2) === "p9")
   }
 
+  // ---- the SHIPPED conformance pack (resources/definitions) ------------
+
+  test("shipped pack loads from the classpath with nothing skipped") {
+    val cp = StructureDefinitions.shipped
+    assert(cp.resources.keySet === Set("Patient", "CarePlan"))
+    assert(cp.extensionDefinitions.nonEmpty)
+    assert(cp.skipped.isEmpty, s"shipped pack must compile cleanly: " +
+      cp.skipped.mkString("; "))
+  }
+
+  test("shipped pack: extension hoisting works from the shipped JSON " +
+    "(race parent + birthsex leaf), end-to-end through a bundle") {
+    import spark.implicits._
+    val reg = StructureDefinitions.shippedRegistry
+    val schema = FhirSchemas.schemaFor("Patient", reg)
+    assert(schema("birthsex").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val race = schema("race").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(race.fieldNames.toSet === Set("ombCategory", "detailed", "text"))
+    val bundle =
+      """{"resourceType":"Bundle","type":"collection","entry":[
+         {"resource":{"resourceType":"Patient","id":"p77","gender":"female",
+           "extension":[
+             {"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+              "extension":[
+                {"url":"ombCategory","valueCoding":{"system":"urn:oid:2.16.840.1.113883.6.238","code":"2106-3","display":"White"}},
+                {"url":"text","valueString":"Mixed"}]},
+             {"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex",
+              "valueCode":"F"}]}}]}"""
+    val rows = Bundles.extractEntry(spark,
+      Seq(bundle).toDF("bundle_json"), "Patient", Nil, reg)
+    val r = rows.select(col("id"), col("birthsex"),
+      col("race.text"),
+      try_element_at(col("race.ombCategory"), lit(1)).getField("code"))
+      .head()
+    assert(r.getString(0) === "p77")
+    assert(r.getString(1) === "F")
+    assert(r.getString(2) === "Mixed")
+    assert(r.getString(3) === "2106-3")
+  }
+
+  test("shipped pack: careplan subject resolves THROUGH the us-core-patient " +
+    "profile url to patientId") {
+    val reg = StructureDefinitions.shippedRegistry
+    val subject = FhirSchemas.schemaFor("CarePlan", reg)("subject").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(subject.fieldNames.contains("patientId"))
+  }
+
   // Recursive StructureDefinition (Questionnaire.item.item →
   // #Questionnaire.item): the FHIR contentReference recursion mechanism.
   // The reference cuts this with a per-(type, path) depth budget of 1
