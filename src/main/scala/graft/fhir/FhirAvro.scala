@@ -49,6 +49,20 @@ object FhirAvro {
     compileRecord(d, name.replace('.', '_'), Map(name -> 1), reg)
   }
 
+  /** Canonical 64-bit schema fingerprint (Avro `SchemaNormalization`
+    * parsing form). Record fullnames are deterministic path-derived
+    * strings, so the fingerprint is a pure function of the definition
+    * IR — two sessions (or two machines) compiling the same definitions
+    * always agree. This is the stability contract the reference pins via
+    * specific-record compilation equality
+    * (bunsen-avro/.../AvroConverterTest.testCompile,
+    * AvroConverter.java:24-206); we pin the schema identity itself, which
+    * is what wire compatibility actually depends on. */
+  def schemaFingerprint64(name: String,
+      reg: FRegistry = defaultRegistry): Long =
+    org.apache.avro.SchemaNormalization
+      .parsingFingerprint64(avroSchemaFor(name, reg))
+
   private def nullable(s: Schema): Schema =
     Schema.createUnion(java.util.List.of(
       Schema.create(Schema.Type.NULL), s))

@@ -72,6 +72,27 @@ class FhirAvroSpec extends SparkSuite {
     assert(back.collect().toSeq === origRows)
   }
 
+  test("schema fingerprints are stable across sessions (pinned) and " +
+    "record fullnames deterministic") {
+    // Pinned canonical fingerprints: a change here is a WIRE FORMAT break
+    // for persisted Avro payloads — deliberate schema evolution must
+    // update these literals consciously, nothing else may move them.
+    // (The reference pins the same contract via specific-record compile
+    // equality in AvroConverterTest.testCompile.)
+    assert(FhirAvro.schemaFingerprint64("Patient") === -1389798029577062611L)
+    assert(FhirAvro.schemaFingerprint64("Observation") === 903068666488046307L)
+    assert(FhirAvro.schemaFingerprint64("Condition") === -3912960473010098884L)
+    assert(FhirAvro.schemaFingerprint64("Quantity") === -4450502070697982481L)
+    // a second compile (fresh Schema objects) agrees — no object-identity
+    // or insertion-order dependence
+    assert(FhirAvro.schemaFingerprint64("Patient") ===
+      FhirAvro.schemaFingerprint64("Patient"))
+    val obs = FhirAvro.avroSchemaFor("Observation")
+    assert(obs.getFullName === "graft.fhir.avro.Observation")
+    assert(obs.getField("code").schema().getTypes.get(1).getFullName ===
+      "graft.fhir.avro.Observation_code")
+  }
+
   test("JSON-compiled registries drive the avro backend too") {
     val defsDir = "/root/reference/bunsen-uscore-resources-stu3/" +
       "src/main/resources/definitions"
