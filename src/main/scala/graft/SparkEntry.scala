@@ -973,6 +973,23 @@ object SparkEntry {
       Dedup.incrementalExactDedup(index, batch)
     }),
 
+    // Half-life-decayed user activity: one map-side-combined
+    // groupBy(user) with bucketed power-of-two decay — every arithmetic
+    // step exact/correctly-rounded, so external engines agree bit-for-bit
+    "q86_decayed_activity" -> ((s, dir) => {
+      Sessions.decayedUserActivity(t(s, dir, "events"), "user_id", "ts",
+        "value", asOf = "2024-03-01 00:00:00",
+        halfLifeSeconds = 7L * 24 * 3600)
+    }),
+
+    // Self-trained bigram-LM quality scoring (CCNet/perplexity-filter
+    // family): corpus bigram + context counts as shuffle-keyed tables
+    // (vocabulary never broadcast, never collected), per-document mean
+    // smoothed log-prob with order-independent decimal term summation
+    "q85_bigram_lm_quality" -> ((s, dir) => {
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // FHIR ingestion under the DuckDB oracle (S2→S4, U7, extension
     // hoisting): customers become synthetic Patient resources, batched
     // 10-per-bundle, ingested through the REAL path — to_json →
@@ -2420,6 +2437,48 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q86_decayed_activity" ->
+      """SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(round(CAST(value AS DECIMAL(12,4)) *
+               CAST(power(0.5,
+                 least((epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+                   - epoch_us(ts)) // 604800000000, 20))
+                 AS DECIMAL(21,20)), 6)), 4) AS DOUBLE)
+             AS activity_score
+         FROM events
+         WHERE epoch_us(ts) <= epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+         GROUP BY user_id""",
+    "q85_bigram_lm_quality" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, u.w1 AS w1, u.b AS b FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i ->
+                 {'w1': t[i], 'b': t[i] || ' ' || t[i + 1]})) AS u
+             FROM tk) q),
+         cbt AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+         cwt AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+         vt AS (SELECT count(DISTINCT tok) AS v FROM (
+             SELECT unnest(t) AS tok FROM tk) q),
+         sc AS (
+           SELECT bg.doc_id,
+             CAST(round(ln((cbt.cb + 1.0) / (cwt.cw + vt.v)), 6)
+               AS DECIMAL(18,6)) AS term
+           FROM bg JOIN cbt USING (b) JOIN cwt USING (w1) CROSS JOIN vt),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(term) AS DOUBLE) / count(*), 4)
+               AS mean_logprob
+           FROM sc GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           agg.mean_logprob
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""",
     "q82_fhir_patient_bundles" ->
       """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
            CASE c_custkey % 3 WHEN 0 THEN 'male'

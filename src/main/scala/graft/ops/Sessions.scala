@@ -54,6 +54,47 @@ object Sessions {
     * sessionize family), then a map-side-combined per-user aggregation;
     * exact percentile buffers hold one user's gaps, bounded by that
     * user's event count. */
+  /** Half-life-decayed user activity score as of a reference instant:
+    * `score(u) = Σ value·2^(−age_halflives)` over the user's events at or
+    * before `asOf`, where `age_halflives = floor(age / halfLife)` — the
+    * recency-weighted engagement/propensity feature every activity model
+    * starts from, with a bucketed exponential decay chosen for exact
+    * reproducibility: the age bucket is INTEGRAL division on microsecond
+    * longs (never float), and the whole term pipeline is EXACT decimal
+    * arithmetic — `2^−k` with k ≤ 20 is an exact double whose decimal
+    * cast at scale 20 is exact (2⁻ᵏ = 5ᵏ/10ᵏ), the value quantizes to
+    * DECIMAL(12,4), their product is an exact DECIMAL(34,24), and every
+    * rounding step happens in decimal (never `round(double)`, whose
+    * half-way behavior differs between engines — observed as a 1-ulp
+    * 4th-decimal divergence on one user before this formulation). k caps
+    * at 20: weights below 2⁻²⁰ are &lt;1e-6 of the value and the per-term
+    * 6-decimal rounding floors them anyway.
+    *
+    * Shape at scale: ONE map-side-combined groupBy(user) over a filtered
+    * scan — no window, no join, no state. */
+  def decayedUserActivity(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String, asOf: String,
+      halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds > 0, s"bad half-life $halfLifeSeconds")
+    val hlUs = halfLifeSeconds * 1000000L
+    events
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(valueCol).as("__v"))
+      .withColumn("asof_us", unix_micros(lit(asOf).cast("timestamp")))
+      .where(col("ts_us") <= col("asof_us"))
+      .withColumn("k",
+        least(expr(s"(asof_us - ts_us) div ${hlUs}L"), lit(20L)))
+      .withColumn("term",
+        (col("__v").cast("decimal(12,4)") *
+          pow(lit(0.5), col("k")).cast("decimal(21,20)"))
+          .cast("decimal(18,6)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term")).cast("decimal(18,4)").cast("double")
+          .as("activity_score"))
+  }
+
   def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
       idCol: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -345,6 +345,58 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Self-trained bigram language-model quality score — the CCNet /
+    * perplexity-filter family: documents whose token transitions are
+    * improbable under the corpus's own bigram statistics (gibberish,
+    * boilerplate soup, wrong-language fragments) score low and are
+    * pruned or bucketed before training. Per document: the mean add-one-
+    * smoothed conditional log-probability of its bigrams,
+    * `mean(ln((c(w1,w2)+1) / (c(w1,·)+V)))` with V = corpus distinct
+    * token count.
+    *
+    * Scale shape: the corpus scans once into an exploded (doc, w1,
+    * bigram) table; bigram and context counts are map-side-combined
+    * groupBys over it, and scoring joins the exploded table back on
+    * those SHUFFLE-keyed count tables — the vocabulary is never
+    * broadcast and never driver-collected (a 100 TB corpus has billions
+    * of bigrams; both count tables are reusable artifacts a pipeline
+    * persists). V attaches as a one-row broadcast frame.
+    *
+    * Determinism: each bigram's log-term is rounded to 6 decimals and
+    * exact-summed in DECIMAL(18,6) before the final division, so the
+    * per-document mean does not depend on float reduction order.
+    * Documents with fewer than 2 tokens have no bigrams: n_bigrams 0,
+    * null score. */
+  def bigramLmScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("t"))
+    val bg = toks.select(col("doc_id"), posexplode(
+        zip_with(col("t"),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b")))))
+      .where(col("col.b").isNotNull) // zip_with pads the longer side
+      .select(col("doc_id"), col("col.w1").as("w1"), col("col.b").as("b"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val v = toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bg.join(cb, Seq("b")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(1.0)) / (col("cw") + col("v"))), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("term")).cast("double") / count(lit(1))), 4)
+          .as("mean_logprob"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"))
+  }
+
   /** Hashing-trick text features: each document's tokens hash into
     * `dims` buckets and the per-bucket counts are the document's sparse
     * bag-of-words vector — the vectorizer that needs NO fitted

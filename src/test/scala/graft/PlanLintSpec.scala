@@ -24,8 +24,9 @@ class PlanLintSpec extends SparkSuite {
     "q65_zorder_key", // min/max stats row
     "q66_key_skew", // totals row
     "q56_corpus_report", // totals row
-    "q26_ann_bruteforce" // the ANN query set (k rows, broadcast by
-                         // design: corpus never shuffles, map-side TopK)
+    "q26_ann_bruteforce", // the ANN query set (k rows, broadcast by
+                          // design: corpus never shuffles, map-side TopK)
+    "q85_bigram_lm_quality" // one-row vocab-size frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

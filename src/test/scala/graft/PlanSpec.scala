@@ -130,11 +130,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"))
   }
 
-  test("q49: semantic dedup pairs join by cell equi-join, never all-pairs") {
+  test("q49: semantic dedup pairs come from the capped bucket expansion; " +
+    "the only nested loop is the k-row centroid broadcast") {
     val p = plan("q49_semantic_dedup")
-    assert(!p.contains("NestedLoopJoin"),
-      "pair generation must stay confined to cells:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"))
+    // within-cell pairs: bounded collect per cell + explode — NOT a
+    // corpus self-join (the pre-round-7 quadratic shape)
+    assert(p.contains("bounded_collect_set"), p.take(2000))
+    // the only nested-loop joins are the k-row centroid TABLE attaches —
+    // the `assigned` subtree appears twice uncached (pair phase + final
+    // output), so the SAME broadcast shows up at most twice; any more
+    // would mean pair generation regressed to a product
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj >= 1 && nlj <= 2, s"expected the centroid broadcast NLJ " +
+      s"(1-2 occurrences), got $nlj:\n" + p.take(2000))
   }
 
   test("q53: quota sample is a partial top-k aggregate, not a window") {

@@ -1061,6 +1061,49 @@ class OpsSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(4) === 1.0))
   }
 
+  test("bigramLmScore: hand-computed smoothed log-probs; short docs " +
+    "get null score") {
+    import spark.implicits._
+    // corpus: "a a a" (bigrams "a a","a a"), "a b" ("a b"), "c" (none)
+    // → c("a a")=2, c("a b")=1, c(a,·)=3, V=3 (a,b,c)
+    // doc1 term: ln((2+1)/(3+3)) = ln(0.5); doc2: ln((1+1)/(3+3)) = ln(1/3)
+    val docs = Seq((1L, "a a a"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    def term(x: Double) = math.rint(math.log(x) * 1e6) / 1e6
+    def score(ts: Double*) =
+      math.rint(ts.sum / ts.size * 1e4) / 1e4
+    assert(out(1L) === ((2L, Some(score(term(0.5), term(0.5))))))
+    assert(out(2L) === ((1L, Some(score(term(1.0 / 3))))))
+    assert(out(3L) === ((0L, None)))
+  }
+
+  test("decayedUserActivity: power-of-two decay buckets, asOf filter, " +
+    "far-past events decay to exactly zero") {
+    import spark.implicits._
+    val asOf = "2024-03-01 00:00:00"
+    val hl = 7L * 24 * 3600 // one week
+    val ts = (weeksBack: Double) => new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(asOf).getTime -
+        (weeksBack * hl * 1000).toLong)
+    val events = Seq(
+      (1L, ts(0.5), 8.0),   // k=0 → weight 1
+      (1L, ts(1.5), 8.0),   // k=1 → 1/2
+      (1L, ts(2.5), 8.0),   // k=2 → 1/4
+      (1L, ts(-1.0), 99.0), // AFTER asOf → excluded
+      (2L, ts(200.0), 5.0)) // k caps at 20 → term ≈5e-6 → score 0.0000
+      .toDF("user_id", "ts", "value")
+    val out = Sessions.decayedUserActivity(events, "user_id", "ts",
+      "value", asOf, hl)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) === ((3L, 8.0 + 4.0 + 2.0)))
+    assert(out(2L) === ((1L, 0.0)))
+  }
+
   test("frequentNgrams equals sort-limit reference on the fixture") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val fast = TextAnalysis.frequentNgrams(d, "doc_id", "text", 2, 25)
