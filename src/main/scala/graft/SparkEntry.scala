@@ -1025,8 +1025,7 @@ object SparkEntry {
           array_join(transform(col("rs"),
             r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
           lit("]}")).as("bundle_json"))
-      graft.fhir.Bundles.extractEntry(s,
-          graft.fhir.Bundles.fromJson(bundles, "bundle_json"), "Patient")
+      graft.fhir.Bundles.extractEntry(s, bundles, "Patient")
         .select(col("id").as("patient_id"),
           col("gender"),
           col("birthDate").as("birth_date"),
@@ -1068,15 +1067,12 @@ object SparkEntry {
           array_join(transform(col("rs"),
             r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
           lit("]}")).as("bundle_json"))
-      val first = graft.fhir.Bundles.extractEntry(s,
-        graft.fhir.Bundles.fromJson(bundles, "bundle_json"), "Observation")
+      val first = graft.fhir.Bundles.extractEntry(s, bundles, "Observation")
       val rewrapped = graft.fhir.Bundles.toJson(first, "Observation")
         .select(concat(
           lit("""{"resourceType":"Bundle","type":"collection","entry":[{"resource":"""),
           col("json"), lit("}]}")).as("bundle_json"))
-      graft.fhir.Bundles.extractEntry(s,
-          graft.fhir.Bundles.fromJson(rewrapped, "bundle_json"),
-          "Observation")
+      graft.fhir.Bundles.extractEntry(s, rewrapped, "Observation")
         .select(col("id").as("obs_id"),
           col("subject").getField("patientId").as("patient_id"),
           col("subject").getField("reference").as("subject_ref"),
@@ -1113,7 +1109,8 @@ object SparkEntry {
         lit("</Patient></resource></entry></Bundle>"))
       graft.fhir.Bundles.extractEntry(s,
           graft.fhir.Bundles.fromXml(c.select(xml.as("bundle_xml")),
-            "bundle_xml"), "Patient")
+            "bundle_xml", graft.fhir.FhirSchemas.defaultRegistry,
+            Seq("Patient")), "Patient")
         .select(col("id").as("patient_id"),
           col("gender"),
           col("birthDate").as("birth_date"),
