@@ -973,6 +973,21 @@ object SparkEntry {
       Dedup.incrementalExactDedup(index, batch)
     }),
 
+    // Cross-source n-gram overlap matrix: gram-keyed self-join whose
+    // fan-out is bounded by source count; jaccard emitted as the raw
+    // IEEE quotient of exact counts (no rounding step to diverge on)
+    "q87_source_overlap" -> ((s, dir) => {
+      TextAnalysis.sourceOverlap(t(s, dir, "documents"), "source", "text",
+        n = 3)
+    }),
+
+    // Per-group winsorization: exact interpolated percentiles in one
+    // groupBy, bounds broadcast back; no window, no self-join
+    "q88_winsorize" -> ((s, dir) => {
+      Profiling.winsorize(t(s, dir, "documents"), "source", "doc_id",
+        "n_chars", lo = 0.05, hi = 0.95)
+    }),
+
     // Half-life-decayed user activity: one map-side-combined
     // groupBy(user) with bucketed power-of-two decay — every arithmetic
     // step exact/correctly-rounded, so external engines agree bit-for-bit
@@ -2434,6 +2449,49 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q87_source_overlap" ->
+      """WITH toks AS (
+           SELECT source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT source,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS s
+           FROM toks),
+         g AS (
+           SELECT DISTINCT source, gram
+           FROM (SELECT source, unnest(s) AS gram FROM sh) q
+           WHERE length(gram) > 0),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM g GROUP BY source),
+         it AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n AS n_a, sb.n AS n_b,
+           coalesce(it.n_common, 0) AS n_common,
+           CAST(coalesce(it.n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(it.n_common, 0)) AS jaccard
+         FROM sz sa JOIN sz sb ON sa.source < sb.source
+         LEFT JOIN it ON it.source_a = sa.source
+           AND it.source_b = sb.source""",
+    "q88_winsorize" ->
+      """WITH b AS (
+           SELECT source,
+             quantile_cont(n_chars, 0.05) AS p_lo,
+             quantile_cont(n_chars, 0.95) AS p_hi
+           FROM documents GROUP BY source)
+         SELECT d.doc_id, d.source, d.n_chars,
+           round(b.p_lo, 4) AS p_lo,
+           round(b.p_hi, 4) AS p_hi,
+           round(least(greatest(CAST(d.n_chars AS DOUBLE), b.p_lo),
+             b.p_hi), 4) AS clipped
+         FROM documents d JOIN b ON b.source = d.source""",
     "q86_decayed_activity" ->
       """SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,

@@ -119,6 +119,32 @@ object Profiling {
       round(percent_rank().over(w), 6).as("pct_rank"))
   }
 
+  /** Per-group winsorization: clip `value` to its group's exact
+    * interpolated [lo, hi] percentiles — the outlier-taming feature prep
+    * that keeps a few million-char documents from dominating
+    * length-normalized statistics, applied per group because length
+    * scales differ by source/language. Emits the clip bounds alongside
+    * the clipped value so downstream audits can see what moved.
+    *
+    * Shape at scale: ONE groupBy computing both exact percentiles
+    * (Spark's `percentile` aggregate — a per-group sort of values, the
+    * unavoidable cost of exact quantiles; swap for approx_percentile at
+    * extreme group sizes), broadcast of the group-bounds frame back onto
+    * the table. No window, no self-join. */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentiles [$lo, $hi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(lo)).as("p_lo"),
+        percentile(col(valueCol), lit(hi)).as("p_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        round(col("p_lo"), 4).as("p_lo"),
+        round(col("p_hi"), 4).as("p_hi"),
+        round(least(greatest(col(valueCol).cast("double"), col("p_lo")),
+          col("p_hi")), 4).as("clipped"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the row
     * was `added`, `removed`, `changed` (same id, different content hash)
     * or `unchanged` — the audit table an incremental ingestion run emits

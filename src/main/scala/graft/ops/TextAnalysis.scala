@@ -345,6 +345,51 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Cross-source n-gram overlap matrix: for every unordered pair of
+    * sources, the Jaccard similarity of their distinct word-n-gram sets —
+    * the corpus-composition report that surfaces mirror/scrape overlap
+    * between ingestion sources (near-identical sources inflate effective
+    * epochs) and cross-source contamination before a mixture is planned.
+    *
+    * Shape at scale: one scan → distinct (source, gram) — map-side
+    * combined — then a gram-keyed self-join whose per-gram fan-out is
+    * bounded by the SOURCE count (tens), not the corpus; the result
+    * aggregates to K² rows. Pair completeness (zero-overlap pairs
+    * included) comes from a K-row×K-row broadcast cross of the size
+    * frames. With thousands of sources, swap the exact gram sets for the
+    * per-source MinHash signatures ([[Dedup.minhashBandBuckets]]) — same
+    * report, sketched.
+    *
+    * `jaccard` is emitted as the RAW double quotient of two exact counts
+    * (one correctly-rounded IEEE divide) — bit-identical on any engine,
+    * no rounding step to disagree on. */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(sourceCol).as("source"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .where(length(col("gram")) > 0)
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("gram"), col("source").as("source_a"))
+      .join(grams.select(col("gram"), col("source").as("source_b")),
+        Seq("gram"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a")))
+      .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))))
+      .where(col("source_a") < col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"))
+  }
+
   /** Self-trained bigram language-model quality score — the CCNet /
     * perplexity-filter family: documents whose token transitions are
     * improbable under the corpus's own bigram statistics (gibberish,

@@ -26,7 +26,8 @@ class PlanLintSpec extends SparkSuite {
     "q56_corpus_report", // totals row
     "q26_ann_bruteforce", // the ANN query set (k rows, broadcast by
                           // design: corpus never shuffles, map-side TopK)
-    "q85_bigram_lm_quality" // one-row vocab-size frame
+    "q85_bigram_lm_quality", // one-row vocab-size frame
+    "q87_source_overlap" // K-row source-size frames (pair completeness)
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

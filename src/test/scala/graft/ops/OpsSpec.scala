@@ -1104,6 +1104,38 @@ class OpsSpec extends SparkSuite {
     assert(out(2L) === ((1L, 0.0)))
   }
 
+  test("sourceOverlap: exact pairwise Jaccard of distinct gram sets, " +
+    "zero-overlap pairs included") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d"),   // grams: "a b c", "b c d"
+      ("s2", "a b c x"),   // grams: "a b c", "b c x"  → ∩ s1 = 1, ∪ = 3
+      ("s3", "z z z q")).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlap(docs, "source", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(out(("s1", "s2")) === ((1L, 1.0 / 3)))
+    assert(out(("s1", "s3")) === ((0L, 0.0)))
+    assert(out(("s2", "s3")) === ((0L, 0.0)))
+    assert(out.size === 3)
+  }
+
+  test("winsorize: values clip to exact per-group percentiles; " +
+    "in-range values untouched") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, "g", i))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Profiling.winsorize(docs, "source", "doc_id", "n_chars",
+      lo = 0.05, hi = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    // exact interpolated percentiles of 1..100: p05 = 5.95, p95 = 95.05
+    assert(out(1L) === 5.95)
+    assert(out(3L) === 5.95)
+    assert(out(50L) === 50.0)
+    assert(out(100L) === 95.05)
+  }
+
   test("frequentNgrams equals sort-limit reference on the fixture") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val fast = TextAnalysis.frequentNgrams(d, "doc_id", "text", 2, 25)
