@@ -973,6 +973,17 @@ object SparkEntry {
       Dedup.incrementalExactDedup(index, batch)
     }),
 
+    // Small-file compaction planner: documents stand in for a file
+    // listing (doc_id = listing ordinal, n_chars = file bytes); group
+    // assignment is the q40 distributed prefix-sum kernel — this row
+    // gives the planner its own hard-correctness signal vs a window
+    // cumsum oracle
+    "q89_compaction_plan" -> ((s, dir) => {
+      Layout.compactionGroups(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), targetBytes = 64 * 1024)
+    }),
+
     // Cross-source n-gram overlap matrix: gram-keyed self-join whose
     // fan-out is bounded by source count; jaccard emitted as the raw
     // IEEE quotient of exact counts (no rounding step to diverge on)
@@ -2449,6 +2460,16 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q89_compaction_plan" ->
+      """WITH c AS (
+           SELECT doc_id AS id, n_chars AS bytes,
+             CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_b
+           FROM documents)
+         SELECT id, bytes,
+           CAST(start_b // 65536 AS BIGINT) AS group_id
+         FROM c""",
     "q87_source_overlap" ->
       """WITH toks AS (
            SELECT source,

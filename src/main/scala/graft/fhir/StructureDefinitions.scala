@@ -42,12 +42,21 @@ import graft.fhir.FhirSchemas._
 object StructureDefinitions {
 
   /** Compile result: registry overlay + the paths that could not be
-    * compiled (with reasons), for caller inspection. */
+    * compiled (with reasons), for caller inspection.
+    *
+    * `modifierFields` lists per resource type the hoisted extension
+    * fields whose slice declares `isModifier: true` — modifier
+    * extensions change the meaning of the resource that carries them
+    * (the reference models this as `StructureField.isModifier`,
+    * bunsen-core/.../StructureField.java:82-90), so a consumer filtering
+    * or projecting resources can check this set instead of silently
+    * treating a negation/retraction marker as ordinary data. */
   final case class CompiledProfiles(
       resources: Map[String, FDefinition],
       complexTypes: Map[String, FDefinition],
       extensionDefinitions: Map[String, FDefinition],
-      skipped: Seq[String]) {
+      skipped: Seq[String],
+      modifierFields: Map[String, Set[String]] = Map.empty) {
     /** The default registry extended with these profiles. */
     def registry: FRegistry = defaultRegistry.withExtra(
       resources, complexTypes, extensionDefinitions)
@@ -101,6 +110,7 @@ object StructureDefinitions {
     val resourceDocs = docs.filter(d => text(d, "kind").contains("resource"))
     val resBuilder = Map.newBuilder[String, FDefinition]
     val complexBuilder = Map.newBuilder[String, FDefinition]
+    val modBuilder = Map.newBuilder[String, Set[String]]
     resourceDocs.foreach { d =>
       val typeName = text(d, "type").getOrElse("")
       val els = elements(d)
@@ -110,6 +120,20 @@ object StructureDefinitions {
           refTarget, skipped)
         resBuilder += typeName -> FDefinition(typeName, fields)
         complexBuilder ++= inlineDefs
+        // modifier flagging (StructureField.java:82-90 semantics): a
+        // modifierExtension slice, or an extension slice declaring
+        // isModifier, changes the MEANING of the resource — record it so
+        // consumers can refuse to treat negation/retraction markers as
+        // ordinary data. modifierExtension slices are additionally
+        // surfaced in `skipped` (they are not hoisted into row fields).
+        val mods = els.filter { e =>
+          val p = text(e, "path").getOrElse("")
+          val isModSlice = p == s"$typeName.modifierExtension"
+          val flagged = Option(e.get("isModifier")).exists(_.asBoolean(false))
+          text(e, "sliceName").isDefined &&
+            (isModSlice || (p == s"$typeName.extension" && flagged))
+        }.flatMap(e => text(e, "sliceName")).toSet
+        if (mods.nonEmpty) modBuilder += typeName -> mods
       } else skipped += s"$typeName: empty snapshot"
     }
     // prune dangling contentReference targets: a '.'-named FComplex can
@@ -129,7 +153,7 @@ object StructureDefinitions {
       })
     CompiledProfiles(resBuilder.result().view.mapValues(prune).toMap,
       complexes.view.mapValues(prune).toMap,
-      extensionDefs, skipped.result().distinct)
+      extensionDefs, skipped.result().distinct, modBuilder.result())
   }
 
   /** The conformance pack SHIPPED with the library — the SPI analog of
@@ -230,6 +254,13 @@ object StructureDefinitions {
             skipped += s"$path (slice ${slice.get}): unresolved extension " +
               s"profile ${profile.getOrElse("<none>")}"
         }
+      } else if (name == "modifierExtension" && slice.isDefined) {
+        // modifier extensions are NOT hoisted into row fields (their
+        // presence changes resource meaning; silently flattening one
+        // into a nullable column would invite consumers to ignore it) —
+        // reported here AND flagged in CompiledProfiles.modifierFields
+        skipped += s"$path (slice ${slice.get}): modifier extension not " +
+          "hoisted — see CompiledProfiles.modifierFields"
       } else if (skipLeafNames.contains(name) || slice.isDefined) {
         // non-extension slices constrain, they don't add fields
         ()

@@ -231,6 +231,25 @@ class StructureDefinitionsSpec extends SparkSuite {
     assert(r.getString(3) === "2")
   }
 
+  test("modifier extensions are flagged, reported, and never silently " +
+    "hoisted") {
+    val sd =
+      """{"resourceType":"StructureDefinition",
+         "url":"http://example.org/StructureDefinition/my-obs",
+         "kind":"resource","type":"Observation",
+         "snapshot":{"element":[
+           {"path":"Observation","max":"1"},
+           {"path":"Observation.id","max":"1","type":[{"code":"id"}]},
+           {"path":"Observation.modifierExtension","sliceName":"notDone",
+            "max":"1","isModifier":true,
+            "type":[{"code":"Extension","profile":"http://example.org/ext"}]}]}}"""
+    val cp = StructureDefinitions.compile(Seq(sd))
+    assert(cp.modifierFields === Map("Observation" -> Set("notDone")))
+    assert(cp.skipped.exists(_.contains("modifier extension not hoisted")))
+    // and it is NOT a row field
+    assert(!cp.resources("Observation").fields.exists(_.name == "notDone"))
+  }
+
   test("dangling contentReference is pruned and reported") {
     val bad = questionnaireJson.replace("#Questionnaire.item\"",
       "#Questionnaire.nothere\"")
