@@ -154,6 +154,61 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Late-data audit: one row per micro-batch recording how much of the
+    * batch arrived behind the stream's event-time frontier — the
+    * observability a watermarked pipeline NEEDS, because watermarked aggs
+    * silently DROP late rows: without this audit, lateness looks like
+    * lower traffic. The frontier is replayed from the audit sink itself
+    * (max event time across prior batches), so the audit restarts
+    * correctly from its own output with no driver state to lose; the
+    * cutoff is frontier − `delaySeconds`, mirroring the engine's
+    * watermark arithmetic on exact integer micros.
+    *
+    * Per batch: one aggregate over the batch + one tiny read of the audit
+    * table's max — work proportional to the batch, audit rows one per
+    * batch. foreachBatch is at-least-once: a replayed batch re-appends
+    * its audit row; consumers key by batch_id. */
+  def lateDataAudit(events: DataFrame, tsCol: String, delaySeconds: Long,
+      auditPath: String, checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.functions._
+          val ap = new org.apache.hadoop.fs.Path(auditPath)
+          val exists = ap.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(ap)
+          val frontier: Option[Long] =
+            if (!exists) None
+            else {
+              val r = spark.read.parquet(auditPath)
+                .agg(max(col("max_ts_us"))).head()
+              if (r.isNullAt(0)) None else Some(r.getLong(0))
+            }
+          val cutoff = frontier.map(_ - delaySeconds * 1000000L)
+          val r = batch.toDF()
+            .select(unix_micros(col(tsCol)).as("ts_us"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("ts_us")).as("min_ts_us"),
+              max(col("ts_us")).as("max_ts_us"),
+              sum(when(col("ts_us") <
+                lit(cutoff.getOrElse(Long.MinValue)), 1L).otherwise(0L))
+                .as("n_late")).head()
+          if (r.getLong(0) > 0) {
+            import spark.implicits._
+            Seq((batchId, r.getLong(0), r.getLong(3),
+              r.getLong(1), r.getLong(2)))
+              .toDF("batch_id", "n_rows", "n_late", "min_ts_us",
+                "max_ts_us")
+              .write.mode("append").parquet(auditPath)
+          }
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
   // ---- custom stateful operator: streaming sessionization ----------------
 
   /** One input event for [[sessionStream]]. */

@@ -253,6 +253,88 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: bigram LM score equals the sequential reference model") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(8,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    samples(docGen, 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // sequential reference: count bigrams/contexts/vocab, score docs
+      val allToks = docs.map(_._2.split("\\s+").toSeq)
+      val bigrams = allToks.flatMap(ts => ts.zip(ts.drop(1)))
+      val cb = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+      val cw = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+      val v = allToks.flatten.distinct.size
+      def term(p: (String, String)): BigDecimal =
+        BigDecimal(math.log((cb(p) + 1.0) / (cw(p._1) + v)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val expected = docs.map { case (id, t) =>
+        val ts = t.split("\\s+").toSeq
+        val ps = ts.zip(ts.drop(1))
+        id -> (ps.size.toLong,
+          if (ps.isEmpty) None
+          else Some((ps.map(term).sum / ps.size).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      val got = graft.ops.TextAnalysis
+        .bigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      assert(got === expected, s"texts=$texts")
+    }
+  }
+
+  test("property: winsorized values stay inside the group's clip bounds " +
+    "and preserve order") {
+    import spark.implicits._
+    val valGen = Gen.listOfN(30, Gen.choose(0L, 10000L))
+    samples(valGen, 4).foreach { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "grp", "v")
+      val out = graft.ops.Profiling.winsorize(df, "grp", "id", "v",
+        lo = 0.1, hi = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))
+      out.foreach { case (_, _, pLo, pHi, clipped) =>
+        assert(clipped >= pLo - 1e-9 && clipped <= pHi + 1e-9)
+      }
+      // clipping is monotone: order of values is preserved (weakly)
+      val byVal = out.sortBy(_._2)
+      byVal.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._5 + 1e-9)
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: source overlap is a valid Jaccard (bounds, " +
+    "self-consistency vs sequential sets)") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(9, Gen.zip(Gen.oneOf("s1", "s2", "s3"),
+      Gen.listOfN(5, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    samples(docGen, 4).foreach { rows =>
+      val gramSets: Map[String, Set[String]] = rows.groupBy(_._1)
+        .view.mapValues(_.flatMap { case (_, t) =>
+          val ts = t.split("\\s+").toSeq
+          if (ts.size < 3) Seq(ts.mkString(" "))
+          else ts.sliding(3).map(_.mkString(" ")).toSeq
+        }.toSet).toMap
+      val got = graft.ops.TextAnalysis
+        .sourceOverlap(rows.toDF("source", "text"), "source", "text", 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(4), r.getDouble(5))).toMap
+      got.foreach { case ((a, b), (inter, j)) =>
+        val sa = gramSets.getOrElse(a, Set.empty)
+        val sb = gramSets.getOrElse(b, Set.empty)
+        assert(inter === (sa & sb).size.toLong, s"pair ($a,$b)")
+        val expJ = if ((sa | sb).isEmpty) 0.0
+          else (sa & sb).size.toDouble / (sa | sb).size
+        assert(j === expJ && j >= 0.0 && j <= 1.0, s"pair ($a,$b)")
+      }
+    }
+  }
+
   test("property: z-value interleave preserves per-dimension bit order") {
     import spark.implicits._
     val pairGen = Gen.listOfN(40,

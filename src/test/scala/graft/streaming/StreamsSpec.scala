@@ -145,6 +145,46 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(index).select("id").distinct().count() === 4)
   }
 
+  test("late-data audit counts rows behind the replayed event-time " +
+    "frontier, one audit row per batch") {
+    import spark.implicits._
+    val in = tmp("late_in")
+    val audit = tmp("late_audit") + "/rows"
+    val ckpt = tmp("late_ckpt")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:$min%02d:00")
+    def writeFile(name: String, mtime: Long,
+        rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val dir = tmp("late_stage")
+      rows.toDF("event_id", "ts").coalesce(1).write
+        .mode("overwrite").parquet(dir)
+      val src = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // batch 1: frontier becomes 10:30
+    writeFile("b1.parquet", t0, Seq((1L, ts(10)), (2L, ts(30))))
+    // batch 2: cutoff = 10:30 − 10min = 10:20 → the 10:05 row is late,
+    // the 10:25 row is within the allowed delay, 10:40 is fresh
+    writeFile("b2.parquet", t0 + 30000,
+      Seq((3L, ts(5)), (4L, ts(25)), (5L, ts(40))))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val q = Streams.lateDataAudit(stream, "ts", delaySeconds = 600,
+      audit, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(audit)
+      .orderBy("batch_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((2L, 0L), (3L, 1L)))
+  }
+
   test("streaming dedup equals batch distinct on the fixture") {
     val events = Streams.eventStream(spark, sfDir)
     val deduped = Streams.dedupStream(events, Seq("user_id", "event_type"),
