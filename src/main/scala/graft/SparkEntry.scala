@@ -973,6 +973,40 @@ object SparkEntry {
       Dedup.incrementalExactDedup(index, batch)
     }),
 
+    // S1 (bundle DIRECTORY scan, per-file = per-bundle wholetext
+    // semantics) under the oracle: bundles are materialized one-per-file
+    // via a partitioned text write, then ingested through the real
+    // directory path — loadFromDirectory's wholetext read + extractEntry.
+    // One bundle per 100 customers keeps the file count SF-proportional
+    // but small (150 files at sf0.1)
+    "q90_fhir_dir_scan" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val resource = to_json(struct(
+        lit("Patient").as("resourceType"),
+        concat(lit("p"), col("c_custkey")).as("id"),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END").as("gender")))
+      val bundles = c.select(resource.as("r"),
+          expr("c_custkey div 100").as("bk"))
+        .groupBy(col("bk"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("value"), col("bk"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q90_bundles").toString
+      bundles.write.partitionBy("bk").mode("overwrite").text(tmp)
+      graft.fhir.Bundles.extractEntry(s,
+          graft.fhir.Bundles.fromJson(
+            graft.fhir.Bundles.loadFromDirectory(s, s"$tmp/*")
+              .drop("source_file"),
+            "bundle_json", graft.fhir.FhirSchemas.defaultRegistry,
+            Seq("Patient")), "Patient")
+        .select(col("id").as("patient_id"), col("gender"))
+    }),
+
     // Small-file compaction planner: documents stand in for a file
     // listing (doc_id = listing ordinal, n_chars = file bytes); group
     // assignment is the q40 distributed prefix-sum kernel — this row
@@ -2460,6 +2494,11 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q90_fhir_dir_scan" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender
+         FROM customer""",
     "q89_compaction_plan" ->
       """WITH c AS (
            SELECT doc_id AS id, n_chars AS bytes,
