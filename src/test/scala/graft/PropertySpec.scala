@@ -335,6 +335,39 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: corrupted bundle JSON/XML never fails ingestion — bad " +
+    "documents drop, the job completes") {
+    import spark.implicits._
+    val goodJson =
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"Patient","id":"pX","gender":"male"}}]}"""
+    val goodXml =
+      """<Bundle xmlns="http://hl7.org/fhir"><entry><resource>""" +
+        """<Patient><id value="pX"/><gender value="male"/></Patient>""" +
+        """</resource></entry></Bundle>"""
+    val corruptions: Gen[String => String] = Gen.oneOf(
+      Gen.choose(0, goodJson.length - 1).map(i =>
+        (s: String) => s.take(math.min(i, s.length))), // truncate
+      Gen.zip(Gen.choose(0, goodJson.length - 1),
+        Gen.oneOf('}', '<', '"', ' ', 'q')).map { case (i, c) =>
+        (s: String) =>
+          if (s.isEmpty) s
+          else s.updated(math.min(i, s.length - 1), c) }, // flip one char
+      Gen.const((s: String) => s + s),                    // duplicate tail
+      Gen.const((s: String) => s.reverse))
+    samples(corruptions, 30).foreach { corrupt =>
+      val rows = Seq(corrupt(goodJson), goodJson).toDF("bundle_json")
+      // must not throw — malformed rows parse to null and drop
+      val n = graft.fhir.Bundles.extractEntry(spark, rows, "Patient")
+        .count()
+      assert(n >= 1) // the intact bundle always survives
+      val xrows = Seq(corrupt(goodXml), goodXml).toDF("bundle_xml")
+      val xn = graft.fhir.Bundles.extractEntry(spark,
+        graft.fhir.Bundles.fromXml(xrows, "bundle_xml"), "Patient").count()
+      assert(xn >= 1)
+    }
+  }
+
   test("property: z-value interleave preserves per-dimension bit order") {
     import spark.implicits._
     val pairGen = Gen.listOfN(40,
