@@ -1007,6 +1007,37 @@ object SparkEntry {
         .select(col("id").as("patient_id"), col("gender"))
     }),
 
+    // Streaming FHIR ingestion under the oracle: the same synthetic
+    // bundles written as text lines, read back through the STREAMING
+    // bundle path (readStream.text → restricted-envelope from_json →
+    // extractEntry → memory sink) — append-mode stateless, so the
+    // materialized stream equals the batch extraction the oracle
+    // recomputes relationally
+    "q91_stream_fhir_ingest" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val resource = to_json(struct(
+        lit("Patient").as("resourceType"),
+        concat(lit("p"), col("c_custkey")).as("id"),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END").as("gender")))
+      val bundles = c.select(resource.as("r"),
+          expr("c_custkey div 100").as("bk"))
+        .groupBy(col("bk"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q91_bundles").toString
+      bundles.coalesce(4).write.mode("overwrite").text(tmp)
+      s.catalog.dropTempView("q91_stream_out")
+      val stream = graft.streaming.Streams.bundleStream(s, tmp, "Patient")
+        .select(col("id").as("patient_id"), col("gender"))
+      graft.streaming.Streams.runToMemory(s, stream, "q91_stream_out")
+    }),
+
     // Small-file compaction planner: documents stand in for a file
     // listing (doc_id = listing ordinal, n_chars = file bytes); group
     // assignment is the q40 distributed prefix-sum kernel — this row
@@ -2494,6 +2525,11 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q91_stream_fhir_ingest" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender
+         FROM customer""",
     "q90_fhir_dir_scan" ->
       """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
            CASE c_custkey % 3 WHEN 0 THEN 'male'

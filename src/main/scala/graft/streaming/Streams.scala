@@ -26,8 +26,11 @@ object Streams {
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(path)
       .withColumnRenamed("value", "bundle_json")
-    Bundles.extractEntry(spark, Bundles.fromJson(raw, "bundle_json"),
-      resourceName)
+    // envelope restricted to the one extracted type — the same
+    // ingest-throughput knob as the batch path (full-registry merges
+    // parse every row against every resource's fields)
+    Bundles.extractEntry(spark, Bundles.fromJson(raw, "bundle_json",
+      FhirSchemas.defaultRegistry, Seq(resourceName)), resourceName)
   }
 
   /** Run a streaming DataFrame into an in-memory table until all currently

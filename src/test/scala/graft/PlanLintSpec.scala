@@ -35,7 +35,7 @@ class PlanLintSpec extends SparkSuite {
   // micro-batch plan. They are covered by StreamsSpec equivalences.
   private val streaming = Set(
     "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich",
-    "q73_stream_interval_join")
+    "q73_stream_interval_join", "q91_stream_fhir_ingest")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keysIterator
