@@ -1007,6 +1007,21 @@ object SparkEntry {
         .select(col("id").as("patient_id"), col("gender"))
     }),
 
+    // Bloom-prefiltered selective join: urgent orders keep ~20% of keys,
+    // the fact scan discards non-matching lineitems BEFORE the join
+    // shuffle via a literal Bloom membership test; false positives die in
+    // the exact join, so the oracle is the plain SQL join
+    "q92_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.bloomPrefilteredJoin(li, "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 100000L)
+        .select(col("l_orderkey"), col("o_custkey"),
+          col("l_quantity").cast("double").as("quantity"))
+    }),
+
     // Streaming FHIR ingestion under the oracle: the same synthetic
     // bundles written as text lines, read back through the STREAMING
     // bundle path (readStream.text → restricted-envelope from_json →
@@ -2525,6 +2540,11 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q92_bloom_join" ->
+      """SELECT l.l_orderkey, o.o_custkey,
+           CAST(l.l_quantity AS DOUBLE) AS quantity
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'""",
     "q91_stream_fhir_ingest" ->
       """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
            CASE c_custkey % 3 WHEN 0 THEN 'male'

@@ -48,4 +48,41 @@ object Tables {
         .map(i => lit(i)): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-prefiltered join — the runtime-filter pattern for SELECTIVE
+    * joins, made explicit: when the dim side keeps few keys, most fact
+    * rows can be discarded AT THE SCAN (before the join's shuffle) by a
+    * Bloom membership test on the key. The filter's false positives are
+    * removed by the exact join that follows, so the result is EXACTLY the
+    * plain inner join (the q92 oracle is the plain SQL join) — the Bloom
+    * only moves work earlier. This is what Spark's own
+    * `InjectRuntimeFilter` does for some shapes; the explicit operator
+    * covers the shapes it doesn't reach and makes the behavior testable.
+    *
+    * The filter builds with Spark's native `BloomFilterAggregate`
+    * (map-side combined; bitset OR is order-independent, so the bytes
+    * are deterministic) and lands in the plan as a literal via one
+    * driver action — small by contract: `numBits` caps it (1 MiB
+    * default), the same contract as the broadcast valueset builders.
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling the ~selectivity fraction that can match. */
+  def bloomPrefilteredJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = GraftShim.column(new BloomFilterAggregate(
+      GraftShim.expression(xxhash64(col(dimKey))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bytes = dim.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val prefiltered =
+      if (bytes == null) fact.where(lit(false)) // empty dim → empty join
+      else fact.where(GraftShim.column(BloomFilterMightContain(
+        Literal.create(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        GraftShim.expression(xxhash64(col(factKey))))))
+    prefiltered.join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -24,6 +24,34 @@ class TablesSpec extends SparkSuite {
     assert(spread.count() === plain.size)
   }
 
+  test("bloom-prefiltered join returns exactly the plain join's rows, " +
+    "filters BEFORE the join, and handles an empty dim") {
+    import spark.implicits._
+    // parquet-backed fact: on a LocalRelation Catalyst folds the
+    // membership filter away at planning, which would make the
+    // plan-shape assertion vacuous
+    val factDir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_fact").toString
+    (0L until 5000L).map(i => (i % 500, s"p$i"))
+      .toDF("fk", "payload").write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = Seq((3L, "a"), (77L, "b"), (499L, "c")).toDF("dk", "label")
+    val out = Tables.bloomPrefilteredJoin(fact, "fk", dim, "dk",
+      expectedItems = 10L)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    assert(out.select("fk", "payload", "label").collect().toSet ===
+      plain.select("fk", "payload", "label").collect().toSet)
+    // the membership test must sit UNDER the join (scan-side prefilter)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"), plan.take(1500))
+    // empty dim → empty result without scanning the fact side
+    val empty = Tables.bloomPrefilteredJoin(fact, "fk",
+      dim.where(lit(false)), "dk")
+    assert(empty.count() === 0)
+    assert(!empty.queryExecution.executedPlan.toString()
+      .contains("parquet")) // fact side never scanned
+  }
+
   test("co-bucketed join plans contain no shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
