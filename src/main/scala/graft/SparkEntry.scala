@@ -1007,6 +1007,14 @@ object SparkEntry {
         .select(col("id").as("patient_id"), col("gender"))
     }),
 
+    // Curriculum ordering: sorted across exact-quantile quality bands,
+    // hash-shuffled within each band; global position via the two-phase
+    // prefix count blocked on (band, key-block) — no global window
+    "q93_curriculum_order" -> ((s, dir) => {
+      Splits.curriculumOrder(t(s, dir, "documents"), "doc_id", "n_chars",
+        bands = 4)
+    }),
+
     // Bloom-prefiltered selective join: urgent orders keep ~20% of keys,
     // the fact scan discards non-matching lineitems BEFORE the join
     // shuffle via a literal Bloom membership test; false positives die in
@@ -2540,6 +2548,21 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q93_curriculum_order" ->
+      """WITH b AS (
+           SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs
+           FROM documents),
+         r AS (
+           SELECT doc_id AS id, n_chars AS score,
+             CAST(len(list_filter(b.bs,
+               x -> CAST(n_chars AS DOUBLE) > x)) AS INT) AS band,
+             CAST(('0x' || substr(md5('graft:' ||
+               CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS key
+           FROM documents, b)
+         SELECT id, score, band,
+           CAST(row_number() OVER (ORDER BY band, key, id) - 1 AS BIGINT)
+             AS position
+         FROM r""",
     "q92_bloom_join" ->
       """SELECT l.l_orderkey, o.o_custkey,
            CAST(l.l_quantity AS DOUBLE) AS quantity

@@ -167,6 +167,58 @@ object Splits {
         element_at(typedLit(offsets), col("block"))).as("position"))
   }
 
+  /** Curriculum ordering: a deterministic global reading order that is
+    * sorted ACROSS quality bands but shuffled WITHIN each band — the
+    * standard curriculum-learning layout (easy→hard by coarse score,
+    * no fine-grained score sort that would correlate adjacent batches).
+    * Bands are exact score quantiles (band i = rows above the i-th of
+    * `bands−1` interpolated boundaries, strict `>` so both engines
+    * agree); within a band the order is the salted portable-hash
+    * permutation of [[deterministicShuffle]].
+    *
+    * Same scale shape as the shuffle: boundaries are ONE aggregate row
+    * broadcast back; the global position is the two-phase prefix count
+    * blocked on (band, key-block) — `bands × buckets` longs of driver
+    * state, per-(band, block) rank windows that run in parallel, never
+    * a single-reducer global window. */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      bands: Int, salt: String = "graft", buckets: Int = 64): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bounds = df.agg(percentile(col(scoreCol),
+      typedLit((1 until bands).map(_.toDouble / bands))).as("__bs"))
+    val key = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val blockWidth = (1L << 52) / buckets + 1
+    val base = df.crossJoin(broadcast(bounds))
+      .select(col(idCol).as("id"), col(scoreCol).as("score"),
+        size(filter(col("__bs"),
+          b => col(scoreCol).cast("double") > b)).cast("int").as("band"),
+        key.as("shuffle_key"))
+      .withColumn("block", expr(s"shuffle_key div ${blockWidth}L"))
+    val offsets: Map[Long, Long] = {
+      val counts = base.groupBy(col("band"), col("block"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0).toLong * (buckets + 1) + r.getLong(1),
+          r.getLong(2)))
+        .sortBy(_._1)
+      var acc = 0L
+      counts.map { case (k, c) => val o = acc; acc += c; k -> o }.toMap
+    }
+    if (offsets.isEmpty)
+      return base.select(col("id"), col("score"), col("band"),
+        lit(0L).as("position")).limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("block"))
+      .orderBy(col("shuffle_key"), col("id"))
+    base.select(col("id"), col("score"), col("band"),
+      (row_number().over(w).cast("long") - 1L +
+        element_at(typedLit(offsets),
+          col("band").cast("long") * (buckets + 1) + col("block")))
+        .as("position"))
+  }
+
   /** Deterministic per-stratum quota: min(n, |stratum|) rows per stratum,
     * picked by ascending salted portable hash — a reproducible "take N
     * documents per source" with no `rand()` and no global sort. Runs

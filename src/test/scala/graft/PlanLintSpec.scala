@@ -27,7 +27,8 @@ class PlanLintSpec extends SparkSuite {
     "q26_ann_bruteforce", // the ANN query set (k rows, broadcast by
                           // design: corpus never shuffles, map-side TopK)
     "q85_bigram_lm_quality", // one-row vocab-size frame
-    "q87_source_overlap" // K-row source-size frames (pair completeness)
+    "q87_source_overlap", // K-row source-size frames (pair completeness)
+    "q93_curriculum_order" // one-row quantile-boundaries frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their
@@ -65,10 +66,34 @@ class PlanLintSpec extends SparkSuite {
   test("no window function runs on a single-partition exchange") {
     // an ORDER BY window with no PARTITION BY plans as
     // Exchange SinglePartition → Window: the whole input serializes
-    // through one task
+    // through one task. Checked per WINDOW SUBTREE (the first Exchange
+    // below each Window node), not per whole-plan substring — a one-row
+    // global aggregate elsewhere in the plan legitimately uses a
+    // SinglePartition exchange and must not trip this.
+    def windowOnSinglePartition(p: String): Boolean = {
+      val lines = p.linesIterator.toArray
+      def depth(l: String): Int = l.indexWhere(_.isLetter) match {
+        case -1 => Int.MaxValue
+        case i => i
+      }
+      lines.indices.exists { i =>
+        val l = lines(i)
+        l.contains("Window [") && {
+          val d = depth(l)
+          var j = i + 1
+          var firstExchange: Option[String] = None
+          while (j < lines.length && depth(lines(j)) > d &&
+            firstExchange.isEmpty) {
+            if (lines(j).contains("Exchange "))
+              firstExchange = Some(lines(j))
+            j += 1
+          }
+          firstExchange.exists(_.contains("SinglePartition"))
+        }
+      }
+    }
     val bad = plans.collect {
-      case (name, p) if p.contains("Window") &&
-        p.contains("Exchange SinglePartition") => name
+      case (name, p) if windowOnSinglePartition(p) => name
     }
     assert(bad.isEmpty, s"single-partition window in: $bad")
   }

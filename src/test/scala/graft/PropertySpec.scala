@@ -335,6 +335,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: curriculum order equals the sequential " +
+    "(band, hash, id) sort") {
+    import spark.implicits._
+    val valGen = Gen.listOfN(40, Gen.choose(1L, 2000L))
+    def md5key(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(13), 16)
+    }
+    samples(valGen, 4).foreach { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val sorted = vals.sorted.map(_.toDouble)
+      val n = sorted.size
+      def pct(p: Double): Double = {
+        val idx = p * (n - 1)
+        val lo = math.floor(idx).toInt
+        val hi = math.ceil(idx).toInt
+        sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+      }
+      val bounds = Seq(0.25, 0.5, 0.75).map(pct)
+      val expected = rows.map { case (id, v) =>
+        (bounds.count(v.toDouble > _), md5key(id), id)
+      }.sorted.zipWithIndex
+        .map { case ((band, _, id), pos) => id -> (band, pos.toLong) }
+        .toMap
+      val got = graft.ops.Splits.curriculumOrder(
+          rows.toDF("doc_id", "n_chars"), "doc_id", "n_chars", bands = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(2), r.getLong(3))).toMap
+      assert(got === expected, s"vals=$vals")
+    }
+  }
+
   test("property: corrupted bundle JSON/XML never fails ingestion — bad " +
     "documents drop, the job completes") {
     import spark.implicits._
