@@ -1007,6 +1007,18 @@ object SparkEntry {
         .select(col("id").as("patient_id"), col("gender"))
     }),
 
+    // Held-out LM scoring (the actual CCNet shape): train the bigram
+    // model on the first half of the corpus, score the second half —
+    // bigrams/contexts the model never saw hit the smoothed floor via
+    // left joins, so unseen text scores low instead of dropping
+    "q94_heldout_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainBigramLm(
+        docs.where(col("doc_id") < 250), "text")
+      TextAnalysis.scoreWithBigramLm(model,
+        docs.where(col("doc_id") >= 250), "doc_id", "text")
+    }),
+
     // Curriculum ordering: sorted across exact-quantile quality bands,
     // hash-shuffled within each band; global position via the two-phase
     // prefix count blocked on (band, key-block) — no global window
@@ -2548,6 +2560,48 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q94_heldout_lm" ->
+      """WITH ttk AS (
+           SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+               '\s+'), x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id < 250),
+         tbg AS (
+           SELECT u.w1 AS w1, u.b AS b FROM (
+             SELECT unnest(list_transform(range(1, len(t)), i ->
+               {'w1': t[i], 'b': t[i] || ' ' || t[i + 1]})) AS u
+             FROM ttk) q),
+         cbt AS (SELECT b, count(*) AS cb FROM tbg GROUP BY b),
+         cwt AS (SELECT w1, count(*) AS cw FROM tbg GROUP BY w1),
+         vt AS (SELECT count(DISTINCT tok) AS v FROM (
+             SELECT unnest(t) AS tok FROM ttk) q),
+         stk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id >= 250),
+         sbg AS (
+           SELECT doc_id, u.w1 AS w1, u.b AS b FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i ->
+                 {'w1': t[i], 'b': t[i] || ' ' || t[i + 1]})) AS u
+             FROM stk) q),
+         sc AS (
+           SELECT sbg.doc_id,
+             CAST(round(ln((coalesce(cbt.cb, 0) + 1.0)
+               / (coalesce(cwt.cw, 0) + vt.v)), 6)
+               AS DECIMAL(18,6)) AS term
+           FROM sbg LEFT JOIN cbt USING (b) LEFT JOIN cwt USING (w1)
+           CROSS JOIN vt),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(term) AS DOUBLE) / count(*), 4)
+               AS mean_logprob
+           FROM sc GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           agg.mean_logprob
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         WHERE d.doc_id >= 250""",
     "q93_curriculum_order" ->
       """WITH b AS (
            SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs

@@ -413,23 +413,55 @@ object TextAnalysis {
     * Documents with fewer than 2 tokens have no bigrams: n_bigrams 0,
     * null score. */
   def bigramLmScore(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("t"))
-    val bg = toks.select(col("doc_id"), posexplode(
+      textCol: String): DataFrame =
+    scoreWithBigramLm(trainBigramLm(df, textCol), df, idCol, textCol)
+
+  /** A trained bigram LM: the two count tables plus the vocab-size frame.
+    * These are the PERSISTABLE artifacts of the pipeline — train once on
+    * the reference corpus, write `bigrams`/`contexts` partitioned by
+    * their key, then score any number of target corpora against them. */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+      vocab: DataFrame)
+
+  private def docBigrams(df: DataFrame, idC: Column,
+      textCol: String): DataFrame =
+    df.select(idC.as("doc_id"),
+        Dedup.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), posexplode(
         zip_with(col("t"),
           slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b")))))
       .where(col("col.b").isNotNull) // zip_with pads the longer side
       .select(col("doc_id"), col("col.w1").as("w1"), col("col.b").as("b"))
-    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-    val v = toks.select(explode(col("t")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
-    val scored = bg.join(cb, Seq("b")).join(cw, Seq("w1"))
-      .crossJoin(broadcast(v))
+
+  /** Train the corpus bigram statistics: bigram counts, context
+    * (bigram-start) counts, and the distinct-token vocab size — two
+    * map-side-combined groupBys and one count-distinct over a single
+    * tokenization pass's stream. */
+  def trainBigramLm(df: DataFrame, textCol: String): BigramLm = {
+    val bg = docBigrams(df, lit(0L), textCol) // ids irrelevant to counts
+    BigramLm(
+      bigrams = bg.groupBy(col("b")).agg(count(lit(1)).as("cb")),
+      contexts = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw")),
+      vocab = df.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+  }
+
+  /** Score a (possibly different) corpus under a trained model — the
+    * held-out CCNet shape: train on the trusted corpus, score the crawl.
+    * Bigrams/contexts the model never saw contribute the smoothed floor
+    * `ln(1 / (cw + V))` with cw = 0 (left joins + coalesce), so unseen
+    * text scores LOW instead of erroring or dropping rows. */
+  def scoreWithBigramLm(model: BigramLm, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = docBigrams(df, col(idCol), textCol)
+    val scored = bg
+      .join(model.bigrams, Seq("b"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
       .select(col("doc_id"),
-        round(log((col("cb") + lit(1.0)) / (col("cw") + col("v"))), 6)
+        round(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cw"), lit(0L)) + col("v"))), 6)
           .cast("decimal(18,6)").as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSuite {
     "q26_ann_bruteforce", // the ANN query set (k rows, broadcast by
                           // design: corpus never shuffles, map-side TopK)
     "q85_bigram_lm_quality", // one-row vocab-size frame
+    "q94_heldout_lm", // one-row vocab-size frame
     "q87_source_overlap", // K-row source-size frames (pair completeness)
     "q93_curriculum_order" // one-row quantile-boundaries frame
   )

@@ -1104,6 +1104,25 @@ class OpsSpec extends SparkSuite {
     assert(out(2L) === ((1L, 0.0)))
   }
 
+  test("bigram LM held-out scoring: unseen bigrams and contexts hit the " +
+    "smoothed floor, never drop") {
+    import spark.implicits._
+    val model = TextAnalysis.trainBigramLm(
+      Seq((0L, "a b")).toDF("doc_id", "text"), "text")
+    // V=2 (a,b); cw(a)=1; cb("a b")=1
+    val out = TextAnalysis.scoreWithBigramLm(model,
+      Seq((1L, "a b"), (2L, "a z"), (3L, "q r"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def s(x: Double) = math.rint(
+      (math.rint(math.log(x) * 1e6) / 1e6) * 1e4) / 1e4
+    assert(out(1L) === s(2.0 / 3)) // seen: (1+1)/(1+2)
+    assert(out(2L) === s(1.0 / 3)) // unseen bigram, seen context: 1/(1+2)
+    assert(out(3L) === s(1.0 / 2)) // unseen context: 1/(0+2)
+    // ordering sanity: fully in-model text scores at least as high
+    assert(out(1L) >= out(2L))
+  }
+
   test("sourceOverlap: exact pairwise Jaccard of distinct gram sets, " +
     "zero-overlap pairs included") {
     import spark.implicits._
