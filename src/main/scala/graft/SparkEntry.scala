@@ -1007,6 +1007,12 @@ object SparkEntry {
         .select(col("id").as("patient_id"), col("gender"))
     }),
 
+    // Power-of-two length histogram: integer bit-length buckets (no
+    // floating log), <=64 groups, one map-side-combined pass
+    "q95_length_histogram" -> ((s, dir) => {
+      Profiling.powerOfTwoHistogram(t(s, dir, "documents"), "n_chars")
+    }),
+
     // Held-out LM scoring (the actual CCNet shape): train the bigram
     // model on the first half of the corpus, score the second half —
     // bigrams/contexts the model never saw hit the smoothed floor via
@@ -2560,6 +2566,18 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q95_length_histogram" ->
+      """WITH c AS (
+           SELECT CASE WHEN n_chars <= 0 THEN -1
+             ELSE CAST(length(bin(n_chars)) - 1 AS INT) END AS bucket,
+             count(*) AS n_rows
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+         SELECT bucket,
+           CAST(1 AS BIGINT) << greatest(bucket, 0) AS bucket_lo,
+           n_rows,
+           round(CAST(n_rows AS DOUBLE) / total, 6) AS share
+         FROM c CROSS JOIN t""",
     "q94_heldout_lm" ->
       """WITH ttk AS (
            SELECT list_filter(regexp_split_to_array(lower(trim(text)),

@@ -119,6 +119,29 @@ object Profiling {
       round(percent_rank().over(w), 6).as("pct_rank"))
   }
 
+  /** Power-of-two histogram of a positive integral column: bucket k
+    * holds values in [2^k, 2^(k+1)) — the log-scale length/token
+    * distribution consulted when sizing packing windows, batch shapes,
+    * and file targets (linear histograms are useless on heavy-tailed
+    * length data). Bucket = ⌊log2(v)⌋ computed as the BIT LENGTH of the
+    * value (`length(bin(v)) − 1`) — pure integer arithmetic every engine
+    * reproduces exactly, no floating log. Non-positive values land in
+    * bucket −1. One map-side-combined groupBy over ≤64 buckets; the
+    * share denominator attaches by broadcast of the one-row total. */
+  def powerOfTwoHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val bucket = when(col(valueCol) <= 0, lit(-1))
+      .otherwise((length(bin(col(valueCol))) - 1).cast("int"))
+    val counts = df.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("CAST(1 AS BIGINT) << greatest(bucket, 0)").as("bucket_lo"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total"), 6)
+          .as("share"))
+  }
+
   /** Per-group winsorization: clip `value` to its group's exact
     * interpolated [lo, hi] percentiles — the outlier-taming feature prep
     * that keeps a few million-char documents from dominating

@@ -29,7 +29,8 @@ class PlanLintSpec extends SparkSuite {
     "q85_bigram_lm_quality", // one-row vocab-size frame
     "q94_heldout_lm", // one-row vocab-size frame
     "q87_source_overlap", // K-row source-size frames (pair completeness)
-    "q93_curriculum_order" // one-row quantile-boundaries frame
+    "q93_curriculum_order", // one-row quantile-boundaries frame
+    "q95_length_histogram" // one-row totals frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -1104,6 +1104,20 @@ class OpsSpec extends SparkSuite {
     assert(out(2L) === ((1L, 0.0)))
   }
 
+  test("powerOfTwoHistogram: bit-length buckets, shares sum to 1, " +
+    "non-positives in bucket -1") {
+    import spark.implicits._
+    val vals = Seq(0L, 1L, 2L, 3L, 4L, 1023L, 1024L).toDF("v")
+    val out = Profiling.powerOfTwoHistogram(vals, "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(-1 -> (1L, 1L), 0 -> (1L, 1L), 1 -> (2L, 2L),
+      2 -> (4L, 1L), 9 -> (512L, 1L), 10 -> (1024L, 1L)))
+    val shares = Profiling.powerOfTwoHistogram(vals, "v")
+      .agg(sum(col("share"))).head().getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-6)
+  }
+
   test("bigram LM held-out scoring: unseen bigrams and contexts hit the " +
     "smoothed floor, never drop") {
     import spark.implicits._
