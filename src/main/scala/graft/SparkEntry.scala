@@ -46,6 +46,30 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Stable scratch directory for queries that must materialize files
+    * (q90/q91 bundle fixtures): keyed by (tag, input dir) so repeated
+    * bench/verify invocations overwrite ONE directory instead of
+    * accumulating fresh `createTempDirectory` trees, and deleted on JVM
+    * exit. Concurrent runs over different SF dirs get distinct paths. */
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(tag: String, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_${tag}_$key")
+    if (scratchRegistered.add(p.toString)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }))
+    }
+    p.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001: the reference's documented
     * end-to-end flow (SURVEY §7 minimum slice) — ingest FHIR bundles,
     * extract Observations, push a valueset, filter with in_valueset.
@@ -995,8 +1019,7 @@ object SparkEntry {
           array_join(transform(col("rs"),
             r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
           lit("]}")).as("value"), col("bk"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q90_bundles").toString
+      val tmp = scratchDir("q90_bundles", dir)
       bundles.write.partitionBy("bk").mode("overwrite").text(tmp)
       graft.fhir.Bundles.extractEntry(s,
           graft.fhir.Bundles.fromJson(
@@ -1070,8 +1093,7 @@ object SparkEntry {
           array_join(transform(col("rs"),
             r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
           lit("]}")).as("value"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q91_bundles").toString
+      val tmp = scratchDir("q91_bundles", dir)
       bundles.coalesce(4).write.mode("overwrite").text(tmp)
       s.catalog.dropTempView("q91_stream_out")
       val stream = graft.streaming.Streams.bundleStream(s, tmp, "Patient")
@@ -2691,17 +2713,49 @@ object SparkEntry {
          FROM sz sa JOIN sz sb ON sa.source < sb.source
          LEFT JOIN it ON it.source_a = sa.source
            AND it.source_b = sb.source""",
+    // q88: same exact-decimal order-statistic interpolation as the Spark
+    // side — v_k + (v_{k+1} − v_k)·frac over the distinct-value
+    // histogram, no double rounding anywhere
     "q88_winsorize" ->
-      """WITH b AS (
-           SELECT source,
-             quantile_cont(n_chars, 0.05) AS p_lo,
-             quantile_cont(n_chars, 0.95) AS p_hi
-           FROM documents GROUP BY source)
+      """WITH kf AS (
+           SELECT source, count(*) AS n,
+             CAST(floor(0.05 * (count(*) - 1)) AS BIGINT) AS k_lo,
+             CAST(0.05 * (count(*) - 1)
+               - floor(0.05 * (count(*) - 1)) AS DECIMAL(10,6)) AS f_lo,
+             CAST(floor(0.95 * (count(*) - 1)) AS BIGINT) AS k_hi,
+             CAST(0.95 * (count(*) - 1)
+               - floor(0.95 * (count(*) - 1)) AS DECIMAL(10,6)) AS f_hi
+           FROM documents GROUP BY source),
+         cum AS (
+           SELECT source, v, c, sum(c) OVER (
+               PARTITION BY source ORDER BY v) AS cum
+           FROM (SELECT source, CAST(n_chars AS DECIMAL(20,4)) AS v,
+                   count(*) AS c
+                 FROM documents GROUP BY 1, 2)),
+         os AS (
+           SELECT k.source,
+             max(CASE WHEN cum.cum - cum.c <= k.k_lo
+               AND k.k_lo < cum.cum THEN cum.v END) AS v_lo0,
+             max(CASE WHEN cum.cum - cum.c <= least(k.k_lo + 1, k.n - 1)
+               AND least(k.k_lo + 1, k.n - 1) < cum.cum
+               THEN cum.v END) AS v_lo1,
+             max(CASE WHEN cum.cum - cum.c <= k.k_hi
+               AND k.k_hi < cum.cum THEN cum.v END) AS v_hi0,
+             max(CASE WHEN cum.cum - cum.c <= least(k.k_hi + 1, k.n - 1)
+               AND least(k.k_hi + 1, k.n - 1) < cum.cum
+               THEN cum.v END) AS v_hi1
+           FROM kf k JOIN cum ON cum.source = k.source
+           GROUP BY k.source),
+         b AS (
+           SELECT os.source,
+             os.v_lo0 + (os.v_lo1 - os.v_lo0) * kf.f_lo AS p_lo_d,
+             os.v_hi0 + (os.v_hi1 - os.v_hi0) * kf.f_hi AS p_hi_d
+           FROM os JOIN kf ON kf.source = os.source)
          SELECT d.doc_id, d.source, d.n_chars,
-           round(b.p_lo, 4) AS p_lo,
-           round(b.p_hi, 4) AS p_hi,
-           round(least(greatest(CAST(d.n_chars AS DOUBLE), b.p_lo),
-             b.p_hi), 4) AS clipped
+           CAST(round(b.p_lo_d, 4) AS DOUBLE) AS p_lo,
+           CAST(round(b.p_hi_d, 4) AS DOUBLE) AS p_hi,
+           CAST(round(least(greatest(CAST(d.n_chars AS DECIMAL(20,4)),
+             b.p_lo_d), b.p_hi_d), 4) AS DOUBLE) AS clipped
          FROM documents d JOIN b ON b.source = d.source""",
     "q86_decayed_activity" ->
       """SELECT user_id,

@@ -83,6 +83,11 @@ object Tables {
         Literal.create(bytes,
           org.apache.spark.sql.types.BinaryType),
         GraftShim.expression(xxhash64(col(factKey))))))
-    prefiltered.join(dim, col(factKey) === col(dimKey))
+    // Bind each key to its own frame so a fact/dim column-name collision
+    // stays unambiguous; when the key NAMES collide too, drop the dim's
+    // copy (it equals the fact's by the join predicate).
+    val joined = prefiltered.join(dim,
+      prefiltered.col(factKey) === dim.col(dimKey))
+    if (factKey == dimKey) joined.drop(dim.col(dimKey)) else joined
   }
 }

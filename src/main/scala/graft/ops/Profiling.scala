@@ -149,23 +149,75 @@ object Profiling {
     * scales differ by source/language. Emits the clip bounds alongside
     * the clipped value so downstream audits can see what moved.
     *
-    * Shape at scale: ONE groupBy computing both exact percentiles
-    * (Spark's `percentile` aggregate — a per-group sort of values, the
-    * unavoidable cost of exact quantiles; swap for approx_percentile at
-    * extreme group sizes), broadcast of the group-bounds frame back onto
-    * the table. No window, no self-join. */
+    * The interpolation is done in EXACT DECIMAL arithmetic over discrete
+    * order statistics (the same `v_k + (v_{k+1} − v_k)·frac` definition
+    * as Spark's `percentile` / DuckDB's `quantile_cont`), never through
+    * `round(double, n)` — double rounding differs between engines by
+    * 1 ulp at half-way points, which would break oracle hash parity on
+    * unlucky data. Values are quantized to 4 decimal places on entry
+    * (exact for integer columns); `lo`/`hi` must carry ≤ 6 decimal
+    * digits so every intermediate stays inside decimal(38) exactly.
+    *
+    * Shape at scale: one groupBy(group, value) collapsing to the
+    * DISTINCT-value histogram (the same state Spark's exact `percentile`
+    * buffers internally), a running-count window partitioned by group
+    * over that small histogram, a 4-rows-per-group rank probe joined
+    * against it, and a broadcast of the per-group bounds back onto the
+    * table. No global sort, no self-join on the data. */
   def winsorize(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentiles [$lo, $hi]")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(lo)).as("p_lo"),
-        percentile(col(valueCol), lit(hi)).as("p_hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    val loBd = BigDecimal(lo.toString)
+    val hiBd = BigDecimal(hi.toString)
+    require(loBd.scale <= 6 && hiBd.scale <= 6,
+      s"lo/hi must have <= 6 decimal digits, got [$lo, $hi]")
+    import org.apache.spark.sql.expressions.Window
+    val vdec = col(valueCol).cast("decimal(20,4)")
+    // distinct-value histogram with running counts, per group
+    val cum = df.groupBy(col(groupCol).as("g"), vdec.as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("g")).orderBy(col("v"))))
+    // fractional target positions p·(n−1), exact decimal; k = floor,
+    // frac = remainder. k+1 clamps to n−1 (frac is 0 there anyway).
+    def pos(p: BigDecimal) = lit(p) * (col("n") - 1)
+    def frac(p: BigDecimal) =
+      (pos(p) - floor(pos(p))).cast("decimal(10,6)")
+    val kf = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"),
+        floor(pos(loBd)).cast("long").as("k_lo"), frac(loBd).as("f_lo"),
+        floor(pos(hiBd)).cast("long").as("k_hi"), frac(hiBd).as("f_hi"))
+    // order statistics v_k, v_{k+1} for both percentiles: probe the
+    // histogram with 4 ranks per group, pivot back to one row per group
+    val probes = kf.select(col("g"), col("n"), explode(array(
+        struct(lit("lo0").as("tag"), col("k_lo").as("r")),
+        struct(lit("lo1").as("tag"),
+          least(col("k_lo") + 1, col("n") - 1).as("r")),
+        struct(lit("hi0").as("tag"), col("k_hi").as("r")),
+        struct(lit("hi1").as("tag"),
+          least(col("k_hi") + 1, col("n") - 1).as("r"))))
+        .as("p"))
+      .select(col("g"), col("p.tag").as("tag"), col("p.r").as("r"))
+    val os = probes.join(cum, Seq("g"))
+      .where(col("cum") - col("c") <= col("r") && col("r") < col("cum"))
+      .groupBy(col("g"))
+      .agg(max(when(col("tag") === "lo0", col("v"))).as("v_lo0"),
+        max(when(col("tag") === "lo1", col("v"))).as("v_lo1"),
+        max(when(col("tag") === "hi0", col("v"))).as("v_hi0"),
+        max(when(col("tag") === "hi1", col("v"))).as("v_hi1"))
+    val bounds = os.join(kf, Seq("g"))
+      .select(col("g"),
+        (col("v_lo0") + (col("v_lo1") - col("v_lo0")) * col("f_lo"))
+          .as("p_lo_d"),
+        (col("v_hi0") + (col("v_hi1") - col("v_hi0")) * col("f_hi"))
+          .as("p_hi_d"))
+    df.join(broadcast(bounds), col(groupCol) === col("g"))
       .select(col(idCol), col(groupCol), col(valueCol),
-        round(col("p_lo"), 4).as("p_lo"),
-        round(col("p_hi"), 4).as("p_hi"),
-        round(least(greatest(col(valueCol).cast("double"), col("p_lo")),
-          col("p_hi")), 4).as("clipped"))
+        round(col("p_lo_d"), 4).cast("double").as("p_lo"),
+        round(col("p_hi_d"), 4).cast("double").as("p_hi"),
+        round(least(greatest(vdec.cast("decimal(30,10)"),
+            col("p_lo_d")), col("p_hi_d")), 4)
+          .cast("double").as("clipped"))
   }
 
   /** Snapshot diff between two corpus versions: per id, whether the row

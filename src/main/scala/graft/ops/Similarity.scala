@@ -385,6 +385,24 @@ object Similarity {
       threshold: Double, quantScale: Int = 10000,
       maxCellSize: Int = 10000): DataFrame = {
     val q = quantized(df, idCol, vecCol, quantScale)
+    // Loud guard on the dense-id contract: seed ids outside int range (or
+    // distinct longs that collide mod 2^32) would silently wrap under the
+    // cast below and merge unrelated cells. The seeds table is broadcast-
+    // small by contract, so one driver aggregate over it is free.
+    val chk = seeds.agg(
+      min(col(seedId).cast("long")).as("mn"),
+      max(col(seedId).cast("long")).as("mx"),
+      count(lit(1)).as("n"),
+      count_distinct(col(seedId).cast("int")).as("nd")).head()
+    if (!chk.isNullAt(0)) {
+      require(chk.getLong(0) >= Int.MinValue.toLong &&
+        chk.getLong(1) <= Int.MaxValue.toLong,
+        s"semanticDedup: seed ids [${chk.getLong(0)}, ${chk.getLong(1)}] " +
+          "outside int range — cell assignment would wrap")
+      require(chk.getLong(2) == chk.getLong(3),
+        s"semanticDedup: ${chk.getLong(2)} seeds collapse to " +
+          s"${chk.getLong(3)} distinct cell ids after int cast")
+    }
     val s = seeds.select(col(seedId).cast("int").as("cell"),
         transform(col(seedVec), x => round(x.cast("double") * quantScale))
           .as("cv"))

@@ -200,11 +200,24 @@ object Streams {
                 lit(cutoff.getOrElse(Long.MinValue)), 1L).otherwise(0L))
                 .as("n_late")).head()
           if (r.getLong(0) > 0) {
-            import spark.implicits._
-            Seq((batchId, r.getLong(0), r.getLong(3),
-              r.getLong(1), r.getLong(2)))
-              .toDF("batch_id", "n_rows", "n_late", "min_ts_us",
-                "max_ts_us")
+            // min/max are null when every event timestamp in the batch is
+            // null — malformed data degrades to a null-bounded audit row,
+            // it never kills the query (same discipline as the ingest
+            // paths). Boxed Longs + an explicit nullable schema keep the
+            // parquet append well-typed.
+            import org.apache.spark.sql.Row
+            import org.apache.spark.sql.types.{LongType, StructField, StructType}
+            val auditSchema = StructType(Seq(
+              StructField("batch_id", LongType, nullable = false),
+              StructField("n_rows", LongType, nullable = false),
+              StructField("n_late", LongType, nullable = false),
+              StructField("min_ts_us", LongType, nullable = true),
+              StructField("max_ts_us", LongType, nullable = true)))
+            val row = Row(batchId, r.getLong(0), r.getLong(3),
+              r.getAs[java.lang.Long]("min_ts_us"),
+              r.getAs[java.lang.Long]("max_ts_us"))
+            spark.createDataFrame(
+                java.util.Collections.singletonList(row), auditSchema)
               .write.mode("append").parquet(auditPath)
           }
       }

@@ -185,6 +185,51 @@ class StreamsSpec extends SparkSuite {
     assert(rows.toSeq === Seq((2L, 0L), (3L, 1L)))
   }
 
+  test("lateDataAudit survives a batch of all-null timestamps") {
+    import spark.implicits._
+    val in = tmp("latenull_in")
+    val audit = tmp("latenull_audit") + "/rows"
+    val ckpt = tmp("latenull_ckpt")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:$min%02d:00")
+    def writeFile(name: String, mtime: Long,
+        rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val dir = tmp("latenull_stage")
+      rows.toDF("event_id", "ts").coalesce(1).write
+        .mode("overwrite").parquet(dir)
+      val src = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile("b1.parquet", t0, Seq((1L, ts(30))))
+    // batch of malformed events: every timestamp null — must append a
+    // null-bounded audit row, not NPE the query
+    writeFile("b2.parquet", t0 + 30000,
+      Seq((2L, null.asInstanceOf[java.sql.Timestamp]),
+        (3L, null.asInstanceOf[java.sql.Timestamp])))
+    // a later healthy batch proves the frontier replay skips the nulls
+    writeFile("b3.parquet", t0 + 60000, Seq((4L, ts(5)), (5L, ts(40))))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val q = Streams.lateDataAudit(stream, "ts", delaySeconds = 600,
+      audit, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(audit).orderBy("batch_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        r.getAs[java.lang.Long]("min_ts_us") == null))
+    // batch 0: 1 row, none late; batch 1: 2 null-ts rows, null bounds,
+    // none late; batch 2: frontier 10:30 → cutoff 10:20 → 10:05 is late
+    assert(rows.toSeq === Seq((1L, 0L, false), (2L, 0L, true),
+      (2L, 1L, false)))
+  }
+
   test("streaming dedup equals batch distinct on the fixture") {
     val events = Streams.eventStream(spark, sfDir)
     val deduped = Streams.dedupStream(events, Seq("user_id", "event_type"),
