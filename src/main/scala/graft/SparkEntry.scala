@@ -1036,6 +1036,65 @@ object SparkEntry {
       Profiling.powerOfTwoHistogram(t(s, dir, "documents"), "n_chars")
     }),
 
+    // Profile-COMPILED extraction (not the hand DSL): MedicationRequest
+    // bundles built from orders, ingested through the us-core-
+    // medicationrequest StructureDefinition compiled from the shipped
+    // HL7 JSON pack (registryFor pins the profile by canonical url), and
+    // flattened through the Dosage/Timing datatype chain — choice fields
+    // (medicationCodeableConcept, asNeededBoolean), nested doseQuantity
+    // decimal, subject patientId synthesis. The raw bundle frame goes to
+    // extractEntry directly so the restricted one-resource envelope is
+    // used (never fromJson first — q83 lesson).
+    "q96_fhir_profile_medreq" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val resource = to_json(struct(
+        lit("MedicationRequest").as("resourceType"),
+        concat(lit("mr"), col("o_orderkey")).as("id"),
+        expr("CASE o_orderstatus WHEN 'O' THEN 'active' " +
+          "WHEN 'F' THEN 'completed' ELSE 'stopped' END").as("status"),
+        lit("order").as("intent"),
+        struct(concat(lit("Patient/p"), col("o_custkey")).as("reference"))
+          .as("subject"),
+        col("o_orderdate").cast("string").as("authoredOn"),
+        struct(array(struct(
+          lit("http://example.org/meds").as("system"),
+          concat(lit("med-"), col("o_orderkey") % 97).as("code")))
+          .as("coding")).as("medicationCodeableConcept"),
+        array(struct(
+          struct((col("o_orderkey") % 500).cast("decimal(12,4)")
+            .as("value"), lit("mg").as("unit")).as("doseQuantity"),
+          struct(struct((col("o_orderkey") % 4 + 1).cast("int")
+            .as("frequency")).as("repeat")).as("timing"),
+          (col("o_orderkey") % 2 === 0).as("asNeededBoolean")))
+          .as("dosageInstruction")))
+      val bundles = o.select(resource.as("r"),
+          expr("o_orderkey div 100").as("bk"))
+        .groupBy(col("bk"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      val reg = graft.fhir.StructureDefinitions.shipped.registryFor(
+        "http://hl7.org/fhir/us/core/StructureDefinition/us-core-medicationrequest")
+      graft.fhir.Bundles.extractEntry(s, bundles, "MedicationRequest",
+          Nil, reg)
+        .select(col("id").as("med_id"), col("status"),
+          col("authoredOn").as("authored_on"),
+          col("subject.patientId").as("patient_id"),
+          try_element_at(col("medicationCodeableConcept.coding"), lit(1))
+            .getField("code").as("med_code"),
+          try_element_at(col("dosageInstruction"), lit(1))
+            .getField("doseQuantity").getField("value").cast("double")
+            .as("dose_value"),
+          try_element_at(col("dosageInstruction"), lit(1))
+            .getField("timing").getField("repeat").getField("frequency")
+            .as("freq"),
+          try_element_at(col("dosageInstruction"), lit(1))
+            .getField("asNeededBoolean").as("as_needed"))
+    }),
+
     // Held-out LM scoring (the actual CCNet shape): train the bigram
     // model on the first half of the corpus, score the second half —
     // bigrams/contexts the model never saw hit the smoothed floor via
@@ -2588,6 +2647,17 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q96_fhir_profile_medreq" ->
+      """SELECT 'mr' || CAST(o_orderkey AS VARCHAR) AS med_id,
+           CASE o_orderstatus WHEN 'O' THEN 'active'
+             WHEN 'F' THEN 'completed' ELSE 'stopped' END AS status,
+           CAST(o_orderdate AS VARCHAR) AS authored_on,
+           'p' || CAST(o_custkey AS VARCHAR) AS patient_id,
+           'med-' || CAST(o_orderkey % 97 AS VARCHAR) AS med_code,
+           CAST(o_orderkey % 500 AS DOUBLE) AS dose_value,
+           CAST(o_orderkey % 4 + 1 AS INTEGER) AS freq,
+           o_orderkey % 2 = 0 AS as_needed
+         FROM orders""",
     "q95_length_histogram" ->
       """WITH c AS (
            SELECT CASE WHEN n_chars <= 0 THEN -1

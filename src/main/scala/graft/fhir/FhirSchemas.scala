@@ -97,6 +97,76 @@ object FhirSchemas {
     FDefinition("Annotation", Seq(
       FField("id", FString), FField("text", FString),
       FField("time", FDate))),
+    // Remaining STU3 datatypes the US-Core resource snapshots reach
+    // (shapes from the public HL7 STU3 datatype definitions; the
+    // reference covers these generically through HAPI's runtime model)
+    FDefinition("ContactPoint", Seq(
+      FField("id", FString), FField("system", FCode),
+      FField("value", FString), FField("use", FCode),
+      FField("rank", FInt), FField("period", FComplex("Period")))),
+    FDefinition("Attachment", Seq(
+      FField("id", FString), FField("contentType", FCode),
+      FField("language", FCode), FField("data", FString),
+      FField("url", FString), FField("size", FInt),
+      FField("hash", FString), FField("title", FString),
+      FField("creation", FDate))),
+    // Quantity specialization — same element shape
+    FDefinition("Duration", Seq(
+      FField("id", FString), FField("value", FDecimal),
+      FField("comparator", FCode), FField("unit", FString),
+      FField("system", FString), FField("code", FCode))),
+    FDefinition("Ratio", Seq(
+      FField("id", FString),
+      FField("numerator", FComplex("Quantity")),
+      FField("denominator", FComplex("Quantity")))),
+    FDefinition("Range", Seq(
+      FField("id", FString),
+      FField("low", FComplex("Quantity")),
+      FField("high", FComplex("Quantity")))),
+    FDefinition("Timing.repeat", Seq(
+      FField("id", FString),
+      FField("bounds", FChoice("bounds", Seq(
+        "Duration" -> FComplex("Duration"),
+        "Range" -> FComplex("Range"),
+        "Period" -> FComplex("Period")))),
+      FField("count", FInt), FField("countMax", FInt),
+      FField("duration", FDecimal), FField("durationMax", FDecimal),
+      FField("durationUnit", FCode),
+      FField("frequency", FInt), FField("frequencyMax", FInt),
+      FField("period", FDecimal), FField("periodMax", FDecimal),
+      FField("periodUnit", FCode),
+      FField("dayOfWeek", FCode, multi = true),
+      FField("timeOfDay", FString, multi = true),
+      FField("when", FCode, multi = true),
+      FField("offset", FInt))),
+    FDefinition("Timing", Seq(
+      FField("id", FString),
+      FField("event", FDate, multi = true),
+      FField("repeat", FComplex("Timing.repeat")),
+      FField("code", FComplex("CodeableConcept")))),
+    FDefinition("Dosage", Seq(
+      FField("id", FString), FField("sequence", FInt),
+      FField("text", FString),
+      FField("additionalInstruction", FComplex("CodeableConcept"),
+        multi = true),
+      FField("patientInstruction", FString),
+      FField("timing", FComplex("Timing")),
+      FField("asNeeded", FChoice("asNeeded", Seq(
+        "Boolean" -> FBool,
+        "CodeableConcept" -> FComplex("CodeableConcept")))),
+      FField("site", FComplex("CodeableConcept")),
+      FField("route", FComplex("CodeableConcept")),
+      FField("method", FComplex("CodeableConcept")),
+      FField("dose", FChoice("dose", Seq(
+        "Quantity" -> FComplex("Quantity"),
+        "Range" -> FComplex("Range")))),
+      FField("maxDosePerPeriod", FComplex("Ratio")),
+      FField("maxDosePerAdministration", FComplex("Quantity")),
+      FField("maxDosePerLifetime", FComplex("Quantity")),
+      FField("rate", FChoice("rate", Seq(
+        "Ratio" -> FComplex("Ratio"),
+        "Range" -> FComplex("Range"),
+        "Quantity" -> FComplex("Quantity")))))),
   ).map(d => d.name -> d).toMap
 
   /** The choice type used by Observation.value[x] and friends. */

@@ -56,10 +56,31 @@ object StructureDefinitions {
       complexTypes: Map[String, FDefinition],
       extensionDefinitions: Map[String, FDefinition],
       skipped: Seq[String],
-      modifierFields: Map[String, Set[String]] = Map.empty) {
-    /** The default registry extended with these profiles. */
+      modifierFields: Map[String, Set[String]] = Map.empty,
+      resourcesByUrl: Map[String, FDefinition] = Map.empty) {
+    /** The default registry extended with these profiles. `resources` is
+      * keyed by base TYPE name — when a pack carries two profiles of the
+      * same base (us-core-smokingstatus and us-core-observationresults
+      * are both Observation), the lexicographically-last input wins
+      * there; use [[registryFor]] to pin a specific profile by its
+      * canonical url (the reference addresses profiles by url the same
+      * way, Stu3StructureDefinitions.java:509-539). */
     def registry: FRegistry = defaultRegistry.withExtra(
       resources, complexTypes, extensionDefinitions)
+
+    /** Registry with the named profile urls overlaid LAST, so each
+      * chosen profile owns its base type name regardless of pack
+      * ordering. Unknown urls fail loudly. */
+    def registryFor(urls: String*): FRegistry = {
+      val chosen = urls.map { u =>
+        val d = resourcesByUrl.getOrElse(u,
+          throw new IllegalArgumentException(
+            s"profile url not in pack: $u (has ${resourcesByUrl.keys.toSeq.sorted.mkString(", ")})"))
+        d.name -> d
+      }.toMap
+      defaultRegistry.withExtra(resources ++ chosen, complexTypes,
+        extensionDefinitions)
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -109,6 +130,7 @@ object StructureDefinitions {
     // pass 2: resources
     val resourceDocs = docs.filter(d => text(d, "kind").contains("resource"))
     val resBuilder = Map.newBuilder[String, FDefinition]
+    val urlBuilder = Map.newBuilder[String, FDefinition]
     val complexBuilder = Map.newBuilder[String, FDefinition]
     val modBuilder = Map.newBuilder[String, Set[String]]
     resourceDocs.foreach { d =>
@@ -119,6 +141,8 @@ object StructureDefinitions {
           extByUrl.view.mapValues { case (n, t, _) => (n, t) }.toMap,
           refTarget, skipped)
         resBuilder += typeName -> FDefinition(typeName, fields)
+        text(d, "url").foreach(u =>
+          urlBuilder += u -> FDefinition(typeName, fields))
         complexBuilder ++= inlineDefs
         // modifier flagging (StructureField.java:82-90 semantics): a
         // modifierExtension slice, or an extension slice declaring
@@ -153,7 +177,8 @@ object StructureDefinitions {
       })
     CompiledProfiles(resBuilder.result().view.mapValues(prune).toMap,
       complexes.view.mapValues(prune).toMap,
-      extensionDefs, skipped.result().distinct, modBuilder.result())
+      extensionDefs, skipped.result().distinct, modBuilder.result(),
+      urlBuilder.result().view.mapValues(prune).toMap)
   }
 
   /** The conformance pack SHIPPED with the library — the SPI analog of

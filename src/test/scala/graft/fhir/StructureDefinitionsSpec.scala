@@ -122,10 +122,40 @@ class StructureDefinitionsSpec extends SparkSuite {
 
   test("shipped pack loads from the classpath with nothing skipped") {
     val cp = StructureDefinitions.shipped
-    assert(cp.resources.keySet === Set("Patient", "CarePlan"))
+    // the full US-Core STU3 profile pack (the reference ships the same 26
+    // StructureDefinitions via its SPI, UsCoreStu3ProfileProvider.java:
+    // 17-60) — two Observation profiles collapse onto one type name, so
+    // 26 profiles → 20 base resource types
+    assert(cp.resources.keySet === Set(
+      "AllergyIntolerance", "CarePlan", "CareTeam", "Condition", "Device",
+      "DiagnosticReport", "DocumentReference", "Encounter", "Goal",
+      "Immunization", "Location", "Medication", "MedicationRequest",
+      "MedicationStatement", "Observation", "Organization", "Patient",
+      "Practitioner", "PractitionerRole", "Procedure"))
     assert(cp.extensionDefinitions.nonEmpty)
     assert(cp.skipped.isEmpty, s"shipped pack must compile cleanly: " +
       cp.skipped.mkString("; "))
+    // every resource profile stays addressable by canonical url,
+    // including the two that share the Observation type name
+    // 26 SDs = 21 resource profiles + 5 extension definitions; only the
+    // resource profiles land in resourcesByUrl
+    val urls = cp.resourcesByUrl.keySet
+    assert(urls.size === 21)
+    assert(urls.contains(
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-smokingstatus"))
+    assert(urls.contains(
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-observationresults"))
+    // registryFor pins a chosen profile onto its type name: the
+    // smokingstatus Observation has no component field, results does
+    val smoking = cp.registryFor(
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-smokingstatus")
+    val results = cp.registryFor(
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-observationresults")
+    assert(smoking.resources("Observation").fields.map(_.name) !==
+      results.resources("Observation").fields.map(_.name))
+    intercept[IllegalArgumentException] {
+      cp.registryFor("http://example.org/not-in-pack")
+    }
   }
 
   test("shipped pack: extension hoisting works from the shipped JSON " +
@@ -264,14 +294,32 @@ class StructureDefinitionsSpec extends SparkSuite {
     assert(!item.fieldNames.contains("item"))
   }
 
-  test("unsupported datatypes are reported, never silently dropped") {
-    // the US-core set exercises types outside the registry (Narrative,
-    // Attachment, Timing, ...) — each dropped path must appear in `skipped`
-    assert(compiled.skipped.nonEmpty)
-    assert(compiled.skipped.exists(_.contains("unsupported type")))
-    // and every compiled resource is still structurally non-trivial
+  test("the full US-Core pack compiles with ZERO skipped paths") {
+    // every datatype the 26 real snapshots reach is covered by the
+    // registry (ContactPoint/Attachment/Duration/Ratio/Range/Dosage/
+    // Timing added for exactly this) — nothing silently or loudly dropped
+    assert(compiled.skipped.isEmpty,
+      s"unexpected skips: ${compiled.skipped.mkString("; ")}")
     compiled.resources.foreach { case (n, d) =>
       assert(d.fields.nonEmpty, s"resource $n compiled to zero fields")
     }
+  }
+
+  test("unsupported datatypes are reported, never silently dropped") {
+    // a type outside the registry (SampledData here) must land in
+    // `skipped` with its path, while the rest of the resource compiles
+    val sd =
+      """{"resourceType":"StructureDefinition",
+         "url":"http://example.org/StructureDefinition/Widget",
+         "kind":"resource","type":"Widget",
+         "snapshot":{"element":[
+           {"path":"Widget","max":"1"},
+           {"path":"Widget.id","max":"1","type":[{"code":"id"}]},
+           {"path":"Widget.sample","max":"1","type":[{"code":"SampledData"}]}]}}"""
+    val cp = StructureDefinitions.compile(Seq(sd))
+    assert(cp.skipped.exists(s =>
+      s.contains("Widget.sample") && s.contains("unsupported type")),
+      s"expected a SampledData skip, got: ${cp.skipped}")
+    assert(cp.resources("Widget").fields.map(_.name) === Seq("id"))
   }
 }
