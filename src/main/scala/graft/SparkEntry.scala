@@ -1095,6 +1095,64 @@ object SparkEntry {
             .getField("asNeededBoolean").as("as_needed"))
     }),
 
+    // Contained resources under the oracle (S5 + the toJson contained
+    // fixup, reference BundlesTest.java:81-278): MedicationRequest
+    // bundles carrying a contained Medication, extracted with
+    // containedTypes, serialized BACK to spec-shaped JSON (the one-field-
+    // per-type contained structs reshape to inline resourceType form via
+    // fixupContained), re-ingested, and flattened — the hash only
+    // matches if both ingest AND decode preserve the contained chain.
+    "q97_fhir_contained_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val resource = to_json(struct(
+        lit("MedicationRequest").as("resourceType"),
+        concat(lit("mr"), col("o_orderkey")).as("id"),
+        expr("CASE o_orderstatus WHEN 'O' THEN 'active' " +
+          "WHEN 'F' THEN 'completed' ELSE 'stopped' END").as("status"),
+        lit("order").as("intent"),
+        struct(concat(lit("Patient/p"), col("o_custkey")).as("reference"))
+          .as("subject"),
+        array(struct(
+          lit("Medication").as("resourceType"),
+          concat(lit("m"), col("o_orderkey") % 97).as("id"),
+          struct(array(struct(
+            lit("http://example.org/meds").as("system"),
+            concat(lit("med-"), col("o_orderkey") % 97).as("code")))
+            .as("coding")).as("code"),
+          lit("active").as("status"))).as("contained"),
+        struct(concat(lit("#m"), col("o_orderkey") % 97).as("reference"))
+          .as("medicationReference")))
+      val bundles = o.select(resource.as("r"),
+          expr("o_orderkey div 100").as("bk"))
+        .groupBy(col("bk"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      val extracted = graft.fhir.Bundles.extractEntry(s, bundles,
+        "MedicationRequest", Seq("Medication"))
+      // decode (contained structs → inline resourceType form) → re-ingest
+      val reBundled = graft.fhir.Bundles
+        .toJson(extracted, "MedicationRequest")
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":[{"resource":"""),
+          col("json"), lit("}]}")).as("bundle_json"))
+      graft.fhir.Bundles.extractEntry(s, reBundled,
+          "MedicationRequest", Seq("Medication"))
+        .select(col("id").as("med_id"), col("status"),
+          col("subject.patientId").as("patient_id"),
+          col("medicationReference.reference").as("med_ref"),
+          try_element_at(col("contained"), lit(1))
+            .getField("medication").getField("id").as("con_id"),
+          try_element_at(try_element_at(col("contained"), lit(1))
+            .getField("medication").getField("code").getField("coding"),
+            lit(1)).getField("code").as("con_code"),
+          try_element_at(col("contained"), lit(1))
+            .getField("medication").getField("status").as("con_status"))
+    }),
+
     // Held-out LM scoring (the actual CCNet shape): train the bigram
     // model on the first half of the corpus, score the second half —
     // bigrams/contexts the model never saw hit the smoothed floor via
@@ -2647,6 +2705,16 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q97_fhir_contained_roundtrip" ->
+      """SELECT 'mr' || CAST(o_orderkey AS VARCHAR) AS med_id,
+           CASE o_orderstatus WHEN 'O' THEN 'active'
+             WHEN 'F' THEN 'completed' ELSE 'stopped' END AS status,
+           'p' || CAST(o_custkey AS VARCHAR) AS patient_id,
+           '#m' || CAST(o_orderkey % 97 AS VARCHAR) AS med_ref,
+           'm' || CAST(o_orderkey % 97 AS VARCHAR) AS con_id,
+           'med-' || CAST(o_orderkey % 97 AS VARCHAR) AS con_code,
+           'active' AS con_status
+         FROM orders""",
     "q96_fhir_profile_medreq" ->
       """SELECT 'mr' || CAST(o_orderkey AS VARCHAR) AS med_id,
            CASE o_orderstatus WHEN 'O' THEN 'active'
