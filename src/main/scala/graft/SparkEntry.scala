@@ -278,6 +278,24 @@ object SparkEntry {
                WHERE in_valueset_code(source, lang, 'latin_docs')""")
     }),
 
+    // J5 via the Catalyst-VISIBLE membership form (q17's semantics, zero
+    // UDF): the valueset lands in the plan as a literal map and the check
+    // is exists()+array_contains — the optimizer can see through it, so
+    // this is the 100×-scale default; hash-matches q17's oracle exactly.
+    "q98_in_valueset_column" -> ((s, dir) => {
+      val valueSets = ValueSets.getEmpty(s)
+        .withValueSet("urn:graft:valueset:latin_docs", "1", Seq(
+          ("src0", "fr"), ("src1", "es"), ("src2", "fr"), ("src3", "es")))
+      val b = BroadcastableValueSets.newBuilder()
+        .addReference("latin_docs", "urn:graft:valueset:latin_docs")
+        .build(s, valueSets, Hierarchies.getEmpty(s))
+      val codeable = struct(array(struct(
+        col("source").as("system"), col("lang").as("code"))).as("coding"))
+      t(s, dir, "documents")
+        .where(ValueSetUdfs.inValueSetColumn(codeable, "latin_docs", b))
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // U3/P5: concept-map translation with equivalence whitelist
     "q18_translate" -> ((s, dir) => {
       val cm = BroadcastableConceptMap("urn:graft:map:event_categories", Seq(
@@ -1601,6 +1619,12 @@ object SparkEntry {
          SELECT ancestor, descendant FROM anc
          WHERE ancestor <> descendant""",
     "q17_in_valueset" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE (source, lang) IN
+           (('src0','fr'), ('src1','es'), ('src2','fr'), ('src3','es'))""",
+    // q98 is q17 through the Catalyst-visible membership Column — the
+    // SAME oracle rows by construction
+    "q98_in_valueset_column" ->
       """SELECT doc_id, source, lang FROM documents
          WHERE (source, lang) IN
            (('src0','fr'), ('src1','es'), ('src2','fr'), ('src3','es'))""",

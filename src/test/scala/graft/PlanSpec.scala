@@ -32,6 +32,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_bounded_collect_set")) // map-side partial
   }
 
+  test("q98: valueset membership is Catalyst-visible (no UDF) and " +
+    "composed filters still reach the parquet scan") {
+    val p = plan("q98_in_valueset_column")
+    assert(!p.contains("UDF") && !p.contains("in_valueset"),
+      "membership must be plain Column expressions, not an opaque UDF:\n" +
+        p.take(2000))
+    // a conjunct added on top of the membership predicate must still
+    // push down to the scan — the property the UDF form cannot give
+    val composed = SparkEntry.queries("q98_in_valueset_column")(
+        spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .queryExecution.executedPlan.toString()
+    assert(composed.contains("LessThan(doc_id,100)"),
+      composed.take(2000))
+  }
+
   test("q09: small dimension side is broadcast") {
     val p = plan("q09_join_agg")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
