@@ -240,6 +240,8 @@ object TerminologyResources {
       .groupBy()
       .agg(array_sort(collect_list(
         struct(col("system"), col("version"), col("concept")))).as("include"))
+      // unknown (uri, version) → None, not a hollow document
+      .where(size(col("include")) > 0)
       .select(to_json(struct(
         lit("ValueSet").as("resourceType"),
         lit(uri).as("url"), lit(version).as("version"),
@@ -267,10 +269,27 @@ object TerminologyResources {
         col("sourceSystem").as("source"),
         col("targetSystem").as("target"),
         col("element")))).as("group"))
+      .where(size(col("group")) > 0)
       .select(to_json(struct(
         lit("ConceptMap").as("resourceType"),
         lit(uri).as("url"), lit(version).as("version"),
         col("group"))).as("json"))
     nested.as[String].collect().headOption
   }
+
+  /** get_value_set_as_xml parity (reference
+    * python/bunsen/codes/__init__.py:301-318): the canonical JSON renest
+    * serialized as a FHIR XML document. The output re-imports through the
+    * XML directory reader to the identical values dataset
+    * (TerminologyResourcesSpec round trip). */
+  def valueSetAsXml(valueSets: ValueSets, uri: String,
+      version: String): Option[String] =
+    valueSetAsJson(valueSets, uri, version)
+      .map(FhirJson.resourceJsonToXml)
+
+  /** get_map_as_xml parity (python/bunsen/codes/__init__.py:126-143). */
+  def conceptMapAsXml(conceptMaps: ConceptMaps, uri: String,
+      version: String): Option[String] =
+    conceptMapAsJson(conceptMaps, uri, version)
+      .map(FhirJson.resourceJsonToXml)
 }

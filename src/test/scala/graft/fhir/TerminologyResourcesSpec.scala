@@ -129,4 +129,50 @@ class TerminologyResourcesSpec extends SparkSuite {
     val json = TerminologyResources.conceptMapAsJson(cms, "urn:cm:meta", "3").get
     assert(json.contains("\"code\":\"a\"") && json.contains("wider"))
   }
+
+  test("valueSetAsXml exports a document that re-imports to the " +
+    "identical values dataset") {
+    val vs = ValueSets.getEmpty(spark)
+      .withValueSet("urn:vs:xmlrt", "7", Seq(
+        ("http://loinc.org", "8867-4"), ("http://loinc.org", "8480-6"),
+        ("http://snomed.info/sct", "22298006")))
+    val xml = TerminologyResources.valueSetAsXml(vs, "urn:vs:xmlrt", "7").get
+    assert(xml.startsWith("<ValueSet"))
+    assert(xml.contains("""<code value="8867-4"/>"""))
+    // re-import through the XML directory reader (cm/vsXmlUdf path)
+    val dir = writeDir("export.xml" -> xml)
+    val back = TerminologyResources.withValueSetsFromDirectory(spark,
+      ValueSets.getEmpty(spark), dir)
+    val want = vs.getValues("urn:vs:xmlrt", "7").collect()
+      .map(v => (v.system, v.value)).sorted
+    val got = back.getValues("urn:vs:xmlrt", "7").collect()
+      .map(v => (v.system, v.value)).sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+    // absent (uri, version) → None, not an empty document
+    assert(TerminologyResources.valueSetAsXml(vs, "urn:vs:none", "1").isEmpty)
+  }
+
+  test("conceptMapAsXml exports a document that re-imports to the " +
+    "identical mappings dataset") {
+    val cms = ConceptMaps.getEmpty(spark)
+      .withConceptMap("urn:cm:xmlrt", "2", Seq(
+        ("s1", "a", "t1", "A", "equivalent"),
+        ("s1", "b", "t1", "B", "wider"),
+        ("s2", "c", "t2", "C", "equivalent")),
+        source = "urn:src", target = "urn:tgt")
+    val xml = TerminologyResources.conceptMapAsXml(
+      cms, "urn:cm:xmlrt", "2").get
+    assert(xml.startsWith("<ConceptMap"))
+    assert(xml.contains("""<equivalence value="wider"/>"""))
+    val dir = writeDir("export.xml" -> xml)
+    val back = TerminologyResources.withConceptMapsFromDirectory(spark,
+      ConceptMaps.getEmpty(spark), dir)
+    def key(m: Mapping) = (m.sourceSystem, m.sourceValue, m.targetSystem,
+      m.targetValue, m.equivalence)
+    val want = cms.getMappings("urn:cm:xmlrt", "2").collect().map(key).sorted
+    val got = back.getMappings("urn:cm:xmlrt", "2").collect().map(key).sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
