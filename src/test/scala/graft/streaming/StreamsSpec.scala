@@ -185,6 +185,117 @@ class StreamsSpec extends SparkSuite {
     assert(rows.toSeq === Seq((2L, 0L), (3L, 1L)))
   }
 
+  test("dedupStream: checkpointed restart mid-feed drops cross-restart " +
+    "duplicates and loses nothing") {
+    import spark.implicits._
+    val in = tmp("dedup_rs_in")
+    val out = tmp("dedup_rs_out")
+    val ckpt = tmp("dedup_rs_ckpt")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        .toInstant.plusSeconds(sec))
+    def stage(name: String, rows: Seq[(Long, Int)]): Unit = {
+      val dir = tmp("dedup_rs_stage")
+      rows.map { case (k, s) => (k, ts(s)) }.toDF("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val src = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(in, name).toPath)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.runToParquet(
+        Streams.dedupStream(stream, Seq("user_id"), watermark = "1 hour"),
+        out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: keys 1-10, each duplicated within the feed
+    stage("b1.parquet", (1L to 10L).flatMap(k =>
+      Seq((k, k.toInt), (k, k.toInt + 1))))
+    run()
+    // stream is DOWN; more data lands: keys 6-15 — 6-10 are duplicates
+    // of keys seen BEFORE the restart (only restored state can drop
+    // them), 11-15 are new
+    stage("b2.parquet", (6L to 15L).map(k => (k, k.toInt + 30)))
+    // restart from the same checkpoint and drain
+    run()
+    val got = spark.read.parquet(out).select("user_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === (1L to 15L).toArray,
+      s"expected each key exactly once, got ${got.mkString(",")}")
+  }
+
+  test("intervalJoinStream: join state survives a checkpointed restart " +
+    "(pre-restart left rows match post-restart right rows)") {
+    import spark.implicits._
+    val inL = tmp("ij_rs_left")
+    val inR = tmp("ij_rs_right")
+    val out = tmp("ij_rs_out")
+    val ckpt = tmp("ij_rs_ckpt")
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType)))
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        .toInstant.plusSeconds(sec))
+    def stage(dir: String, name: String, rows: Seq[(Long, Int)]): Unit = {
+      val sdir = tmp("ij_rs_stage")
+      rows.map { case (k, s) => (k, ts(s)) }.toDF("key", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(sdir)
+      val src = new java.io.File(sdir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(dir, name).toPath)
+    }
+    def run(): Unit = {
+      val l = spark.readStream.schema(schema).parquet(inL)
+      val r = spark.readStream.schema(schema).parquet(inR)
+      val joined = Streams.intervalJoinStream(l, r, "key",
+          windowSeconds = 60, watermark = "1 hour")
+        .select(col("l.key").as("key"),
+          col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+      val q = Streams.runToParquet(joined, out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: left 1-5 at t+k, right 1-5 at t+k+10 → 5 pairs
+    stage(inL, "l1.parquet", (1L to 5L).map(k => (k, k.toInt)))
+    stage(inR, "r1.parquet", (1L to 5L).map(k => (k, k.toInt + 10)))
+    run()
+    // down; new data: fresh keys on both sides AND a right row for key 1
+    // whose only match is the PRE-restart left row — restored join state
+    // is the only way it can pair
+    stage(inL, "l2.parquet", (6L to 8L).map(k => (k, 20)))
+    stage(inR, "r2.parquet",
+      (6L to 8L).map(k => (k, 25)) :+ (1L -> 31))
+    run()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+      .sorted
+    // batch reference: the same interval join over the full input
+    val lAll = ((1L to 5L).map(k => (k, k.toInt)) ++
+      (6L to 8L).map(k => (k, 20))).map { case (k, s) => (k, ts(s)) }
+      .toDF("key", "ts")
+    val rAll = ((1L to 5L).map(k => (k, k.toInt + 10)) ++
+      (6L to 8L).map(k => (k, 25)) :+ (1L -> 31))
+      .map { case (k, s) => (k, ts(s)) }.toDF("key", "ts")
+    val want = lAll.alias("l").join(rAll.alias("r"),
+        col("l.key") === col("r.key") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr("INTERVAL 60 SECONDS"))
+      .select(col("l.key"), col("l.ts"), col("r.ts"))
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+      .sorted
+    assert(got === want)
+    // the cross-restart pair is present
+    assert(got.exists { case (k, _, rts) =>
+      k == 1L && rts.contains("10:00:31") })
+  }
+
   test("lateDataAudit survives a batch of all-null timestamps") {
     import spark.implicits._
     val in = tmp("latenull_in")
