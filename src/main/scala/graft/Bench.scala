@@ -69,7 +69,15 @@ object Bench {
       .getOrElse(Nil)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
-    val firstPass = selected.map { case (name, fn) => (name, timeOne(name, fn)) }
+    // Per-query progress to STDERR as each finishes: if the run stalls or
+    // the consumer only keeps a log tail, the completed timings are still
+    // on record line-by-line (r6/r7 both lost their BENCH JSON to exactly
+    // that truncation).
+    val firstPass = selected.map { case (name, fn) =>
+      val sec = timeOne(name, fn)
+      System.err.println(f"BENCH DONE $name%-28s $sec%9.3f s")
+      (name, sec)
+    }
     // Per-query regression guard: flag any query slower than
     // max(2x, +2s noise floor) its best recorded time (bench_baseline.json,
     // committed — the local-mode noise band is ~±2s total, well under 2x on
@@ -117,7 +125,20 @@ object Bench {
     }.mkString("[", ",", "]")
     // headline fields FIRST, per-query map LAST: if the consumer's log
     // capture truncates the line's tail, the totals still survive
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","queries":$qs}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","queries":$qs}"""
+    println(json)
+    // ... and the full artifact also lands on DISK, immune to stdout
+    // truncation entirely (override the path via SPARK_GRAFT_BENCH_OUT)
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(
+        out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+      System.err.println(s"BENCH JSON written to $out")
+    } catch { case t: Throwable =>
+      System.err.println(s"BENCH JSON file write failed: ${t.getMessage}")
+    }
     spark.stop()
   }
 }
