@@ -423,20 +423,37 @@ object Dedup {
     * capped-bucket pair expansion as MinHash — no self-join, bounded
     * buffers under chunk-value skew.
     *
-    * Recall note: unlike MinHash there is no independent second band to
-    * rescue a pair whose ONLY matching chunk lands in an over-cap bucket,
-    * so the default cap here is much higher than MinHash's; lowering
-    * `maxBucketSize` trades recall under heavy chunk-value skew for
-    * bounded memory. */
+    * Two INDEPENDENT chunk decompositions band the signature: the aligned
+    * chunks (bits [0,16)…[48,64)) and the same chunks of the signature
+    * rotated left by 8 bits. Each is a disjoint 16-bit cover of all 64
+    * bits, so the pigeonhole guarantee (<= 3 flipped bits touch <= 3
+    * chunks → >= 1 identical chunk) holds in BOTH — a pair is lost only
+    * if its matching chunk exceeds the bucket cap in both decompositions
+    * simultaneously, the same multi-band rescue story as MinHash
+    * (DedupSpec pins the rescue on an adversarially skewed fixture). */
   def simhashNearDups(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, shingleSize: Int = 2,
       maxBucketSize: Int = 2000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(
         tokens(col(contentCol)), shingleSize).as("sig"))
+    simhashPairsFromSigs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /** Candidate generation + exact verify over precomputed (id, sig)
+    * signatures — the banding kernel of [[simhashNearDups]], exposed so
+    * the recall property can be tested on controlled signatures. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    // rotate left by 8: an independent disjoint 16-bit cover of the bits
+    val rot = shiftrightunsigned(col("sig"), 8)
+      .bitwiseOR(shiftleft(col("sig"), 56))
     val bucketed = sigs.select(col("id"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array(
+        (0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)) ++
+        (0 until 4).map(c =>
+          shiftright(rot, c * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
     candidatePairsFromBuckets(bucketed, maxBucketSize)
       .join(sigs.withColumnRenamed("id", "id_a")

@@ -55,6 +55,38 @@ class OpsSpec extends SparkSuite {
     assert(dups.contains((1L, 2L)))
   }
 
+  test("simhash: rotated rescue band recovers a pair whose only aligned " +
+    "chunk is buried in an over-cap bucket (full recall vs brute force)") {
+    import spark.implicits._
+    // Adversarial fixture. The target pair (1, 2): identical aligned
+    // chunk 0 (= 0x1234), and one flipped bit in EACH of aligned chunks
+    // 1..3 — so chunk 0 is the pair's ONLY matching aligned chunk.
+    val base = 0x1234L // aligned chunk 0 value shared by the whole crowd
+    val sigA = base | (0xAAAAL << 16) | (0x5555L << 32) | (0x0F0FL << 48)
+    val sigB = sigA ^ (1L << 17) ^ (1L << 33) ^ (1L << 49) // hamming 3
+    // 60 crowd docs share aligned chunk 0: that bucket holds 62 ids,
+    // over the cap of 20 → dropped. Their rotated-chunk buckets hold at
+    // most 16 ids each, under the cap — the rescue path stays open.
+    val crowd = (10L until 70L).map { i =>
+      (i, base | (i << 16) | (i << 36) | ((i % 13) << 56))
+    }
+    val sigs = ((1L, sigA) +: (2L, sigB) +: crowd).toDF("id", "sig")
+    val got = Dedup.simhashPairsFromSigs(sigs, maxHamming = 3,
+        maxBucketSize = 20)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0) min r.getLong(1),
+        r.getLong(0) max r.getLong(1))).toSet
+    // brute-force reference: every pair within hamming 3
+    val all = ((1L, sigA) +: (2L, sigB) +: crowd)
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(want.contains((1L, 2L))) // the fixture is what it claims
+    assert(got === want,
+      s"missed: ${(want -- got).mkString(",")} extra: ${(got -- want).mkString(",")}")
+  }
+
   test("decontamination: overlap counts against a broadcast benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the capital of france is paris"))
