@@ -22,5 +22,8 @@ abstract class SparkSuite extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sfDir = "/root/testdata/sf0.001"
+  // Overridable for the scale-stress plan-invariance run (PlanLint at a
+  // generated sf1 dir); default is the committed smoke scale.
+  val sfDir = sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR",
+    "/root/testdata/sf0.001")
 }
