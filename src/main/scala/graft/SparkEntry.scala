@@ -1113,6 +1113,77 @@ object SparkEntry {
             .getField("asNeededBoolean").as("as_needed"))
     }),
 
+    // S6 under the oracle: the save-bundles-as-database sink — bundles →
+    // saveAsDatabase (one managed parquet table per resource type) → read
+    // the TABLE back through the catalog and flatten. The oracle
+    // recomputes the scalars relationally, so the row must survive the
+    // extract → table write → catalog read round trip byte-for-byte.
+    "q99_fhir_save_database" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val resource = to_json(struct(
+        lit("Patient").as("resourceType"),
+        concat(lit("p"), col("c_custkey")).as("id"),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END").as("gender"),
+        (col("c_custkey") % 2 === 0).as("active")))
+      val bundles = c.select(resource.as("r"),
+          expr("c_custkey div 50").as("bk"))
+        .groupBy(col("bk"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      graft.fhir.Bundles.saveAsDatabase(s, bundles, "graft_q99",
+        Seq("Patient"))
+      s.table("graft_q99.patient")
+        .select(col("id").as("patient_id"), col("gender"), col("active"))
+    }),
+
+    // S8 under the oracle: LOINC multiaxial hierarchy CSV reader — a
+    // synthetic multiaxial file written FROM the part table (roots get an
+    // empty IMMEDIATE_PARENT, which the reader must drop), read back
+    // through the real header-CSV path.
+    "q100_loinc_csv_reader" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val csv = p.select(
+        when(col("p_partkey") < 10, lit(""))
+          .otherwise(concat(lit("LP"), expr("p_partkey div 10")))
+          .as("IMMEDIATE_PARENT"),
+        concat(lit("LP"), col("p_partkey")).as("CODE"))
+      val tmp = scratchDir("q100_loinc", dir)
+      csv.coalesce(2).write.mode("overwrite").option("header", "true")
+        .csv(tmp)
+      Loinc.readMultiaxialHierarchyFile(s, tmp).toDF()
+        .select(col("ancestorSystem").as("ancestor_system"),
+          col("ancestorValue").as("ancestor_value"),
+          col("descendantSystem").as("descendant_system"),
+          col("descendantValue").as("descendant_value"))
+    }),
+
+    // S9 under the oracle: SNOMED RF2 relationship reader — a synthetic
+    // tab-delimited relationship file from part (non-is-a typeIds and
+    // inactive rows must be filtered out), read through the real path.
+    "q101_snomed_rf2_reader" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val tsv = p.select(
+        col("p_partkey").cast("string").as("sourceId"),
+        expr("p_partkey div 7").cast("string").as("destinationId"),
+        when(col("p_partkey") % 3 === 0, lit("116680003"))
+          .otherwise(lit("363698007")).as("typeId"),
+        when(col("p_partkey") % 2 === 0, lit("1")).otherwise(lit("0"))
+          .as("active"))
+      val tmp = scratchDir("q101_snomed", dir)
+      tsv.coalesce(2).write.mode("overwrite").option("header", "true")
+        .option("delimiter", "\t").csv(tmp)
+      Snomed.readRelationshipFile(s, tmp).toDF()
+        .select(col("ancestorSystem").as("ancestor_system"),
+          col("ancestorValue").as("ancestor_value"),
+          col("descendantSystem").as("descendant_system"),
+          col("descendantValue").as("descendant_value"))
+    }),
+
     // Contained resources under the oracle (S5 + the toJson contained
     // fixup, reference BundlesTest.java:81-278): MedicationRequest
     // bundles carrying a contained Medication, extracted with
@@ -2729,6 +2800,24 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q99_fhir_save_database" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender,
+           c_custkey % 2 = 0 AS active
+         FROM customer""",
+    "q100_loinc_csv_reader" ->
+      """SELECT 'http://loinc.org' AS ancestor_system,
+           'LP' || CAST(p_partkey // 10 AS VARCHAR) AS ancestor_value,
+           'http://loinc.org' AS descendant_system,
+           'LP' || CAST(p_partkey AS VARCHAR) AS descendant_value
+         FROM part WHERE p_partkey >= 10""",
+    "q101_snomed_rf2_reader" ->
+      """SELECT 'http://snomed.info/sct' AS ancestor_system,
+           CAST(p_partkey // 7 AS VARCHAR) AS ancestor_value,
+           'http://snomed.info/sct' AS descendant_system,
+           CAST(p_partkey AS VARCHAR) AS descendant_value
+         FROM part WHERE p_partkey % 3 = 0 AND p_partkey % 2 = 0""",
     "q97_fhir_contained_roundtrip" ->
       """SELECT 'mr' || CAST(o_orderkey AS VARCHAR) AS med_id,
            CASE o_orderstatus WHEN 'O' THEN 'active'

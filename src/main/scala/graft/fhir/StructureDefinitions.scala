@@ -197,7 +197,11 @@ object StructureDefinitions {
   /** Compile a conformance pack from the classpath: `dir/index.txt` lists
     * the definition files (jar-safe — classpath directories are not
     * enumerable), each loaded relative to `dir`. */
-  def fromClasspath(dir: String = "definitions"): CompiledProfiles = {
+  def fromClasspath(dir: String = "definitions"): CompiledProfiles =
+    compile(classpathDefinitions(dir))
+
+  /** The raw JSON documents of a classpath conformance pack. */
+  def classpathDefinitions(dir: String = "definitions"): Seq[String] = {
     def read(name: String): String = {
       val in = getClass.getClassLoader.getResourceAsStream(name)
       require(in != null, s"classpath resource not found: $name")
@@ -205,7 +209,22 @@ object StructureDefinitions {
     }
     val files = read(s"$dir/index.txt").linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq
-    compile(files.map(f => read(s"$dir/$f")))
+    files.map(f => read(s"$dir/$f"))
+  }
+
+  /** Compile every conformance document contributed by ServiceLoader-
+    * discovered [[ProfileProvider]]s — the reference's profile SPI
+    * (FhirContexts.loadProfiles, bunsen-core/.../FhirContexts.java:28-35;
+    * UsCoreStu3ProfileProvider registered through META-INF/services):
+    * dropping a jar with a provider on the classpath extends the schema
+    * registry with its profiles, no code changes. The shipped US-Core
+    * pack is itself contributed this way ([[UsCoreProfileProvider]]). */
+  def fromProviders(
+      loader: ClassLoader = getClass.getClassLoader): CompiledProfiles = {
+    val docs = java.util.ServiceLoader
+      .load(classOf[ProfileProvider], loader)
+      .iterator().asScala.flatMap(_.definitions).toSeq
+    compile(docs)
   }
 
   /** Compile all `*.json` StructureDefinitions under a directory (driver-

@@ -305,6 +305,18 @@ class StructureDefinitionsSpec extends SparkSuite {
     }
   }
 
+  test("ProfileProvider SPI: ServiceLoader discovers the shipped US-Core " +
+    "provider and compiles the same registry as the classpath pack") {
+    val viaSpi = StructureDefinitions.fromProviders()
+    val viaClasspath = StructureDefinitions.shipped
+    assert(viaSpi.resources.keySet === viaClasspath.resources.keySet)
+    assert(viaSpi.resourcesByUrl.keySet === viaClasspath.resourcesByUrl.keySet)
+    assert(viaSpi.skipped.isEmpty)
+    // and the compiled shapes agree field-for-field
+    assert(viaSpi.resources("MedicationRequest").fields.map(_.name) ===
+      viaClasspath.resources("MedicationRequest").fields.map(_.name))
+  }
+
   test("unsupported datatypes are reported, never silently dropped") {
     // a type outside the registry (SampledData here) must land in
     // `skipped` with its path, while the rest of the resource compiles
