@@ -1113,6 +1113,45 @@ object SparkEntry {
             .getField("asNeededBoolean").as("as_needed"))
     }),
 
+    // S10/S11/S12 under the oracle: the terminology PERSISTENCE round
+    // trip — a ValueSets collection built from nation/region, written
+    // through the partitioned table sink (values partitioned by
+    // (uri, version), timestamp-stamped metadata), loaded back through
+    // getFromDatabase, and the values JOINED to the reloaded metadata.
+    // Append-only semantics refuse same-(url,version) re-writes, so the
+    // scratch database resets first (orphan locations reclaimed).
+    "q102_terminology_tables" -> ((s, dir) => {
+      import s.implicits._
+      Seq(ValueSets.ValuesTable, ValueSets.ValueSetsTable).foreach { tb =>
+        s.sql(s"DROP TABLE IF EXISTS graft_q102.$tb")
+        graft.terminology.TableWrites.reclaimOrphanLocation(
+          s, "graft_q102", tb)
+      }
+      val meta = t(s, dir, "region").select(
+        concat(lit("urn:graft:vs:region"), col("r_regionkey")).as("url"),
+        lit("1").as("version"),
+        col("r_name").as("name"), lit("active").as("status"),
+        lit(false).as("experimental"), lit("graft").as("publisher"),
+        lit("2024-01-01").as("date"))
+      val values = t(s, dir, "nation").select(
+        concat(lit("urn:graft:vs:region"), col("n_regionkey"))
+          .as("valueSetUri"),
+        lit("1").as("valueSetVersion"),
+        lit("urn:graft:nations").as("system"),
+        lit("2024").as("version"),
+        col("n_name").as("value")).as[Value]
+      ValueSets.getEmpty(s).withValueSets(meta, values)
+        .writeToDatabase("graft_q102")
+      val loaded = ValueSets.getFromDatabase(s, "graft_q102")
+      loaded.getValues.toDF()
+        .join(loaded.valueSets.select(col("url").as("valueSetUri"),
+          col("version").as("valueSetVersion"), col("name"),
+          col("status")), Seq("valueSetUri", "valueSetVersion"))
+        .select(col("valueSetUri").as("value_set_uri"),
+          col("system"), col("value").as("code"),
+          col("name").as("set_name"), col("status"))
+    }),
+
     // S6 under the oracle: the save-bundles-as-database sink — bundles →
     // saveAsDatabase (one managed parquet table per resource type) → read
     // the TABLE back through the catalog and flatten. The oracle
@@ -2800,6 +2839,14 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q102_terminology_tables" ->
+      """SELECT 'urn:graft:vs:region' || CAST(n.n_regionkey AS VARCHAR)
+             AS value_set_uri,
+           'urn:graft:nations' AS system,
+           n.n_name AS code,
+           r.r_name AS set_name,
+           'active' AS status
+         FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey""",
     "q99_fhir_save_database" ->
       """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
            CASE c_custkey % 3 WHEN 0 THEN 'male'

@@ -156,18 +156,10 @@ object Bundles {
       else fromJson(bundles, "bundle_json", reg, resourceNames)
     resourceNames.foreach { r =>
       val table = s"$database.${r.toLowerCase}"
-      // A managed-table location can outlive its catalog entry (the
-      // in-memory catalog dies with the session, the directory does not)
-      // — overwrite then fails with LOCATION_ALREADY_EXISTS. Reclaim the
-      // orphan explicitly: only when the CATALOG has no such table, so a
-      // live table is never deleted behind the catalog's back.
-      if (!spark.catalog.tableExists(table)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"),
-          s"${database.toLowerCase}.db/${r.toLowerCase}")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      // a managed-table location can outlive its catalog entry across
+      // sessions; overwrite would fail with LOCATION_ALREADY_EXISTS
+      graft.terminology.TableWrites.reclaimOrphanLocation(spark, database,
+        r.toLowerCase)
       extractEntry(spark, parsed, r, Nil, reg).write.mode("overwrite")
         .format("parquet")
         .saveAsTable(table)

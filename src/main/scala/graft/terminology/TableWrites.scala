@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.{col, lit}
   * through explicit column-ordered SQL DDL and avoid this; we align the
   * DataFrame to the live catalog schema before every insert instead.
   */
-private[terminology] object TableWrites {
+private[graft] object TableWrites {
 
   /** Database/table-name guard before SQL interpolation — the reference
     * enforces the same shape with a regex plus a ';' check
@@ -32,6 +32,21 @@ private[terminology] object TableWrites {
     df.select(cols.map { case (c, t) =>
       if (df.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
     }: _*)
+
+  /** Delete a managed-table LOCATION that outlived its catalog entry —
+    * the in-memory catalog dies with the session, the warehouse
+    * directory does not, and the next `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. Only acts when the catalog has NO such
+    * table, so a live table's data is never touched. */
+  def reclaimOrphanLocation(spark: SparkSession, database: String,
+      table: String): Unit =
+    if (!spark.catalog.tableExists(s"$database.$table")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${database.toLowerCase}.db/${table.toLowerCase}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
 
   def appendAligned(spark: SparkSession, df: DataFrame, table: String): Unit = {
     val catalogOrder = spark.table(table).columns
