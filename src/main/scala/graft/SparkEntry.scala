@@ -1113,6 +1113,55 @@ object SparkEntry {
             .getField("asNeededBoolean").as("as_needed"))
     }),
 
+    // S7 under the oracle: ValueSet DIRECTORY import, JSON and XML mixed
+    // in one directory (regions 0-2 as JSON documents, 3-4 as XML through
+    // the executor-side StAX XML→JSON path) — the reference's by-extension
+    // dual-format reader (AbstractValueSets.java:427-448). Terminology
+    // resources are dimension-scale by contract, so authoring the files
+    // driver-side mirrors real usage; the IMPORT is the operator.
+    "q103_terminology_dir_import" -> ((s, dir) => {
+      val byRegion = t(s, dir, "nation")
+        .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq)
+        .toMap
+      val tmp = scratchDir("q103_vs", dir)
+      new java.io.File(tmp).mkdirs()
+      byRegion.foreach { case (r, names) =>
+        val uri = s"urn:graft:vs:dir:r$r"
+        if (r <= 2) {
+          val concepts = names.map(n => s"""{"code":"$n"}""").mkString(",")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(tmp, s"vs_r$r.json"),
+            s"""{"resourceType":"ValueSet","url":"$uri","version":"1",
+               |"name":"Region$r","status":"active","compose":{"include":[
+               |{"system":"urn:graft:nations","version":"2024",
+               |"concept":[$concepts]}]}}""".stripMargin)
+        } else {
+          val concepts = names.map(n =>
+            s"""<concept><code value="$n"/></concept>""").mkString
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(tmp, s"vs_r$r.xml"),
+            s"""<ValueSet xmlns="http://hl7.org/fhir">
+               |<url value="$uri"/><version value="1"/>
+               |<name value="Region$r"/><status value="active"/>
+               |<compose><include>
+               |<system value="urn:graft:nations"/><version value="2024"/>
+               |$concepts
+               |</include></compose></ValueSet>""".stripMargin)
+        }
+      }
+      val vs = graft.fhir.TerminologyResources
+        .withValueSetsFromDirectory(s, ValueSets.getEmpty(s), tmp)
+      vs.getValues.toDF()
+        .join(vs.valueSets.select(col("url").as("valueSetUri"),
+          col("name")), Seq("valueSetUri"))
+        .select(col("valueSetUri").as("value_set_uri"),
+          col("system"), col("version").as("system_version"),
+          col("value").as("code"), col("name").as("set_name"))
+    }),
+
     // S10/S11/S12 under the oracle: the terminology PERSISTENCE round
     // trip — a ValueSets collection built from nation/region, written
     // through the partitioned table sink (values partitioned by
@@ -2839,6 +2888,14 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q103_terminology_dir_import" ->
+      """SELECT 'urn:graft:vs:dir:r' || CAST(n_regionkey AS VARCHAR)
+             AS value_set_uri,
+           'urn:graft:nations' AS system,
+           '2024' AS system_version,
+           n_name AS code,
+           'Region' || CAST(n_regionkey AS VARCHAR) AS set_name
+         FROM nation""",
     "q102_terminology_tables" ->
       """SELECT 'urn:graft:vs:region' || CAST(n.n_regionkey AS VARCHAR)
              AS value_set_uri,
