@@ -1113,6 +1113,44 @@ object SparkEntry {
             .getField("asNeededBoolean").as("as_needed"))
     }),
 
+    // G2 under the oracle: the concept-map DELEGATION chain end-to-end —
+    // map A translates click/view and declares group.unmapped
+    // mode=other-map → map B (purchase/signup); the directory loader
+    // discovers the dependency, topo-sorts, builds the chained broadcast
+    // lookup, and the translate UDF falls through A to B. The oracle is
+    // the flattened two-level CASE.
+    "q104_translate_delegation" -> ((s, dir) => {
+      val tmp = scratchDir("q104_cm", dir)
+      new java.io.File(tmp).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "map_a.json"),
+        """{"resourceType":"ConceptMap","url":"urn:graft:map:events_a",
+          |"version":"1","status":"active",
+          |"group":[{"source":"events","target":"categories",
+          |"unmapped":{"mode":"other-map","url":"urn:graft:map:events_b"},
+          |"element":[
+          |{"code":"click","target":[{"code":"engagement","equivalence":"equivalent"}]},
+          |{"code":"view","target":[{"code":"engagement","equivalence":"equivalent"}]}]}]}"""
+          .stripMargin)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "map_b.json"),
+        """{"resourceType":"ConceptMap","url":"urn:graft:map:events_b",
+          |"version":"1","status":"active",
+          |"group":[{"source":"events","target":"categories",
+          |"element":[
+          |{"code":"purchase","target":[{"code":"conversion","equivalence":"equivalent"}]},
+          |{"code":"signup","target":[{"code":"conversion","equivalence":"equivalent"}]}]}]}"""
+          .stripMargin)
+      val cm = graft.fhir.TerminologyResources
+        .broadcastConceptMapFromDirectory(s, tmp, "urn:graft:map:events_a")
+      ValueSetUdfs.registerTranslate(s, "translate_q104", cm)
+      t(s, dir, "events").createOrReplaceTempView("events_q104")
+      s.sql("""SELECT try_element_at(translate_q104('events', event_type),
+                 1).value AS category,
+               count(*) AS n
+               FROM events_q104 GROUP BY 1""")
+    }),
+
     // S7 under the oracle: ValueSet DIRECTORY import, JSON and XML mixed
     // in one directory (regions 0-2 as JSON documents, 3-4 as XML through
     // the executor-side StAX XML→JSON path) — the reference's by-extension
@@ -2888,6 +2926,15 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q104_translate_delegation" ->
+      """SELECT CASE event_type
+             WHEN 'click' THEN 'engagement'
+             WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'conversion'
+             WHEN 'signup' THEN 'conversion'
+             ELSE NULL END AS category,
+           count(*) AS n
+         FROM events GROUP BY 1""",
     "q103_terminology_dir_import" ->
       """SELECT 'urn:graft:vs:dir:r' || CAST(n_regionkey AS VARCHAR)
              AS value_set_uri,
