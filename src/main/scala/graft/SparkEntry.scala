@@ -1200,6 +1200,51 @@ object SparkEntry {
           col("value").as("code"), col("name").as("set_name"))
     }),
 
+    // O1/O2 + the XML export under the oracle: canonical resource
+    // EXPORT → re-import round trip. A ValueSets collection built from
+    // nation is rebuilt into nested resource documents (regions 0-2 as
+    // canonical JSON via valueSetAsJson, 3-4 as XML via valueSetAsXml),
+    // the documents re-imported through the directory reader, and the
+    // values flattened — the hash only matches if the canonical renest,
+    // the XML serializer, and both import paths are value-preserving.
+    "q105_terminology_export_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val meta = t(s, dir, "region").select(
+        concat(lit("urn:graft:vs:exp:r"), col("r_regionkey")).as("url"),
+        lit("1").as("version"),
+        col("r_name").as("name"), lit("active").as("status"),
+        lit(false).as("experimental"), lit("graft").as("publisher"),
+        lit("2024-01-01").as("date"))
+      val values = t(s, dir, "nation").select(
+        concat(lit("urn:graft:vs:exp:r"), col("n_regionkey"))
+          .as("valueSetUri"),
+        lit("1").as("valueSetVersion"),
+        lit("urn:graft:nations").as("system"),
+        lit("2024").as("version"),
+        col("n_name").as("value")).as[Value]
+      val vs = ValueSets.getEmpty(s).withValueSets(meta, values)
+      val tmp = scratchDir("q105_vs", dir)
+      val tmpDir = new java.io.File(tmp)
+      tmpDir.mkdirs()
+      Option(tmpDir.listFiles()).foreach(_.foreach(f => f.delete()))
+      (0 to 4).foreach { r =>
+        val uri = s"urn:graft:vs:exp:r$r"
+        // absent (uri, version) → None (empty-input run): nothing to write
+        val doc =
+          if (r <= 2)
+            graft.fhir.TerminologyResources.valueSetAsJson(vs, uri, "1")
+          else graft.fhir.TerminologyResources.valueSetAsXml(vs, uri, "1")
+        doc.foreach(d => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp,
+            s"vs_r$r." + (if (r <= 2) "json" else "xml")), d))
+      }
+      val back = graft.fhir.TerminologyResources
+        .withValueSetsFromDirectory(s, ValueSets.getEmpty(s), tmp)
+      back.getValues.toDF()
+        .select(col("valueSetUri").as("value_set_uri"), col("system"),
+          col("version").as("system_version"), col("value").as("code"))
+    }),
+
     // S10/S11/S12 under the oracle: the terminology PERSISTENCE round
     // trip — a ValueSets collection built from nation/region, written
     // through the partitioned table sink (values partitioned by
@@ -2926,6 +2971,13 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q105_terminology_export_roundtrip" ->
+      """SELECT 'urn:graft:vs:exp:r' || CAST(n_regionkey AS VARCHAR)
+             AS value_set_uri,
+           'urn:graft:nations' AS system,
+           '2024' AS system_version,
+           n_name AS code
+         FROM nation""",
     "q104_translate_delegation" ->
       """SELECT CASE event_type
              WHEN 'click' THEN 'engagement'
