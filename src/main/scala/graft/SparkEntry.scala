@@ -1113,6 +1113,33 @@ object SparkEntry {
             .getField("asNeededBoolean").as("as_needed"))
     }),
 
+    // Hierarchy persistence under the oracle: elements → the distributed
+    // closure inside withHierarchyElements → partitioned `ancestors`
+    // table write → getFromDatabase → flatten. DuckDB recomputes the
+    // same transitive closure with a recursive CTE (q16's tree), so the
+    // row only matches if the closure AND the table round trip are
+    // value-preserving.
+    "q106_hierarchy_tables" -> ((s, dir) => {
+      import s.implicits._
+      s.sql(s"DROP TABLE IF EXISTS graft_q106.${Hierarchies.AncestorsTable}")
+      graft.terminology.TableWrites.reclaimOrphanLocation(
+        s, "graft_q106", Hierarchies.AncestorsTable)
+      val elements = t(s, dir, "customer")
+        .where(col("c_custkey") >= 1)
+        .select(lit("urn:graft:tree").as("ancestorSystem"),
+          expr("CAST(c_custkey div 2 AS STRING)").as("ancestorValue"),
+          lit("urn:graft:tree").as("descendantSystem"),
+          col("c_custkey").cast("string").as("descendantValue"))
+        .as[HierarchicalElement]
+      Hierarchies.getEmpty(s)
+        .withHierarchyElements("urn:graft:hier:custtree", "1", elements)
+        .writeToDatabase("graft_q106")
+      Hierarchies.getFromDatabase(s, "graft_q106")
+        .getAncestors("urn:graft:hier:custtree", "1").toDF()
+        .select(col("ancestorValue").cast("long").as("ancestor"),
+          col("descendantValue").cast("long").as("descendant"))
+    }),
+
     // G2 under the oracle: the concept-map DELEGATION chain end-to-end —
     // map A translates click/view and declares group.unmapped
     // mode=other-map → map B (purchase/signup); the directory loader
@@ -2971,6 +2998,18 @@ object SparkEntry {
     // relationally from the same parquet, so the whole construct→parse→
     // extract→(decode→re-ingest) pipeline must be value-preserving for
     // the hashes to match.
+    "q106_hierarchy_tables" ->
+      """WITH RECURSIVE edges AS (
+           SELECT CAST(c_custkey // 2 AS BIGINT) AS parent,
+                  CAST(c_custkey AS BIGINT) AS child
+           FROM customer WHERE c_custkey >= 1),
+         anc(ancestor, descendant) AS (
+           SELECT parent, child FROM edges
+           UNION
+           SELECT a.ancestor, e.child FROM anc a
+           JOIN edges e ON a.descendant = e.parent)
+         SELECT ancestor, descendant FROM anc
+         WHERE ancestor <> descendant""",
     "q105_terminology_export_roundtrip" ->
       """SELECT 'urn:graft:vs:exp:r' || CAST(n_regionkey AS VARCHAR)
              AS value_set_uri,
