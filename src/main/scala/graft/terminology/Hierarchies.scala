@@ -61,12 +61,57 @@ class Hierarchies private (
     // the hub-skewed closure ⋈ closure (TransitiveClosure doc). The round
     // budget allows 65-hop depth — far past any real code system — and the
     // closure throws rather than truncating if it is ever exceeded.
-    val closed = TransitiveClosure.closure(spark, elements,
-      maxIterations = 64, linear = true)
-      .select(lit(uri).as("uri"), lit(version).as("version"),
-        $"descendantSystem", $"descendantValue",
-        $"ancestorSystem", $"ancestorValue")
-      .as[Ancestor]
+    //
+    // The d iterated joins run on a LONG dictionary encoding of the
+    // (system, value) codes, not the strings: every round shuffles 8-byte
+    // keys instead of system+code strings (~10× fewer key bytes), and the
+    // strings come back via two final decode joins. On the local fixture
+    // the wall time is round-count-dominated so this is a wash; at
+    // LOINC/SNOMED×cluster scale the per-round shuffle bytes are the
+    // cost, which is what this removes. Ids are xxhash64 of the code
+    // pair with a LOUD collision check (count distinct ids vs codes)
+    // falling back to the exact string-keyed closure — a silent
+    // collision would merge unrelated codes.
+    val elems = elements.toDF()
+    val codes = elems.select($"ancestorSystem".as("system"),
+        $"ancestorValue".as("value"))
+      .union(elems.select($"descendantSystem", $"descendantValue"))
+      .distinct()
+      .select($"system", $"value",
+        xxhash64($"system", $"value").as("id"))
+    val chk = codes.agg(count(lit(1)).as("n"),
+      count_distinct($"id").as("nd")).head()
+    val closed: Dataset[Ancestor] =
+      if (chk.getLong(0) != chk.getLong(1)) {
+        // hash collision (≈ n²/2⁶⁴ odds): exact string-keyed fallback
+        TransitiveClosure.closure(spark, elements,
+            maxIterations = 64, linear = true)
+          .select(lit(uri).as("uri"), lit(version).as("version"),
+            $"descendantSystem", $"descendantValue",
+            $"ancestorSystem", $"ancestorValue")
+          .as[Ancestor]
+      } else {
+        val longEdges = elems
+          .join(codes.select($"system".as("ancestorSystem"),
+            $"value".as("ancestorValue"), $"id".as("parent")),
+            Seq("ancestorSystem", "ancestorValue"))
+          .join(codes.select($"system".as("descendantSystem"),
+            $"value".as("descendantValue"), $"id".as("child")),
+            Seq("descendantSystem", "descendantValue"))
+          .select($"parent", $"child")
+        TransitiveClosure.closureLong(spark, longEdges,
+            maxIterations = 64, linear = true)
+          .join(codes.select($"id".as("ancestor"),
+            $"system".as("ancestorSystem"),
+            $"value".as("ancestorValue")), Seq("ancestor"))
+          .join(codes.select($"id".as("descendant"),
+            $"system".as("descendantSystem"),
+            $"value".as("descendantValue")), Seq("descendant"))
+          .select(lit(uri).as("uri"), lit(version).as("version"),
+            $"descendantSystem", $"descendantValue",
+            $"ancestorSystem", $"ancestorValue")
+          .as[Ancestor]
+      }
     new Hierarchies(spark, members.union(newMember).distinct(),
       ancestors.union(closed))
   }
