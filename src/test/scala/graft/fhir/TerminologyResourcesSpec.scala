@@ -130,6 +130,33 @@ class TerminologyResourcesSpec extends SparkSuite {
     assert(json.contains("\"code\":\"a\"") && json.contains("wider"))
   }
 
+  test("the SHIPPED US-Core pack's terminology half imports through the " +
+    "directory reader (ValueSets expand, ConceptMap maps, non-VS files " +
+    "ignored)") {
+    // resolve the shipped resources dir on the classpath (a plain
+    // directory under test; the same files a jar would carry)
+    val url = getClass.getClassLoader.getResource("definitions/index.txt")
+    assume(url != null && url.getProtocol == "file")
+    val dir = new java.io.File(url.toURI).getParent
+    val vs = TerminologyResources.withValueSetsFromDirectory(spark,
+      ValueSets.getEmpty(spark), dir)
+    // enumerated sets expand to their concepts; include-only sets (those
+    // referencing external code systems without inline concepts) import
+    // as metadata with zero values — not errors
+    val birthsex = vs.getValues(
+      "http://hl7.org/fhir/us/core/ValueSet/us-core-birthsex", "1.1.0")
+    val codes = birthsex.collect().map(v => (v.system, v.value)).toSet
+    assert(codes === Set(
+      ("http://hl7.org/fhir/v3/AdministrativeGender", "F"),
+      ("http://hl7.org/fhir/v3/AdministrativeGender", "M"),
+      ("http://hl7.org/fhir/v3/NullFlavor", "UNK")))
+    assert(vs.valueSets.count() >= 20) // all 24 shipped ValueSets load
+    val (cmMeta, mappings) =
+      TerminologyResources.conceptMapsFromDirectory(spark, dir)
+    assert(cmMeta.count() === 1) // ConceptMap-ndc-cvx
+    assert(mappings.count() > 0)
+  }
+
   test("valueSetAsXml exports a document that re-imports to the " +
     "identical values dataset") {
     val vs = ValueSets.getEmpty(spark)
