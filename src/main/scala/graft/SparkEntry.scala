@@ -432,6 +432,19 @@ object SparkEntry {
         .select(col("asset_id"), col("kind"), col("n_bytes"))
     }),
 
+    // Perceptual image dedup over REAL decoded pixels: id-seeded genuine
+    // BMP payloads (gradients + planted one-pixel near-duplicates) →
+    // 32×32 luma grid → orthonormal 2-D DCT → 64-bit median-relative
+    // pHash → the same two-cover chunk-LSH banding as SimHash → exact
+    // Hamming verify. No SQL engine can DCT-decode a BMP, so this is a
+    // rows-only entry; MediaCodecsSpec pins exact planted-pair recall,
+    // container independence, and brightness invariance.
+    "q107_image_phash_dedup" -> ((s, dir) => {
+      val assets = Multimodal.syntheticImages(s,
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.imageNearDups(s, assets, maxHamming = 10)
+    }),
+
     // Structured Streaming: watermarked tumbling-window agg over the event
     // stream; on a static directory the complete-mode result equals the
     // batch bucketing, so the same oracle verifies the streaming path.

@@ -187,4 +187,128 @@ object MediaCodecs {
       math.sqrt(s2 / nFrames),
       if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0))
   } catch { case _: RuntimeException => None }
+
+  // ---- perceptual hashing --------------------------------------------------
+
+  /** Random-access luma accessor over a supported image container
+    * (24-bit BMP or binary PPM), or None if undecodable. */
+  private def lumaAt(b: Array[Byte]): Option[(Int, Int, (Int, Int) => Double)] = {
+    def luma(r: Int, g: Int, bl: Int): Double =
+      0.299 * r + 0.587 * g + 0.114 * bl
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      val dataOffset = i32(b, 10)
+      val width = i32(b, 18)
+      val rawHeight = i32(b, 22)
+      val height = math.abs(rawHeight)
+      val bottomUp = rawHeight > 0
+      if (u16(b, 28) != 24 || i32(b, 30) != 0 || width <= 0 || height == 0)
+        return None
+      val stride = (width * 3 + 3) & ~3
+      if (dataOffset.toLong + stride.toLong * height > b.length) return None
+      Some((width, height, (x, y) => {
+        val row = if (bottomUp) height - 1 - y else y
+        val o = dataOffset + row * stride + x * 3
+        luma(b(o + 2) & 0xFF, b(o + 1) & 0xFF, b(o) & 0xFF) // BGR
+      }))
+    } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+      var pos = 2
+      def token(): Option[String] = {
+        while (pos < b.length &&
+          (Character.isWhitespace(b(pos)) || b(pos) == '#')) {
+          if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < b.length && !Character.isWhitespace(b(pos))) pos += 1
+        if (pos > start) Some(new String(b, start, pos - start, "US-ASCII"))
+        else None
+      }
+      val hdr = Seq(token(), token(), token())
+      if (hdr.exists(_.isEmpty)) return None
+      val Seq(w, h, maxv) = hdr.map(_.get.toInt)
+      pos += 1
+      if (w <= 0 || h <= 0 || maxv != 255 ||
+        pos.toLong + 3L * w * h > b.length) return None
+      val dataStart = pos
+      Some((w, h, (x, y) => {
+        val o = dataStart + (y * w + x) * 3
+        luma(b(o) & 0xFF, b(o + 1) & 0xFF, b(o + 2) & 0xFF)
+      }))
+    } else None
+  }
+
+  /** `g`×`g` luma grid sampled nearest-neighbor from the image (works for
+    * images smaller OR larger than the grid; deterministic, no full
+    * decoded buffer). Row-major. */
+  def lumaGrid(b: Array[Byte], g: Int): Option[Array[Double]] = try {
+    lumaAt(b).map { case (w, h, at) =>
+      val out = new Array[Double](g * g)
+      var i = 0
+      while (i < g) {
+        val y = i * h / g
+        var j = 0
+        while (j < g) {
+          out(i * g + j) = at(j * w / g, y)
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+  } catch { case _: RuntimeException => None }
+
+  /** 64-bit DCT perceptual hash (classic pHash shape): 32×32 luma grid →
+    * orthonormal 2-D DCT-II → the 8×8 lowest-frequency block → bit i set
+    * iff coefficient i exceeds the MEDIAN of the 63 AC coefficients (the
+    * DC term is excluded from the median and contributes bit 0 against
+    * that same median, so uniform brightness shifts do not flip bits).
+    * Near-identical images land within a small Hamming distance; the
+    * hash drops into the same chunk-LSH banding as SimHash. */
+  def perceptualHash64(b: Array[Byte]): Option[Long] = {
+    val G = 32
+    lumaGrid(b, G).map { grid =>
+      // separable DCT: rows then columns, only the first 8 output
+      // frequencies of each dimension are needed
+      val K = 8
+      val cosTab = Array.tabulate(K, G)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * G)))
+      def a(u: Int): Double =
+        if (u == 0) math.sqrt(1.0 / G) else math.sqrt(2.0 / G)
+      val rows = Array.ofDim[Double](G, K) // row-transformed, 8 freqs
+      var y = 0
+      while (y < G) {
+        var u = 0
+        while (u < K) {
+          var s = 0.0
+          var x = 0
+          while (x < G) { s += grid(y * G + x) * cosTab(u)(x); x += 1 }
+          rows(y)(u) = a(u) * s
+          u += 1
+        }
+        y += 1
+      }
+      val coeffs = new Array[Double](K * K)
+      var v = 0
+      while (v < K) {
+        var u = 0
+        while (u < K) {
+          var s = 0.0
+          var yy = 0
+          while (yy < G) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+          coeffs(v * K + u) = a(v) * s
+          u += 1
+        }
+        v += 1
+      }
+      val ac = coeffs.drop(1).sorted
+      val median = ac(ac.length / 2) // 63 ACs → element 31
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (coeffs(i) > median) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+  }
 }

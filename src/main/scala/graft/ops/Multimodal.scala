@@ -104,6 +104,92 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Synthetic REAL 24-bit BMP images keyed by id: a deterministic
+    * id-seeded LINEAR GRADIENT (direction and frequency from the id —
+    * structured low-frequency content, which is what a DCT perceptual
+    * hash discriminates; block noise would make every image look alike
+    * to it), with every `nearDupEvery`-th id painting the PREVIOUS id's
+    * gradient plus a one-pixel change — planted perceptual
+    * near-duplicates for [[imageNearDups]]. The payloads are genuine BMP
+    * containers that [[MediaCodecs]] decodes. */
+  def syntheticImages(spark: SparkSession, ids: DataFrame, idCol: String,
+      side: Int = 16, nearDupEvery: Int = 10): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+    ids.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val base = if (id % nearDupEvery == 0 && id > 0) id - 1 else id
+          val flip = id % nearDupEvery == 0 && id > 0
+          val gx = (base % 7) + 1
+          val gy = ((base / 7) % 11) + 2
+          Row(id, encodeBmp24(side, side, (x, y) => {
+            val v = ((x * gx + y * gy) * 12 % 200).toInt
+            if (flip && x == 3 && y == 3) (255 - v, 0, 7)
+            else (v, (v + 40) % 200, (v + 80) % 200)
+          }))
+        }
+      }(enc).toDF()
+  }
+
+  /** Minimal 24-bit BMP encoder (BI_RGB, bottom-up) for the synthetic
+    * image payloads. */
+  def encodeBmp24(w: Int, h: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dataSize = stride * h
+    val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF) }
+    out.write('B'); out.write('M'); u32(54 + dataSize); u32(0); u32(54)
+    u32(40); u32(w); u32(h); u16(1); u16(24); u32(0); u32(dataSize)
+    u32(2835); u32(2835); u32(0); u32(0)
+    var row = h - 1 // bottom-up storage
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, row)
+        out.write(b); out.write(g); out.write(r)
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+      row -= 1
+    }
+    out.toByteArray
+  }
+
+  /** 64-bit DCT perceptual hash per image asset (null for payloads no
+    * decoder recognizes — degrade, don't fail). mapPartitions kernel like
+    * [[extractFeatures]]: binary in, one long out, nothing Catalyst could
+    * express. */
+  def perceptualHashes(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true))))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val hash = MediaCodecs.perceptualHash64(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), hash.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc).toDF()
+  }
+
+  /** Perceptual near-duplicate image pairs: pHash → the same two-cover
+    * 16-bit chunk-LSH banding as SimHash (capped buckets, no self-join)
+    * → exact Hamming verify. The standard image-dedup shape for a
+    * training corpus: re-encoded/recompressed copies of one image land
+    * within a few bits of each other. */
+  def imageNearDups(spark: SparkSession, assets: DataFrame,
+      maxHamming: Int = 10, maxBucketSize: Int = 2000): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      perceptualHashes(spark, assets)
+        .where(col("phash").isNotNull)
+        .select(col("asset_id").as("id"), col("phash").as("sig")),
+      maxHamming, maxBucketSize)
+
   /** Frame sampling for video assets: emit one row per sampled frame at
     * `everyMs` intervals — pure expression layout (sequence + explode), the
     * decode of each frame being the swappable kernel. */

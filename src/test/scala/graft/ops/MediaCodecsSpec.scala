@@ -166,4 +166,67 @@ class MediaCodecsSpec extends SparkSuite {
     assert(out(4L).length === 8)
     assert(out(4L) !== out(1L))
   }
+
+  // ---- perceptual hash ----------------------------------------------------
+
+  // 64×64 gradient image seeded by `seed` (structured low-frequency
+  // content — what a DCT hash discriminates); `flip` changes one pixel
+  private def gradPix(seed: Long, flip: Boolean)(
+      x: Int, y: Int): (Int, Int, Int) = {
+    val v = ((x * ((seed % 7) + 1) + y * ((seed * 3) % 11 + 2)) * 3
+      % 200).toInt
+    if (flip && x == 3 && y == 3) (255 - v, 0, 7)
+    else (v, (v + 40) % 200, (v + 80) % 200)
+  }
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("perceptual hash: container-independent, brightness-invariant, " +
+    "near-dups close and distinct images far") {
+    val S = 64
+    val base = MediaCodecs.perceptualHash64(
+      encodeBmp(S, S, gradPix(1, flip = false))).get
+    // same pixels, different container → identical hash
+    val viaPpm = MediaCodecs.perceptualHash64(
+      encodePpm(S, S, gradPix(1, flip = false))).get
+    assert(viaPpm === base)
+    // uniform (non-saturating: values < 200) brightness shift → the DC
+    // term moves, the median-relative AC bits do not
+    val brighter = MediaCodecs.perceptualHash64(encodeBmp(S, S, (x, y) => {
+      val (r, g, b) = gradPix(1, flip = false)(x, y)
+      (r + 20, g + 20, b + 20)
+    })).get
+    assert(ham(base, brighter) <= 2,
+      s"brightness shift moved ${ham(base, brighter)} bits")
+    // one-pixel change → small distance
+    val nearDup = MediaCodecs.perceptualHash64(
+      encodeBmp(S, S, gradPix(1, flip = true))).get
+    assert(ham(base, nearDup) <= 10,
+      s"near-dup at distance ${ham(base, nearDup)}")
+    // different gradients → far
+    val others = (2L to 9L).map(s => MediaCodecs.perceptualHash64(
+      encodeBmp(S, S, gradPix(s, flip = false))).get)
+    others.foreach(o =>
+      assert(ham(base, o) > 10, s"distinct image at distance ${ham(base, o)}"))
+    // undecodable payload → None, never a junk hash
+    assert(MediaCodecs.perceptualHash64("not an image".getBytes) === None)
+  }
+
+  test("imageNearDups finds exactly the planted perceptual pairs") {
+    import spark.implicits._
+    val assets = Multimodal.syntheticImages(spark,
+      spark.range(0, 60).toDF("id"), "id", side = 16, nearDupEvery = 10)
+    val pairs = Multimodal.imageNearDups(spark, assets, maxHamming = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0) min r.getLong(1),
+        r.getLong(0) max r.getLong(1))).toSet
+    // ids 10,20,30,40,50 are one-pixel variants of 9,19,29,39,49
+    val planted = Set((9L, 10L), (19L, 20L), (29L, 30L), (39L, 40L),
+      (49L, 50L))
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).mkString(",")}")
+    // nothing else collides at this threshold on distinct patterns
+    assert((pairs -- planted).isEmpty,
+      s"unexpected pairs: ${(pairs -- planted).mkString(",")}")
+  }
 }
