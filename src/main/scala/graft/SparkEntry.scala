@@ -445,6 +445,43 @@ object SparkEntry {
       Multimodal.imageNearDups(s, assets, maxHamming = 10)
     }),
 
+    // Perceptual audio dedup over REAL decoded PCM: id-seeded genuine
+    // WAV payloads (33-note melodies + planted gain/noise re-recordings)
+    // → windowed energy/zero-crossing delta fingerprint (Haitsma–Kalker
+    // family; gain-invariant by construction) → the same two-cover
+    // chunk-LSH banding as SimHash/pHash → exact Hamming verify. No SQL
+    // engine can decode PCM, so this is a rows-only entry;
+    // MediaCodecsSpec pins exact planted-pair recall and gain invariance.
+    "q108_audio_fingerprint_dedup" -> ((s, dir) => {
+      val assets = Multimodal.syntheticWavs(s,
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.audioNearDups(s, assets, maxHamming = 10)
+    }),
+
+    // Video scene-change detection over REAL decoded frames: id-seeded
+    // concatenated-PPM clips (two planted scenes per clip) → per-frame
+    // DCT pHash kernel → per-asset window lag + codegen'd bit_count —
+    // pure Catalyst after the decode, one shuffle by asset id. Rows-only
+    // (no SQL engine decodes PPM streams); MediaCodecsSpec pins the
+    // exact planted cut position on every clip.
+    "q109_video_scene_detect" -> ((s, dir) => {
+      val assets = Multimodal.syntheticVideos(s,
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.sceneChanges(s, assets, minHamming = 16)
+    }),
+
+    // Near-duplicate videos by temporal frame matching: per-frame pHash
+    // banded into 16-bit chunks KEYED BY FRAME SLOT (only same-position
+    // frames collide), capped buckets, exact per-slot Hamming verify,
+    // then a per-pair matched-frame count threshold. Rows-only;
+    // MediaCodecsSpec pins exact planted-pair recall.
+    "q110_video_frame_dedup" -> ((s, dir) => {
+      val assets = Multimodal.syntheticVideos(s,
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.videoNearDups(s, assets,
+        maxHamming = 10, minMatchedFrames = 6)
+    }),
+
     // Structured Streaming: watermarked tumbling-window agg over the event
     // stream; on a static directory the complete-mode result equals the
     // batch bucketing, so the same oracle verifies the streaming path.

@@ -188,6 +188,115 @@ object MediaCodecs {
       if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0))
   } catch { case _: RuntimeException => None }
 
+  /** Split a concatenated binary-PPM stream (the `image2pipe` video
+    * interchange format: P6 frames back-to-back) into per-frame byte
+    * slices. Stops at the first malformed frame (returning the frames
+    * before it); a non-PPM payload yields Nil — degrade, never fail. */
+  def ppmFrames(b: Array[Byte]): Seq[Array[Byte]] = try {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos + 2 <= b.length && b(pos) == 'P' && b(pos + 1) == '6') {
+      val start = pos
+      pos += 2
+      def token(): Option[String] = {
+        while (pos < b.length &&
+          (Character.isWhitespace(b(pos)) || b(pos) == '#')) {
+          if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val s = pos
+        while (pos < b.length && !Character.isWhitespace(b(pos))) pos += 1
+        if (pos > s) Some(new String(b, s, pos - s, "US-ASCII")) else None
+      }
+      val hdr = Seq(token(), token(), token())
+      if (hdr.exists(_.isEmpty)) return out.toSeq
+      val Seq(w, h, maxv) = hdr.map(_.get.toInt)
+      pos += 1 // single whitespace byte before the raster
+      if (w <= 0 || h <= 0 || maxv != 255 ||
+        pos.toLong + 3L * w * h > b.length) return out.toSeq
+      pos += 3 * w * h
+      out += java.util.Arrays.copyOfRange(b, start, pos)
+    }
+    out.toSeq
+  } catch { case _: RuntimeException => Nil }
+
+  /** 64-bit audio fingerprint over REAL decoded PCM (energy/ZCR-delta
+    * family, the pure-JVM shape of a Haitsma–Kalker fingerprint): the
+    * channel-averaged signal is split into 33 equal time windows; per
+    * window we take mean energy (amplitude envelope) and zero-crossing
+    * rate (a crude spectral proxy); bit `2k` is set iff window `k+1` has
+    * higher mean energy than window `k`, bit `2k+1` iff it has a higher
+    * crossing rate. Both measures compare RATIOS of like quantities, so
+    * the fingerprint is invariant under positive gain and robust to mild
+    * noise/re-encode — copies of one recording land within a small
+    * Hamming distance and drop into the same chunk-LSH banding as
+    * SimHash/pHash. Returns None for non-PCM-16 payloads or clips too
+    * short to window (< 2 frames per window) — degrade, never fail. */
+  def audioFingerprint64(b: Array[Byte]): Option[Long] = try {
+    if (sniff(b) != "wav") return None
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = i32(b, pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        fmtOk = u16(b, pos + 8) == 1
+        channels = u16(b, pos + 10)
+        sampleRate = i32(b, pos + 12)
+        bits = u16(b, pos + 22)
+      } else if (id == "data") {
+        dataOff = pos + 8; dataLen = len
+      }
+      pos += 8 + len + (len & 1)
+    }
+    if (!fmtOk || bits != 16 || channels <= 0 || sampleRate <= 0 ||
+      dataOff < 0) return None
+    val frameBytes = 2 * channels
+    val nFrames = dataLen / frameBytes
+    val W = 33 // 32 adjacent-window deltas × 2 measures = 64 bits
+    if (nFrames < 2 * W) return None
+    val energy = new Array[Double](W)
+    val cross = new Array[Long](W)
+    val count = new Array[Long](W)
+    var prevSign = 0
+    var i = 0
+    while (i < nFrames) {
+      val w = (i.toLong * W / nFrames).toInt
+      var c = 0
+      var acc = 0.0
+      val base = dataOff + i * frameBytes
+      while (c < channels) {
+        acc += u16(b, base + 2 * c).toShort.toInt
+        c += 1
+      }
+      val v = acc / channels / 32768.0
+      energy(w) += v * v
+      count(w) += 1
+      val sign = java.lang.Double.compare(v, 0.0).sign
+      if (sign != 0 && prevSign != 0 && sign != prevSign) cross(w) += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 32) {
+      if (energy(k + 1) / count(k + 1) > energy(k) / count(k))
+        fp |= (1L << (2 * k))
+      if (cross(k + 1).toDouble / count(k + 1) >
+        cross(k).toDouble / count(k))
+        fp |= (1L << (2 * k + 1))
+      k += 1
+    }
+    Some(fp)
+  } catch { case _: RuntimeException => None }
+
   // ---- perceptual hashing --------------------------------------------------
 
   /** Random-access luma accessor over a supported image container

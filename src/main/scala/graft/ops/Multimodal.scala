@@ -161,6 +161,98 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal mono RIFF/WAVE PCM-16 encoder for the synthetic audio
+    * payloads. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); u32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); u32(16)
+    u16(1); u16(1); u32(sampleRate); u32(sampleRate * 2); u16(2); u16(16)
+    out.write("data".getBytes("US-ASCII")); u32(dataLen)
+    samples.foreach(s => u16(s & 0xFFFF))
+    out.toByteArray
+  }
+
+  /** Synthetic REAL PCM-16 WAV clips keyed by id: an id-seeded 33-note
+    * "melody" — each note gets a hashed frequency and amplitude, so the
+    * fingerprint's zero-crossing bits (frequency steps) and energy bits
+    * (amplitude steps) are both high-entropy, the way real audio is; a
+    * stationary tone would make every clip look alike to an envelope
+    * fingerprint. Every `nearDupEvery`-th id re-records the PREVIOUS id's
+    * melody at 0.8× gain plus ~1% deterministic noise — planted
+    * perceptual near-duplicates for [[audioNearDups]]. Payloads are
+    * genuine WAV containers that [[MediaCodecs]] decodes. */
+  def syntheticWavs(spark: SparkSession, ids: DataFrame, idCol: String,
+      nSamples: Int = 2048, sampleRate: Int = 8000,
+      nearDupEvery: Int = 10): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+    ids.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val dup = id % nearDupEvery == 0 && id > 0
+          val base = if (dup) id - 1 else id
+          val gain = if (dup) 0.8 else 1.0
+          var noise = base * 2654435761L + 1 // LCG state, id-seeded
+          def mix(x: Long): Long = { // splitmix64 finalizer
+            var z = x + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val W = 33 // notes aligned with the fingerprint's windows
+          val samples = Array.tabulate[Short](nSamples) { i =>
+            val k = (i.toLong * W / nSamples).toInt
+            val hk = mix(base * W + k)
+            val freq = 400.0 + java.lang.Long.remainderUnsigned(hk, 12) * 250.0
+            val amp = 0.45 +
+              java.lang.Long.remainderUnsigned(hk >>> 8, 8) * 0.07
+            val t = i.toDouble / sampleRate
+            var v = amp * math.sin(2 * math.Pi * freq * t) * gain
+            if (dup) {
+              noise = noise * 6364136223846793005L + 1442695040888963407L
+              v += ((noise >>> 40).toDouble / (1L << 24) - 0.5) * 0.02
+            }
+            math.round(math.max(-1.0, math.min(1.0, v)) * 30000).toShort
+          }
+          Row(id, encodeWavPcm16(sampleRate, samples))
+        }
+      }(enc).toDF()
+  }
+
+  /** 64-bit audio fingerprint per asset (null for payloads no decoder
+    * recognizes). Same mapPartitions kernel shape as [[perceptualHashes]]. */
+  def audioFingerprints(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = true))))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val fp = MediaCodecs.audioFingerprint64(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), fp.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc).toDF()
+  }
+
+  /** Perceptual near-duplicate audio pairs: energy/ZCR fingerprint → the
+    * same two-cover 16-bit chunk-LSH banding as SimHash/pHash (capped
+    * buckets, no self-join) → exact Hamming verify. The audio analog of
+    * [[imageNearDups]]: gain-changed / lightly-noised copies of one
+    * recording land within a few bits. */
+  def audioNearDups(spark: SparkSession, assets: DataFrame,
+      maxHamming: Int = 10, maxBucketSize: Int = 2000): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      audioFingerprints(spark, assets)
+        .where(col("afp").isNotNull)
+        .select(col("asset_id").as("id"), col("afp").as("sig")),
+      maxHamming, maxBucketSize)
+
   /** 64-bit DCT perceptual hash per image asset (null for payloads no
     * decoder recognizes — degrade, don't fail). mapPartitions kernel like
     * [[extractFeatures]]: binary in, one long out, nothing Catalyst could
@@ -189,6 +281,133 @@ object Multimodal {
         .where(col("phash").isNotNull)
         .select(col("asset_id").as("id"), col("phash").as("sig")),
       maxHamming, maxBucketSize)
+
+  /** Minimal binary-PPM (P6) encoder for synthetic frames. */
+  def encodePpm6(w: Int, h: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16 + 3 * w * h)
+    out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      out.write(r); out.write(g); out.write(b)
+    }
+    out.toByteArray
+  }
+
+  /** Synthetic REAL videos keyed by id: concatenated binary-PPM frames
+    * (the `image2pipe` stream format [[MediaCodecs.ppmFrames]] splits),
+    * `frames` frames per clip in TWO scenes — the first half paints one
+    * id-seeded gradient, the second half a different one, so a scene
+    * boundary is planted mid-clip for [[sceneChanges]]. Every
+    * `nearDupEvery`-th id repaints the PREVIOUS id's frames with a
+    * one-pixel change per frame — planted near-duplicate videos for
+    * [[videoNearDups]]. */
+  def syntheticVideos(spark: SparkSession, ids: DataFrame, idCol: String,
+      side: Int = 16, frames: Int = 8, nearDupEvery: Int = 10): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType))))
+    ids.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val dup = id % nearDupEvery == 0 && id > 0
+          val base = if (dup) id - 1 else id
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < frames) {
+            val scene = if (f < frames / 2) 0 else 1
+            val seed = base * 2 + scene
+            val gx = (seed % 7) + 1
+            val gy = ((seed / 7) % 11) + 2
+            // third seeded parameter: sawtooth frequency (an additive
+            // offset would be a brightness shift, which pHash ignores)
+            val m = 12 + ((seed / 77) % 5) * 7
+            out.write(encodePpm6(side, side, (x, y) => {
+              val v = ((x * gx + y * gy) * m % 200).toInt
+              // a moderate single-pixel shift (full inversion overshoots
+              // Hamming 10 on some gradients at this frame size)
+              if (dup && x == 3 && y == 3)
+                (math.min(v + 90, 255), (v + 40) % 200, (v + 80) % 200)
+              else (v, (v + 40) % 200, (v + 80) % 200)
+            }))
+            f += 1
+          }
+          Row(id, out.toByteArray)
+        }
+      }(enc).toDF()
+  }
+
+  /** Per-frame 64-bit DCT perceptual hash for video assets: the kernel
+    * splits the PPM stream and hashes each REAL decoded frame; one row
+    * per (asset, frame index). Undecodable payloads yield no rows —
+    * degrade, never fail. */
+  def videoFrameHashes(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodecs.ppmFrames(r.getAs[Array[Byte]](1)).iterator
+          .zipWithIndex.flatMap { case (frame, idx) =>
+            MediaCodecs.perceptualHash64(frame).map(h => Row(id, idx, h))
+          }
+      }
+    }(enc).toDF()
+  }
+
+  /** Scene-change (shot-boundary) detection: a cut is a consecutive
+    * frame pair whose perceptual hashes differ by more than
+    * `minHamming` bits. After the decode kernel this is pure Catalyst —
+    * a per-asset window `lag` and a codegen'd `bit_count(a^b)` — so it
+    * scales as one shuffle by asset id. Emits (asset_id, frame_idx,
+    * hamming) per boundary frame. */
+  def sceneChanges(spark: SparkSession, assets: DataFrame,
+      minHamming: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    videoFrameHashes(spark, assets)
+      .withColumn("prev", lag(col("phash"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("hamming", Dedup.hamming64(col("phash"), col("prev")))
+      .where(col("hamming") > minHamming)
+      .select("asset_id", "frame_idx", "hamming")
+  }
+
+  /** Near-duplicate VIDEO pairs by temporal frame matching: each frame's
+    * pHash is banded into the two-cover 16-bit chunks KEYED BY ITS FRAME
+    * SLOT (so only same-position frames can collide — no cross-time
+    * false candidates and no hot buckets from a ubiquitous frame),
+    * candidate pairs expand per capped bucket, then an exact per-slot
+    * Hamming verify counts matching frames and keeps pairs with at
+    * least `minMatchedFrames`. The standard video-dedup shape:
+    * re-encoded copies match nearly every slot, unrelated clips none. */
+  def videoNearDups(spark: SparkSession, assets: DataFrame,
+      maxHamming: Int = 10, minMatchedFrames: Int = 3,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val fh = videoFrameHashes(spark, assets)
+    val rot = shiftrightunsigned(col("phash"), 8)
+      .bitwiseOR(shiftleft(col("phash"), 56))
+    val bucketed = fh.select(col("asset_id").as("id"), col("frame_idx"),
+      posexplode(array(
+        (0 until 4).map(c =>
+          shiftright(col("phash"), c * 16).bitwiseAND(0xFFFFL)) ++
+        (0 until 4).map(c =>
+          shiftright(rot, c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"),
+        xxhash64(col("frame_idx"), col("pos"), col("col")).as("bucket"))
+    Dedup.candidatePairsFromBuckets(bucketed, maxBucketSize)
+      .join(fh.select(col("asset_id").as("id_a"), col("frame_idx"),
+        col("phash").as("ph_a")), Seq("id_a"))
+      .join(fh.select(col("asset_id").as("id_b"), col("frame_idx"),
+        col("phash").as("ph_b")), Seq("id_b", "frame_idx"))
+      .where(Dedup.hamming64(col("ph_a"), col("ph_b")) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minMatchedFrames)
+  }
 
   /** Frame sampling for video assets: emit one row per sampled frame at
     * `everyMs` intervals — pure expression layout (sequence + explode), the

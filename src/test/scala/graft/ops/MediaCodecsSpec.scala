@@ -212,6 +212,119 @@ class MediaCodecsSpec extends SparkSuite {
     assert(MediaCodecs.perceptualHash64("not an image".getBytes) === None)
   }
 
+  // ---- audio fingerprint --------------------------------------------------
+
+  /** Seeded 33-note melody (hashed per-note frequency and amplitude),
+    * quantized to PCM-16 at amplitude `amp` — the independent test-side
+    * analog of the synthetic generator, so gain invariance is exercised
+    * through real quantization. */
+  private def toneWav(seed: Long, amp: Double, sr: Int = 8000,
+      n: Int = 2048): Array[Byte] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val samples = Array.tabulate[Short](n) { i =>
+      val k = (i.toLong * 33 / n).toInt
+      val hk = mix(seed * 33 + k)
+      val freq = 400.0 + java.lang.Long.remainderUnsigned(hk, 12) * 250.0
+      val a = 0.45 + java.lang.Long.remainderUnsigned(hk >>> 8, 8) * 0.07
+      val t = i.toDouble / sr
+      val v = a * math.sin(2 * math.Pi * freq * t)
+      math.round(math.max(-1.0, math.min(1.0, v)) * amp).toShort
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes); u32(36 + n * 2); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); u32(16)
+    u16(1); u16(1); u32(sr); u32(sr * 2); u16(2); u16(16)
+    out.write("data".getBytes); u32(n * 2)
+    samples.foreach(s => u16(s & 0xFFFF))
+    out.toByteArray
+  }
+
+  test("audio fingerprint: gain-invariant, near-dups close, distinct " +
+    "recordings far, malformed → None") {
+    val base = MediaCodecs.audioFingerprint64(toneWav(1, 30000)).get
+    // the same recording re-encoded at 1/3 the gain: energy and ZCR bits
+    // compare ratios of like quantities, so only PCM quantization noise
+    // can move a bit
+    val quiet = MediaCodecs.audioFingerprint64(toneWav(1, 10000)).get
+    assert(ham(base, quiet) <= 2,
+      s"gain change moved ${ham(base, quiet)} bits")
+    // distinct seeds → different envelope and carriers → far
+    val others = (2L to 9L).map(s =>
+      MediaCodecs.audioFingerprint64(toneWav(s, 30000)).get)
+    others.foreach(o => assert(ham(base, o) > 10,
+      s"distinct recording at distance ${ham(base, o)}"))
+    // too short to window, or not PCM-16 → None
+    assert(MediaCodecs.audioFingerprint64(toneWav(1, 30000, n = 40)) === None)
+    assert(MediaCodecs.audioFingerprint64("RIFFxxxxWAVE".getBytes) === None)
+  }
+
+  test("audioNearDups finds exactly the planted perceptual pairs") {
+    import spark.implicits._
+    val assets = Multimodal.syntheticWavs(spark,
+      spark.range(0, 60).toDF("id"), "id", nearDupEvery = 10)
+    val pairs = Multimodal.audioNearDups(spark, assets, maxHamming = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0) min r.getLong(1),
+        r.getLong(0) max r.getLong(1))).toSet
+    // ids 10,20,30,40,50 are gain+noise re-recordings of 9,19,29,39,49
+    val planted = Set((9L, 10L), (19L, 20L), (29L, 30L), (39L, 40L),
+      (49L, 50L))
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).mkString(",")}")
+    assert((pairs -- planted).isEmpty,
+      s"unexpected pairs: ${(pairs -- planted).mkString(",")}")
+  }
+
+  // ---- video (concatenated-PPM stream) ------------------------------------
+
+  test("ppmFrames splits a concatenated P6 stream into exact per-frame " +
+    "slices; malformed tails degrade to the frames before them") {
+    val f1 = encodePpm(W, H, pix)
+    val f2 = encodePpm(4, 4, (x, y) => (x * 50, y * 50, 128))
+    val stream = f1 ++ f2 ++ f1
+    val frames = MediaCodecs.ppmFrames(stream)
+    assert(frames.length === 3)
+    assert(frames(0) === f1 && frames(1) === f2 && frames(2) === f1)
+    // each slice decodes exactly like the standalone frame
+    assert(MediaCodecs.decodePpm(frames(1)) === MediaCodecs.decodePpm(f2))
+    // truncated last frame → only the whole frames come back
+    assert(MediaCodecs.ppmFrames(stream.dropRight(5)).length === 2)
+    assert(MediaCodecs.ppmFrames("not a video".getBytes) === Nil)
+  }
+
+  test("sceneChanges finds exactly the planted mid-clip cut; near-dup " +
+    "videos match frame-by-frame in videoNearDups") {
+    import spark.implicits._
+    val assets = Multimodal.syntheticVideos(spark,
+      spark.range(0, 60).toDF("id"), "id",
+      side = 16, frames = 8, nearDupEvery = 10)
+    // every clip has scenes at frames 0-3 and 4-7 → one cut at frame 4
+    val cuts = Multimodal.sceneChanges(spark, assets, minHamming = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(cuts.length === 60, s"expected 60 cuts, got ${cuts.length}")
+    assert(cuts.forall(_._2 === 4),
+      s"cuts off the scene boundary: ${cuts.filter(_._2 != 4).mkString(",")}")
+    // near-dup videos: one-pixel-perturbed re-paints of the previous id
+    val pairs = Multimodal.videoNearDups(spark, assets,
+      maxHamming = 10, minMatchedFrames = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0) min r.getLong(1),
+        r.getLong(0) max r.getLong(1))).toSet
+    val planted = Set((9L, 10L), (19L, 20L), (29L, 30L), (39L, 40L),
+      (49L, 50L))
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).mkString(",")}")
+    assert((pairs -- planted).isEmpty,
+      s"unexpected pairs: ${(pairs -- planted).mkString(",")}")
+  }
+
   test("imageNearDups finds exactly the planted perceptual pairs") {
     import spark.implicits._
     val assets = Multimodal.syntheticImages(spark,
