@@ -482,6 +482,29 @@ object SparkEntry {
         maxHamming = 10, minMatchedFrames = 6)
     }),
 
+    // Domain-level corpus curation (C4/RefinedWeb-style): synthesize a
+    // deterministic URL per document (the varying label sits at the
+    // registrable position, with www. prefixes, ports, and co.uk-style
+    // two-level suffixes so the parse is real), extract eTLD+1 with the
+    // codegen'd regexp operators, drop documents whose domain appears in
+    // a blocklist (broadcast LEFT ANTI — the 100 TB side never
+    // shuffles), then aggregate the per-domain corpus report.
+    "q111_domain_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://www."), col("source"), lit("x"),
+          pmod(col("doc_id"), lit(97)),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(".co.uk"))
+            .otherwise(lit(".com")),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(":8080"))
+            .otherwise(lit("")),
+          lit("/p/"), col("doc_id")))
+      val blocked = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(TextAnalysis.registrableDomain(
+          TextAnalysis.urlHost(col("url"))).as("domain"))
+      TextAnalysis.domainStats(
+        TextAnalysis.blocklistFilter(docs, "url", blocked), "url")
+    }),
+
     // Structured Streaming: watermarked tumbling-window agg over the event
     // stream; on a static directory the complete-mode result equals the
     // batch bucketing, so the same oracle verifies the streaming path.
@@ -1736,6 +1759,30 @@ object SparkEntry {
     * hash mode, whose signatures DuckDB rebuilds verbatim via
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    "q111_domain_filter" ->
+      """WITH urled AS (
+           SELECT *, 'https://www.' || source || 'x' || (doc_id % 97) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) ||
+             '/p/' || doc_id AS url
+           FROM documents),
+         parsed AS (
+           SELECT *, regexp_extract(
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+             '([^.]+\.(?:co\.uk|ac\.uk|co\.jp|com\.au|com\.br)|[^.]+\.[^.]+)$',
+             1) AS domain
+           FROM urled),
+         blocked AS (
+           SELECT DISTINCT domain FROM parsed WHERE doc_id % 50 = 0),
+         kept AS (
+           SELECT * FROM parsed
+           WHERE domain <> ''
+             AND domain NOT IN (SELECT domain FROM blocked))
+         SELECT domain, count(*) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM kept GROUP BY domain""",
     "q23_minhash_pairs" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -124,6 +124,46 @@ object TextAnalysis {
     regexp_count(text, lit(EmailPattern)) +
       regexp_count(text, lit(UrlPattern))
 
+  /** Host part of a URL: the authority between `scheme://` and the first
+    * `/`, `:` (port) or end. Pure regexp — codegen'd, engine-portable
+    * (explicit classes only). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Registrable domain (eTLD+1) of a host, with the common two-level
+    * public suffixes handled explicitly (`co.uk`-style). The full public
+    * suffix list is a data file a production deployment would broadcast;
+    * the anchored-alternation regexp is the same plan shape and keeps the
+    * whole operator inside codegen. Unmatched hosts (single-label,
+    * IP-ish) yield the empty string — degrade, never fail. */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host,
+      "([^.]+\\.(?:co\\.uk|ac\\.uk|co\\.jp|com\\.au|com\\.br)|[^.]+\\.[^.]+)$",
+      1)
+
+  /** Per-domain corpus report: document count, mean length, distinct
+    * languages and sources — the aggregation behind domain-level curation
+    * decisions (C4/RefinedWeb-style). One map-side-combined shuffle on
+    * the domain key. */
+  def domainStats(docs: DataFrame, urlCol: String): DataFrame =
+    docs.withColumn("domain", registrableDomain(urlHost(col(urlCol))))
+      .where(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+
+  /** Domain-blocklist filter: drop every document whose registrable
+    * domain appears in `blockedDomains` (one `domain` column). A
+    * broadcast LEFT ANTI join — the blocklist is small (UT1-style lists
+    * are ~1M rows) and never shuffles the 100 TB fact side. */
+  def blocklistFilter(docs: DataFrame, urlCol: String,
+      blockedDomains: DataFrame): DataFrame =
+    docs.withColumn("domain", registrableDomain(urlHost(col(urlCol))))
+      .join(broadcast(blockedDomains.select(col("domain")).distinct()),
+        Seq("domain"), "left_anti")
+
   /** Per-document top-k TF-IDF terms — keyword extraction for corpus
     * exploration and near-dup triage. Shape at scale: one shuffle for the
     * per-(doc, term) counts (map-side combined), one for the document

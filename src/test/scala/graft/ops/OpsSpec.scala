@@ -371,6 +371,33 @@ class OpsSpec extends SparkSuite {
     assert(got(1).getInt(1) === 0)
   }
 
+  test("urlHost and registrableDomain parse ports, paths, www and " +
+    "two-level suffixes; blocklistFilter drops whole domains") {
+    import spark.implicits._
+    val parsed = Seq(
+      "https://www.news.example.co.uk:8080/a/b?q=1",
+      "http://cdn.assets.example.com/x",
+      "https://example.com",
+      "https://localhost/admin",         // single label → no eTLD+1
+      "not a url").toDF("url")
+      .select(TextAnalysis.urlHost(col("url")).as("host"),
+        TextAnalysis.registrableDomain(
+          TextAnalysis.urlHost(col("url"))).as("domain"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(parsed(0) === ("www.news.example.co.uk", "example.co.uk"))
+    assert(parsed(1) === ("cdn.assets.example.com", "example.com"))
+    assert(parsed(2) === ("example.com", "example.com"))
+    assert(parsed(3) === ("localhost", ""))
+    assert(parsed(4) === ("", ""))
+    val docs = Seq(
+      (1L, "https://a.spam.net/1"), (2L, "https://b.spam.net/2"),
+      (3L, "https://c.ok.org/3")).toDF("doc_id", "url")
+    val kept = TextAnalysis.blocklistFilter(docs, "url",
+      Seq("spam.net").toDF("domain")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+  }
+
   test("topTerms ranks rare distinctive words above ubiquitous ones") {
     import spark.implicits._
     val corpus = Seq(
