@@ -505,6 +505,22 @@ object SparkEntry {
         TextAnalysis.blocklistFilter(docs, "url", blocked), "url")
     }),
 
+    // Margin-based pair mining (CCMatrix/LASER family): even vec_ids are
+    // the "source language", odd the "target"; forward top-4 candidates,
+    // ratio margin over both sides' neighborhood means, threshold 1.2
+    // (sits in a wide empty gap of the margin distribution at both gate
+    // scales, so cross-engine float rounding cannot flip membership).
+    // Margin values are floats, so only the mined (src, tgt) pairs are
+    // emitted for the oracle hash.
+    "q112_margin_mining" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.marginMining(
+        e.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        e.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        k = 4, threshold = 1.2)
+        .select(col("src_id"), col("tgt_id"))
+    }),
+
     // Structured Streaming: watermarked tumbling-window agg over the event
     // stream; on a static directory the complete-mode result equals the
     // batch bucketing, so the same oracle verifies the streaming path.
@@ -1759,6 +1775,32 @@ object SparkEntry {
     * hash mode, whose signatures DuckDB rebuilds verbatim via
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    "q112_margin_mining" ->
+      """WITH src AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 2 = 0),
+         tgt AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 2 = 1),
+         fwd AS (
+           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             list_cosine_similarity(s.embedding, t.embedding) AS cos,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY list_cosine_similarity(s.embedding, t.embedding)
+                 DESC, t.vec_id) AS rk
+           FROM src s CROSS JOIN tgt t),
+         fk AS (SELECT * FROM fwd WHERE rk <= 4),
+         degs AS (SELECT src_id, avg(cos) AS deg_s FROM fk GROUP BY src_id),
+         bwd AS (
+           SELECT t.vec_id AS tgt_id, s.vec_id AS src_id,
+             list_cosine_similarity(s.embedding, t.embedding) AS cos,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY list_cosine_similarity(s.embedding, t.embedding)
+                 DESC, s.vec_id) AS rk
+           FROM tgt t CROSS JOIN src s),
+         degt AS (SELECT tgt_id, avg(cos) AS deg_t FROM bwd
+             WHERE rk <= 4 GROUP BY tgt_id)
+         SELECT fk.src_id, fk.tgt_id
+         FROM fk JOIN degs USING (src_id) JOIN degt USING (tgt_id)
+         WHERE fk.cos * 2 / (degs.deg_s + degt.deg_t) >= 1.2""",
     "q111_domain_filter" ->
       """WITH urled AS (
            SELECT *, 'https://www.' || source || 'x' || (doc_id % 97) ||

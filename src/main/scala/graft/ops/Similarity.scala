@@ -245,6 +245,35 @@ object Similarity {
     * pairs come from the capped-bucket expansion (bounded buffers, no
     * self-join) shared with the dedup operators; vectors are joined back
     * only for surviving candidates. */
+  /** Margin-based bitext/pair mining (Artetxe–Schwenk ratio margin — the
+    * alignment-mining stage of the CCMatrix/LASER pipeline family):
+    * candidate pairs are each source vector's forward top-`k` neighbors;
+    * the pair cosine is rescaled by the mean of the two sides' top-`k`
+    * neighborhood cosines, demoting "hub" vectors that are close to
+    * everything; pairs at margin ≥ `threshold` survive. Exact
+    * brute-force kernel (the oracle-verified variant): two broadcast
+    * top-k passes — the bigger side is never shuffled — then two small
+    * aggregations and a join on the candidate list. At 100 TB the same
+    * margin is computed over [[ivfTopK]]/[[lshTopK]] candidates, which
+    * produce the identical (query_id, corpus_id, score, rank) shape
+    * this consumes. */
+  def marginMining(src: DataFrame, srcId: String, srcVec: String,
+      tgt: DataFrame, tgtId: String, tgtVec: String,
+      k: Int, threshold: Double): DataFrame = {
+    val fwd = bruteForceTopK(tgt, tgtId, tgtVec, src, srcId, srcVec, k)
+    val bwd = bruteForceTopK(src, srcId, srcVec, tgt, tgtId, tgtVec, k)
+    val degSrc = fwd.groupBy(col("query_id"))
+      .agg(avg(col("score")).as("deg_src"))
+    val degTgt = bwd.groupBy(col("query_id").as("corpus_id"))
+      .agg(avg(col("score")).as("deg_tgt"))
+    fwd.join(degSrc, Seq("query_id"))
+      .join(degTgt, Seq("corpus_id"))
+      .select(col("query_id").as("src_id"), col("corpus_id").as("tgt_id"),
+        (col("score") * 2.0 / (col("deg_src") + col("deg_tgt")))
+          .as("margin"))
+      .where(col("margin") >= threshold)
+  }
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 8): DataFrame = {
     val b = df.select(col(idCol).as("id"),

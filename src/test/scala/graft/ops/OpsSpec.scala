@@ -398,6 +398,29 @@ class OpsSpec extends SparkSuite {
     assert(kept === Set(3L))
   }
 
+  test("marginMining keeps the planted translation pair and demotes the " +
+    "hub that is uniformly close to everything") {
+    import spark.implicits._
+    // 4-dim toy space: every src has a near-identical true pair in tgt,
+    // plus one hub vector moderately close to ALL srcs. The hub's raw
+    // cosines are high, but each src's true pair sets a high
+    // neighborhood mean, so the hub's margin stays near 1.
+    val src = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.3f, 0.0f)),
+      (3L, Array(0.0f, 0.2f, 1.0f, 0.4f))).toDF("id", "vec")
+    val tgt = Seq(
+      (11L, Array(1.0f, 0.06f, 0.0f, 0.0f)),  // ≈ src 1
+      (12L, Array(0.0f, 0.95f, 0.35f, 0.0f)), // ≈ src 2
+      (13L, Array(0.0f, 0.25f, 1.0f, 0.35f)), // ≈ src 3
+      (14L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("id", "vec") // hub
+    val mined = Similarity.marginMining(src, "id", "vec",
+      tgt, "id", "vec", k = 2, threshold = 1.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined === Set((1L, 11L), (2L, 12L), (3L, 13L)),
+      s"expected exactly the planted pairs, got ${mined.mkString(",")}")
+  }
+
   test("topTerms ranks rare distinctive words above ubiquitous ones") {
     import spark.implicits._
     val corpus = Seq(
