@@ -26,6 +26,10 @@ class PlanLintSpec extends SparkSuite {
     "q56_corpus_report", // totals row
     "q26_ann_bruteforce", // the ANN query set (k rows, broadcast by
                           // design: corpus never shuffles, map-side TopK)
+    "q112_margin_mining", // exact-kernel variant: the mining query set
+                          // broadcasts (corpus never shuffles); the
+                          // 100 TB path feeds IVF/LSH candidates into
+                          // the same margin instead
     "q85_bigram_lm_quality", // one-row vocab-size frame
     "q94_heldout_lm", // one-row vocab-size frame
     "q87_source_overlap", // K-row source-size frames (pair completeness)

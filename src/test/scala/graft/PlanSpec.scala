@@ -283,4 +283,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_topk_by_score"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("q111: blocklist filter is a broadcast LEFT ANTI — the document " +
+      "side never shuffles on the domain key") {
+    val p = plan("q111_domain_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "blocklist must broadcast, not shuffle the corpus")
+  }
+
+  test("q112: margin mining broadcasts the query sides; the corpus is " +
+      "scored map-side, reduced by the bounded top-k aggregate") {
+    val p = plan("q112_margin_mining")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("partial_topk_by_score"), p.take(2000))
+    assert(!p.contains("Window"),
+      "top-k must be the bounded aggregate, never a global window")
+  }
 }
