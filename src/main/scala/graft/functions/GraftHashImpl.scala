@@ -147,6 +147,28 @@ object GraftHashImpl {
     new GenericArrayData(out)
   }
 
+  /** All index-ordered pairs (i < j) of a long array as rows of
+    * (id_a, id_b) — the compiled kernel behind [[IndexPairs]]. Null
+    * elements cannot occur in its inputs (bounded_collect_set never
+    * emits them). */
+  def indexPairsL(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(x, a.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def hasNullElement(a: ArrayData): Boolean = {
     val n = a.numElements()
     var i = 0

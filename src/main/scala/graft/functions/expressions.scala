@@ -225,6 +225,41 @@ case class HyperplaneBands(child: Expression, bitsPerTable: Int,
   * input is null, the lengths differ, or any element is null — a
   * corrupt/short embedding surfaces as a null score, never a plausible
   * partial sum. */
+/** All index-ordered pairs (i < j) of an id array as
+  * array<struct<id_a,id_b>> — the per-bucket candidate-pair expansion of
+  * the LSH dedup family. Replaces the interpreted nested-`transform`
+  * formulation: higher-order functions evaluate a closure per element
+  * (and per PAIR here), which the 10× scale-stress run measured as the
+  * whole job on hot ~600-id buckets; this kernel is one compiled loop.
+  * Output order and multiset are IDENTICAL to the HOF form it replaced,
+  * so every oracle result is unchanged. */
+case class IndexPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "index_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"index_pairs expects array<bigint>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashImpl.indexPairsL(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.GraftHashImpl.indexPairsL($a);
+      """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IndexPairs = copy(child = newChild)
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -315,6 +350,10 @@ object GraftFunctions {
     * the group exceeds `cap` distinct values; O(cap) partial buffers. */
   def boundedCollectSet(e: Column, cap: Int): Column =
     col(BoundedCollectSet(expr(e), cap).toAggregateExpression())
+
+  /** All index-ordered pairs (i < j) of an array<bigint> as
+    * array<struct<id_a,id_b>> — compiled candidate-pair expansion. */
+  def indexPairs(e: Column): Column = col(IndexPairs(expr(e)))
 
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -126,9 +126,11 @@ object Dedup {
       .agg(graft.functions.GraftFunctions
         .boundedCollectSet(col("id"), maxBucketSize).as("ids"))
       .where(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("pair"))
+      // native index_pairs expression: the interpreted nested-transform
+      // form evaluated a closure per PAIR and was the whole job on hot
+      // buckets at the 10x scale-stress run (same output, same order)
+      .select(explode(graft.functions.GraftFunctions
+        .indexPairs(col("ids"))).as("pair"))
       .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
 

@@ -72,7 +72,8 @@ object Multimodal {
     */
   def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-    assets.select("asset_id", "kind", "payload").mapPartitions { it =>
+    Similarity.widenForCompute(assets.select("asset_id", "kind", "payload"))
+      .mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val kind = r.getString(1)
@@ -117,7 +118,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("payload", BinaryType))))
-    ids.select(col(idCol).cast("long").as("asset_id"))
+    Similarity.widenForCompute(
+        ids.select(col(idCol).cast("long").as("asset_id")))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -192,7 +194,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("payload", BinaryType))))
-    ids.select(col(idCol).cast("long").as("asset_id"))
+    Similarity.widenForCompute(
+        ids.select(col(idCol).cast("long").as("asset_id")))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -232,7 +235,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("afp", LongType, nullable = true))))
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    Similarity.widenForCompute(assets.select("asset_id", "payload"))
+      .mapPartitions { it =>
       it.map { r =>
         val fp = MediaCodecs.audioFingerprint64(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), fp.map(java.lang.Long.valueOf).orNull)
@@ -261,7 +265,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("phash", LongType, nullable = true))))
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    Similarity.widenForCompute(assets.select("asset_id", "payload"))
+      .mapPartitions { it =>
       it.map { r =>
         val hash = MediaCodecs.perceptualHash64(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), hash.map(java.lang.Long.valueOf).orNull)
@@ -307,7 +312,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("payload", BinaryType))))
-    ids.select(col(idCol).cast("long").as("asset_id"))
+    Similarity.widenForCompute(
+        ids.select(col(idCol).cast("long").as("asset_id")))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -347,7 +353,8 @@ object Multimodal {
       StructField("asset_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("phash", LongType, nullable = false))))
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    Similarity.widenForCompute(assets.select("asset_id", "payload"))
+      .mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
         MediaCodecs.ppmFrames(r.getAs[Array[Byte]](1)).iterator

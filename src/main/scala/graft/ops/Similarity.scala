@@ -36,6 +36,19 @@ object Similarity {
     * aggregate does map-side partial aggregation with O(k) buffers, so
     * per-query reducer input is k × numPartitions rows no matter how large
     * the corpus is. Ties broken by corpus_id asc (deterministic). */
+  /** Widen a CPU-bound stage to the session's core parallelism when the
+    * planned input is narrower. A byte-small parquet file plans a single
+    * split, which would run a compute-heavy kernel (dot products, media
+    * decode) on one core of 32; at real scale the input already has more
+    * splits than cores and this is a no-op — the guard keeps the 100 TB
+    * path shuffle-free. Found the hard way: the 10× scale-stress run of
+    * margin mining planned ONE partition for a 5 MB embeddings file and
+    * pinned two cores for minutes. */
+  private[ops] def widenForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def topKReduce(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(GraftFunctions.topKByScore(col("score"), col("corpus_id"), k)
@@ -58,8 +71,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"),
-      col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"))
+    val c = widenForCompute(corpus)
+      .select(col(corpusId).as("corpus_id"),
+        col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"))
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"))
     val scored = c.join(broadcast(q))
@@ -260,7 +274,12 @@ object Similarity {
   def marginMining(src: DataFrame, srcId: String, srcVec: String,
       tgt: DataFrame, tgtId: String, tgtVec: String,
       k: Int, threshold: Double): DataFrame = {
+    // the top-k result is tiny (n_src × k rows) but feeds TWO branches
+    // (candidate pairs + the neighborhood means); without materializing
+    // it Spark re-runs the full O(n·m) scoring pass per branch —
+    // measured as 3 full passes instead of 2 at the 10× scale run
     val fwd = bruteForceTopK(tgt, tgtId, tgtVec, src, srcId, srcVec, k)
+      .localCheckpoint(false)
     val bwd = bruteForceTopK(src, srcId, srcVec, tgt, tgtId, tgtVec, k)
     val degSrc = fwd.groupBy(col("query_id"))
       .agg(avg(col("score")).as("deg_src"))
