@@ -482,6 +482,53 @@ object SparkEntry {
         maxHamming = 10, minMatchedFrames = 6)
     }),
 
+    // Streaming incremental IMAGE dedup against a persisted pHash band
+    // index — the steady-state production shape for a growing image
+    // corpus: assets arrive in micro-batches (two parquet files, one per
+    // trigger), each batch is pHashed by the real BMP decode kernel, its
+    // band buckets probe the persisted index (equi-join on the bucket
+    // key; the corpus is never rescanned), cross-batch near-dup pairs
+    // append. Even ids land in batch one, odd in batch two, so every
+    // planted (10k-1, 10k) perceptual pair is found ACROSS batches via
+    // the index. Rows-only (media decode); the stream/index mechanics
+    // are spec-pinned in StreamsSpec.
+    "q113_stream_media_dedup" -> ((s, dir) => {
+      val assets = Multimodal.syntheticImages(s,
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val root = scratchDir("q113_media", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, idx, pairs, chk) = (s"$root/in", s"$root/index",
+        s"$root/pairs", s"$root/chk")
+      Seq(in, idx, pairs, chk).foreach(p => rmr(new java.io.File(p)))
+      assets.where(pmod(col("asset_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      assets.where(pmod(col("asset_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("asset_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.incrementalMediaDedupStream(
+        stream, idx, pairs, chk).awaitTermination()
+      if (new java.io.File(pairs).exists) s.read.parquet(pairs)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hamming",
+            org.apache.spark.sql.types.IntegerType))))
+    }),
+
     // Domain-level corpus curation (C4/RefinedWeb-style): synthesize a
     // deterministic URL per document (the varying label sits at the
     // registrable position, with www. prefixes, ports, and co.uk-style

@@ -442,21 +442,50 @@ object Dedup {
     simhashPairsFromSigs(sigs, maxHamming, maxBucketSize)
   }
 
-  /** Candidate generation + exact verify over precomputed (id, sig)
-    * signatures — the banding kernel of [[simhashNearDups]], exposed so
-    * the recall property can be tested on controlled signatures. */
-  private[graft] def simhashPairsFromSigs(sigs: DataFrame,
-      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+  /** Two-cover 16-bit band buckets of precomputed (id, sig) 64-bit
+    * signatures: 4 direct chunks plus 4 chunks of the rotate-left-8
+    * cover, as (id, sig, bucket) rows — the persistable band-index
+    * layout shared by the batch pair kernel and the incremental
+    * (streaming) dedup path. */
+  private[graft] def simhashBandBuckets(sigs: DataFrame): DataFrame = {
     // rotate left by 8: an independent disjoint 16-bit cover of the bits
     val rot = shiftrightunsigned(col("sig"), 8)
       .bitwiseOR(shiftleft(col("sig"), 56))
-    val bucketed = sigs.select(col("id"),
+    sigs.select(col("id"), col("sig"),
       posexplode(array(
         (0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)) ++
         (0 until 4).map(c =>
           shiftright(rot, c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
+      .select(col("id"), col("sig"),
+        xxhash64(col("pos"), col("col")).as("bucket"))
+  }
+
+  /** Cross-batch candidate pairs for the incremental signature-dedup
+    * path: equi-join the new batch's band buckets against the persisted
+    * index ON THE BUCKET KEY only (both sides carry their signature, so
+    * the Hamming verify needs no second lookup), dedup the candidate
+    * pair list, verify exactly. Work per batch is proportional to the
+    * batch's bucket collisions — the persisted corpus is never
+    * rescanned, only probed on the (bucketable) join key. */
+  private[graft] def incrementalSimhashCandidates(index: DataFrame,
+      batch: DataFrame, maxHamming: Int): DataFrame =
+    index.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("bucket"))
+      .join(batch.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("bucket")), Seq("bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Candidate generation + exact verify over precomputed (id, sig)
+    * signatures — the banding kernel of [[simhashNearDups]], exposed so
+    * the recall property can be tested on controlled signatures. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val bucketed = simhashBandBuckets(sigs).select("id", "bucket")
     candidatePairsFromBuckets(bucketed, maxBucketSize)
       .join(sigs.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sig", "sig_a"), Seq("id_a"))

@@ -157,6 +157,50 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Incremental MEDIA near-dedup against a persisted perceptual-hash
+    * band index — the steady-state shape for a growing 100 TB image
+    * corpus: each arriving micro-batch of image assets is pHashed by the
+    * real decode kernel, its band buckets are probed against the
+    * persisted index (equi-join on the bucket key only — the corpus is
+    * never rescanned), cross-batch near-dup pairs are appended, and the
+    * batch's buckets join the index. The media analog of
+    * [[incrementalDedupStream]], with the same at-least-once
+    * idempotency: a retried batch can duplicate candidate PAIRS, never
+    * miss one. */
+  def incrementalMediaDedupStream(assets: DataFrame,
+      indexPath: String, pairsPath: String, checkpointPath: String,
+      maxHamming: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    assets.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val spark = batch.sparkSession
+          val buckets = graft.ops.Dedup.simhashBandBuckets(
+            graft.ops.Multimodal.perceptualHashes(spark, batch.toDF())
+              .where(org.apache.spark.sql.functions.col("phash").isNotNull)
+              .select(
+                org.apache.spark.sql.functions.col("asset_id").as("id"),
+                org.apache.spark.sql.functions.col("phash").as("sig")))
+            .persist()
+          try {
+            val ip = new org.apache.hadoop.fs.Path(indexPath)
+            val exists = ip.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(ip)
+            val index =
+              if (exists) spark.read.parquet(indexPath)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                buckets.schema)
+            graft.ops.Dedup.incrementalSimhashCandidates(index, buckets,
+              maxHamming).write.mode("append").parquet(pairsPath)
+            buckets.write.mode("append").parquet(indexPath)
+          } finally { buckets.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
   /** Late-data audit: one row per micro-batch recording how much of the
     * batch arrived behind the stream's event-time frontier — the
     * observability a watermarked pipeline NEEDS, because watermarked aggs

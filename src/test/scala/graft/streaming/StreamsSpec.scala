@@ -145,6 +145,47 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(index).select("id").distinct().count() === 4)
   }
 
+  test("incremental media dedup stream finds the planted cross-batch " +
+      "perceptual pair via the persisted pHash index") {
+    import spark.implicits._
+    val in = tmp("incmedia_in")
+    val index = s"${tmp("incmedia")}/index"
+    val pairs = s"${tmp("incmedia")}/pairs"
+    val ckpt = tmp("incmedia_ckpt")
+    // synthetic BMPs: id 10 is the planted near-dup of id 9
+    val payloads = graft.ops.Multimodal.syntheticImages(spark,
+      Seq(9L, 2L, 10L, 25L).toDF("id"), "id",
+      side = 16, nearDupEvery = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def writeFile(name: String, mtime: Long, ids: Seq[Long]): Unit = {
+      val dir = tmp("incmedia_stage")
+      ids.map(i => (i, payloads(i))).toDF("asset_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val src = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile("batch1.parquet", t0, Seq(9L, 2L))           // indexed
+    writeFile("batch2.parquet", t0 + 30000, Seq(10L, 25L)) // arrives later
+    val assets = spark.readStream
+      .schema(StructType(Seq(
+        StructField("asset_id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val q = Streams.incrementalMediaDedupStream(assets, index, pairs,
+      ckpt, maxHamming = 10)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((9L, 10L))) // batch-2 dup of the indexed batch-1 image
+    // the index now holds band buckets for all four assets
+    assert(spark.read.parquet(index).select("id").distinct().count() === 4)
+  }
+
   test("late-data audit counts rows behind the replayed event-time " +
     "frontier, one audit row per batch") {
     import spark.implicits._
