@@ -482,6 +482,55 @@ object SparkEntry {
         maxHamming = 10, minMatchedFrames = 6)
     }),
 
+    // U6 under the oracle: the XML EXPORT path end-to-end. Synthetic
+    // Patients ingest via JSON bundles (the "?" gender scrubs to null),
+    // re-serialize per-resource with resourceToXml (JSON→spec-shaped
+    // FHIR XML: value= attributes, element-per-field, arrays as
+    // repeated elements), re-wrap into an XML bundle, and re-ingest
+    // through the schema-guided StAX path. A defect in EITHER direction
+    // of the XML converter breaks the relational oracle.
+    "q114_fhir_xml_export_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val resource = to_json(struct(
+        lit("Patient").as("resourceType"),
+        concat(lit("p"), col("c_custkey")).as("id"),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END").as("gender"),
+        concat((lit(1950) + col("c_custkey") % 50).cast("string"),
+          lit("-06-15")).as("birthDate"),
+        array(struct(col("c_name").as("family"),
+          array(col("c_mktsegment")).as("given"))).as("name")),
+        Map("ignoreNullFields" -> "true"))
+      val bundles = c.select(resource.as("r"),
+          expr("c_custkey div 20").as("bundle_key"))
+        .groupBy(col("bundle_key"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      val patients = graft.fhir.Bundles.extractEntry(s,
+        graft.fhir.Bundles.fromJson(bundles, "bundle_json"), "Patient")
+      val xml = graft.fhir.Bundles.resourceToXml(patients, "Patient")
+        .select(concat(
+          lit("""<Bundle xmlns="http://hl7.org/fhir">""" +
+            """<type value="collection"/><entry><resource>"""),
+          col("xml"),
+          lit("</resource></entry></Bundle>")).as("bundle_xml"))
+      graft.fhir.Bundles.extractEntry(s,
+          graft.fhir.Bundles.fromXml(xml, "bundle_xml",
+            graft.fhir.FhirSchemas.defaultRegistry, Seq("Patient")),
+          "Patient")
+        .select(col("id").as("patient_id"), col("gender"),
+          col("birthDate").as("birth_date"),
+          try_element_at(col("name"), lit(1)).getField("family")
+            .as("family_name"),
+          try_element_at(
+            try_element_at(col("name"), lit(1)).getField("given"), lit(1))
+            .as("given_name"))
+    }),
+
     // Streaming incremental IMAGE dedup against a persisted pHash band
     // index — the steady-state production shape for a growing image
     // corpus: assets arrive in micro-batches (two parquet files, one per
@@ -1822,6 +1871,15 @@ object SparkEntry {
     * hash mode, whose signatures DuckDB rebuilds verbatim via
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    "q114_fhir_xml_export_roundtrip" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender,
+           CAST(1950 + c_custkey % 50 AS VARCHAR) || '-06-15'
+             AS birth_date,
+           c_name AS family_name,
+           c_mktsegment AS given_name
+         FROM customer""",
     "q112_margin_mining" ->
       """WITH src AS (SELECT vec_id, embedding FROM embeddings
              WHERE vec_id % 2 = 0),
