@@ -531,6 +531,50 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // The Avro backend under the oracle: decoded Patients write as Avro
+    // container files (generic records against the compiled Avro schema,
+    // one file per partition, executor-side) and read back through the
+    // same codec into the compiled Spark schema; the relational oracle
+    // breaks if the Avro schema compiler, the row→record→row codec, or
+    // the container framing drops or mangles a field.
+    "q115_fhir_avro_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val resource = to_json(struct(
+        lit("Patient").as("resourceType"),
+        concat(lit("p"), col("c_custkey")).as("id"),
+        expr("CASE c_custkey % 3 WHEN 0 THEN 'male' " +
+          "WHEN 1 THEN 'female' ELSE '?' END").as("gender"),
+        concat((lit(1950) + col("c_custkey") % 50).cast("string"),
+          lit("-06-15")).as("birthDate"),
+        array(struct(col("c_name").as("family"),
+          array(col("c_mktsegment")).as("given"))).as("name")),
+        Map("ignoreNullFields" -> "true"))
+      val bundles = c.select(resource.as("r"),
+          expr("c_custkey div 20").as("bundle_key"))
+        .groupBy(col("bundle_key"))
+        .agg(collect_list(col("r")).as("rs"))
+        .select(concat(
+          lit("""{"resourceType":"Bundle","type":"collection","entry":["""),
+          array_join(transform(col("rs"),
+            r => concat(lit("""{"resource":"""), r, lit("}"))), ","),
+          lit("]}")).as("bundle_json"))
+      val patients = graft.fhir.Bundles.extractEntry(s,
+        graft.fhir.Bundles.fromJson(bundles, "bundle_json"), "Patient")
+      val tmp = scratchDir("q115_avro", dir)
+      val d = new java.io.File(tmp)
+      d.mkdirs()
+      Option(d.listFiles()).foreach(_.foreach(f => f.delete()))
+      graft.fhir.FhirAvro.writeAvroFiles(patients, "Patient", tmp)
+      graft.fhir.FhirAvro.readAvroFiles(s, "Patient", tmp)
+        .select(col("id").as("patient_id"), col("gender"),
+          col("birthDate").as("birth_date"),
+          try_element_at(col("name"), lit(1)).getField("family")
+            .as("family_name"),
+          try_element_at(
+            try_element_at(col("name"), lit(1)).getField("given"), lit(1))
+            .as("given_name"))
+    }),
+
     // Streaming incremental IMAGE dedup against a persisted pHash band
     // index — the steady-state production shape for a growing image
     // corpus: assets arrive in micro-batches (two parquet files, one per
@@ -1871,6 +1915,15 @@ object SparkEntry {
     * hash mode, whose signatures DuckDB rebuilds verbatim via
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    "q115_fhir_avro_roundtrip" ->
+      """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
+           CASE c_custkey % 3 WHEN 0 THEN 'male'
+             WHEN 1 THEN 'female' ELSE NULL END AS gender,
+           CAST(1950 + c_custkey % 50 AS VARCHAR) || '-06-15'
+             AS birth_date,
+           c_name AS family_name,
+           c_mktsegment AS given_name
+         FROM customer""",
     "q114_fhir_xml_export_roundtrip" ->
       """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
            CASE c_custkey % 3 WHEN 0 THEN 'male'
