@@ -28,21 +28,12 @@ import graft.terminology._
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
-    // spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench
-    // sessions), surfacing as a long we convert to a microsecond
-    // timestamp. Integral `div`, NOT `/ 1000`: the `/` operator divides
-    // as DOUBLE, and 2024-era nano timestamps (~1.7e18) are above 2^53,
-    // so the double round-trip perturbs individual stamps by ±1us —
-    // caught by the q70 funnel oracle, which exposes raw per-user micros.
-    df.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
-    }
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    // events.ts has shipped in three physical encodings across driver
+    // rounds (nanos-long, TIMESTAMP_NTZ, TIMESTAMP); EventTime is the one
+    // shared normalizer (and loud range guard) for batch AND streaming.
+    graft.sources.EventTime.normalize(
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 

@@ -31,9 +31,18 @@ object Mixing {
     * integral column expression (token count, char count, byte size). */
   def sourceStats(df: DataFrame, sourceCol: String,
       weight: Column): DataFrame = {
+    // The stats frame is tiny (one row per source) but feeds TWO branches
+    // (the totals scalar + the output crossJoin), and the branches prune
+    // different columns, so their exchanges never canonicalize equal and
+    // ReuseExchange cannot dedupe them — without materializing, the FULL
+    // corpus scan + groupBy runs once per branch (verified on the final
+    // adaptive plan: two FileScans). The lazy localCheckpoint costs one
+    // extra tiny job locally and halves the corpus scans at scale — the
+    // same fix as marginMining's top-k frame (r8 scale-stress commit).
     val s = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(weight.cast("long")).as("tokens"))
+      .localCheckpoint(eager = false)
     val totals = s.agg(sum(col("tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     s.crossJoin(broadcast(totals))

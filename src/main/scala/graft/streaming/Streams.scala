@@ -402,19 +402,26 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
-  /** Streaming events source over the testdata parquet layout (ts arrives as
-    * TIMESTAMP(NANOS) → long under nanosAsLong, converted to micros). */
+  /** Streaming events source over the testdata parquet layout. The `ts`
+    * physical encoding has changed across driver rounds (nanos-long,
+    * TIMESTAMP_NTZ, TIMESTAMP); the declared stream schema is probed from
+    * the parquet footer (one driver-side read — a stream must declare its
+    * schema up front) and the column is normalized through the same
+    * [[graft.sources.EventTime]] used by the batch reader, including the
+    * loud out-of-range guard: a unit misinterpretation throws at the first
+    * micro-batch instead of emitting plausible 1970-era windows (the
+    * round-8 silent-corruption mode). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
+    val logical = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integral div: `/ 1000` divides as DOUBLE and nano timestamps
-      // exceed 2^53, perturbing stamps by ±1us (same fix as SparkEntry.t)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = graft.sources.EventTime.probeSchema(
+      spark, s"$dir/events.parquet", logical)
+    graft.sources.EventTime.normalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 }

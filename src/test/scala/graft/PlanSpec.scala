@@ -134,13 +134,18 @@ class PlanSpec extends SparkSuite {
       "keeper per cluster must not serialize cluster members via a window")
   }
 
-  test("q48: mixing stats are map-side partial; totals attach by broadcast") {
+  test("q48: mixing stats materialize once; totals attach by broadcast") {
     val p = plan("q48_mixing_plan")
-    // one groupBy(source) with a partial phase — the shuffle carries one
-    // row per source, never per document
-    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(2000))
+    // the per-source stats frame is localCheckpoint'ed, so BOTH branches
+    // (totals scalar + output crossJoin) read the materialized RDD — the
+    // corpus is scanned exactly once, in the checkpoint's own job (the
+    // un-checkpointed shape scanned documents once PER branch: the
+    // branches prune different columns, so ReuseExchange never fires)
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("FileScan"),
+      "a FileScan here means a branch re-derived the corpus scan")
     // corpus totals come from the tiny stats frame via a broadcast cross
-    // join, NOT a global window or a re-scan of the documents
+    // join, NOT a global window
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p.take(2000))
     assert(!p.contains("Window"))

@@ -69,8 +69,8 @@ class StreamsSpec extends SparkSuite {
   test("streaming sessionization equals the batch operator on the fixture") {
     import spark.implicits._
     val gap = 1800L
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact, as eventStream
+    val events = graft.sources.EventTime.normalize(
+      spark.read.parquet(s"$sfDir/events.parquet")) // same path as eventStream
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"))
     val batch = graft.ops.Sessions.sessionStats(events,
