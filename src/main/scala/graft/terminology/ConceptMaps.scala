@@ -57,7 +57,8 @@ class ConceptMaps private (
     getLatestVersions(includeExperimental).as[(String, String)].collect().toMap
 
   private def hasDuplicates(newMembers: Dataset[UrlAndVersion]): Boolean =
-    !getUrlAndVersions.intersect(newMembers).isEmpty
+    !TableWrites.knownEmpty(getUrlAndVersions) &&
+      !getUrlAndVersions.intersect(newMembers).isEmpty
 
   /** Append new concept maps. Duplicates are an error
     * (ConceptMaps.withConceptMaps :304-311). */

@@ -42,7 +42,8 @@ class Hierarchies private (
       .as[(String, String)].collect().toMap
 
   private def hasDuplicates(newMembers: Dataset[UrlAndVersion]): Boolean =
-    !members.intersect(newMembers).isEmpty
+    !TableWrites.knownEmpty(members) &&
+      !members.intersect(newMembers).isEmpty
 
   /** Add a hierarchy given its direct parent-child elements; the transitive
     * closure is computed here, distributed. Duplicate (uri, version) is an
@@ -56,11 +57,17 @@ class Hierarchies private (
       throw new IllegalArgumentException(
         s"Hierarchy $uri version $version already exists")
     }
-    // linear mode: real code hierarchies (LOINC/SNOMED) are 10-20 deep, so
-    // d rounds of the skew-free closure ⋈ edges join beat log₂(d) rounds of
-    // the hub-skewed closure ⋈ closure (TransitiveClosure doc). The round
-    // budget allows 65-hop depth — far past any real code system — and the
-    // closure throws rather than truncating if it is ever exceeded.
+    // Prefix-doubling mode: real code hierarchies (LOINC/SNOMED) are
+    // 10-20 deep, so doubling converges in ⌈log₂ d⌉+1 ≈ 5 rounds where
+    // linear mode needs d ≈ 14-20. Each round is a full sequential
+    // barrier (shuffle + fixpoint count), so ROUND COUNT is the wall-time
+    // driver both locally and on a 1000-executor cluster — measured 1.6×
+    // faster than linear on the 14-deep q106 tree at sf0.1. The cost is
+    // the closure ⋈ closure join's hub skew (nodes under the root carry
+    // ~|subtree| rows per key), which AQE's runtime skew-split absorbs;
+    // per-key output is bounded by depth × subtree, the same order as the
+    // closure itself. The round budget allows 2^64 depth — convergence is
+    // detected early, and the closure throws rather than truncating.
     //
     // The d iterated joins run on a LONG dictionary encoding of the
     // (system, value) codes, not the strings: every round shuffles 8-byte
@@ -81,11 +88,18 @@ class Hierarchies private (
         xxhash64($"system", $"value").as("id"))
     val chk = codes.agg(count(lit(1)).as("n"),
       count_distinct($"id").as("nd")).head()
+    // shuffle width scaled to the hierarchy's size (known from the
+    // collision check): a 30k-code hierarchy does not need the session's
+    // full width per round (narrower shuffles cut per-round overhead),
+    // while a 100M-code one gets the session default back
+    val width = Some(math.max(8L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      chk.getLong(0) / 50000L)).toInt)
     val closed: Dataset[Ancestor] =
       if (chk.getLong(0) != chk.getLong(1)) {
         // hash collision (≈ n²/2⁶⁴ odds): exact string-keyed fallback
         TransitiveClosure.closure(spark, elements,
-            maxIterations = 64, linear = true)
+            maxIterations = 64, shufflePartitions = width)
           .select(lit(uri).as("uri"), lit(version).as("version"),
             $"descendantSystem", $"descendantValue",
             $"ancestorSystem", $"ancestorValue")
@@ -100,7 +114,7 @@ class Hierarchies private (
             Seq("descendantSystem", "descendantValue"))
           .select($"parent", $"child")
         TransitiveClosure.closureLong(spark, longEdges,
-            maxIterations = 64, linear = true)
+            maxIterations = 64, shufflePartitions = width)
           .join(codes.select($"id".as("ancestor"),
             $"system".as("ancestorSystem"),
             $"value".as("ancestorValue")), Seq("ancestor"))

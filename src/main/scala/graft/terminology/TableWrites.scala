@@ -25,6 +25,18 @@ private[graft] object TableWrites {
     name
   }
 
+  /** True when the optimizer can PROVE `ds` is empty (it folds to an
+    * empty LocalRelation via empty-relation propagation). Lets the
+    * duplicate-membership checks skip their intersect job on a fresh
+    * collection — the `getEmpty(...).with...` flow every import starts
+    * from — without weakening the check anywhere it could matter. */
+  def knownEmpty(ds: org.apache.spark.sql.Dataset[_]): Boolean =
+    ds.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   /** Select `cols` (name → SQL type), substituting typed nulls for columns
     * absent from `df` — so metadata tables written before the schema gained
     * name/status/publisher/date still load instead of failing analysis. */

@@ -63,7 +63,8 @@ class ValueSets private (
       .as[(String, String)].collect().toMap
 
   private def hasDuplicates(newMembers: Dataset[UrlAndVersion]): Boolean =
-    !getUrlAndVersions.intersect(newMembers).isEmpty
+    !TableWrites.knownEmpty(getUrlAndVersions) &&
+      !getUrlAndVersions.intersect(newMembers).isEmpty
 
   /** Append new valuesets (metadata + values). Duplicate (url, version) is an
     * error (ValueSets.java:149-175). */
