@@ -37,6 +37,35 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** First 60 bits of md5(s) as a non-negative long — the same portable
+    * hash family as GraftHashImpl.portableHash60, as a plain Column so
+    * oracle-checkable queries can construct signature tables DuckDB
+    * rebuilds verbatim via `CAST(('0x' || substr(md5(s),1,15)) AS
+    * BIGINT)`. */
+  private def portable60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic 64-bit "perceptual signature" table over documents:
+    * every id gets a pseudo-random base signature, and every
+    * `dupEvery`-th id instead takes the PREVIOUS id's base XOR a mask of
+    * `k = (id div dupEvery) % 14` low bits shifted by `maskShift` — a
+    * planted near-duplicate at EXACTLY Hamming distance k, so pairs with
+    * k <= maxHamming must surface and k > maxHamming must not. Pure
+    * projection (the planted signature is recomputed from id-1, never
+    * joined), reproduced bit-for-bit by the DuckDB oracle. */
+  private def mediaSigs(docs: DataFrame, salt: String, dupEvery: Int,
+      maskShift: Int): DataFrame = {
+    def base(id: Column) = portable60(concat(lit(salt), id.cast("string")))
+    val dup = pmod(col("doc_id"), lit(dupEvery)) === 0 && col("doc_id") > 0
+    // k-bit mask → planted pair at EXACT Hamming k (functions.shiftleft
+    // only takes a literal bit count, so the variable shift is SQL text)
+    val mask = expr(s"shiftleft(shiftleft(1L, cast((doc_id div $dupEvery)" +
+      s" % 14 as int)) - 1L, $maskShift)")
+    docs.select(col("doc_id").as("id"),
+      when(dup, base(col("doc_id") - 1).bitwiseXOR(mask))
+        .otherwise(base(col("doc_id"))).as("sig"))
+  }
+
   /** Stable scratch directory for queries that must materialize files
     * (q90/q91 bundle fixtures): keyed by (tag, input dir) so repeated
     * bench/verify invocations overwrite ONE directory instead of
@@ -423,53 +452,82 @@ object SparkEntry {
         .select(col("asset_id"), col("kind"), col("n_bytes"))
     }),
 
-    // Perceptual image dedup over REAL decoded pixels: id-seeded genuine
-    // BMP payloads (gradients + planted one-pixel near-duplicates) →
-    // 32×32 luma grid → orthonormal 2-D DCT → 64-bit median-relative
-    // pHash → the same two-cover chunk-LSH banding as SimHash → exact
-    // Hamming verify. No SQL engine can DCT-decode a BMP, so this is a
-    // rows-only entry; MediaCodecsSpec pins exact planted-pair recall,
-    // container independence, and brightness invariance.
+    // Perceptual image dedup, the ORACLE-VISIBLE split: the decode
+    // kernel (BMP → luma → DCT → median pHash) is pinned by
+    // MediaCodecsSpec (planted-pair recall, container independence,
+    // brightness invariance — no SQL engine can DCT-decode a BMP), and
+    // THIS query runs the full production relational tail
+    // (nearDupsFromSignatures: two-cover 16-bit chunk-LSH banding →
+    // capped bucket pair expansion → exact Hamming verify) over a
+    // signature table DuckDB reconstructs bit-for-bit — planted
+    // near-dups at exact Hamming k, so recall AND the k>maxHamming
+    // rejections are hash-checked.
     "q107_image_phash_dedup" -> ((s, dir) => {
-      val assets = Multimodal.syntheticImages(s,
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.imageNearDups(s, assets, maxHamming = 10)
+      val sigs = mediaSigs(t(s, dir, "documents").select(col("doc_id")),
+        "img:", dupEvery = 10, maskShift = 0)
+      Multimodal.nearDupsFromSignatures(sigs, maxHamming = 10)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
     }),
 
-    // Perceptual audio dedup over REAL decoded PCM: id-seeded genuine
-    // WAV payloads (33-note melodies + planted gain/noise re-recordings)
-    // → windowed energy/zero-crossing delta fingerprint (Haitsma–Kalker
-    // family; gain-invariant by construction) → the same two-cover
-    // chunk-LSH banding as SimHash/pHash → exact Hamming verify. No SQL
-    // engine can decode PCM, so this is a rows-only entry;
-    // MediaCodecsSpec pins exact planted-pair recall and gain invariance.
+    // Perceptual audio dedup, same oracle-visible split as q107: the
+    // WAV/fingerprint kernel is MediaCodecsSpec's (gain invariance,
+    // planted re-recordings); this query drives the SAME shared
+    // relational tail over a distinct signature family (different salt,
+    // planting period 7, mask in bits 20+ — exercising non-low-chunk
+    // band rescue) with full hash verification.
     "q108_audio_fingerprint_dedup" -> ((s, dir) => {
-      val assets = Multimodal.syntheticWavs(s,
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.audioNearDups(s, assets, maxHamming = 10)
+      val sigs = mediaSigs(t(s, dir, "documents").select(col("doc_id")),
+        "aud:", dupEvery = 7, maskShift = 20)
+      Multimodal.nearDupsFromSignatures(sigs, maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
     }),
 
-    // Video scene-change detection over REAL decoded frames: id-seeded
-    // concatenated-PPM clips (two planted scenes per clip) → per-frame
-    // DCT pHash kernel → per-asset window lag + codegen'd bit_count —
-    // pure Catalyst after the decode, one shuffle by asset id. Rows-only
-    // (no SQL engine decodes PPM streams); MediaCodecsSpec pins the
-    // exact planted cut position on every clip.
+    // Video scene-change detection, oracle-visible split: the PPM
+    // stream-split + per-frame DCT pHash kernel is MediaCodecsSpec's
+    // (exact planted cut positions); this query runs the production
+    // tail (sceneChangesFromFrameHashes: per-asset window lag +
+    // codegen'd bit_count, one shuffle by asset id) over a frame-hash
+    // table built relationally — two id-seeded scenes per asset with
+    // small per-frame jitter, cut planted at mid-clip.
     "q109_video_scene_detect" -> ((s, dir) => {
-      val assets = Multimodal.syntheticVideos(s,
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.sceneChanges(s, assets, minHamming = 16)
+      val frames = t(s, dir, "documents").select(col("doc_id"))
+        .select(col("doc_id").as("asset_id"),
+          explode(sequence(lit(0), lit(7))).as("frame_idx"))
+        .withColumn("scene", when(col("frame_idx") < 4, 0).otherwise(1))
+        .withColumn("phash",
+          portable60(concat(lit("scene:"), col("asset_id").cast("string"),
+            lit(":"), col("scene").cast("string")))
+            .bitwiseXOR(expr(
+              "shiftleft(1L, cast(frame_idx % 3 as int)) - 1L")))
+        .select("asset_id", "frame_idx", "phash")
+      Multimodal.sceneChangesFromFrameHashes(frames, minHamming = 16)
+        .select(col("asset_id"), col("frame_idx"),
+          col("hamming").cast("int").as("hamming"))
     }),
 
-    // Near-duplicate videos by temporal frame matching: per-frame pHash
-    // banded into 16-bit chunks KEYED BY FRAME SLOT (only same-position
-    // frames collide), capped buckets, exact per-slot Hamming verify,
-    // then a per-pair matched-frame count threshold. Rows-only;
-    // MediaCodecsSpec pins exact planted-pair recall.
+    // Near-duplicate videos by temporal frame matching, oracle-visible
+    // split: the decode kernel is MediaCodecsSpec's; this query runs
+    // the production tail (videoNearDupsFromFrameHashes: banding KEYED
+    // BY FRAME SLOT so only same-position frames collide, capped
+    // buckets, exact per-slot Hamming verify, matched-frame threshold)
+    // over relational frame hashes with planted whole-clip near-dups at
+    // exact per-frame Hamming k.
     "q110_video_frame_dedup" -> ((s, dir) => {
-      val assets = Multimodal.syntheticVideos(s,
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.videoNearDups(s, assets,
+      val dup = pmod(col("asset_id"), lit(10)) === 0 && col("asset_id") > 0
+      val eff = when(dup, col("asset_id") - 1).otherwise(col("asset_id"))
+      val mask = when(dup, expr("shiftleft(1L, " +
+        "cast((asset_id div 10) % 14 as int)) - 1L")).otherwise(lit(0L))
+      val frames = t(s, dir, "documents")
+        .select(col("doc_id").as("asset_id"))
+        .select(col("asset_id"),
+          explode(sequence(lit(0), lit(7))).as("frame_idx"))
+        .withColumn("phash",
+          portable60(concat(lit("vidf:"), eff.cast("string"),
+            lit(":"), col("frame_idx").cast("string"))).bitwiseXOR(mask))
+        .select("asset_id", "frame_idx", "phash")
+      Multimodal.videoNearDupsFromFrameHashes(frames,
         maxHamming = 10, minMatchedFrames = 6)
     }),
 
@@ -566,19 +624,17 @@ object SparkEntry {
             .as("given_name"))
     }),
 
-    // Streaming incremental IMAGE dedup against a persisted pHash band
-    // index — the steady-state production shape for a growing image
-    // corpus: assets arrive in micro-batches (two parquet files, one per
-    // trigger), each batch is pHashed by the real BMP decode kernel, its
-    // band buckets probe the persisted index (equi-join on the bucket
-    // key; the corpus is never rescanned), cross-batch near-dup pairs
-    // append. Even ids land in batch one, odd in batch two, so every
-    // planted (10k-1, 10k) perceptual pair is found ACROSS batches via
-    // the index. Rows-only (media decode); the stream/index mechanics
-    // are spec-pinned in StreamsSpec.
+    // Streaming incremental signature dedup against a persisted band
+    // index, oracle-visible split: the pHash decode kernel is pinned by
+    // MediaCodecsSpec/StreamsSpec (incrementalMediaDedupStream runs the
+    // SAME foreachBatch core over real BMP payloads); this query streams
+    // the q107 signature table in two micro-batches (even ids first,
+    // then odd), each batch probing the persisted index on the bucket
+    // key only — so exactly the cross-batch (even, odd) near-dup pairs
+    // appear, which DuckDB recomputes as the parity-split band join.
     "q113_stream_media_dedup" -> ((s, dir) => {
-      val assets = Multimodal.syntheticImages(s,
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val sigs = mediaSigs(t(s, dir, "documents").select(col("doc_id")),
+        "img:", dupEvery = 10, maskShift = 0)
       val root = scratchDir("q113_media", dir)
       def rmr(f: java.io.File): Unit = {
         val kids = f.listFiles()
@@ -588,29 +644,22 @@ object SparkEntry {
       val (in, idx, pairs, chk) = (s"$root/in", s"$root/index",
         s"$root/pairs", s"$root/chk")
       Seq(in, idx, pairs, chk).foreach(p => rmr(new java.io.File(p)))
-      assets.where(pmod(col("asset_id"), lit(2)) === 0)
+      sigs.where(pmod(col("id"), lit(2)) === 0)
         .coalesce(1).write.mode("overwrite").parquet(in)
-      assets.where(pmod(col("asset_id"), lit(2)) === 1)
+      sigs.where(pmod(col("id"), lit(2)) === 1)
         .coalesce(1).write.mode("append").parquet(in)
       val stream = s.readStream.schema(
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("payload",
-            org.apache.spark.sql.types.BinaryType))))
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.LongType))))
         .option("maxFilesPerTrigger", "1").parquet(in)
-      graft.streaming.Streams.incrementalMediaDedupStream(
-        stream, idx, pairs, chk).awaitTermination()
-      if (new java.io.File(pairs).exists) s.read.parquet(pairs)
-      else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_a",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("id_b",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("hamming",
-            org.apache.spark.sql.types.IntegerType))))
+      graft.streaming.Streams.incrementalSignatureDedupStream(
+        stream, idx, pairs, chk, maxHamming = 10).awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
     }),
 
     // Domain-level corpus curation (C4/RefinedWeb-style): synthesize a
@@ -1906,6 +1955,165 @@ object SparkEntry {
     * hash mode, whose signatures DuckDB rebuilds verbatim via
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    // q107/q108/q113 share one signature-table construction (the Spark
+    // side's mediaSigs): base = first 60 bits of md5(salt || id); every
+    // dupEvery-th id takes the PREVIOUS id's base XOR a k-bit mask.
+    // The band join reproduces the two-cover 16-bit chunk cover of the
+    // production tail (chunks c of sig, plus chunks of sig rotated
+    // right by 8) — HUGEINT arithmetic emulates Java's 64-bit wrap for
+    // the rotation — and joins on (pos, chunk) instead of the Spark
+    // side's xxhash64(pos, chunk) bucket key, which partitions pairs
+    // identically short of astronomically-unlikely xxhash collisions.
+    "q107_image_phash_dedup" ->
+      """WITH sigs AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 10 = 0 AND doc_id > 0 THEN
+               xor(CAST(('0x' || substr(md5('img:' ||
+                     CAST(doc_id - 1 AS VARCHAR)), 1, 15)) AS BIGINT),
+                   (CAST(1 AS BIGINT) <<
+                     CAST((doc_id // 10) % 14 AS INT)) - 1)
+             ELSE CAST(('0x' || substr(md5('img:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             END AS sig
+           FROM documents),
+         ch AS (
+           SELECT id, sig, p.range AS pos,
+             CAST(CASE WHEN p.range < 4
+               THEN (CAST(sig AS HUGEINT) >> CAST(16 * p.range AS INT))
+                    & 65535
+               ELSE (((CAST(sig AS HUGEINT) >> 8) |
+                      ((CAST(sig AS HUGEINT) & 255) << 56))
+                     >> CAST(16 * (p.range - 4) AS INT)) & 65535
+               END AS BIGINT) AS chunk
+           FROM sigs, range(0, 8) p),
+         big AS (SELECT pos, chunk FROM ch
+                 GROUP BY pos, chunk HAVING count(*) > 2000)
+         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         FROM ch x JOIN ch y
+           ON x.pos = y.pos AND x.chunk = y.chunk AND x.id < y.id
+         WHERE bit_count(xor(x.sig, y.sig)) <= 10
+           AND NOT EXISTS (SELECT 1 FROM big
+                           WHERE big.pos = x.pos AND big.chunk = x.chunk)""",
+    "q108_audio_fingerprint_dedup" ->
+      """WITH sigs AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 7 = 0 AND doc_id > 0 THEN
+               xor(CAST(('0x' || substr(md5('aud:' ||
+                     CAST(doc_id - 1 AS VARCHAR)), 1, 15)) AS BIGINT),
+                   ((CAST(1 AS BIGINT) <<
+                     CAST((doc_id // 7) % 14 AS INT)) - 1) << 20)
+             ELSE CAST(('0x' || substr(md5('aud:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             END AS sig
+           FROM documents),
+         ch AS (
+           SELECT id, sig, p.range AS pos,
+             CAST(CASE WHEN p.range < 4
+               THEN (CAST(sig AS HUGEINT) >> CAST(16 * p.range AS INT))
+                    & 65535
+               ELSE (((CAST(sig AS HUGEINT) >> 8) |
+                      ((CAST(sig AS HUGEINT) & 255) << 56))
+                     >> CAST(16 * (p.range - 4) AS INT)) & 65535
+               END AS BIGINT) AS chunk
+           FROM sigs, range(0, 8) p),
+         big AS (SELECT pos, chunk FROM ch
+                 GROUP BY pos, chunk HAVING count(*) > 2000)
+         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         FROM ch x JOIN ch y
+           ON x.pos = y.pos AND x.chunk = y.chunk AND x.id < y.id
+         WHERE bit_count(xor(x.sig, y.sig)) <= 8
+           AND NOT EXISTS (SELECT 1 FROM big
+                           WHERE big.pos = x.pos AND big.chunk = x.chunk)""",
+    "q109_video_scene_detect" ->
+      """WITH fr AS (
+           SELECT doc_id AS asset_id, f.range AS frame_idx,
+             CASE WHEN f.range < 4 THEN 0 ELSE 1 END AS scene
+           FROM documents, range(0, 8) f),
+         fh AS (
+           SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+             xor(CAST(('0x' || substr(md5('scene:' ||
+                   CAST(asset_id AS VARCHAR) || ':' ||
+                   CAST(scene AS VARCHAR)), 1, 15)) AS BIGINT),
+                 (CAST(1 AS BIGINT) <<
+                   CAST(frame_idx % 3 AS INT)) - 1) AS phash
+           FROM fr),
+         lg AS (
+           SELECT asset_id, frame_idx, phash,
+             lag(phash) OVER (PARTITION BY asset_id
+                              ORDER BY frame_idx) AS prev
+           FROM fh)
+         SELECT asset_id, frame_idx,
+           CAST(bit_count(xor(phash, prev)) AS INT) AS hamming
+         FROM lg
+         WHERE prev IS NOT NULL AND bit_count(xor(phash, prev)) > 16""",
+    "q110_video_frame_dedup" ->
+      """WITH fh AS (
+           SELECT doc_id AS id, CAST(f.range AS INT) AS frame_idx,
+             xor(CAST(('0x' || substr(md5('vidf:' ||
+                   CAST(CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+                        THEN doc_id - 1 ELSE doc_id END AS VARCHAR) ||
+                   ':' || CAST(f.range AS VARCHAR)), 1, 15)) AS BIGINT),
+                 CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+                   THEN (CAST(1 AS BIGINT) <<
+                         CAST((doc_id // 10) % 14 AS INT)) - 1
+                   ELSE 0 END) AS phash
+           FROM documents, range(0, 8) f),
+         ch AS (
+           SELECT id, frame_idx, phash, p.range AS pos,
+             CAST(CASE WHEN p.range < 4
+               THEN (CAST(phash AS HUGEINT) >> CAST(16 * p.range AS INT))
+                    & 65535
+               ELSE (((CAST(phash AS HUGEINT) >> 8) |
+                      ((CAST(phash AS HUGEINT) & 255) << 56))
+                     >> CAST(16 * (p.range - 4) AS INT)) & 65535
+               END AS BIGINT) AS chunk
+           FROM fh, range(0, 8) p),
+         big AS (SELECT frame_idx, pos, chunk FROM ch
+                 GROUP BY frame_idx, pos, chunk HAVING count(*) > 2000),
+         cand AS (
+           SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           FROM ch x JOIN ch y
+             ON x.frame_idx = y.frame_idx AND x.pos = y.pos
+               AND x.chunk = y.chunk AND x.id < y.id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+             WHERE big.frame_idx = x.frame_idx AND big.pos = x.pos
+               AND big.chunk = x.chunk))
+         SELECT c.id_a, c.id_b, count(*) AS matched_frames
+         FROM cand c
+           JOIN fh a ON a.id = c.id_a
+           JOIN fh b ON b.id = c.id_b AND b.frame_idx = a.frame_idx
+         WHERE bit_count(xor(a.phash, b.phash)) <= 10
+         GROUP BY c.id_a, c.id_b
+         HAVING count(*) >= 6""",
+    "q113_stream_media_dedup" ->
+      """WITH sigs AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 10 = 0 AND doc_id > 0 THEN
+               xor(CAST(('0x' || substr(md5('img:' ||
+                     CAST(doc_id - 1 AS VARCHAR)), 1, 15)) AS BIGINT),
+                   (CAST(1 AS BIGINT) <<
+                     CAST((doc_id // 10) % 14 AS INT)) - 1)
+             ELSE CAST(('0x' || substr(md5('img:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             END AS sig
+           FROM documents),
+         ch AS (
+           SELECT id, sig, p.range AS pos,
+             CAST(CASE WHEN p.range < 4
+               THEN (CAST(sig AS HUGEINT) >> CAST(16 * p.range AS INT))
+                    & 65535
+               ELSE (((CAST(sig AS HUGEINT) >> 8) |
+                      ((CAST(sig AS HUGEINT) & 255) << 56))
+                     >> CAST(16 * (p.range - 4) AS INT)) & 65535
+               END AS BIGINT) AS chunk
+           FROM sigs, range(0, 8) p)
+         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         FROM ch x JOIN ch y ON x.pos = y.pos AND x.chunk = y.chunk
+         WHERE x.id % 2 = 0 AND y.id % 2 = 1
+           AND bit_count(xor(x.sig, y.sig)) <= 10""",
     "q115_fhir_avro_roundtrip" ->
       """SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patient_id,
            CASE c_custkey % 3 WHEN 0 THEN 'male'

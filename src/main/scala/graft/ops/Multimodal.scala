@@ -244,6 +244,19 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** The RELATIONAL TAIL shared by every signature-level media dedup
+    * ([[imageNearDups]], [[audioNearDups]], the incremental stream):
+    * two-cover 16-bit chunk-LSH banding over 64-bit signatures → capped
+    * bucket pair expansion (never a self-join) → exact Hamming verify.
+    * Exposed on its own so the tail can be driven — and oracle-verified —
+    * from a signature table constructed relationally, independent of the
+    * decode kernels (which no SQL engine can run; they are pinned by
+    * MediaCodecsSpec instead). Input columns: `id` (long), `sig` (long);
+    * output (id_a, id_b, hamming) with id_a < id_b. */
+  def nearDupsFromSignatures(sigs: DataFrame, maxHamming: Int = 10,
+      maxBucketSize: Int = 2000): DataFrame =
+    Dedup.simhashPairsFromSigs(sigs, maxHamming, maxBucketSize)
+
   /** Perceptual near-duplicate audio pairs: energy/ZCR fingerprint → the
     * same two-cover 16-bit chunk-LSH banding as SimHash/pHash (capped
     * buckets, no self-join) → exact Hamming verify. The audio analog of
@@ -251,7 +264,7 @@ object Multimodal {
     * recording land within a few bits. */
   def audioNearDups(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 10, maxBucketSize: Int = 2000): DataFrame =
-    Dedup.simhashPairsFromSigs(
+    nearDupsFromSignatures(
       audioFingerprints(spark, assets)
         .where(col("afp").isNotNull)
         .select(col("asset_id").as("id"), col("afp").as("sig")),
@@ -281,7 +294,7 @@ object Multimodal {
     * within a few bits of each other. */
   def imageNearDups(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 10, maxBucketSize: Int = 2000): DataFrame =
-    Dedup.simhashPairsFromSigs(
+    nearDupsFromSignatures(
       perceptualHashes(spark, assets)
         .where(col("phash").isNotNull)
         .select(col("asset_id").as("id"), col("phash").as("sig")),
@@ -372,10 +385,19 @@ object Multimodal {
     * scales as one shuffle by asset id. Emits (asset_id, frame_idx,
     * hamming) per boundary frame. */
   def sceneChanges(spark: SparkSession, assets: DataFrame,
+      minHamming: Int = 16): DataFrame =
+    sceneChangesFromFrameHashes(videoFrameHashes(spark, assets), minHamming)
+
+  /** The relational tail of [[sceneChanges]], over any
+    * (asset_id, frame_idx, phash) frame-hash table — per-asset window
+    * `lag` + codegen'd `bit_count(a^b)`, one shuffle by asset id. Split
+    * out so the tail is oracle-verifiable from relationally-constructed
+    * frame hashes (the decode kernel is MediaCodecsSpec's job). */
+  def sceneChangesFromFrameHashes(frameHashes: DataFrame,
       minHamming: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("asset_id").orderBy("frame_idx")
-    videoFrameHashes(spark, assets)
+    frameHashes
       .withColumn("prev", lag(col("phash"), 1).over(w))
       .where(col("prev").isNotNull)
       .withColumn("hamming", Dedup.hamming64(col("phash"), col("prev")))
@@ -393,8 +415,18 @@ object Multimodal {
     * re-encoded copies match nearly every slot, unrelated clips none. */
   def videoNearDups(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 10, minMatchedFrames: Int = 3,
+      maxBucketSize: Int = 2000): DataFrame =
+    videoNearDupsFromFrameHashes(videoFrameHashes(spark, assets),
+      maxHamming, minMatchedFrames, maxBucketSize)
+
+  /** The relational tail of [[videoNearDups]], over any
+    * (asset_id, frame_idx, phash) frame-hash table — banding keyed by
+    * frame SLOT, capped bucket pair expansion, exact per-slot Hamming
+    * verify, matched-frame threshold. Split out so the tail is
+    * oracle-verifiable from relationally-constructed frame hashes. */
+  def videoNearDupsFromFrameHashes(fh: DataFrame,
+      maxHamming: Int = 10, minMatchedFrames: Int = 3,
       maxBucketSize: Int = 2000): DataFrame = {
-    val fh = videoFrameHashes(spark, assets)
     val rot = shiftrightunsigned(col("phash"), 8)
       .bitwiseOR(shiftleft(col("phash"), 56))
     val bucketed = fh.select(col("asset_id").as("id"), col("frame_idx"),

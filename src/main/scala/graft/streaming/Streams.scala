@@ -171,18 +171,38 @@ object Streams {
       indexPath: String, pairsPath: String, checkpointPath: String,
       maxHamming: Int = 10,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    assets.writeStream
+    incrementalSignatureDedupStream(assets, indexPath, pairsPath,
+      checkpointPath, maxHamming, trigger,
+      toSigs = (spark, batch) =>
+        graft.ops.Multimodal.perceptualHashes(spark, batch)
+          .where(org.apache.spark.sql.functions.col("phash").isNotNull)
+          .select(
+            org.apache.spark.sql.functions.col("asset_id").as("id"),
+            org.apache.spark.sql.functions.col("phash").as("sig")))
+
+  /** Incremental SIGNATURE near-dedup against a persisted band index —
+    * the kernel-independent core of [[incrementalMediaDedupStream]]:
+    * each micro-batch is mapped to (id, sig) rows by `toSigs` (the pHash
+    * decode kernel in the media stream; identity for a stream that
+    * already carries signatures, which is the oracle-verifiable form),
+    * banded, probed against the persisted index on the bucket key only,
+    * cross-batch pairs appended, and its buckets appended to the index.
+    * Work per batch is proportional to the batch; the corpus is never
+    * rescanned. At-least-once idempotency: a retried batch can duplicate
+    * candidate PAIRS, never miss one. */
+  def incrementalSignatureDedupStream(stream: DataFrame,
+      indexPath: String, pairsPath: String, checkpointPath: String,
+      maxHamming: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow(),
+      toSigs: (SparkSession, DataFrame) => DataFrame =
+        (_, b) => b): StreamingQuery =
+    stream.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
           val spark = batch.sparkSession
           val buckets = graft.ops.Dedup.simhashBandBuckets(
-            graft.ops.Multimodal.perceptualHashes(spark, batch.toDF())
-              .where(org.apache.spark.sql.functions.col("phash").isNotNull)
-              .select(
-                org.apache.spark.sql.functions.col("asset_id").as("id"),
-                org.apache.spark.sql.functions.col("phash").as("sig")))
-            .persist()
+            toSigs(spark, batch.toDF())).persist()
           try {
             val ip = new org.apache.hadoop.fs.Path(indexPath)
             val exists = ip.getFileSystem(

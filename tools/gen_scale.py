@@ -103,7 +103,8 @@ write("lineitem", pa.table({
     "l_shipdate": pa.array(sdate.astype("datetime64[us]"),
                            pa.timestamp("us"))}))
 
-# ---- events (ts written as TIMESTAMP(NANOS) like the driver's) -------------
+# ---- events (ts as timestamp[us] NTZ, the driver's r9 encoding; the
+# nanos and UTC-adjusted variants are covered by EventTimeSpec) --------------
 NE = 100000 * M
 span_us = 30 * 24 * 3600 * 10**6
 ets = (np.datetime64("2024-01-01", "us") +
@@ -111,7 +112,7 @@ ets = (np.datetime64("2024-01-01", "us") +
 ETYPE = ["click", "view", "purchase", "signup", "error"]
 write("events", pa.table({
     "event_id": pa.array(range(NE), pa.int64()),
-    "ts": pa.array(ets.astype("datetime64[ns]"), pa.timestamp("ns")),
+    "ts": pa.array(ets, pa.timestamp("us")),
     "user_id": pa.array(rng.integers(0, NC // 10, NE), pa.int64()),
     "event_type": [ETYPE[i] for i in rng.integers(0, 5, NE)],
     "value": np.round(rng.uniform(0, 560, NE), 2),
