@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution profiling for join/aggregation planning at scale: before
@@ -160,10 +160,12 @@ object Profiling {
     *
     * Shape at scale: one groupBy(group, value) collapsing to the
     * DISTINCT-value histogram (the same state Spark's exact `percentile`
-    * buffers internally), a running-count window partitioned by group
-    * over that small histogram, a 4-rows-per-group rank probe joined
-    * against it, and a broadcast of the per-group bounds back onto the
-    * table. No global sort, no self-join on the data. */
+    * buffers internally), ONE window pass over that small histogram
+    * (running count + group total share one partitioning, so one
+    * exchange), a conditional aggregate picking both percentiles' order
+    * statistics in the same pass, and a broadcast of the per-group
+    * bounds back onto the table. A single linear stage chain — no rank
+    * probe join, no global sort, no self-join on the data. */
   def winsorize(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentiles [$lo, $hi]")
@@ -173,39 +175,33 @@ object Profiling {
       s"lo/hi must have <= 6 decimal digits, got [$lo, $hi]")
     import org.apache.spark.sql.expressions.Window
     val vdec = col(valueCol).cast("decimal(20,4)")
-    // distinct-value histogram with running counts, per group
+    // distinct-value histogram with running count AND group total: both
+    // windows share partitionBy(g), so Catalyst plans them over one
+    // exchange (the unordered total uses the whole-partition frame)
+    val byG = Window.partitionBy(col("g"))
     val cum = df.groupBy(col(groupCol).as("g"), vdec.as("v"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c"))
-        .over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byG))
     // fractional target positions p·(n−1), exact decimal; k = floor,
     // frac = remainder. k+1 clamps to n−1 (frac is 0 there anyway).
+    // n is a per-row column now, so the ranks are too — the order
+    // statistics v_k, v_{k+1} for both percentiles come out of one
+    // conditional aggregate over the histogram (a row "hits" rank r iff
+    // cum − c <= r < cum), with no probe join.
     def pos(p: BigDecimal) = lit(p) * (col("n") - 1)
     def frac(p: BigDecimal) =
       (pos(p) - floor(pos(p))).cast("decimal(10,6)")
-    val kf = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
-      .select(col("g"), col("n"),
-        floor(pos(loBd)).cast("long").as("k_lo"), frac(loBd).as("f_lo"),
-        floor(pos(hiBd)).cast("long").as("k_hi"), frac(hiBd).as("f_hi"))
-    // order statistics v_k, v_{k+1} for both percentiles: probe the
-    // histogram with 4 ranks per group, pivot back to one row per group
-    val probes = kf.select(col("g"), col("n"), explode(array(
-        struct(lit("lo0").as("tag"), col("k_lo").as("r")),
-        struct(lit("lo1").as("tag"),
-          least(col("k_lo") + 1, col("n") - 1).as("r")),
-        struct(lit("hi0").as("tag"), col("k_hi").as("r")),
-        struct(lit("hi1").as("tag"),
-          least(col("k_hi") + 1, col("n") - 1).as("r"))))
-        .as("p"))
-      .select(col("g"), col("p.tag").as("tag"), col("p.r").as("r"))
-    val os = probes.join(cum, Seq("g"))
-      .where(col("cum") - col("c") <= col("r") && col("r") < col("cum"))
-      .groupBy(col("g"))
-      .agg(max(when(col("tag") === "lo0", col("v"))).as("v_lo0"),
-        max(when(col("tag") === "lo1", col("v"))).as("v_lo1"),
-        max(when(col("tag") === "hi0", col("v"))).as("v_hi0"),
-        max(when(col("tag") === "hi1", col("v"))).as("v_hi1"))
-    val bounds = os.join(kf, Seq("g"))
+    def k(p: BigDecimal) = floor(pos(p)).cast("long")
+    def k1(p: BigDecimal) = least(k(p) + 1, col("n") - 1)
+    def hit(r: Column) = col("cum") - col("c") <= r && r < col("cum")
+    val bounds = cum.groupBy(col("g"))
+      .agg(max(when(hit(k(loBd)), col("v"))).as("v_lo0"),
+        max(when(hit(k1(loBd)), col("v"))).as("v_lo1"),
+        max(when(hit(k(hiBd)), col("v"))).as("v_hi0"),
+        max(when(hit(k1(hiBd)), col("v"))).as("v_hi1"),
+        max(frac(loBd)).as("f_lo"), // constant per group
+        max(frac(hiBd)).as("f_hi"))
       .select(col("g"),
         (col("v_lo0") + (col("v_lo1") - col("v_lo0")) * col("f_lo"))
           .as("p_lo_d"),

@@ -386,9 +386,15 @@ object Similarity {
       threshold: Double, numTables: Int = 96, bitsPerTable: Int = 4,
       quantScale: Int = 10000,
       maxBucketSize: Int = Dedup.MaxBucketSize): DataFrame = {
+    // materialize the quantized+banded corpus once (lazy localCheckpoint):
+    // it feeds THREE branches (bucket explode + both verify joins), which
+    // would otherwise each re-run the 96-table hyperplane projection
+    // kernel over every corpus row — the same reason Spark's own
+    // MinHashLSH caches before approxSimilarityJoin
     val d = quantized(df, idCol, vecCol, quantScale)
       .withColumn("buckets",
         GraftFunctions.hyperplaneBands(col("qv"), bitsPerTable, numTables))
+      .localCheckpoint(eager = false)
     val bucketed = d.select(col("id"), posexplode(col("buckets")))
       .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
     val cand = Dedup.candidatePairsFromBuckets(bucketed, maxBucketSize)
