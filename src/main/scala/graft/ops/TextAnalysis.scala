@@ -144,9 +144,14 @@ object TextAnalysis {
   /** Per-domain corpus report: document count, mean length, distinct
     * languages and sources — the aggregation behind domain-level curation
     * decisions (C4/RefinedWeb-style). One map-side-combined shuffle on
-    * the domain key. */
+    * the domain key. A `domain` column already present on the input (the
+    * [[blocklistFilter]] output contract) is trusted as-is, so the
+    * filter → report pipeline extracts each document's domain once, not
+    * once per stage. */
   def domainStats(docs: DataFrame, urlCol: String): DataFrame =
-    docs.withColumn("domain", registrableDomain(urlHost(col(urlCol))))
+    (if (docs.columns.contains("domain")) docs
+     else docs.withColumn("domain",
+       registrableDomain(urlHost(col(urlCol)))))
       .where(col("domain") =!= "")
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
