@@ -101,6 +101,20 @@ class TerminologySpec extends SparkSuite {
     }
   }
 
+  test("hierarchies: a 100-deep chain closes (prefix doubling converges " +
+      "past the old 65-hop linear budget)") {
+    import spark.implicits._
+    val chain = (1 until 100).map(i =>
+      HierarchicalElement("s", i.toString, "s", (i + 1).toString))
+    val h = Hierarchies.getEmpty(spark)
+      .withHierarchyElements("urn:h:deep", "1", chain.toDS())
+    val anc = h.getAncestors("urn:h:deep", "1")
+    // every (i, j) with i < j is a transitive ancestor pair: C(100, 2)
+    assert(anc.count() === 99L * 100 / 2)
+    assert(anc.where($"ancestorValue" === "1" &&
+      $"descendantValue" === "100").count() === 1L)
+  }
+
   test("broadcast valuesets: explicit codes, references, descendants") {
     import spark.implicits._
     val hierarchies = Hierarchies.getEmpty(spark)
