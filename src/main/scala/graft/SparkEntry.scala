@@ -1229,8 +1229,10 @@ object SparkEntry {
         clicks, purchases, "user_id", windowSeconds = 3600,
         watermark = "365 days")
         .select(col("click_id"), col("purchase_id"))
+      // 4 state stores: measured flat vs 8 at 10x data (state is
+      // user-keyed and shallow); each store costs init+commit per batch
       graft.streaming.Streams.runToMemory(s, st, "q73_stream_out",
-        outputMode = "append", statePartitions = Some(8))
+        outputMode = "append", statePartitions = Some(4))
     }),
 
     // Corpus snapshot diff: previous = ids <400, current = ids >=100
