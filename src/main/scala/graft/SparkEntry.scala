@@ -1949,6 +1949,15 @@ object SparkEntry {
             try_element_at(col("name"), lit(1)).getField("given"), lit(1))
             .as("given_name"))
     }),
+
+    // K-minimum-values distinct-cardinality sketch per source: the
+    // mergeable bounded-buffer answer to count(DISTINCT token) — map-side
+    // k-long buffers, one O(k)-rows-per-group shuffle, estimate
+    // (k-1)·2^60/h_(k) over the portable hash the oracle rebuilds exactly
+    "q116_kmv_distinct" -> ((s, dir) => {
+      graft.ops.Sketches.kmvDistinct(t(s, dir, "documents"), "source",
+        Dedup.tokens(col("text")), k = 64)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3821,5 +3830,32 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Rebuilds the KMV sketch relationally: k-th smallest distinct
+    // portable hash per source. 63*power(2,60) is exact in double and the
+    // single IEEE division is bit-identical across engines.
+    "q116_kmv_distinct" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS tok
+           FROM documents),
+         h AS (
+           SELECT source,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+         cnt AS (SELECT source, count(*) AS n_values FROM h GROUP BY source),
+         d AS (SELECT DISTINCT source, h FROM h),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM d),
+         sk AS (SELECT source, CAST(count(*) AS INT) AS n_sketch,
+                  max(h) AS kth_min
+                FROM r WHERE rk <= 64 GROUP BY source)
+         SELECT c.source, c.n_values, s.n_sketch, s.kth_min,
+           CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS BIGINT)
+                ELSE CAST(floor(63 * power(2, 60) /
+                  CAST(s.kth_min AS DOUBLE)) AS BIGINT) END AS est_distinct
+         FROM cnt c JOIN sk s USING (source)""",
   )
 }

@@ -350,6 +350,10 @@ object GraftFunctions {
     * the group exceeds `cap` distinct values; O(cap) partial buffers. */
   def boundedCollectSet(e: Column, cap: Int): Column =
     col(BoundedCollectSet(expr(e), cap).toAggregateExpression())
+  /** K-minimum-values cardinality sketch: ascending array of the k
+    * smallest distinct bigint hashes; O(k) mergeable partial buffers. */
+  def kminValues(hash: Column, k: Int): Column =
+    col(KMinValues(expr(hash), k).toAggregateExpression())
 
   /** All index-ordered pairs (i < j) of an array<bigint> as
     * array<struct<id_a,id_b>> — compiled candidate-pair expansion. */

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches for corpus profiling.
+  *
+  * At 100 TB, `count(DISTINCT token)` per group is one of the most
+  * expensive questions you can ask — every distinct value crosses the
+  * shuffle. The KMV sketch answers it with a bounded, associative,
+  * commutative buffer (k longs per group per map task), an error of about
+  * `1/sqrt(k-2)`, and — because sketches merge — the per-day/per-partition
+  * sketches can be persisted and unioned later without rescanning history.
+  *
+  * Oracle-portability: the hash is the md5-derived 60-bit family
+  * (GraftHashImpl portable mode), so the k-th minimum and the estimate are
+  * bit-reproducible by any engine with md5 — the DuckDB oracle rebuilds
+  * the sketch from `row_number() OVER (ORDER BY hash)` on distinct hashes
+  * and must land on the identical estimate.
+  */
+object Sketches {
+
+  /** 2^60 as an exact double (both factors of the estimator stay exactly
+    * representable, so the single IEEE division is the only rounding and
+    * is identical in every IEEE-754 engine). */
+  private val HashSpace: Double = math.scalb(1.0, 60)
+
+  private def portable60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group distinct-cardinality estimate of `valueCol` via a k-minimum-
+    * values sketch over the portable 60-bit hash.
+    *
+    * Output: (group, n_values, n_sketch, kth_min, est_distinct) where
+    * `est_distinct = floor((k-1) * 2^60 / kth_min)` when the sketch is
+    * full, and the EXACT distinct count (= sketch size) when the group has
+    * fewer than k distinct values.
+    *
+    * One partial-aggregated pass: explode → map-side k-long buffers →
+    * one shuffle of O(k) rows per (group, partition). No distinct shuffle
+    * of the raw values anywhere. */
+  def kmvDistinct(df: DataFrame, groupCol: String, values: Column,
+      k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol), explode(values).as("v"))
+      .select(col(groupCol), portable60(col("v")).as("h"))
+    hashed
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_values"),
+        graft.functions.GraftFunctions.kminValues(col("h"), k).as("kmv"))
+      .select(
+        col(groupCol),
+        col("n_values"),
+        size(col("kmv")).as("n_sketch"),
+        element_at(col("kmv"), size(col("kmv"))).as("kth_min"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * HashSpace) /
+            element_at(col("kmv"), k).cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+}
