@@ -1950,6 +1950,22 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Fixed-point PageRank over the customer-supplier trading graph:
+    // authority weighting as a curation prior. Bigint ranks (scale 1e12,
+    // integral div) make the power iteration bit-reproducible across
+    // engines and partitionings; edges shuffle once, each round moves
+    // only the O(N) rank frame
+    "q117_pagerank_authority" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.customerSupplierEdges(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      graft.ops.Graphs.pageRankFixedPoint(s, edges, iterations = 3)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("node_key"),
+          col("deg"), col("rank").as("rank_fp"))
+    }),
+
     // K-minimum-values distinct-cardinality sketch per source: the
     // mergeable bounded-buffer answer to count(DISTINCT token) — map-side
     // k-long buffers, one O(k)-rows-per-group shuffle, estimate
@@ -3830,6 +3846,43 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // The identical fixed-point power iteration unrolled: all-bigint
+    // floor division, so both engines land on the same bits. DuckDB sums
+    // of BIGINT widen to HUGEINT -> cast back.
+    "q117_pagerank_authority" ->
+      """WITH p AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT c * 2 AS src, s * 2 + 1 AS dst FROM p
+           UNION ALL
+           SELECT s * 2 + 1 AS src, c * 2 AS dst FROM p),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM deg),
+         st0 AS (
+           SELECT src AS node, deg,
+             1000000000000 // n AS rank,
+             (15 * 1000000000000) // (100 * n) AS base
+           FROM deg CROSS JOIN nn),
+         c1 AS (SELECT e.dst AS node, CAST(sum(s.rank // s.deg) AS BIGINT) AS acc
+                FROM edges e JOIN st0 s ON e.src = s.node GROUP BY e.dst),
+         st1 AS (SELECT s.node, s.deg, s.base,
+                   s.base + (85 * coalesce(c.acc, 0)) // 100 AS rank
+                 FROM st0 s LEFT JOIN c1 c ON c.node = s.node),
+         c2 AS (SELECT e.dst AS node, CAST(sum(s.rank // s.deg) AS BIGINT) AS acc
+                FROM edges e JOIN st1 s ON e.src = s.node GROUP BY e.dst),
+         st2 AS (SELECT s.node, s.deg, s.base,
+                   s.base + (85 * coalesce(c.acc, 0)) // 100 AS rank
+                 FROM st1 s LEFT JOIN c2 c ON c.node = s.node),
+         c3 AS (SELECT e.dst AS node, CAST(sum(s.rank // s.deg) AS BIGINT) AS acc
+                FROM edges e JOIN st2 s ON e.src = s.node GROUP BY e.dst),
+         st3 AS (SELECT s.node, s.deg, s.base,
+                   s.base + (85 * coalesce(c.acc, 0)) // 100 AS rank
+                 FROM st2 s LEFT JOIN c3 c ON c.node = s.node)
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS node_key, deg, rank AS rank_fp
+         FROM st3""",
     // Rebuilds the KMV sketch relationally: k-th smallest distinct
     // portable hash per source. 63*power(2,60) is exact in double and the
     // single IEEE division is bit-identical across engines.
