@@ -1950,6 +1950,16 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Asymmetric containment near-dups (quote/subset detection): pairs
+    // where >= 80% of A's rare shingles appear in B — the relation
+    // symmetric Jaccard cannot see; df-capped inverted-index join, never
+    // all-pairs; portable hashes the oracle rebuilds
+    "q118_containment_dups" -> ((s, dir) => {
+      Dedup.containmentNearDups(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxShingleDf = 100,
+        portable = true)
+    }),
+
     // Fixed-point PageRank over the customer-supplier trading graph:
     // authority weighting as a curation prior. Bigint ranks (scale 1e12,
     // integral div) make the power iteration bit-reproducible across
@@ -3846,6 +3856,35 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Same shingle text -> md5-60 hash -> df cap -> ordered-pair overlap
+    // as the Spark side; the empty-token shingle '' is kept (the kernel
+    // emits one shingle for short docs), the df cap removes boilerplate.
+    "q118_containment_dups" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS s
+           FROM toks),
+         ex AS (SELECT DISTINCT doc_id AS id,
+                  CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+         freq AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 100),
+         rare AS (SELECT id, h FROM ex JOIN freq USING (h)),
+         na AS (SELECT id, count(*) AS n_rare FROM rare GROUP BY id),
+         ov AS (SELECT a.id AS contained_id, b.id AS container_id,
+                  count(*) AS overlap
+                FROM rare a JOIN rare b ON a.h = b.h AND a.id <> b.id
+                GROUP BY 1, 2)
+         SELECT o.contained_id, o.container_id, n.n_rare, o.overlap,
+           CAST(o.overlap AS DOUBLE) / n.n_rare AS containment
+         FROM ov o JOIN na n ON n.id = o.contained_id
+         WHERE CAST(o.overlap AS DOUBLE) / n.n_rare >= 0.8""",
     // The identical fixed-point power iteration unrolled: all-bigint
     // floor division, so both engines land on the same bits. DuckDB sums
     // of BIGINT widen to HUGEINT -> cast back.

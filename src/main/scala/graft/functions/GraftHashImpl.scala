@@ -364,6 +364,25 @@ object GraftHashImpl {
       bands: Int): ArrayData =
     foldBands(portableShingleMinHash(tokens, n, k), k, bands)
 
+  /** Distinct sorted md5-60 shingle hashes — the portable analog of
+    * [[shingleHashes]]: an external engine rebuilds the identical longs
+    * from the shingle text (`CAST(('0x' || substr(md5(sh),1,15)) AS
+    * BIGINT)`). */
+  def portableShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val sh = portableShingles(tokens, n)
+    val a = new Array[Long](sh.length)
+    var j = 0
+    while (j < sh.length) { a(j) = portableHash60(sh(j)); j += 1 }
+    java.util.Arrays.sort(a)
+    var uniq = 0
+    var i = 0
+    while (i < a.length) {
+      if (i == 0 || a(i) != a(i - 1)) { a(uniq) = a(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(a, uniq))
+  }
+
   /** Portable 64-bit SimHash: per-bit majority vote ([[simHashVotes]], the
     * exact production vote stage) over md5_60 shingle hashes. Bits 60-63 are
     * always 0 (60-bit hashes vote them strictly negative). */

@@ -53,16 +53,23 @@ case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int,
 
 /** Distinct rolling-hash values of the `shingleSize`-token shingles —
   * the long-typed shingle *set* used for exact-Jaccard verification. */
-case class ShingleHashes(child: Expression, shingleSize: Int)
+case class ShingleHashes(child: Expression, shingleSize: Int,
+    portable: Boolean = false)
     extends UnaryExpression with StringArrayInput {
   require(shingleSize >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+  private def kernel: String =
+    if (portable) "portableShingleHashes" else "shingleHashes"
   override protected def nullSafeEval(input: Any): Any =
-    GraftHashImpl.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
+    if (portable)
+      GraftHashImpl.portableShingleHashes(input.asInstanceOf[ArrayData],
+        shingleSize)
+    else
+      GraftHashImpl.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GraftHashImpl.shingleHashes($c, $shingleSize)")
+      s"graft.functions.GraftHashImpl.$kernel($c, $shingleSize)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
@@ -335,8 +342,9 @@ object GraftFunctions {
     col(HyperplaneLsh(expr(vec), numPlanes, portable))
   def hyperplaneBands(vec: Column, bitsPerTable: Int, numTables: Int): Column =
     col(HyperplaneBands(expr(vec), bitsPerTable, numTables))
-  def shingleHashes(tokens: Column, shingleSize: Int): Column =
-    col(ShingleHashes(expr(tokens), shingleSize))
+  def shingleHashes(tokens: Column, shingleSize: Int,
+      portable: Boolean = false): Column =
+    col(ShingleHashes(expr(tokens), shingleSize, portable))
   def simhash64(tokens: Column, shingleSize: Int,
       portable: Boolean = false): Column =
     col(SimHash(expr(tokens), shingleSize, portable))

@@ -255,6 +255,52 @@ object Dedup {
         bands),
       shingleSize, threshold)
 
+  /** Asymmetric CONTAINMENT near-dups: ordered pairs (a, b) where at
+    * least `threshold` of a's shingles also appear in b — the relation
+    * symmetric Jaccard cannot see (a 200-word quote inside a 10k-word
+    * page has J ≈ 0.02 but containment 1.0). The containment direction is
+    * what training-data curation needs: drop the contained copy, keep the
+    * superset document.
+    *
+    * Stop-shingle rule (the scale guard AND a quality filter): shingles
+    * appearing in more than `maxShingleDf` documents are boilerplate and
+    * are removed from both the overlap numerator and the |A| denominator,
+    * so containment measures rare-content overlap. This also bounds the
+    * inverted-index join: per-shingle fan-out is at most maxShingleDf²
+    * ordered pairs, so total candidate volume is ≤ maxShingleDf × corpus
+    * shingle occurrences — linear in corpus size, never all-pairs.
+    *
+    * `portable = true` hashes shingles with the md5-60 family the DuckDB
+    * oracle rebuilds verbatim (identical results even under hash
+    * collision, because both engines hash). */
+  def containmentNearDups(df: DataFrame, idCol: String, contentCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.9,
+      maxShingleDf: Int = 100, portable: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val ex = df.select(col(idCol).as("id"),
+      explode(graft.functions.GraftFunctions.shingleHashes(
+        tokens(col(contentCol)), shingleSize, portable)).as("h"))
+    val rare = ex.join(
+      ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxShingleDf).select("h"),
+      Seq("h"))
+    val na = rare.groupBy("id").agg(count(lit(1)).as("n_rare"))
+    val overlap = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("contained_id"),
+        col("b.id").as("container_id"))
+      .agg(count(lit(1)).as("overlap"))
+    overlap
+      .join(na.withColumnRenamed("id", "contained_id"),
+        Seq("contained_id"))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("n_rare"))
+      .where(col("containment") >= threshold)
+      .select("contained_id", "container_id", "n_rare", "overlap",
+        "containment")
+  }
+
   /** EXACT Jaccard near-dup pairs via PPJoin-style prefix filtering: for
     * sets canonically sorted under ONE global total order, two sets with
     * J(A,B) >= t must share an element within their first

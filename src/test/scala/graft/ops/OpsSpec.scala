@@ -29,6 +29,39 @@ class OpsSpec extends SparkSuite {
     assert(groups.head.getAs[Long]("n_dups") === 2L)
   }
 
+  test("containment finds the subset doc symmetric Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 30).map(i => s"rare$i").mkString(" ")
+    val page = quote + " " + (1 to 120).map(i => s"other$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"else$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, page), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentNearDups(df, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9, maxShingleDf = 100)
+    val m = pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // the quote is fully contained in the page...
+    assert(m((1L, 2L)) === 1.0)
+    // ...but NOT vice versa (page has 4x extra shingles), and the
+    // symmetric-Jaccard value would be ~0.2 — below any dedup threshold
+    assert(!m.contains((2L, 1L)))
+    assert(!m.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containment stop-shingle cap removes boilerplate-only pairs") {
+    import spark.implicits._
+    // every doc shares the same 10-word boilerplate header; bodies are
+    // disjoint. With the df cap at 3 (< 12 docs) the header shingles are
+    // stop shingles and no pair survives.
+    val header = (1 to 10).map(i => s"bp$i").mkString(" ")
+    val docs = (1L to 12L).map(i =>
+      (i, header + " " + (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentNearDups(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, maxShingleDf = 3)
+    assert(pairs.count() === 0L)
+  }
+
   test("minhash near-dup finds the near pair but not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs.where(col("doc_id") =!= 5),
       "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8,
