@@ -1950,6 +1950,15 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // SCD Type-2 snapshot: each user's event_type history compressed to
+    // change points with half-open validity intervals, version numbers
+    // and an is_current flag — the incremental-corpus entity snapshot;
+    // one user-keyed shuffle, windows over locally-sorted runs
+    "q119_scd2_intervals" -> ((s, dir) => {
+      Sessions.scd2(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")
+    }),
+
     // Asymmetric containment near-dups (quote/subset detection): pairs
     // where >= 80% of A's rare shingles appear in B — the relation
     // symmetric Jaccard cannot see; df-capped inverted-index join, never
@@ -3856,6 +3865,25 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    "q119_scd2_intervals" ->
+      """WITH o AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, event_id, tsu FROM o
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS attr, tsu AS valid_from_us,
+           lead(tsu) OVER
+             (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to_us,
+           CAST(row_number() OVER
+             (PARTITION BY user_id ORDER BY tsu, event_id) AS INT)
+             AS version,
+           lead(tsu) OVER
+             (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+             AS is_current
+         FROM ch""",
     // Same shingle text -> md5-60 hash -> df cap -> ordered-pair overlap
     // as the Spark side; the empty-token shingle '' is kept (the kernel
     // emits one shingle for short docs), the df cap removes boilerplate.

@@ -32,6 +32,35 @@ object Sessions {
         Window.currentRow)))
   }
 
+  /** SCD Type-2 compression of a mutable per-key attribute: collapse each
+    * key's event history to its CHANGE POINTS, emitting one row per value
+    * run with a half-open validity interval `[valid_from, valid_to)` (in
+    * exact epoch micros), a 1-based version, and `is_current` on the open
+    * run — the slowly-changing-dimension snapshot an incremental corpus
+    * keeps per entity (latest license, latest robots.txt policy, latest
+    * label) without storing every observation.
+    *
+    * Plan shape: one shuffle keyed by `keyCol`, then window passes over
+    * each key's locally-sorted events (lag to find changes, lead +
+    * row_number on the compressed runs). Parallelism scales with keys; no
+    * global sort. Deterministic: ties on ts broken by `tieCol`. */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        unix_micros(col(tsCol)).as("valid_from_us"),
+        unix_micros(col("__next_ts")).as("valid_to_us"),
+        col("version"),
+        col("__next_ts").isNull.as("is_current"))
+  }
+
   /** Session-level rollup: event count and bounds per (user, session). */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSeconds: Long): DataFrame =

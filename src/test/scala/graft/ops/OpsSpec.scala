@@ -370,6 +370,34 @@ class OpsSpec extends SparkSuite {
     assert(ivf === brute)
   }
 
+  test("scd2 compresses runs into tiling half-open intervals") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a -> a -> b -> a (4 events, 3 runs); user 2: constant c
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "a"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "b"),
+      (4L, ts("2024-01-01 10:20:00"), 1L, "a"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "c"),
+      (6L, ts("2024-01-02 09:00:00"), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq === Seq("a", "b", "a"))
+    // intervals tile: valid_to(k) == valid_from(k+1), last one open
+    val bounds = u1.map(r => (r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(bounds.init.zip(bounds.tail).forall {
+      case ((_, to), (from, _)) => to == from })
+    assert(bounds.last._2 === -1L && u1.last.getBoolean(5))
+    assert(u1.map(_.getInt(4)).toSeq === Seq(1, 2, 3))
+    // user 2's constant attribute collapses to ONE current row
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getBoolean(5))
+  }
+
   test("sessionize: gaps over the threshold start new sessions") {
     import spark.implicits._
     val events = Seq(
