@@ -1950,6 +1950,18 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Hopping-window streaming aggregation: 1-hour windows sliding every
+    // 30 minutes — every event feeds 2 overlapping windows; state is one
+    // row per (window, event_type) with 2 windows open per key, bounded
+    // by the watermark
+    "q120_stream_hopping_window" -> ((s, dir) => {
+      s.catalog.dropTempView("q120_stream_out")
+      val stream = graft.streaming.Streams.hoppingWindowAgg(
+        graft.streaming.Streams.eventStream(s, dir))
+      graft.streaming.Streams.runToMemory(s, stream, "q120_stream_out",
+        outputMode = "complete", statePartitions = Some(8))
+    }),
+
     // SCD Type-2 snapshot: each user's event_type history compressed to
     // change points with half-open validity intervals, version numbers
     // and an is_current flag — the incremental-corpus entity snapshot;
@@ -3865,6 +3877,22 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Every event expands to its 2 covering epoch-aligned window starts
+    // (floor to the slide, and one slide earlier).
+    "q120_stream_hopping_window" ->
+      """WITH e AS (
+           SELECT event_type, value, epoch_us(ts) AS tu FROM events),
+         w AS (
+           SELECT event_type, value,
+             unnest([(tu // 1800000000) * 1800000000,
+                     (tu // 1800000000) * 1800000000 - 1800000000])
+               AS ws
+           FROM e)
+         SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2""",
     "q119_scd2_intervals" ->
       """WITH o AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,

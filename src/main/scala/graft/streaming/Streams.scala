@@ -96,6 +96,29 @@ object Streams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) windowed aggregation: overlapping windows of
+    * `windowDur` every `slideDur` — each event lands in
+    * windowDur/slideDur windows, the shape behind "rate over the last
+    * hour, refreshed every 30 minutes". State grows by that same factor
+    * over tumbling windows (one row per (window, key) with
+    * windowDur/slideDur concurrent windows open per key), still bounded
+    * by the watermark — per-event fan-out is the planned cost of the
+    * fresher read, not a leak. Epoch-aligned window starts, so an
+    * external engine reproduces the window assignment arithmetically. */
+  def hoppingWindowAgg(events: DataFrame, watermark: String = "1 hour",
+      windowDur: String = "1 hour",
+      slideDur: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming exact deduplication: emits the FIRST occurrence of each key
     * and drops later arrivals — `dropDuplicatesWithinWatermark`, the
     * state-BOUNDED streaming form of batch `distinct`. Per-key state is

@@ -382,6 +382,31 @@ class StreamsSpec extends SparkSuite {
       (2L, 1L, false)))
   }
 
+  test("hopping windows equal batch and count every event exactly twice") {
+    val stream = Streams.hoppingWindowAgg(Streams.eventStream(spark, sfDir))
+    val got = Streams.runToMemory(spark, stream, "hop_stream",
+      outputMode = "complete", statePartitions = Some(4))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batchEvents = graft.sources.EventTime.normalize(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === want)
+    // window/slide = 2: the hopping fan-out is exactly 2 rows per event
+    assert(got.toSeq.map(_._3).sum === 2 * batchEvents.count())
+  }
+
   test("streaming dedup equals batch distinct on the fixture") {
     val events = Streams.eventStream(spark, sfDir)
     val deduped = Streams.dedupStream(events, Seq("user_id", "event_type"),
