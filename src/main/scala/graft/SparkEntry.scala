@@ -1950,6 +1950,27 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Bucketed co-located join: both sides written bucketBy(16, user_id)
+    // once (the shuffle-you-pay-once layout), after which the equi-join
+    // plans as a SortMergeJoin over co-located bucketed scans with ZERO
+    // shuffle exchanges — the biggest lever for a repeatedly-joined
+    // fact/dimension pair at 100 TB; PlanSpec pins the shuffle-free shape
+    "q121_bucketed_join" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val lt = graft.ops.Bucketing.writeBucketed(s, ev, "graft_bkt",
+        s"events_$key", "user_id", buckets = 16)
+      val rt = graft.ops.Bucketing.writeBucketed(s, cust, "graft_bkt",
+        s"cust_$key", "user_id", buckets = 16)
+      graft.ops.Bucketing.colocatedJoin(s, lt, rt, "user_id")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // Hopping-window streaming aggregation: 1-hour windows sliding every
     // 30 minutes — every event feeds 2 overlapping windows; state is one
     // row per (window, event_type) with 2 windows open per key, bounded
@@ -3877,6 +3898,13 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // The layout changes the PLAN, not the answer: the oracle is the
+    // plain join+aggregate.
+    "q121_bucketed_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
     // Every event expands to its 2 covering epoch-aligned window starts
     // (floor to the slide, and one slide earlier).
     "q120_stream_hopping_window" ->

@@ -193,6 +193,24 @@ class PlanSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("q121: bucketed join is a shuffle-free SortMergeJoin over " +
+    "co-located bucketed scans") {
+    val df = SparkEntry.queries("q121_bucketed_join")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Bucketed: true"),
+      "scans must read bucket metadata:\n" + p.take(3000))
+    // the ONLY exchange is the tiny post-join groupBy(segment); neither
+    // join side shuffles — that is the entire point of the layout
+    val exchanges = "(?<!Broadcast)Exchange".r
+      .findAllMatchIn(p.replace("ReusedExchange", "")).size
+    assert(exchanges <= 2, // partial+final agg exchange markers
+      s"join sides must not shuffle ($exchanges exchanges):\n" +
+        p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "the merge hint must keep the co-located SMJ:\n" + p.take(3000))
+  }
+
   test("q60: the optimizer rule plans the raw BETWEEN join hash-based") {
     val p = plan("q60_range_join_rewrite")
     assert(!p.contains("NestedLoopJoin"),
