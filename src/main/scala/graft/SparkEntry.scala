@@ -1950,6 +1950,55 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Vocabulary coverage curve: top-512 tokens with cumulative share of
+    // running text — the tokenizer-design table (OOV rate = 1-cum_share);
+    // bounded top-k aggregate + in-array prefix sums, no global window
+    "q126_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", v = 512)
+    }),
+
+    // k-anonymity audit: quasi-identifier combinations matched by fewer
+    // than 5 distinct users — what a release must suppress/generalize;
+    // the governance sibling of q36's direct-identifier redaction
+    "q125_k_anonymity" -> ((s, dir) => {
+      Profiling.kAnonymityAudit(t(s, dir, "events"),
+        Seq(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          get_json_object(col("props"), "$.k").as("profile")),
+        "user_id", k = 5)
+    }),
+
+    // ANALYZE-style catalog statistics in one pass: per-column row/null
+    // counts, lexicographic + numeric min/max, KMV ndv estimate — the
+    // CBO's food; single scan, partial-aggregated to |cols| rows per task
+    "q124_column_stats" -> ((s, dir) => {
+      Profiling.columnStats(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"), k = 64)
+    }),
+
+    // Cross-corpus overlap estimation from KMV sketches alone: pairwise
+    // union/intersection/Jaccard estimates between sources without ever
+    // comparing the corpora — the contamination estimator; one sketching
+    // pass, then arithmetic on G tiny sketch rows
+    "q123_sketch_overlap" -> ((s, dir) => {
+      graft.ops.Sketches.kmvOverlap(t(s, dir, "documents"), "source",
+        Dedup.tokens(col("text")), k = 64)
+    }),
+
+    // Point-in-time-correct (leakage-free) enrichment via LOCF: each
+    // purchase carries the user's most recent props.k observation AT OR
+    // BEFORE the purchase, with staleness — the feature-store join that
+    // never reads the future; pure window, no join, one keyed shuffle
+    "q122_locf_enrich" -> ((s, dir) => {
+      Sessions.locfEnrich(t(s, dir, "events"), "user_id", "ts",
+          "event_id", get_json_object(col("props"), "$.k"))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"),
+          col("attr_locf").as("profile"), col("staleness_us"))
+    }),
+
     // Bucketed co-located join: both sides written bucketBy(16, user_id)
     // once (the shuffle-you-pay-once layout), after which the equi-join
     // plans as a SortMergeJoin over co-located bucketed scans with ZERO
@@ -3898,6 +3947,125 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Prefix sums over the filtered rank prefix equal prefix sums over
+    // the full ordered vocab; cum counts are exact integers in double,
+    // so the single division is bit-identical.
+    "q126_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         r AS (SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok) AS rk
+               FROM c)
+         SELECT CAST(rk AS INT) AS rank, tok AS token,
+           n AS n_occurrences,
+           CAST(sum(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS DOUBLE) / total AS cum_share
+         FROM r CROSS JOIN t WHERE rk <= 512""",
+    "q125_k_anonymity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           json_extract_string(props, '$.k') AS profile,
+           count(DISTINCT user_id) AS n_ids, count(*) AS n_rows
+         FROM events GROUP BY 1, 2, 3
+         HAVING count(DISTINCT user_id) < 5""",
+    "q124_column_stats" ->
+      """WITH u AS (
+           SELECT 'l_orderkey' AS colname, CAST(l_orderkey AS VARCHAR) AS v,
+             TRY_CAST(l_orderkey AS BIGINT) AS vn FROM lineitem
+           UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR),
+             TRY_CAST(l_partkey AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR),
+             TRY_CAST(l_suppkey AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR),
+             TRY_CAST(l_linenumber AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'l_returnflag', l_returnflag,
+             TRY_CAST(l_returnflag AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'l_linestatus', l_linestatus,
+             TRY_CAST(l_linestatus AS BIGINT) FROM lineitem),
+         stats AS (
+           SELECT colname, count(*) AS n_rows,
+             count(*) - count(v) AS n_nulls,
+             min(v) AS min_s, max(v) AS max_s,
+             min(vn) AS min_num, max(vn) AS max_num
+           FROM u GROUP BY colname),
+         d AS (SELECT DISTINCT colname,
+                 CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+               FROM u WHERE v IS NOT NULL),
+         r AS (SELECT colname, h,
+                 row_number() OVER (PARTITION BY colname ORDER BY h) AS rk
+               FROM d),
+         sk AS (SELECT colname, CAST(count(*) AS INT) AS n_sk,
+                  max(h) AS kth
+                FROM r WHERE rk <= 64 GROUP BY colname)
+         SELECT s.colname, s.n_rows, s.n_nulls, s.min_s, s.max_s,
+           s.min_num, s.max_num,
+           CASE WHEN coalesce(k.n_sk, 0) < 64
+                THEN CAST(coalesce(k.n_sk, 0) AS BIGINT)
+                ELSE CAST(floor(63 * power(2, 60) /
+                  CAST(k.kth AS DOUBLE)) AS BIGINT) END AS ndv_est
+         FROM stats s LEFT JOIN sk k USING (colname)""",
+    // Sketch merge + overlap arithmetic reproduced on relationally-built
+    // sketches; division-before-multiplication order matches the Spark
+    // side so the IEEE doubles land on identical bits.
+    "q123_sketch_overlap" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS tok
+           FROM documents),
+         h AS (
+           SELECT source,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+         d AS (SELECT DISTINCT source, h FROM h),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM d),
+         sk AS (SELECT source, list_sort(list(h)) AS kmv
+                FROM r WHERE rk <= 64 GROUP BY source),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.kmv AS ka, b.kmv AS kb
+               FROM sk a JOIN sk b ON a.source < b.source),
+         c AS (SELECT source_a, source_b,
+                 list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS u,
+                 list_intersect(ka, kb) AS ab
+               FROM p),
+         m AS (SELECT source_a, source_b,
+                 len(u) AS m, u[len(u)] AS theta,
+                 len(list_intersect(u, ab)) AS shared
+               FROM c)
+         SELECT source_a, source_b,
+           CAST(shared AS INT) AS n_shared_minima,
+           CASE WHEN m < 64 THEN CAST(m AS BIGINT)
+                ELSE CAST(floor(63 * power(2, 60) /
+                  CAST(theta AS DOUBLE)) AS BIGINT) END AS union_est,
+           CAST(floor((CAST(shared AS DOUBLE) / m) *
+             (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                   ELSE 63 * power(2, 60) / CAST(theta AS DOUBLE) END))
+             AS BIGINT) AS inter_est,
+           CAST(shared AS DOUBLE) / m AS jaccard_est
+         FROM m""",
+    "q122_locf_enrich" ->
+      """WITH o AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+             json_extract_string(props, '$.k') AS a
+           FROM events),
+         w AS (
+           SELECT event_id, user_id, event_type, tsu,
+             last_value(a IGNORE NULLS) OVER win AS profile,
+             last_value(CASE WHEN a IS NOT NULL THEN tsu END IGNORE NULLS)
+               OVER win AS ats
+           FROM o
+           WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, tsu, profile,
+           tsu - ats AS staleness_us
+         FROM w WHERE event_type = 'purchase'""",
     // The layout changes the PLAN, not the answer: the oracle is the
     // plain join+aggregate.
     "q121_bucketed_join" ->

@@ -26,6 +26,60 @@ object Profiling {
     * aggregate (O(k) partial buffers) for the winners and a broadcast of
     * the k-row result back onto the counts; the one-row totals frame
     * attaches by broadcast cross join. No global sort, no window. */
+  /** ANALYZE-style catalog statistics in ONE pass: per column, row/null
+    * counts, lexicographic and (where castable) numeric min/max, and a
+    * KMV distinct-count estimate — the inputs a cost-based optimizer
+    * needs for join ordering and broadcast decisions.
+    *
+    * Shape: unpivot to (column, value) rows, then one partial-aggregated
+    * groupBy with exactly `cols.size` keys — each map task reduces its
+    * partition to `cols.size` rows (min/max/count fold, the ndv buffer is
+    * the O(k) KMV sketch), so the single shuffle carries rows ×
+    * partitions, never data. Compare: `cols.size` separate scans, or an
+    * exact `count(DISTINCT)` per column (a full shuffle of every distinct
+    * value, per column). */
+  def columnStats(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    val packed = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("colname"),
+        col(c).cast("string").as("v"),
+        // try_cast: non-numeric columns contribute NULL numeric bounds
+        // instead of an ANSI cast failure
+        expr(s"try_cast($c AS BIGINT)").as("vn"))): _*)).as("x"))
+      .select(col("x.colname").as("colname"), col("x.v").as("v"),
+        col("x.vn").as("vn"))
+    val hashed = packed.withColumn("h",
+      conv(substring(md5(col("v").cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+    hashed.groupBy("colname")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        min(col("v")).as("min_s"), max(col("v")).as("max_s"),
+        min(col("vn")).as("min_num"), max(col("vn")).as("max_num"),
+        graft.functions.GraftFunctions.kminValues(col("h"), k).as("kmv"))
+      .select(col("colname"), col("n_rows"), col("n_nulls"),
+        col("min_s"), col("max_s"), col("min_num"), col("max_num"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+          .otherwise(floor(
+            lit((k - 1).toDouble * math.scalb(1.0, 60)) /
+              element_at(col("kmv"), k).cast("double")).cast("long"))
+          .as("ndv_est"))
+  }
+
+  /** k-anonymity audit over a set of quasi-identifier columns: the
+    * combinations matched by FEWER than `k` distinct subjects — the rows
+    * a release would have to suppress or generalize (Sweeney 2002). The
+    * governance sibling of the PII redaction pass: redaction removes
+    * direct identifiers, this finds the indirect ones. One groupBy on
+    * the quasi-identifier tuple; the distinct-subject count per group is
+    * the only extra exchange (Spark's two-phase distinct aggregate). */
+  def kAnonymityAudit(df: DataFrame, qids: Seq[Column], idCol: String,
+      k: Int): DataFrame =
+    df.groupBy(qids: _*)
+      .agg(count_distinct(col(idCol)).as("n_ids"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_ids") < k)
+
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(col(keyCol).as("key"))

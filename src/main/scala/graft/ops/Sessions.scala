@@ -32,6 +32,31 @@ object Sessions {
         Window.currentRow)))
   }
 
+  /** Last-observation-carried-forward (LOCF) enrichment: for every event,
+    * the most recent NON-NULL observation of a sparse attribute at or
+    * before the event's time, plus its staleness in exact micros — the
+    * point-in-time-correct (leakage-free) feature join: an event is only
+    * ever enriched with attribute state that existed when it happened,
+    * never with a later value. The window form needs no join at all: one
+    * shuffle keyed by `keyCol`, one pass over each key's locally-sorted
+    * events with two IGNORE NULLS running-last frames. */
+  def locfEnrich(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attr: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__attr", attr)
+      .withColumn("attr_locf", last(col("__attr"), ignoreNulls = true)
+        .over(w))
+      .withColumn("__attr_ts",
+        last(when(col("__attr").isNotNull, col(tsCol)),
+          ignoreNulls = true).over(w))
+      .withColumn("staleness_us",
+        unix_micros(col(tsCol)) - unix_micros(col("__attr_ts")))
+      .drop("__attr", "__attr_ts")
+  }
+
   /** SCD Type-2 compression of a mutable per-key attribute: collapse each
     * key's event history to its CHANGE POINTS, emitting one row per value
     * run with a half-open validity interval `[valid_from, valid_to)` (in

@@ -28,6 +28,49 @@ object Sketches {
   private def portable60(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Pairwise distinct-set OVERLAP estimates between groups from their KMV
+    * sketches (Beyer et al., SIGMOD 2007): for each group pair, merge the
+    * two k-minima sketches into the union's k-minima `u`, estimate
+    * |A ∪ B| from u's k-th minimum, estimate Jaccard as the fraction of
+    * u's members present in BOTH input sketches, and the intersection as
+    * their product — the cross-corpus contamination estimator
+    * ("how many distinct shingles do train and eval share?") that never
+    * compares the corpora directly: the only pass over the data is the
+    * sketching aggregation; the pair arithmetic runs on G sketch rows
+    * (G = number of corpora, tiny by construction).
+    *
+    * When the merged sketch is not full (m < k) both input sketches were
+    * complete enumerations, so union/intersection/Jaccard are EXACT — the
+    * estimator degrades to the truth on small groups. */
+  def kmvOverlap(df: DataFrame, groupCol: String, values: Column,
+      k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol).as("g"), explode(values).as("v"))
+      .select(col("g"), portable60(col("v")).as("h"))
+    val sk = hashed.groupBy("g")
+      .agg(graft.functions.GraftFunctions.kminValues(col("h"), k)
+        .as("kmv"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("source_a"), col("b.g").as("source_b"),
+        col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+    val unionEstD = lit((k - 1).toDouble * HashSpace) /
+      element_at(col("u"), size(col("u"))).cast("double")
+    pairs
+      .withColumn("u",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("ab", array_intersect(col("ka"), col("kb")))
+      .withColumn("m", size(col("u")))
+      .withColumn("shared", size(array_intersect(col("u"), col("ab"))))
+      .select(
+        col("source_a"), col("source_b"),
+        col("shared").as("n_shared_minima"),
+        when(col("m") < k, col("m").cast("long"))
+          .otherwise(floor(unionEstD).cast("long")).as("union_est"),
+        floor((col("shared").cast("double") / col("m")) *
+          when(col("m") < k, col("m").cast("double"))
+            .otherwise(unionEstD)).cast("long").as("inter_est"),
+        (col("shared").cast("double") / col("m")).as("jaccard_est"))
+  }
+
   /** Per-group distinct-cardinality estimate of `valueCol` via a k-minimum-
     * values sketch over the portable 60-bit hash.
     *

@@ -333,6 +333,38 @@ object TextAnalysis {
     * which would sort the full gram table. The k winners broadcast back
     * onto the stats frame for their doc counts; Catalyst's ReuseExchange
     * evaluates the underlying gram aggregation once. */
+  /** Vocabulary coverage curve: the top `v` tokens by corpus frequency
+    * with each prefix's CUMULATIVE share of all token occurrences — the
+    * table a tokenizer design reads off ("a 512-word vocab covers X% of
+    * running text; the OOV rate at size r is 1 − cum_share(r)").
+    *
+    * Shape: token counts are one map-side-combined aggregation; the
+    * top-v selection is the bounded `topk_by_score` aggregate (O(v)
+    * buffers, no global sort), and the cumulative shares are computed by
+    * prefix-summing INSIDE the one-row top-v array — no
+    * Exchange-SinglePartition window anywhere. The O(v²) interpreted
+    * prefix fold runs once on one row. */
+  def vocabCoverage(df: DataFrame, textCol: String, v: Int): DataFrame = {
+    require(v >= 1, s"need v >= 1, got $v")
+    val counts = df
+      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val one = counts.groupBy()
+      .agg(graft.functions.GraftFunctions.topKByScore(
+          col("n").cast("double"), col("tok"), v).as("top"),
+        sum(col("n")).as("total"))
+    one
+      .select(explode(transform(col("top"), (x, i) =>
+        struct((i + 1).cast("int").as("rank"),
+          x.getField("id").as("token"),
+          x.getField("score").cast("long").as("n_occurrences"),
+          (aggregate(slice(col("top"), lit(1), i + 1), lit(0.0),
+            (acc, y) => acc + y.getField("score")) /
+            col("total")).as("cum_share")))).as("e"))
+      .select(col("e.rank"), col("e.token"), col("e.n_occurrences"),
+        col("e.cum_share"))
+  }
+
   def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got $n/$k")

@@ -34,7 +34,10 @@ class PlanLintSpec extends SparkSuite {
     "q94_heldout_lm", // one-row vocab-size frame
     "q87_source_overlap", // K-row source-size frames (pair completeness)
     "q93_curriculum_order", // one-row quantile-boundaries frame
-    "q95_length_histogram" // one-row totals frame
+    "q95_length_histogram", // one-row totals frame
+    "q123_sketch_overlap" // G-row sketch frames (G = corpus count): the
+                          // pairwise < join runs on O(k) sketches, the
+                          // data itself is touched once by the sketch agg
   )
 
   // Streaming entries run a query to a memory sink when invoked; their
@@ -42,7 +45,8 @@ class PlanLintSpec extends SparkSuite {
   // micro-batch plan. They are covered by StreamsSpec equivalences.
   private val streaming = Set(
     "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich",
-    "q73_stream_interval_join", "q91_stream_fhir_ingest")
+    "q73_stream_interval_join", "q91_stream_fhir_ingest",
+    "q120_stream_hopping_window")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keysIterator

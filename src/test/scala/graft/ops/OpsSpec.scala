@@ -398,6 +398,28 @@ class OpsSpec extends SparkSuite {
     assert(u2.length === 1 && u2.head.getBoolean(5))
   }
 
+  test("locf carries only past observations and reports staleness") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("x")),
+      (2L, ts("2024-01-01 10:10:00"), 1L, None),
+      (3L, ts("2024-01-01 10:30:00"), 1L, Some("y")),
+      (4L, ts("2024-01-01 10:40:00"), 1L, None),
+      (5L, ts("2024-01-01 09:00:00"), 2L, None)) // never observed
+      .toDF("event_id", "ts", "user_id", "attr")
+    val out = Sessions.locfEnrich(ev, "user_id", "ts", "event_id",
+      col("attr"))
+      .select("event_id", "attr_locf", "staleness_us").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L) === (Some("x"), Some(0L)))          // own observation
+    assert(out(2L) === (Some("x"), Some(600000000L)))  // 10 min stale
+    assert(out(3L) === (Some("y"), Some(0L)))          // newer wins
+    assert(out(4L) === (Some("y"), Some(600000000L)))
+    assert(out(5L) === (None, None)) // nothing to carry -> stays null
+  }
+
   test("sessionize: gaps over the threshold start new sessions") {
     import spark.implicits._
     val events = Seq(

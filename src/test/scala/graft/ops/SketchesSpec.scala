@@ -49,6 +49,74 @@ class SketchesSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("kmv overlap estimates a planted Jaccard and is exact below k") {
+    // Big case: A = 1..1200, B = 601..1800 -> |A∩B| = 600, |A∪B| = 1800,
+    // J = 1/3. k = 64 -> sigma(J) ~ sqrt(J(1-J)/k) ~ 6%; assert a loose
+    // deterministic envelope (the hash is fixed, so this cannot flake).
+    import spark.implicits._
+    val a = (1 to 1200).map(i => ("A", s"t$i"))
+    val b = (601 to 1800).map(i => ("B", s"t$i"))
+    val big = (a ++ b).toDF("source", "tok")
+      .groupBy("source").agg(collect_list("tok").as("toks"))
+    val r = Sketches.kmvOverlap(big, "source", col("toks"), 64).head()
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    val (unionEst, interEst, jEst) =
+      (r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(math.abs(unionEst - 1800.0) / 1800.0 < 0.4, s"union $unionEst")
+    assert(math.abs(jEst - 1.0 / 3) < 0.25, s"jaccard $jEst")
+    assert(interEst > 0 && interEst < 1800)
+
+    // Small case (both groups < k): everything exact
+    val sa = (1 to 20).map(i => ("A", s"s$i"))
+    val sb = (11 to 25).map(i => ("B", s"s$i"))
+    val small = (sa ++ sb).toDF("source", "tok")
+      .groupBy("source").agg(collect_list("tok").as("toks"))
+    val s = Sketches.kmvOverlap(small, "source", col("toks"), 64).head()
+    assert(s.getLong(3) === 25L)       // exact union
+    assert(s.getLong(4) === 10L)       // exact intersection (11..20)
+    assert(s.getDouble(5) === 10.0 / 25)
+  }
+
+  test("columnStats reports counts, bounds and exact small ndv") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None),
+      (10L, Some("x"))).toDF("k", "s")
+    val out = Profiling.columnStats(df, Seq("k", "s"), k = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val kRow = out("k")
+    assert(kRow.getLong(1) === 4L && kRow.getLong(2) === 0L) // rows/nulls
+    // lexicographic bounds: "1" < "10" < "2" < "3"
+    assert(kRow.getString(3) === "1" && kRow.getString(4) === "3")
+    assert(kRow.getLong(5) === 1L && kRow.getLong(6) === 10L) // numeric
+    assert(kRow.getLong(7) === 4L) // exact ndv below k
+    val sRow = out("s")
+    assert(sRow.getLong(2) === 1L) // one null
+    assert(sRow.isNullAt(5) && sRow.isNullAt(6)) // no numeric bounds
+    assert(sRow.getLong(7) === 2L) // x, y
+  }
+
+  test("kAnonymityAudit flags only under-k quasi-identifier groups") {
+    import spark.implicits._
+    val df = (1 to 10).map(u => ("big", u.toLong)) ++
+      Seq(("tiny", 1L), ("tiny", 1L), ("tiny", 2L))
+    val out = Profiling.kAnonymityAudit(df.toDF("grp", "uid"),
+      Seq(col("grp")), "uid", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("tiny", 2L, 3L))) // 2 users < 5, 3 rows
+  }
+
+  test("vocabCoverage ranks by frequency and accumulates to 1.0") {
+    import spark.implicits._
+    // "a" x4, "b" x2, "c" x1, "d" x1 (d ties c, token asc tie-break)
+    val df = Seq("a a b c", "a a b d").toDF("text")
+    val out = TextAnalysis.vocabCoverage(df, "text", v = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1, "a", 4L, 0.5), (2, "b", 2L, 0.75),
+      (3, "c", 1L, 0.875), (4, "d", 1L, 1.0)))
+  }
+
   test("kmv estimate matches the relational reconstruction bit-for-bit") {
     // In-engine differential for the oracle formula: k-th smallest
     // DISTINCT portable hash via a window, floor((k-1)*2^60/kth) — the
