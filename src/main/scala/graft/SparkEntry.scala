@@ -1950,6 +1950,37 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Hot-key salted join: keys above the hot threshold split into 8
+    // sub-keys on the fact side, dim rows replicated only for those keys
+    // — the manual skew cure for when AQE can't see it (stateful ops,
+    // post-join aggregation skew); the oracle runs the PLAIN join, so
+    // salting provably does not change the answer
+    "q127_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val hot = graft.ops.Skew.hotKeys(ev, "user_id", hotThreshold = 20L)
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", "event_id", hot,
+          salts = 8)
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // Pivot report: one row per day, one column pair per event type —
+    // the reshape between long event logs and wide metric tables; a
+    // single groupBy(day) with conditional aggregates, no joins
+    "q128_pivot_report" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // Vocabulary coverage curve: top-512 tokens with cumulative share of
     // running text — the tokenizer-design table (OOV rate = 1-cum_share);
     // bounded top-k aggregate + in-array prefix sums, no global window
@@ -3947,6 +3978,35 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Salting must not change the answer: the oracle is the plain join.
+    "q127_salted_join" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
+    // Pivot cells with no underlying rows are NULL in Spark's pivot
+    // (they come from absent (day,type) groups) -> NULLIF(count, 0).
+    "q128_pivot_report" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+           NULLIF(count(*) FILTER (event_type = 'click'), 0) AS click_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (event_type = 'click') AS DOUBLE) AS click_sum_value,
+           NULLIF(count(*) FILTER (event_type = 'error'), 0) AS error_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (event_type = 'error') AS DOUBLE) AS error_sum_value,
+           NULLIF(count(*) FILTER (event_type = 'purchase'), 0)
+             AS purchase_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (event_type = 'purchase') AS DOUBLE)
+             AS purchase_sum_value,
+           NULLIF(count(*) FILTER (event_type = 'signup'), 0) AS signup_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (event_type = 'signup') AS DOUBLE)
+             AS signup_sum_value,
+           NULLIF(count(*) FILTER (event_type = 'view'), 0) AS view_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (event_type = 'view') AS DOUBLE) AS view_sum_value
+         FROM events GROUP BY 1""",
     // Prefix sums over the filtered rank prefix equal prefix sums over
     // the full ordered vocab; cum counts are exact integers in double,
     // so the single division is bit-identical.

@@ -398,6 +398,30 @@ class OpsSpec extends SparkSuite {
     assert(u2.length === 1 && u2.head.getBoolean(5))
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // key 7 is hot (60 rows), keys 1..5 cold (2 rows each)
+    val facts = ((1 to 60).map(i => (1000L + i, 7L)) ++
+      (1 to 5).flatMap(k => Seq((2000L + k, k.toLong),
+        (3000L + k, k.toLong)))).toDF("row_id", "k")
+    val dim = (1L to 8L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val hot = Skew.hotKeys(facts, "k", hotThreshold = 20L)
+    assert(hot.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    val salted = Skew.saltedJoin(facts, dim, "k", "row_id", hot,
+      salts = 8)
+    val plain = facts.join(dim, Seq("k"))
+    assert(salted.select("row_id", "k", "attr").collect().toSet ===
+      plain.select("row_id", "k", "attr").collect().toSet)
+    // the hot key's fact rows actually landed on multiple sub-keys
+    val nSalts = facts
+      .join(broadcast(hot.withColumn("__hot", lit(1))), Seq("k"), "left")
+      .where(col("__hot").isNotNull)
+      .select(pmod(conv(substring(md5(col("row_id").cast("string")
+        .cast("binary")), 1, 15), 16, 10).cast("long"), lit(8)))
+      .distinct().count()
+    assert(nSalts > 4, s"expected the 60 hot rows across >4 salts, got $nSalts")
+  }
+
   test("locf carries only past observations and reports staleness") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
