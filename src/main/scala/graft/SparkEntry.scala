@@ -1950,6 +1950,53 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Most-common-values catalog statistic: per-column top-8 values with
+    // counts and shares (the CBO's literal-predicate selectivity input,
+    // next to q124's ndv); bounded top-k per column, no per-column sort
+    "q131_mcv_stats" -> ((s, dir) => {
+      Profiling.mostCommonValues(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey"),
+        k = 8)
+    }),
+
+    // Referential-integrity audit: orphan foreign keys per relationship
+    // (data-contract validation); one left join + conditional counts per
+    // relationship, dimension keys broadcast
+    "q132_fk_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Profiling.orphanAudit(li, "l_orderkey", t(s, dir, "orders"),
+          "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(Profiling.orphanAudit(li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey",
+          "lineitem.l_suppkey->supplier"))
+        .unionAll(Profiling.orphanAudit(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders.o_custkey->customer"))
+    }),
+
+    // Ingestion-completeness gaps: hours with zero events for each
+    // (day, event_type) that is otherwise active — the silent-outage
+    // monitor; literal hour-grid explode + one left-anti join
+    "q133_completeness_gaps" -> ((s, dir) => {
+      Sessions.completenessGaps(t(s, dir, "events"), "ts", "event_type")
+    }),
+
+    // Time-in-state rollup over the SCD2 intervals: micros and lifetime
+    // share each user spent per event_type state — dwell-time
+    // composition; exact bigint interval arithmetic, NULL share on
+    // zero-span (single-observation) users
+    "q129_time_in_state" -> ((s, dir) => {
+      Sessions.timeInState(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")
+    }),
+
+    // Gaps-and-islands interval merge: each event opens a 10-minute
+    // activity interval; overlaps merge into islands via one running-max
+    // window (no self-join) — per-user coverage count and total micros
+    "q130_interval_islands" -> ((s, dir) => {
+      Sessions.intervalIslands(t(s, dir, "events"), "user_id", "ts",
+        "event_id", durationUs = 600000000L)
+    }),
+
     // Hot-key salted join: keys above the hot threshold split into 8
     // sub-keys on the fact side, dim rows replicated only for those keys
     // — the manual skew cure for when AQE can't see it (stateful ops,
@@ -3978,6 +4025,121 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    "q131_mcv_stats" ->
+      """WITH u AS (
+           SELECT 'l_returnflag' AS colname, l_returnflag AS v
+           FROM lineitem
+           UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+           UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+             FROM lineitem
+           UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+             FROM lineitem),
+         c AS (SELECT colname, v, count(*) AS n FROM u
+               WHERE v IS NOT NULL GROUP BY colname, v),
+         t AS (SELECT colname, CAST(sum(n) AS BIGINT) AS total
+               FROM c GROUP BY colname),
+         r AS (SELECT colname, v, n,
+                 row_number() OVER (PARTITION BY colname
+                   ORDER BY n DESC, v) AS rk
+               FROM c)
+         SELECT r.colname, CAST(rk AS INT) AS rank, v AS value, n,
+           CAST(n AS DOUBLE) / total AS share
+         FROM r JOIN t ON t.colname = r.colname WHERE rk <= 8""",
+    "q132_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           count(*) AS n_rows,
+           count(CASE WHEN o.o_orderkey IS NULL
+             AND l.l_orderkey IS NOT NULL THEN 1 END) AS n_orphans,
+           count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS n_null_fk
+         FROM lineitem l LEFT JOIN
+           (SELECT DISTINCT o_orderkey FROM orders) o
+           ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->supplier',
+           count(*),
+           count(CASE WHEN s.s_suppkey IS NULL
+             AND l.l_suppkey IS NOT NULL THEN 1 END),
+           count(CASE WHEN l.l_suppkey IS NULL THEN 1 END)
+         FROM lineitem l LEFT JOIN
+           (SELECT DISTINCT s_suppkey FROM supplier) s
+           ON l.l_suppkey = s.s_suppkey
+         UNION ALL
+         SELECT 'orders.o_custkey->customer',
+           count(*),
+           count(CASE WHEN c.c_custkey IS NULL
+             AND ord.o_custkey IS NOT NULL THEN 1 END),
+           count(CASE WHEN ord.o_custkey IS NULL THEN 1 END)
+         FROM orders ord LEFT JOIN
+           (SELECT DISTINCT c_custkey FROM customer) c
+           ON ord.o_custkey = c.c_custkey""",
+    "q133_completeness_gaps" ->
+      """WITH dt AS (
+           SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, event_type
+           FROM events),
+         grid AS (
+           SELECT day, event_type, CAST(unnest(range(0, 24)) AS INT)
+             AS hour
+           FROM dt),
+         obs AS (
+           SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             CAST(hour(ts) AS INT) AS hour
+           FROM events)
+         SELECT g.day, g.event_type, g.hour
+         FROM grid g LEFT JOIN obs o
+           ON g.day = o.day AND g.event_type = o.event_type
+             AND g.hour = o.hour
+         WHERE o.day IS NULL""",
+    "q129_time_in_state" ->
+      """WITH o AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, tsu, event_id FROM o
+           WHERE prev IS NULL OR prev <> event_type),
+         iv AS (
+           SELECT user_id, event_type AS attr, tsu AS vf,
+             lead(tsu) OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id) AS vt
+           FROM ch),
+         ue AS (SELECT user_id, min(epoch_us(ts)) AS ustart,
+                  max(epoch_us(ts)) AS uend
+                FROM events GROUP BY user_id)
+         SELECT i.user_id, i.attr,
+           CAST(sum(coalesce(vt, uend) - vf) AS BIGINT) AS occupied_us,
+           CASE WHEN uend - ustart = 0 THEN NULL
+                ELSE CAST(CAST(sum(coalesce(vt, uend) - vf) AS BIGINT)
+                  AS DOUBLE) / (uend - ustart) END AS share
+         FROM iv i JOIN ue USING (user_id)
+         GROUP BY i.user_id, i.attr, uend, ustart""",
+    "q130_interval_islands" ->
+      """WITH s AS (
+           SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+           FROM s),
+         f AS (
+           SELECT user_id, event_id, s, e,
+             CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+               AS nw
+           FROM m),
+         g AS (
+           SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM f),
+         i AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie
+               FROM g GROUP BY user_id, island)
+         SELECT user_id, count(*) AS n_islands,
+           CAST(sum(ie - is_) AS BIGINT) AS covered_us
+         FROM i GROUP BY user_id""",
     // Salting must not change the answer: the oracle is the plain join.
     "q127_salted_join" ->
       """SELECT c_mktsegment AS segment, event_type, count(*) AS n,

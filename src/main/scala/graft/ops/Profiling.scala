@@ -66,6 +66,49 @@ object Profiling {
           .as("ndv_est"))
   }
 
+  /** Most-common-values (MCV) catalog statistic: per column, the top-k
+    * values with occurrence counts and frequency share — the other half
+    * of what a cost-based optimizer keeps next to [[columnStats]]' ndv
+    * (selectivity of `col = literal` predicates on skewed columns). One
+    * unpivot pass → (column, value) counts → the bounded top-k aggregate
+    * per column: O(k) buffers, no per-column sort. */
+  def mostCommonValues(df: DataFrame, cols: Seq[String],
+      k: Int): DataFrame = {
+    val packed = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("colname"),
+        col(c).cast("string").as("v"))): _*)).as("x"))
+      .select(col("x.colname").as("colname"), col("x.v").as("v"))
+      .where(col("v").isNotNull)
+    packed.groupBy(col("colname"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("colname"))
+      .agg(graft.functions.GraftFunctions.topKByScore(
+          col("n").cast("double"), col("v"), k).as("top"),
+        sum(col("n")).as("total"))
+      .select(col("colname"), col("total"), posexplode(col("top")))
+      .select(col("colname"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("value"),
+        col("col.score").cast("long").as("n"),
+        (col("col.score") / col("total")).as("share"))
+  }
+
+  /** Referential-integrity audit for one fact→dimension relationship:
+    * ONE row (relationship, n_rows, n_orphans, n_null_fk) — data-contract
+    * validation at scale. A single left join against the distinct keys
+    * (small side broadcast by the planner) with conditional counts; no
+    * second scan, no anti-join pass. */
+  def orphanAudit(fact: DataFrame, fkCol: String, dim: DataFrame,
+      pkCol: String, name: String): DataFrame =
+    fact.select(col(fkCol).as("__fk"))
+      .join(dim.select(col(pkCol).as("__pk")).distinct(),
+        col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__pk").isNull && col("__fk").isNotNull, 1))
+          .as("n_orphans"),
+        count(when(col("__fk").isNull, 1)).as("n_null_fk"))
+      .withColumn("relationship", lit(name))
+      .select("relationship", "n_rows", "n_orphans", "n_null_fk")
+
   /** k-anonymity audit over a set of quasi-identifier columns: the
     * combinations matched by FEWER than `k` distinct subjects — the rows
     * a release would have to suppress or generalize (Sweeney 2002). The

@@ -86,6 +86,78 @@ object Sessions {
         col("__next_ts").isNull.as("is_current"))
   }
 
+  /** Time-in-state rollup over the [[scd2]] intervals: per (key, attr),
+    * the total micros the key spent in that attribute value, with the
+    * open run closed at the key's last observation and the share of the
+    * key's observed span — "fraction of the user's lifetime in each
+    * state", the dwell-time composition a behavioral segmentation reads.
+    * Keys observed only once have zero span → share is NULL, not a
+    * division error. All interval arithmetic is exact bigint micros. */
+  def timeInState(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val iv = scd2(events, keyCol, tsCol, tieCol, attrCol)
+    val span = events.groupBy(col(keyCol)).agg(
+      min(unix_micros(col(tsCol))).as("__start"),
+      max(unix_micros(col(tsCol))).as("__end"))
+    iv.join(span, Seq(keyCol))
+      .withColumn("__occ",
+        coalesce(col("valid_to_us"), col("__end")) - col("valid_from_us"))
+      .groupBy(col(keyCol), col("attr"))
+      .agg(sum(col("__occ")).as("occupied_us"),
+        first(col("__end") - col("__start")).as("__span"))
+      .select(col(keyCol), col("attr"), col("occupied_us"),
+        when(col("__span") === 0, lit(null).cast("double"))
+          .otherwise(col("occupied_us").cast("double") / col("__span"))
+          .as("share"))
+  }
+
+  /** Gaps-and-islands interval merge: each event opens a fixed-length
+    * interval `[ts, ts + durationUs)`; overlapping/touching intervals per
+    * key merge into islands (coverage periods). Returns per key the
+    * island count and total covered micros — "when was the user's feed
+    * active, and for how long" — the INTERVAL-merging sibling of point
+    * sessionization. Island boundaries come from one running-max window
+    * (an interval starts a new island iff it begins strictly after every
+    * earlier interval's end), so the whole merge is two window passes
+    * over each key's locally-sorted events — no self-join. */
+  def intervalIslands(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, durationUs: Long): DataFrame = {
+    require(durationUs > 0, s"durationUs must be > 0, got $durationUs")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prevMax = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .withColumn("__s", unix_micros(col(tsCol)))
+      .withColumn("__e", col("__s") + durationUs)
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"))
+  }
+
+  /** Event-time completeness gaps: for every (period-dimension) pair that
+    * has ANY events on a day, the hours with NO events — the freshness /
+    * ingestion-gap monitor (a silent upstream outage reads as lower
+    * traffic unless something enumerates the expected grid). The grid is
+    * built by exploding a literal hour sequence onto the observed
+    * (day, dim) pairs — no cartesian join — and missing cells fall out of
+    * one left-anti join on (day, dim, hour). */
+  def completenessGaps(events: DataFrame, tsCol: String,
+      dimCol: String): DataFrame = {
+    val day = date_format(col(tsCol), "yyyy-MM-dd").as("day")
+    val grid = events.select(day, col(dimCol)).distinct()
+      .withColumn("hour", explode(sequence(lit(0), lit(23))))
+    val observed = events
+      .select(day, col(dimCol), hour(col(tsCol)).as("hour")).distinct()
+    grid.join(observed, Seq("day", dimCol, "hour"), "left_anti")
+  }
+
   /** Session-level rollup: event count and bounds per (user, session). */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSeconds: Long): DataFrame =

@@ -444,6 +444,37 @@ class OpsSpec extends SparkSuite {
     assert(out(5L) === (None, None)) // nothing to carry -> stays null
   }
 
+  test("timeInState splits the lifetime and islands merge overlaps") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a for 10 min, b for 30 min (closed at last event)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "b"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "b"),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "c")) // single event: zero span
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tis = Sessions.timeInState(ev, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(tis((1L, "a")) === (600000000L, 0.25))
+    assert(tis((1L, "b")) === (1800000000L, 0.75))
+    assert(tis((2L, "c")) === (0L, -1.0)) // zero span -> NULL share
+
+    // islands: events at 0 and 5 min overlap (10-min intervals) -> one
+    // island of 15 min; event at 40 min is its own 10-min island
+    val ev2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:05:00"), 1L),
+      (3L, ts("2024-01-01 10:40:00"), 1L))
+      .toDF("event_id", "ts", "user_id")
+    val isl = Sessions.intervalIslands(ev2, "user_id", "ts", "event_id",
+      durationUs = 600000000L).head()
+    assert(isl.getLong(1) === 2L)
+    assert(isl.getLong(2) === (15L + 10L) * 60000000L)
+  }
+
   test("sessionize: gaps over the threshold start new sessions") {
     import spark.implicits._
     val events = Seq(

@@ -117,6 +117,47 @@ class SketchesSpec extends SparkSuite {
       (3, "c", 1L, 0.875), (4, "d", 1L, 1.0)))
   }
 
+  test("mostCommonValues ranks per column with exact shares") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1))
+      .toDF("s", "i")
+    val out = Profiling.mostCommonValues(df, Seq("s", "i"), k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("s", 1)) === ("a", 3L, 0.75))
+    assert(out(("s", 2)) === ("b", 1L, 0.25))
+    assert(out(("i", 1)) === ("1", 3L, 0.75))
+    assert(out(("i", 2)) === ("2", 1L, 0.25))
+  }
+
+  test("orphanAudit counts orphans and null fks, once each") {
+    import spark.implicits._
+    val fact = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profiling.orphanAudit(fact, "fk", dim, "pk", "t").head()
+    assert(r.getString(0) === "t")
+    assert(r.getLong(1) === 4L) // rows
+    assert(r.getLong(2) === 1L) // 99 is orphan; NULL fk is NOT
+    assert(r.getLong(3) === 1L) // one null fk
+  }
+
+  test("completenessGaps finds exactly the silent hours") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // type x active on one day at hours 0 and 2 -> hour 1 (and 3..23)
+    // missing; type y active at hour 5 only
+    val ev = (Seq(ts("2024-01-01 00:10:00"), ts("2024-01-01 02:10:00"))
+      .map(t => (t, "x")) :+ ((ts("2024-01-01 05:00:00"), "y")))
+      .toDF("ts", "event_type")
+    val gaps = Sessions.completenessGaps(ev, "ts", "event_type")
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(!gaps.contains(("x", 0)) && !gaps.contains(("x", 2)))
+    assert(gaps.contains(("x", 1)) && gaps.contains(("x", 23)))
+    assert(!gaps.contains(("y", 5)) && gaps.contains(("y", 0)))
+    assert(gaps.size === (24 - 2) + (24 - 1))
+  }
+
   test("kmv estimate matches the relational reconstruction bit-for-bit") {
     // In-engine differential for the oracle formula: k-th smallest
     // DISTINCT portable hash via a window, floor((k-1)*2^60/kth) — the
