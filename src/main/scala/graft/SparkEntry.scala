@@ -1950,6 +1950,49 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Streaming SCD2 maintenance: per-user state holds only the OPEN run;
+    // the next change closes and emits it append-only — data-driven
+    // closure, no timeout clock; emitted rows are exactly the batch
+    // operator's closed intervals
+    "q134_stream_scd2" -> ((s, dir) => {
+      s.catalog.dropTempView("q134_stream_out")
+      val st = graft.streaming.Streams.scd2Stream(
+        graft.streaming.Streams.eventStream(s, dir), "event_type")
+      graft.streaming.Streams.runToMemory(s, st.toDF(), "q134_stream_out",
+        outputMode = "append", statePartitions = Some(8))
+    }),
+
+    // Bucket-pruned point lookup: the q121 layout's OTHER payoff — an
+    // equality filter on the bucket key scans 1 of 16 buckets
+    // (SelectedBucketsCount pinned in PlanSpec); at 100 TB that is a
+    // 16x scan cut before any row is read
+    "q135_bucket_pruning" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val tbl = graft.ops.Bucketing.writeBucketed(s, ev, "graft_bkt",
+        s"events_pt_$key", "user_id", buckets = 16)
+      graft.ops.Bucketing.prunedPointRead(s, tbl, "user_id", 7L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
+    // Partition-pruned scan: events re-laid-out partitioned by day; a
+    // day-equality read plans PartitionCount: 1 — directory-level
+    // pruning, the first lever of any 100 TB table layout
+    "q136_partition_pruning" -> ((s, dir) => {
+      val out = scratchDir("ptn", dir) + "/events_by_day"
+      t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .where(col("day") === "2024-01-05")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // Most-common-values catalog statistic: per-column top-8 values with
     // counts and shares (the CBO's literal-predicate selectivity input,
     // next to q124's ndv); bounded top-k per column, no per-column sort
@@ -4025,6 +4068,37 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // The stream emits exactly the CLOSED batch-SCD2 intervals (the open
+    // run stays in state).
+    "q134_stream_scd2" ->
+      """WITH o AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, event_id, tsu FROM o
+           WHERE prev IS NULL OR prev <> event_type),
+         iv AS (
+           SELECT user_id, event_type AS attr, tsu AS valid_from_us,
+             lead(tsu) OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id)
+               AS valid_to_us,
+             CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id) AS INT)
+               AS version
+           FROM ch)
+         SELECT user_id, attr, valid_from_us, valid_to_us, version
+         FROM iv WHERE valid_to_us IS NOT NULL""",
+    "q135_bucket_pruning" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id = 7 GROUP BY 1""",
+    "q136_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+         GROUP BY 1""",
     "q131_mcv_stats" ->
       """WITH u AS (
            SELECT 'l_returnflag' AS colname, l_returnflag AS v

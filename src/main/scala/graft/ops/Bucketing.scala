@@ -36,6 +36,22 @@ object Bucketing {
     s"$database.$table"
   }
 
+  /** Bucket-pruned point read: an equality filter on the bucket key scans
+    * exactly ONE bucket (`SelectedBucketsCount: 1 out of n`) — the other
+    * payoff of the layout: an n-fold scan cut before a single row is
+    * read. Spark's `DisableUnnecessaryBucketedScan` rule would silently
+    * throw this away (it re-enables plain scans whenever no downstream
+    * operator needs the hash distribution, ignoring bucket PRUNING), so
+    * this call turns auto-disable off for the session: the only plans it
+    * can affect are bucketed scans with no interesting partition — i.e.
+    * exactly the pruning case it would otherwise break. */
+  def prunedPointRead(spark: SparkSession, table: String, key: String,
+      value: Long): DataFrame = {
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table(table).where(col(key) === value)
+  }
+
   /** Equi-join two tables bucketed on `key` with matching bucket counts:
     * plans as a SortMergeJoin whose children are the bucketed scans
     * directly — no ShuffleExchange on either side (the merge hint only

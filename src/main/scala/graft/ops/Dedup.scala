@@ -265,10 +265,20 @@ object Dedup {
     * Stop-shingle rule (the scale guard AND a quality filter): shingles
     * appearing in more than `maxShingleDf` documents are boilerplate and
     * are removed from both the overlap numerator and the |A| denominator,
-    * so containment measures rare-content overlap. This also bounds the
-    * inverted-index join: per-shingle fan-out is at most maxShingleDf²
-    * ordered pairs, so total candidate volume is ≤ maxShingleDf × corpus
-    * shingle occurrences — linear in corpus size, never all-pairs.
+    * so containment measures rare-content overlap.
+    *
+    * Candidate generation is PPJoin-C-style and recall-preserving:
+    * containment ≥ θ needs overlap ≥ ⌈θ|A|⌉, so A must share a shingle
+    * within its |A| − ⌈θ|A|⌉ + 1 RAREST shingles (global df-ascending
+    * order) with B — only those prefixes probe the inverted index, and a
+    * length filter (|B| ≥ ⌈θ|A|⌉) prunes further. Survivors verify by
+    * exact set intersection of the two bounded per-doc shingle arrays.
+    * The naive full×full rare-shingle join (with a per-pair count
+    * shuffle) went ~100× super-linear at 10× rows on the planted tiny
+    * vocabulary (every shingle's df rides just under the cap → Σdf²
+    * explodes); prefixes hold only each document's rarest shingles, so
+    * probe-side df stays small and candidates — not raw join rows — are
+    * all that shuffles.
     *
     * `portable = true` hashes shingles with the md5-60 family the DuckDB
     * oracle rebuilds verbatim (identical results even under hash
@@ -281,19 +291,42 @@ object Dedup {
     val ex = df.select(col(idCol).as("id"),
       explode(graft.functions.GraftFunctions.shingleHashes(
         tokens(col(contentCol)), shingleSize, portable)).as("h"))
-    val rare = ex.join(
-      ex.groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxShingleDf).select("h"),
-      Seq("h"))
-    val na = rare.groupBy("id").agg(count(lit(1)).as("n_rare"))
-    val overlap = rare.as("a").join(rare.as("b"),
-        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("contained_id"),
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+    // per-doc rare shingles, rarest-first under ONE global total order
+    // ((df, h) struct sort — ties broken by hash), as in the exact
+    // Jaccard join
+    val ordered = ex.join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ofh"))
+      .select(col("id"),
+        transform(col("ofh"), x => x.getField("h")).as("osh"),
+        size(col("ofh")).as("n"))
+    // overlap ≥ ⌈θ·n⌉ must touch the first n - ⌈θ·n⌉ + 1 rarest; the
+    // 1e-9 nudge keeps a float overshoot of an exactly-integer θ·n from
+    // shortening the prefix (longer is always safe)
+    val prefixLen = (col("n") -
+      ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")
+    val probe = ordered.select(col("id"), col("n"),
+      explode(slice(col("osh"), lit(1), greatest(prefixLen, lit(1))))
+        .as("h"))
+    val index = ordered.select(col("id"), col("n"),
+      explode(col("osh")).as("h"))
+    val cand = probe.as("a").join(index.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n") - lit(1e-9)))
+      .select(col("a.id").as("contained_id"),
         col("b.id").as("container_id"))
-      .agg(count(lit(1)).as("overlap"))
-    overlap
-      .join(na.withColumnRenamed("id", "contained_id"),
-        Seq("contained_id"))
+      .distinct()
+    val sets = ordered.select(col("id"), col("osh"))
+    cand
+      .join(sets.withColumnRenamed("id", "contained_id")
+        .withColumnRenamed("osh", "__sa"), Seq("contained_id"))
+      .join(sets.withColumnRenamed("id", "container_id")
+        .withColumnRenamed("osh", "__sb"), Seq("container_id"))
+      .withColumn("n_rare", size(col("__sa")).cast("long"))
+      .withColumn("overlap",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn("containment",
         col("overlap").cast("double") / col("n_rare"))
       .where(col("containment") >= threshold)

@@ -337,6 +337,62 @@ object Streams {
     t
   }
 
+  /** One input event for [[scd2Stream]]. */
+  case class AEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      attr: String)
+
+  /** Per-user SCD2 state: the OPEN run (attribute value + start) and its
+    * 1-based version. O(1) per user — the dimension's current row,
+    * maintained incrementally. */
+  case class Scd2Acc(version: Int, hasOpen: Boolean, attr: String,
+      fromUs: Long)
+
+  /** One CLOSED validity interval — the batch [[graft.ops.Sessions.scd2]]
+    * row shape minus the open (is_current) run, which by definition has
+    * not closed yet. */
+  case class Scd2Out(user_id: Long, attr: String, valid_from_us: Long,
+      valid_to_us: Long, version: Int)
+
+  /** Streaming SCD Type-2 maintenance — the incremental form of the batch
+    * `Sessions.scd2` (q119): per-user state carries only the OPEN run;
+    * an arriving event with a DIFFERENT attribute value closes it and
+    * emits the finalized interval append-only. Closure is data-driven
+    * (the next change closes the run), so no timeout/watermark clock is
+    * involved and emitted rows are exactly the batch operator's closed
+    * intervals — the open run stays in state as the dimension's current
+    * row. One shuffle on the key into the state store; O(1) state per
+    * key. */
+  def scd2Stream(events: DataFrame, attrCol: String)
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col(attrCol).cast("string").as("attr"))
+      .as[AEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Acc, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state) =>
+          var acc = state.getOption.getOrElse(Scd2Acc(0, false, "", 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          // same total order as the batch operator: (ts, event_id)
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (!acc.hasOpen) acc = Scd2Acc(1, true, e.attr, t)
+            else if (e.attr != acc.attr) {
+              out += Scd2Out(user, acc.attr, acc.fromUs, t, acc.version)
+              acc = Scd2Acc(acc.version + 1, true, e.attr, t)
+            }
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
+
   /** Streaming gap-based sessionization — the `flatMapGroupsWithState`
     * custom-state form of the batch `Sessions.sessionStats` (q37): events
     * grouped by user, a session closes when the gap to the next event

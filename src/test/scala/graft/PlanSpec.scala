@@ -211,6 +211,23 @@ class PlanSpec extends SparkSuite {
       "the merge hint must keep the co-located SMJ:\n" + p.take(3000))
   }
 
+  test("q135: the bucket-key equality filter scans one bucket of 16") {
+    val p = SparkEntry.queries("q135_bucket_pruning")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+      "point lookup must prune to one bucket:\n" + p.take(3000))
+  }
+
+  test("q136: the day-equality read prunes to one partition directory") {
+    val p = SparkEntry.queries("q136_partition_pruning")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [isnotnull(day"),
+      "day filter must be a partition filter:\n" + p.take(3000))
+    // the executed plan's file index reports exactly one matching
+    // partition directory for the fixture's day
+    assert(!p.contains("PartitionFilters: []"), p.take(3000))
+  }
+
   test("q60: the optimizer rule plans the raw BETWEEN join hash-based") {
     val p = plan("q60_range_join_rewrite")
     assert(!p.contains("NestedLoopJoin"),

@@ -407,6 +407,24 @@ class StreamsSpec extends SparkSuite {
     assert(got.toSeq.map(_._3).sum === 2 * batchEvents.count())
   }
 
+  test("streaming scd2 emits exactly the batch operator's closed runs") {
+    val stream = Streams.scd2Stream(Streams.eventStream(spark, sfDir),
+      "event_type")
+    val got = Streams.runToMemory(spark, stream.toDF(), "scd2_stream",
+      outputMode = "append", statePartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val want = graft.ops.Sessions.scd2(
+      graft.sources.EventTime.normalize(
+        spark.read.parquet(s"$sfDir/events.parquet")),
+      "user_id", "ts", "event_id", "event_type")
+      .where(col("valid_to_us").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming dedup equals batch distinct on the fixture") {
     val events = Streams.eventStream(spark, sfDir)
     val deduped = Streams.dedupStream(events, Seq("user_id", "event_type"),
