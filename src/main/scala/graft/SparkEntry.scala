@@ -1950,6 +1950,16 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Semi-supervised kNN label propagation: every 5th embedding's label
+    // is held out and re-derived as the majority label of its 5 nearest
+    // labeled neighbors by exact integer inner product — weak
+    // supervision with a built-in accuracy report (true label carried);
+    // queries broadcast, corpus never shuffles
+    "q137_knn_label_prop" -> ((s, dir) => {
+      Similarity.knnLabelPropagation(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", holdoutMod = 5, k = 5)
+    }),
+
     // Streaming SCD2 maintenance: per-user state holds only the OPEN run;
     // the next change closes and emits it append-only — data-driven
     // closure, no timeout clock; emitted rows are exactly the batch
@@ -4068,6 +4078,33 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Quantized integer dots -> deterministic neighbor ranking and votes.
+    "q137_knn_label_prop" ->
+      """WITH d AS (
+           SELECT vec_id AS id, label, vec_id % 5 = 0 AS held,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+           FROM embeddings),
+         p AS (
+           SELECT u.id AS uid, u.label AS true_label, l.id AS nid,
+             l.label AS nlabel,
+             list_sum(list_transform(range(1, len(u.qv) + 1),
+               i -> u.qv[i] * l.qv[i])) AS dot
+           FROM d u JOIN d l ON u.held AND NOT l.held),
+         r AS (
+           SELECT uid, true_label, nlabel,
+             row_number() OVER (PARTITION BY uid
+               ORDER BY dot DESC, nid) AS rk
+           FROM p),
+         v AS (SELECT uid, true_label, nlabel, count(*) AS n
+               FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+         w AS (SELECT uid, true_label, nlabel, n,
+                 row_number() OVER (PARTITION BY uid
+                   ORDER BY n DESC, nlabel) AS wr
+               FROM v)
+         SELECT uid AS vec_id, nlabel AS predicted_label,
+           CAST(n AS BIGINT) AS n_votes, true_label
+         FROM w WHERE wr = 1""",
     // The stream emits exactly the CLOSED batch-SCD2 intervals (the open
     // run stays in state).
     "q134_stream_scd2" ->

@@ -311,6 +311,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Semi-supervised kNN label propagation (weak supervision): rows whose
+    * id satisfies `id % holdoutMod == 0` act as the UNLABELED set; each
+    * gets the majority label of its `k` nearest LABELED rows by maximum
+    * inner product over quantized embeddings (integer dots — exact in
+    * double, so ranking, ties and votes are bit-reproducible on any
+    * engine). Ties: neighbors by (dot desc, id asc), votes by (count
+    * desc, label asc). Output carries the held-out TRUE label, so the
+    * result doubles as a propagation-accuracy report.
+    *
+    * Plan shape: the unlabeled queries broadcast against the labeled
+    * corpus (corpus never shuffles — scored map-side, reduced by the
+    * bounded top-k aggregate), then a vote aggregation keyed by query.
+    * The scale path swaps the brute-force scoring for the IVF/LSH
+    * candidate generators, identical vote tail. */
+  def knnLabelPropagation(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, holdoutMod: Int, k: Int,
+      quantScale: Int = 10000): DataFrame = {
+    require(holdoutMod >= 2 && k >= 1,
+      s"need holdoutMod >= 2 and k >= 1, got $holdoutMod/$k")
+    val d = quantized(df, idCol, vecCol, quantScale)
+      .join(df.select(col(idCol).as("id"), col(labelCol).as("label")),
+        Seq("id"))
+      .withColumn("held", pmod(col("id"), lit(holdoutMod)) === 0)
+    val labeled = d.where(!col("held"))
+      .select(col("id").as("nid"), col("qv").as("nqv"),
+        col("label").as("nlabel"))
+    val unlabeled = d.where(col("held"))
+      .select(col("id").as("uid"), col("qv").as("uqv"),
+        col("label").as("true_label"))
+    val scored = labeled.join(broadcast(unlabeled))
+      .select(col("uid"), col("true_label"), col("nid"), col("nlabel"),
+        dot(col("nqv"), col("uqv")).as("d"))
+    val neighbors = scored.groupBy(col("uid"), col("true_label"))
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("d").cast("double"), col("nid"), k).as("top"))
+      .select(col("uid"), col("true_label"),
+        explode(transform(col("top"), x => x.getField("id"))).as("nid"))
+    val votes = neighbors
+      .join(labeled.select(col("nid"), col("nlabel")), Seq("nid"))
+      .groupBy(col("uid"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("n"))
+    votes.groupBy(col("uid").as("vec_id"), col("true_label"))
+      .agg(max(struct(col("n"), (-col("nlabel")).as("neg"),
+        col("nlabel"))).as("w"))
+      .select(col("vec_id"),
+        col("w").getField("nlabel").as("predicted_label"),
+        col("w").getField("n").as("n_votes"), col("true_label"))
+  }
+
   /** Exact all-pairs cosine near-duplicates over QUANTIZED embeddings —
     * each element is rounded to 1/quantScale (default 1e-4), making every
     * dot product an integer that is exact in double arithmetic (≤ 2^53),

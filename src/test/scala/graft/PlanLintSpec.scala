@@ -35,9 +35,12 @@ class PlanLintSpec extends SparkSuite {
     "q87_source_overlap", // K-row source-size frames (pair completeness)
     "q93_curriculum_order", // one-row quantile-boundaries frame
     "q95_length_histogram", // one-row totals frame
-    "q123_sketch_overlap" // G-row sketch frames (G = corpus count): the
+    "q123_sketch_overlap", // G-row sketch frames (G = corpus count): the
                           // pairwise < join runs on O(k) sketches, the
                           // data itself is touched once by the sketch agg
+    "q137_knn_label_prop" // the held-out query set broadcasts (q26's
+                          // pattern): corpus scored map-side, bounded
+                          // top-k reduce
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

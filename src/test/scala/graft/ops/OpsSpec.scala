@@ -398,6 +398,27 @@ class OpsSpec extends SparkSuite {
     assert(u2.length === 1 && u2.head.getBoolean(5))
   }
 
+  test("knn label propagation recovers held-out labels on clean clusters") {
+    import spark.implicits._
+    // 3 tight orthogonal clusters of 10; ids 0,5,10,... held out
+    val rows = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(6)(0.01f)
+      base(2 * c) = 1.0f; base(2 * c + 1) = 0.9f + 0.01f * (i % 7)
+      (i.toLong, base.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelPropagation(df, "vec_id", "embedding",
+      "label", holdoutMod = 5, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out.size === 6) // ids 0,5,10,15,20,25
+    out.foreach { case (id, (pred, votes, truth)) =>
+      assert(pred === truth, s"id $id predicted $pred != $truth")
+      assert(votes === 3L) // clean clusters: unanimous
+    }
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // key 7 is hot (60 rows), keys 1..5 cold (2 rows each)
