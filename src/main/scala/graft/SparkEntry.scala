@@ -1950,6 +1950,18 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Streaming distinct users per hour via the KMV sketch INSIDE the
+    // state store — streaming count(DISTINCT) is unsupported/unbounded;
+    // the mergeable sketch keeps k longs per window and the portable
+    // hash lets the oracle rebuild the identical estimate from batch
+    "q138_stream_kmv_distinct" -> ((s, dir) => {
+      s.catalog.dropTempView("q138_stream_out")
+      val st = graft.streaming.Streams.windowedKmvDistinct(
+        graft.streaming.Streams.eventStream(s, dir), "user_id")
+      graft.streaming.Streams.runToMemory(s, st, "q138_stream_out",
+        outputMode = "complete", statePartitions = Some(8))
+    }),
+
     // Semi-supervised kNN label propagation: every 5th embedding's label
     // is held out and re-derived as the majority label of its 5 nearest
     // labeled neighbors by exact integer inner product — weak
@@ -1993,10 +2005,12 @@ object SparkEntry {
     // pruning, the first lever of any 100 TB table layout
     "q136_partition_pruning" -> ((s, dir) => {
       val out = scratchDir("ptn", dir) + "/events_by_day"
-      t(s, dir, "events")
+      val src = t(s, dir, "events")
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-        .write.mode("overwrite").partitionBy("day").parquet(out)
-      s.read.parquet(out)
+      src.write.mode("overwrite").partitionBy("day").parquet(out)
+      // explicit schema: an all-empty input writes a file-less layout
+      // that schema inference cannot read back
+      s.read.schema(src.schema).parquet(out)
         .where(col("day") === "2024-01-05")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -4078,6 +4092,26 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    "q138_stream_kmv_distinct" ->
+      """WITH e AS (
+           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+           FROM events),
+         cnt AS (SELECT hour, count(*) AS n_events FROM e GROUP BY hour),
+         d AS (SELECT DISTINCT hour, h FROM e),
+         r AS (SELECT hour, h,
+                 row_number() OVER (PARTITION BY hour ORDER BY h) AS rk
+               FROM d),
+         sk AS (SELECT hour, CAST(count(*) AS INT) AS n_sketch,
+                  max(h) AS kth
+                FROM r WHERE rk <= 64 GROUP BY hour)
+         SELECT c.hour, c.n_events, s.n_sketch,
+           CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS BIGINT)
+                ELSE CAST(floor(63 * power(2, 60) /
+                  CAST(s.kth AS DOUBLE)) AS BIGINT) END AS est_distinct
+         FROM cnt c JOIN sk s USING (hour)""",
     // Quantized integer dots -> deterministic neighbor ranking and votes.
     "q137_knn_label_prop" ->
       """WITH d AS (

@@ -119,6 +119,36 @@ object Streams {
           .as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming distinct-cardinality per window via the KMV sketch: the
+    * k-minimum-values aggregate (graft.functions.KMinValues) is a
+    * TypedImperativeAggregate, so it runs INSIDE the streaming state
+    * store — per-window state is k longs, not a distinct-user set.
+    * Streaming `count(DISTINCT ...)` is unsupported/unbounded; the
+    * mergeable sketch is the production answer ("distinct users per
+    * hour" over an unbounded stream with bounded state). The estimate
+    * uses the portable hash, so an external engine reproduces the exact
+    * same sketch and estimate from the batch data. */
+  def windowedKmvDistinct(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour", window_ : String = "1 hour",
+      k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"), h.as("h"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.GraftFunctions.kminValues(col("h"), k).as("kmv"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("n_events"),
+        size(col("kmv")).as("n_sketch"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * math.scalb(1.0, 60)) /
+            element_at(col("kmv"), k).cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+
   /** Streaming exact deduplication: emits the FIRST occurrence of each key
     * and drops later arrivals — `dropDuplicatesWithinWatermark`, the
     * state-BOUNDED streaming form of batch `distinct`. Per-key state is

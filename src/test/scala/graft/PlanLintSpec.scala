@@ -49,7 +49,8 @@ class PlanLintSpec extends SparkSuite {
   private val streaming = Set(
     "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich",
     "q73_stream_interval_join", "q91_stream_fhir_ingest",
-    "q120_stream_hopping_window", "q134_stream_scd2")
+    "q120_stream_hopping_window", "q134_stream_scd2",
+    "q138_stream_kmv_distinct")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keysIterator

@@ -402,6 +402,98 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: scd2 intervals tile each key's observed span and " +
+    "compress runs exactly") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(0L, 50L), Gen.oneOf("a", "b", "c")))
+    samples(evGen, 5).filter(_.nonEmpty).foreach { raw =>
+      // unique (key, ts) so the (ts, id) order is unambiguous
+      val ev = raw.distinctBy(e => (e._1, e._2)).zipWithIndex.map {
+        case ((u, t, a), i) =>
+          (i.toLong, new java.sql.Timestamp(86400000L + t * 60000L), u, a)
+      }
+      val out = graft.ops.Sessions.scd2(
+        ev.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+          r.getInt(4))).sortBy(x => (x._1, x._5))
+      // sequential reference: run-length encode per key in time order
+      val ref = ev.groupBy(_._3).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+        u -> sorted.foldLeft(List.empty[String]) {
+          case (acc, a) if acc.headOption.contains(a) => acc
+          case (acc, a) => a :: acc
+        }.reverse
+      }
+      ref.foreach { case (u, runs) =>
+        val rows = out.filter(_._1 == u)
+        assert(rows.map(_._2).toSeq === runs, s"user $u")
+        // tiling: valid_to(k) == valid_from(k+1)
+        rows.sliding(2).foreach {
+          case Array(x, y) => assert(x._4 === y._3, s"user $u gap")
+          case _ =>
+        }
+        assert(rows.last._4 === Long.MaxValue) // open run
+      }
+    }
+  }
+
+  test("property: interval islands equal the sequential sweep-line") {
+    import spark.implicits._
+    val gen = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(0L, 200L)))
+    val dur = 30L * 1000000L
+    samples(gen, 5).filter(_.nonEmpty).foreach { raw =>
+      val ev = raw.distinct.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(86400000L + t * 1000L), u)
+      }
+      val got = graft.ops.Sessions.intervalIslands(
+        ev.toDF("event_id", "ts", "user_id"),
+        "user_id", "ts", "event_id", durationUs = dur)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = ev.groupBy(_._3).map { case (u, es) =>
+        val iv = es.map(e => (e._2.getTime * 1000L,
+          e._2.getTime * 1000L + dur)).sortBy(_._1)
+        val merged = iv.tail.foldLeft(List(iv.head)) {
+          case ((s0, e0) :: rest, (s, e)) if s <= e0 =>
+            (s0, math.max(e0, e)) :: rest
+          case (acc, next) => next :: acc
+        }
+        u -> (merged.size.toLong, merged.map(m => m._2 - m._1).sum)
+      }
+      assert(got === want)
+    }
+  }
+
+  test("property: fixed-point pagerank equals the sequential model on " +
+    "random graphs") {
+    import spark.implicits._
+    val S = 1000000000000L
+    val gen = Gen.listOfN(14, Gen.zip(Gen.choose(0L, 7L),
+      Gen.choose(0L, 7L))).map(_.filter(e => e._1 != e._2).distinct)
+    samples(gen, 4).filter(_.nonEmpty).foreach { und =>
+      val edges = (und ++ und.map(_.swap)).distinct
+      val got = graft.ops.Graphs.pageRankFixedPoint(spark,
+          edges.toDF("src", "dst"), iterations = 2)
+        .select("node", "rank").as[(Long, Long)].collect().toMap
+      // sequential reference with identical integral arithmetic
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size.toLong
+      val base = (15 * S) / (100 * n)
+      var rank = deg.keys.map(v => v -> S / n).toMap
+      for (_ <- 1 to 2) {
+        val acc = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+        rank = deg.keys.map(v =>
+          v -> (base + 85 * acc.getOrElse(v, 0L) / 100)).toMap
+      }
+      assert(got === rank)
+    }
+  }
+
   test("property: z-value interleave preserves per-dimension bit order") {
     import spark.implicits._
     val pairGen = Gen.listOfN(40,

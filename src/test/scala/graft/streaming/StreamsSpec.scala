@@ -407,6 +407,32 @@ class StreamsSpec extends SparkSuite {
     assert(got.toSeq.map(_._3).sum === 2 * batchEvents.count())
   }
 
+  test("streaming KMV distinct equals batch and is exact below k") {
+    val stream = Streams.windowedKmvDistinct(
+      Streams.eventStream(spark, sfDir), "user_id")
+    val got = Streams.runToMemory(spark, stream, "kmv_stream",
+      outputMode = "complete", statePartitions = Some(4))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3))).toMap
+    val batch = graft.sources.EventTime.normalize(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === batch.keySet && got.nonEmpty)
+    got.foreach { case (h, (n, nSketch, est)) =>
+      assert(n === batch(h)._1)
+      // under-k windows are EXACT; full sketches estimate within the
+      // deterministic 4-sigma envelope (~50% at k=64, hash is fixed)
+      if (nSketch < 64) assert(est === batch(h)._2, s"window $h")
+      else assert(math.abs(est - batch(h)._2.toDouble) <
+        0.5 * batch(h)._2, s"window $h: est $est vs ${batch(h)._2}")
+    }
+  }
+
   test("streaming scd2 emits exactly the batch operator's closed runs") {
     val stream = Streams.scd2Stream(Streams.eventStream(spark, sfDir),
       "event_type")
