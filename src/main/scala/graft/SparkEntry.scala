@@ -1950,6 +1950,14 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Equi-depth histogram per source (the range-selectivity catalog
+    // stat, completing the ndv/MCV/histogram trio): rank-ranged buckets
+    // via pure integer division over the distinct-value running count
+    "q139_equidepth_histogram" -> ((s, dir) => {
+      Profiling.equiDepthHistogram(t(s, dir, "documents"), "source",
+        "n_chars", buckets = 8)
+    }),
+
     // Streaming distinct users per hour via the KMV sketch INSIDE the
     // state store — streaming count(DISTINCT) is unsupported/unbounded;
     // the mergeable sketch keeps k longs per window and the portable
@@ -4092,6 +4100,20 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    "q139_equidepth_histogram" ->
+      """WITH cum AS (
+           SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+           FROM (SELECT source, CAST(n_chars AS DECIMAL(20,4)) AS v,
+                   count(*) AS c
+                 FROM documents GROUP BY 1, 2)),
+         b AS (SELECT source,
+                 CAST(((cum - c) * 8) // n AS INT) AS bucket, v, c
+               FROM cum)
+         SELECT source, bucket, CAST(min(v) AS DOUBLE) AS lo,
+           CAST(max(v) AS DOUBLE) AS hi, CAST(sum(c) AS BIGINT) AS n_rows
+         FROM b GROUP BY 1, 2""",
     "q138_stream_kmv_distinct" ->
       """WITH e AS (
            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

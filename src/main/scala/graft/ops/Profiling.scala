@@ -109,6 +109,34 @@ object Profiling {
       .withColumn("relationship", lit(name))
       .select("relationship", "n_rows", "n_orphans", "n_null_fk")
 
+  /** Per-group equi-depth histogram — the third catalog statistic next to
+    * [[columnStats]]' ndv and [[mostCommonValues]]: `buckets` rank-ranged
+    * buckets per group with value bounds and exact row counts, the range-
+    * predicate selectivity input. Each distinct value lands in the bucket
+    * of its FIRST row rank (`(cum − c)·b div n` — pure integer division,
+    * bit-identical in any engine); repeated values never split across
+    * buckets, so counts are equi-depth up to duplicate mass, which is the
+    * standard histogram behavior. One distinct-value aggregation, then
+    * group-partitioned windows (both frames share the partition key — one
+    * exchange), then a |groups|×b-row rollup. */
+  def equiDepthHistogram(df: DataFrame, groupCol: String,
+      valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(col("g"))
+    df.groupBy(col(groupCol).as("g"),
+        col(valueCol).cast("decimal(20,4)").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byG))
+      .withColumn("bucket",
+        expr(s"((cum - c) * $buckets) div n").cast("int"))
+      .groupBy(col("g").as(groupCol), col("bucket"))
+      .agg(min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"),
+        sum(col("c")).as("n_rows"))
+  }
+
   /** k-anonymity audit over a set of quasi-identifier columns: the
     * combinations matched by FEWER than `k` distinct subjects — the rows
     * a release would have to suppress or generalize (Sweeney 2002). The

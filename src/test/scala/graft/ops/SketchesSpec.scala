@@ -158,6 +158,25 @@ class SketchesSpec extends SparkSuite {
     assert(gaps.size === (24 - 2) + (24 - 1))
   }
 
+  test("equiDepthHistogram buckets tile ranks with exact counts") {
+    import spark.implicits._
+    // 16 distinct values, one row each -> 4 buckets of exactly 4
+    val even = (1 to 16).map(v => ("e", v)).toDF("source", "n_chars")
+    val h1 = Profiling.equiDepthHistogram(even, "source", "n_chars", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(h1.toSeq === Seq((0, 1.0, 4.0, 4L), (1, 5.0, 8.0, 4L),
+      (2, 9.0, 12.0, 4L), (3, 13.0, 16.0, 4L)))
+    // a value with heavy duplicate mass stays in ONE bucket
+    val skew = ((1 to 10).map(_ => ("s", 5)) ++ Seq(("s", 1), ("s", 9)))
+      .toDF("source", "n_chars")
+    val h2 = Profiling.equiDepthHistogram(skew, "source", "n_chars", 4)
+      .collect().map(r => (r.getInt(1), r.getLong(4))).toMap
+    assert(h2.values.sum === 12L)
+    assert(h2(0) === 11L) // 1 and all ten 5s (first rank of 5 is rank 1)
+  }
+
   test("kmv estimate matches the relational reconstruction bit-for-bit") {
     // In-engine differential for the oracle formula: k-th smallest
     // DISTINCT portable hash via a window, floor((k-1)*2^60/kth) — the
