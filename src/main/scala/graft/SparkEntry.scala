@@ -1950,6 +1950,24 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Incremental transitive-closure maintenance: close 90% of the
+    // hierarchy, then apply the held-out 10% of edges as a delta WITHOUT
+    // re-closing from scratch (semi-naive: delta pre/post-extended
+    // through the old closure, prefix-doubled) — the code-system-update
+    // path; oracle recomputes the full closure recursively
+    "q140_incremental_closure" -> ((s, dir) => {
+      val edges = t(s, dir, "customer")
+        .where(col("c_custkey") >= 1)
+        .select((col("c_custkey") / 2).cast("long").as("parent"),
+          col("c_custkey").cast("long").as("child"))
+      val delta = edges.where(pmod(col("child"), lit(7)) === 3)
+      val base = edges.where(pmod(col("child"), lit(7)) =!= 3)
+      val closed = TransitiveClosure.closureLong(s, base,
+        shufflePartitions = Some(8))
+      TransitiveClosure.addEdges(s, closed, delta,
+        shufflePartitions = Some(8))
+    }),
+
     // Equi-depth histogram per source (the range-selectivity catalog
     // stat, completing the ndv/MCV/histogram trio): rank-ranged buckets
     // via pure integer division over the distinct-value running count
@@ -4100,6 +4118,19 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Incremental result == the full recursive closure over ALL edges.
+    "q140_incremental_closure" ->
+      """WITH RECURSIVE edges AS (
+           SELECT CAST(c_custkey // 2 AS BIGINT) AS parent,
+                  CAST(c_custkey AS BIGINT) AS child
+           FROM customer WHERE c_custkey >= 1),
+         anc(ancestor, descendant) AS (
+           SELECT parent, child FROM edges
+           UNION
+           SELECT a.ancestor, e.child FROM anc a
+           JOIN edges e ON a.descendant = e.parent)
+         SELECT ancestor, descendant FROM anc
+         WHERE ancestor <> descendant""",
     "q139_equidepth_histogram" ->
       """WITH cum AS (
            SELECT source, v, c,

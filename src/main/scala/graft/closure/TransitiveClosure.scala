@@ -159,4 +159,72 @@ object TransitiveClosure {
     requireConverged(converged, linear, maxIterations)
     current
   }
+
+  /** Incremental closure maintenance: given an already-CLOSED relation
+    * `closure` (ancestor, descendant) and a batch of NEW edges `delta`
+    * (parent, child), returns the closure of the combined graph WITHOUT
+    * recomputing from the base edges — the view-maintenance form a
+    * terminology service needs when a code system ships an update (the
+    * reference recomputes hierarchies wholesale on import; at 100 TB of
+    * ancestry pairs that is a full re-closure for a handful of edges).
+    *
+    * Semi-naive: every genuinely new path uses ≥ 1 delta edge, so seed
+    * M = (C+I) ∘ D ∘ (C+I) — each delta edge pre/post-extended through
+    * the OLD closure (three bounded joins) — then prefix-double M on
+    * itself (chains of MULTIPLE delta edges) until fixpoint, and union
+    * with C. Rounds = ⌈log₂(max delta edges on any path)⌉, typically 1-2
+    * for a code-system update, vs the full re-closure's depth-of-graph
+    * rounds over ALL pairs; every join is keyed, nothing is driver-side.
+    */
+  def addEdges(
+      spark: SparkSession,
+      closure: DataFrame, // columns: ancestor, descendant (closed)
+      delta: DataFrame, // columns: parent, child
+      maxIterations: Int = 25,
+      shufflePartitions: Option[Int] = None): DataFrame =
+    graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
+      val c = closure.select(col("ancestor"), col("descendant"))
+        .distinct().localCheckpoint(eager = true)
+      val d = delta
+        .select(col("parent").as("ancestor"),
+          col("child").as("descendant"))
+        .where(col("parent").isNotNull && col("child").isNotNull)
+        .distinct()
+      val cd = c.as("c").join(d.as("d"),
+          col("c.descendant") === col("d.ancestor"))
+        .select(col("c.ancestor").as("ancestor"),
+          col("d.descendant").as("descendant"))
+      val dc = d.as("d").join(c.as("c"),
+          col("d.descendant") === col("c.ancestor"))
+        .select(col("d.ancestor").as("ancestor"),
+          col("c.descendant").as("descendant"))
+      val cdc = cd.as("l").join(c.as("c2"),
+          col("l.descendant") === col("c2.ancestor"))
+        .select(col("l.ancestor").as("ancestor"),
+          col("c2.descendant").as("descendant"))
+      var m = d.unionAll(cd).unionAll(dc).unionAll(cdc)
+        .where(col("ancestor") =!= col("descendant"))
+        .distinct().localCheckpoint(eager = true)
+      var prevCount = m.count()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val ext = m.as("l").join(m.as("r"),
+            col("l.descendant") === col("r.ancestor"))
+          .select(col("l.ancestor").as("ancestor"),
+            col("r.descendant").as("descendant"))
+        val next = m.union(ext)
+          .where(col("ancestor") =!= col("descendant"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val nextCount = next.count()
+        m.unpersist()
+        m = next
+        converged = nextCount == prevCount
+        prevCount = nextCount
+        i += 1
+      }
+      requireConverged(converged, linear = false, maxIterations)
+      c.unionAll(m).distinct()
+    }
 }

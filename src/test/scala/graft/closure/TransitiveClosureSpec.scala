@@ -185,6 +185,38 @@ class TransitiveClosureSpec extends SparkSuite {
       s"skew-split did not absorb the hub partition, shares: $withSkew")
   }
 
+  test("incremental addEdges equals the from-scratch closure on random " +
+    "splits (including delta-edge chains)") {
+    import spark.implicits._
+    (20 to 24).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(16)((rnd.nextInt(10), rnd.nextInt(10)))
+        .filter(e => e._1 != e._2).distinct
+      val (delta, base) = edges.partition(_ => rnd.nextBoolean())
+      if (base.nonEmpty) {
+        val closed = TransitiveClosure.closureLong(spark,
+          base.toDF("parent", "child"))
+        val got = TransitiveClosure.addEdges(spark, closed,
+            delta.toDF("parent", "child"))
+          .as[(Long, Long)].collect()
+          .map { case (a, d) => (a.toInt, d.toInt) }.toSet
+        assert(got === dfsOracle(edges), s"seed=$seed base=$base " +
+          s"delta=$delta")
+      }
+    }
+    // a delta that is a pure chain (every new path uses MANY delta
+    // edges) exercises the prefix-doubling rounds on M
+    val base = Seq(1 -> 2)
+    val delta = (2 until 12).map(i => i -> (i + 1))
+    val closed = TransitiveClosure.closureLong(spark,
+      base.toDF("parent", "child"))
+    val got = TransitiveClosure.addEdges(spark, closed,
+        delta.toDF("parent", "child"))
+      .as[(Long, Long)].collect()
+      .map { case (a, d) => (a.toInt, d.toInt) }.toSet
+    assert(got === dfsOracle(base ++ delta))
+  }
+
   test("linear mode produces the same closure as prefix doubling") {
     (10 to 13).foreach { seed =>
       val rnd = new scala.util.Random(seed)

@@ -433,6 +433,53 @@ class StreamsSpec extends SparkSuite {
     }
   }
 
+  test("scd2Stream: the open run survives a checkpointed restart and " +
+    "closes against post-restart changes") {
+    import spark.implicits._
+    val in = tmp("scd2_rs_in")
+    val out = tmp("scd2_rs_out")
+    val ckpt = tmp("scd2_rs_ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        .toInstant.plusSeconds(sec))
+    def stage(name: String, rows: Seq[(Long, Int, Long, String)]): Unit = {
+      val dir = tmp("scd2_rs_stage")
+      rows.map { case (id, s, u, a) => (id, ts(s), u, a) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val src = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(in, name).toPath)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = Streams.runToParquet(
+        Streams.scd2Stream(stream, "event_type").toDF(), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: user 1 goes a(0s) -> b(60s): one closed run (a), b open
+    stage("b1.parquet", Seq((1L, 0, 1L, "a"), (2L, 60, 1L, "b")))
+    run()
+    // stream DOWN; user 1 changes to c — only RESTORED state knows the
+    // open b-run's start and version
+    stage("b2.parquet", Seq((3L, 120, 1L, "c")))
+    run()
+    val got = spark.read.parquet(out)
+      .select("attr", "valid_from_us", "valid_to_us", "version")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(_._4)
+    val t0 = ts(0).getTime * 1000L
+    assert(got.toSeq === Seq(
+      ("a", t0, t0 + 60000000L, 1),
+      ("b", t0 + 60000000L, t0 + 120000000L, 2)),
+      s"got ${got.mkString(",")}")
+  }
+
   test("streaming scd2 emits exactly the batch operator's closed runs") {
     val stream = Streams.scd2Stream(Streams.eventStream(spark, sfDir),
       "event_type")
