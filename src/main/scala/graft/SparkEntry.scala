@@ -1950,6 +1950,25 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Streaming conversion funnel: per-user state carries the
+    // greedy-earliest chain (steps longs); the conversion row emits
+    // append-only the moment the final stage first completes —
+    // real-time attribution, batch q70 restricted to completions
+    "q141_stream_funnel" -> ((s, dir) => {
+      s.catalog.dropTempView("q141_stream_out")
+      val st = graft.streaming.Streams.funnelStream(
+        graft.streaming.Streams.eventStream(s, dir), "event_type",
+        Seq("view", "click", "purchase"),
+        withinSeconds = Some(30L * 24 * 3600))
+      graft.streaming.Streams.runToMemory(s,
+        st.select(col("user_id"),
+          element_at(col("ts_steps"), 1).as("t1"),
+          element_at(col("ts_steps"), 2).as("t2"),
+          element_at(col("ts_steps"), 3).as("t3")),
+        "q141_stream_out", outputMode = "append",
+        statePartitions = Some(8))
+    }),
+
     // Incremental transitive-closure maintenance: close 90% of the
     // hierarchy, then apply the held-out 10% of edges as a delta WITHOUT
     // re-closing from scratch (semi-naive: delta pre/post-extended
@@ -4118,6 +4137,27 @@ object SparkEntry {
            c_name AS family_name,
            c_mktsegment AS given_name
          FROM customer""",
+    // Only COMPLETED conversions; same greedy-earliest chain as q70.
+    "q141_stream_funnel" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM b
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT b.user_id, min(b.ts) AS t2
+           FROM b JOIN s1 USING (user_id)
+           WHERE b.event_type = 'click' AND b.ts > s1.t1
+             AND b.ts <= s1.t1 + 2592000000000
+           GROUP BY b.user_id),
+         s3 AS (
+           SELECT b.user_id, min(b.ts) AS t3
+           FROM b JOIN s2 USING (user_id)
+           WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+             AND b.ts <= s2.t2 + 2592000000000
+           GROUP BY b.user_id)
+         SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
     "q140_incremental_closure" ->
       """WITH RECURSIVE edges AS (

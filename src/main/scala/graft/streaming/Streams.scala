@@ -423,6 +423,71 @@ object Streams {
       }
   }
 
+  /** One input event for [[funnelStream]]. */
+  case class FEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      etype: String)
+
+  /** Per-user funnel state: earliest greedy chain times found so far
+    * (−1 = stage unreached) and whether the conversion already emitted.
+    * O(steps) longs per user. */
+  case class FunnelAcc(t: Seq[Long], emitted: Boolean)
+
+  /** One COMPLETED conversion: the user and the greedy-earliest chain
+    * timestamps (epoch micros) per stage. */
+  case class FunnelConv(user_id: Long, ts_steps: Seq[Long])
+
+  /** Streaming conversion funnel — the incremental form of the batch
+    * `Sessions.funnel` (q70) restricted to COMPLETED conversions: per-user
+    * state carries the greedy-earliest chain built so far, and the row
+    * emits append-only the moment the final stage first completes. Events
+    * are processed in event-time order within each micro-batch, which
+    * reproduces the batch operator's greedy-earliest chain exactly when
+    * per-user stage-k events do not arrive out of event-time order across
+    * batches (the same frontier caveat every incremental funnel carries;
+    * the batch operator remains the backfill truth). Emission is
+    * data-driven, no timeout clock; state is `steps` longs per user. */
+  def funnelStream(events: DataFrame, typeCol: String,
+      steps: Seq[String], withinSeconds: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[FunnelConv] = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val boundUs = withinSeconds.map(_ * 1000000L)
+    val k = steps.size
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col(typeCol).cast("string").as("etype"))
+      .as[FEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAcc, FunnelConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state) =>
+          var acc = state.getOption
+            .getOrElse(FunnelAcc(Seq.fill(k)(-1L), emitted = false))
+          val t = acc.t.toArray
+          var emitted = acc.emitted
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConv]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val ts = micros(e.ts)
+            val i = steps.indexOf(e.etype)
+            if (i == 0 && t(0) < 0) t(0) = ts
+            else if (i > 0 && t(i) < 0 && t(i - 1) >= 0 &&
+              ts > t(i - 1) && boundUs.forall(w => ts <= t(i - 1) + w)) {
+              t(i) = ts
+              if (i == k - 1 && !emitted) {
+                emitted = true
+                out += FunnelConv(user, t.toSeq)
+              }
+            }
+          }
+          state.update(FunnelAcc(t.toSeq, emitted))
+          out.iterator
+      }
+  }
+
   /** Streaming gap-based sessionization — the `flatMapGroupsWithState`
     * custom-state form of the batch `Sessions.sessionStats` (q37): events
     * grouped by user, a session closes when the gap to the next event

@@ -211,6 +211,16 @@ class PlanSpec extends SparkSuite {
       "the merge hint must keep the co-located SMJ:\n" + p.take(3000))
   }
 
+  test("q127: the salted join runs the SMJ on (key, salt) — hot keys " +
+    "actually spread") {
+    val p = SparkEntry.queries("q127_salted_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("__salt"),
+      "join keys must include the salt column:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q135: the bucket-key equality filter scans one bucket of 16") {
     val p = SparkEntry.queries("q135_bucket_pruning")(spark, sfDir)
       .queryExecution.executedPlan.toString()

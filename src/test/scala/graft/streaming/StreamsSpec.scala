@@ -433,6 +433,31 @@ class StreamsSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel emits exactly the batch operator's completions") {
+    val st = Streams.funnelStream(Streams.eventStream(spark, sfDir),
+      "event_type", Seq("view", "click", "purchase"),
+      withinSeconds = Some(30L * 24 * 3600))
+    val got = Streams.runToMemory(spark,
+      st.select(col("user_id"),
+        element_at(col("ts_steps"), 1).as("t1"),
+        element_at(col("ts_steps"), 2).as("t2"),
+        element_at(col("ts_steps"), 3).as("t3")),
+      "funnel_stream", outputMode = "append", statePartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = graft.ops.Sessions.funnel(
+      graft.sources.EventTime.normalize(
+        spark.read.parquet(s"$sfDir/events.parquet")),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      withinSeconds = Some(30L * 24 * 3600))
+      .where(col("stage") === 3)
+      .select("user_id", "t1", "t2", "t3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("scd2Stream: the open run survives a checkpointed restart and " +
     "closes against post-restart changes") {
     import spark.implicits._
