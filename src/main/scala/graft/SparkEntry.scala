@@ -1950,6 +1950,36 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Degree-ordered triangle census over the part co-purchase graph:
+    // the node-iterator orientation bounds wedge fan-out by O(sqrt(m))
+    // per node regardless of hub degree; counts are exact integers the
+    // oracle recounts with a plain a<b<c triple join
+    "q142_triangle_count" -> ((s, dir) => {
+      graft.ops.Graphs.triangleStats(
+        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")))
+    }),
+
+    // Edit-distance-1 entity-resolution join via deletion-neighborhood
+    // blocking: candidates from an equi-join on single-deletion variants
+    // (provable superset), verified with exact levenshtein — the output
+    // IS the all-pairs result, computed without the all-pairs
+    "q144_edit_distance_join" -> ((s, dir) => {
+      Dedup.editOneJoin(t(s, dir, "customer"), "c_custkey", "c_name")
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("s_a").as("name_a"), col("s_b").as("name_b"), col("dist"))
+    }),
+
+    // Exact heavy hitters (cnt*k > N) over whitespace tokens via
+    // two-phase Misra-Gries: bounded O(k) per-partition state emits a
+    // guaranteed candidate superset; only candidates are exact-counted,
+    // so no shuffle ever carries the full distinct-token key space
+    "q148_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      graft.ops.Sketches.heavyHitters(toks, col("tok"), k = 40)
+        .select(col("value").as("token"), col("cnt"), col("n_total"))
+    }),
+
     // Streaming conversion funnel: per-user state carries the
     // greedy-earliest chain (steps longs); the conversion row emits
     // append-only the moment the final stage first completes —
@@ -4159,6 +4189,46 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Exact triangle/wedge/edge census; counts are orientation-invariant
+    // so the oracle recounts with the plain a<b<c triple join.
+    "q142_triangle_count" ->
+      """WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.pk AS lo, b.pk AS hi
+               FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2),
+         deg AS (SELECT node, count(*) AS d
+                 FROM (SELECT lo AS node FROM e
+                       UNION ALL SELECT hi AS node FROM e)
+                 GROUP BY 1),
+         tri AS (SELECT count(*) AS t
+                 FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+                 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+            FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles""",
+    // The blocked+verified join equals the all-pairs levenshtein<=1
+    // result by the deletion-neighborhood superset property.
+    "q144_edit_distance_join" ->
+      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    // Misra-Gries candidates + exact recount == brute-force threshold.
+    "q148_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS t
+           FROM documents),
+         tot AS (SELECT count(*) AS n_total FROM tok)
+         SELECT t AS token, count(*) AS cnt,
+           (SELECT n_total FROM tot) AS n_total
+         FROM tok GROUP BY t
+         HAVING count(*) * 40 > (SELECT n_total FROM tot)""",
     "q140_incremental_closure" ->
       """WITH RECURSIVE edges AS (
            SELECT CAST(c_custkey // 2 AS BIGINT) AS parent,

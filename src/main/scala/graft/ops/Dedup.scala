@@ -399,6 +399,39 @@ object Dedup {
     jaccardVerifyHashed(sh, cand, threshold)
   }
 
+  /** Edit-distance-1 similarity join via deletion-neighborhood blocking
+    * (the FastSS family): every string emits itself plus its |s|
+    * single-character deletions as blocking keys; any pair within edit
+    * distance 1 — substitution, insertion, or deletion — provably shares
+    * at least one key (a substitution at i shares the delete-at-i
+    * variant; an insertion's longer string deletes back to the shorter
+    * one, which is its own key). Candidates from the key equi-join are
+    * then verified with the exact codegen'd `levenshtein`, so the output
+    * is EXACTLY the all-pairs `levenshtein(a,b) <= 1` result — without
+    * the all-pairs: work is bounded by blocking-bucket sizes (for
+    * distinct strings each bucket holds at most alphabet·|s|+1 members),
+    * never by n^2. The classic entity-resolution key join (near-identical
+    * IDs/names/URLs from typos or OCR noise) at corpus scale. */
+  def editOneJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+    val dels = expr(
+      "transform(sequence(1, length(s)), " +
+        "i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))")
+    val variants = base.select(col("id"), col("s"),
+      explode(concat(array(col("s")),
+        when(length(col("s")) > 0, dels).otherwise(array()))).as("v"))
+    val a = variants.select(col("id").as("id_a"), col("s").as("s_a"),
+      col("v"))
+    val b = variants.select(col("id").as("id_b"), col("s").as("s_b"),
+      col("v"))
+    a.join(b, Seq("v")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= 1)
+  }
+
   /** SimHash: 64-bit signature whose bits are majority votes of per-shingle
     * hash bits. Rows whose signatures agree on most bits are near-dups.
     * Native codegen'd expression — one pass per row. */

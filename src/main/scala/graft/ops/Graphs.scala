@@ -70,6 +70,80 @@ object Graphs {
     state
   }
 
+  /** Global triangle census over an undirected edge list — the standard
+    * graph-cohesion statistic (clustering/community structure; in a
+    * curation pipeline: link-farm and citation-ring detection on the
+    * document/domain graph).
+    *
+    * The naive triple-join explodes on skew: a hub of degree d
+    * contributes O(d^2) wedges. This is the degree-ordered node-iterator
+    * (Schank & Wagner 2005; the same orientation trick GraphX's
+    * TriangleCount and every distributed triangle counter uses): orient
+    * each edge from its lower-(degree, id) endpoint to the higher one,
+    * form wedges only between the out-neighbors of each node, and close
+    * them against the oriented edge set. Out-degrees are bounded by
+    * O(sqrt(m)), so wedge volume is O(m^1.5) worst case and tiny in
+    * practice — independent of hub in-degree. All joins are equi-joins
+    * (node key / edge key); nothing is collected.
+    *
+    * Returns ONE row of exact integers — n_nodes, n_edges, n_wedges
+    * (= sum over nodes of deg·(deg−1)/2), n_triangles — attached by
+    * one-row broadcast cross joins. Counts are orientation-invariant, so
+    * the oracle can recount them with a plain a<b<c triple join. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // canonicalize: undirected, deduped, no self-loops
+    val e = edges.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") < col("hi")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // rank = (deg, node): total order; orient low rank -> high rank
+    val dl = deg.select(col("node").as("lo"), col("deg").as("dlo"))
+    val dh = deg.select(col("node").as("hi"), col("deg").as("dhi"))
+    val loFirst = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    val oriented = e.join(dl, "lo").join(dh, "hi")
+      .select(when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+        when(loFirst, struct(col("dhi").as("d"), col("hi").as("n")))
+          .otherwise(struct(col("dlo").as("d"), col("lo").as("n")))
+          .as("drank"))
+      .localCheckpoint(eager = false)
+    // wedges between out-neighbors, ordered by rank so the closing
+    // oriented edge is exactly (lower-rank endpoint -> higher-rank one)
+    val o1 = oriented.select(col("src").as("c"), col("dst").as("a"),
+      col("drank").as("ra"))
+    val o2 = oriented.select(col("src").as("c"), col("dst").as("b"),
+      col("drank").as("rb"))
+    val wedges = o1.join(o2, "c").where(col("ra") < col("rb"))
+      .select(col("a"), col("b"))
+    val closed = wedges.join(oriented.select(col("src").as("a"),
+        col("dst").as("b")), Seq("a", "b"), "left_semi")
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    val triStats = closed.agg(count(lit(1)).as("n_triangles"))
+    nodeStats.crossJoin(broadcast(edgeStats))
+      .crossJoin(broadcast(triStats))
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        col("n_triangles"))
+  }
+
+  /** The part co-purchase graph: an undirected edge between two parts
+    * whenever some order contains both (the item-item graph of every
+    * recommender / market-basket pipeline). Per-order pair expansion is
+    * bounded by the max lines-per-order, not by part popularity. */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val pr = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    pr.as("a").join(pr.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  }
+
   /** The customer–supplier interaction graph: an undirected bipartite
     * edge per distinct (o_custkey, l_suppkey) trading pair, encoded
     * customers = 2k, suppliers = 2k+1. */

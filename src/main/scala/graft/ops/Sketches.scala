@@ -101,4 +101,55 @@ object Sketches {
             element_at(col("kmv"), k).cast("double")).cast("long"))
           .as("est_distinct"))
   }
+
+  /** EXACT heavy hitters (frequency · k > N) via a two-phase
+    * Misra–Gries sweep — the frequent-token / hot-key report that at
+    * 100 TB cannot be answered with a plain `groupBy(token).count()`:
+    * that shuffles EVERY distinct token (billions of keys) to find the
+    * handful of frequent ones.
+    *
+    * Phase 1 runs Misra–Gries with `k` counters inside each partition
+    * (bounded O(k) state, one pass, no shuffle) and emits only the
+    * surviving candidate keys — at most k per partition. Pigeonhole
+    * guarantee: any value with global count > N/k has, in at least one
+    * partition, local count > N_i/(k+1), and Misra–Gries with k counters
+    * never evicts such a value — so the candidate union is a SUPERSET of
+    * the true heavy hitters. Phase 2 exact-counts only the candidates
+    * (broadcast semi-join — the groupBy now runs over ≤ k·partitions
+    * keys) and keeps those with `cnt · k > N`. The result is therefore
+    * exactly the brute-force answer, which is what the oracle computes.
+    *
+    * `values` must be a string column (one observation per row). */
+  def heavyHitters(df: DataFrame, values: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.select(values.cast("string").as("t"))
+      .where(col("t").isNotNull)
+      .localCheckpoint(eager = false)
+    val candidates = obs.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // decrement-all; drop zeros; the incoming value is discarded
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("cand").distinct()
+    val totals = obs.agg(count(lit(1)).as("n_total"))
+    obs.join(broadcast(candidates), col("t") === col("cand"), "left_semi")
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .where(col("cnt") * k > col("n_total"))
+      .select(col("t").as("value"), col("cnt"), col("n_total"))
+  }
 }

@@ -38,9 +38,12 @@ class PlanLintSpec extends SparkSuite {
     "q123_sketch_overlap", // G-row sketch frames (G = corpus count): the
                           // pairwise < join runs on O(k) sketches, the
                           // data itself is touched once by the sketch agg
-    "q137_knn_label_prop" // the held-out query set broadcasts (q26's
+    "q137_knn_label_prop", // the held-out query set broadcasts (q26's
                           // pattern): corpus scored map-side, bounded
                           // top-k reduce
+    "q142_triangle_count", // three ONE-ROW census frames stitched by
+                          // broadcast cross join
+    "q148_heavy_hitters"  // one-row totals frame for the N/k threshold
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

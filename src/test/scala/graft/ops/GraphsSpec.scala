@@ -65,4 +65,36 @@ class GraphsSpec extends SparkSuite {
     assert(e === Set((20L, 11L), (20L, 13L), (22L, 11L),
       (11L, 20L), (13L, 20L), (11L, 22L)))
   }
+
+  test("triangle census: K4 and a hub with one closed wedge") {
+    // K4: 6 edges, every node deg 3 -> 12 wedges, 4 triangles
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val r1 = Graphs.triangleStats(k4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r1 === ((4L, 6L, 12L, 4L)))
+    // star hub 0 with leaves 1..5 plus the single closing edge (1,2):
+    // 6 edges, hub deg 5 + two deg-2 nodes -> 10+1+1 = 12 wedges,
+    // exactly 1 triangle (0,1,2)
+    val star = ((1L to 5L).map(v => (0L, v)) :+ (1L, 2L))
+      .toDF("src", "dst")
+    val r2 = Graphs.triangleStats(star)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r2 === ((6L, 6L, 12L, 1L)))
+  }
+
+  test("triangle census is invariant to direction, duplicates, " +
+      "self-loops, and partitioning") {
+    val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val messy = (canon ++ canon.map(_.swap) ++ canon ++
+      Seq((2L, 2L), (4L, 4L)))
+    val a = Graphs.triangleStats(canon.toDF("src", "dst").repartition(1))
+      .as[(Long, Long, Long, Long)].head()
+    val b = Graphs.triangleStats(messy.toDF("src", "dst").repartition(7))
+      .as[(Long, Long, Long, Long)].head()
+    assert(a === b)
+    // degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; one triangle (1,2,3)
+    assert(a === ((4L, 4L, 5L, 1L)))
+  }
 }

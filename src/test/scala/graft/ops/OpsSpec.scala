@@ -1422,4 +1422,39 @@ class OpsSpec extends SparkSuite {
     assert(fast.orderBy("rank").drop("rank").collect().toSeq ===
       ref.collect().toSeq)
   }
+
+  test("editOneJoin finds exactly the edit-distance<=1 pairs: " +
+      "substitution, deletion, insertion, duplicate; excludes dist 2") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "abcd"), (2L, "abxd"), // substitution: dist 1
+      (3L, "abd"), // deletion vs abcd: dist 1; vs abxd: dist 1 (drop x)
+      (4L, "zabcd"), // insertion vs abcd: dist 1
+      (5L, "abcd"), // exact duplicate of 1: dist 0
+      (6L, "axyd"), // dist 2 from abcd -> excluded
+      (7L, ""), (8L, "q") // empty vs 1-char: dist 1
+    ).toDF("id", "s")
+    val got = Dedup.editOneJoin(rows, "id", "s")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val want = Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (1L, 4L, 1),
+      (1L, 5L, 0), (4L, 5L, 1), (2L, 5L, 1) /* via 1==5 */,
+      (3L, 5L, 1), (7L, 8L, 1))
+    assert(got === want)
+  }
+
+  test("editOneJoin equals brute-force levenshtein<=1 on the fixture") {
+    import spark.implicits._
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .limit(400).localCheckpoint()
+    val got = Dedup.editOneJoin(c, "c_custkey", "c_name")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = c.select(col("c_custkey").as("ia"), col("c_name").as("na"))
+    val b = c.select(col("c_custkey").as("ib"), col("c_name").as("nb"))
+    val want = a.join(b, col("ia") < col("ib"))
+      .where(levenshtein(col("na"), col("nb")) <= 1)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }

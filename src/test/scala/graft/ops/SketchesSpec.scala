@@ -210,4 +210,34 @@ class SketchesSpec extends SparkSuite {
       .toMap
     assert(l === r)
   }
+
+  test("heavy hitters equal the brute-force threshold answer under " +
+      "skew, many partitions, and adversarial ordering") {
+    // heavy values at three magnitudes + a long tail of singletons, so
+    // k=2 keeps only "a", k=5 adds "b", k=40 adds "warm"
+    val rows = scala.util.Random.shuffle(
+      Seq.fill(600)("a") ++ Seq.fill(300)("b") ++ Seq.fill(60)("warm") ++
+        (1 to 200).map(i => s"tail$i"))
+    for (parts <- Seq(1, 7, 16)) {
+      val df = rows.toDF("v").repartition(parts)
+      for (k <- Seq(2, 5, 40)) {
+        val got = Sketches.heavyHitters(df, col("v"), k)
+          .select("value", "cnt").as[(String, Long)].collect().toSet
+        val n = rows.size
+        val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * k > n }
+          .map { case (v, c) => (v, c) }.toSet
+        assert(got === want, s"parts=$parts k=$k")
+      }
+    }
+  }
+
+  test("heavy hitters: empty input and nothing-qualifies cases") {
+    val empty = Seq.empty[String].toDF("v")
+    assert(Sketches.heavyHitters(empty, col("v"), 10).count() === 0)
+    // uniform 50 distinct values each twice: cnt*k = 2*10 = 20 < N=100
+    // -> nothing crosses the strict threshold
+    val uniform = (1 to 100).map(i => s"u${i % 50}").toDF("v")
+    assert(Sketches.heavyHitters(uniform, col("v"), 10).count() === 0)
+  }
 }
