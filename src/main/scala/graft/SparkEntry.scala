@@ -1950,6 +1950,44 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // 2-D Pareto frontier of customers (total spend x account balance):
+    // banded percentile sweep — per-band running-max windows in
+    // parallel + a suffix-max of per-band y maxima for cross-band
+    // domination; never the all-pairs NOT EXISTS the oracle runs
+    "q143_pareto_frontier" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      val pts = t(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("spend"), lit(0).cast("decimal(18,4)")).as("spend"),
+          col("c_acctbal"))
+      Profiling.paretoFrontier2D(pts, "c_custkey", "spend", "c_acctbal",
+          bands = 16)
+        .select(col("id").as("c_custkey"),
+          col("x").cast("double").as("spend"), col("y").as("acctbal"))
+    }),
+
+    // Zipf-law slope per source: OLS of ilog2(freq) on ilog2(rank) over
+    // each source's vocabulary — integer bit-length logs make all four
+    // OLS sums exact bigints; the slope is one IEEE division
+    "q146_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "source", "text")
+    }),
+
+    // CDC MERGE: collapse the change log to per-key latest (window over
+    // the log only, never the base), then one outer join — upserts
+    // overwrite, deletes drop, untouched base keys pass through
+    "q147_cdc_merge" -> ((s, dir) => {
+      val log = t(s, dir, "events").select(
+        pmod(col("event_id") * 7 + col("user_id"), lit(2000)).as("k"),
+        when(pmod(col("event_id"), lit(10)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value").as("v"), col("ts"), col("event_id"))
+      graft.ops.Cdc.applyLog(t(s, dir, "customer"), "c_custkey",
+        "c_acctbal", log, "k", "op", "v", "ts", "event_id")
+    }),
+
     // Degree-ordered triangle census over the part co-purchase graph:
     // the node-iterator orientation bounds wedge fan-out by O(sqrt(m))
     // per node regardless of hub degree; counts are exact integers the
@@ -4189,6 +4227,63 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // The banded sweep equals the all-pairs NOT EXISTS skyline.
+    "q143_pareto_frontier" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
+           FROM orders GROUP BY 1),
+         pts AS (
+           SELECT c_custkey, coalesce(sp, 0) AS spend,
+             c_acctbal AS acctbal
+           FROM customer LEFT JOIN spend ON c_custkey = o_custkey)
+         SELECT c_custkey, CAST(spend AS DOUBLE) AS spend, acctbal
+         FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.spend >= p.spend AND q.acctbal >= p.acctbal
+             AND (q.spend > p.spend OR q.acctbal > p.acctbal))""",
+    // Integer bit-length logs -> exact OLS sums -> one IEEE division.
+    "q146_zipf_slope" ->
+      """WITH toks AS (
+           SELECT source AS g, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         freq AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         pts AS (SELECT g, c,
+             CAST(length(bin(row_number() OVER (PARTITION BY g
+               ORDER BY c DESC, tok))) - 1 AS BIGINT) AS x,
+             CAST(length(bin(c)) - 1 AS BIGINT) AS y
+           FROM freq),
+         s AS (SELECT g, count(*) AS n_vocab, sum(c) AS n_tokens,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx
+               FROM pts GROUP BY g)
+         SELECT g AS source, CAST(n_vocab AS BIGINT) AS n_vocab,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_vocab * sxx - sx * sx <> 0
+             THEN CAST(n_vocab * sxy - sx * sy AS DOUBLE) /
+               CAST(n_vocab * sxx - sx * sx AS DOUBLE)
+           END AS zipf_slope
+         FROM s""",
+    // Last-writer-wins MERGE of the synthesized change log.
+    "q147_cdc_merge" ->
+      """WITH lg AS (
+           SELECT (event_id * 7 + user_id) % 2000 AS k,
+             CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             value AS v,
+             row_number() OVER (
+               PARTITION BY (event_id * 7 + user_id) % 2000
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+         latest AS (SELECT k, op, v FROM lg WHERE rn = 1)
+         SELECT coalesce(c_custkey, k) AS key,
+           CASE WHEN op IS NOT NULL THEN v ELSE c_acctbal END AS value,
+           CASE WHEN op IS NOT NULL THEN 'upsert' ELSE 'base' END
+             AS origin
+         FROM customer FULL JOIN latest ON c_custkey = k
+         WHERE op IS NULL OR op <> 'D'""",
     // Exact triangle/wedge/edge census; counts are orientation-invariant
     // so the oracle recounts with the plain a<b<c triple join.
     "q142_triangle_count" ->

@@ -360,4 +360,60 @@ object Profiling {
           .when(col("old_hash") === col("new_hash"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** 2-D Pareto frontier (skyline), both dimensions maximized: the rows
+    * no other row beats on both axes — "best customers" / "best
+    * quality-per-cost documents" without a hand-tuned scalarization.
+    * A point survives iff no point has x' >= x AND y' >= y with at least
+    * one strict; exact duplicates of a frontier point all survive.
+    *
+    * The naive formulations both die at scale: the NOT EXISTS anti-join
+    * is all-pairs, and the single ORDER BY x window serializes the table
+    * through one reducer. This runs the banded sweep instead (the
+    * [[Splits.curriculumOrder]] two-phase shape): band by exact x
+    * percentiles (ONE broadcast boundary row), run the running
+    * lexicographic-max sweep per band IN PARALLEL (window partitioned by
+    * band, ordered x desc, y desc: a preceding row within the band has
+    * x' >= x, so it dominates iff struct(y', x') > struct(y, x)), and
+    * resolve cross-band domination with a suffix-max of per-band y
+    * maxima — every row of band j > k has STRICTLY greater x (bands cut
+    * on x), so any higher-band y-max >= y dominates. Driver state:
+    * `bands` doubles. One shuffle (the band hash) after the boundary
+    * aggregate. */
+  def paretoFrontier2D(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, bands: Int = 32): DataFrame = {
+    require(bands >= 2, s"bands must be >= 2, got $bands")
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).as("id"), col(xCol).as("x"), col(yCol).as("y"))
+    val bounds = pts.agg(percentile(col("x"),
+      typedLit((1 until bands).map(_.toDouble / bands))).as("__bs"))
+    val base = pts.crossJoin(broadcast(bounds))
+      .select(col("id"), col("x"), col("y"),
+        size(filter(col("__bs"),
+          b => col("x").cast("double") > b)).cast("int").as("band"))
+    // suffix max of per-band y maxima: yDominators(k) = max y over all
+    // bands with strictly greater x (higher band index)
+    val bandMax = base.groupBy(col("band"))
+      .agg(max(col("y").cast("double")).as("by"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(-_._1)
+    if (bandMax.isEmpty) return base.drop("band").limit(0)
+    val suffix = scala.collection.mutable.Map.empty[Int, Double]
+    var run = Double.NegativeInfinity
+    bandMax.foreach { case (b, m) =>
+      if (run > Double.NegativeInfinity) suffix(b) = run
+      run = math.max(run, m)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rm = max(struct(col("y").as("y"), col("x").as("x"))).over(w)
+    val crossDom = element_at(typedLit(suffix.toMap), col("band"))
+    base
+      .withColumn("__rm", rm)
+      .where((col("__rm").isNull ||
+          !(col("__rm") > struct(col("y").as("y"), col("x").as("x")))) &&
+        (crossDom.isNull || crossDom < col("y").cast("double")))
+      .select(col("id"), col("x"), col("y"))
+  }
 }

@@ -573,6 +573,48 @@ object TextAnalysis {
   }
 
   /** All signals as one struct-per-row projection. */
+  /** Zipf-law slope per group — the corpus-health diagnostic that
+    * separates natural language (slope ≈ −1 in log-log rank/frequency
+    * space) from template spam, boilerplate floods, and synthetic
+    * gibberish (much flatter or steeper). Fit = ordinary least squares
+    * of ilog2(freq) on ilog2(rank) over the group's vocabulary.
+    *
+    * Exactness discipline: logs are INTEGER bit-lengths
+    * (`ilog2(n) = length(bin(n)) − 1`), so all four OLS sums are exact
+    * bigints and the slope is a single IEEE division of two exactly-
+    * computed doubles — bit-reproducible by any engine, unlike
+    * `regr_slope` over `ln()` doubles whose summation order varies.
+    *
+    * Shape: one token-explode groupBy (map-side combined) to the
+    * (group, token, freq) vocabulary; ranks are a per-group window over
+    * vocabulary rows (vocab << corpus — this never touches raw token
+    * volume); the OLS reduction is one more groupBy. */
+  def zipfSlope(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(col(groupCol).as("g"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val rank = row_number().over(Window.partitionBy(col("g"))
+      .orderBy(col("c").desc, col("tok"))).cast("long")
+    val pts = freq.select(col("g"), col("c"),
+      (length(bin(rank)) - 1).cast("long").as("x"),
+      (length(bin(col("c"))) - 1).cast("long").as("y"))
+    pts.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("g").as(groupCol), col("n_vocab"), col("n_tokens"),
+        when(col("n_vocab") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_vocab") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+          .as("zipf_slope"))
+  }
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

@@ -43,6 +43,7 @@ class PlanLintSpec extends SparkSuite {
                           // top-k reduce
     "q142_triangle_count", // three ONE-ROW census frames stitched by
                           // broadcast cross join
+    "q143_pareto_frontier", // one-row percentile-boundaries frame
     "q148_heavy_hitters"  // one-row totals frame for the N/k threshold
   )
 

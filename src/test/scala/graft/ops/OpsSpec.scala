@@ -1423,6 +1423,68 @@ class OpsSpec extends SparkSuite {
       ref.collect().toSeq)
   }
 
+  test("paretoFrontier2D equals brute-force NOT EXISTS, with ties and " +
+      "duplicates, across band counts") {
+    import spark.implicits._
+    // deterministic scatter + planted structure: a dominant point, an
+    // exact duplicate pair on the frontier, same-x and same-y ties
+    val pts = (1L to 400L).map { i =>
+      (i, (i * 37 % 101).toDouble, ((i * 53 + 11) % 97).toDouble)
+    } ++ Seq((401L, 101.0, 97.0), (402L, 100.0, 96.5), (403L, 100.0, 96.5))
+    val df = pts.toDF("id", "x", "y")
+    val brute = {
+      val all = pts
+      all.filter { case (_, x, y) =>
+        !all.exists { case (_, qx, qy) =>
+          qx >= x && qy >= y && (qx > x || qy > y)
+        }
+      }.map(_._1).toSet
+    }
+    for (bands <- Seq(2, 5, 16)) {
+      val got = Profiling.paretoFrontier2D(df, "id", "x", "y", bands)
+        .select("id").as[Long].collect().toSet
+      assert(got === brute, s"bands=$bands")
+    }
+  }
+
+  test("zipfSlope: exact OLS over integer bit-length logs") {
+    import spark.implicits._
+    // one group, token frequencies 8,4,2,1 at ranks 1..4:
+    // x = ilog2(rank) = 0,1,1,2 ; y = ilog2(freq) = 3,2,1,0
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")
+      ++ Seq("d")).mkString(" ")
+    val out = TextAnalysis.zipfSlope(Seq(("g", text)).toDF("src", "text"),
+      "src", "text").as[(String, Long, Long, Option[Double])].head()
+    // n=4 sx=4 sy=6 sxy=0*3+1*2+1*1+2*0=3 sxx=6 ->
+    // slope = (12-24)/(24-16) = -1.5
+    assert(out === (("g", 4L, 15L, Some(-1.5))))
+    // degenerate vocabulary (single token): denominator 0 -> null slope
+    val degen = TextAnalysis.zipfSlope(
+      Seq(("g", "a a a")).toDF("src", "text"), "src", "text")
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(degen === (("g", 1L, 3L, None)))
+  }
+
+  test("cdc applyLog: upsert, delete, insert, pass-through, " +
+      "last-writer-wins ordering") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val log = Seq(
+      // key 1: two upserts -> latest (ts 5) wins
+      (1L, "U", 11.0, 4L, 100L), (1L, "U", 12.0, 5L, 101L),
+      // key 2: upsert then delete -> dropped
+      (2L, "U", 21.0, 4L, 102L), (2L, "D", 0.0, 5L, 103L),
+      // key 9: delete then upsert (insert) -> appears
+      (9L, "D", 0.0, 4L, 104L), (9L, "U", 99.0, 5L, 105L),
+      // key 8: same ts, tie-break on higher tie id
+      (8L, "U", 1.0, 7L, 200L), (8L, "U", 2.0, 7L, 201L)
+    ).toDF("k", "op", "v", "ts", "tie")
+    val got = Cdc.applyLog(base, "k", "v", log, "k", "op", "v", "ts",
+      "tie").as[(Long, Double, String)].collect().toSet
+    assert(got === Set((1L, 12.0, "upsert"), (3L, 30.0, "base"),
+      (9L, 99.0, "upsert"), (8L, 2.0, "upsert")))
+  }
+
   test("editOneJoin finds exactly the edit-distance<=1 pairs: " +
       "substitution, deletion, insertion, duplicate; excludes dist 2") {
     import spark.implicits._
