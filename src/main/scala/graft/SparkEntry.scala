@@ -1950,6 +1950,38 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Distribution-drift report (data-contract monitor): per
+    // (event_type, value-bin) counts for the reference vs current halves
+    // of the month, Laplace-smoothed shares in exact ppm, chi-square
+    // contribution per bin; scanned once, never summed across bins
+    "q145_drift_report" -> ((s, dir) => {
+      Profiling.driftReport(t(s, dir, "events"), "event_type", "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        binWidth = 50.0, nBins = 10)
+    }),
+
+    // Sorted-neighborhood entity resolution (merge/purge): banded
+    // order-preserving global rank (two-phase prefix count, no global
+    // window), rank-block equi-join for the w-neighborhood, then the
+    // match predicate; complements LSH for prefix-adjacent near-matches
+    "q150_sorted_neighborhood" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val pairs = Dedup.sortedNeighborhoodPairs(c, "c_custkey", "c_name",
+        w = 3, bands = 16)
+      val attrs = c.select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal"))
+      pairs
+        .join(attrs.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("na"), col("c_acctbal").as("ba")),
+          Seq("id_a"))
+        .join(attrs.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nb"), col("c_acctbal").as("bb")),
+          Seq("id_b"))
+        .where(col("na") === col("nb"))
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("rank_dist"), abs(col("bb") - col("ba")).as("bal_diff"))
+    }),
+
     // 2-D Pareto frontier of customers (total spend x account balance):
     // banded percentile sweep — per-band running-max windows in
     // parallel + a suffix-max of per-band y maxima for cross-band
@@ -4227,6 +4259,50 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Exact bins/counts/ppm; chi = one decimal->double mul+div per bin.
+    "q145_drift_report" ->
+      """WITH ev AS (
+           SELECT event_type AS g,
+             CAST(least(greatest(floor(value / 50), 0), 9) AS INT)
+               AS bin,
+             (ts < TIMESTAMP '2024-01-16') AS is_ref
+           FROM events),
+         cnt AS (SELECT g, bin,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+                 FROM ev GROUP BY 1, 2),
+         bins AS (SELECT g, unnest(range(0, 10)) AS bin
+                  FROM (SELECT DISTINCT g FROM ev)),
+         f AS (SELECT b.g, CAST(b.bin AS INT) AS bin,
+                 coalesce(r, 0) + 1 AS r1, coalesce(c, 0) + 1 AS c1
+               FROM bins b LEFT JOIN cnt
+                 ON b.g = cnt.g AND b.bin = cnt.bin),
+         tot AS (SELECT g, sum(r1) AS nr1, sum(c1) AS nc1
+                 FROM f GROUP BY 1)
+         SELECT f.g AS event_type, f.bin,
+           CAST(f.r1 - 1 AS BIGINT) AS ref_n,
+           CAST(f.c1 - 1 AS BIGINT) AS cur_n,
+           CAST((f.r1 * 1000000) // t.nr1 AS BIGINT) AS ref_ppm,
+           CAST((f.c1 * 1000000) // t.nc1 AS BIGINT) AS cur_ppm,
+           CAST(CAST(f.c1 AS HUGEINT) * t.nr1 -
+                CAST(f.r1 AS HUGEINT) * t.nc1 AS DOUBLE) *
+           CAST(CAST(f.c1 AS HUGEINT) * t.nr1 -
+                CAST(f.r1 AS HUGEINT) * t.nc1 AS DOUBLE) /
+           CAST(CAST(f.r1 AS HUGEINT) * t.nc1 * t.nr1 AS DOUBLE) AS chi
+         FROM f JOIN tot t ON f.g = t.g""",
+    // Neighborhood pairs == rank-difference self-join on the global
+    // (name, custkey) order.
+    "q150_sorted_neighborhood" ->
+      """WITH r AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+           FROM customer)
+         SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(b.rk - a.rk AS BIGINT) AS rank_dist,
+           abs(b.c_acctbal - a.c_acctbal) AS bal_diff
+         FROM r a JOIN r b
+           ON b.rk > a.rk AND b.rk <= a.rk + 3
+             AND a.c_nationkey = b.c_nationkey""",
     // The banded sweep equals the all-pairs NOT EXISTS skyline.
     "q143_pareto_frontier" ->
       """WITH spend AS (

@@ -432,6 +432,66 @@ object Dedup {
       .where(col("dist") <= 1)
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo's classic
+    * merge/purge blocking): rank every row by a sort key, emit the pairs
+    * within `w` positions of each other. Complements the LSH family —
+    * catches near-matches that SORT adjacently (shared prefixes, near-
+    * identical codes) with linear candidate volume `n·w`.
+    *
+    * The global rank is NOT a bare `row_number()` window (one-reducer
+    * killer). It is the banded two-phase prefix count
+    * ([[Splits.curriculumOrder]]'s shape) made ORDER-PRESERVING for
+    * strings: band on exact percentiles of a monotone 60-bit prefix
+    * encoding of the key (byte-wise, so numeric order == Spark's binary
+    * string order; equal encodings always share a band), rank within
+    * each band in parallel, shift by broadcast per-band offsets
+    * (`bands` longs of driver state). Pairing is an equi-join on the
+    * rank block `rank div w` (each left row probes its own and the next
+    * block) — never a rank-inequality nested loop. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      keyCol: String, w: Int, bands: Int = 32): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(bands >= 2, s"bands must be >= 2, got $bands")
+    val pts = df.where(col(keyCol).isNotNull)
+      .select(col(idCol).as("id"), col(keyCol).as("k"))
+    // order-preserving 60-bit encoding: first 7.5 bytes, NUL-padded so
+    // shorter strings sort before their extensions numerically too
+    val enc = conv(substring(hex(rpad(col("k"), 8, "\u0000")), 1, 15),
+      16, 10).cast("long")
+    val bounds = pts.agg(percentile(enc,
+      typedLit((1 until bands).map(_.toDouble / bands))).as("__bs"))
+    val base = pts.crossJoin(broadcast(bounds))
+      .select(col("id"), col("k"),
+        size(filter(col("__bs"),
+          b => enc.cast("double") > b)).cast("int").as("band"))
+    val offsets: Map[Int, Long] = {
+      val counts = base.groupBy(col("band"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      counts.map { case (b, c) => val o = acc; acc += c; b -> o }.toMap
+    }
+    if (offsets.isEmpty)
+      return pts.select(col("id").as("id_a"), col("id").as("id_b"),
+        col("k").as("k_a"), col("k").as("k_b"),
+        lit(0L).as("rank_dist")).limit(0)
+    val win = Window.partitionBy(col("band"))
+      .orderBy(col("k"), col("id"))
+    val ranked = base
+      .select(col("id"), col("k"),
+        (row_number().over(win).cast("long") +
+          element_at(typedLit(offsets), col("band"))).as("rank"))
+      .withColumn("bkt", expr(s"rank div $w"))
+    val probes = ranked.select(col("id").as("id_a"), col("k").as("k_a"),
+      col("rank").as("ra"),
+      explode(array(col("bkt"), col("bkt") + 1L)).as("jb"))
+    probes.join(ranked.select(col("id").as("id_b"), col("k").as("k_b"),
+        col("rank").as("rb"), col("bkt").as("jb")), Seq("jb"))
+      .where(col("rb") > col("ra") && col("rb") <= col("ra") + w)
+      .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"),
+        (col("rb") - col("ra")).as("rank_dist"))
+  }
+
   /** SimHash: 64-bit signature whose bits are majority votes of per-shingle
     * hash bits. Rows whose signatures agree on most bits are near-dups.
     * Native codegen'd expression — one pass per row. */

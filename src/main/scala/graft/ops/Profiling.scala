@@ -361,6 +361,58 @@ object Profiling {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Distribution-drift report between a reference and a current slice —
+    * the data-contract monitor that catches silent upstream changes
+    * (unit changes, truncation, new default values) before they poison a
+    * training run. Per (group, value-bin): raw counts on both sides,
+    * Laplace-smoothed shares in exact parts-per-million, and the
+    * chi-square drift contribution. Reported PER BIN (the actionable
+    * artifact — which part of the distribution moved), never summed
+    * across bins, so no cross-bin float accumulation exists anywhere.
+    *
+    * Exactness discipline: bins are value-deterministic
+    * (`least(floor(v / width), nBins−1)`); shares are integral divisions
+    * of exact counts; the chi contribution's numerator difference and
+    * denominator product are computed in DECIMAL and cast to double for
+    * ONE multiply and ONE divide — IEEE-identical in any engine.
+    *
+    * Shape: one conditional-aggregation pass over the data (both slices
+    * counted in the same groupBy — the input is scanned once), an
+    * explode over the fixed bin range to materialize empty bins, and a
+    * per-group totals join. */
+  def driftReport(df: DataFrame, groupCol: String, valueCol: String,
+      isRef: Column, binWidth: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && binWidth > 0,
+      s"need nBins >= 2 and binWidth > 0, got $nBins/$binWidth")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val bin = least(greatest(floor(col(valueCol) / binWidth), lit(0)),
+      lit(nBins - 1)).cast("int")
+    val cnt = df.select(col(groupCol).as("g"), bin.as("bin"),
+        isRef.as("__ref"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("r"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("c"))
+    val full = cnt.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0), lit(nBins - 1)))
+        .as("bin"))
+      .join(cnt, Seq("g", "bin"), "left")
+      .select(col("g"), col("bin"),
+        (coalesce(col("r"), lit(0L)) + 1L).as("r1"),
+        (coalesce(col("c"), lit(0L)) + 1L).as("c1"))
+    val tot = full.groupBy(col("g"))
+      .agg(sum(col("r1")).as("nr1"), sum(col("c1")).as("nc1"))
+    val diff = (d19(col("c1")) * d19(col("nr1")) -
+      d19(col("r1")) * d19(col("nc1"))).cast("double")
+    full.join(tot, Seq("g"))
+      .select(col("g").as(groupCol), col("bin"),
+        (col("r1") - 1L).as("ref_n"), (col("c1") - 1L).as("cur_n"),
+        expr("(r1 * 1000000L) div nr1").as("ref_ppm"),
+        expr("(c1 * 1000000L) div nc1").as("cur_ppm"),
+        (diff * diff /
+          (d19(col("r1")) * d19(col("nc1")) * d19(col("nr1")))
+            .cast("double")).as("chi"))
+  }
+
   /** 2-D Pareto frontier (skyline), both dimensions maximized: the rows
     * no other row beats on both axes — "best customers" / "best
     * quality-per-cost documents" without a hand-tuned scalarization.

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSuite {
     "q142_triangle_count", // three ONE-ROW census frames stitched by
                           // broadcast cross join
     "q143_pareto_frontier", // one-row percentile-boundaries frame
+    "q150_sorted_neighborhood", // one-row band-boundaries frame
     "q148_heavy_hitters"  // one-row totals frame for the N/k threshold
   )
 

@@ -1485,6 +1485,47 @@ class OpsSpec extends SparkSuite {
       (9L, 99.0, "upsert"), (8L, 2.0, "upsert")))
   }
 
+  test("driftReport: exact counts, smoothed ppm, empty-bin rows, " +
+      "identical slices give uniform chi") {
+    import spark.implicits._
+    // group g: ref = 4 rows in bin 0, 4 in bin 1; cur = identical
+    val rows = (for (b <- 0 to 1; _ <- 1 to 4; ref <- Seq(true, false))
+      yield ("g", b * 10.0 + 1.0, ref)).toDF("grp", "v", "is_ref")
+    val out = Profiling.driftReport(rows, "grp", "v", col("is_ref"),
+      binWidth = 10.0, nBins = 4)
+      .orderBy("bin")
+      .as[(String, Int, Long, Long, Long, Long, Double)].collect()
+    assert(out.length === 4) // all 4 bins materialized, 2 empty
+    assert(out.map(_._3).toSeq === Seq(4L, 4L, 0L, 0L)) // ref_n
+    assert(out.map(_._4).toSeq === Seq(4L, 4L, 0L, 0L)) // cur_n
+    // smoothed shares: (4+1)/(8+4) and (0+1)/(8+4) in exact ppm
+    assert(out.map(_._5).toSeq ===
+      Seq(5000000L / 12, 5000000L / 12, 1000000L / 12, 1000000L / 12))
+    // identical slices -> numerator c1*nr1 - r1*nc1 = 0 in every bin
+    assert(out.forall(_._7 === 0.0))
+  }
+
+  test("sortedNeighborhoodPairs equals the single-window reference " +
+      "across band counts, with duplicate keys") {
+    import spark.implicits._
+    val rows = ((1L to 300L).map(i => (i, f"key${(i * 7) % 100}%03d")) ++
+      Seq((900L, "key001"), (901L, ""), (902L, "zz"))).toDF("id", "k")
+    val w = 3
+    val ref = {
+      val sorted = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy { case (id, k) => (k, id) }
+      (for {
+        i <- sorted.indices; j <- (i + 1) to math.min(i + w, sorted.size - 1)
+      } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong)).toSet
+    }
+    for (bands <- Seq(2, 4, 16)) {
+      val got = Dedup.sortedNeighborhoodPairs(rows, "id", "k", w, bands)
+        .select("id_a", "id_b", "rank_dist")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === ref, s"bands=$bands")
+    }
+  }
+
   test("editOneJoin finds exactly the edit-distance<=1 pairs: " +
       "substitution, deletion, insertion, duplicate; excludes dist 2") {
     import spark.implicits._
