@@ -1950,6 +1950,35 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Bounded-state quantile estimation: per-source quantiles from the
+    // deterministic 64-row hash sample (quota-sample aggregate, O(k)
+    // state) — the scale path beside q139's exact equi-depth histogram;
+    // integer-fraction rank indices, values untouched by arithmetic
+    "q151_sampled_quantiles" -> ((s, dir) => {
+      graft.ops.Sketches.sampledQuantiles(t(s, dir, "documents"),
+        "source", "doc_id", "n_chars", k = 64,
+        ps = Seq((1, 4), (1, 2), (3, 4), (9, 10)))
+    }),
+
+    // Streaming histogram monitor: per (hour-window, value-bin) counts
+    // maintained in the state store (nBins longs per window), plus a
+    // batch tail on the sink computing exact per-hour ppm shares — the
+    // live feed of the q145 drift monitor
+    "q149_stream_histogram" -> ((s, dir) => {
+      s.catalog.dropTempView("q149_stream_out")
+      val st = graft.streaming.Streams.windowedHistogram(
+        graft.streaming.Streams.eventStream(s, dir), "value",
+        binWidth = 50.0, nBins = 10)
+      val sink = graft.streaming.Streams.runToMemory(s, st,
+        "q149_stream_out", outputMode = "complete",
+        statePartitions = Some(8))
+      val byHour = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour"))
+      sink.withColumn("nh", sum(col("n")).over(byHour))
+        .select(col("hour"), col("bin"), col("n"),
+          expr("(n * 1000000L) div nh").as("share_ppm"))
+    }),
+
     // Distribution-drift report (data-contract monitor): per
     // (event_type, value-bin) counts for the reference vs current halves
     // of the month, Laplace-smoothed shares in exact ppm, chi-square
@@ -4259,6 +4288,46 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Hash-sample order statistics; rank indices are integer fractions.
+    "q151_sampled_quantiles" ->
+      """WITH h AS (
+           SELECT source, doc_id, n_chars,
+             CAST(('0x' || substr(md5('graft:' || source || '/' ||
+               doc_id), 1, 13)) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hv ASC, doc_id ASC) AS rk
+               FROM h),
+         s AS (SELECT source, n_chars AS v, doc_id
+               FROM r WHERE rk <= 64),
+         o AS (SELECT source, v,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY v, doc_id) AS vr,
+                 count(*) OVER (PARTITION BY source) AS m
+               FROM s),
+         tot AS (SELECT source, count(*) AS n_rows
+                 FROM documents GROUP BY 1)
+         SELECT o.source, tot.n_rows, CAST(max(o.m) AS INT) AS n_sample,
+           max(CASE WHEN vr = (1 * m + 3) // 4 THEN v END) AS p25,
+           max(CASE WHEN vr = (1 * m + 1) // 2 THEN v END) AS p50,
+           max(CASE WHEN vr = (3 * m + 3) // 4 THEN v END) AS p75,
+           max(CASE WHEN vr = (9 * m + 9) // 10 THEN v END) AS p90
+         FROM o JOIN tot ON o.source = tot.source
+         GROUP BY o.source, tot.n_rows""",
+    // The streaming state-store histogram equals the batch recount.
+    "q149_stream_histogram" ->
+      """WITH h AS (
+           SELECT strftime(date_trunc('hour', ts),
+               '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(least(greatest(floor(value / 50), 0), 9) AS INT)
+               AS bin,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT hour, sum(n) AS nh FROM h GROUP BY 1)
+         SELECT h.hour, h.bin, h.n,
+           CAST((h.n * 1000000) // t.nh AS BIGINT) AS share_ppm
+         FROM h JOIN t ON h.hour = t.hour""",
     // Exact bins/counts/ppm; chi = one decimal->double mul+div per bin.
     "q145_drift_report" ->
       """WITH ev AS (

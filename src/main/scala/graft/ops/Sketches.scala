@@ -102,6 +102,47 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Bounded-state per-group quantile estimation from a deterministic
+    * hash sample — the scale path next to [[Profiling.equiDepthHistogram]]
+    * (which shuffles every distinct value): per group, the k rows with
+    * the smallest salted 52-bit portable hash form a uniform
+    * without-replacement sample (the [[Splits.quotaSample]] bounded
+    * aggregate — O(k) state per group per map task, no window over the
+    * data); quantile p is the ceil(p·m)-th order statistic of the
+    * sample. Everything after the one sampling pass runs on k·G rows.
+    *
+    * Determinism: the sample is a pure function of (salt, group, id), so
+    * re-runs, re-partitions, and external engines reproduce it exactly;
+    * probabilities are FRACTIONS (num/den) so the rank index is integer
+    * arithmetic — no float rank boundary anywhere. Returned quantile
+    * values are actual data values, untouched by arithmetic. */
+  def sampledQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int, ps: Seq[(Int, Int)],
+      salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ps.nonEmpty && ps.forall { case (n, d) =>
+      n >= 1 && n <= d }, s"fractions must satisfy 1 <= num <= den: $ps")
+    val picks = Splits.quotaSample(df, idCol, groupCol, k, salt)
+      .select(col("stratum"), col("id"))
+    val vals = df.select(col(groupCol).as("stratum"),
+      col(idCol).as("id"), col(valueCol).as("v"))
+    val arr = vals.join(broadcast(picks), Seq("stratum", "id"))
+      .groupBy(col("stratum"))
+      .agg(array_sort(collect_list(struct(col("v"), col("id"))))
+        .as("sv"))
+      .select(col("stratum"), col("sv"), size(col("sv")).as("m"))
+    val tot = df.groupBy(col(groupCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+    val qCols = ps.map { case (num, den) =>
+      element_at(col("sv"),
+        expr(s"cast(($num * m + ${den - 1}) div $den as int)"))
+        .getField("v").as(s"p${num * 100 / den}")
+    }
+    arr.join(tot, Seq("stratum"))
+      .select(col("stratum").as(groupCol) +: col("n_rows") +:
+        col("m").cast("int").as("n_sample") +: qCols: _*)
+  }
+
   /** EXACT heavy hitters (frequency · k > N) via a two-phase
     * Misra–Gries sweep — the frequent-token / hot-key report that at
     * 100 TB cannot be answered with a plain `groupBy(token).count()`:

@@ -128,6 +128,28 @@ object Streams {
     * hour" over an unbounded stream with bounded state). The estimate
     * uses the portable hash, so an external engine reproduces the exact
     * same sketch and estimate from the batch data. */
+  /** Streaming per-window value histogram — the live tail of the batch
+    * drift monitor ([[graft.ops.Profiling.driftReport]]): counts per
+    * (event-time window, deterministic value bin), maintained
+    * incrementally in the state store. Bins are value-pure
+    * (`least(floor(v / width), nBins−1)`), so every micro-batch routes a
+    * row to the same cell a batch recount would — the memory-sink table
+    * is bit-equal to the batch groupBy the oracle runs. State per
+    * window: `nBins` longs. */
+  def windowedHistogram(events: DataFrame, valueCol: String,
+      binWidth: Double, nBins: Int, watermark: String = "1 hour",
+      window_ : String = "1 hour"): DataFrame = {
+    val bin = least(greatest(floor(col(valueCol) / binWidth), lit(0)),
+      lit(nBins - 1)).cast("int")
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"), bin.as("bin"))
+      .groupBy(col("w"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("bin"), col("n"))
+  }
+
   def windowedKmvDistinct(events: DataFrame, keyCol: String,
       watermark: String = "1 hour", window_ : String = "1 hour",
       k: Int = 64): DataFrame = {

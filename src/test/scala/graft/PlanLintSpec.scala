@@ -55,7 +55,8 @@ class PlanLintSpec extends SparkSuite {
     "q29_stream_window", "q43_stream_dedup", "q68_stream_enrich",
     "q73_stream_interval_join", "q91_stream_fhir_ingest",
     "q120_stream_hopping_window", "q134_stream_scd2",
-    "q138_stream_kmv_distinct", "q141_stream_funnel")
+    "q138_stream_kmv_distinct", "q141_stream_funnel",
+    "q149_stream_histogram")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keysIterator

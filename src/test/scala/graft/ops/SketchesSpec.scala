@@ -232,6 +232,24 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("sampledQuantiles: k >= group size degrades to exact order " +
+      "statistics, invariant to partitioning") {
+    // group "a": values 1..10 (ids shuffled); k=64 > 10 -> sample is
+    // the whole group, p50 = ceil(0.5*10)=5th order stat = 5
+    val rows = ((1 to 10).map(i => ("a", i.toLong, i.toLong * 10)) ++
+      (1 to 3).map(i => ("b", 100L + i, i.toLong))).toDF("g", "id", "v")
+    for (parts <- Seq(1, 8)) {
+      val out = Sketches.sampledQuantiles(rows.repartition(parts), "g",
+        "id", "v", k = 64, ps = Seq((1, 4), (1, 2), (9, 10)))
+        .orderBy("g")
+        .as[(String, Long, Int, Long, Long, Long)].collect().toSeq
+      // a: ceil(10/4)=3rd=30, ceil(10/2)=5th=50, ceil(9)=9th=90
+      // b: ceil(3/4)=1st=1, ceil(3/2)=2nd=2, ceil(27/10)=3rd=3
+      assert(out === Seq(("a", 10L, 10, 30L, 50L, 90L),
+        ("b", 3L, 3, 1L, 2L, 3L)), s"parts=$parts")
+    }
+  }
+
   test("heavy hitters: empty input and nothing-qualifies cases") {
     val empty = Seq.empty[String].toDF("v")
     assert(Sketches.heavyHitters(empty, col("v"), 10).count() === 0)

@@ -537,4 +537,25 @@ class StreamsSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming windowed histogram equals the batch recount") {
+    val stream = Streams.windowedHistogram(
+      Streams.eventStream(spark, sfDir), "value", binWidth = 50.0,
+      nBins = 10)
+    val got = Streams.runToMemory(spark, stream, "hist_stream",
+      outputMode = "complete", statePartitions = Some(4))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val want = graft.sources.EventTime.normalize(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        least(greatest(floor(col("value") / 50.0), lit(0)), lit(9))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
