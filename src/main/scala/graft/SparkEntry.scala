@@ -1950,6 +1950,30 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Item-item top-k from the co-purchase graph (collaborative
+    // filtering neighbor lists): bounded topk_by_score per node — hub
+    // neighbor lists never serialize through one reducer
+    "q152_item_item_topk" -> ((s, dir) => {
+      graft.ops.Graphs.itemItemTopK(
+        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")), k = 5)
+    }),
+
+    // Peak concurrent sessions per hour: +1/-1 boundary sweep with the
+    // running sum partitioned per hour + driver-cumulated carry (one
+    // long per hour) — never a global single-reducer ordered window
+    "q153_peak_concurrency" -> ((s, dir) => {
+      Sessions.peakConcurrency(t(s, dir, "events"), "ts",
+        sessionSeconds = 600L)
+    }),
+
+    // Collocation mining by exact integer lift (phrase detection):
+    // unigram/bigram counts, lift in exact ppm (no log()), bounded
+    // global top-k, winners re-joined for evidence counts
+    "q154_phrase_lift" -> ((s, dir) => {
+      TextAnalysis.phraseLift(t(s, dir, "documents"), "text", k = 50,
+        minCount = 5L)
+    }),
+
     // Bounded-state quantile estimation: per-source quantiles from the
     // deterministic 64-row hash sample (quota-sample aggregate, O(k)
     // state) — the scale path beside q139's exact equi-depth histogram;
@@ -4288,6 +4312,80 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Mirrored-pair counts + (score desc, id asc) top-k.
+    "q152_item_item_topk" ->
+      """WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.pk AS s, b.pk AS d, count(*) AS n
+               FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk
+               GROUP BY 1, 2),
+         r AS (SELECT s, d, n, row_number() OVER (PARTITION BY s
+                 ORDER BY n DESC, d ASC) AS rk
+               FROM e)
+         SELECT s AS part, CAST(rk AS INT) AS rank, d AS neighbor,
+           CAST(n AS BIGINT) AS n_co
+         FROM r WHERE rk <= 5""",
+    // Global running sum == per-hour run + cumulative carry; ends (-1)
+    // sort before starts (+1) at equal instants (half-open sessions).
+    "q153_peak_concurrency" ->
+      """WITH b AS (
+           SELECT epoch_us(ts) AS t, 1 AS d FROM events
+           UNION ALL
+           SELECT epoch_us(ts) + 600000000, -1 FROM events),
+         r AS (SELECT t, d,
+                 strftime(date_trunc('hour', make_timestamp(t)),
+                   '%Y-%m-%d %H:%M:%S') AS hour,
+                 sum(d) OVER (ORDER BY t, d
+                   ROWS UNBOUNDED PRECEDING) AS run
+               FROM b),
+         a AS (SELECT hour, max(run) AS mxg, sum(d) AS net,
+                 sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts
+               FROM r GROUP BY 1),
+         c AS (SELECT hour, n_starts, mxg,
+                 coalesce(sum(net) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS carry
+               FROM a)
+         SELECT hour, CAST(n_starts AS BIGINT) AS n_starts,
+           CAST(greatest(carry, mxg) AS BIGINT) AS peak_concurrency
+         FROM c""",
+    // Exact integer lift over unigram/bigram counts; top-50 by
+    // (lift desc, gram asc).
+    "q154_phrase_lift" ->
+      """WITH toks AS (
+           SELECT list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM documents),
+         uni AS (SELECT unnest(tk) AS tok FROM toks),
+         u AS (SELECT tok, count(*) AS n1 FROM uni GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM uni),
+         bg AS (
+           SELECT CASE WHEN len(tk) < 2
+               THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1]) END AS gs
+           FROM toks),
+         b2 AS (SELECT gram, count(*) AS n_ab
+                FROM (SELECT unnest(gs) AS gram FROM bg)
+                WHERE len(string_split(gram, ' ')) = 2
+                GROUP BY 1 HAVING count(*) >= 5),
+         sc AS (SELECT gram, n_ab, string_split(gram, ' ')[1] AS w1,
+                  string_split(gram, ' ')[2] AS w2
+                FROM b2),
+         j AS (SELECT sc.gram, sc.n_ab, ua.n1 AS na, ub.n1 AS nb,
+                 (sc.n_ab * t.n_total * 1000000) //
+                   (ua.n1 * ub.n1) AS lift_ppm
+               FROM sc JOIN u ua ON sc.w1 = ua.tok
+               JOIN u ub ON sc.w2 = ub.tok
+               CROSS JOIN tot t),
+         r AS (SELECT *, row_number() OVER
+                 (ORDER BY lift_ppm DESC, gram ASC) AS rank
+               FROM j)
+         SELECT CAST(rank AS INT) AS rank, gram,
+           CAST(n_ab AS BIGINT) AS n_ab, CAST(na AS BIGINT) AS na,
+           CAST(nb AS BIGINT) AS nb, CAST(lift_ppm AS BIGINT) AS lift_ppm
+         FROM r WHERE rank <= 50""",
     // Hash-sample order statistics; rank indices are integer fractions.
     "q151_sampled_quantiles" ->
       """WITH h AS (

@@ -415,21 +415,33 @@ object Dedup {
   def editOneJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"))
+      .localCheckpoint(eager = false)
     val dels = expr(
       "transform(sequence(1, length(s)), " +
         "i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))")
-    val variants = base.select(col("id"), col("s"),
+    // distinct (id, variant): a run of k identical characters yields the
+    // same deletion k times — deduping here divides the candidate join's
+    // quadratic bucket volume before it exists
+    val variants = base.select(col("id"),
       explode(concat(array(col("s")),
         when(length(col("s")) > 0, dels).otherwise(array()))).as("v"))
-    val a = variants.select(col("id").as("id_a"), col("s").as("s_a"),
-      col("v"))
-    val b = variants.select(col("id").as("id_b"), col("s").as("s_b"),
-      col("v"))
-    a.join(b, Seq("v")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
+    // candidates as bare id pairs (narrow shuffle rows), deduped before
+    // the strings come back; the verify join re-attaches each side once
+    val cand = variants.select(col("id").as("id_a"), col("v"))
+      .join(variants.select(col("id").as("id_b"), col("v")), Seq("v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")),
+        Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .where(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+        col("dist"))
   }
 
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo's classic

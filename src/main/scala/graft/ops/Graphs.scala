@@ -106,25 +106,29 @@ object Graphs {
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
     val oriented = e.join(dl, "lo").join(dh, "hi")
       .select(when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
-        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
-        when(loFirst, struct(col("dhi").as("d"), col("hi").as("n")))
-          .otherwise(struct(col("dlo").as("d"), col("lo").as("n")))
-          .as("drank"))
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"))
       .localCheckpoint(eager = false)
-    // wedges between out-neighbors, ordered by rank so the closing
-    // oriented edge is exactly (lower-rank endpoint -> higher-rank one)
-    val o1 = oriented.select(col("src").as("c"), col("dst").as("a"),
-      col("drank").as("ra"))
-    val o2 = oriented.select(col("src").as("c"), col("dst").as("b"),
-      col("drank").as("rb"))
-    val wedges = o1.join(o2, "c").where(col("ra") < col("rb"))
-      .select(col("a"), col("b"))
-    val closed = wedges.join(oriented.select(col("src").as("a"),
-        col("dst").as("b")), Seq("a", "b"), "left_semi")
+    // adjacency-intersection count (forward algorithm): for each
+    // oriented edge (u,v), triangles closed over it are
+    // |adj+(u) ∩ adj+(v)| — each triangle counted exactly once at its
+    // lowest-rank edge. Compared to materializing the wedge list
+    // (Σ outdeg² rows — 41M at bench scale), this ships each node's
+    // ≤O(sqrt(m)) out-list once per incident edge and intersects
+    // in-row: same asymptotics, a fraction of the shuffled rows.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val closedPerEdge = oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("au")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("av")),
+        Seq("dst"), "left")
+      .select(when(col("av").isNull, lit(0))
+        .otherwise(size(array_intersect(col("au"), col("av"))))
+        .as("t"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     val edgeStats = e.agg(count(lit(1)).as("n_edges"))
-    val triStats = closed.agg(count(lit(1)).as("n_triangles"))
+    val triStats = closedPerEdge
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     nodeStats.crossJoin(broadcast(edgeStats))
       .crossJoin(broadcast(triStats))
       .select(col("n_nodes"), col("n_edges"),
@@ -142,6 +146,31 @@ object Graphs {
     pr.as("a").join(pr.as("b"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  }
+
+  /** Item-item top-k neighbor lists from a weighted co-occurrence edge
+    * list — the classic collaborative-filtering building block ("parts
+    * bought together"), and in a curation pipeline the
+    * related-documents/related-domains index. Per source node, the k
+    * strongest neighbors by count (ties by neighbor id ascending).
+    *
+    * Shape: mirror the undirected edges, ONE map-side-combined groupBy
+    * to (src, dst, n), then the bounded topk_by_score aggregate —
+    * per-node reducer input is k × partitions buffers, never the full
+    * neighbor list of a hub (the row_number window a naive version
+    * would use ships every hub edge through one reducer). */
+  def itemItemTopK(edges: DataFrame, k: Int): DataFrame = {
+    val mirrored = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val cnt = mirrored.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy(col("src").as("part"))
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("n").cast("double"), col("dst"), k).as("nb"))
+      .select(col("part"), posexplode(col("nb")))
+      .select(col("part"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor"),
+        col("col.score").cast("long").as("n_co"))
   }
 
   /** The customer–supplier interaction graph: an undirected bipartite

@@ -374,4 +374,48 @@ object Sessions {
       steps.indices.map(i =>
         coalesce(col(s"t${i + 1}"), lit(-1L)).as(s"t${i + 1}")): _*)
   }
+
+  /** Peak concurrency per hour — "how many sessions were open at once"
+    * (capacity planning, abuse detection, license audits). Every event
+    * opens a half-open session `[ts, ts+sessionSeconds)`; the answer is
+    * the running max of the +1/−1 boundary sweep.
+    *
+    * The naive sweep is ONE global ordered running sum — a single
+    * reducer over every boundary. This runs it two-phase: the running
+    * sum restarts per HOUR (window partitioned by the boundary's hour —
+    * parallel), per-hour net deltas are cumulated on the driver (state =
+    * one long per distinct hour, bounded by the time range, same budget
+    * as [[Splits.deterministicShuffle]]'s block counts), and
+    * `peak(h) = carry(h) + greatest(max_within(h), 0)` — the `0` is the
+    * hour-start instant, which is the peak when the hour only drains.
+    * Boundary ties order ends (−1) before starts (+1): half-open
+    * intervals, back-to-back sessions never overlap. */
+  def peakConcurrency(events: DataFrame, tsCol: String,
+      sessionSeconds: Long): DataFrame = {
+    require(sessionSeconds >= 1,
+      s"sessionSeconds must be >= 1, got $sessionSeconds")
+    val micros = unix_micros(col(tsCol))
+    val b = events.select(micros.as("t"), lit(1).as("d"))
+      .unionAll(events.select(
+        (micros + sessionSeconds * 1000000L).as("t"), lit(-1).as("d")))
+      .withColumn("hour", date_format(
+        date_trunc("hour", timestamp_micros(col("t"))),
+        "yyyy-MM-dd HH:mm:ss"))
+    val w = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = b.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("hour"))
+      .agg(max(col("run")).as("mx"), sum(col("d")).as("net"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"))
+    val carries: Map[String, Long] = {
+      val nets = agg.select(col("hour"), col("net"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      nets.map { case (h, n) => val c = acc; acc += n; h -> c }.toMap
+    }
+    val carry = coalesce(
+      element_at(typedLit(carries), col("hour")), lit(0L))
+    agg.select(col("hour"), col("n_starts"),
+      (carry + greatest(col("mx"), lit(0L))).as("peak_concurrency"))
+  }
 }

@@ -615,6 +615,53 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** Collocation / phrase mining by exact integer lift: the top-k word
+    * bigrams whose co-occurrence beats independence —
+    * `lift_ppm = (n_ab · N · 10^6) div (n_a · n_b)` over corpus unigram
+    * and bigram counts. The phrase detector every tokenizer-prep
+    * pipeline runs ("new york" → one unit), scored WITHOUT `log()`:
+    * integer arithmetic end to end, so ranking and values are
+    * engine-exact. `minCount` suppresses the noise floor (a rare pair
+    * seen once has huge lift and zero evidence).
+    *
+    * Shape: two map-side-combined groupBys (unigrams, bigrams), two
+    * vocab-sized hash joins to attach endpoint counts, one bounded
+    * global topk_by_score (never a global sort), then a k-row broadcast
+    * join to re-attach counts to the winners. */
+  def phraseLift(df: DataFrame, textCol: String, k: Int,
+      minCount: Long): DataFrame = {
+    val toks = df.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .localCheckpoint(eager = false)
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n1"))
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    val bi = df.select(
+        explode(Dedup.wordShingles(col(textCol), 2)).as("gram"))
+      .where(size(split(col("gram"), " ")) === 2)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+      .select(col("gram"), col("n_ab"),
+        split(col("gram"), " ").getItem(0).as("w1"),
+        split(col("gram"), " ").getItem(1).as("w2"))
+    val scored = bi
+      .join(uni.select(col("tok").as("w1"), col("n1").as("na")),
+        Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n1").as("nb")),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("gram"), col("n_ab"), col("na"), col("nb"),
+        expr("(n_ab * n_total * 1000000L) div (na * nb)")
+          .as("lift_ppm"))
+    val top = scored
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("lift_ppm").cast("double"), col("gram"), k).as("tops"))
+      .select(posexplode(col("tops")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("gram"))
+    scored.join(broadcast(top), Seq("gram"))
+      .select(col("rank"), col("gram"), col("n_ab"), col("na"),
+        col("nb"), col("lift_ppm"))
+  }
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSuite {
                           // broadcast cross join
     "q143_pareto_frontier", // one-row percentile-boundaries frame
     "q150_sorted_neighborhood", // one-row band-boundaries frame
-    "q148_heavy_hitters"  // one-row totals frame for the N/k threshold
+    "q148_heavy_hitters", // one-row totals frame for the N/k threshold
+    "q154_phrase_lift"    // one-row corpus token-total frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -84,6 +84,21 @@ class GraphsSpec extends SparkSuite {
     assert(r2 === ((6L, 6L, 12L, 1L)))
   }
 
+  test("itemItemTopK: neighbor ranks by count desc then id asc, " +
+      "bounded at k") {
+    // node 1 co-occurs: with 2 three times, with 3 twice, with 4 twice,
+    // with 5 once -> top-3 = [2(n=3), 3(n=2), 4(n=2)]
+    val edges = (Seq.fill(3)((1L, 2L)) ++ Seq.fill(2)((1L, 3L)) ++
+      Seq.fill(2)((4L, 1L)) ++ Seq((5L, 1L)) ++ Seq((2L, 3L)))
+      .toDF("src", "dst")
+    val got = Graphs.itemItemTopK(edges, k = 3)
+      .where(col("part") === 1L)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1, 2L, 3L), (1L, 2, 3L, 2L),
+      (1L, 3, 4L, 2L)))
+  }
+
   test("triangle census is invariant to direction, duplicates, " +
       "self-loops, and partitioning") {
     val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))

@@ -1485,6 +1485,46 @@ class OpsSpec extends SparkSuite {
       (9L, 99.0, "upsert"), (8L, 2.0, "upsert")))
   }
 
+  test("peakConcurrency: overlap, half-open touching, cross-hour " +
+      "carry, drain-only hour") {
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // sessions are 10 min: three overlapping at :00/:05/:08 (peak 3);
+    // a back-to-back pair :30 and :40 never overlaps (half-open);
+    // one at :55 spans into hour 1, where nothing starts (peak from
+    // carry alone), then one at 02:05
+    val ev = Seq(0, 5, 8, 30, 40, 55, 125).map(m => Tuple1(ts(m)))
+      .toDF("ts")
+    val got = Sessions.peakConcurrency(ev, "ts", sessionSeconds = 600L)
+      .orderBy("hour")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00", 6L, 3L),
+      ("2024-01-01 01:00:00", 0L, 1L),
+      ("2024-01-01 02:00:00", 1L, 1L)))
+  }
+
+  test("phraseLift: planted collocation outranks independent pairs " +
+      "and lift is the exact integer formula") {
+    import spark.implicits._
+    // "aa bb" always adjacent (perfect collocation); "cc" and "dd"
+    // frequent but never adjacent to each other
+    val docs = ((1 to 10).map(i => (i.toLong, "aa bb cc dd")) ++
+      (11 to 15).map(i => (i.toLong, "cc aa bb dd"))).toDF("id", "text")
+    val out = TextAnalysis.phraseLift(docs, "text", k = 10, minCount = 5L)
+      .orderBy("rank")
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+    val byGram = out.map(r => r._2 -> r).toMap
+    // aa bb: n_ab=15, na=nb=15, N=60 -> lift = 15*60*1e6/225 = 4e6
+    assert(byGram("aa bb")._6 === 4000000L)
+    assert(out.head._2 === "aa bb")
+    // adjacent-but-independent "bb cc" (10 occurrences):
+    // 10*60*1e6/(15*15) = 2666666
+    assert(byGram("bb cc")._6 === 2666666L)
+    assert(byGram("bb cc")._3 === 10L)
+  }
+
   test("driftReport: exact counts, smoothed ppm, empty-bin rows, " +
       "identical slices give uniform chi") {
     import spark.implicits._
