@@ -1950,6 +1950,26 @@ object SparkEntry {
             .as("given_name"))
     }),
 
+    // Topological layering: longest-path depth per node over the
+    // customer hierarchy DAG — max-propagation fixpoint, one keyed join
+    // + groupBy-max per round, lineage truncated per round; the oracle
+    // recomputes via recursive path enumeration
+    "q156_dag_depth" -> ((s, dir) => {
+      val edges = t(s, dir, "customer")
+        .where(col("c_custkey") >= 2)
+        .select((col("c_custkey") / 2).cast("long").as("parent"),
+          col("c_custkey").cast("long").as("child"))
+      graft.ops.Graphs.dagDepth(s, edges)
+    }),
+
+    // Robust outlier gate per source: median/MAD with the doubled-
+    // median trick (sum of two middle order statistics — no division,
+    // all-decimal exact), outliers = |dev| beyond cutoff*1.4826*MAD;
+    // three winsorize-shaped histogram aggregations, no probe joins
+    "q155_mad_outliers" -> ((s, dir) => {
+      Profiling.madOutliers(t(s, dir, "documents"), "source", "n_chars")
+    }),
+
     // Item-item top-k from the co-purchase graph (collaborative
     // filtering neighbor lists): bounded topk_by_score per node — hub
     // neighbor lists never serialize through one reducer
@@ -4312,6 +4332,61 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Longest path == max over enumerated root paths (tree here, so
+    // the recursion stays linear).
+    "q156_dag_depth" ->
+      """WITH RECURSIVE e AS (
+           SELECT CAST(c_custkey // 2 AS BIGINT) AS parent,
+             CAST(c_custkey AS BIGINT) AS child
+           FROM customer WHERE c_custkey >= 2),
+         nodes AS (SELECT parent AS node FROM e
+                   UNION SELECT child FROM e),
+         roots AS (SELECT node FROM nodes
+                   WHERE node NOT IN (SELECT child FROM e)),
+         p(node, dep) AS (
+           SELECT node, CAST(0 AS BIGINT) FROM roots
+           UNION ALL
+           SELECT e.child, p.dep + 1 FROM p JOIN e ON p.node = e.parent)
+         SELECT node, max(dep) AS depth FROM p GROUP BY 1""",
+    // Doubled medians (m2 = two middle order stats, mad4 = doubled
+    // again) keep everything in exact DECIMAL; 4.4478 = 3 * 1.4826.
+    "q155_mad_outliers" ->
+      """WITH v AS (SELECT source AS g,
+             CAST(n_chars AS DECIMAL(20,4)) AS v
+           FROM documents),
+         cum1 AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2)),
+         med AS (SELECT g, max(n) AS n,
+             max(CASE WHEN cum - c <= (n - 1) // 2
+               AND (n - 1) // 2 < cum THEN v END) +
+             max(CASE WHEN cum - c <= n // 2
+               AND n // 2 < cum THEN v END) AS m2
+           FROM cum1 GROUP BY g),
+         dev AS (SELECT v.g, abs(v.v * 2 - med.m2) AS v
+                 FROM v JOIN med ON v.g = med.g),
+         cum2 AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM (SELECT g, v, count(*) AS c FROM dev GROUP BY 1, 2)),
+         mad AS (SELECT g,
+             max(CASE WHEN cum - c <= (n - 1) // 2
+               AND (n - 1) // 2 < cum THEN v END) +
+             max(CASE WHEN cum - c <= n // 2
+               AND n // 2 < cum THEN v END) AS mad4
+           FROM cum2 GROUP BY g),
+         cnt AS (SELECT v.g,
+             sum(CASE WHEN abs(v.v * 2 - med.m2) * 2 >
+               4.4478 * mad.mad4 THEN 1 ELSE 0 END) AS n_outliers
+           FROM v JOIN med ON v.g = med.g JOIN mad ON v.g = mad.g
+           GROUP BY v.g)
+         SELECT med.g AS source, CAST(med.n AS BIGINT) AS n,
+           CAST(round(med.m2 * 0.5, 4) AS DOUBLE) AS median,
+           CAST(round(mad.mad4 * 0.25, 4) AS DOUBLE) AS mad,
+           CAST(cnt.n_outliers AS BIGINT) AS n_outliers
+         FROM med JOIN mad ON med.g = mad.g
+         JOIN cnt ON med.g = cnt.g""",
     // Mirrored-pair counts + (score desc, id asc) top-k.
     "q152_item_item_topk" ->
       """WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS pk

@@ -148,6 +148,50 @@ object Graphs {
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
   }
 
+  /** Longest-path depth per node of a DAG — topological layering (the
+    * schedule level of a dependency graph; for code-system hierarchies,
+    * the deepest-specialization rank a flat closure cannot express).
+    * depth(n) = 0 for roots, else 1 + max over parents.
+    *
+    * Max-propagation fixpoint in the transitive-closure family's shape:
+    * each round is one keyed join (state × edges, shuffles only the
+    * O(N) depth frame — the edge list is partitioned once and reused)
+    * + one groupBy max + a changed-row count fused with the
+    * localCheckpoint that truncates lineage. Rounds = graph depth.
+    * Throws after `maxIterations` (a cycle never converges — failing
+    * loudly beats silently wrong depths). */
+  def dagDepth(spark: SparkSession, edges: DataFrame,
+      maxIterations: Int = 64): DataFrame = {
+    val e = edges.select(col("parent").cast("long").as("parent"),
+        col("child").cast("long").as("child"))
+      .where(col("parent") =!= col("child")).distinct()
+      .repartition(col("parent")).persist()
+    val nodes = e.select(col("parent").as("node"))
+      .unionAll(e.select(col("child").as("node"))).distinct()
+    var state = nodes.select(col("node"), lit(0L).as("depth"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      if (round > maxIterations)
+        throw new IllegalStateException(
+          s"dagDepth did not converge in $maxIterations rounds — " +
+            "cycle in the edge list?")
+      val viaParent = e.join(state, e("parent") === state("node"))
+        .select(col("child").as("node"), (col("depth") + 1).as("depth"))
+      val next = state.unionAll(viaParent)
+        .groupBy(col("node")).agg(max(col("depth")).as("depth"))
+        .localCheckpoint()
+      changed = next.join(state.withColumnRenamed("depth", "old"),
+          Seq("node"))
+        .where(col("depth") > col("old")).count()
+      state = next
+    }
+    e.unpersist()
+    state
+  }
+
   /** Item-item top-k neighbor lists from a weighted co-occurrence edge
     * list — the classic collaborative-filtering building block ("parts
     * bought together"), and in a curation pipeline the

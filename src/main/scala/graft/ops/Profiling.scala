@@ -341,6 +341,74 @@ object Profiling {
           .cast("double").as("clipped"))
   }
 
+  /** Doubled exact median per group over `(g, v DECIMAL)` rows:
+    * returns `(g, n, m2)` with `m2 = v_k + v_j` for 0-based order
+    * statistics `k = (n−1) div 2`, `j = n div 2` — that is EXACTLY
+    * 2 × the interpolated median, with no division anywhere (odd n:
+    * k = j so m2 = 2·v_k; even n: the two middle values). Same
+    * distinct-value-histogram + conditional-aggregate shape as
+    * [[winsorize]]: one groupBy, two windows over one exchange, order
+    * statistics without a probe join. */
+  private def medianX2(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(col("g"))
+    val cum = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byG))
+    val k = expr("(n - 1) div 2")
+    val j = expr("n div 2")
+    def hit(r: Column) = col("cum") - col("c") <= r && r < col("cum")
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        max(when(hit(k), col("v"))).as("v0"),
+        max(when(hit(j), col("v"))).as("v1"))
+      .select(col("g"), col("n"), (col("v0") + col("v1")).as("m2"))
+  }
+
+  /** Robust outlier report per group: median / MAD (median absolute
+    * deviation) and the count of values beyond
+    * `cutoff · 1.4826 · MAD` of the median — the outlier gate that,
+    * unlike [[groupZScore]], a few extreme values cannot drag open
+    * (mean and stddev both chase the outliers; median and MAD ignore
+    * them). 1.4826 ≈ 1/Φ⁻¹(3/4) makes σ̂ = 1.4826·MAD estimate the
+    * stddev under normality, so `cutoff` reads in sigmas.
+    *
+    * Exactness: both medians use the DOUBLED trick (m2 = sum of the two
+    * middle order statistics — no division), deviations are
+    * `|2v − m2|` (twice the true deviation, exact decimal), and the
+    * outlier test `2·dev2 > cutoff·1.4826·mad4` multiplies exact
+    * decimals only — engine-identical, no rounding anywhere before the
+    * final display cast. Three aggregation passes over the (g, v)
+    * projection, each the winsorize histogram shape. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: BigDecimal = BigDecimal(3)): DataFrame = {
+    require(cutoff > 0 && cutoff.scale <= 2,
+      s"cutoff must be positive with <= 2 decimals, got $cutoff")
+    val vals = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("decimal(20,4)").as("v"))
+      .localCheckpoint(eager = false)
+    val med = medianX2(vals)
+    val dev = vals.join(broadcast(med.select(col("g"), col("m2"))),
+        Seq("g"))
+      .select(col("g"), abs(col("v") * 2 - col("m2")).as("v"))
+    val mad = medianX2(dev)
+      .select(col("g"), col("m2").as("mad4"))
+    val thresh = lit(cutoff * BigDecimal("1.4826"))
+    val counts = vals
+      .join(broadcast(med.select(col("g"), col("m2"))), Seq("g"))
+      .join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(sum(when(abs(col("v") * 2 - col("m2")) * 2 >
+        thresh * col("mad4"), 1L).otherwise(0L)).as("n_outliers"))
+    med.join(mad, Seq("g")).join(counts, Seq("g"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("m2") * lit(BigDecimal("0.5")), 4).cast("double")
+          .as("median"),
+        round(col("mad4") * lit(BigDecimal("0.25")), 4).cast("double")
+          .as("mad"),
+        col("n_outliers"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the row
     * was `added`, `removed`, `changed` (same id, different content hash)
     * or `unchanged` — the audit table an incremental ingestion run emits

@@ -84,6 +84,20 @@ class GraphsSpec extends SparkSuite {
     assert(r2 === ((6L, 6L, 12L, 1L)))
   }
 
+  test("dagDepth: longest path wins on a diamond; cycle throws") {
+    // diamond 1->2->4, 1->3, 3->5->4: depth(4) = 3 via the long arm
+    val e = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (5L, 4L))
+      .toDF("parent", "child")
+    val got = Graphs.dagDepth(spark, e)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 2L,
+      4L -> 3L))
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("parent", "child")
+    intercept[IllegalStateException] {
+      Graphs.dagDepth(spark, cyc, maxIterations = 8)
+    }
+  }
+
   test("itemItemTopK: neighbor ranks by count desc then id asc, " +
       "bounded at k") {
     // node 1 co-occurs: with 2 three times, with 3 twice, with 4 twice,

@@ -1485,6 +1485,22 @@ class OpsSpec extends SparkSuite {
       (9L, 99.0, "upsert"), (8L, 2.0, "upsert")))
   }
 
+  test("madOutliers: exact median/MAD on odd and even groups; one " +
+      "extreme value cannot drag the gate open") {
+    import spark.implicits._
+    // odd group: values 1..9 plus outlier 1000 (n=10, even):
+    // median = 5.5, deviations {4.5,3.5,...,0.5,994.5} -> MAD = 2.5
+    // threshold = 3*1.4826*2.5 = 11.1195 -> only 1000 is out
+    val g1 = (1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 1000.0))
+    // odd group b: 10,20,30 -> median 20, MAD 10, no outliers
+    val g2 = Seq(("b", 10.0), ("b", 20.0), ("b", 30.0))
+    val out = Profiling.madOutliers((g1 ++ g2).toDF("g", "v"), "g", "v")
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out === Seq(("a", 10L, 5.5, 2.5, 1L),
+      ("b", 3L, 20.0, 10.0, 0L)))
+  }
+
   test("peakConcurrency: overlap, half-open touching, cross-hour " +
       "carry, drain-only hour") {
     import spark.implicits._
