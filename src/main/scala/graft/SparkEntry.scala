@@ -1962,6 +1962,28 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // The q144 join written the way an analyst would write it — a raw
+    // `levenshtein(a,b) <= 1` join condition — planned through the
+    // EditDistanceJoinRewrite optimizer rule into the same blocked
+    // equi-join (PlanSpec pins no nested loop); the oracle proves the
+    // rewrite is row-exact including the canonical-witness dedup
+    "q157_edit_join_rewrite" -> ((s, dir) => {
+      val extra = s.experimental.extraOptimizations
+      if (!extra.contains(graft.plans.EditDistanceJoinRewrite))
+        s.experimental.extraOptimizations =
+          extra :+ graft.plans.EditDistanceJoinRewrite
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("custkey_a"),
+        col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("custkey_b"),
+        col("c_name").as("name_b"))
+      a.join(b, levenshtein(col("name_a"), col("name_b")) <= 1 &&
+          col("custkey_a") < col("custkey_b"))
+        .select(col("custkey_a"), col("custkey_b"), col("name_a"),
+          col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+    }),
+
     // Robust outlier gate per source: median/MAD with the doubled-
     // median trick (sum of two middle order statistics — no division,
     // all-decimal exact), outliers = |dev| beyond cutoff*1.4826*MAD;
@@ -4332,6 +4354,13 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Same truth as q144: all-pairs levenshtein<=1.
+    "q157_edit_join_rewrite" ->
+      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
     // Longest path == max over enumerated root paths (tree here, so
     // the recursion stays linear).
     "q156_dag_depth" ->

@@ -512,4 +512,28 @@ object GraftHashImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** Deletion neighborhood of a string: the string itself plus every
+    * single-code-point deletion, distinct, insertion-ordered. The
+    * blocking key set of the edit-distance-1 join family (FastSS):
+    * ed(a, b) <= 1 implies the neighborhoods intersect. Code-point
+    * deletions (not UTF-16 units, not bytes) so the guarantee lines up
+    * with `levenshtein`'s code-point edit distance. */
+  def deletionVariants(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val out = new java.util.LinkedHashSet[UTF8String]
+    out.add(s)
+    var i = 0
+    while (i < cps.length) {
+      val sb = new java.lang.StringBuilder(cps.length)
+      var j = 0
+      while (j < cps.length) {
+        if (j != i) sb.appendCodePoint(cps(j))
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

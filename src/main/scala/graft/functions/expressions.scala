@@ -267,6 +267,37 @@ case class IndexPairs(child: Expression) extends UnaryExpression {
       newChild: Expression): IndexPairs = copy(child = newChild)
 }
 
+/** Deletion-neighborhood blocking keys: string → array<string> of the
+  * string plus its single-code-point deletions (distinct,
+  * insertion-ordered). `ed(a,b) <= 1` implies the neighborhoods share a
+  * value — the candidate-generation kernel of the edit-distance join
+  * family and the [[graft.plans.EditDistanceJoinRewrite]] optimizer
+  * rule. */
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "deletion_variants"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deletion_variants expects string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftHashImpl.deletionVariants(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashImpl.deletionVariants($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeletionVariants = copy(child = newChild)
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -367,6 +398,10 @@ object GraftFunctions {
     * array<struct<id_a,id_b>> — compiled candidate-pair expansion. */
   def indexPairs(e: Column): Column = col(IndexPairs(expr(e)))
 
+  /** Deletion-neighborhood blocking keys (string + single-deletion
+    * variants, distinct). */
+  def deletionVariants(s: Column): Column = col(DeletionVariants(expr(s)))
+
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new SparkException(
@@ -398,6 +433,10 @@ object GraftFunctions {
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    (FunctionIdentifier("deletion_variants"),
+      new ExpressionInfo(classOf[DeletionVariants].getName,
+        "deletion_variants"),
+      (args: Seq[Expression]) => DeletionVariants(args(0))),
     // aggregate: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression on resolution
     (FunctionIdentifier("topk_by_score"),
@@ -423,5 +462,6 @@ class GraftExtensions
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.sqlFunctions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceJoinRewrite)
   }
 }

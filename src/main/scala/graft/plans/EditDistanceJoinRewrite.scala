@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.functions.DeletionVariants
+
+/** Catalyst optimizer rule: rewrites a naive edit-distance similarity
+  * join — `a JOIN b ON levenshtein(x, y) <= 1 [AND ...]`, which Spark can
+  * only plan as a broadcast-nested-loop over all pairs (levenshtein per
+  * n² pair: the fuzzy-match query every analyst writes and every cluster
+  * dies on) — into the deletion-neighborhood blocked join of
+  * [[graft.ops.Dedup.editOneJoin]], transparently.
+  *
+  * Shape after rewrite: each side explodes to its deletion-neighborhood
+  * keys (the [[graft.functions.DeletionVariants]] codegen'd kernel: the
+  * string plus its single-code-point deletions, distinct), the join
+  * becomes a hash EQUI-join on the shared key, and the original
+  * predicate survives as a residual filter — `ed(x,y) <= 1` GUARANTEES a
+  * shared key, so the candidate set is a superset and the residual makes
+  * the result exact.
+  *
+  * Multiplicity: a qualifying pair can share several keys (equal
+  * strings share their whole neighborhood). The rewrite emits each
+  * joined row pair exactly once by keeping only the match on the
+  * CANONICAL shared key — `key = array_min(array_intersect(va, vb))` —
+  * evaluated from the two neighborhood arrays carried alongside the
+  * explode. No distinct, no row-identity bookkeeping, duplicate input
+  * rows keep their join multiplicity exactly as the naive plan would.
+  *
+  * Scope (semantics-preserving, loop-safe):
+  *  - INNER joins whose condition's conjuncts include
+  *    `levenshtein(x, y) <= k` with literal k in {0, 1} (either operand
+  *    orientation; also `< k+1`), x and y string columns from opposite
+  *    sides;
+  *  - skipped when any conjunct is already a cross-side equality — the
+  *    join is hash-plannable without help, and the rewritten join's own
+  *    equality key makes reapplication a no-op (the optimizer batch runs
+  *    to fixpoint);
+  *  - disabled with `spark.graft.editJoin.rewrite=false`.
+  */
+object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.editJoin.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") == "false") return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !hasCrossSideEquality(cond, left, right) =>
+        findLevenshteinConjunct(cond, left, right) match {
+          case Some((x, y)) => rewrite(j, x, y)
+          case None => j
+        }
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def fromSide(side: LogicalPlan)(x: Expression): Boolean =
+    x.references.nonEmpty && x.references.subsetOf(side.outputSet)
+
+  private def hasCrossSideEquality(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    splitConjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (fromSide(left)(a) && fromSide(right)(b)) ||
+          (fromSide(right)(a) && fromSide(left)(b))
+      case _ => false
+    }
+
+  /** Finds a conjunct `levenshtein(x, y) <= 1` (or `<= 0` / `< 1` /
+    * `< 2`, either operand orientation) with x, y strings from opposite
+    * sides. Returns (x, y) ordered (left-side, right-side). */
+  private def findLevenshteinConjunct(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    def boundedLev(c: Expression): Option[(Expression, Expression)] =
+      c match {
+        case LessThanOrEqual(Levenshtein(x, y, None), Literal(k: Int,
+            IntegerType)) if k >= 0 && k <= 1 => Some((x, y))
+        case LessThan(Levenshtein(x, y, None), Literal(k: Int,
+            IntegerType)) if k >= 1 && k <= 2 => Some((x, y))
+        case GreaterThanOrEqual(Literal(k: Int, IntegerType),
+            Levenshtein(x, y, None)) if k >= 0 && k <= 1 => Some((x, y))
+        case GreaterThan(Literal(k: Int, IntegerType),
+            Levenshtein(x, y, None)) if k >= 1 && k <= 2 => Some((x, y))
+        case _ => None
+      }
+    splitConjuncts(cond).iterator.flatMap(boundedLev).collectFirst {
+      case (x, y) if x.dataType == StringType &&
+          y.dataType == StringType &&
+          fromSide(left)(x) && fromSide(right)(y) => (x, y)
+      case (x, y) if x.dataType == StringType &&
+          y.dataType == StringType &&
+          fromSide(right)(x) && fromSide(left)(y) => (y, x)
+    }
+  }
+
+  private def sideWithKeys(side: LogicalPlan, str: Expression,
+      arrName: String, keyName: String): (LogicalPlan, Attribute,
+      Attribute) = {
+    val arr = Alias(DeletionVariants(str), arrName)()
+    val proj = Project(side.output :+ arr, side)
+    val key = AttributeReference(keyName, StringType, nullable = false)()
+    val gen = Generate(Explode(arr.toAttribute), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(key),
+      child = proj)
+    (gen, arr.toAttribute, key)
+  }
+
+  private def rewrite(j: Join, x: Expression, y: Expression): LogicalPlan = {
+    val (lGen, lArr, lKey) =
+      sideWithKeys(j.left, x, "__graft_edv_arr_l", "__graft_edv_l")
+    val (rGen, rArr, rKey) =
+      sideWithKeys(j.right, y, "__graft_edv_arr_r", "__graft_edv_r")
+    // canonical witness: emit only the match on the minimum shared key
+    val witness = EqualTo(lKey,
+      ArrayMin(ArrayIntersect(lArr, rArr)))
+    val newCond = And(And(EqualTo(lKey, rKey), witness), j.condition.get)
+    val newJoin = Join(lGen, rGen, Inner, Some(newCond), j.hint)
+    Project(j.output, newJoin)
+  }
+}

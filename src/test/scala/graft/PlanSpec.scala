@@ -352,4 +352,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"),
       "top-k must be the bounded aggregate, never a global window")
   }
+
+  test("q157: the naive levenshtein join plans as the blocked equi-join " +
+    "(optimizer rule), never a nested loop") {
+    val p = SparkEntry.queries("q157_edit_join_rewrite")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("NestedLoopJoin"),
+      "EditDistanceJoinRewrite did not fire:\n" + p.take(3000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(p.contains("deletion_variants"),
+      "blocking keys must come from the codegen'd kernel:\n" +
+        p.take(3000))
+  }
 }
