@@ -1962,6 +1962,64 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Linear multi-touch attribution: each purchase splits one unit of
+    // credit (exact integer ppm) over the user's clicks in the 7-day
+    // lookback; per-channel rollup — hash join on user, window residual
+    "q159_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sessions.linearAttribution(ev, "user_id", "ts", "event_id",
+        touchFilter = col("event_type") === "click",
+        convFilter = col("event_type") === "purchase",
+        channel = concat(lit("ch"),
+          pmod(col("event_id"), lit(4)).cast("string")),
+        lookbackSeconds = 7L * 24 * 3600)
+    }),
+
+    // Deterministic negative sampling (contrastive/recommender prep):
+    // per customer, 4 parts never bought, drawn by salted hash from the
+    // part domain — candidates explode map-side, domain semi-join,
+    // positives anti-join, first-draw dedup, rank window per user
+    "q160_negative_sampling" -> ((s, dir) => {
+      val pos = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Splits.negativeSample(pos, "o_custkey", "l_partkey",
+        t(s, dir, "part"), "p_partkey", k = 4)
+    }),
+
+    // Snapshot stats drift (the data-contract diff): ANALYZE-style
+    // column stats (q124's one-pass unpivot + KMV ndv) on the reference
+    // and current halves, joined into a per-column drift verdict —
+    // exact integer ratio tests, no floats
+    "q158_stats_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16").cast("timestamp")
+      val cols = Seq("user_id", "event_type", "props")
+      def side(d: org.apache.spark.sql.DataFrame, p: String) =
+        Profiling.columnStats(d, cols, k = 64)
+          .select(col("colname"), col("n_rows").as(s"${p}_n"),
+            col("n_nulls").as(s"${p}_nulls"),
+            col("min_s").as(s"${p}_min"), col("max_s").as(s"${p}_max"),
+            col("ndv_est").as(s"${p}_ndv"))
+      val ref = side(ev.where(col("ts") < split), "ref")
+      val cur = side(ev.where(col("ts") >= split), "cur")
+      val flags = concat_ws(",",
+        when(col("ref_min") =!= col("cur_min") ||
+          col("ref_max") =!= col("cur_max"), lit("range")),
+        when(abs(col("cur_ndv") - col("ref_ndv")) * 5 > col("ref_ndv"),
+          lit("ndv")),
+        when(abs(col("cur_nulls") * col("ref_n") -
+            col("ref_nulls") * col("cur_n")) * 5 >
+          col("ref_nulls") * col("cur_n"), lit("nulls")))
+      ref.join(cur, Seq("colname"))
+        .select(col("colname"), col("ref_n"), col("cur_n"),
+          col("ref_nulls"), col("cur_nulls"), col("ref_ndv"),
+          col("cur_ndv"), col("ref_min"), col("cur_min"),
+          col("ref_max"), col("cur_max"),
+          coalesce(nullif(flags, lit("")), lit("ok")).as("drift_flags"))
+    }),
+
     // The q144 join written the way an analyst would write it — a raw
     // `levenshtein(a,b) <= 1` join condition — planned through the
     // EditDistanceJoinRewrite optimizer rule into the same blocked
@@ -4354,6 +4412,104 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Exact integer ppm credit; window residual on the user hash join.
+    "q159_attribution" ->
+      """WITH tch AS (
+           SELECT user_id AS u, epoch_us(ts) AS tt,
+             'ch' || CAST(event_id % 4 AS VARCHAR) AS channel
+           FROM events WHERE event_type = 'click'),
+         cv AS (
+           SELECT user_id AS u, epoch_us(ts) AS tc, event_id AS cid
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT t.channel, c.u, c.cid
+           FROM tch t JOIN cv c ON t.u = c.u
+             AND t.tt < c.tc AND t.tt >= c.tc - 604800000000),
+         n AS (SELECT u, cid, count(*) AS n_touch
+               FROM pairs GROUP BY 1, 2)
+         SELECT p.channel, count(*) AS n_touches,
+           count(DISTINCT p.cid) AS n_conversions,
+           CAST(sum(1000000 // n.n_touch) AS BIGINT) AS credit_ppm
+         FROM pairs p JOIN n ON p.u = n.u AND p.cid = n.cid
+         GROUP BY p.channel""",
+    // Same hash draws, same dedup-at-first-index, same rank.
+    "q160_negative_sampling" ->
+      """WITH pos AS (
+           SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+           FROM orders o JOIN lineitem l
+             ON o.o_orderkey = l.l_orderkey),
+         dom AS (SELECT min(p_partkey) AS lo, max(p_partkey) AS hi
+                 FROM part),
+         cand AS (
+           SELECT u, i,
+             lo + CAST(('0x' || substr(md5('graft:' || u || '/' || i),
+               1, 13)) AS BIGINT) % (hi - lo + 1) AS item
+           FROM (SELECT DISTINCT u FROM pos), dom,
+             (SELECT unnest(range(1, 17)) AS i)),
+         real AS (SELECT c.* FROM cand c
+                  WHERE c.item IN (SELECT p_partkey FROM part)),
+         ded AS (
+           SELECT r.u, r.item, min(r.i) AS mi
+           FROM real r
+           WHERE NOT EXISTS (SELECT 1 FROM pos p
+             WHERE p.u = r.u AND p.item = r.item)
+           GROUP BY 1, 2),
+         rk AS (SELECT u, item, row_number() OVER (PARTITION BY u
+                  ORDER BY mi) AS rank
+                FROM ded)
+         SELECT u AS o_custkey, CAST(rank AS INT) AS rank,
+           item AS neg_l_partkey
+         FROM rk WHERE rank <= 4""",
+    // q124's stats machinery on both halves + integer drift flags.
+    "q158_stats_drift" ->
+      """WITH u AS (
+           SELECT (ts < TIMESTAMP '2024-01-16') AS ref, colname, v
+           FROM (
+             SELECT ts, 'user_id' AS colname,
+               CAST(user_id AS VARCHAR) AS v FROM events
+             UNION ALL SELECT ts, 'event_type', event_type FROM events
+             UNION ALL SELECT ts, 'props', props FROM events)),
+         st AS (
+           SELECT ref, colname, count(*) AS n,
+             count(*) - count(v) AS n_nulls,
+             min(v) AS min_s, max(v) AS max_s
+           FROM u GROUP BY 1, 2),
+         d AS (SELECT DISTINCT ref, colname,
+                 CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+               FROM u WHERE v IS NOT NULL),
+         r AS (SELECT ref, colname, h, row_number() OVER (
+                 PARTITION BY ref, colname ORDER BY h) AS rk
+               FROM d),
+         sk AS (SELECT ref, colname, CAST(count(*) AS INT) AS n_sk,
+                  max(h) AS kth
+                FROM r WHERE rk <= 64 GROUP BY 1, 2),
+         s2 AS (
+           SELECT st.ref, st.colname, st.n, st.n_nulls, st.min_s,
+             st.max_s,
+             CASE WHEN sk.n_sk < 64 THEN CAST(sk.n_sk AS BIGINT)
+               ELSE CAST(floor(63 * power(2, 60) /
+                 CAST(sk.kth AS DOUBLE)) AS BIGINT) END AS ndv
+           FROM st JOIN sk ON st.ref = sk.ref
+             AND st.colname = sk.colname),
+         j AS (
+           SELECT a.colname, a.n AS ref_n, b.n AS cur_n,
+             a.n_nulls AS ref_nulls, b.n_nulls AS cur_nulls,
+             a.ndv AS ref_ndv, b.ndv AS cur_ndv,
+             a.min_s AS ref_min, b.min_s AS cur_min,
+             a.max_s AS ref_max, b.max_s AS cur_max
+           FROM s2 a JOIN s2 b ON a.colname = b.colname
+             AND a.ref AND NOT b.ref)
+         SELECT colname, ref_n, cur_n, ref_nulls, cur_nulls, ref_ndv,
+           cur_ndv, ref_min, cur_min, ref_max, cur_max,
+           coalesce(nullif(concat_ws(',',
+             CASE WHEN ref_min <> cur_min OR ref_max <> cur_max
+               THEN 'range' END,
+             CASE WHEN abs(cur_ndv - ref_ndv) * 5 > ref_ndv
+               THEN 'ndv' END,
+             CASE WHEN abs(cur_nulls * ref_n - ref_nulls * cur_n) * 5 >
+               ref_nulls * cur_n THEN 'nulls' END), ''), 'ok')
+             AS drift_flags
+         FROM j""",
     // Same truth as q144: all-pairs levenshtein<=1.
     "q157_edit_join_rewrite" ->
       """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,

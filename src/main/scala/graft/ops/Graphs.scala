@@ -171,8 +171,12 @@ object Graphs {
     var state = nodes.select(col("node"), lit(0L).as("depth"))
       .localCheckpoint()
     var round = 0
-    var changed = 1L
-    while (changed > 0) {
+    // depths only ever grow, so convergence is "the depth SUM stopped
+    // moving" — one scalar aggregate over the just-checkpointed frame
+    // per round instead of a join-against-previous diff
+    var prevSum = -1L
+    var curSum = 0L
+    while (curSum != prevSum) {
       round += 1
       if (round > maxIterations)
         throw new IllegalStateException(
@@ -183,9 +187,9 @@ object Graphs {
       val next = state.unionAll(viaParent)
         .groupBy(col("node")).agg(max(col("depth")).as("depth"))
         .localCheckpoint()
-      changed = next.join(state.withColumnRenamed("depth", "old"),
-          Seq("node"))
-        .where(col("depth") > col("old")).count()
+      prevSum = curSum
+      curSum = next.agg(coalesce(sum(col("depth")), lit(0L)))
+        .head().getLong(0)
       state = next
     }
     e.unpersist()

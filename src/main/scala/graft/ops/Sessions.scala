@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -373,6 +373,42 @@ object Sessions {
     stage.select(col("user_id") +: reached.cast("int").as("stage") +:
       steps.indices.map(i =>
         coalesce(col(s"t${i + 1}"), lit(-1L)).as(s"t${i + 1}")): _*)
+  }
+
+  /** Linear multi-touch attribution: every conversion splits one unit of
+    * credit equally over the touches that preceded it within the
+    * lookback window, rolled up per channel — the growth-analytics
+    * sibling of [[funnel]] (which tracks stage completion, not credit).
+    * Credit is exact integer ppm (`10^6 div n_touches` per touch), so
+    * totals are engine-reproducible.
+    *
+    * Shape: touches join conversions per user (hash join on the user
+    * key; the time window is a residual — at 100 TB add the time-bin to
+    * the key exactly as the q58–q60 range-join family does), per-
+    * conversion touch counts, then one channel rollup. */
+  def linearAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, touchFilter: Column,
+      convFilter: Column, channel: Column,
+      lookbackSeconds: Long): DataFrame = {
+    val micros = unix_micros(col(tsCol))
+    val touches = events.where(touchFilter)
+      .select(col(userCol).as("u"), micros.as("tt"),
+        channel.as("channel"))
+    val convs = events.where(convFilter)
+      .select(col(userCol).as("u"), micros.as("tc"),
+        col(idCol).as("cid"))
+    val pairs = touches.join(convs, Seq("u"))
+      .where(col("tt") < col("tc") &&
+        col("tt") >= col("tc") - lookbackSeconds * 1000000L)
+    val perConv = pairs.groupBy(col("u"), col("cid"))
+      .agg(count(lit(1)).as("n_touch"))
+    pairs.join(perConv, Seq("u", "cid"))
+      .select(col("channel"), col("cid"),
+        expr("1000000L div n_touch").as("credit_ppm"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("cid")).as("n_conversions"),
+        sum(col("credit_ppm")).as("credit_ppm"))
   }
 
   /** Peak concurrency per hour — "how many sessions were open at once"

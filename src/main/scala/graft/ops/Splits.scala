@@ -243,4 +243,52 @@ object Splits {
       .select(col("stratum"), col("col.id").as("id"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Deterministic negative sampling for contrastive / recommender
+    * training: per user, `k` items the user did NOT interact with,
+    * drawn by salted hash from the item domain — no `rand()`, so
+    * training-set construction is reproducible and incremental reruns
+    * agree. Draws `k * oversample` candidates per user (i = 1..m;
+    * candidate = lo + hash(salt:u/i) mod span), keeps real items
+    * (semi-join the domain), drops positives (anti-join), dedupes
+    * repeated draws at their first index, and ranks survivors by draw
+    * index, keeping k. Too few survivors for a hyper-active user →
+    * fewer rows (raise `oversample`).
+    *
+    * Shape: domain bounds attach as a ONE-ROW broadcast; candidates
+    * explode map-side; both joins are broadcastable-or-hash on
+    * (item) / (user, item); the rank window partitions by user. */
+  def negativeSample(positives: DataFrame, userCol: String,
+      itemCol: String, itemDomain: DataFrame, domainItemCol: String,
+      k: Int, oversample: Int = 4, salt: String = "graft"): DataFrame = {
+    require(k >= 1 && oversample >= 1,
+      s"k and oversample must be >= 1, got $k/$oversample")
+    val m = k * oversample
+    val pos = positives.select(col(userCol).as("u"),
+      col(itemCol).cast("long").as("item")).distinct()
+      .localCheckpoint(eager = false)
+    val dom = itemDomain.agg(
+      min(col(domainItemCol)).cast("long").as("lo"),
+      max(col(domainItemCol)).cast("long").as("hi"))
+    val h = conv(substring(md5(concat(lit(salt), lit(":"),
+      col("u").cast("string"), lit("/"), col("i").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val cand = pos.select(col("u")).distinct()
+      .crossJoin(broadcast(dom))
+      .select(col("u"), col("lo"), col("hi"),
+        explode(sequence(lit(1), lit(m))).as("i"))
+      .select(col("u"), col("i"),
+        (col("lo") + pmod(h, col("hi") - col("lo") + 1)).as("item"))
+    val real = cand.join(
+      itemDomain.select(col(domainItemCol).cast("long").as("item")),
+      Seq("item"), "left_semi")
+    val negs = real.join(pos, Seq("u", "item"), "left_anti")
+      .groupBy(col("u"), col("item")).agg(min(col("i")).as("mi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("mi"))
+    negs.select(col("u").as(userCol),
+        row_number().over(w).cast("int").as("rank"),
+        col("item").as(s"neg_$itemCol"))
+      .where(col("rank") <= k)
+  }
 }

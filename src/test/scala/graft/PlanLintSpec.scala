@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSuite {
     "q143_pareto_frontier", // one-row percentile-boundaries frame
     "q150_sorted_neighborhood", // one-row band-boundaries frame
     "q148_heavy_hitters", // one-row totals frame for the N/k threshold
-    "q154_phrase_lift"    // one-row corpus token-total frame
+    "q154_phrase_lift",   // one-row corpus token-total frame
+    "q160_negative_sampling" // one-row item-domain-bounds frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -1485,6 +1485,54 @@ class OpsSpec extends SparkSuite {
       (9L, 99.0, "upsert"), (8L, 2.0, "upsert")))
   }
 
+  test("linearAttribution: equal ppm split, lookback and ordering " +
+      "respected, untouched conversions absent") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: clicks on ch0 and ch1 inside the window, then purchase
+      (1L, 10L, "click", ts("2024-01-10 10:00:00")),
+      (1L, 13L, "click", ts("2024-01-10 11:00:00")),
+      (1L, 20L, "purchase", ts("2024-01-10 12:00:00")),
+      // user 1: click AFTER the purchase -> no credit
+      (1L, 14L, "click", ts("2024-01-10 13:00:00")),
+      // user 2: click outside the 7-day lookback, purchase untouched
+      (2L, 30L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 40L, "purchase", ts("2024-01-09 00:00:01"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Sessions.linearAttribution(ev, "user_id", "ts", "event_id",
+      col("event_type") === "click", col("event_type") === "purchase",
+      concat(lit("ch"), pmod(col("event_id"), lit(2)).cast("string")),
+      lookbackSeconds = 7L * 24 * 3600)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // event 10 -> ch0, event 13 -> ch1, each 1000000 div 2
+    assert(got === Set(("ch0", 1L, 1L, 500000L),
+      ("ch1", 1L, 1L, 500000L)))
+  }
+
+  test("negativeSample: k per user, disjoint from positives, " +
+      "deterministic under repartitioning") {
+    import spark.implicits._
+    val pos = (for (u <- 1L to 20L; j <- 0L to 4L)
+      yield (u, (u * 3 + j) % 50)).toDF("u", "item")
+    val domain = (0L until 50L).map(Tuple1(_)).toDF("p")
+    def run(parts: Int) =
+      Splits.negativeSample(pos.repartition(parts), "u", "item",
+        domain, "p", k = 3)
+        .as[(Long, Int, Long)].collect().toSet
+    val a = run(1)
+    assert(a === run(13))
+    val posSet = pos.as[(Long, Long)].collect().toSet
+    assert(a.forall { case (u, _, item) => !posSet((u, item)) })
+    val perUser = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perUser.values.forall(_ <= 3))
+    assert(perUser.size === 20)
+    // ranks are 1..n contiguous per user
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted === (1 to rows.size))
+    }
+  }
+
   test("madOutliers: exact median/MAD on odd and even groups; one " +
       "extreme value cannot drag the gate open") {
     import spark.implicits._
