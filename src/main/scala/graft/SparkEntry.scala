@@ -1962,6 +1962,16 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // 2-hop reach estimation (HyperANF at r=2): per-part count of parts
+    // within two co-purchase hops, from propagated KMV sketches — O(k)
+    // longs per node per round; the exact 2-hop pair set (sum of deg^2)
+    // is never materialized; oracle rebuilds the identical sketch from
+    // the exactly-enumerated 2-hop set at its small scale
+    "q161_two_hop_reach" -> ((s, dir) => {
+      graft.ops.Graphs.twoHopReach(
+        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")), k = 32)
+    }),
+
     // Linear multi-touch attribution: each purchase splits one unit of
     // credit (exact integer ppm) over the user's clicks in the 7-day
     // lookback; per-channel rollup — hash join on user, window residual
@@ -4412,6 +4422,35 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Exact 2-hop enumeration -> identical KMV estimator.
+    "q161_two_hop_reach" ->
+      """WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem GROUP BY 1, 2),
+         ed AS (SELECT a.pk AS lo, b.pk AS hi
+                FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2),
+         sym AS (SELECT lo AS u, hi AS w FROM ed
+                 UNION SELECT hi, lo FROM ed
+                 UNION SELECT lo, lo FROM ed
+                 UNION SELECT hi, hi FROM ed),
+         hop2 AS (SELECT a.u, b.w
+                  FROM sym a JOIN sym b ON a.w = b.u
+                  GROUP BY 1, 2),
+         h AS (SELECT u,
+                 CAST(('0x' || substr(md5(CAST(w AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+               FROM hop2),
+         r AS (SELECT u, hv, row_number() OVER (PARTITION BY u
+                 ORDER BY hv) AS rk
+               FROM h),
+         sk AS (SELECT u, CAST(count(*) AS INT) AS n_sketch,
+                  max(hv) AS kth
+                FROM r WHERE rk <= 32 GROUP BY u)
+         SELECT u AS node, n_sketch,
+           CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS BIGINT)
+             ELSE CAST(floor(31 * power(2, 60) /
+               CAST(kth AS DOUBLE)) AS BIGINT) END AS reach2_est
+         FROM sk""",
     // Exact integer ppm credit; window residual on the user hash join.
     "q159_attribution" ->
       """WITH tch AS (

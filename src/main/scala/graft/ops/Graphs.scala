@@ -221,6 +221,50 @@ object Graphs {
         col("col.score").cast("long").as("n_co"))
   }
 
+  /** 2-hop neighborhood-reach estimation via mergeable KMV sketches —
+    * the HyperANF idea (Boldi–Rosa–Vigna) at radius 2: per node,
+    * estimate `|{v : dist(u,v) <= 2}|` (closed neighborhood) WITHOUT
+    * materializing 2-hop pairs, whose exact count is Σ deg² — the thing
+    * that actually explodes on hub nodes at scale. Reach distributions
+    * separate influencer/spam hubs from normal nodes long before exact
+    * counting is feasible.
+    *
+    * Sketch propagation: round 1 builds each node's k-minimum-values
+    * sketch over N[u] (its neighbors + itself, hashed with the portable
+    * 60-bit family); round 2 merges, for each u, the sketches of every
+    * w ∈ N[u] — a join on the edge list + one explode + the same
+    * bounded KMV aggregate. Each round shuffles O(k) longs per node,
+    * never the quadratic pair set. Sketches are deterministic (hash of
+    * node id), so the DuckDB oracle reconstructs the identical estimate
+    * from the exactly-materialized 2-hop set (feasible at oracle
+    * scale). Groups under k distinct are EXACT. */
+  def twoHopReach(edges: DataFrame, k: Int): DataFrame = {
+    val h = conv(substring(md5(col("w").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val e = edges.select(col("src").as("u"), col("dst").as("w"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("w")))
+      .unionAll(edges.select(col("src").as("u"), col("src").as("w")))
+      .unionAll(edges.select(col("dst").as("u"), col("dst").as("w")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val hop1 = e.select(col("u"), h.as("h"))
+      .groupBy(col("u"))
+      .agg(graft.functions.GraftFunctions.kminValues(col("h"), k)
+        .as("kmv"))
+    val hop2 = e.join(hop1.select(col("u").as("w"), col("kmv")),
+        Seq("w"))
+      .select(col("u"), explode(col("kmv")).as("h"))
+      .groupBy(col("u"))
+      .agg(graft.functions.GraftFunctions.kminValues(col("h"), k)
+        .as("kmv"))
+    hop2.select(col("u").as("node"),
+      size(col("kmv")).as("n_sketch"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble * math.scalb(1.0, 60)) /
+          element_at(col("kmv"), k).cast("double")).cast("long"))
+        .as("reach2_est"))
+  }
+
   /** The customer–supplier interaction graph: an undirected bipartite
     * edge per distinct (o_custkey, l_suppkey) trading pair, encoded
     * customers = 2k, suppliers = 2k+1. */

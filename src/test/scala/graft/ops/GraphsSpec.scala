@@ -84,6 +84,17 @@ class GraphsSpec extends SparkSuite {
     assert(r2 === ((6L, 6L, 12L, 1L)))
   }
 
+  test("twoHopReach: exact below k; chain and star reaches") {
+    // path 1-2-3-4-5: closed 2-hop reach = 3 (ends), 4 (next-to-end),
+    // 5 (middle); star 10-{11,12,13}: hub 4, leaves 4
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L))).toDF("src", "dst")
+    val got = Graphs.twoHopReach(e, k = 32)
+      .select("node", "reach2_est").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L,
+      5L -> 3L, 10L -> 4L, 11L -> 4L, 12L -> 4L, 13L -> 4L))
+  }
+
   test("dagDepth: longest path wins on a diamond; cycle throws") {
     // diamond 1->2->4, 1->3, 3->5->4: depth(4) = 3 via the long arm
     val e = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (5L, 4L))
