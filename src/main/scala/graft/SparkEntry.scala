@@ -1962,6 +1962,29 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Streaming AS-OF dimension lookup: purchases enriched with the
+    // account status (signup/error SCD2 intervals) valid at each
+    // event's time — a STATELESS stream-static interval join (broadcast
+    // dim, no state store); q57's as-of semantics, live
+    "q162_stream_scd2_enrich" -> ((s, dir) => {
+      s.catalog.dropTempView("q162_stream_out")
+      val dim = Sessions.scd2(
+        t(s, dir, "events")
+          .where(col("event_type").isin("signup", "error")),
+        "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id").as("k"), col("attr").as("state"),
+          col("valid_from_us"), col("valid_to_us"))
+      val st = graft.streaming.Streams
+        .eventStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val joined = graft.streaming.Streams.scd2EnrichStream(st, dim)
+        .select(col("event_id"), col("user_id"), col("state"),
+          col("value"))
+      graft.streaming.Streams.runToMemory(s, joined, "q162_stream_out",
+        outputMode = "append")
+    }),
+
     // 2-hop reach estimation (HyperANF at r=2): per-part count of parts
     // within two co-purchase hops, from propagated KMV sketches — O(k)
     // longs per node per round; the exact 2-hop pair set (sum of deg^2)
@@ -4422,6 +4445,24 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // The stream-static interval join equals the batch AS-OF lookup.
+    "q162_stream_scd2_enrich" ->
+      """WITH ch AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu
+           FROM events WHERE event_type IN ('signup', 'error')),
+         d AS (SELECT user_id, event_type, tsu, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) AS prev
+               FROM ch),
+         chg AS (SELECT user_id, event_type AS state, tsu,
+                   lead(tsu) OVER (PARTITION BY user_id
+                     ORDER BY tsu, event_id) AS next_tsu
+                 FROM d WHERE prev IS NULL OR prev <> event_type)
+         SELECT e.event_id, e.user_id, c.state, e.value
+         FROM events e JOIN chg c ON e.user_id = c.user_id
+           AND epoch_us(e.ts) >= c.tsu
+           AND (c.next_tsu IS NULL OR epoch_us(e.ts) < c.next_tsu)
+         WHERE e.event_type = 'purchase'""",
     // Exact 2-hop enumeration -> identical KMV estimator.
     "q161_two_hop_reach" ->
       """WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS pk

@@ -618,6 +618,24 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-to-SCD2 temporal enrichment: each streaming event picks up
+    * the dimension attribute valid AT ITS EVENT TIME — the AS OF lookup
+    * against a slowly-changing dimension (q57's batch as-of, live).
+    * `dim` is the [[graft.ops.Sessions.scd2]] interval table
+    * `(k, state, valid_from_us, valid_to_us)`; the join is
+    * stream-static (stateless — the micro-batch probes the broadcast
+    * interval table; no watermark, no state store), key equality plus
+    * the half-open interval residual. Intervals partition each key's
+    * timeline, so every event matches at most one row. */
+  def scd2EnrichStream(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream
+      .withColumn("__tu", unix_micros(col("ts")))
+      .join(broadcast(dim),
+        col("user_id") === col("k") &&
+          col("__tu") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("__tu") < col("valid_to_us")))
+      .drop("k", "valid_from_us", "valid_to_us", "__tu")
+
   /** Streaming events source over the testdata parquet layout. The `ts`
     * physical encoding has changed across driver rounds (nanos-long,
     * TIMESTAMP_NTZ, TIMESTAMP); the declared stream schema is probed from

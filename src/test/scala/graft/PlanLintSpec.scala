@@ -58,7 +58,7 @@ class PlanLintSpec extends SparkSuite {
     "q73_stream_interval_join", "q91_stream_fhir_ingest",
     "q120_stream_hopping_window", "q134_stream_scd2",
     "q138_stream_kmv_distinct", "q141_stream_funnel",
-    "q149_stream_histogram")
+    "q149_stream_histogram", "q162_stream_scd2_enrich")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keysIterator
