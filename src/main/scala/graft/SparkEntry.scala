@@ -1962,6 +1962,20 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Functional-dependency discovery (contract mining): which columns
+    // determine which, over the order-line star join — one shared
+    // unpivot scan, two map-side-combined groupBys; the dependency-
+    // mining sibling of q132's declared-FK audit
+    "q163_fd_discovery" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      Profiling.functionalDependencies(j, Seq(
+        ("l_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+        ("l_orderkey", "l_linenumber"), ("l_partkey", "l_returnflag"),
+        ("o_custkey", "o_orderpriority")))
+    }),
+
     // Streaming AS-OF dimension lookup: purchases enriched with the
     // account status (signup/error SCD2 intervals) valid at each
     // event's time — a STATELESS stream-static interval join (broadcast
@@ -4445,6 +4459,35 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Same two-level distinct rollup per declared pair.
+    "q163_fd_discovery" ->
+      """WITH j AS (SELECT * FROM lineitem
+                    JOIN orders ON l_orderkey = o_orderkey),
+         u AS (
+           SELECT 'l_orderkey' AS det, 'o_custkey' AS dep,
+             coalesce(CAST(l_orderkey AS VARCHAR), ' null') AS av,
+             coalesce(CAST(o_custkey AS VARCHAR), ' null') AS bv
+           FROM j
+           UNION ALL SELECT 'o_orderkey', 'o_orderstatus',
+             coalesce(CAST(o_orderkey AS VARCHAR), ' null'),
+             coalesce(o_orderstatus, ' null') FROM j
+           UNION ALL SELECT 'l_orderkey', 'l_linenumber',
+             coalesce(CAST(l_orderkey AS VARCHAR), ' null'),
+             coalesce(CAST(l_linenumber AS VARCHAR), ' null') FROM j
+           UNION ALL SELECT 'l_partkey', 'l_returnflag',
+             coalesce(CAST(l_partkey AS VARCHAR), ' null'),
+             coalesce(l_returnflag, ' null') FROM j
+           UNION ALL SELECT 'o_custkey', 'o_orderpriority',
+             coalesce(CAST(o_custkey AS VARCHAR), ' null'),
+             coalesce(o_orderpriority, ' null') FROM j),
+         g AS (SELECT det, dep, av, count(DISTINCT bv) AS ndb
+               FROM u GROUP BY 1, 2, 3)
+         SELECT det, dep, count(*) AS ndv_det,
+           CAST(sum(ndb) AS BIGINT) AS ndv_pair,
+           CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         FROM g GROUP BY 1, 2""",
     // The stream-static interval join equals the batch AS-OF lookup.
     "q162_stream_scd2_enrich" ->
       """WITH ch AS (

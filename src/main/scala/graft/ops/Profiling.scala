@@ -341,6 +341,45 @@ object Profiling {
           .cast("double").as("clipped"))
   }
 
+  /** Functional-dependency discovery over declared column pairs: does
+    * `det → dep` hold (every determinant value maps to exactly one
+    * dependent value)? The dependency-mining side of data contracts —
+    * [[orphanAudit]] checks DECLARED foreign keys row by row; this
+    * DISCOVERS which columns determine which, the input to
+    * normalization, key inference, and "this column silently stopped
+    * being derivable" alerts.
+    *
+    * Output per pair: distinct determinant count, distinct
+    * (det, dep) pair count, the number of determinant values with >1
+    * dependent (violating keys), and `holds`. Null values participate
+    * as ordinary values (a sentinel-coalesced string), so a
+    * half-nulled dependent column correctly breaks the FD.
+    *
+    * Shape: ONE unpivot pass over the input (all pairs share the scan),
+    * a two-level groupBy — (pair, det-value) then (pair) — both
+    * map-side combined; nothing driver-side. */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (det, dep) pair")
+    def s(c: String) =
+      coalesce(col(c).cast("string"), lit(" null"))
+    val packed = df.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("det"), lit(b).as("dep"),
+        s(a).as("av"), s(b).as("bv"))
+    }: _*)).as("x")).select(col("x.det").as("det"),
+      col("x.dep").as("dep"), col("x.av").as("av"), col("x.bv").as("bv"))
+    packed.groupBy(col("det"), col("dep"), col("av"))
+      .agg(countDistinct(col("bv")).as("ndb"))
+      .groupBy(col("det"), col("dep"))
+      .agg(count(lit(1)).as("ndv_det"),
+        sum(col("ndb")).as("ndv_pair"),
+        sum(when(col("ndb") > 1, 1L).otherwise(0L))
+          .as("n_violating_keys"))
+      .select(col("det"), col("dep"), col("ndv_det"), col("ndv_pair"),
+        col("n_violating_keys"),
+        (col("n_violating_keys") === 0).as("holds"))
+  }
+
   /** Doubled exact median per group over `(g, v DECIMAL)` rows:
     * returns `(g, n, m2)` with `m2 = v_k + v_j` for 0-based order
     * statistics `k = (n−1) div 2`, `j = n div 2` — that is EXACTLY

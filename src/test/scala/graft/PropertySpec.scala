@@ -515,4 +515,37 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  private val shortStrings: Gen[String] =
+    Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  test("property: deletion-variant superset — every ed<=1 pair shares " +
+      "a variant, every variant is within ed 1") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def variants(s: String): Set[String] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = graft.functions.GraftHashImpl.deletionVariants(
+        UTF8String.fromString(s))
+      (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString).toSet
+    }
+    // small alphabet + short strings → dense ed<=1 pair coverage
+    val ss = samples(shortStrings, 120).distinct
+    for (a <- ss) {
+      val va = variants(a)
+      assert(va.contains(a))
+      assert(va.forall(v => lev(a, v) <= 1), s"a=$a variants=$va")
+      for (b <- ss if lev(a, b) <= 1)
+        assert(va.intersect(variants(b)).nonEmpty, s"a=$a b=$b")
+    }
+  }
 }
