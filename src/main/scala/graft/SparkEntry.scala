@@ -1962,6 +1962,22 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Quantile transform: every document's length mapped to its exact
+    // within-source percentile rank (ppm) — vocab-sized window over
+    // DISTINCT values per group + one join back; never a row window
+    "q164_quantile_transform" -> ((s, dir) => {
+      Profiling.quantileTransform(t(s, dir, "documents"), "source",
+        "doc_id", "n_chars")
+    }),
+
+    // Leave-one-out target encoding of event_type by value: integral
+    // 1e-4-unit arithmetic end to end (no float accumulation order);
+    // single-row categories encode NULL
+    "q165_target_encoding" -> ((s, dir) => {
+      Profiling.targetEncodeLoo(t(s, dir, "events"), "event_type",
+        "event_id", "value")
+    }),
+
     // Functional-dependency discovery (contract mining): which columns
     // determine which, over the order-line star join — one shared
     // unpivot scan, two map-side-combined groupBys; the dependency-
@@ -4459,6 +4475,34 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Rank over distinct values -> exact ppm percentile per row.
+    "q164_quantile_transform" ->
+      """WITH cum AS (
+           SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM (SELECT source AS g,
+                   CAST(n_chars AS DECIMAL(20,4)) AS v, count(*) AS c
+                 FROM documents GROUP BY 1, 2))
+         SELECT d.doc_id, d.source, d.n_chars,
+           CAST(CASE WHEN cum.n = 1 THEN 0
+             ELSE ((cum.cum - cum.c) * 1000000) // (cum.n - 1)
+           END AS BIGINT) AS pct_ppm
+         FROM documents d JOIN cum ON d.source = cum.g
+           AND CAST(d.n_chars AS DECIMAL(20,4)) = cum.v""",
+    // Integral 1e-4-unit LOO means; single-row categories NULL.
+    "q165_target_encoding" ->
+      """WITH t AS (
+           SELECT event_id, event_type, value,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS tv
+           FROM events),
+         s AS (SELECT event_type, sum(tv) AS tsum, count(*) AS n
+               FROM t GROUP BY 1)
+         SELECT t.event_id, t.event_type, t.value,
+           CASE WHEN s.n > 1
+             THEN CAST((s.tsum - t.tv) // (s.n - 1) AS BIGINT) END
+             AS loo_enc_e4
+         FROM t JOIN s USING (event_type)""",
     // Same two-level distinct rollup per declared pair.
     "q163_fd_discovery" ->
       """WITH j AS (SELECT * FROM lineitem

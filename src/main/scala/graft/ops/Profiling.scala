@@ -448,6 +448,60 @@ object Profiling {
         col("n_outliers"))
   }
 
+  /** Quantile transform (percentile-rank normalization): every row gets
+    * its value's within-group percentile rank in exact ppm —
+    * `pct_ppm = 10^6 · (rank_of_value − 1) div (n − 1)` with rank = the
+    * count of strictly smaller values +1 (so ties share a rank, min
+    * maps to 0, max to 10^6). The sklearn-QuantileTransformer feature
+    * prep, distribution-free and engine-exact.
+    *
+    * Shape: distinct-value histogram per group (one groupBy), running
+    * count window over DISTINCT VALUES (vocab-sized, partitioned per
+    * group — never a row-level window), then one (g, v) hash join back
+    * onto the rows. */
+  def quantileTransform(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vdec = col(valueCol).cast("decimal(20,4)")
+    val byG = Window.partitionBy(col("__qg"))
+    val cum = df.groupBy(col(groupCol).as("__qg"), vdec.as("__qv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("__qv"))))
+      .withColumn("n", sum(col("c")).over(byG))
+      .select(col("__qg"), col("__qv"),
+        when(col("n") === 1, lit(0L)).otherwise(
+          expr("((cum - c) * 1000000L) div (n - 1)")).as("pct_ppm"))
+    df.join(cum, col(groupCol) === col("__qg") && vdec === col("__qv"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("pct_ppm"))
+  }
+
+  /** Leave-one-out target encoding: each row's category feature becomes
+    * the mean target of the OTHER rows in its category — the standard
+    * high-cardinality categorical encoder, leave-one-out so a row never
+    * sees its own label (the leakage the naive mean encoder commits).
+    *
+    * Exactness: targets are scaled to integral 1e-4 units through
+    * DECIMAL (exact), so `loo = (sum − t) div (n − 1)` is pure integer
+    * arithmetic — engine-identical, no float accumulation order
+    * anywhere. Categories with a single row encode NULL (there is no
+    * "other rows" mean; impute downstream).
+    *
+    * Shape: one map-side-combined groupBy to (category, sum, n) and one
+    * hash join back — the category frame is ndv-sized and broadcasts
+    * when small. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, idCol: String,
+      targetCol: String): DataFrame = {
+    val t = (col(targetCol).cast("decimal(18,4)") * 10000).cast("long")
+    val stats = df.groupBy(col(catCol).as("g"))
+      .agg(sum(t).as("tsum"), count(lit(1)).as("n"))
+    df.select(col(idCol), col(catCol), col(targetCol), t.as("__t"))
+      .join(broadcast(stats), col(catCol) === col("g"))
+      .select(col(idCol), col(catCol), col(targetCol),
+        when(col("n") > 1,
+          expr("(tsum - __t) div (n - 1)")).as("loo_enc_e4"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the row
     * was `added`, `removed`, `changed` (same id, different content hash)
     * or `unchanged` — the audit table an incremental ingestion run emits

@@ -1533,6 +1533,32 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("quantileTransform: ties share ranks, min->0, max->1e6, " +
+      "singleton group -> 0") {
+    import spark.implicits._
+    val rows = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 20.0),
+      ("g", 4L, 30.0), ("h", 9L, 5.0)).toDF("src", "id", "v")
+    val got = Profiling.quantileTransform(rows, "src", "id", "v")
+      .select("id", "pct_ppm").as[(Long, Long)].collect().toMap
+    // g: n=4; ranks-1: 10.0->0, 20.0->1 (ties), 30.0->3
+    assert(got === Map(1L -> 0L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 1000000L, 9L -> 0L))
+  }
+
+  test("targetEncodeLoo: leave-one-out means in exact 1e-4 units; " +
+      "singleton category is null") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 1.5), ("a", 2L, 2.5), ("a", 3L, 5.0),
+      ("b", 4L, 9.99)).toDF("cat", "id", "v")
+    val got = Profiling.targetEncodeLoo(rows, "cat", "id", "v")
+      .select("id", "loo_enc_e4").as[(Long, Option[Long])]
+      .collect().toMap
+    // a-sums in 1e-4 units: 15000+25000+50000 = 90000
+    assert(got === Map(1L -> Some((90000L - 15000L) / 2),
+      2L -> Some((90000L - 25000L) / 2),
+      3L -> Some((90000L - 50000L) / 2), 4L -> None))
+  }
+
   test("madOutliers: exact median/MAD on odd and even groups; one " +
       "extreme value cannot drag the gate open") {
     import spark.implicits._
