@@ -1962,6 +1962,36 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Inclusion-dependency discovery (FK mining): candidate value
+    // containments across the schema at the distinct level, including
+    // ones that should FAIL — the dependency-mining sibling of q163
+    "q166_ind_discovery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      Profiling.inclusionDependency(li, "l_orderkey", ord, "o_orderkey",
+          "lineitem.l_orderkey<=orders.o_orderkey")
+        .unionAll(Profiling.inclusionDependency(ord, "o_custkey",
+          t(s, dir, "customer"), "c_custkey",
+          "orders.o_custkey<=customer.c_custkey"))
+        .unionAll(Profiling.inclusionDependency(li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey",
+          "lineitem.l_suppkey<=supplier.s_suppkey"))
+        .unionAll(Profiling.inclusionDependency(
+          t(s, dir, "customer"), "c_custkey", ord, "o_custkey",
+          "customer.c_custkey<=orders.o_custkey"))
+        .unionAll(Profiling.inclusionDependency(li, "l_partkey",
+          t(s, dir, "supplier"), "s_suppkey",
+          "lineitem.l_partkey<=supplier.s_suppkey"))
+    }),
+
+    // Degree assortativity of the co-purchase graph: Pearson r of
+    // endpoint degrees, all five sums exact bigints->decimal in one
+    // aggregate, fixed IEEE tail — the one-scalar graph-shape probe
+    "q167_degree_assortativity" -> ((s, dir) => {
+      graft.ops.Graphs.degreeAssortativity(
+        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")))
+    }),
+
     // Quantile transform: every document's length mapped to its exact
     // within-source percentile rank (ppm) — vocab-sized window over
     // DISTINCT values per group + one join back; never a row window
@@ -4475,6 +4505,88 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Distinct-level containment per candidate pair.
+    "q166_ind_discovery" ->
+      """WITH c AS (
+           SELECT 'lineitem.l_orderkey<=orders.o_orderkey' AS candidate,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem
+              WHERE l_orderkey IS NOT NULL) AS ndv,
+             (SELECT count(*) FROM
+               (SELECT DISTINCT l_orderkey AS v FROM lineitem
+                WHERE l_orderkey IS NOT NULL) a
+              WHERE v NOT IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderkey IS NOT NULL))
+               AS n_missing
+           UNION ALL
+           SELECT 'orders.o_custkey<=customer.c_custkey',
+             (SELECT count(DISTINCT o_custkey) FROM orders
+              WHERE o_custkey IS NOT NULL),
+             (SELECT count(*) FROM
+               (SELECT DISTINCT o_custkey AS v FROM orders
+                WHERE o_custkey IS NOT NULL) a
+              WHERE v NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey IS NOT NULL))
+           UNION ALL
+           SELECT 'lineitem.l_suppkey<=supplier.s_suppkey',
+             (SELECT count(DISTINCT l_suppkey) FROM lineitem
+              WHERE l_suppkey IS NOT NULL),
+             (SELECT count(*) FROM
+               (SELECT DISTINCT l_suppkey AS v FROM lineitem
+                WHERE l_suppkey IS NOT NULL) a
+              WHERE v NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_suppkey IS NOT NULL))
+           UNION ALL
+           SELECT 'customer.c_custkey<=orders.o_custkey',
+             (SELECT count(DISTINCT c_custkey) FROM customer
+              WHERE c_custkey IS NOT NULL),
+             (SELECT count(*) FROM
+               (SELECT DISTINCT c_custkey AS v FROM customer
+                WHERE c_custkey IS NOT NULL) a
+              WHERE v NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_custkey IS NOT NULL))
+           UNION ALL
+           SELECT 'lineitem.l_partkey<=supplier.s_suppkey',
+             (SELECT count(DISTINCT l_partkey) FROM lineitem
+              WHERE l_partkey IS NOT NULL),
+             (SELECT count(*) FROM
+               (SELECT DISTINCT l_partkey AS v FROM lineitem
+                WHERE l_partkey IS NOT NULL) a
+              WHERE v NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_suppkey IS NOT NULL)))
+         SELECT candidate, CAST(ndv AS BIGINT) AS ndv,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           n_missing = 0 AS holds
+         FROM c""",
+    // Same exact sums; r = one fixed IEEE sequence.
+    "q167_degree_assortativity" ->
+      """WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.pk AS lo, b.pk AS hi
+               FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2),
+         deg AS (SELECT node, count(*) AS d
+                 FROM (SELECT lo AS node FROM e
+                       UNION ALL SELECT hi FROM e) GROUP BY 1),
+         p AS (SELECT dl.d AS x, dh.d AS y
+               FROM e JOIN deg dl ON dl.node = e.lo
+               JOIN deg dh ON dh.node = e.hi),
+         sym AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(y * y) AS HUGEINT) AS syy
+               FROM sym)
+         SELECT (SELECT count(*) FROM e) AS n_edges,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n > 0 AND n * sxx - sx * sx <> 0
+               AND n * syy - sy * sy <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS assortativity
+         FROM s""",
     // Rank over distinct values -> exact ppm percentile per row.
     "q164_quantile_transform" ->
       """WITH cum AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph centrality for corpus curation.
@@ -263,6 +263,50 @@ object Graphs {
         .otherwise(floor(lit((k - 1).toDouble * math.scalb(1.0, 60)) /
           element_at(col("kmv"), k).cast("double")).cast("long"))
         .as("reach2_est"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the undirected edge list (Newman 2002) — one scalar
+    * separating hub-to-hub "rich club" graphs (r > 0) from hub-to-leaf
+    * star topologies (r < 0); in curation, link-farm rings assort, and
+    * organic link graphs disassort.
+    *
+    * Exactness: each edge contributes its endpoint-degree pair in BOTH
+    * orders (the standard symmetrization), all five correlation sums
+    * are exact bigints from one map-side-combined aggregate, and the
+    * final r is a fixed IEEE sequence (two casts, one sqrt each side,
+    * one multiply, one divide) — engine-identical. Returns
+    * (n_edges, n_pairs, r); r is null for degree-regular graphs
+    * (zero variance). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") < col("hi")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dl = deg.select(col("node").as("lo"), col("deg").as("dl"))
+    val dh = deg.select(col("node").as("hi"), col("deg").as("dh"))
+    val pairs = e.join(dl, "lo").join(dh, "hi")
+      .select(col("dl").as("x"), col("dh").as("y"))
+    val sym = pairs.unionAll(pairs.select(col("y").as("x"),
+      col("x").as("y")))
+    val sums = sym.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // products in DECIMAL: n * sum(x^2) overflows bigint at ~1e9 edges
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(sums))
+      .select(col("n_edges"), col("n").as("n_pairs"),
+        when(col("n") > 0 && vx =!= 0 && vy =!= 0,
+          num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("assortativity"))
   }
 
   /** The customer–supplier interaction graph: an undirected bipartite

@@ -448,6 +448,25 @@ object Profiling {
         col("n_outliers"))
   }
 
+  /** Inclusion-dependency discovery: is every distinct value of
+    * `a.aCol` present in `b.bCol`? The foreign-key MINING side of the
+    * contract suite — [[orphanAudit]] checks a declared FK row by row;
+    * this tests CANDIDATE containments at the distinct-value level, the
+    * signal schema-matching and FK-inference tools run on. One distinct
+    * per side + one left-anti join, all on single columns. */
+  def inclusionDependency(a: DataFrame, aCol: String, b: DataFrame,
+      bCol: String, label: String): DataFrame = {
+    val av = a.select(col(aCol).cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+    val bv = b.select(col(bCol).cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+    val missing = av.join(bv, Seq("v"), "left_anti")
+    av.agg(count(lit(1)).as("ndv"))
+      .crossJoin(broadcast(missing.agg(count(lit(1)).as("n_missing"))))
+      .select(lit(label).as("candidate"), col("ndv"), col("n_missing"),
+        (col("n_missing") === 0).as("holds"))
+  }
+
   /** Quantile transform (percentile-rank normalization): every row gets
     * its value's within-group percentile rank in exact ppm —
     * `pct_ppm = 10^6 · (rank_of_value − 1) div (n − 1)` with rank = the

@@ -47,7 +47,9 @@ class PlanLintSpec extends SparkSuite {
     "q150_sorted_neighborhood", // one-row band-boundaries frame
     "q148_heavy_hitters", // one-row totals frame for the N/k threshold
     "q154_phrase_lift",   // one-row corpus token-total frame
-    "q160_negative_sampling" // one-row item-domain-bounds frame
+    "q160_negative_sampling", // one-row item-domain-bounds frame
+    "q166_ind_discovery",  // one-row ndv/missing count frames
+    "q167_degree_assortativity" // one-row correlation-sums frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

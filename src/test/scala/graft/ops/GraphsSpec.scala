@@ -84,6 +84,17 @@ class GraphsSpec extends SparkSuite {
     assert(r2 === ((6L, 6L, 12L, 1L)))
   }
 
+  test("degreeAssortativity: star is exactly -1, regular graph null") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r1 = Graphs.degreeAssortativity(star)
+      .as[(Long, Long, Option[Double])].head()
+    assert(r1 === ((3L, 6L, Some(-1.0))))
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val r2 = Graphs.degreeAssortativity(triangle)
+      .as[(Long, Long, Option[Double])].head()
+    assert(r2 === ((3L, 6L, None)))
+  }
+
   test("twoHopReach: exact below k; chain and star reaches") {
     // path 1-2-3-4-5: closed 2-hop reach = 3 (ends), 4 (next-to-end),
     // 5 (middle); star 10-{11,12,13}: hub 4, leaves 4

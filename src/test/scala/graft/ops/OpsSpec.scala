@@ -1533,6 +1533,18 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("inclusionDependency: containment holds and fails as planted") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L, 3L).toDF("x")
+    val b = Seq(1L, 2L, 3L, 4L).toDF("y")
+    val hold = Profiling.inclusionDependency(a, "x", b, "y", "a<=b")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(hold === (("a<=b", 3L, 0L, true)))
+    val fail = Profiling.inclusionDependency(b, "y", a, "x", "b<=a")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(fail === (("b<=a", 4L, 1L, false)))
+  }
+
   test("quantileTransform: ties share ranks, min->0, max->1e6, " +
       "singleton group -> 0") {
     import spark.implicits._
