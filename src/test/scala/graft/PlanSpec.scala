@@ -353,6 +353,35 @@ class PlanSpec extends SparkSuite {
       "top-k must be the bounded aggregate, never a global window")
   }
 
+  test("q142: triangles close via in-row adjacency intersection — no " +
+    "wedge-row join in the plan") {
+    val p = SparkEntry.queries("q142_triangle_count")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("array_intersect"),
+      "expected the adjacency-intersection form:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q153: the concurrency sweep windows are partitioned per hour, " +
+    "never a single global ordered window") {
+    val p = SparkEntry.queries("q153_peak_concurrency")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("hashpartitioning(hour"),
+      "running sum must partition by hour:\n" + p.take(3000))
+  }
+
+  test("q161: 2-hop reach runs two bounded KMV aggregations — the " +
+    "quadratic pair set never materializes") {
+    val p = SparkEntry.queries("q161_two_hop_reach")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.sliding("partial_kmin_values".length)
+      .count(_ == "partial_kmin_values") >= 2,
+      "expected two map-side-combined kmin_values rounds:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q157: the naive levenshtein join plans as the blocked equi-join " +
     "(optimizer rule), never a nested loop") {
     val p = SparkEntry.queries("q157_edit_join_rewrite")(spark, sfDir)
