@@ -1962,6 +1962,19 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Weighted (multiset) Jaccard verify over a deterministic probe
+    // pair set: repetition-aware similarity in exact ppm — the verify
+    // kernel that plugs behind any candidate generator (LSH/SNM/edit)
+    "q168_weighted_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val probes = d.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_semi")
+      Dedup.weightedJaccardPairs(d, "doc_id", "text", probes)
+    }),
+
     // Inclusion-dependency discovery (FK mining): candidate value
     // containments across the schema at the distinct level, including
     // ones that should FAIL — the dependency-mining sibling of q163
@@ -4505,6 +4518,37 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Multiset min/max sums per probe pair; exact integral ppm.
+    "q168_weighted_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id AS id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS tok
+             FROM documents)
+           GROUP BY 1, 2),
+         probes AS (
+           SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+           FROM documents a
+           WHERE a.doc_id % 5 = 0
+             AND EXISTS (SELECT 1 FROM documents b
+                         WHERE b.doc_id = a.doc_id + 1)),
+         av AS (SELECT p.id_a, p.id_b, t.tok, t.tf AS ca
+                FROM probes p JOIN tok t ON t.id = p.id_a),
+         bv AS (SELECT p.id_a, p.id_b, t.tok, t.tf AS cb
+                FROM probes p JOIN tok t ON t.id = p.id_b),
+         m AS (SELECT coalesce(av.id_a, bv.id_a) AS id_a,
+                 coalesce(av.id_b, bv.id_b) AS id_b,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+               FROM av FULL JOIN bv ON av.id_a = bv.id_a
+                 AND av.id_b = bv.id_b AND av.tok = bv.tok)
+         SELECT id_a, id_b,
+           CAST(sum(least(ca, cb)) AS BIGINT) AS inter_tf,
+           CAST(sum(greatest(ca, cb)) AS BIGINT) AS union_tf,
+           CASE WHEN sum(greatest(ca, cb)) > 0
+             THEN CAST((sum(least(ca, cb)) * 1000000) //
+               sum(greatest(ca, cb)) AS BIGINT) END AS wj_ppm
+         FROM m GROUP BY 1, 2""",
     // Distinct-level containment per candidate pair.
     "q166_ind_discovery" ->
       """WITH c AS (

@@ -444,6 +444,41 @@ object Dedup {
         col("dist"))
   }
 
+  /** Weighted (multiset) Jaccard over token term-frequencies for a
+    * given candidate-pair set:
+    * `Jw = Σ_tok min(tf_a, tf_b) / Σ_tok max(tf_a, tf_b)` — the
+    * repetition-aware refinement of set Jaccard (a document that
+    * repeats one paragraph 50x looks near-identical to a single copy
+    * under set semantics; the multiset form sees the mass difference).
+    * Returned in EXACT ppm (integer sums, one integral division).
+    *
+    * Shape: one tokenize+count pass builds the (id, tok, tf) index;
+    * each candidate pair joins its two postings via a full-outer on
+    * (pair, token) — work is candidate-bounded (feed LSH/SNM/edit-join
+    * candidates, never all pairs). */
+  def weightedJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, pairs: DataFrame): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val a = p.join(tf.select(col("id").as("id_a"), col("tok"),
+      col("tf").as("ca")), Seq("id_a"))
+    val b = p.join(tf.select(col("id").as("id_b"), col("tok"),
+      col("tf").as("cb")), Seq("id_b"))
+    a.join(b, Seq("id_a", "id_b", "tok"), "full_outer")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(least(coalesce(col("ca"), lit(0L)),
+          coalesce(col("cb"), lit(0L)))).as("inter_tf"),
+        sum(greatest(coalesce(col("ca"), lit(0L)),
+          coalesce(col("cb"), lit(0L)))).as("union_tf"))
+      .select(col("id_a"), col("id_b"), col("inter_tf"), col("union_tf"),
+        when(col("union_tf") > 0,
+          expr("(inter_tf * 1000000L) div union_tf")).as("wj_ppm"))
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo's classic
     * merge/purge blocking): rank every row by a sort key, emit the pairs
     * within `w` positions of each other. Complements the LSH family —

@@ -1533,6 +1533,26 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("weightedJaccardPairs: repetition mass counted, set-identical " +
+      "docs separate, disjoint docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), // tf: a=3 b=1
+      (2L, "a b"), // set-identical to 1, multiset not
+      (3L, "a a a b"), // exact copy of 1
+      (4L, "c d")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.weightedJaccardPairs(docs, "doc_id", "text", pairs)
+      .select("id_a", "id_b", "inter_tf", "union_tf", "wj_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // (1,2): min a=1,b=1 -> 2; max a=3,b=1 -> 4 -> 500000 ppm
+    // (1,3): identical multisets -> 4/4 -> 1000000
+    // (1,4): disjoint -> 0/6 -> 0
+    assert(got === Set((1L, 2L, 2L, 4L, 500000L),
+      (1L, 3L, 4L, 4L, 1000000L), (1L, 4L, 0L, 6L, 0L)))
+  }
+
   test("inclusionDependency: containment holds and fails as planted") {
     import spark.implicits._
     val a = Seq(1L, 2L, 3L, 3L).toDF("x")
