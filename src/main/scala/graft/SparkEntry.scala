@@ -1962,6 +1962,41 @@ object SparkEntry {
       graft.ops.Graphs.dagDepth(s, edges)
     }),
 
+    // Hapax-legomena profile per source: vocabulary size, tokens seen
+    // exactly once, and the hapax share of the vocabulary in exact ppm
+    // — the corpus-health stat beside q146's Zipf slope (synthetic or
+    // template text collapses the hapax tail long before the slope
+    // moves); two map-side-combined groupBys, all integers
+    "q169_hapax_profile" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(Dedup.tokens(col("text")))
+          .as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("tf")).as("n_tokens"),
+          sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_vocab"), col("n_tokens"),
+          col("n_hapax"),
+          expr("(n_hapax * 1000000L) div n_vocab").as("hapax_ppm"))
+    }),
+
+    // Burstiness (Fano factor) of hourly event arrivals per type:
+    // variance-to-mean of per-hour counts over the type's observed
+    // hours, exact integer arithmetic scaled 1e6 — the overdispersion
+    // detector (1e6 = Poisson-like, >> bursty, << metronomic)
+    "q170_burstiness" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("sc2"))
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          expr("((n_hours * sc2 - n_events * n_events) * 1000000L) " +
+            "div (n_hours * n_events)").as("fano_e6"))
+    }),
+
     // Weighted (multiset) Jaccard verify over a deterministic probe
     // pair set: repetition-aware similarity in exact ppm — the verify
     // kernel that plugs behind any candidate generator (LSH/SNM/edit)
@@ -4518,6 +4553,36 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
     // Incremental result == the full recursive closure over ALL edges.
+    // Term-frequency histogram -> exact hapax share.
+    "q169_hapax_profile" ->
+      """WITH tf AS (
+           SELECT source, tok, count(*) AS tf
+           FROM (SELECT source, unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS tok
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT source, count(*) AS n_vocab,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST((sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1000000) //
+             count(*) AS BIGINT) AS hapax_ppm
+         FROM tf GROUP BY source""",
+    // Hourly count moments -> exact var/mean in 1e6 units.
+    "q170_burstiness" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, count(*) AS n_hours,
+                 sum(c) AS n_events, sum(c * c) AS sc2
+               FROM h GROUP BY 1)
+         SELECT event_type, n_hours,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(((n_hours * sc2 - n_events * n_events) * 1000000) //
+             (n_hours * n_events) AS BIGINT) AS fano_e6
+         FROM s""",
     // Multiset min/max sums per probe pair; exact integral ppm.
     "q168_weighted_jaccard" ->
       """WITH tok AS (
