@@ -2651,6 +2651,18 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Sketch cube: distinct users for every level of the day x type
+    // hierarchy from ONE scan — per-cell KMV sketches merged upward
+    // (array merges over |cells| rows, never a rescan), est == the
+    // directly-sketched level by the lossless-merge property
+    "q171_kmv_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("event_type"), col("user_id").cast("string").as("uid"))
+      graft.ops.Sketches.kmvRollup(ev, "day", "event_type", col("uid"),
+        k = 128)
+    }),
+
     // K-minimum-values distinct-cardinality sketch per source: the
     // mergeable bounded-buffer answer to count(DISTINCT token) — map-side
     // k-long buffers, one O(k)-rows-per-group shuffle, estimate
@@ -5690,6 +5702,38 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // Each cube level's sketch rebuilt DIRECTLY from the raw hashes
+    // (k-th smallest distinct per level) — equal to Spark's merged
+    // cell sketches by the lossless-merge property. 127*2^60 exact.
+    "q171_kmv_rollup" ->
+      """WITH h AS (
+           SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL),
+         lv AS (
+           SELECT 'cell' AS level, day, event_type, h FROM h
+           UNION ALL SELECT 'day', day, NULL, h FROM h
+           UNION ALL SELECT 'event_type', NULL, event_type, h FROM h
+           UNION ALL SELECT 'total', NULL, NULL, h FROM h),
+         cnt AS (SELECT level, day, event_type, count(*) AS n_values
+                 FROM lv GROUP BY 1, 2, 3),
+         d AS (SELECT DISTINCT level, day, event_type, h FROM lv),
+         r AS (SELECT level, day, event_type, h,
+                 row_number() OVER (PARTITION BY level, day, event_type
+                   ORDER BY h) AS rk
+               FROM d),
+         sk AS (SELECT level, day, event_type,
+                  CAST(count(*) AS INT) AS n_sketch, max(h) AS kth_min
+                FROM r WHERE rk <= 128 GROUP BY 1, 2, 3)
+         SELECT c.level, c.day, c.event_type, c.n_values, s.n_sketch,
+           s.kth_min,
+           CASE WHEN s.n_sketch < 128 THEN CAST(s.n_sketch AS BIGINT)
+             ELSE CAST(floor(127 * power(2, 60) / s.kth_min) AS BIGINT)
+           END AS est_distinct
+         FROM cnt c JOIN sk s ON c.level = s.level
+           AND c.day IS NOT DISTINCT FROM s.day
+           AND c.event_type IS NOT DISTINCT FROM s.event_type""",
     // Rebuilds the KMV sketch relationally: k-th smallest distinct
     // portable hash per source. 63*power(2,60) is exact in double and the
     // single IEEE division is bit-identical across engines.

@@ -143,6 +143,80 @@ object Sketches {
         col("m").cast("int").as("n_sample") +: qCols: _*)
   }
 
+  /** Sketch cube: distinct-cardinality estimates for every level of a
+    * two-dimension hierarchy — (dim1, dim2), (dim1), (dim2), total — from
+    * ONE sketching pass over the raw data.
+    *
+    * The raw values are scanned exactly once, into per-cell KMV sketches;
+    * every coarser level is then a MERGE of cell sketches (explode the
+    * O(k)-long arrays, re-aggregate `kmin_values`), running over |cells|
+    * rows instead of the data. This is the additive-sketch pattern that
+    * makes 100 TB distinct-count rollups cheap: the per-cell sketch table
+    * is what you persist per ingestion day, and any slice/rollup —
+    * including ones not materialized here — is an array merge away,
+    * never a rescan of history.
+    *
+    * The merge is LOSSLESS w.r.t. direct sketching: every hash among the
+    * union's k minima is, in its own cell, among that cell's k minima —
+    * so the merged sketch equals the sketch computed directly over the
+    * union, and the DuckDB oracle (which rebuilds each level's sketch
+    * directly from the raw hashes) must land on identical
+    * (n_sketch, kth_min, est_distinct). Estimates are exact (= distinct
+    * count) on levels with fewer than k distinct values.
+    *
+    * Output: (level, dim1, dim2, n_values, n_sketch, kth_min,
+    * est_distinct) with the rolled-away dimension NULL. Dims must be
+    * string columns; `value` is hashed with the portable 60-bit family.
+    */
+  def kmvRollup(df: DataFrame, dim1: String, dim2: String, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // One pass over the raw data -> per-cell sketches; checkpointed so
+    // the four level merges reread |cells| rows, not the input.
+    val cells = df
+      .select(col(dim1).cast("string").as("d1"),
+        col(dim2).cast("string").as("d2"), portable60(value).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.kminValues(col("h"), k).as("kmv"))
+      .localCheckpoint(eager = false)
+    val nullStr = lit(null).cast("string")
+    def level(name: String, keep1: Boolean, keep2: Boolean): DataFrame = {
+      // Literal level key in the groupBy keeps the total level
+      // empty-input-safe (no constant row from a global aggregate).
+      val base = cells.select(lit(name).as("level"),
+        (if (keep1) col("d1") else nullStr).as(dim1),
+        (if (keep2) col("d2") else nullStr).as(dim2),
+        col("n"), col("kmv"))
+      val counts = base.groupBy("level", dim1, dim2)
+        .agg(sum(col("n")).as("n_values"))
+      val merged = base
+        .select(col("level"), col(dim1), col(dim2),
+          explode(col("kmv")).as("h"))
+        .groupBy("level", dim1, dim2)
+        .agg(graft.functions.GraftFunctions.kminValues(col("h"), k)
+          .as("kmv"))
+        .withColumnsRenamed(Map("level" -> "m_level", dim1 -> "m_d1",
+          dim2 -> "m_d2"))
+      // Null-safe keys: the rolled-away dimension is NULL on both sides
+      // (still a hash-joinable equi-key via <=>, never a theta join).
+      counts.join(merged, col("level") === col("m_level") &&
+          col(dim1) <=> col("m_d1") && col(dim2) <=> col("m_d2"))
+        .select(col("level"), col(dim1), col(dim2), col("n_values"),
+          size(col("kmv")).as("n_sketch"),
+          element_at(col("kmv"), size(col("kmv"))).as("kth_min"),
+          when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble * HashSpace) /
+              element_at(col("kmv"), k).cast("double")).cast("long"))
+            .as("est_distinct"))
+    }
+    level("cell", keep1 = true, keep2 = true)
+      .unionAll(level(dim1, keep1 = true, keep2 = false))
+      .unionAll(level(dim2, keep1 = false, keep2 = true))
+      .unionAll(level("total", keep1 = false, keep2 = false))
+  }
+
   /** EXACT heavy hitters (frequency · k > N) via a two-phase
     * Misra–Gries sweep — the frequent-token / hot-key report that at
     * 100 TB cannot be answered with a plain `groupBy(token).count()`:

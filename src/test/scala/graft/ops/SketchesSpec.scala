@@ -49,6 +49,35 @@ class SketchesSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("kmv rollup: merged level sketches equal direct sketches") {
+    // 3 days x 2 types, values overlapping across cells so the rollup
+    // actually merges (distinct-of-union != sum of cell distincts).
+    val rows = for {
+      d <- 1 to 3; t <- Seq("a", "b"); i <- 1 to 400
+    } yield (s"d$d", t, s"v${(d * 137 + i) % 700}")
+    val df = rows.toDF("day", "typ", "v")
+    val rolled = Sketches.kmvRollup(df, "day", "typ", col("v"), k = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getInt(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rolled.size === 3 * 2 + 3 + 2 + 1)
+    // Direct sketch of the whole data == the 'total' merged row.
+    val direct = Sketches.kmvDistinct(
+      df.select(lit("g").as("g"), array(col("v")).as("vs")),
+      "g", col("vs"), k = 16).head()
+    val total = rolled(("total", null, null))
+    assert(total === ((direct.getLong(1), direct.getInt(2),
+      direct.getLong(3), direct.getLong(4))))
+    // Direct sketch of one day == that day's merged row.
+    val d1direct = Sketches.kmvDistinct(
+      df.where(col("day") === "d1")
+        .select(lit("g").as("g"), array(col("v")).as("vs")),
+      "g", col("vs"), k = 16).head()
+    val d1 = rolled(("day", "d1", null))
+    assert(d1 === ((d1direct.getLong(1), d1direct.getInt(2),
+      d1direct.getLong(3), d1direct.getLong(4))))
+  }
+
   test("kmv overlap estimates a planted Jaccard and is exact below k") {
     // Big case: A = 1..1200, B = 601..1800 -> |A∩B| = 600, |A∪B| = 1800,
     // J = 1/3. k = 64 -> sigma(J) ~ sqrt(J(1-J)/k) ~ 6%; assert a loose
