@@ -2651,6 +2651,32 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Benford first-digit audit of order totals: observed vs expected
+    // first-significant-digit shares in exact ppm — the fabricated-data
+    // / unit-mixing detector; no floating log anywhere (the Benford
+    // expectations are a shared literal table)
+    "q172_benford_audit" -> ((s, dir) => {
+      Profiling.benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
+    }),
+
+    // Per-user behavioral diversity: Gini-Simpson index of the user's
+    // event-type mix in exact ppm (1 - sum p_i^2) — bots/scripts sit
+    // near 0, organic users spread; the engine-exact stand-in for
+    // entropy (no log per group)
+    "q173_mix_diversity" -> ((s, dir) => {
+      Profiling.mixDiversity(t(s, dir, "events")
+          .where(col("user_id").isNotNull), "user_id",
+        col("event_type"))
+    }),
+
+    // Lag-k autocorrelation of the hourly arrival series (k=1,2,24):
+    // the seasonality/trend probe beside q170's burstiness — exact
+    // Pearson sums, fixed IEEE tail, pairs only over observed hours
+    "q174_count_autocorr" -> ((s, dir) => {
+      graft.ops.Sessions.countAutocorrelation(t(s, dir, "events"), "ts",
+        Seq(1, 2, 24))
+    }),
+
     // Sketch cube: distinct users for every level of the day x type
     // hierarchy from ONE scan — per-cell KMV sketches merged upward
     // (array merges over |cells| rows, never a rescan), est == the
@@ -5702,6 +5728,65 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // First digit from the decimal-snapped integral part; shares and
+    // the Benford expectation table in exact integer ppm.
+    "q172_benford_audit" ->
+      """WITH v AS (
+           SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v
+           FROM orders WHERE o_totalprice >= 1),
+         d AS (SELECT substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR),
+                 1, 1) AS digit
+               FROM v),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM c),
+         e AS (SELECT c.digit, c.n,
+                 CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+                 CASE c.digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+                   WHEN '3' THEN 124939 WHEN '4' THEN 96910
+                   WHEN '5' THEN 79181 WHEN '6' THEN 66947
+                   WHEN '7' THEN 57992 WHEN '8' THEN 51153
+                   WHEN '9' THEN 45757 END AS benford_ppm
+               FROM c, t)
+         SELECT digit, n, share_ppm, CAST(benford_ppm AS BIGINT)
+             AS benford_ppm,
+           CAST(share_ppm - benford_ppm AS BIGINT) AS delta_ppm
+         FROM e""",
+    // Per-user category counts -> exact 1e6 - sum(c^2)*1e6 div n^2.
+    "q173_mix_diversity" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_categories,
+           CAST(sum(c) AS BIGINT) AS n_obs,
+           CAST(1000000 - (sum(c * c) * 1000000 //
+             (sum(c) * sum(c))) AS BIGINT) AS simpson_ppm
+         FROM c GROUP BY user_id""",
+    // Hourly series self-joined at each lag; exact Pearson sums with
+    // the fixed IEEE tail (casts, sqrt, multiply, divide).
+    "q174_count_autocorr" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS hr, count(*) AS c
+           FROM events GROUP BY 1),
+         lags AS (SELECT unnest([1, 2, 24]) AS lag),
+         p AS (SELECT l.lag, a.c AS x, b.c AS y
+               FROM lags l
+               JOIN h a ON true
+               JOIN h b ON b.hr = a.hr + to_hours(l.lag)),
+         s AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(y * y) AS HUGEINT) AS syy
+               FROM p GROUP BY lag)
+         SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n > 0 AND n * sxx - sx * sx <> 0
+               AND n * syy - sy * sy <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS autocorr
+         FROM s""",
     // Each cube level's sketch rebuilt DIRECTLY from the raw hashes
     // (k-th smallest distinct per level) — equal to Spark's merged
     // cell sketches by the lossless-merge property. 127*2^60 exact.

@@ -267,6 +267,61 @@ object Profiling {
           .as("share"))
   }
 
+  /** Benford first-significant-digit audit — the classic fabricated-data
+    * / unit-mixing detector for monetary and count columns: naturally
+    * occurring multiplicative data follows P(d) = log10(1+1/d); uniform
+    * or hand-entered data does not, and a column whose digit profile
+    * deviates hard is the first thing a data-quality sweep flags.
+    *
+    * Exactness discipline: the value is snapped to DECIMAL(18,2) (both
+    * engines round the double identically), the digit is the first
+    * character of the integral part — no floating log10 anywhere — and
+    * shares are exact integer ppm. The expected ppm per digit is a
+    * shared literal table (the only place log10 appears, pre-computed).
+    * One ≤9-key map-side-combined groupBy; the total attaches by
+    * broadcast of the one-row sum. Rows with value < 1 are excluded
+    * (no first significant digit in the integral part). */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val benford = Map("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+      "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+      "8" -> 51153L, "9" -> 45757L)
+    val digit = substring(
+      floor(value.cast("decimal(18,2)")).cast("long").cast("string"),
+      1, 1)
+    val counts = df.where(value >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val expected = element_at(typedLit(benford), col("digit"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div __total").as("share_ppm"),
+        expected.as("benford_ppm"),
+        (expr("n * 1000000L div __total") - expected).as("delta_ppm"))
+  }
+
+  /** Per-group Gini–Simpson diversity of a categorical mix in exact ppm:
+    * 1 − Σ pᵢ² — the probability two draws from the group differ. The
+    * behavioral-diversity feature next to [[Sessions.interEventGaps]]'
+    * cadence: bots and single-purpose scripts sit near 0, organic
+    * activity spreads; on corpora it reads as source/language mix
+    * concentration (1 − Herfindahl). Shannon entropy needs a log per
+    * group — this is the engine-exact diversity index (all integer:
+    * 1e6 − Σcᵢ²·1e6 div n²). Two map-side-combined groupBys, keyed on
+    * (group, category) then group. */
+  def mixDiversity(df: DataFrame, groupCol: String,
+      category: Column): DataFrame = {
+    val c = df.select(col(groupCol), category.as("__cat"))
+      .groupBy(col(groupCol), col("__cat"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("c")).as("n_obs"), sum(col("c") * col("c")).as("__s2"))
+      .select(col(groupCol), col("n_categories"), col("n_obs"),
+        expr("1000000L - (__s2 * 1000000L div (n_obs * n_obs))")
+          .as("simpson_ppm"))
+  }
+
   /** Per-group winsorization: clip `value` to its group's exact
     * interpolated [lo, hi] percentiles — the outlier-taming feature prep
     * that keeps a few million-char documents from dominating

@@ -426,6 +426,50 @@ object Sessions {
     * hour-start instant, which is the peak when the hour only drains.
     * Boundary ties order ends (−1) before starts (+1): half-open
     * intervals, back-to-back sessions never overlap. */
+  /** Lag-k autocorrelation of the per-hour event-count series — the
+    * seasonality probe next to the Fano burstiness stat: a strong r at
+    * lag 24 is daily periodicity, a slow decay is trend, near-zero at
+    * all lags is memoryless arrivals. Answers "does this hour predict
+    * the next?" before anyone fits a forecaster.
+    *
+    * Plan: ONE aggregation builds the hourly series (tiny — hours, not
+    * events), checkpointed and reused per lag; each lag is an equi-join
+    * of the series against itself shifted by an exact INTERVAL (hours
+    * where either endpoint is unobserved are excluded, documented), then
+    * the five Pearson sums as exact bigints→decimal in one aggregate
+    * with the fixed IEEE tail (two casts, two sqrt, multiply, divide) —
+    * engine-identical, like [[Graphs.degreeAssortativity]]. r is null
+    * when a lag has no pairs or zero variance. */
+  def countAutocorrelation(events: DataFrame, tsCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be >= 1: $lags")
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    def d(c: Column) = c.cast("decimal(19,0)")
+    lags.map { k =>
+      val shifted = hourly.select(
+        (col("hr") + expr(s"INTERVAL $k HOURS")).as("hr"),
+        col("c").as("x"))
+      val pairs = hourly.join(shifted, "hr")
+        .select(col("x"), col("c").as("y"))
+      val sums = pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      sums.select(lit(k).as("lag"), col("n").as("n_pairs"),
+        when(col("n") > 0 && vx =!= 0 && vy =!= 0,
+          num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("autocorr"))
+    }.reduce(_ unionAll _)
+  }
+
   def peakConcurrency(events: DataFrame, tsCol: String,
       sessionSeconds: Long): DataFrame = {
     require(sessionSeconds >= 1,

@@ -1359,6 +1359,58 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(shares - 1.0) < 1e-6)
   }
 
+  test("benfordAudit: digit from decimal integral part, exact ppm, " +
+    "sub-1 values excluded") {
+    import spark.implicits._
+    // 1x first-digit-1, 2x first-digit-2 (one via rounding 19.996->20.00),
+    // 1x first-digit-9; 0.5 excluded.
+    val vals = Seq(0.5, 1.23, 19.996, 250.0, 900.01).toDF("v")
+    val out = Profiling.benfordAudit(vals, col("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set("1", "2", "9"))
+    assert(out("1") === ((1L, 250000L, 301030L, -51030L)))
+    assert(out("2") === ((2L, 500000L, 176091L, 323909L)))
+    assert(out("9") === ((1L, 250000L, 45757L, 204243L)))
+  }
+
+  test("mixDiversity: single-category 0, exact ppm for a planted mix") {
+    import spark.implicits._
+    val df = Seq(("bot", "click"), ("bot", "click"), ("bot", "click"),
+      ("u1", "click"), ("u1", "view"), ("u1", "view"), ("u1", "buy"))
+      .toDF("u", "e")
+    val out = Profiling.mixDiversity(df, "u", col("e"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out("bot") === ((1L, 3L, 0L)))
+    // u1: counts 1,2,1 over 4 -> 1e6 - 6*1e6 div 16 = 625000
+    assert(out("u1") === ((3L, 4L, 625000L)))
+  }
+
+  test("countAutocorrelation: planted alternating series -> r = -1 at " +
+    "lag 1, +1 at lag 2; unobserved hours break pairs") {
+    import spark.implicits._
+    // Hours 0..5 and 7 alternating 1 and 3 events; hour 6 missing, so
+    // lag-1 pairs (5,6)/(6,7) don't exist while lag-2 keeps (5,7).
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 to 7).filter(_ != 6).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (1 to n).map(i => (h * 6 + i,
+        new java.sql.Timestamp(base + h * 3600000L + i * 1000L)))
+    }
+    val ev = rows.toDF("event_id", "ts")
+    val out = Sessions.countAutocorrelation(ev, "ts", Seq(1, 2))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1)._1 === 5L) // pairs (0,1)..(4,5); 5->6 and 6->7 missing
+    assert(math.abs(out(1)._2.get - (-1.0)) < 1e-9)
+    assert(out(2)._1 === 5L) // (0,2),(1,3),(2,4),(3,5),(5,7)
+    assert(math.abs(out(2)._2.get - 1.0) < 1e-9)
+  }
+
   test("bigram LM held-out scoring: unseen bigrams and contexts hit the " +
     "smoothed floor, never drop") {
     import spark.implicits._
