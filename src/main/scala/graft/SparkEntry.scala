@@ -2651,6 +2651,17 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Reciprocal-rank fusion: three query reformulations' integer-dot
+    // top-20 lists fused into one consensus top-10 (weight = 1e6 div
+    // (60+rank), ties by id) — the standard hybrid/multi-query
+    // retrieval combiner, engine-exact end to end
+    "q175_rrf_fusion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.reciprocalRankFusion(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding",
+        perListK = 20, topN = 10)
+    }),
+
     // Benford first-digit audit of order totals: observed vs expected
     // first-significant-digit shares in exact ppm — the fabricated-data
     // / unit-mixing detector; no floating log anywhere (the Benford
@@ -5728,6 +5739,34 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // Rebuilds the three per-query integer-dot rankings and the exact
+    // integer RRF arithmetic; ties by id everywhere, like the Spark
+    // bounded-top-k aggregate.
+    "q175_rrf_fusion" ->
+      """WITH d AS (
+           SELECT vec_id AS id, list_transform(embedding,
+             x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+           FROM embeddings),
+         q AS (SELECT id, qv FROM d WHERE id < 3),
+         p AS (SELECT q.id AS query_id, c.id AS corpus_id,
+                 list_sum(list_transform(range(1, len(c.qv) + 1),
+                   i -> c.qv[i] * q.qv[i])) AS dot
+               FROM d c, q),
+         r AS (SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, corpus_id) AS rk
+               FROM p),
+         con AS (SELECT corpus_id, CAST(rk AS INT) AS rk
+                 FROM r WHERE rk <= 20),
+         f AS (SELECT corpus_id, count(*) AS n_lists, min(rk) AS best_rank,
+                 CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf_ppm
+               FROM con GROUP BY 1),
+         t AS (SELECT corpus_id, row_number()
+                 OVER (ORDER BY rrf_ppm DESC, corpus_id) AS fr
+               FROM f)
+         SELECT f.corpus_id, CAST(t.fr AS INT) AS fused_rank, f.n_lists,
+           f.best_rank, f.rrf_ppm
+         FROM f JOIN t USING (corpus_id) WHERE t.fr <= 10""",
     // First digit from the decimal-snapped integral part; shares and
     // the Benford expectation table in exact integer ppm.
     "q172_benford_audit" ->

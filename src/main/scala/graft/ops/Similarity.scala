@@ -574,4 +574,59 @@ object Similarity {
           col("cdot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
           .otherwise(lit(0.0)), 4).as("proto_score"))
   }
+
+  /** Reciprocal-rank fusion of per-query retrieval lists — the standard
+    * way to combine multiple rankers (query reformulations, hybrid
+    * lexical+vector, per-shard lists) into one consensus ranking:
+    * item score = Σ over lists 1/(kConst + rank). An item near the top
+    * of ANY list surfaces; items mid-pack everywhere beat items great
+    * in one list and absent elsewhere. kConst=60 is the published
+    * default (Cormack et al., SIGIR'09).
+    *
+    * Engine-exact variant: similarity is the integer dot product over
+    * quantized vectors (ties broken by id), the fusion weight is
+    * 1e6 div (kConst + rank) in exact integer ppm, and the fused order
+    * is (score desc, id asc) — no float anywhere, so the full fused
+    * ranking hash-matches any engine.
+    *
+    * Plan shape: queries broadcast once against the corpus (corpus never
+    * shuffles — scored map-side, reduced by the bounded top-k aggregate
+    * to perListK entries per query); everything after runs on
+    * |queries|·perListK rows. The final top-N is itself a bounded
+    * aggregate — no global sort of the fused table. */
+  def reciprocalRankFusion(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, perListK: Int, topN: Int, kConst: Int = 60,
+      quantScale: Int = 10000): DataFrame = {
+    require(perListK >= 1 && topN >= 1 && kConst >= 1,
+      s"need perListK/topN/kConst >= 1, got $perListK/$topN/$kConst")
+    val c = quantized(widenForCompute(corpus), corpusId, corpusVec,
+      quantScale).select(col("id").as("corpus_id"), col("qv").as("cv"))
+    val q = quantized(queries, queryId, queryVec, quantScale)
+      .select(col("id").as("query_id"), col("qv").as("quv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("cv"), col("quv")).as("d"))
+    val contrib = scored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("d").cast("double"),
+        col("corpus_id"), perListK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("col.id").as("corpus_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+    val fused = contrib.groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_lists"), min(col("rank")).as("best_rank"),
+        sum(expr(s"1000000L div ($kConst + rank)")).as("rrf_ppm"))
+      .localCheckpoint(eager = false)
+    // literal grouping key: empty-input-safe bounded top-N (no constant
+    // row from a global aggregate), ties broken by id like every list
+    fused.groupBy(lit(1).as("__g"))
+      .agg(GraftFunctions.topKByScore(col("rrf_ppm").cast("double"),
+        col("corpus_id"), topN).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("corpus_id"),
+        (col("pos") + 1).cast("int").as("fused_rank"))
+      .join(fused, Seq("corpus_id"))
+      .select(col("corpus_id"), col("fused_rank"), col("n_lists"),
+        col("best_rank"), col("rrf_ppm"))
+  }
 }

@@ -687,6 +687,36 @@ class OpsSpec extends SparkSuite {
       f"lsh(6 planes, probe 6)=$lshRecall%.2f")
   }
 
+  test("reciprocalRankFusion: consensus mid-ranker beats single-list " +
+    "winners; exact ppm weights") {
+    import spark.implicits._
+    // Orthogonal-ish axes: queries q0=(1,0,0), q1=(0,1,0), q2=(0,0,1).
+    // Item 10 = (.6,.6,.6) is 2nd on every list; items 11/12/13 each top
+    // one list ((1,0,0) etc.) and score ~0 on the others.
+    val corpus = Seq(
+      (10L, Seq(0.6f, 0.6f, 0.6f)), (11L, Seq(1f, 0f, 0f)),
+      (12L, Seq(0f, 1f, 0f)), (13L, Seq(0f, 0f, 1f)),
+      (14L, Seq(0.1f, 0.1f, 0f)), (15L, Seq(0f, 0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.reciprocalRankFusion(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding",
+      perListK = 3, topN = 4)
+      .collect()
+      .map(r => r.getInt(1) -> (r.getLong(0), r.getLong(2), r.getInt(3),
+        r.getLong(4))).toMap
+    // item 10: rank 2 in all 3 lists -> 3 * (1e6 div 62) = 48387
+    assert(out(1) === ((10L, 3L, 2, 3 * (1000000L / 62))))
+    // item 14: rank 3 on two lists (2 * 15873) still beats every
+    // single-list winner (1 * 16393) — the consensus property
+    assert(out(2) === ((14L, 2L, 3, 2 * (1000000L / 63))))
+    // single-list winners tie at 16393, broken by id
+    assert(out(3)._1 === 11L && out(3)._4 === 16393L)
+    assert(out(4)._1 === 12L)
+  }
+
   test("seeded IVF == brute force when probing all cells") {
     val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
     val q = e.where(col("vec_id") < 5)
