@@ -2651,6 +2651,24 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Pre-shuffle join-size estimation: exact hot-key pair mass (incl.
+    // worst single key — the salting decision) + uniform-tail estimate
+    // from bounded HH/KMV passes over each side ALONE — the "should I
+    // run/broadcast/salt this join" stat, never running the join; one
+    // uniform FK rel, one mid-cardinality rel, one pathological
+    // status x status rel where the hot path carries everything
+    "q176_join_size_estimate" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      Profiling.joinSizeEstimate(ord, "o_orderkey", li, "l_orderkey",
+          "orders.o_orderkey~lineitem.l_orderkey")
+        .unionAll(Profiling.joinSizeEstimate(t(s, dir, "customer"),
+          "c_custkey", ord, "o_custkey",
+          "customer.c_custkey~orders.o_custkey"))
+        .unionAll(Profiling.joinSizeEstimate(ord, "o_orderstatus", li,
+          "l_linestatus", "orders.o_orderstatus~lineitem.l_linestatus"))
+    }),
+
     // Reciprocal-rank fusion: three query reformulations' integer-dot
     // top-20 lists fused into one consensus top-10 (weight = 1e6 div
     // (60+rank), ties by id) — the standard hybrid/multi-query
@@ -5739,6 +5757,92 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // Rebuilds the whole estimator relationally per relationship: exact
+    // heavy hitters (cnt*50 > N per side), hot-pair mass, and the KMV
+    // tail ndv (255*2^60 exact in double), same integer arithmetic.
+    "q176_join_size_estimate" ->
+      """WITH sides AS (
+           SELECT 'r1' AS rel, 'a' AS side,
+             CAST(o_orderkey AS VARCHAR) AS k
+           FROM orders WHERE o_orderkey IS NOT NULL
+           UNION ALL SELECT 'r1', 'b', CAST(l_orderkey AS VARCHAR)
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+           UNION ALL SELECT 'r2', 'a', CAST(c_custkey AS VARCHAR)
+           FROM customer WHERE c_custkey IS NOT NULL
+           UNION ALL SELECT 'r2', 'b', CAST(o_custkey AS VARCHAR)
+           FROM orders WHERE o_custkey IS NOT NULL
+           UNION ALL SELECT 'r3', 'a', o_orderstatus
+           FROM orders WHERE o_orderstatus IS NOT NULL
+           UNION ALL SELECT 'r3', 'b', l_linestatus
+           FROM lineitem WHERE l_linestatus IS NOT NULL),
+         tot AS (SELECT rel, side, count(*) AS n
+                 FROM sides GROUP BY 1, 2),
+         hh AS (SELECT s.rel, s.side, s.k
+                FROM sides s
+                JOIN tot t ON t.rel = s.rel AND t.side = s.side
+                GROUP BY s.rel, s.side, s.k, t.n
+                HAVING count(*) * 50 > t.n),
+         hot AS (SELECT DISTINCT rel, k FROM hh),
+         hc AS (SELECT h.rel, h.k,
+                  sum(CASE WHEN s.side = 'a' THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN s.side = 'b' THEN 1 ELSE 0 END) AS cb
+                FROM hot h
+                LEFT JOIN sides s ON s.rel = h.rel AND s.k = h.k
+                GROUP BY 1, 2),
+         hs AS (SELECT rel, count(*) AS n_hot_keys,
+                  CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS hot_pairs,
+                  CAST(coalesce(max(ca * cb), 0) AS BIGINT)
+                    AS worst_hot_pairs,
+                  CAST(coalesce(sum(ca), 0) AS BIGINT) AS hot_a,
+                  CAST(coalesce(sum(cb), 0) AS BIGINT) AS hot_b
+                FROM hc GROUP BY rel),
+         rest AS (SELECT s.rel, s.side,
+                    CAST(('0x' || substr(md5(s.k), 1, 15)) AS BIGINT) AS h
+                  FROM sides s
+                  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.rel = s.rel AND hot.k = s.k)),
+         rd AS (SELECT DISTINCT rel, side, h FROM rest),
+         rr AS (SELECT rel, side, h, row_number()
+                  OVER (PARTITION BY rel, side ORDER BY h) AS rk
+                FROM rd),
+         nd AS (SELECT rel, side, count(*) AS m,
+                  max(CASE WHEN rk <= 256 THEN h END) AS kth
+                FROM rr GROUP BY 1, 2),
+         ndv AS (SELECT rel, side,
+                   CASE WHEN m < 256 THEN m
+                     ELSE CAST(floor(255 * power(2, 60) / kth) AS BIGINT)
+                   END AS ndv
+                 FROM nd),
+         sel AS (SELECT r.rel,
+                   ta.n AS n_a, tb.n AS n_b,
+                   coalesce(hs.n_hot_keys, 0) AS n_hot_keys,
+                   coalesce(hs.hot_pairs, 0) AS hot_pairs,
+                   coalesce(hs.worst_hot_pairs, 0) AS worst_hot_pairs,
+                   ta.n - coalesce(hs.hot_a, 0) AS rest_a,
+                   tb.n - coalesce(hs.hot_b, 0) AS rest_b,
+                   coalesce(na.ndv, 0) AS ndv_rest_a,
+                   coalesce(nb.ndv, 0) AS ndv_rest_b
+                 FROM (SELECT DISTINCT rel FROM tot) r
+                 JOIN tot ta ON ta.rel = r.rel AND ta.side = 'a'
+                 JOIN tot tb ON tb.rel = r.rel AND tb.side = 'b'
+                 LEFT JOIN hs ON hs.rel = r.rel
+                 LEFT JOIN ndv na ON na.rel = r.rel AND na.side = 'a'
+                 LEFT JOIN ndv nb ON nb.rel = r.rel AND nb.side = 'b'),
+         est AS (SELECT *,
+                   CASE WHEN greatest(ndv_rest_a, ndv_rest_b) > 0
+                     THEN CAST((CAST(rest_a AS HUGEINT) * rest_b) //
+                       greatest(ndv_rest_a, ndv_rest_b) AS BIGINT)
+                     ELSE 0 END AS est_rest
+                 FROM sel)
+         SELECT CASE rel
+             WHEN 'r1' THEN 'orders.o_orderkey~lineitem.l_orderkey'
+             WHEN 'r2' THEN 'customer.c_custkey~orders.o_custkey'
+             ELSE 'orders.o_orderstatus~lineitem.l_linestatus'
+           END AS relationship,
+           n_a, n_b, n_hot_keys, hot_pairs, worst_hot_pairs,
+           rest_a, rest_b, ndv_rest_a, ndv_rest_b, est_rest,
+           hot_pairs + est_rest AS est_total
+         FROM est""",
     // Rebuilds the three per-query integer-dot rankings and the exact
     // integer RRF arithmetic; ties by id everywhere, like the Spark
     // bounded-top-k aggregate.

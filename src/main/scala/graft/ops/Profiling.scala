@@ -267,6 +267,83 @@ object Profiling {
           .as("share"))
   }
 
+  /** Pre-shuffle join-size estimation — the "should I run, broadcast, or
+    * salt this join?" decision stat, computed WITHOUT running the join:
+    * at 100 TB an equi-join's output size (and its worst single key) is
+    * exactly what you must know before committing to the shuffle, and
+    * both are estimable from bounded-state passes over each side alone.
+    *
+    * Decomposition (the classical skew-aware estimator):
+    *   - HOT keys (exact): [[Sketches.heavyHitters]] finds every key with
+    *     count·hhK > N on either side (bounded Misra–Gries state, exact
+    *     recount); their pairwise products are the join's skew mass,
+    *     computed exactly — including `worst_hot_pairs`, the single-key
+    *     maximum that decides salting.
+    *   - REST (estimate): uniformity within the long tail —
+    *     rest_a·rest_b div max(ndv_rest_a, ndv_rest_b), with the rest
+    *     ndv from a KMV sketch (exact below kmvK). The max-ndv
+    *     denominator is the standard key-containment assumption.
+    *
+    * Everything is deterministic integer arithmetic over the portable
+    * hash family, so an external engine recomputes the identical
+    * estimate. One row out per relationship. */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, rel: String, hhK: Int = 50,
+      kmvK: Int = 256): DataFrame = {
+    val p60 = (c: Column) =>
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val ka = a.select(col(aKey).cast("string").as("k"))
+      .where(col("k").isNotNull)
+    val kb = b.select(col(bKey).cast("string").as("k"))
+      .where(col("k").isNotNull)
+    val hot = Sketches.heavyHitters(ka, col("k"), hhK)
+      .select(col("value").as("hk"))
+      .unionAll(Sketches.heavyHitters(kb, col("k"), hhK)
+        .select(col("value").as("hk")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def hotCounts(side: DataFrame, out: String) = side
+      .join(broadcast(hot), col("k") === col("hk"))
+      .groupBy(col("hk")).agg(count(lit(1)).as(out))
+    val hotStats = hotCounts(ka, "ca").withColumnRenamed("hk", "hka")
+      .join(hotCounts(kb, "cb").withColumnRenamed("hk", "hkb"),
+        col("hka") === col("hkb"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .agg(count(lit(1)).as("n_hot_keys"),
+        sum(col("ca") * col("cb")).as("hot_pairs"),
+        max(col("ca") * col("cb")).as("worst_hot_pairs"),
+        sum(col("ca")).as("hot_a"), sum(col("cb")).as("hot_b"))
+    def restNdv(side: DataFrame, out: String) = side
+      .join(broadcast(hot), col("k") === col("hk"), "left_anti")
+      .select(p60(col("k")).as("h"))
+      .agg(graft.functions.GraftFunctions.kminValues(col("h"), kmvK)
+        .as("kmv"))
+      .select(when(size(col("kmv")) < kmvK, size(col("kmv")).cast("long"))
+        .otherwise(floor(lit((kmvK - 1).toDouble * math.scalb(1.0, 60)) /
+          element_at(col("kmv"), kmvK).cast("double")).cast("long"))
+        .as(out))
+    val totals = ka.agg(count(lit(1)).as("n_a"))
+      .crossJoin(kb.agg(count(lit(1)).as("n_b")))
+    totals.crossJoin(broadcast(hotStats))
+      .crossJoin(broadcast(restNdv(ka, "ndv_rest_a")))
+      .crossJoin(broadcast(restNdv(kb, "ndv_rest_b")))
+      .select(lit(rel).as("relationship"), col("n_a"), col("n_b"),
+        col("n_hot_keys"),
+        coalesce(col("hot_pairs"), lit(0L)).as("hot_pairs"),
+        coalesce(col("worst_hot_pairs"), lit(0L)).as("worst_hot_pairs"),
+        (col("n_a") - coalesce(col("hot_a"), lit(0L))).as("rest_a"),
+        (col("n_b") - coalesce(col("hot_b"), lit(0L))).as("rest_b"),
+        col("ndv_rest_a"), col("ndv_rest_b"))
+      .withColumn("est_rest",
+        // explicit zero-denominator guard: ANSI div throws on /0
+        when(greatest(col("ndv_rest_a"), col("ndv_rest_b")) > 0,
+          expr("CAST(rest_a AS DECIMAL(38,0)) * rest_b div " +
+            "greatest(ndv_rest_a, ndv_rest_b)")).otherwise(lit(0L)))
+      .withColumn("est_total",
+        col("hot_pairs") + col("est_rest"))
+  }
+
   /** Benford first-significant-digit audit — the classic fabricated-data
     * / unit-mixing detector for monetary and count columns: naturally
     * occurring multiplicative data follows P(d) = log10(1+1/d); uniform

@@ -1389,6 +1389,30 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(shares - 1.0) < 1e-6)
   }
 
+  test("joinSizeEstimate: hot keys exact (incl. worst single key), " +
+    "small uniform tail exact below kmvK") {
+    import spark.implicits._
+    // Side A: key "hot" x100, tail t1..t50 x2. Side B: "hot" x80,
+    // tail t1..t40 x1. hhK=10: hot iff cnt*10 > N (A: N=200, hot=100
+    // qualifies, tails at 2 don't; B: N=120, hot=80 qualifies).
+    val a = (Seq.fill(100)("hot") ++
+      (1 to 50).flatMap(i => Seq(s"t$i", s"t$i"))).toDF("k")
+    val b = (Seq.fill(80)("hot") ++ (1 to 40).map(i => s"t$i")).toDF("k")
+    val r = Profiling.joinSizeEstimate(a, "k", b, "k", "a~b",
+      hhK = 10, kmvK = 256).head()
+    assert(r.getAs[Long]("n_hot_keys") === 1L)
+    assert(r.getAs[Long]("hot_pairs") === 8000L)
+    assert(r.getAs[Long]("worst_hot_pairs") === 8000L)
+    assert(r.getAs[Long]("rest_a") === 100L)
+    assert(r.getAs[Long]("rest_b") === 40L)
+    // tails below kmvK -> ndv exact -> est_rest = 100*40 div 50 = 80;
+    // true tail join size = 40 keys * 2 * 1 = 80 — exact here.
+    assert(r.getAs[Long]("ndv_rest_a") === 50L)
+    assert(r.getAs[Long]("ndv_rest_b") === 40L)
+    assert(r.getAs[Long]("est_rest") === 80L)
+    assert(r.getAs[Long]("est_total") === 8080L)
+  }
+
   test("benfordAudit: digit from decimal integral part, exact ppm, " +
     "sub-1 values excluded") {
     import spark.implicits._
