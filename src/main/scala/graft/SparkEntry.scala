@@ -2651,6 +2651,16 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Exact two-sample KS distance between en and zh document-length
+    // distributions: the unbinned sup-CDF-gap drift gate (integer
+    // products in DECIMAL(38,0), exact ppm, argmax value reported);
+    // running CDF via the two-phase blocked prefix sum — never a
+    // single-reducer window
+    "q177_ks_distance" -> ((s, dir) => {
+      Profiling.ksDistance(t(s, dir, "documents"), "lang", "n_chars",
+        "en", "zh")
+    }),
+
     // Pre-shuffle join-size estimation: exact hot-key pair mass (incl.
     // worst single key — the salting decision) + uniform-tail estimate
     // from bounded HH/KMV passes over each side ALONE — the "should I
@@ -5757,6 +5767,34 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // Global running CDFs per side over distinct values; sup of the
+    // exact integer cross-products in HUGEINT; ties -> largest value.
+    "q177_ks_distance" ->
+      """WITH obs AS (
+           SELECT lang AS s, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')),
+         per AS (SELECT v,
+                   sum(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN s = 'zh' THEN 1 ELSE 0 END) AS cb
+                 FROM obs GROUP BY v),
+         c AS (SELECT v,
+                 sum(ca) OVER (ORDER BY v) AS cuma,
+                 sum(cb) OVER (ORDER BY v) AS cumb
+               FROM per),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb,
+                 count(*) AS nv
+               FROM per),
+         d AS (SELECT v, abs(CAST(cuma AS HUGEINT) * t.nb -
+                 CAST(cumb AS HUGEINT) * t.na) AS diff
+               FROM c, t),
+         m AS (SELECT v, diff FROM d ORDER BY diff DESC, v DESC LIMIT 1)
+         SELECT t.na AS n_a, t.nb AS n_b, t.nv AS n_values,
+           m.v AS ks_at,
+           CAST(m.diff * 1000000 // (CAST(t.na AS HUGEINT) * t.nb)
+             AS BIGINT) AS ks_ppm
+         FROM m, t""",
     // Rebuilds the whole estimator relationally per relationship: exact
     // heavy hitters (cnt*50 > N per side), hot-pair mass, and the KMV
     // tail ndv (255*2^60 exact in double), same integer arithmetic.

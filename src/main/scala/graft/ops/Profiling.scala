@@ -267,6 +267,83 @@ object Profiling {
           .as("share"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov distance between two cohorts'
+    * integer-value distributions — the unbinned companion to
+    * [[driftReport]]: the supremum CDF gap sees shape drift that a
+    * binned chi-style report smears away, and it is THE standard "did
+    * this feature's distribution move?" gate between a reference corpus
+    * and a new snapshot.
+    *
+    * Exactness: D = max over distinct v of |cumA(v)·nB − cumB(v)·nA| /
+    * (nA·nB) — all integer products (DECIMAL(38,0), overflow-safe at
+    * any scale), reported in exact ppm plus the value where the gap
+    * peaks (ties → largest value, both engines agree).
+    *
+    * Scale shape: one groupBy collapses the data to DISTINCT values with
+    * per-side counts; the running CDF over values is the two-phase
+    * distributed prefix sum (bit-length blocks → ≤64 (block, subtotal)
+    * pairs on the driver → per-block parallel windows + broadcast
+    * offsets — never a single-reducer global window); the sup is one
+    * max-aggregate. Driver state: 64 pairs of longs, regardless of data
+    * size. */
+  def ksDistance(df: DataFrame, sideCol: String, valueCol: String,
+      sideA: String, sideB: String): DataFrame = {
+    val obs = df.select(col(sideCol).as("s"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull &&
+        (col("s") === sideA || col("s") === sideB))
+    val per = obs.groupBy(col("v"))
+      .agg(sum(when(col("s") === sideA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === sideB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val blockTotals = per.groupBy(col("block"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("nv"))
+    val collected = blockTotals.collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    if (collected.isEmpty) {
+      return per.select(lit(0L).as("n_a"), lit(0L).as("n_b"),
+        lit(0L).as("n_values"), col("v").as("ks_at"),
+        lit(0L).as("ks_ppm")).limit(0)
+    }
+    val sorted = collected.sortBy(_._1)
+    var accA = 0L; var accB = 0L; var accV = 0L
+    val offA = scala.collection.mutable.Map.empty[Long, Long]
+    val offB = scala.collection.mutable.Map.empty[Long, Long]
+    sorted.foreach { case (b, ta, tb, nv) =>
+      offA(b) = accA; offB(b) = accB; accA += ta; accB += tb; accV += nv
+    }
+    val (na, nb, nv) = (accA, accB, accV)
+    if (na == 0 || nb == 0) {
+      return per.select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(nv).as("n_values"), col("v").as("ks_at"),
+        lit(0L).as("ks_ppm")).limit(0)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("block")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val best = per
+      .select(col("v"),
+        (sum(col("ca")).over(w) +
+          element_at(typedLit(offA.toMap), col("block").cast("long")))
+          .as("cuma"),
+        (sum(col("cb")).over(w) +
+          element_at(typedLit(offB.toMap), col("block").cast("long")))
+          .as("cumb"))
+      .select(col("v"),
+        abs(dec(col("cuma")) * nb - dec(col("cumb")) * na).as("diff"))
+      .groupBy(lit(1).as("__g"))
+      .agg(max(struct(col("diff"), col("v"))).as("m"))
+    best.select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(nv).as("n_values"), col("m.v").as("ks_at"),
+      expr(s"m.diff * 1000000 div " +
+        s"(CAST(${na} AS DECIMAL(38,0)) * ${nb})").as("ks_ppm"))
+  }
+
   /** Pre-shuffle join-size estimation — the "should I run, broadcast, or
     * salt this join?" decision stat, computed WITHOUT running the join:
     * at 100 TB an equi-join's output size (and its worst single key) is

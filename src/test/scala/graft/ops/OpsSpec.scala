@@ -1389,6 +1389,28 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(shares - 1.0) < 1e-6)
   }
 
+  test("ksDistance: hand-computed sup gap, identical across partition " +
+    "widths; one-sided input returns empty") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: at v=2 cumA=2/4, cumB=0/4 ->
+    // D = 1/2 (ppm 500000); also at v=4 gap is 4/4-2/4=1/2: tie ->
+    // largest value wins, ks_at = 4.
+    val rows = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+      ("b", 3), ("b", 4), ("b", 5), ("b", 6))
+    val df = rows.toDF("s", "v")
+    val r = Profiling.ksDistance(df, "s", "v", "a", "b").head()
+    assert(r.getAs[Long]("n_a") === 4L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Long]("n_values") === 6L)
+    assert(r.getAs[Long]("ks_at") === 4L)
+    assert(r.getAs[Long]("ks_ppm") === 500000L)
+    val wide = Profiling.ksDistance(df.repartition(7), "s", "v", "a", "b")
+      .head()
+    assert(wide === r)
+    assert(Profiling.ksDistance(df.where(col("s") === "a"), "s", "v",
+      "a", "b").count() === 0L)
+  }
+
   test("joinSizeEstimate: hot keys exact (incl. worst single key), " +
     "small uniform tail exact below kmvK") {
     import spark.implicits._
