@@ -2651,6 +2651,43 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Bitemporal as-of: each user's value as the store KNEW it on
+    // Jan 21 about state on Jan 20 — corrections (tx = ts + id%48h)
+    // landing after the tx cutoff are invisible, later valid times
+    // excluded; the reproducible-training-snapshot audit query
+    "q180_bitemporal_asof" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(col("user_id"),
+        col("ts").as("valid_from"),
+        expr("timestampadd(HOUR, cast(event_id % 48 AS int), ts)")
+          .as("tx_time"),
+        col("event_id"), col("value"))
+      graft.ops.Sessions.bitemporalAsOf(ch, "user_id", "valid_from",
+        "tx_time", "event_id", "value",
+        validAt = "2024-01-20 00:00:00", txAt = "2024-01-21 00:00:00")
+    }),
+
+    // Hierarchical subtree rollup: total account balance under every
+    // node of the deep customer tree (self + all transitive
+    // descendants) — the org/BOM/category report a one-level groupBy
+    // can't answer; closure in O(log depth) rounds, DECIMAL-exact sums
+    "q179_subtree_rollup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val edges = cust.where(col("c_custkey") >= 1)
+        .select((col("c_custkey") / 2).cast("long").as("parent"),
+          col("c_custkey").cast("long").as("child"))
+      graft.ops.Graphs.subtreeRollup(s, edges, cust, "c_custkey",
+        "c_acctbal", shufflePartitions = Some(8))
+    }),
+
+    // Per-type OLS drift rate of the event value metric: slope over the
+    // epoch-hour axis from five exact integer moment sums in ONE
+    // aggregate — num/den reported exactly, slope is one fixed IEEE
+    // multiply+divide
+    "q178_ols_trend" -> ((s, dir) => {
+      Profiling.groupOlsTrend(t(s, dir, "events"), "event_type", "ts",
+        "value")
+    }),
+
     // Exact two-sample KS distance between en and zh document-length
     // distributions: the unbinned sup-CDF-gap drift gate (integer
     // products in DECIMAL(38,0), exact ppm, argmax value reported);
@@ -5767,6 +5804,70 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // Same (valid_from, tx, id) argmax per user under both cutoffs.
+    "q180_bitemporal_asof" ->
+      """WITH ch AS (
+           SELECT user_id, ts AS valid_from,
+             ts + to_hours(event_id % 48) AS tx_time,
+             event_id, CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         f AS (SELECT * FROM ch
+               WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+                 AND tx_time <= TIMESTAMP '2024-01-21 00:00:00'),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY valid_from DESC, tx_time DESC, event_id DESC)
+                 AS rk
+               FROM f)
+         SELECT user_id, valid_from, tx_time, event_id AS change_id,
+           CAST(v AS DOUBLE) AS value
+         FROM r WHERE rk = 1""",
+    // Recursive closure + self-pairs joined to per-node DECIMAL sums.
+    "q179_subtree_rollup" ->
+      """WITH RECURSIVE edges AS (
+           SELECT CAST(c_custkey // 2 AS BIGINT) AS parent,
+                  CAST(c_custkey AS BIGINT) AS child
+           FROM customer WHERE c_custkey >= 1),
+         anc(ancestor, descendant) AS (
+           SELECT parent, child FROM edges
+           UNION
+           SELECT a.ancestor, e.child FROM anc a
+           JOIN edges e ON a.descendant = e.parent),
+         v AS (SELECT CAST(c_custkey AS BIGINT) AS descendant,
+                 count(*) AS cnt,
+                 sum(CAST(c_acctbal AS DECIMAL(18,2))) AS w
+               FROM customer GROUP BY 1),
+         pairs AS (
+           SELECT ancestor, descendant FROM anc
+           WHERE ancestor <> descendant
+           UNION ALL
+           SELECT descendant, descendant FROM v)
+         SELECT p.ancestor AS node,
+           CAST(sum(v.cnt) AS BIGINT) AS n_subtree,
+           CAST(sum(v.w) AS DOUBLE) AS subtree_total
+         FROM pairs p JOIN v USING (descendant)
+         GROUP BY 1""",
+    // Five HUGEINT moment sums per type over (epoch-hour, value*1e4);
+    // the slope is the identical IEEE multiply+divide tail.
+    "q178_ols_trend" ->
+      """WITH o AS (
+           SELECT event_type,
+             epoch_us(ts) // 3600000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y4
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y4) AS HUGEINT) AS sy4,
+                 CAST(sum(CAST(x AS HUGEINT) * y4) AS HUGEINT) AS sxy4,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+               FROM o GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy4 - sx * sy4 AS BIGINT) AS slope_num_e4,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx <> 0
+             THEN CAST(n * sxy4 - sx * sy4 AS DOUBLE) /
+               (CAST(n * sxx - sx * sx AS DOUBLE) * 10000.0)
+           END AS slope_per_hour
+         FROM s""",
     // Global running CDFs per side over distinct values; sup of the
     // exact integer cross-products in HUGEINT; ties -> largest value.
     "q177_ks_distance" ->

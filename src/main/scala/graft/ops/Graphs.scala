@@ -309,6 +309,42 @@ object Graphs {
           .as("assortativity"))
   }
 
+  /** Hierarchical subtree rollup: for every node of a (parent, child)
+    * hierarchy, the aggregate of a measure over its ENTIRE subtree
+    * (itself plus all transitive descendants) — the org-chart /
+    * bill-of-materials / category-tree report ("total balance under
+    * every manager"), which a plain one-level groupBy(parent) cannot
+    * answer.
+    *
+    * Plan: the distributed transitive closure (prefix-doubled, O(log
+    * depth) rounds — closure/TransitiveClosure.scala) expands each node
+    * to its descendant set, self-pairs are unioned in, and one keyed
+    * aggregation sums the measure per ancestor — no per-level driver
+    * loop over the tree, and the measure is DECIMAL-summed so the
+    * rolled-up totals are engine-exact. Nodes with no value rows
+    * anywhere in their subtree are absent (nothing to report). */
+  def subtreeRollup(spark: SparkSession, edges: DataFrame,
+      values: DataFrame, nodeCol: String, valueCol: String,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val closure = graft.closure.TransitiveClosure
+      .closureLong(spark, edges, shufflePartitions = shufflePartitions)
+    // pre-aggregate values per node: the closure join then carries one
+    // row per (ancestor, valued-descendant), and the self-pairs are
+    // distinct by construction even under multi-row-per-node inputs
+    val vAgg = values
+      .select(col(nodeCol).cast("long").as("descendant"),
+        col(valueCol).cast("decimal(18,2)").as("w"))
+      .groupBy(col("descendant"))
+      .agg(count(lit(1)).as("cnt"), sum(col("w")).as("w"))
+    val pairs = closure.select(col("ancestor"), col("descendant"))
+      .unionAll(vAgg.select(col("descendant").as("ancestor"),
+        col("descendant")))
+    pairs.join(vAgg, Seq("descendant"))
+      .groupBy(col("ancestor").as("node"))
+      .agg(sum(col("cnt")).as("n_subtree"),
+        sum(col("w")).cast("double").as("subtree_total"))
+  }
+
   /** The customer–supplier interaction graph: an undirected bipartite
     * edge per distinct (o_custkey, l_suppkey) trading pair, encoded
     * customers = 2k, suppliers = 2k+1. */

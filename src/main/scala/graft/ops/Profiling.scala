@@ -267,6 +267,46 @@ object Profiling {
           .as("share"))
   }
 
+  /** Per-group OLS trend of a metric over time — "is this metric
+    * drifting, and how fast?" as a number per key, the regression
+    * sibling of [[trendReport]]'s period ratios: slope of value against
+    * the absolute hour index, from the five moment sums in ONE
+    * map-side-combined aggregate per group (no window, no sort, no
+    * second pass).
+    *
+    * Exactness: x = epoch-hour (exact integer), y snapped to
+    * DECIMAL(18,4) then scaled to exact 1e-4-unit integers, so every
+    * sum and cross-product is scale-0 integer arithmetic (DECIMAL(38,0)
+    * — no engine-specific decimal scale rules anywhere); num/den are
+    * reported exactly so the arithmetic is auditable, and the slope
+    * itself (value units per hour) is one fixed IEEE multiply+divide,
+    * bit-identical across engines. Null for single-point or
+    * zero-time-variance groups. */
+  def groupOlsTrend(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val obs = df.select(col(groupCol),
+        expr(s"unix_micros($tsCol) div 3600000000").as("x"),
+        (col(valueCol).cast("decimal(18,4)") * 10000).cast("long")
+          .as("y4"))
+      .where(col("x").isNotNull && col("y4").isNotNull)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val sums = obs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y4")).as("sy4"),
+        sum(d(col("x")) * col("y4")).as("sxy4"),
+        sum(d(col("x")) * col("x")).as("sxx"))
+    val num = d(col("n")) * d(col("sxy4")) - d(col("sx")) * d(col("sy4"))
+    val den = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    sums.select(col(groupCol), col("n"),
+      // exact internally; the reported diagnostics are BIGINT (an
+      // overflow at astronomic scale fails loudly under ANSI rather
+      // than silently rounding)
+      num.cast("long").as("slope_num_e4"),
+      den.cast("long").as("slope_den"),
+      when(den =!= 0, num.cast("double") /
+        (den.cast("double") * lit(10000.0))).as("slope_per_hour"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov distance between two cohorts'
     * integer-value distributions — the unbinned companion to
     * [[driftReport]]: the supremum CDF gap sees shape drift that a

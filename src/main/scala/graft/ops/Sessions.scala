@@ -426,6 +426,35 @@ object Sessions {
     * hour-start instant, which is the peak when the hour only drains.
     * Boundary ties order ends (−1) before starts (+1): half-open
     * intervals, back-to-back sessions never overlap. */
+  /** Bitemporal as-of reconstruction — "what did the store believe AT
+    * transaction time txAt ABOUT state at valid time validAt?": the
+    * audit query behind reproducible training snapshots. [[scd2]] /
+    * [[locfEnrich]] answer valid-time questions against today's log;
+    * this one also rolls TRANSACTION time back, so a feature pipeline
+    * re-run for a historical date ignores corrections that arrived
+    * after that run's cutoff — exactly how you reproduce (or debug)
+    * what a past model actually saw.
+    *
+    * Per key, the winning change maximizes (valid_from, tx_time, id)
+    * among rows with valid_from <= validAt and tx_time <= txAt — one
+    * filtered scan + one max-struct aggregate (map-side combinable, no
+    * window, no join); the unique id makes ties deterministic and the
+    * value rides in the struct tail, never compared. */
+  def bitemporalAsOf(changes: DataFrame, keyCol: String,
+      validFromCol: String, txCol: String, idCol: String,
+      valueCol: String, validAt: String, txAt: String): DataFrame = {
+    changes
+      .where(col(validFromCol) <= lit(validAt).cast("timestamp") &&
+        col(txCol) <= lit(txAt).cast("timestamp"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col(validFromCol).as("vf"), col(txCol).as("tx"),
+        col(idCol).as("id"),
+        col(valueCol).cast("decimal(18,4)").as("v"))).as("m"))
+      .select(col(keyCol), col("m.vf").as("valid_from"),
+        col("m.tx").as("tx_time"), col("m.id").as("change_id"),
+        col("m.v").cast("double").as("value"))
+  }
+
   /** Lag-k autocorrelation of the per-hour event-count series — the
     * seasonality probe next to the Fano burstiness stat: a strong r at
     * lag 24 is daily periodicity, a slow decay is trend, near-zero at

@@ -148,4 +148,23 @@ class GraphsSpec extends SparkSuite {
     // degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; one triangle (1,2,3)
     assert(a === ((4L, 4L, 5L, 1L)))
   }
+
+  test("subtreeRollup: hand-computed totals on a 3-level tree; " +
+    "multi-row nodes aggregate before expansion") {
+    import spark.implicits._
+    //        1(10)
+    //       /    \
+    //     2(20)  3(30+5: two rows)
+    //     /
+    //   4(40)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("parent", "child")
+    val values = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (3L, 5.0),
+      (4L, 40.0)).toDF("node", "bal")
+    val out = Graphs.subtreeRollup(spark, edges, values, "node", "bal")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(
+      1L -> (5L, 105.0), 2L -> (2L, 60.0), 3L -> (2L, 35.0),
+      4L -> (1L, 40.0)))
+  }
 }

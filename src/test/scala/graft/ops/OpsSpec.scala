@@ -1389,6 +1389,32 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(shares - 1.0) < 1e-6)
   }
 
+  test("bitemporalAsOf: tx rollback hides late corrections; valid " +
+    "rollback hides future state") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: original value at Jan 10 (tx Jan 10), corrected on Jan 25
+    // (tx Jan 25, same valid_from), future state Jan 22.
+    val ch = Seq(
+      (1L, ts("2024-01-10 00:00:00"), ts("2024-01-10 00:00:00"), 1L, 100.0),
+      (1L, ts("2024-01-10 00:00:00"), ts("2024-01-25 00:00:00"), 2L, 999.0),
+      (1L, ts("2024-01-22 00:00:00"), ts("2024-01-22 00:00:00"), 3L, 50.0),
+      (2L, ts("2024-01-05 00:00:00"), ts("2024-01-06 00:00:00"), 4L, 7.0))
+      .toDF("k", "valid_from", "tx_time", "id", "v")
+    // As known Jan 21 about Jan 20: key 1 sees the ORIGINAL 100.0
+    val asOf = Sessions.bitemporalAsOf(ch, "k", "valid_from", "tx_time",
+        "id", "v", "2024-01-20 00:00:00", "2024-01-21 00:00:00")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(asOf === Map(1L -> (1L, 100.0), 2L -> (4L, 7.0)))
+    // As known TODAY about Jan 20: the correction wins, same valid row
+    val now = Sessions.bitemporalAsOf(ch, "k", "valid_from", "tx_time",
+        "id", "v", "2024-01-20 00:00:00", "2024-12-31 00:00:00")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(now(1L) === ((2L, 999.0)))
+  }
+
   test("ksDistance: hand-computed sup gap, identical across partition " +
     "widths; one-sided input returns empty") {
     import spark.implicits._
