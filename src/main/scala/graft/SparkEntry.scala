@@ -2651,6 +2651,46 @@ object SparkEntry {
           col("deg"), col("rank").as("rank_fp"))
     }),
 
+    // Exact global order statistics with NO global sort: p1/p25/p50/
+    // p75/p99 of lineitem prices in cents via distinct-value counts +
+    // the blocked prefix sum + rank-containment lookup — the p99
+    // primitive that never serializes through one reducer
+    "q184_exact_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      graft.ops.Sketches.exactQuantiles(li, "cents",
+        Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
+    }),
+
+    // Operating-point selection: lowest length threshold whose kept
+    // set is >= 44%/46% English — turning a score into a keep/drop
+    // gate at promised purity; descending blocked prefix sweep, exact
+    // ppm, min-struct winner per target
+    "q183_precision_threshold" -> ((s, dir) => {
+      Profiling.precisionThreshold(t(s, dir, "documents"), "n_chars",
+        col("lang") === "en", Seq(440000L, 460000L))
+    }),
+
+    // Quantization recall ablation: per-query top-10 under int8-range
+    // (x16) vs reference (x1e4) integer quantization, exact recall@10
+    // in ppm — the "can I ship int8 embeddings" measurement; both
+    // precisions scored in ONE corpus pass
+    "q182_quantization_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizationRecall(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
+    // Partition-agreement QA: exact pair-counting Rand index + purity
+    // between the source and lang labelings of the corpus (the
+    // dedup-cluster / relabel-run alignment check), all combinatorics
+    // on the tiny contingency table
+    "q181_partition_agreement" -> ((s, dir) => {
+      Profiling.partitionAgreement(t(s, dir, "documents"), "source",
+        "lang")
+    }),
+
     // Bitemporal as-of: each user's value as the store KNEW it on
     // Jan 21 about state on Jan 20 — corrections (tx = ts + id%48h)
     // landing after the tx cutoff are invisible, later valid times
@@ -5804,6 +5844,122 @@ object SparkEntry {
              AS node_type,
            node // 2 AS node_key, deg, rank AS rank_fp
          FROM st3""",
+    // Naive oracle: one global row_number over cents; value at 0-based
+    // rank ceil(p*n)-1 per fraction.
+    "q184_exact_quantiles" ->
+      """WITH s AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS cents
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1
+                 AS rn
+               FROM s),
+         n AS (SELECT count(*) AS n_rows FROM s),
+         t AS (SELECT * FROM (VALUES (1, 100), (1, 4), (1, 2), (3, 4),
+                 (99, 100)) AS v(p_num, p_den))
+         SELECT t.p_num, t.p_den,
+           CAST((t.p_num * n.n_rows + t.p_den - 1) // t.p_den - 1
+             AS BIGINT) AS rank,
+           r.cents AS value, n.n_rows
+         FROM t, n
+         JOIN r ON r.rn = (t.p_num * n.n_rows + t.p_den - 1)
+           // t.p_den - 1""",
+    // Descending cumulative (kept, positives) over distinct scores;
+    // per target the lowest qualifying threshold wins.
+    "q183_precision_threshold" ->
+      """WITH s AS (
+           SELECT CAST(n_chars AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents WHERE n_chars IS NOT NULL),
+         per AS (SELECT v, count(*) AS c, sum(pos) AS p
+                 FROM s GROUP BY v),
+         cum AS (SELECT v,
+                   CAST(sum(c) OVER (ORDER BY v DESC) AS BIGINT)
+                     AS n_kept,
+                   CAST(sum(p) OVER (ORDER BY v DESC) AS BIGINT)
+                     AS n_pos
+                 FROM per),
+         pr AS (SELECT v, n_kept, n_pos,
+                  CAST(n_pos * 1000000 // n_kept AS BIGINT)
+                    AS precision_ppm
+                FROM cum),
+         t AS (SELECT CAST(unnest([440000, 460000]) AS BIGINT)
+                 AS target_ppm),
+         j AS (SELECT t.target_ppm, pr.v, pr.n_kept, pr.n_pos,
+                 pr.precision_ppm,
+                 row_number() OVER (PARTITION BY t.target_ppm
+                   ORDER BY pr.v) AS rk
+               FROM t JOIN pr ON pr.precision_ppm >= t.target_ppm)
+         SELECT target_ppm, v AS threshold, n_kept, n_pos,
+           precision_ppm
+         FROM j WHERE rk = 1""",
+    // Both integer-dot rankings rebuilt relationally; recall is the
+    // size of the rank<=10 intersection per query.
+    "q182_quantization_recall" ->
+      """WITH d AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 10000)) AS vh,
+             list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) * 16)) AS vl
+           FROM embeddings),
+         q AS (SELECT * FROM d WHERE id < 5),
+         p AS (SELECT q.id AS query_id, c.id AS corpus_id,
+                 list_sum(list_transform(range(1, len(c.vh) + 1),
+                   i -> c.vh[i] * q.vh[i])) AS dh,
+                 list_sum(list_transform(range(1, len(c.vl) + 1),
+                   i -> c.vl[i] * q.vl[i])) AS dl
+               FROM d c, q),
+         rh AS (SELECT query_id, corpus_id, row_number()
+                  OVER (PARTITION BY query_id
+                    ORDER BY dh DESC, corpus_id) AS rk
+                FROM p),
+         rl AS (SELECT query_id, corpus_id, row_number()
+                  OVER (PARTITION BY query_id
+                    ORDER BY dl DESC, corpus_id) AS rk
+                FROM p),
+         th AS (SELECT query_id, corpus_id FROM rh WHERE rk <= 10),
+         tl AS (SELECT query_id, corpus_id FROM rl WHERE rk <= 10),
+         nh AS (SELECT query_id, CAST(count(*) AS INT) AS n_hi
+                FROM th GROUP BY 1),
+         nl AS (SELECT query_id, CAST(count(*) AS INT) AS n_lo
+                FROM tl GROUP BY 1),
+         cm AS (SELECT query_id, count(*) AS n_common
+                FROM th JOIN tl USING (query_id, corpus_id) GROUP BY 1)
+         SELECT nh.query_id, nh.n_hi, nl.n_lo,
+           CAST(coalesce(cm.n_common, 0) AS INT) AS n_common,
+           CAST(coalesce(cm.n_common, 0) * 1000000 // nh.n_hi AS BIGINT)
+             AS recall_ppm
+         FROM nh JOIN nl USING (query_id)
+         LEFT JOIN cm USING (query_id)""",
+    // Contingency-table combinatorics with doubled pair counts
+    // (n(n-1)) so everything stays integral; HUGEINT throughout.
+    "q181_partition_agreement" ->
+      """WITH ct AS (
+           SELECT source AS a, lang AS b, count(*) AS n
+           FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         aside AS (SELECT count(*) AS n_clusters_a,
+                     sum(CAST(na AS HUGEINT) * (na - 1)) AS r2
+                   FROM (SELECT a, sum(n) AS na FROM ct GROUP BY a)),
+         bside AS (SELECT count(*) AS n_clusters_b,
+                     sum(CAST(nb AS HUGEINT) * (nb - 1)) AS c2
+                   FROM (SELECT b, sum(n) AS nb FROM ct GROUP BY b)),
+         cells AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                     sum(CAST(n AS HUGEINT) * (n - 1)) AS a2
+                   FROM ct),
+         pur AS (SELECT CAST(sum(mx) AS BIGINT) AS pur
+                 FROM (SELECT a, max(n) AS mx FROM ct GROUP BY a))
+         SELECT n_rows, n_clusters_a, n_clusters_b,
+           CAST((CAST(n_rows AS HUGEINT) * (n_rows - 1)
+               + 2 * a2 - r2 - c2) * 1000000 //
+             (CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS BIGINT)
+             AS rand_ppm,
+           CAST(CAST(pur AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+             AS purity_ppm
+         FROM cells, aside, bside, pur
+         WHERE n_rows > 1""",
     // Same (valid_from, tx, id) argmax per user under both cutoffs.
     "q180_bitemporal_asof" ->
       """WITH ch AS (

@@ -267,6 +267,116 @@ object Profiling {
           .as("share"))
   }
 
+  /** Operating-point selection for a score-based filter: for each target
+    * precision, the LOWEST threshold t (maximum recall) such that rows
+    * with score >= t are at least target-ppm positive — how you turn a
+    * quality-classifier score into an actual keep/drop gate at a
+    * promised purity, without eyeballing a PR curve.
+    *
+    * Exact: per distinct score, (count, positives) from one groupBy;
+    * the cumulative "kept/positives at threshold v" sweep runs as the
+    * two-phase blocked prefix sum DESCENDING over the score's bit-length
+    * blocks (offsets from higher blocks broadcast, per-block parallel
+    * windows — no single-reducer window); precision is integer ppm and
+    * the winning threshold per target is one min-struct aggregate.
+    * Unachievable targets emit no row. */
+  def precisionThreshold(df: DataFrame, scoreCol: String, label: Column,
+      targets: Seq[Long]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t >= 0 &&
+      t <= 1000000L), s"targets must be ppm in [0, 1e6]: $targets")
+    val per = df.select(col(scoreCol).cast("long").as("v"),
+        when(label, 1L).otherwise(0L).as("pos"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    // descending sweep: offsets accumulate from the HIGHEST block down
+    val blockTotals = per.groupBy(col("block"))
+      .agg(sum(col("c")).as("tc"), sum(col("p")).as("tp"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1),
+        r.getLong(2))).sortBy(-_._1)
+    if (blockTotals.isEmpty) {
+      return per.select(lit(0L).as("target_ppm"), col("v").as("threshold"),
+        lit(0L).as("n_kept"), lit(0L).as("n_pos"),
+        lit(0L).as("precision_ppm")).limit(0)
+    }
+    var accC = 0L; var accP = 0L
+    val offC = scala.collection.mutable.Map.empty[Long, Long]
+    val offP = scala.collection.mutable.Map.empty[Long, Long]
+    blockTotals.foreach { case (b, tc, tp) =>
+      offC(b) = accC; offP(b) = accP; accC += tc; accP += tp
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("block")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pr = per.select(col("v"),
+        (sum(col("c")).over(w) +
+          element_at(typedLit(offC.toMap), col("block").cast("long")))
+          .as("n_kept"),
+        (sum(col("p")).over(w) +
+          element_at(typedLit(offP.toMap), col("block").cast("long")))
+          .as("n_pos"))
+      .withColumn("precision_ppm",
+        expr("n_pos * 1000000L div n_kept"))
+      .localCheckpoint(eager = false)
+    targets.map { t =>
+      pr.where(col("precision_ppm") >= t)
+        .groupBy(lit(t).as("target_ppm"))
+        .agg(min(struct(col("v"), col("n_kept"), col("n_pos"),
+          col("precision_ppm"))).as("m"))
+        .select(col("target_ppm"), col("m.v").as("threshold"),
+          col("m.n_kept"), col("m.n_pos"), col("m.precision_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Agreement between two partitionings of the same rows — the QA stat
+    * for any clustering pipeline: how well do near-dup clusters align
+    * with known groups, a new labeling with the previous run, a cheap
+    * clustering with an expensive one? Reports the EXACT pair-counting
+    * Rand index (fraction of row pairs on which the partitions agree —
+    * together in both or apart in both) and purity (each A-cluster
+    * votes its dominant B-label), both in exact ppm.
+    *
+    * All combinatorics run on the CONTINGENCY table (one
+    * groupBy(a,b).count — the only pass over the data; everything after
+    * is |A-labels|·|B-labels| rows): a = ΣC(n_ij,2), r = ΣC(n_i·,2),
+    * c = ΣC(n_·j,2), RI = (C(n,2) + 2a − r − c)/C(n,2); pair counts in
+    * DECIMAL(38,0) so n up to 10^18 rows cannot overflow. */
+  def partitionAgreement(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val ct = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def pairs(c: Column) = (d(c) * (d(c) - 1)).cast("decimal(38,0)")
+    val aSide = ct.groupBy(col("a")).agg(sum(col("n")).as("na"))
+      .agg(count(lit(1)).as("n_clusters_a"),
+        sum(pairs(col("na"))).as("r2"))
+    val bSide = ct.groupBy(col("b")).agg(sum(col("n")).as("nb"))
+      .agg(count(lit(1)).as("n_clusters_b"),
+        sum(pairs(col("nb"))).as("c2"))
+    val cells = ct.agg(sum(col("n")).as("n_rows"),
+      sum(pairs(col("n"))).as("a2"))
+    val purity = ct.groupBy(col("a"))
+      .agg(max(col("n")).as("mx"))
+      .agg(sum(col("mx")).as("pur"))
+    // (doubled pair counts throughout: C(n,2)·2 = n(n-1), so nothing
+    // is halved and everything stays integral)
+    cells.crossJoin(broadcast(aSide)).crossJoin(broadcast(bSide))
+      .crossJoin(broadcast(purity))
+      .where(col("n_rows") > 1)
+      .select(col("n_rows"), col("n_clusters_a"), col("n_clusters_b"),
+        expr("(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1) " +
+          "+ 2 * a2 - r2 - c2) * 1000000 div " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1))").as("rand_ppm"),
+        expr("CAST(pur * 1000000 AS DECIMAL(38,0)) div n_rows")
+          .as("purity_ppm"))
+  }
+
   /** Per-group OLS trend of a metric over time — "is this metric
     * drifting, and how fast?" as a number per key, the regression
     * sibling of [[trendReport]]'s period ratios: slope of value against

@@ -575,6 +575,50 @@ object Similarity {
           .otherwise(lit(0.0)), 4).as("proto_score"))
   }
 
+  /** Quantization recall ablation — the measurement you run BEFORE
+    * shipping int8 embeddings: for each query, top-k under coarse
+    * (int8-range, `loScale`) quantization vs fine (`hiScale`) reference
+    * quantization, and recall@k of the coarse list against the fine
+    * one. At 100 TB the index memory/bandwidth win of int8 is 4×; this
+    * op tells you what it costs in retrieval quality, per query, before
+    * any index is rebuilt.
+    *
+    * Both rankings are exact integer dot products (ties by id), so
+    * recall is engine-exact ppm — no float reduction order anywhere.
+    * One broadcast join scores BOTH precisions in a single corpus pass;
+    * the two bounded top-k aggregates share the shuffle. */
+  def quantizationRecall(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, hiScale: Int = 10000,
+      loScale: Int = 16): DataFrame = {
+    require(k >= 1 && hiScale > loScale && loScale >= 1,
+      s"need k >= 1 and hiScale > loScale >= 1, got $k/$hiScale/$loScale")
+    def qz(vec: Column, s: Int) =
+      transform(vec, x => round(x.cast("double") * s))
+    val c = widenForCompute(corpus).select(col(corpusId).as("corpus_id"),
+      qz(col(corpusVec), hiScale).as("cvh"),
+      qz(col(corpusVec), loScale).as("cvl"))
+    val q = queries.select(col(queryId).as("query_id"),
+      qz(col(queryVec), hiScale).as("qvh"),
+      qz(col(queryVec), loScale).as("qvl"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("cvh"), col("qvh")).as("dh"),
+        dot(col("cvl"), col("qvl")).as("dl"))
+    scored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("dh").cast("double"),
+          col("corpus_id"), k).as("th"),
+        GraftFunctions.topKByScore(col("dl").cast("double"),
+          col("corpus_id"), k).as("tl"))
+      .select(col("query_id"),
+        size(col("th")).as("n_hi"), size(col("tl")).as("n_lo"),
+        size(array_intersect(
+          transform(col("th"), x => x.getField("id")),
+          transform(col("tl"), x => x.getField("id")))).as("n_common"))
+      .withColumn("recall_ppm",
+        expr("n_common * 1000000L div n_hi"))
+  }
+
   /** Reciprocal-rank fusion of per-query retrieval lists — the standard
     * way to combine multiple rankers (query reformulations, hybrid
     * lexical+vector, per-shard lists) into one consensus ranking:

@@ -217,6 +217,60 @@ object Sketches {
       .unionAll(level("total", keep1 = false, keep2 = false))
   }
 
+  /** EXACT global quantiles WITHOUT a global sort — the order-statistic
+    * primitive behind "p99 latency", "median document length", SLA
+    * reporting: at 100 TB a global ORDER BY serializes through one
+    * reducer; this computes exact type-1 quantiles (value at 0-based
+    * rank ⌈p·n⌉−1) from one groupBy over DISTINCT values, the blocked
+    * two-phase prefix sum (bit-length blocks → ≤64 subtotals on the
+    * driver → per-block parallel windows + broadcast offsets), and a
+    * rank-containment filter: the value v whose cumulative range
+    * [cum−cnt, cum) covers the target rank IS the order statistic — no
+    * sort of the data, no interpolation ambiguity, engine-exact.
+    *
+    * Fractions are (num, den) pairs so the rank index is pure integer
+    * arithmetic. Output: one row per fraction (p_num, p_den, rank,
+    * value, n_rows). Empty input → empty result. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) =>
+      n >= 1 && n <= d }, s"fractions must satisfy 1 <= num <= den: $ps")
+    val per = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val blockTotals = per.groupBy(col("block"))
+      .agg(sum(col("c")).as("tc"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+      .sortBy(_._1)
+    if (blockTotals.isEmpty) {
+      return per.select(lit(0).as("p_num"), lit(1).as("p_den"),
+        lit(0L).as("rank"), col("v").as("value"), lit(0L).as("n_rows"))
+        .limit(0)
+    }
+    var acc = 0L
+    val off = scala.collection.mutable.Map.empty[Long, Long]
+    blockTotals.foreach { case (b, tc) => off(b) = acc; acc += tc }
+    val n = acc
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("block")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("v"), col("c"),
+        (sum(col("c")).over(w) +
+          element_at(typedLit(off.toMap), col("block").cast("long")))
+          .as("cum"))
+      .localCheckpoint(eager = false)
+    ps.map { case (num, den) =>
+      // 0-based rank ceil(p*n) - 1 in pure integer arithmetic
+      val rk = (num.toLong * n + den - 1) / den - 1
+      cum.where(col("cum") - col("c") <= rk && col("cum") > rk)
+        .select(lit(num).as("p_num"), lit(den).as("p_den"),
+          lit(rk).as("rank"), col("v").as("value"), lit(n).as("n_rows"))
+    }.reduce(_ unionAll _)
+  }
+
   /** EXACT heavy hitters (frequency · k > N) via a two-phase
     * Misra–Gries sweep — the frequent-token / hot-key report that at
     * 100 TB cannot be answered with a plain `groupBy(token).count()`:

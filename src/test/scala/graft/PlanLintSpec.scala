@@ -49,7 +49,17 @@ class PlanLintSpec extends SparkSuite {
     "q154_phrase_lift",   // one-row corpus token-total frame
     "q160_negative_sampling", // one-row item-domain-bounds frame
     "q166_ind_discovery",  // one-row ndv/missing count frames
-    "q167_degree_assortativity" // one-row correlation-sums frame
+    "q167_degree_assortativity", // one-row correlation-sums frame
+    "q171_kmv_rollup",     // rolled-away dims fold to literal NULLs, so
+                           // the per-level count⨝sketch stitch (one row
+                           // per level cell, |cells| tiny) loses its
+                           // equi-keys at the coarser levels
+    "q172_benford_audit",  // one-row share-denominator totals frame
+    "q176_join_size_estimate", // one-row totals/ndv/hot-stats frames
+    "q181_partition_agreement", // one-row contingency-summary frames
+    "q182_quantization_recall"  // the ANN query set broadcasts (q26's
+                           // pattern): corpus scored map-side once for
+                           // both precisions, bounded top-k reduce
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -1389,6 +1389,75 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(shares - 1.0) < 1e-6)
   }
 
+  test("precisionThreshold: lowest qualifying threshold per target; " +
+    "unachievable targets emit nothing") {
+    import spark.implicits._
+    // scores desc: 10(+), 9(+), 8(-), 7(+), 6(-), 5(-)
+    // cum prec: 1e6, 1e6, 666666, 750000, 600000, 500000
+    val df = Seq((10, 1), (9, 1), (8, 0), (7, 1), (6, 0), (5, 0))
+      .toDF("score", "pos")
+    val out = Profiling.precisionThreshold(df, "score",
+        col("pos") === 1, Seq(700000L, 990000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 700000: threshold 7 qualifies (750000) and is lowest; 6 doesn't
+    assert(out(700000L) === ((7L, 4L, 3L, 750000L)))
+    // 990000: only 9 and 10 qualify -> lowest is 9
+    assert(out(990000L) === ((9L, 2L, 2L, 1000000L)))
+    // a target no prefix reaches emits no row
+    val none = Profiling.precisionThreshold(
+      Seq((10, 0), (9, 1)).toDF("score", "pos"), "score",
+      col("pos") === 1, Seq(600000L))
+    assert(none.count() === 0L)
+  }
+
+  test("partitionAgreement: identical partitions -> RI 1e6; " +
+    "hand-computed mixed case") {
+    import spark.implicits._
+    val same = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Profiling.partitionAgreement(same, "a", "b").head()
+    assert(r1.getAs[Long]("rand_ppm") === 1000000L)
+    assert(r1.getAs[Long]("purity_ppm") === 1000000L)
+    // A = {1,2},{3,4}; B = {1,2,3},{4}: n=4, C(4,2)=6 pairs.
+    // together-both: (1,2) -> a=1; together-A: 2; together-B: 3+0=3...
+    // doubled: a2=2, r2=4, c2=6+0=6, n(n-1)=12
+    // RI = (12 + 4 - 4 - 6)/12 = 6/12 -> 500000 ppm
+    // purity: cluster {1,2} max overlap 2, {3,4} max 1+... max(1,1)=1
+    //   -> wait {3,4}: 3->B1, 4->B2 -> max 1; (2+1)/4 = 750000
+    val mixed = Seq((1, "a1", "b1"), (2, "a1", "b1"), (3, "a2", "b1"),
+      (4, "a2", "b2")).toDF("id", "a", "b")
+    val r2 = Profiling.partitionAgreement(mixed, "a", "b").head()
+    assert(r2.getAs[Long]("n_rows") === 4L)
+    assert(r2.getAs[Long]("rand_ppm") === 500000L)
+    assert(r2.getAs[Long]("purity_ppm") === 750000L)
+  }
+
+  test("quantizationRecall: coarse scale collapses near-ties -> " +
+    "measurable recall loss; identical scales give 1e6") {
+    import spark.implicits._
+    // q = (1, 0). Fine x1000: c1 = .9 (900), c2 = .899 (899) ->
+    // c1 before c2. Coarse x10: both 9 -> tie -> id order keeps c1,c2
+    // same set; recall@2 = 1e6. But top-1: fine picks c1, coarse ties
+    // c1 (id asc) -> still 1e6. Plant a real inversion for k=1:
+    // c3 = (.86, .5), c4 = (.94, -.5): fine dots 860 vs 940 -> c4;
+    // coarse x2: round(.86*2)=2, round(.94*2)=2, second dim 0 -> tie
+    // -> id asc picks c3: recall@1 = 0.
+    val corpus = Seq((3L, Seq(0.86f, 0.5f)), (4L, Seq(0.94f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizationRecall(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1, hiScale = 1000, loScale = 2)
+      .head()
+    assert(r.getAs[Int]("n_hi") === 1 && r.getAs[Int]("n_lo") === 1)
+    assert(r.getAs[Int]("n_common") === 0)
+    assert(r.getAs[Long]("recall_ppm") === 0L)
+    val full = Similarity.quantizationRecall(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 2,
+      hiScale = 1000, loScale = 2).head()
+    assert(full.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
   test("bitemporalAsOf: tx rollback hides late corrections; valid " +
     "rollback hides future state") {
     import spark.implicits._

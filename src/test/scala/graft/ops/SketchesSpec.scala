@@ -49,6 +49,27 @@ class SketchesSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("exactQuantiles: order statistics match a sorted array at every " +
+    "fraction; invariant to partitioning") {
+    import spark.implicits._
+    val vals = (1 to 997).map(i => (i * 7919) % 1000)
+    val df = vals.toDF("v")
+    val ps = Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1))
+    val out = Sketches.exactQuantiles(df, "v", ps)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val sorted = vals.sorted
+    ps.foreach { case (num, den) =>
+      val rk = ((num.toLong * 997 + den - 1) / den - 1).toInt
+      assert(out((num, den)) === ((rk.toLong, sorted(rk).toLong)),
+        s"fraction $num/$den")
+    }
+    val wide = Sketches.exactQuantiles(df.repartition(13), "v", ps)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(wide === out)
+  }
+
   test("kmv rollup: merged level sketches equal direct sketches") {
     // 3 days x 2 types, values overlapping across cells so the rollup
     // actually merges (distinct-of-union != sum of cell distincts).
