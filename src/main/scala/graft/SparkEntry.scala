@@ -2663,6 +2663,130 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // MMR diversified re-ranking: greedy lambda*rel - (1-lambda)*maxSim
+    // selection over per-query top-12 candidates — integer dots, the
+    // greedy recurrence unrolled as candidate-bounded relational steps;
+    // corpus work is one broadcast scoring pass, never reshuffled
+    "q190_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrRerank(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding",
+        candidateK = 12, selectK = 5)
+    }),
+
+    // Hilbert-curve layout audit: the continuous space-filling key
+    // (tighter per-file coordinate ranges than q65's Z-order — no
+    // quadrant-boundary jumps), unrolled integer walk, per-block
+    // row/cell counts and coordinate spans as the pruning evidence
+    "q191_hilbert_layout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(256L)).as("hx"),
+        pmod(col("l_suppkey"), lit(256L)).as("hy"))
+      graft.ops.Layout.withHilbertValue(li, "hx", "hy", 8)
+        .groupBy(expr("hval div 256").as("block"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("hx"), col("hy")).as("n_cells"),
+          min(col("hval")).as("h_min"), max(col("hval")).as("h_max"),
+          (max(col("hx")) - min(col("hx"))).as("x_span"),
+          (max(col("hy")) - min(col("hy"))).as("y_span"))
+    }),
+
+    // CUSUM mean-shift changepoint per event type: argmax |m*prefix_j
+    // - j*total| over the hourly series — all integer, the hourly
+    // frame is time-domain-sized, groups scan in parallel
+    "q192_cusum_changepoint" -> ((s, dir) => {
+      graft.ops.Sessions.cusumChangepoint(t(s, dir, "events"),
+        "event_type", "ts")
+    }),
+
+    // Business-day (Mon-Fri) order->ship lag histogram per priority:
+    // closed-form weekday counting — one codegen'd expression, no
+    // calendar dimension, no join beyond the natural orderkey join
+    "q193_business_day_lag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))" +
+          " div 86400000000").as("sd"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000").as("od"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          Profiling.businessDaysBetween(col("od"), col("sd"))
+            .as("bd_lag"))
+        .groupBy(col("o_orderpriority"), col("bd_lag"))
+        .agg(count(lit(1)).as("n_lineitems"))
+    }),
+
+    // RFM segmentation: every customer scored 1-5 on recency /
+    // frequency / monetary by EXACT min-rank quintiles (blocked prefix
+    // sum, no ntile, no single-reducer window), segment grid with
+    // exact cent totals
+    "q185_rfm_segments" -> ((s, dir) => {
+      Profiling.rfmSegments(t(s, dir, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice", buckets = 5)
+    }),
+
+    // Top-20 session paths: ordered event-type sequences of 30-minute
+    // gap sessions (first 8 steps), counted and ranked — discovers the
+    // journeys the funnel only hypothesizes; bounded collect per
+    // session, TakeOrdered final
+    "q186_top_paths" -> ((s, dir) => {
+      graft.ops.Sessions.topPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800, maxLen = 8,
+        topK = 20)
+    }),
+
+    // Exact trailing-24h distinct active users at every observed hour
+    // WITHOUT per-hour window rescans: per-user coverage islands ->
+    // +1/-1 boundary deltas -> one blocked prefix sweep; the exact
+    // "rolling DAU" the HLL version only approximates
+    "q187_sliding_distinct" -> ((s, dir) => {
+      graft.ops.Sessions.slidingDistinct(t(s, dir, "events"), "ts",
+        "user_id", windowHours = 24)
+    }),
+
+    // Market-basket association rules over order baskets: apriori
+    // item prune, within-basket pairs only (never item-domain
+    // quadratic), exact ppm confidence/lift, both directions, top-25
+    "q188_association_rules" -> ((s, dir) => {
+      Profiling.associationRules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minPairCount = 2, topK = 25)
+    }),
+
+    // Golden-record survivorship: the CRM master (precedence 0, epoch
+    // ts), the order-header feed (precedence 1, orderdate ts) and a
+    // corrections feed (precedence 2, finalized orders only) merged
+    // into one profile per customer — precedence first, then recency,
+    // then order-key tie; one max-struct aggregate, no rescans
+    "q189_golden_record" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val epoch0 = lit("1970-01-01 00:00:00").cast("timestamp")
+      val master = cust.select(col("c_custkey").as("k"),
+          lit("segment").as("a"), col("c_mktsegment").as("v"),
+          lit(0).as("p"), epoch0.as("uts"),
+          col("c_custkey").cast("long").as("tie"))
+        .unionAll(cust.select(col("c_custkey").as("k"),
+          lit("name").as("a"), col("c_name").as("v"), lit(0).as("p"),
+          epoch0.as("uts"), col("c_custkey").cast("long").as("tie")))
+      val feed = ord.select(col("o_custkey").as("k"),
+          lit("status").as("a"), col("o_orderstatus").as("v"),
+          lit(1).as("p"), col("o_orderdate").as("uts"),
+          col("o_orderkey").as("tie"))
+        .unionAll(ord.select(col("o_custkey").as("k"),
+          lit("priority").as("a"), col("o_orderpriority").as("v"),
+          lit(1).as("p"), col("o_orderdate").as("uts"),
+          col("o_orderkey").as("tie")))
+      val corrections = ord.where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"), lit("status").as("a"),
+          lit("FINAL").as("v"), lit(2).as("p"),
+          col("o_orderdate").as("uts"), col("o_orderkey").as("tie"))
+      Profiling.goldenRecord(
+        master.unionAll(feed).unionAll(corrections),
+        "k", "a", "v", "p", "uts", "tie")
+    }),
+
     // Operating-point selection: lowest length threshold whose kept
     // set is >= 44%/46% English — turning a score into a keep/drop
     // gate at promised purity; descending blocked prefix sweep, exact
@@ -2815,12 +2939,155 @@ object SparkEntry {
     }),
   )
 
+  /** The q190 MMR oracle: greedy selection is inherently sequential, so
+    * the SQL unrolls `selectK−1` steps (anti-join remaining → max pair
+    * dot vs selected → row_number pick) over the same quantized-dot
+    * candidate lists the engine uses — generated here so engine and
+    * oracle share one step count and tie policy. */
+  private def mmrOracleSql(candidateK: Int, selectK: Int): String = {
+    def pairDot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a.qv) + 1), " +
+        s"k -> $a.qv[k] * $b.qv[k])) AS BIGINT)"
+    val steps = (2 to selectK).map { i =>
+      val prev = i - 1
+      s"""rem$i AS (SELECT c.query_id, c.corpus_id, c.qv, c.rel
+         FROM cand c LEFT JOIN selall$prev s
+           ON s.query_id = c.query_id AND s.corpus_id = c.corpus_id
+         WHERE s.corpus_id IS NULL),
+       ms$i AS (SELECT r.query_id, r.corpus_id,
+           max(${pairDot("r", "s")}) AS ms
+         FROM rem$i r JOIN selall$prev s ON r.query_id = s.query_id
+         GROUP BY 1, 2),
+       pick$i AS (SELECT * FROM (
+           SELECT r.query_id, r.corpus_id, r.qv, r.rel, m.ms,
+             r.rel * 7 - m.ms * 3 AS mmr,
+             row_number() OVER (PARTITION BY r.query_id
+               ORDER BY r.rel * 7 - m.ms * 3 DESC, r.corpus_id) AS rk
+           FROM rem$i r JOIN ms$i m ON m.query_id = r.query_id
+             AND m.corpus_id = r.corpus_id)
+         WHERE rk = 1),
+       selall$i AS (SELECT query_id, corpus_id, qv FROM selall$prev
+         UNION ALL SELECT query_id, corpus_id, qv FROM pick$i)"""
+    }.mkString(",\n       ")
+    val unions = (2 to selectK).map { i =>
+      s"""SELECT query_id, $i AS mmr_rank, corpus_id, rel AS rel_dot,
+           ms AS max_sim, mmr AS mmr_score FROM pick$i"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH d AS (
+         SELECT vec_id AS id, list_transform(embedding,
+           x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+         FROM embeddings),
+       q AS (SELECT id, qv FROM d WHERE id < 3),
+       p AS (SELECT q.id AS query_id, c.id AS corpus_id, c.qv,
+           ${pairDot("c", "q")} AS rel
+         FROM d c, q),
+       cand AS (SELECT query_id, corpus_id, qv, rel FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, corpus_id) AS rk FROM p)
+         WHERE rk <= $candidateK),
+       sel1 AS (SELECT query_id, corpus_id, qv, rel FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, corpus_id) AS rk FROM cand)
+         WHERE rk = 1),
+       selall1 AS (SELECT query_id, corpus_id, qv FROM sel1),
+       $steps
+       SELECT query_id, 1 AS mmr_rank, corpus_id, rel AS rel_dot,
+           CAST(NULL AS BIGINT) AS max_sim,
+           CAST(NULL AS BIGINT) AS mmr_score FROM sel1
+         UNION ALL $unions"""
+  }
+
+  /** The q191 Hilbert oracle: the same per-level rotate/reflect walk as
+    * [[graft.ops.Layout.withHilbertValue]], unrolled to `bits` chained
+    * CTEs (x0/y0 carry the original coordinates for the span audit);
+    * the quadrant xor is the identical 4-way CASE. */
+  private def hilbertOracleSql(bits: Int): String = {
+    // every level writes DISTINCT column names (x1/y1/d1, x2/…): a
+    // lateral-alias-capable engine must never see `… AS x` shadow the
+    // source `x` it is still reading in a sibling expression
+    val levels = (1 to bits).map { k =>
+      val s = 1L << (bits - k)
+      val p = k - 1
+      s"""h$k AS (SELECT ox, oy,
+           CASE WHEN (y$p & $s) = 0 THEN
+             (CASE WHEN (x$p & $s) > 0 THEN ($s - 1) - y$p
+              ELSE y$p END)
+             ELSE x$p END AS x$k,
+           CASE WHEN (y$p & $s) = 0 THEN
+             (CASE WHEN (x$p & $s) > 0 THEN ($s - 1) - x$p
+              ELSE x$p END)
+             ELSE y$p END AS y$k,
+           d$p + ${s * s} * (CASE
+             WHEN (x$p & $s) = 0 AND (y$p & $s) = 0 THEN 0
+             WHEN (x$p & $s) = 0 THEN 1
+             WHEN (y$p & $s) > 0 THEN 2 ELSE 3 END) AS d$k
+         FROM h$p)"""
+    }.mkString(",\n       ")
+    val m = 1L << bits
+    s"""WITH h0 AS (
+         SELECT l_partkey % $m AS ox, l_suppkey % $m AS oy,
+           CAST(l_partkey % $m AS BIGINT) AS x0,
+           CAST(l_suppkey % $m AS BIGINT) AS y0,
+           CAST(0 AS BIGINT) AS d0
+         FROM lineitem),
+       $levels
+       SELECT d$bits // $m AS block,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT (ox, oy)) AS BIGINT) AS n_cells,
+         min(d$bits) AS h_min, max(d$bits) AS h_max,
+         CAST(max(ox) - min(ox) AS BIGINT) AS x_span,
+         CAST(max(oy) - min(oy) AS BIGINT) AS y_span
+       FROM h$bits GROUP BY 1"""
+  }
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query has one (no rows-only checks):
     * the hash-kernel queries (q23/q24/q27) run the portable md5-derived
     * hash mode, whose signatures DuckDB rebuilds verbatim via
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
+    "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    "q191_hilbert_layout" -> hilbertOracleSql(8),
+    // Same integer CUSUM: S_j = m*prefix_j - j*total per type, argmax
+    // |S| with earliest-hour ties.
+    "q192_cusum_changepoint" ->
+      """WITH hourly AS (
+           SELECT event_type AS g, epoch_us(ts) // 3600000000 AS h,
+             count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT g, sum(c) AS ctot, count(*) AS m
+                 FROM hourly GROUP BY 1),
+         cum AS (SELECT g, h,
+             sum(c) OVER (PARTITION BY g ORDER BY h) AS pre,
+             row_number() OVER (PARTITION BY g ORDER BY h) AS j
+           FROM hourly),
+         sc AS (SELECT c.g, c.h,
+             CAST(c.pre AS BIGINT) * t.m - c.j * CAST(t.ctot AS BIGINT)
+               AS s
+           FROM cum c JOIN tot t USING (g)),
+         best AS (SELECT g, h, s, row_number() OVER (PARTITION BY g
+             ORDER BY abs(s) DESC, h) AS rk
+           FROM sc)
+         SELECT b.g AS event_type, CAST(t.m AS BIGINT) AS n_hours,
+           CAST(t.ctot AS BIGINT) AS n_events, b.h AS cp_hour,
+           CAST(b.s AS BIGINT) AS s_scaled
+         FROM best b JOIN tot t USING (g) WHERE b.rk = 1""",
+    // Identical closed-form weekday count on both sides (positive
+    // epoch days, so // and % agree with the engine's pmod form).
+    "q193_business_day_lag" ->
+      """WITH j AS (
+           SELECT o_orderpriority,
+             epoch_us(o_orderdate) // 86400000000 AS od,
+             epoch_us(l_shipdate) // 86400000000 AS sd
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         b AS (SELECT o_orderpriority,
+             (5 * ((sd + 3) // 7) + least(((sd + 3) % 7) + 1, 5)) -
+             (5 * ((od + 3) // 7) + least(((od + 3) % 7) + 1, 5))
+               AS bd_lag
+           FROM j)
+         SELECT o_orderpriority, CAST(bd_lag AS BIGINT) AS bd_lag,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+         FROM b GROUP BY 1, 2""",
     // q107/q108/q113 share one signature-table construction (the Spark
     // side's mediaSigs): base = first 60 bits of md5(salt || id); every
     // dupEvery-th id takes the PREVIOUS id's base XOR a k-bit mask.
@@ -5864,6 +6131,140 @@ object SparkEntry {
          FROM t, n
          JOIN r ON r.rn = (t.p_num * n.n_rows + t.p_den - 1)
            // t.p_den - 1""",
+    // Same exact min-rank bucket formula via plain windows (the oracle
+    // may single-reduce; the engine may not).
+    "q185_rfm_segments" ->
+      """WITH rfm AS (
+           SELECT o_custkey AS k,
+             epoch_us(max(o_orderdate)) // 86400000000 AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS m
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+           GROUP BY 1),
+         lng AS (
+           SELECT k, 'r' AS metric, r AS v FROM rfm
+           UNION ALL SELECT k, 'f', f FROM rfm
+           UNION ALL SELECT k, 'm', m FROM rfm),
+         per AS (SELECT metric, v, count(*) AS c FROM lng
+                 GROUP BY 1, 2),
+         rk AS (SELECT metric, v,
+             sum(c) OVER (PARTITION BY metric ORDER BY v) - c AS mr,
+             sum(c) OVER (PARTITION BY metric) AS n
+           FROM per),
+         b AS (SELECT metric, v,
+             CAST((mr * 5) // n + 1 AS INT) AS q FROM rk),
+         scored AS (
+           SELECT l.k,
+             max(CASE WHEN l.metric = 'r' THEN b.q END) AS r_q,
+             max(CASE WHEN l.metric = 'f' THEN b.q END) AS f_q,
+             max(CASE WHEN l.metric = 'm' THEN b.q END) AS m_q
+           FROM lng l JOIN b ON l.metric = b.metric AND l.v = b.v
+           GROUP BY 1)
+         SELECT s.r_q, s.f_q, s.m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rfm.m) AS BIGINT) AS sum_monetary_cents
+         FROM scored s JOIN rfm ON s.k = rfm.k
+         GROUP BY 1, 2, 3""",
+    // Identical gap-sessionization + ordered string_agg path build.
+    "q186_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS ns
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS sid
+           FROM s),
+         s3 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+               ORDER BY ts, event_id) AS rn
+           FROM s2),
+         p AS (SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM s3 WHERE rn <= 8 GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+    // Naive oracle: every observed hour re-counts its trailing window
+    // by range join (the rescan the engine's sweep avoids).
+    "q187_sliding_distinct" ->
+      """WITH uh AS (
+           SELECT DISTINCT user_id AS u,
+             epoch_us(ts) // 3600000000 AS h
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         hrs AS (SELECT DISTINCT h FROM uh)
+         SELECT hrs.h AS hour,
+           CAST(count(DISTINCT uh.u) AS BIGINT) AS rolling_users
+         FROM hrs JOIN uh ON uh.h BETWEEN hrs.h - 23 AND hrs.h
+         GROUP BY 1""",
+    // Same apriori prune + within-basket pairs + integer ppm stats.
+    "q188_association_rules" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b,
+             CAST(l_partkey AS BIGINT) AS i
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         ic AS (SELECT i, count(*) AS ci FROM bi GROUP BY 1),
+         fbi AS (SELECT bi.b, bi.i FROM bi
+                 JOIN ic ON ic.i = bi.i WHERE ic.ci >= 2),
+         pr AS (SELECT x.i AS ia, y.i AS ib, count(*) AS cp
+           FROM fbi x JOIN fbi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         nb AS (SELECT count(DISTINCT b) AS nb FROM bi),
+         rules AS (
+           SELECT ia AS ante, ib AS cons, cp FROM pr
+           UNION ALL SELECT ib, ia, cp FROM pr)
+         SELECT r.ante, r.cons, CAST(r.cp AS BIGINT) AS pair_count,
+           CAST(ca.ci AS BIGINT) AS ante_count,
+           CAST(cb.ci AS BIGINT) AS cons_count,
+           CAST(r.cp * 1000000 // ca.ci AS BIGINT) AS conf_ppm,
+           CAST(CAST(r.cp AS HUGEINT) * nb.nb * 1000000 //
+             (CAST(ca.ci AS HUGEINT) * cb.ci) AS BIGINT) AS lift_ppm
+         FROM rules r
+         JOIN ic ca ON ca.i = r.ante
+         JOIN ic cb ON cb.i = r.cons, nb
+         ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
+         LIMIT 25""",
+    // row_number survivorship over the same three-feed union; ordering
+    // (precedence, recency, tie) is unique per cell, so rn=1 == the
+    // engine's max-struct winner.
+    "q189_golden_record" ->
+      """WITH u AS (
+           SELECT c_custkey AS k, 'segment' AS a, c_mktsegment AS v,
+             0 AS p, CAST(0 AS BIGINT) AS tu,
+             CAST(c_custkey AS BIGINT) AS tie
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, 'name', c_name, 0, CAST(0 AS BIGINT),
+             CAST(c_custkey AS BIGINT)
+           FROM customer
+           UNION ALL
+           SELECT o_custkey, 'status', o_orderstatus, 1,
+             epoch_us(o_orderdate), CAST(o_orderkey AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, 'priority', o_orderpriority, 1,
+             epoch_us(o_orderdate), CAST(o_orderkey AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, 'status', 'FINAL', 2,
+             epoch_us(o_orderdate), CAST(o_orderkey AS BIGINT)
+           FROM orders WHERE o_orderstatus = 'F'),
+         f AS (SELECT k, a, v, p, tu, tie,
+             row_number() OVER (PARTITION BY k, a
+               ORDER BY p DESC, tu DESC, tie DESC) AS rn,
+             count(*) OVER (PARTITION BY k, a) AS nc
+           FROM u
+           WHERE k IS NOT NULL AND a IS NOT NULL AND v IS NOT NULL)
+         SELECT k AS key, a AS attr, v AS value,
+           CAST(p AS INT) AS src_precedence, tu AS updated_micros,
+           CAST(nc AS BIGINT) AS n_candidates
+         FROM f WHERE rn = 1""",
     // Descending cumulative (kept, positives) over distinct scores;
     // per target the lowest qualifying threshold wins.
     "q183_precision_threshold" ->

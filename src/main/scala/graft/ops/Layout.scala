@@ -109,4 +109,62 @@ object Layout {
     }
     ranged.sortWithinPartitions(col("zval"))
   }
+
+  /** 2-D Hilbert-curve index of two `bits`-bit coordinates — the
+    * data-layout key with strictly better locality than the Z-order
+    * curve ([[withZValue]]): a Z-curve takes long diagonal jumps at
+    * quadrant boundaries (adjacent keys can be spatially far apart,
+    * which widens the min/max range per file and weakens data
+    * skipping), while the Hilbert curve is continuous — consecutive
+    * keys are ALWAYS spatially adjacent cells, so per-file coordinate
+    * ranges stay tight and two-column range predicates prune more
+    * files.
+    *
+    * Pure integer column arithmetic: the classic xy→d walk (Hamilton's
+    * formulation) unrolled over the `bits` levels — per level the
+    * quadrant digit `(3·rx) xor ry` scales by s², then the frame
+    * rotates/reflects. No UDF, whole-stage-codegen friendly, and the
+    * identical CASE arithmetic is replayable in ANSI SQL (the xor is
+    * expressed as a 4-way CASE so no engine-specific bit op is
+    * needed). Inputs must already lie in [0, 2^bits). */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, out: String = "hval"): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    // One named projection per level: expressing the walk as a single
+    // nested Column would double the expression tree at every level
+    // (each level reads x and y several times) — 4^bits nodes. As
+    // per-level named columns each level is one Project reading the
+    // previous level's columns by name, so plan size is linear in
+    // `bits` (and CollapseProject keeps multiply-referenced non-cheap
+    // aliases un-inlined).
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    var s = 1L << (bits - 1)
+    while (s >= 1L) {
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(0L)
+      // (3*rx) xor ry as a 4-way CASE (portable to the oracle)
+      val quad = when(rx === 0 && ry === 0, lit(0L))
+        .when(rx === 0 && ry === 1, lit(1L))
+        .when(rx === 1 && ry === 1, lit(2L))
+        .otherwise(lit(3L))
+      // rotate/reflect the frame for the next level
+      val nx = when(ry === 0,
+        when(rx === 1, lit(s - 1) - col("__hy"))
+          .otherwise(col("__hy"))).otherwise(col("__hx"))
+      val ny = when(ry === 0,
+        when(rx === 1, lit(s - 1) - col("__hx"))
+          .otherwise(col("__hx"))).otherwise(col("__hy"))
+      cur = cur.withColumns(Map(
+        "__hd" -> (col("__hd") + lit(s * s) * quad),
+        "__hx" -> nx, "__hy" -> ny))
+      s >>= 1
+    }
+    cur.withColumn(out, col("__hd"))
+      .drop("__hx", "__hy", "__hd")
+  }
 }

@@ -1007,4 +1007,204 @@ object Profiling {
         (crossDom.isNull || crossDom < col("y").cast("double")))
       .select(col("id"), col("x"), col("y"))
   }
+
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * EXACT distributed quantile buckets — the standard CRM / lifecycle
+    * segmentation: score every customer 1..`buckets` on each of the
+    * three axes and report the segment grid. The naive form (three
+    * `ntile()` windows over the whole customer table) serializes a
+    * 100 TB groupBy result through one reducer per metric AND is
+    * engine-ambiguous on ties (ntile splits equal values across
+    * buckets by arrival order).
+    *
+    * Here the bucket is a pure function of the value's exact min-rank:
+    * `q = (minrank0 · buckets) div n + 1`, so equal values always land
+    * in the same bucket in every engine, and the rank comes from the
+    * blocked two-phase prefix sum (groupBy DISTINCT metric values →
+    * bit-length blocks → ≤3·64 subtotals on the driver → per-block
+    * parallel windows + broadcast offsets) — no global sort, no
+    * single-reducer window. Metrics are exact integers end to end:
+    * recency = epoch-day of the latest order, frequency = order count,
+    * monetary = cents through DECIMAL. Bucket 1 = lowest values
+    * (oldest / fewest / least), `buckets` = highest.
+    *
+    * Output: one row per populated (r_q, f_q, m_q) cell with customer
+    * count and exact total monetary cents. */
+  def rfmSegments(orders: DataFrame, keyCol: String, dateCol: String,
+      priceCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val rfm = orders
+      .where(col(keyCol).isNotNull && col(dateCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      // cast-to-timestamp first: NTZ-encoded date columns are
+      // value-identical under the UTC session, and the cast is a no-op
+      // on TimestampType
+      .agg(expr(s"unix_micros(max(cast($dateCol as timestamp)))" +
+          " div 86400000000").as("r"),
+        count(lit(1)).as("f"),
+        sum((col(priceCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("m"))
+      .localCheckpoint(eager = false)
+    val long = rfm.select(col("k"), lit("r").as("metric"),
+        col("r").as("v"))
+      .unionAll(rfm.select(col("k"), lit("f").as("metric"),
+        col("f").as("v")))
+      .unionAll(rfm.select(col("k"), lit("m").as("metric"),
+        col("m").as("v")))
+    val per = long.groupBy(col("metric"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val bt = per.groupBy(col("metric"), col("block"))
+      .agg(sum(col("c")).as("tc"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    if (bt.isEmpty) {
+      return per.select(lit(null).cast("int").as("r_q"),
+        lit(null).cast("int").as("f_q"),
+        lit(null).cast("int").as("m_q"), col("c").as("n_customers"),
+        col("c").as("sum_monetary_cents")).limit(0)
+    }
+    val off = scala.collection.mutable.Map.empty[String, Long]
+    val nTot = scala.collection.mutable.Map.empty[String, Long]
+    bt.groupBy(_._1).foreach { case (metric, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, b, tc) =>
+        off(s"$metric:$b") = acc; acc += tc
+      }
+      nTot(metric) = acc
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric"), col("block"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = per
+      .select(col("metric"), col("v"),
+        (sum(col("c")).over(w) - col("c") +
+          element_at(typedLit(off.toMap),
+            concat_ws(":", col("metric"), col("block")))).as("mr"),
+        element_at(typedLit(nTot.toMap), col("metric")).as("n"))
+      .select(col("metric"), col("v"),
+        (expr(s"(mr * $buckets) div n") + 1).cast("int").as("q"))
+    val scored = long.join(bucketed, Seq("metric", "v"))
+      .groupBy(col("k"))
+      .agg(max(when(col("metric") === "r", col("q"))).as("r_q"),
+        max(when(col("metric") === "f", col("q"))).as("f_q"),
+        max(when(col("metric") === "m", col("q"))).as("m_q"))
+    scored.join(rfm.select(col("k"), col("m")), "k")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).as("sum_monetary_cents"))
+  }
+
+  /** Market-basket association rules (support / confidence / lift) over
+    * co-occurring items — the "customers who bought X also bought Y"
+    * mining stage. At 100 TB the dangers are (a) the all-pairs item
+    * join (item-domain quadratic) and (b) low-support noise; both are
+    * handled the apriori way: items are pre-filtered by
+    * `count ≥ minPairCount` (a pair can never be more frequent than
+    * its rarest item, so the prune is lossless), and pairs are
+    * generated only WITHIN a basket — per-basket quadratic, bounded by
+    * basket size, never corpus-quadratic.
+    *
+    * Stats are exact integers: support counts straight off the
+    * groupBy; `conf_ppm = cp·1e6 div c(a)`;
+    * `lift_ppm = cp·n_baskets·1e6 div (c(a)·c(b))` through
+    * DECIMAL(38,0). Both rule directions are emitted; the final top-k
+    * is a TakeOrdered (no global sort) with full deterministic
+    * tie-break (lift desc, conf desc, antecedent, consequent). */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minPairCount: Long, topK: Int): DataFrame = {
+    require(minPairCount >= 1 && topK >= 1,
+      s"minPairCount and topK must be >= 1")
+    val bi = baskets
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).cast("long").as("i"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val itemCnt = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val frequent = itemCnt.where(col("ci") >= minPairCount)
+    val fbi = bi.join(frequent.select(col("i")), "i")
+    val pairs = fbi.select(col("b"), col("i"))
+      .join(fbi.select(col("b"), col("i").as("i2")), "b")
+      .where(col("i") < col("i2"))
+      .groupBy(col("i").as("ia"), col("i2").as("ib"))
+      .agg(count(lit(1)).as("cp"))
+      .where(col("cp") >= minPairCount)
+    val nBaskets = broadcast(
+      bi.select(col("b")).distinct().agg(count(lit(1)).as("nb")))
+    val rules = pairs.select(col("ia").as("ante"), col("ib").as("cons"),
+        col("cp"))
+      .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
+        col("cp")))
+      .join(itemCnt.select(col("i").as("ante"), col("ci").as("ca")),
+        "ante")
+      .join(itemCnt.select(col("i").as("cons"), col("ci").as("cb")),
+        "cons")
+      .crossJoin(nBaskets)
+    // integral div end to end: Spark's decimal `/` rounds HALF_UP at
+    // its result scale, which can disagree with the oracle's floor
+    rules.select(col("ante"), col("cons"), col("cp").as("pair_count"),
+        col("ca").as("ante_count"), col("cb").as("cons_count"),
+        expr("cp * 1000000 div ca").as("conf_ppm"),
+        expr("cast(cast(cp as decimal(38,0)) * nb * 1000000 div " +
+          "(cast(ca as decimal(38,0)) * cb) as bigint)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("ante").asc, col("cons").asc)
+      .limit(topK)
+  }
+
+  /** Golden-record survivorship — the MDM merge step: given attribute
+    * updates from multiple source systems, pick ONE surviving value per
+    * (entity, attribute) by source precedence first, then recency, then
+    * a unique tie-breaker. This is the deterministic heart of "merge
+    * the CRM, the order feed, and the correction feed into one customer
+    * profile"; the naive per-attribute subqueries rescan the update log
+    * once per attribute.
+    *
+    * Shape: ONE filtered scan and ONE max-struct aggregate keyed by
+    * (entity, attribute) — map-side combinable, no window, no join, no
+    * rescan; parallelism scales with entity×attribute cardinality. The
+    * ordering struct is (precedence, epoch-micros, tie-id) — all exact
+    * integers — and the value rides behind the tie-breaker so it is
+    * never compared. `n_candidates` reports merge contention per cell.
+    *
+    * Output: (key, attr, value, src_precedence, updated_micros,
+    * n_candidates). */
+  def goldenRecord(updates: DataFrame, keyCol: String, attrCol: String,
+      valueCol: String, precedenceCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    updates
+      .where(col(keyCol).isNotNull && col(attrCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), col(attrCol).as("attr"))
+      .agg(max(struct(col(precedenceCol).cast("int").as("p"),
+          unix_micros(col(tsCol).cast("timestamp")).as("t"),
+          col(tieCol).cast("long").as("id"),
+          col(valueCol).cast("string").as("v"))).as("m"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("key"), col("attr"), col("m.v").as("value"),
+        col("m.p").as("src_precedence"),
+        col("m.t").as("updated_micros"), col("n_candidates"))
+  }
+
+  /** Business days (Mon–Fri) from epoch-day `startDay` exclusive to
+    * `endDay` inclusive — the SLA / lead-time metric ("shipped in how
+    * many working days?") in CLOSED FORM: `wd(m) = 5·(m div 7) +
+    * min(m mod 7 + 1, 5)` counts weekdays in [0, m] of a Monday-origin
+    * axis (epoch day 0 = Thursday, hence the +3 shift), and the lag is
+    * a difference of two such counts. No generated calendar dimension,
+    * no join, no window — one codegen'd integer expression per row,
+    * which is the difference at 100 TB between a projection and a
+    * billion-row calendar join. Exact and engine-portable (div/mod
+    * arithmetic only). Negative spans yield negative lags
+    * symmetrically. */
+  def businessDaysBetween(startDay: Column, endDay: Column): Column = {
+    def intDiv(a: Column, b: Long) =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    def wd(m: Column) =
+      lit(5L) * intDiv(m, 7L) + least(pmod(m, lit(7L)) + 1, lit(5L))
+    wd(endDay.cast("long") + 3) - wd(startDay.cast("long") + 3)
+  }
 }

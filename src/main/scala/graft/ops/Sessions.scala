@@ -527,4 +527,155 @@ object Sessions {
     agg.select(col("hour"), col("n_starts"),
       (carry + greatest(col("mx"), lit(0L))).as("peak_concurrency"))
   }
+
+  /** Top-k session paths — the "what do users actually DO" report: the
+    * ordered event-type sequence of each gap-session (truncated to the
+    * first `maxLen` steps), counted across all sessions, top `topK` by
+    * frequency. The funnel (q70) answers "how many made it through MY
+    * hypothesized order"; this discovers the orders that exist.
+    *
+    * Shape: the [[sessionize]] shuffle (keyed by user — parallelism
+    * scales with users), a row_number cap inside the same per-user sort,
+    * one groupBy building each session's path with a sorted collect
+    * (bounded at `maxLen` elements by the cap — never an unbounded
+    * collect_list), one counting groupBy keyed by path, and a
+    * TakeOrdered top-k (no global sort). Ties deterministic: count
+    * desc, then path ascending. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSeconds: Long, maxLen: Int,
+      topK: Int): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
+    val s = sessionize(
+      events.where(col(userCol).isNotNull && col(tsCol).isNotNull),
+      userCol, tsCol, idCol, gapSeconds)
+    val w = Window.partitionBy(col(userCol), col("session_id"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val capped = s.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxLen)
+    capped
+      .groupBy(col(userCol), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(unix_micros(col(tsCol)).as("t"),
+          col(idCol).cast("long").as("id"),
+          col(typeCol).cast("string").as("e")))),
+        x => x.getField("e")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /** EXACT sliding-window distinct count — "distinct active users in the
+    * trailing `windowHours` hours, reported at every observed hour" —
+    * without re-scanning the window per report point. The naive form is
+    * a range self-join (every hour re-counts its whole trailing window:
+    * at 100 TB that reads the corpus `windowHours` times over); the
+    * HLL/KMV form is approximate. This is exact AND single-pass.
+    *
+    * How: a user contributes to the window ending at hour h iff it has
+    * an event in [h−W+1, h] — so each distinct (user, hour) covers the
+    * window-end range [hour, hour+W−1]. Per user those ranges are merged
+    * into islands (consecutive gap > W splits; equal-length intervals
+    * sorted by start have nondecreasing ends, so the consecutive check
+    * is an exact merge), each island becomes a +1/−1 boundary delta, and
+    * one blocked two-phase prefix sum over the hour axis (bit-length
+    * blocks → ≤64 driver subtotals → per-block parallel windows +
+    * broadcast offsets) turns deltas into the running distinct count —
+    * the same no-single-reducer sweep as [[Sketches.exactQuantiles]].
+    * Reported only at hours that actually have events.
+    *
+    * Shape: one distinct (user, hour) shuffle, per-user lag windows
+    * (parallelism scales with users), then hour-domain-sized frames
+    * only. Output: (hour, rolling_users), hour = epoch hours. */
+  def slidingDistinct(events: DataFrame, tsCol: String, idCol: String,
+      windowHours: Int): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1")
+    val uh = events
+      .where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("u"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val wU = Window.partitionBy(col("u")).orderBy(col("h"))
+    val islands = uh
+      .withColumn("brk",
+        when(lag(col("h"), 1).over(wU).isNull ||
+          col("h") - lag(col("h"), 1).over(wU) > windowHours, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("u"), col("grp"))
+      .agg(min(col("h")).as("s"),
+        (max(col("h")) + (windowHours - 1)).as("e"))
+    val deltas = islands.select(col("s").as("h"), lit(1L).as("d"))
+      .unionAll(islands.select((col("e") + 1).as("h"),
+        lit(-1L).as("d")))
+      .groupBy(col("h")).agg(sum(col("d")).as("net"))
+    val axis = deltas
+      .join(uh.select(col("h")).distinct()
+        .withColumn("obs", lit(1)), Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("net"), lit(0L)).as("net"),
+        coalesce(col("obs"), lit(0)).as("obs"))
+      .withColumn("block", when(col("h") <= 0, lit(-1))
+        .otherwise((length(bin(col("h"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val bt = axis.groupBy(col("block")).agg(sum(col("net")).as("tn"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+      .sortBy(_._1)
+    if (bt.isEmpty) {
+      return axis.select(col("h").as("hour"),
+        col("net").as("rolling_users")).limit(0)
+    }
+    var acc = 0L
+    val off = scala.collection.mutable.Map.empty[Long, Long]
+    bt.foreach { case (b, tn) => off(b) = acc; acc += tn }
+    val wB = Window.partitionBy(col("block")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis
+      .select(col("h"), col("obs"),
+        (sum(col("net")).over(wB) +
+          element_at(typedLit(off.toMap), col("block").cast("long")))
+          .as("cur"))
+      .where(col("obs") === 1)
+      .select(col("h").as("hour"), col("cur").as("rolling_users"))
+  }
+
+  /** CUSUM changepoint detection on the per-group hourly count series —
+    * "WHEN did this event type's rate shift": the classic mean-shift
+    * estimator argmax_j |Σ_{i≤j}(c_i − mean)|, whose peak sits at the
+    * most likely single change point. Run per group in one pass.
+    *
+    * Exactness: with m observed hours and C total events, the CUSUM at
+    * position j scaled by m is `S_j = m·prefix_j − j·C` — pure integer,
+    * no float mean anywhere; the argmax of |S_j| is identical to the
+    * float CUSUM's. Ties: earliest hour. At 100 TB the hourly frame is
+    * time-domain-sized (hours × groups), never event-sized — the only
+    * event-scale work is the map-side-combined groupBy; the per-group
+    * window runs over bounded series, parallel across groups.
+    *
+    * Output: (group, n_hours, n_events, cp_hour = last hour of the
+    * "before" regime, s_scaled = S at the peak, signed). */
+  def cusumChangepoint(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val hourly = events.where(col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = hourly.groupBy(col("g"))
+      .agg(sum(col("c")).as("ctot"), count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val cum = hourly
+      .withColumn("pre", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("j", row_number().over(w))
+    cum.join(broadcast(tot), "g")
+      .select(col("g"), col("h"), col("ctot"), col("m"),
+        (col("pre") * col("m") - col("j") * col("ctot")).as("s"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("m")).as("n_hours"), max(col("ctot")).as("n_events"),
+        max(struct(abs(col("s")).as("a"), (-col("h")).as("nh"),
+          col("h"), col("s"))).as("mx"))
+      .select(col(groupCol), col("n_hours"), col("n_events"),
+        col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
+  }
 }

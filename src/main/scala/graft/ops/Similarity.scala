@@ -673,4 +673,89 @@ object Similarity {
       .select(col("corpus_id"), col("fused_rank"), col("n_lists"),
         col("best_rank"), col("rrf_ppm"))
   }
+
+  /** MMR (maximal marginal relevance) diversified re-ranking — the
+    * standard fix for "the top-k are 10 copies of the same document":
+    * after retrieval, results are picked greedily by
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`, trading
+    * relevance against redundancy. This is the selection step behind
+    * diverse RAG contexts and dedup-aware eval set construction.
+    *
+    * Exactness: relevance and pairwise similarity are integer dot
+    * products over the same quantized vectors, and the MMR score is
+    * `lambdaNum·rel − (lambdaDen−lambdaNum)·maxSim` — the λ-tradeoff
+    * scaled to pure integer arithmetic (monotonically identical to the
+    * float form). Ties: higher score, then smaller corpus id. The
+    * greedy recurrence is inherently sequential in `selectK`, so it is
+    * unrolled as `selectK−1` bounded relational steps (anti-join →
+    * pair-dot max → argmax-struct pick) over candidate frames of
+    * `queries × candidateK` rows — the corpus-scale work (scoring) is
+    * the same broadcast map-side pass as [[bruteForceTopK]], and the
+    * loop only ever touches candidate-bounded data.
+    *
+    * Output: (query_id, mmr_rank, corpus_id, rel_dot, max_sim,
+    * mmr_score); max_sim/mmr_score are NULL on the rank-1 seed pick. */
+  def mmrRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      candidateK: Int, selectK: Int, lambdaNum: Int = 7,
+      lambdaDen: Int = 10, quantScale: Int = 10000): DataFrame = {
+    require(candidateK >= selectK && selectK >= 1,
+      s"need candidateK >= selectK >= 1, got $candidateK/$selectK")
+    require(lambdaDen > lambdaNum && lambdaNum > 0,
+      s"need 0 < lambdaNum < lambdaDen, got $lambdaNum/$lambdaDen")
+    val c = quantized(widenForCompute(corpus), corpusId, corpusVec,
+      quantScale).select(col("id").as("corpus_id"), col("qv").as("cv"))
+    val q = quantized(queries, queryId, queryVec, quantScale)
+      .select(col("id").as("query_id"), col("qv").as("quv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("cv"), col("quv")).cast("long").as("rel"))
+    // bounded top-candidateK reduction, then re-attach vectors: the
+    // candidate frame (queries × candidateK rows) is all the greedy
+    // loop ever sees
+    val cand = scored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("rel").cast("double"),
+        col("corpus_id"), candidateK).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.id").as("corpus_id"),
+        col("e.score").cast("long").as("rel"))
+      .join(c, "corpus_id")
+      .localCheckpoint(eager = false)
+    val lamA = lambdaNum
+    val lamB = lambdaDen - lambdaNum
+    // seed: pure argmax relevance (tie: smaller id via negated key)
+    var selected = cand.groupBy(col("query_id"))
+      .agg(max(struct(col("rel"), (-col("corpus_id")).as("nid"),
+        col("corpus_id"), col("cv"))).as("m"))
+      .select(col("query_id"), lit(1).as("mmr_rank"),
+        col("m.corpus_id").as("corpus_id"), col("m.rel").as("rel_dot"),
+        lit(null).cast("long").as("max_sim"),
+        lit(null).cast("long").as("mmr_score"), col("m.cv").as("scv"))
+    for (step <- 2 to selectK) {
+      val sel = selected.select(col("query_id"),
+        col("corpus_id").as("sid"), col("scv"))
+      val remaining = cand.join(sel.select(col("query_id"),
+          col("sid").as("corpus_id")), Seq("query_id", "corpus_id"),
+        "left_anti")
+      val pick = remaining
+        .join(sel, "query_id")
+        .groupBy(col("query_id"), col("corpus_id"))
+        .agg(max(dot(col("cv"), col("scv")).cast("long")).as("ms"))
+        .join(cand, Seq("query_id", "corpus_id"))
+        .select(col("query_id"), col("corpus_id"), col("rel"),
+          col("ms"), (col("rel") * lamA - col("ms") * lamB).as("mmr"),
+          col("cv"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("mmr"), (-col("corpus_id")).as("nid"),
+          col("corpus_id"), col("rel"), col("ms"), col("cv"))).as("m"))
+        .select(col("query_id"), lit(step).as("mmr_rank"),
+          col("m.corpus_id").as("corpus_id"),
+          col("m.rel").as("rel_dot"), col("m.ms").as("max_sim"),
+          col("m.mmr").as("mmr_score"), col("m.cv").as("scv"))
+      selected = selected.unionAll(pick)
+        .localCheckpoint(eager = false)
+    }
+    selected.select(col("query_id"), col("mmr_rank"), col("corpus_id"),
+      col("rel_dot"), col("max_sim"), col("mmr_score"))
+  }
 }

@@ -108,4 +108,28 @@ class LayoutSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(1500))
   }
+
+  test("withHilbertValue: bijection onto 0..4^bits-1 and the Hilbert " +
+    "continuity invariant (consecutive keys are grid-adjacent)") {
+    import spark.implicits._
+    val n = 16 // bits = 4 -> 16x16 grid, 256 cells
+    val cells = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong,
+      y.toLong)).toDF("hx", "hy")
+    val got = Layout.withHilbertValue(cells, "hx", "hy", bits = 4)
+      .select("hval", "hx", "hy").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // bijection: every key 0..255 exactly once
+    assert(got.map(_._1).toSeq === (0L until 256L))
+    // continuity: the curve never jumps — Manhattan distance 1 between
+    // consecutive keys (this is what Z-order lacks and the whole point
+    // of the operator)
+    got.sliding(2).foreach { case Array((_, (x1, y1)), (d2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump before d=$d2")
+    }
+    // first corner pins of the classic orientation
+    assert(got(0)._2 === ((0L, 0L)))
+    assert(got(255)._2 === ((15L, 0L)))
+  }
 }

@@ -1945,4 +1945,218 @@ class OpsSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("slidingDistinct: island merge and boundary sweep equal the " +
+    "brute-force per-hour recount, including gap = window edge") {
+    import spark.implicits._
+    // user 10: hours 0, 23 (one island: 23 - 0 <= 24), then 50
+    // (gap 27 > 24: new island). user 20: hour 24 only. user 30:
+    // hours 5 and 29 — gap EXACTLY 24, must merge into one island.
+    val ev = Seq((10L, 0L), (10L, 23L), (10L, 50L), (20L, 24L),
+        (30L, 5L), (30L, 29L))
+      .toDF("user_id", "h")
+      .select(col("user_id"),
+        timestamp_micros(col("h") * 3600000000L).as("ts"))
+    val got = Sessions.slidingDistinct(ev, "ts", "user_id", 24)
+      .as[(Long, Long)].collect().toMap
+    val hours = Seq(0L, 5L, 23L, 24L, 29L, 50L)
+    val events = Seq((10L, 0L), (10L, 23L), (10L, 50L), (20L, 24L),
+      (30L, 5L), (30L, 29L))
+    val want = hours.map(h => h -> events.collect {
+      case (u, eh) if eh >= h - 23 && eh <= h => u
+    }.distinct.size.toLong).toMap
+    assert(got === want)
+    // the edge cases explicitly: hour 24 sees users 10 (h=23 in
+    // window), 20, 30; hour 29's window [6,29] still holds all three
+    // (10@23, 20@24, 30@29); hour 50's [27,50] drops user 30's h=5
+    // island start but keeps its h=29 event
+    assert(got(24L) === 3L)
+    assert(got(29L) === 3L)
+    assert(got(50L) === 2L)
+  }
+
+  test("goldenRecord: precedence beats recency, recency breaks " +
+    "within precedence, tie-id breaks exact ties, nulls excluded") {
+    import spark.implicits._
+    val ups = Seq(
+      // key 1, attr a: prec 2 OLD beats prec 1 NEW
+      (1L, "a", "old-high", 2, 100L, 1L),
+      (1L, "a", "new-low", 1, 900L, 2L),
+      // key 1, attr b: same prec — later ts wins
+      (1L, "b", "stale", 1, 100L, 3L),
+      (1L, "b", "fresh", 1, 200L, 4L),
+      // key 2, attr a: same prec+ts — larger tie id wins
+      (2L, "a", "tie-lo", 1, 500L, 10L),
+      (2L, "a", "tie-hi", 1, 500L, 11L),
+      // key 2, attr b: null value must not survive nor count
+      (2L, "b", null, 9, 999L, 12L),
+      (2L, "b", "real", 1, 1L, 13L))
+      .toDF("k", "a", "v", "p", "tu", "tie")
+      .select(col("k"), col("a"), col("v"), col("p"),
+        timestamp_micros(col("tu")).as("uts"), col("tie"))
+    val got = Profiling.goldenRecord(ups, "k", "a", "v", "p", "uts",
+        "tie")
+      .select("key", "attr", "value", "n_candidates")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === Map(
+      (1L, "a") -> ("old-high", 2L), (1L, "b") -> ("fresh", 2L),
+      (2L, "a") -> ("tie-hi", 2L), (2L, "b") -> ("real", 1L)))
+  }
+
+  test("rfmSegments: equal metric values share a bucket and the grid " +
+    "counts every customer once") {
+    import spark.implicits._
+    // 10 customers, one order each on distinct days, price = rank —
+    // quintiles must be 2 customers per bucket on every axis; equal
+    // values (single order each -> f identical) all share ONE f bucket
+    val orders = (1 to 10).map { i =>
+      (i.toLong, i.toLong, 100.0 * i,
+        java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val segs = Profiling.rfmSegments(orders, "o_custkey", "o_orderdate",
+      "o_totalprice", buckets = 5)
+    val rows = segs.collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === 10L)
+    // frequency is 1 for everyone: min-rank 0 -> bucket 1 everywhere
+    assert(rows.forall(_.getAs[Int]("f_q") === 1))
+    // recency and monetary rank together (both increase with i):
+    // buckets 1..5, 2 customers each
+    val byRq = rows.groupBy(_.getAs[Int]("r_q"))
+      .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+    assert(byRq === Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L, 5 -> 2L))
+    assert(rows.forall(r =>
+      r.getAs[Int]("r_q") === r.getAs[Int]("m_q")))
+    // exact cents: bucket 5 = customers 9,10 -> (900+1000)*100
+    val top = rows.find(_.getAs[Int]("r_q") === 5).get
+    assert(top.getAs[Long]("sum_monetary_cents") === 190000L)
+  }
+
+  test("associationRules: planted pair dominates lift, apriori prune " +
+    "drops singletons, both directions emitted") {
+    import spark.implicits._
+    // items 1,2 co-occur in 4 of 8 baskets; item 3 appears with 1
+    // once (below minPairCount=2); item 4 everywhere (high support,
+    // lift ~1 with everything)
+    val bi = Seq(
+      (1L, 1L), (1L, 2L), (1L, 4L), (2L, 1L), (2L, 2L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (4L, 1L), (4L, 2L), (4L, 4L),
+      (5L, 1L), (5L, 3L), (5L, 4L), (6L, 4L), (7L, 4L), (8L, 4L))
+      .toDF("b", "i")
+    val got = Profiling.associationRules(bi, "b", "i",
+      minPairCount = 2, topK = 10).collect()
+    val keys = got.map(r => (r.getAs[Long]("ante"),
+      r.getAs[Long]("cons"))).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((2L, 1L)))
+    assert(!keys.exists { case (a, c) => a == 3L || c == 3L })
+    val r12 = got.find(r => r.getAs[Long]("ante") == 1L &&
+      r.getAs[Long]("cons") == 2L).get
+    // support 4, c(1)=5, c(2)=4, n=8: conf = 4/5, lift = 4*8/(5*4)=1.6
+    assert(r12.getAs[Long]("pair_count") === 4L)
+    assert(r12.getAs[Long]("conf_ppm") === 800000L)
+    assert(r12.getAs[Long]("lift_ppm") === 1600000L)
+    // the planted pair outranks the ubiquitous item's rules
+    assert(got.head.getAs[Long]("lift_ppm") ===
+      got.map(_.getAs[Long]("lift_ppm")).max)
+  }
+
+  test("cusumChangepoint: planted mean shift found at the last " +
+    "before-regime hour with the exact scaled statistic") {
+    import spark.implicits._
+    // type A: hours 0-9 one event each, hours 10-19 five each ->
+    // m=20, C=60; S at j=10 (hour 9) = 20*10 - 10*60 = -400 (the
+    // peak); type B: flat, |S| peaks small
+    val rows =
+      (0 until 10).map(h => ("A", h.toLong)) ++
+      (10 until 20).flatMap(h => Seq.fill(5)(("A", h.toLong))) ++
+      (0 until 4).map(h => ("B", h.toLong))
+    val ev = rows.toDF("event_type", "h")
+      .select(col("event_type"),
+        timestamp_micros(col("h") * 3600000000L).as("ts"))
+    val got = Sessions.cusumChangepoint(ev, "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_hours") === 20L)
+    assert(a.getAs[Long]("n_events") === 60L)
+    assert(a.getAs[Long]("cp_hour") === 9L)
+    assert(a.getAs[Long]("s_scaled") === -400L)
+    // flat series: every S_j = 4*j - j*4 = 0, earliest hour wins
+    val b = got("B")
+    assert(b.getAs[Long]("s_scaled") === 0L)
+    assert(b.getAs[Long]("cp_hour") === 0L)
+  }
+
+  test("businessDaysBetween: closed form equals day-walk counting " +
+    "across weekends, exclusive-start/inclusive-end") {
+    import spark.implicits._
+    // epoch day 0 = Thursday 1970-01-01
+    def walk(s: Long, e: Long): Long =
+      (s + 1 to e).count(d => (d + 3) % 7 < 5).toLong
+    val pairs = for (s <- 0L to 20L; e <- s to s + 20L) yield (s, e)
+    val got = pairs.toDF("s", "e")
+      .select(col("s"), col("e"),
+        Profiling.businessDaysBetween(col("s"), col("e")).as("bd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pairs.foreach { case (s, e) =>
+      assert(got((s, e)) === walk(s, e), s"($s,$e)")
+    }
+    // spot pins: Thu->Fri = 1, Thu->Sat = 1, Thu->next Mon = 2
+    assert(got((0L, 1L)) === 1L)
+    assert(got((0L, 2L)) === 1L)
+    assert(got((0L, 4L)) === 2L)
+  }
+
+  test("mmrRerank: diversity beats redundancy — the near-duplicate of " +
+    "the seed is deferred behind the orthogonal candidate") {
+    import spark.implicits._
+    // q=(.7,.7); A=(1,.2) seed; B=(.99,.19) near-copy of A; C=(.2,.9)
+    // diverse. rel: A 8.4e7 > B 8.26e7 > C 7.7e7 — pure relevance
+    // would rank B second; MMR must defer it: sim(B,A)=1.028e8 dwarfs
+    // sim(C,A)=3.8e7, so mmr(C)=4.25e8 > mmr(B)=2.698e8.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.2f)),
+      (11L, Array(0.99f, 0.19f)),
+      (12L, Array(0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", candidateK = 3, selectK = 3)
+      .orderBy("mmr_rank").collect()
+    assert(got.map(_.getAs[Long]("corpus_id")).toSeq ===
+      Seq(10L, 12L, 11L))
+    // exact integer bookkeeping end to end
+    assert(got(0).getAs[Long]("rel_dot") === 84000000L)
+    assert(got(0).isNullAt(got(0).fieldIndex("max_sim")))
+    assert(got(1).getAs[Long]("rel_dot") === 77000000L)
+    assert(got(1).getAs[Long]("max_sim") === 38000000L)
+    assert(got(1).getAs[Long]("mmr_score") ===
+      7L * 77000000L - 3L * 38000000L)
+    // rank 3 = the near-dup; its max_sim vs {A, C} is its sim to A
+    assert(got(2).getAs[Long]("max_sim") === 102800000L)
+    assert(got(2).getAs[Long]("mmr_score") ===
+      7L * 82600000L - 3L * 102800000L)
+  }
+
+  test("topPaths: truncation at maxLen, gap split, deterministic " +
+    "count-then-path ordering") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a>b then (gap) c  — two sessions
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 60L), (1L, 3L, "c", 10000L),
+      // user 2: a>b in one session
+      (2L, 4L, "a", 0L), (2L, 5L, "b", 30L),
+      // user 3: 4 events, maxLen 3 keeps a>b>c
+      (3L, 6L, "a", 0L), (3L, 7L, "b", 1L), (3L, 8L, "c", 2L),
+      (3L, 9L, "d", 3L))
+      .toDF("user_id", "event_id", "event_type", "sec")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = graft.ops.Sessions.topPaths(ev, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800, maxLen = 3,
+        topK = 10)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("a>b", 2L), ("a>b>c", 1L), ("c", 1L)))
+  }
 }
