@@ -2663,6 +2663,95 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Per-group exact quantiles (p50/p90/p99 of the event value metric
+    // per type): blocked (group, bit-length) prefix ranks — the "p99
+    // per service" SLA report with no per-group row_number shuffle
+    "q194_group_quantiles" -> ((s, dir) => {
+      graft.ops.Sketches.exactQuantilesByGroup(
+        t(s, dir, "events").select(col("event_type"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long")
+            .as("v4")),
+        "event_type", "v4", Seq((1, 2), (9, 10), (99, 100)))
+    }),
+
+    // Hourly-grid linear interpolation of each type's value series:
+    // events touched once (per-hour boundary obs), prev/next from
+    // hour-axis carries, DECIMAL(38,0)-exact interpolation — the
+    // resampling step before any time-series join/forecast
+    "q195_interpolate_hourly" -> ((s, dir) => {
+      graft.ops.Sessions.interpolateHourly(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value")
+    }),
+
+    // Streaming watermark/late-data audit: the events replayed as two
+    // deterministic micro-batches (even ids, then odd ids — batch 2
+    // carries rows older than batch 1's watermark); the append-mode
+    // windowed agg drops them, and the query quantifies exactly what
+    // the 1-hour watermark cost per window vs the batch ground truth
+    "q196_stream_late_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val root = scratchDir("q196_late", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+      Seq(in, out, chk).foreach(p => rmr(new java.io.File(p)))
+      val cols = Seq(col("event_id"), col("ts"), col("event_type"))
+      // Two SEQUENTIAL runs against one checkpoint (the production
+      // file-sink path): run 1 ingests the even-id rows and its
+      // watermark persists; run 2 discovers the odd-id file, whose
+      // rows in already-closed windows (end <= wm1) are dropped — a
+      // single AvailableNow run would fold both files into one batch
+      // and never exercise the late path (measured).
+      def ingest(): Unit = {
+        val stream = s.readStream.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(in)
+        val st = stream.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"), col("event_type"), col("n"))
+        val q = graft.ConfScope.withShuffleWidth(s, Some(8)) {
+          graft.streaming.Streams.runToParquet(st, out, chk)
+        }
+        try q.processAllAvailable() finally q.stop()
+      }
+      ev.where(pmod(col("event_id"), lit(2)) === 0).select(cols: _*)
+        .coalesce(1).write.mode("append").parquet(in)
+      ingest()
+      ev.where(pmod(col("event_id"), lit(2)) === 1).select(cols: _*)
+        .coalesce(1).write.mode("append").parquet(in)
+      ingest()
+      val truth = ev.groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("batch_n"))
+      // empty input → the file sink commits no files and the read
+      // cannot infer a schema; an empty (hour, type, n) frame is the
+      // correct sink value then
+      val sink =
+        try s.read.parquet(out)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          truth.select(col("hour"), col("event_type"),
+            lit(0L).as("n")).limit(0)
+        }
+      truth.join(sink.withColumnsRenamed(Map("n" -> "streamed_n")),
+          Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"), col("batch_n"),
+          coalesce(col("streamed_n"), lit(0L)).as("streamed_n"),
+          (col("batch_n") - coalesce(col("streamed_n"), lit(0L)))
+            .as("missing_n"))
+    }),
+
     // MMR diversified re-ranking: greedy lambda*rel - (1-lambda)*maxSim
     // selection over per-query top-12 candidates — integer dots, the
     // greedy recurrence unrolled as candidate-bounded relational steps;
@@ -3047,6 +3136,93 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Naive oracle: per-group global row_number; value at 0-based rank
+    // ceil(p*n)-1 within each group.
+    "q194_group_quantiles" ->
+      """WITH s AS (
+           SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g
+                 ORDER BY v) - 1 AS rn
+               FROM s),
+         n AS (SELECT g, count(*) AS n_rows FROM s GROUP BY 1),
+         t AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100))
+                 AS v(p_num, p_den))
+         SELECT n.g AS event_type, t.p_num, t.p_den,
+           CAST((t.p_num * n.n_rows + t.p_den - 1) // t.p_den - 1
+             AS BIGINT) AS rank,
+           r.v AS value, n.n_rows
+         FROM t, n JOIN r ON r.g = n.g
+           AND r.rn = (t.p_num * n.n_rows + t.p_den - 1)
+             // t.p_den - 1""",
+    // Naive oracle: two ASOF joins against the raw deduped series per
+    // grid instant; identical HUGEINT interpolation.
+    "q195_interpolate_hourly" ->
+      """WITH o0 AS (
+           SELECT event_type AS g, epoch_us(ts) AS tu, event_id AS id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y4
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL AND value IS NOT NULL),
+         obs AS (SELECT g, tu, y4 FROM (
+             SELECT *, row_number() OVER (PARTITION BY g, tu
+               ORDER BY id) AS rn FROM o0)
+           WHERE rn = 1),
+         span AS (SELECT g, min(tu) AS mn, max(tu) AS mx
+                  FROM obs GROUP BY 1),
+         grid AS (SELECT g,
+             unnest(generate_series(mn // 3600000000 + 1,
+               mx // 3600000000)) AS h
+           FROM span
+           WHERE mn // 3600000000 + 1 <= mx // 3600000000),
+         g2 AS (SELECT g, h, h * 3600000000 AS tg FROM grid),
+         prv AS (SELECT g2.g, g2.h, g2.tg, obs.tu AS ptu,
+             obs.y4 AS py4
+           FROM g2 ASOF JOIN obs
+             ON g2.g = obs.g AND g2.tg > obs.tu),
+         obs2 AS (SELECT g, -tu AS ntu, tu, y4 FROM obs),
+         g3 AS (SELECT g, h, -tg AS ntg FROM g2),
+         nxt AS (SELECT g3.g, g3.h, obs2.tu AS xtu, obs2.y4 AS xy4
+           FROM g3 ASOF JOIN obs2
+             ON g3.g = obs2.g AND g3.ntg >= obs2.ntu)
+         SELECT p.g AS event_type, p.h AS hour, p.ptu AS prev_micros,
+           x.xtu AS next_micros,
+           CAST((CAST(p.py4 AS HUGEINT) * (x.xtu - p.tg) +
+             CAST(x.xy4 AS HUGEINT) * (p.tg - p.ptu))
+             // (x.xtu - p.ptu) AS BIGINT) AS interp_e4
+         FROM prv p JOIN nxt x ON p.g = x.g AND p.h = x.h""",
+    // Watermark semantics replayed relationally: batch-1 watermark =
+    // max even-id event time - 1h; odd-id rows in already-closed
+    // windows (end <= wm1) are dropped; windows still open at the
+    // final watermark (end > wmF) are never emitted by append mode.
+    "q196_stream_late_audit" ->
+      """WITH e AS (
+           SELECT event_id, event_type, epoch_us(ts) AS tu,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour,
+             ((epoch_us(ts) // 3600000000) + 1) * 3600000000 AS wend
+           FROM events),
+         wm AS (SELECT max(tu) - 3600000000 AS wm1 FROM e
+                WHERE event_id % 2 = 0),
+         wmf AS (SELECT max(tu) - 3600000000 AS wmf FROM e),
+         streamed AS (
+           -- run 1 emits even-row counts for windows closed by wm1;
+           -- run 2 drops odd rows landing in those windows, then
+           -- emits the remaining windows closed by wmF
+           SELECT e.hour, e.event_type, count(*) AS streamed_n
+           FROM e, wm, wmf
+           WHERE ((e.wend <= wm.wm1 AND e.event_id % 2 = 0)
+             OR (e.wend > wm.wm1 AND e.wend <= wmf.wmf))
+           GROUP BY 1, 2),
+         truth AS (SELECT hour, event_type, count(*) AS batch_n
+                   FROM e GROUP BY 1, 2)
+         SELECT t.hour, t.event_type, t.batch_n,
+           coalesce(s.streamed_n, 0) AS streamed_n,
+           t.batch_n - coalesce(s.streamed_n, 0) AS missing_n
+         FROM truth t LEFT JOIN streamed s
+           ON s.hour = t.hour AND s.event_type = t.event_type""",
     "q191_hilbert_layout" -> hilbertOracleSql(8),
     // Same integer CUSUM: S_j = m*prefix_j - j*total per type, argmax
     // |S| with earliest-hour ties.

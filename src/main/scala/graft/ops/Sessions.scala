@@ -678,4 +678,71 @@ object Sessions {
       .select(col(groupCol), col("n_hours"), col("n_events"),
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
+
+  /** Linear interpolation of an irregular per-group value series onto
+    * the hourly grid — the resampling step that turns event telemetry
+    * into a regular time series for joins/forecasting. The naive form
+    * re-scans the events per grid point (a range join against the whole
+    * series); this touches event-scale data exactly once.
+    *
+    * How: the series is deduped to one value per (group, micro-instant)
+    * (smallest id wins — deterministic), reduced to per-(group, hour)
+    * FIRST/LAST boundary observations (time-domain sized — this is the
+    * only event-scale aggregation), and the prev/next neighbors of
+    * every grid instant come from forward/backward carries over the
+    * hour axis (per-group windows on hours × groups rows, never on
+    * events). A grid instant tg = h·3600e6 takes prev = last obs
+    * STRICTLY before tg (i.e. in hours < h) and next = first obs at or
+    * after tg (hours ≥ h) — so an observation exactly on the boundary
+    * interpolates to itself. Only interior grid hours (prev AND next
+    * exist) are emitted.
+    *
+    * Exactness: values scaled to 1e-4 units through DECIMAL; the
+    * interpolation `(y_prev·(t_next−tg) + y_next·(tg−t_prev)) div
+    * (t_next−t_prev)` runs in DECIMAL(38,0) integer arithmetic —
+    * engine-identical for the non-negative values this contracts for
+    * (floor == truncate). */
+  def interpolateHourly(events: DataFrame, groupCol: String,
+      tsCol: String, idCol: String, valueCol: String): DataFrame = {
+    val H = 3600000000L
+    val obs = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        unix_micros(col(tsCol)).as("tu"),
+        col(idCol).cast("long").as("id"),
+        (col(valueCol).cast("decimal(18,4)") * 10000).cast("long")
+          .as("y4"))
+      .groupBy(col("g"), col("tu"))
+      .agg(min(struct(col("id"), col("y4"))).as("m"))
+      .select(col("g"), col("tu"), col("m.y4").as("y4"),
+        expr(s"tu div $H").as("hb"))
+      .localCheckpoint(eager = false)
+    val blocks = obs.groupBy(col("g"), col("hb").as("h"))
+      .agg(max(struct(col("tu"), col("y4"))).as("lastm"),
+        min(struct(col("tu"), col("y4"))).as("firstm"))
+    val grid = obs.groupBy(col("g"))
+      .agg(min(col("tu")).as("mn"), max(col("tu")).as("mx"))
+      .where(expr(s"mn div $H + 1") <= expr(s"mx div $H"))
+      .select(col("g"), explode(sequence(expr(s"mn div $H + 1"),
+        expr(s"mx div $H"))).as("h"))
+    val axis = grid.select(col("g"), col("h"), lit(1).as("isg"))
+      .join(blocks, Seq("g", "h"), "full_outer")
+    val wPrev = Window.partitionBy(col("g")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("g")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    axis
+      .withColumn("prev", last(col("lastm"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("nxt", first(col("firstm"), ignoreNulls = true)
+        .over(wNext))
+      .where(col("isg") === 1 && col("prev").isNotNull &&
+        col("nxt").isNotNull)
+      .select(col("g").as(groupCol), col("h").as("hour"),
+        col("prev.tu").as("prev_micros"), col("nxt.tu").as("next_micros"),
+        expr(s"""(cast(prev.y4 as decimal(38,0)) * (nxt.tu - h * $H) +
+          cast(nxt.y4 as decimal(38,0)) * (h * $H - prev.tu))
+          div (nxt.tu - prev.tu)""").as("interp_e4"))
+  }
 }

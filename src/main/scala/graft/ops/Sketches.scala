@@ -271,6 +271,67 @@ object Sketches {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-GROUP exact quantiles — the "p99 latency per service" / "median
+    * doc length per language" SLA report, same no-global-sort machinery
+    * as [[exactQuantiles]] but one order statistic per (group, fraction):
+    * blocks are (group, bit-length) pairs, the driver holds
+    * groups × ≤64 subtotals (groups are report-dimension-sized by
+    * contract — services, languages, event types), and each group's
+    * target rank is column arithmetic over its broadcast total, so one
+    * rank-containment filter serves every group at once. The naive
+    * per-group `row_number() OVER (PARTITION BY g ORDER BY v)` shuffles
+    * every ROW into one task per group; this shuffles only DISTINCT
+    * (group, value) counts.
+    *
+    * Output: (group, p_num, p_den, rank, value, n_rows) — one row per
+    * group per fraction. Groups are read as strings; null groups/values
+    * excluded. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) =>
+      n >= 1 && n <= d }, s"fractions must satisfy 1 <= num <= den: $ps")
+    val per = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val bt = per.groupBy(col("g"), col("block"))
+      .agg(sum(col("c")).as("tc"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    if (bt.isEmpty) {
+      return per.select(col("g").as(groupCol), lit(0).as("p_num"),
+        lit(1).as("p_den"), col("c").as("rank"), col("v").as("value"),
+        col("c").as("n_rows")).limit(0)
+    }
+    val off = scala.collection.mutable.Map.empty[String, Long]
+    val nTot = scala.collection.mutable.Map.empty[String, Long]
+    bt.groupBy(_._1).foreach { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, b, tc) =>
+        off(g + "\u0001" + b) = acc; acc += tc
+      }
+      nTot(g) = acc
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"), col("block")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("g"), col("v"), col("c"),
+        (sum(col("c")).over(w) +
+          element_at(typedLit(off.toMap),
+            concat_ws("\u0001", col("g"), col("block")))).as("cum"),
+        element_at(typedLit(nTot.toMap), col("g")).as("n"))
+      .localCheckpoint(eager = false)
+    ps.map { case (num, den) =>
+      val rk = expr(s"($num * n + ${den - 1}) div $den - 1")
+      cum.where(col("cum") - col("c") <= rk && col("cum") > rk)
+        .select(col("g").as(groupCol), lit(num).as("p_num"),
+          lit(den).as("p_den"), rk.as("rank"), col("v").as("value"),
+          col("n").as("n_rows"))
+    }.reduce(_ unionAll _)
+  }
+
   /** EXACT heavy hitters (frequency · k > N) via a two-phase
     * Misra–Gries sweep — the frequent-token / hot-key report that at
     * 100 TB cannot be answered with a plain `groupBy(token).count()`:

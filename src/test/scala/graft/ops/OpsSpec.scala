@@ -2139,6 +2139,36 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("interpolateHourly: exact interior interpolation, boundary obs " +
+    "self-interpolates, empty-hour carry, exterior hours excluded") {
+    import spark.implicits._
+    val H = 3600000000L
+    // group g: obs at 0:30 (y=10), exactly 3:00 (y=40), 5:45 (y=100);
+    // interior grid hours 1,2,3,4,5
+    val ev = Seq(
+      (1L, H / 2, 10.0), (2L, 3 * H, 40.0),
+      (3L, 5 * H + 45 * 60000000L, 100.0))
+      .toDF("event_id", "tu", "value")
+      .select(lit("g").as("g"), col("event_id"),
+        timestamp_micros(col("tu")).as("ts"), col("value"))
+    val got = Sessions.interpolateHourly(ev, "g", "ts", "event_id",
+        "value")
+      .orderBy("hour").collect()
+      .map(r => r.getAs[Long]("hour") ->
+        (r.getAs[Long]("prev_micros"), r.getAs[Long]("next_micros"),
+          r.getAs[Long]("interp_e4"))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // hour 1: between (0:30, 1e5) and (3:00, 4e5): t=1:00 ->
+    // (1e5*(2h) + 4e5*(0.5h)) / 2.5h = (2e5+2e5)/2.5 = 160000
+    assert(got(1L) === ((H / 2, 3 * H, 160000L)))
+    // hour 3: grid instant ON the observation -> next = itself,
+    // zero-width weight gives exactly its value
+    assert(got(3L) === ((H / 2, 3 * H, 400000L)))
+    // hour 4: between 3:00 (4e5) and 5:45 (1e6): 1h of 2.75h ->
+    // (4e5*1.75 + 1e6*1.0)/2.75 = 1700000/2.75 = 618181 (floor)
+    assert(got(4L) === ((3 * H, 5 * H + 45 * 60000000L, 618181L)))
+  }
+
   test("topPaths: truncation at maxLen, gap split, deterministic " +
     "count-then-path ordering") {
     import spark.implicits._

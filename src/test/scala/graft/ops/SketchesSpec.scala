@@ -308,4 +308,29 @@ class SketchesSpec extends SparkSuite {
     val uniform = (1 to 100).map(i => s"u${i % 50}").toDF("v")
     assert(Sketches.heavyHitters(uniform, col("v"), 10).count() === 0)
   }
+
+  test("exactQuantilesByGroup: per-group order statistics equal the " +
+    "sorted-array reference, groups independent, ties exact") {
+    import spark.implicits._
+    // group a: 1..101 (odd n); group b: heavy ties; group c: one row
+    val a = (1 to 101).map(v => ("a", v.toLong))
+    val b = (1 to 90).map(v => ("b", (v % 3).toLong * 10))
+    val c = Seq(("c", 42L))
+    val df = (a ++ b ++ c).toDF("g", "v")
+    val ps = Seq((1, 4), (1, 2), (99, 100))
+    val got = Sketches.exactQuantilesByGroup(df, "g", "v", ps)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    def ref(vs: Seq[Long], num: Int, den: Int): (Long, Long, Long) = {
+      val s = vs.sorted; val n = s.size.toLong
+      val rk = (num * n + den - 1) / den - 1
+      (rk, s(rk.toInt), n)
+    }
+    for ((g, vs) <- Seq("a" -> a.map(_._2), "b" -> b.map(_._2),
+        "c" -> c.map(_._2)); (num, den) <- ps) {
+      assert(got((g, num, den)) === ref(vs, num, den), s"$g $num/$den")
+    }
+    assert(got.size === 9)
+  }
 }
