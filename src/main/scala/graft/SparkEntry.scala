@@ -2663,6 +2663,31 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Neyman-allocation stratified sample: 1000 rows across the
+    // priority strata proportional to N_h*S_h — integer weights from
+    // one exact sqrt per stratum, largest-remainder allocation, sample
+    // by blocked (hash, id) rank; checksum pins exact membership
+    "q197_neyman_sample" -> ((s, dir) => {
+      graft.ops.Splits.neymanSample(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderkey", "o_totalprice", totalN = 1000)
+    }),
+
+    // Privacy release gate: per nation group, k (size), l (distinct
+    // segments), and categorical t-closeness = exact-ppm total
+    // variation distance vs the global segment mix
+    "q198_t_closeness" -> ((s, dir) => {
+      Profiling.tCloseness(t(s, dir, "customer"), "c_nationkey",
+        "c_mktsegment")
+    }),
+
+    // Seasonal anomaly detection: hour-of-week median/MAD baseline per
+    // event type (doubled-median exact integers), flags hours beyond
+    // 3 x 1.4826 x MAD — "Tuesday 2pm collapsed", not "3am is quiet"
+    "q199_seasonal_anomalies" -> ((s, dir) => {
+      graft.ops.Sessions.seasonalAnomalies(t(s, dir, "events"),
+        "event_type", "ts")
+    }),
+
     // Per-group exact quantiles (p50/p90/p99 of the event value metric
     // per type): blocked (group, bit-length) prefix ranks — the "p99
     // per service" SLA report with no per-group row_number shuffle
@@ -3136,6 +3161,103 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Same integer weights/allocation; the sample re-ranked by a naive
+    // per-stratum row_number over the identical portable hash.
+    "q197_neyman_sample" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+               AS BIGINT) AS y4,
+             CAST(('0x' || substr(md5('graft:' || o_orderpriority ||
+               '/' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+         stats AS (SELECT g, count(*) AS nh,
+             sum(CAST(y4 AS HUGEINT)) AS sy,
+             sum(CAST(y4 AS HUGEINT) * y4) AS syy
+           FROM base GROUP BY 1),
+         w AS (SELECT g, nh,
+             CAST(floor(sqrt(CAST(nh * syy - sy * sy AS DOUBLE)))
+               AS HUGEINT) AS w
+           FROM stats),
+         wt AS (SELECT sum(w) AS wt FROM w),
+         a0 AS (SELECT g, nh, w,
+             (1000 * w) // wt.wt AS n0, (1000 * w) % wt.wt AS rem
+           FROM w, wt),
+         lo AS (SELECT 1000 - sum(n0) AS leftover FROM a0),
+         rk AS (SELECT g, row_number() OVER (ORDER BY rem DESC, g)
+               AS rr
+           FROM a0),
+         alloc AS (SELECT a0.g, a0.nh, a0.w,
+             least(a0.n0 + CASE WHEN rk.rr <= lo.leftover
+               THEN 1 ELSE 0 END, a0.nh) AS an
+           FROM a0 JOIN rk ON rk.g = a0.g, lo),
+         r AS (SELECT g, id, row_number() OVER (PARTITION BY g
+               ORDER BY h, id) AS rnk
+           FROM base),
+         samp AS (SELECT r.g, count(*) AS sampled_n,
+             sum(r.id) AS id_checksum
+           FROM r JOIN alloc ON alloc.g = r.g
+           WHERE r.rnk <= alloc.an GROUP BY 1)
+         SELECT a.g AS stratum, CAST(a.nh AS BIGINT) AS n_rows,
+           CAST(a.w AS BIGINT) AS neyman_w, CAST(a.an AS INT)
+             AS alloc_n,
+           CAST(s.sampled_n AS BIGINT) AS sampled_n,
+           CAST(s.id_checksum AS BIGINT) AS id_checksum
+         FROM alloc a JOIN samp s ON s.g = a.g""",
+    // Same grid TVD: absent (group, value) cells contribute the full
+    // global mass; one HUGEINT division per group.
+    "q198_t_closeness" ->
+      """WITH cell AS (
+           SELECT CAST(c_nationkey AS VARCHAR) AS q, c_mktsegment AS s,
+             count(*) AS nqs
+           FROM customer
+           WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+           GROUP BY 1, 2),
+         grp AS (SELECT q, sum(nqs) AS nq, count(*) AS ldiv
+                 FROM cell GROUP BY 1),
+         gl AS (SELECT s, sum(nqs) AS ns FROM cell GROUP BY 1),
+         tot AS (SELECT sum(nqs) AS n FROM cell),
+         j AS (SELECT g.q, g.nq, g.ldiv, v.s, v.ns,
+             coalesce(cell.nqs, 0) AS nqs, tot.n
+           FROM grp g CROSS JOIN gl v CROSS JOIN tot
+           LEFT JOIN cell ON cell.q = g.q AND cell.s = v.s)
+         SELECT q AS c_nationkey, CAST(max(nq) AS BIGINT) AS k_size,
+           CAST(max(ldiv) AS BIGINT) AS l_diversity,
+           CAST(sum(abs(CAST(nqs AS HUGEINT) * n -
+             CAST(ns AS HUGEINT) * nq)) * 1000000 //
+             (2 * CAST(max(nq) AS HUGEINT) * max(n)) AS BIGINT)
+             AS tvd_ppm
+         FROM j GROUP BY 1""",
+    // Same doubled-median/MAD baseline from the cell's sorted count
+    // list; identical integer flag predicate.
+    "q199_seasonal_anomalies" ->
+      """WITH hourly AS (
+           SELECT event_type AS g, epoch_us(ts) // 3600000000 AS h,
+             count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         cells AS (SELECT g, h % 168 AS how,
+             list_sort(list(c)) AS arr, count(*) AS n
+           FROM hourly GROUP BY 1, 2),
+         m AS (SELECT g, how, n, arr,
+             arr[CAST((n + 1) // 2 AS INT)] +
+               arr[CAST(n // 2 + 1 AS INT)] AS med2
+           FROM cells),
+         m2 AS (SELECT g, how, n, med2,
+             list_sort(list_transform(arr, x -> abs(2 * x - med2)))
+               AS devs
+           FROM m),
+         m3 AS (SELECT g, how, med2,
+             devs[CAST((n + 1) // 2 AS INT)] +
+               devs[CAST(n // 2 + 1 AS INT)] AS mad4
+           FROM m2)
+         SELECT h2.g AS event_type, h2.h AS hour, h2.c AS n,
+           m3.med2, m3.mad4
+         FROM (SELECT g, h, h % 168 AS how, c FROM hourly) h2
+         JOIN m3 ON m3.g = h2.g AND m3.how = h2.how
+         WHERE abs(2 * h2.c - m3.med2) * 2 * 10000 > 44478 * m3.mad4""",
     // Naive oracle: per-group global row_number; value at 0-based rank
     // ceil(p*n)-1 within each group.
     "q194_group_quantiles" ->

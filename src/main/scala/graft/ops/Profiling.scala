@@ -1189,6 +1189,50 @@ object Profiling {
         col("m.t").as("updated_micros"), col("n_candidates"))
   }
 
+  /** t-closeness / l-diversity privacy audit — the release-gate
+    * companion to k-anonymity (q125): per quasi-identifier group,
+    * (a) group size (the k), (b) the count of distinct sensitive
+    * values (the l), and (c) the total-variation distance between the
+    * group's sensitive-value distribution and the global one in exact
+    * ppm (the categorical t in t-closeness: a group whose sensitive mix
+    * mirrors the population leaks nothing even at small k; a skewed one
+    * leaks at ANY k).
+    *
+    * Exactness: TVD = Σ_v |n_gv·N − n_v·N_g| · 1e6 div (2·N_g·N) — the
+    * absolute differences are summed as exact DECIMAL(38,0) integers
+    * and divided once. The value grid is (groups × sensitive-domain)
+    * with absent cells contributing |0 − n_v·N_g| — the sensitive
+    * domain is bounded by contract (categories, not free text), so the
+    * grid is report-dimension-sized; event-scale data is touched once
+    * by the (group, value) count. */
+  def tCloseness(df: DataFrame, quasiCol: String,
+      sensitiveCol: String): DataFrame = {
+    val cell = df
+      .where(col(quasiCol).isNotNull && col(sensitiveCol).isNotNull)
+      .select(col(quasiCol).cast("string").as("q"),
+        col(sensitiveCol).cast("string").as("s"))
+      .groupBy(col("q"), col("s")).agg(count(lit(1)).as("nqs"))
+      .localCheckpoint(eager = false)
+    val grp = cell.groupBy(col("q"))
+      .agg(sum(col("nqs")).as("nq"), count(lit(1)).as("ldiv"))
+    val glob = cell.groupBy(col("s")).agg(sum(col("nqs")).as("ns"))
+    val tot = broadcast(cell.groupBy(lit(1).as("__o"))
+      .agg(sum(col("nqs")).as("n")))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    grp.crossJoin(broadcast(glob))
+      .join(cell, Seq("q", "s"), "left")
+      .crossJoin(tot)
+      .select(col("q"), col("nq"), col("ldiv"), col("n"),
+        abs(d38(coalesce(col("nqs"), lit(0L))) * d38(col("n")) -
+          d38(col("ns")) * d38(col("nq"))).as("num"))
+      .groupBy(col("q").as(quasiCol))
+      .agg(max(col("nq")).as("k_size"), max(col("ldiv"))
+          .as("l_diversity"),
+        expr("cast(sum(num) * 1000000 div " +
+          "(2 * cast(max(nq) as decimal(38,0)) * max(n)) as bigint)")
+          .as("tvd_ppm"))
+  }
+
   /** Business days (Mon–Fri) from epoch-day `startDay` exclusive to
     * `endDay` inclusive — the SLA / lead-time metric ("shipped in how
     * many working days?") in CLOSED FORM: `wd(m) = 5·(m div 7) +

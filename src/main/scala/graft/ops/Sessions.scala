@@ -679,6 +679,52 @@ object Sessions {
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
 
+  /** Seasonal anomaly detection on the hourly count series: each
+    * (group, hour-of-week) cell learns a robust baseline — median and
+    * MAD of that cell's counts across the weeks — and hours whose count
+    * deviates more than `cutoff·1.4826·MAD` from their cell median are
+    * flagged. The hour-of-week framing separates "3am Sunday is always
+    * quiet" from "Tuesday 2pm collapsed" — a global z-score conflates
+    * them (and a mean/σ baseline is itself dragged by the anomalies;
+    * median/MAD is not).
+    *
+    * Exactness: the doubled-median trick of [[Profiling.madOutliers]] —
+    * med2 = 2·median and mad4 = 4·MAD are exact integers read from the
+    * cell's SORTED count array, and the flag test
+    * `|2c − med2|·2·10⁴ > cutoff₁₀₀₀₀·mad4` is pure integers. Each
+    * cell's array is bounded by the number of WEEKS in the data (≤53/yr
+    * by construction — a bounded collect), and the whole frame after
+    * the one event-scale aggregation is time-domain-sized.
+    *
+    * Output: flagged hours only — (group, hour, n, med2, mad4). */
+  def seasonalAnomalies(events: DataFrame, groupCol: String,
+      tsCol: String, cutoffX10000: Long = 44478L): DataFrame = {
+    require(cutoffX10000 > 0, "cutoff must be positive")
+    val hourly = events.where(col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("how", pmod(col("h"), lit(168L)))
+      .localCheckpoint(eager = false)
+    val cells = hourly.groupBy(col("g"), col("how"))
+      .agg(sort_array(collect_list(col("c"))).as("arr"),
+        count(lit(1)).as("n"))
+      .withColumn("med2",
+        expr("element_at(arr, cast((n + 1) div 2 as int)) + " +
+          "element_at(arr, cast(n div 2 + 1 as int))"))
+      .withColumn("devs", sort_array(transform(col("arr"),
+        x => abs(x * 2 - col("med2")))))
+      .withColumn("mad4",
+        expr("element_at(devs, cast((n + 1) div 2 as int)) + " +
+          "element_at(devs, cast(n div 2 + 1 as int))"))
+      .select(col("g"), col("how"), col("med2"), col("mad4"))
+    hourly.join(cells, Seq("g", "how"))
+      .where(abs(col("c") * 2 - col("med2")) * 2 * 10000 >
+        lit(cutoffX10000) * col("mad4"))
+      .select(col("g").as(groupCol), col("h").as("hour"),
+        col("c").as("n"), col("med2"), col("mad4"))
+  }
+
   /** Linear interpolation of an irregular per-group value series onto
     * the hourly grid — the resampling step that turns event telemetry
     * into a regular time series for joins/forecasting. The naive form

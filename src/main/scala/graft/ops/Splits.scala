@@ -291,4 +291,120 @@ object Splits {
         col("item").as(s"neg_$itemCol"))
       .where(col("rank") <= k)
   }
+
+  /** Neyman-allocation stratified sampling — the survey-design sampler:
+    * a fixed budget of `totalN` rows is split across strata
+    * proportionally to N_h·S_h (stratum size × stratum std dev), so
+    * high-variance strata get more of the budget; uniform-fraction
+    * sampling wastes budget on homogeneous strata. The estimator-
+    * variance-optimal allocation for stratified means.
+    *
+    * Exactness: N_h·S_h = sqrt(N_h·Σy² − (Σy)²) — one integer sqrt per
+    * stratum. The variance term is exact (DECIMAL moments of 1e-4
+    * units); its double conversion and sqrt are correctly rounded in
+    * every IEEE engine, and the result is floored back to an INTEGER
+    * weight immediately, so the whole allocation (floor division +
+    * largest-remainder top-up, ties by stratum name) is pure integer
+    * arithmetic — engine-identical. Allocations are capped at the
+    * stratum size (no redistribution; documented).
+    *
+    * The sample itself is the `n_h` smallest (portable-hash, id) rows
+    * per stratum via the blocked two-phase rank (strata × 64 hash
+    * blocks → bounded driver offsets → per-block parallel windows) —
+    * no per-stratum global sort. Strata are report-dimension-sized by
+    * contract (segments, languages, sources).
+    *
+    * Output: one row per stratum — (stratum, n_rows, neyman_w,
+    * alloc_n, sampled_n, id_checksum); `id_checksum` (sum of sampled
+    * ids) pins the exact membership without carrying it. */
+  def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
+      valueCol: String, totalN: Int,
+      salt: String = "graft"): DataFrame = {
+    require(totalN >= 1, s"totalN must be >= 1, got $totalN")
+    val hash = conv(substring(md5(concat(lit(salt + ":"), col("g"),
+      lit("/"), col("id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val base = df
+      .where(col(stratumCol).isNotNull && col(idCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        (col(valueCol).cast("decimal(18,4)") * 10000).cast("long")
+          .as("y4"))
+      .withColumn("h", hash)
+      .withColumn("block", (col("h") / lit(1L << 54)).cast("int"))
+      .localCheckpoint(eager = false)
+    val stats = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("y4").cast("decimal(38,0)")).as("sy"),
+        sum(col("y4").cast("decimal(38,0)") *
+          col("y4").cast("decimal(38,0)")).as("syy"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .sortBy(_._1)
+    if (stats.isEmpty) {
+      return base.select(col("g").as("stratum"), col("id").as("n_rows"),
+        col("id").as("neyman_w"), col("id").cast("int").as("alloc_n"),
+        col("id").as("sampled_n"), col("id").as("id_checksum")).limit(0)
+    }
+    // integer Neyman weights: floor(sqrt(nh*syy - sy^2))
+    val w: Map[String, BigInt] = stats.map { case (g, nh, sy, syy) =>
+      g -> BigInt(math.sqrt((BigInt(nh) * syy - sy * sy).toDouble)
+        .toLong)
+    }.toMap
+    val wTot = stats.map(s => w(s._1)).sum
+    // largest-remainder allocation in exact integers, ties by stratum
+    val alloc = scala.collection.mutable.Map.empty[String, Long]
+    if (wTot > 0) {
+      stats.foreach { case (g, _, _, _) =>
+        alloc(g) = ((BigInt(totalN) * w(g)) / wTot).toLong
+      }
+      val rem = stats.map { case (g, _, _, _) =>
+        g -> (BigInt(totalN) * w(g)) % wTot }
+      var left = totalN - alloc.values.sum
+      rem.sortBy { case (g, r) => (-r, g) }.foreach { case (g, _) =>
+        if (left > 0) { alloc(g) += 1; left -= 1 }
+      }
+    } else {
+      // zero-variance strata everywhere: equal split, ties by name
+      val k = stats.size
+      stats.zipWithIndex.foreach { case ((g, _, _, _), i) =>
+        alloc(g) = totalN / k + (if (i < totalN % k) 1L else 0L)
+      }
+    }
+    stats.foreach { case (g, nh, _, _) =>
+      alloc(g) = math.min(alloc(g), nh) }
+    // blocked two-phase per-stratum rank over (hash, id)
+    val bt = base.groupBy(col("g"), col("block"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val off = scala.collection.mutable.Map.empty[String, Long]
+    bt.groupBy(_._1).foreach { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, b, c) =>
+        off(g + "\u0001" + b) = acc; acc += c
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wnd = Window.partitionBy(col("g"), col("block"))
+      .orderBy(col("h"), col("id"))
+    val sampled = base
+      .withColumn("rank", row_number().over(wnd) +
+        element_at(typedLit(off.toMap),
+          concat_ws("\u0001", col("g"), col("block"))))
+      .where(col("rank") <=
+        element_at(typedLit(alloc.toMap), col("g")))
+    val statsMapN: Map[String, Long] = stats.map(s => s._1 -> s._2).toMap
+    sampled.groupBy(col("g"))
+      .agg(count(lit(1)).as("sampled_n"), sum(col("id")).as("id_checksum"))
+      .select(col("g").as("stratum"),
+        element_at(typedLit(statsMapN), col("g")).as("n_rows"),
+        element_at(typedLit(w.map { case (k, v) => k -> v.toLong }),
+          col("g")).as("neyman_w"),
+        element_at(typedLit(alloc.toMap), col("g")).cast("int")
+          .as("alloc_n"),
+        col("sampled_n"), col("id_checksum"))
+  }
 }

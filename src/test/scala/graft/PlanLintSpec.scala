@@ -49,6 +49,8 @@ class PlanLintSpec extends SparkSuite {
     "q154_phrase_lift",   // one-row corpus token-total frame
     "q160_negative_sampling", // one-row item-domain-bounds frame
     "q188_association_rules", // one-row n_baskets totals frame
+    "q198_t_closeness", // sensitive-domain grid (bounded categories) +
+                        // one-row totals frame
     "q166_ind_discovery",  // one-row ndv/missing count frames
     "q167_degree_assortativity", // one-row correlation-sums frame
     "q171_kmv_rollup",     // rolled-away dims fold to literal NULLs, so

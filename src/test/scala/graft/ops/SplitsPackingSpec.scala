@@ -266,4 +266,45 @@ class SplitsPackingSpec extends SparkSuite {
     assert(tiny.count() === 3)
     q.unpersist()
   }
+
+  test("neymanSample: allocation proportional to N_h*S_h, zero-variance " +
+    "stratum gets ~nothing, caps at stratum size, checksum pins " +
+    "membership") {
+    import spark.implicits._
+    // stratum a: 100 rows, values alternate 0/1000 (huge variance);
+    // stratum b: 100 rows, constant (zero variance -> w=0);
+    // stratum c: 4 rows, alternating (tiny but high variance).
+    val rows =
+      (1 to 100).map(i => ("a", i.toLong, if (i % 2 == 0) 1000.0
+        else 0.0)) ++
+      (101 to 200).map(i => ("b", i.toLong, 500.0)) ++
+      (201 to 204).map(i => ("c", i.toLong, if (i % 2 == 0) 1000.0
+        else 0.0))
+    val df = rows.toDF("g", "id", "v")
+    val got = Splits.neymanSample(df, "g", "id", "v", totalN = 50)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // w_a = sqrt(100*sum(y4^2) - sum(y4)^2): y4 in {0, 1e7}:
+    // = sqrt(100*50*1e14 - (5e8)^2) = sqrt(5e17 - 2.5e17) = 5e8
+    assert(got("a").getAs[Long]("neyman_w") === 500000000L)
+    // zero variance -> weight 0 -> allocation 0 -> absent from output
+    assert(!got.contains("b"))
+    // w_c = sqrt(4*2*1e14 - (2e7)^2) = sqrt(8e14 - 4e14) = 2e7
+    assert(got("c").getAs[Long]("neyman_w") === 20000000L)
+    // allocation: floor(50*5e8/5.2e8) = 48, floor(50*2e7/5.2e8) = 1;
+    // leftover 1 goes to the larger remainder; c caps at nh=4
+    val aAlloc = got("a").getAs[Int]("alloc_n")
+    val cAlloc = got("c").getAs[Int]("alloc_n")
+    assert(aAlloc + cAlloc === 50 ||
+      (cAlloc === 4 && aAlloc >= 46), s"a=$aAlloc c=$cAlloc")
+    assert(got("a").getAs[Long]("sampled_n") === aAlloc.toLong)
+    assert(got("c").getAs[Long]("sampled_n") === cAlloc.toLong)
+    // membership is the n smallest (hash, id) — recompute directly
+    val hashes = df.where(col("g") === "a").select(col("id"),
+        conv(substring(md5(concat(lit("graft:"), col("g"), lit("/"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+    val wantSum = hashes.take(aAlloc).map(_._1).sum
+    assert(got("a").getAs[Long]("id_checksum") === wantSum)
+  }
 }
