@@ -2663,6 +2663,84 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // STREAMING exact heavy hitters: Misra-Gries candidate state kept
+    // ACROSS micro-batches (mapGroupsWithState, O(buckets*k) state,
+    // update mode), batch exact recount + threshold — bit-identical to
+    // the q148 batch answer under any batch split or arrival order
+    "q200_stream_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("text"))
+      val root = scratchDir("q200_shh", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val in = s"$root/in"
+      rmr(new java.io.File(in))
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      s.catalog.dropTempView("q200_stream_out")
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val toks = stream.select(explode(Dedup.tokens(col("text")))
+        .as("tok"))
+      val cand = graft.streaming.Streams
+        .streamingHeavyHitterCandidates(toks, "tok", buckets = 16,
+          k = 64)
+      val sink = graft.streaming.Streams.runToMemory(s, cand,
+        "q200_stream_out", outputMode = "update",
+        statePartitions = Some(8))
+      // final summary per bucket = max-seen emission; then the exact
+      // recount over candidates only (broadcast semi-join)
+      val fin = sink.groupBy(col("bucket"))
+        .agg(max(struct(col("seen_n"), col("candidates"))).as("m"))
+        .select(explode(col("m.candidates")).as("token"))
+      val toksB = docs.select(explode(Dedup.tokens(col("text")))
+        .as("tok"))
+      val tot = broadcast(toksB.groupBy(lit(1).as("__o"))
+        .agg(count(lit(1)).as("n_total")))
+      toksB.join(broadcast(fin), col("tok") === col("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(tot)
+        .where(col("cnt") * 40 > col("n_total"))
+        .select(col("token"), col("cnt"), col("n_total"))
+    }),
+
+    // Exact multi-source BFS reach profile over the customer-supplier
+    // graph: frontier-at-a-time (never path-enumerating), 3 rounds,
+    // first-visit counts per depth — the exact ground truth beside
+    // q161's sketched 2-hop estimate
+    "q201_multi_source_bfs" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.customerSupplierEdges(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      graft.ops.Graphs.multiSourceBfs(s, edges,
+        seeds = Seq(2L, 4L, 6L, 8L), maxDepth = 3)
+    }),
+
+    // Revenue concentration: exact Gini + top-1%/10% Lorenz shares of
+    // order totals in ppm — blocked rank+mass prefixes, tie-exact,
+    // no global sort
+    "q202_concentration" -> ((s, dir) => {
+      Profiling.concentrationReport(t(s, dir, "orders"),
+        "o_totalprice")
+    }),
+
+    // Burst dedup: collapse event chains closer than 10 minutes per
+    // (user, type) to their first event with exact suppressed counts —
+    // the repeat-fire cleaner (chained, not fixed-window)
+    "q203_burst_dedup" -> ((s, dir) => {
+      graft.ops.Sessions.burstDedup(t(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id", gapSeconds = 600)
+    }),
+
     // Neyman-allocation stratified sample: 1000 rows across the
     // priority strata proportional to N_h*S_h — integer weights from
     // one exact sqrt per stratum, largest-remainder allocation, sample
@@ -3161,6 +3239,96 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // The streaming MG phase is a lossless candidate filter by
+    // construction, so the oracle is the plain exact heavy-hitter
+    // recount (same as q148).
+    "q200_stream_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS t
+           FROM documents),
+         tot AS (SELECT count(*) AS n_total FROM tok)
+         SELECT t AS token, count(*) AS cnt,
+           (SELECT n_total FROM tot) AS n_total
+         FROM tok GROUP BY t
+         HAVING count(*) * 40 > (SELECT n_total FROM tot)""",
+    // Recursive-CTE BFS: UNION-dedup on (seed, node, dist) keeps the
+    // walk set-sized; min-dist post-hoc equals first-visit depth.
+    "q201_multi_source_bfs" ->
+      """WITH RECURSIVE p AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT c * 2 AS src, s * 2 + 1 AS dst FROM p
+           UNION ALL
+           SELECT s * 2 + 1 AS src, c * 2 AS dst FROM p),
+         seeds AS (SELECT unnest([2, 4, 6, 8]) AS seed),
+         walk(seed, node, dist) AS (
+           SELECT seed, CAST(seed AS BIGINT), 0 FROM seeds
+           UNION
+           SELECT w.seed, CAST(e.dst AS BIGINT), w.dist + 1
+           FROM walk w JOIN edges e ON e.src = w.node
+           WHERE w.dist < 3),
+         mind AS (SELECT seed, node, min(dist) AS dist
+                  FROM walk GROUP BY 1, 2)
+         SELECT CAST(seed AS BIGINT) AS seed, CAST(dist AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+         FROM mind GROUP BY 1, 2""",
+    // Naive oracle: one global row_number; Gini closed form and the
+    // boundary-exact top-p% shares from the sorted ranks.
+    "q202_concentration" ->
+      """WITH v AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS y
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         r AS (SELECT y, row_number() OVER (ORDER BY y) AS i FROM v),
+         t AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s
+               FROM v),
+         g AS (SELECT CAST((2 * sum(CAST(r.i AS HUGEINT) * r.y) -
+               (t.n + 1) * t.s) * 1000000 // (t.n * t.s) AS BIGINT)
+               AS ppm
+             FROM r, t GROUP BY t.n, t.s),
+         tops AS (
+           SELECT 'top' || p AS stat,
+             CAST((SELECT sum(CAST(y AS HUGEINT)) FROM r, t
+               WHERE r.i > t.n - (t.n * p + 99) // 100) * 1000000 //
+               t.s AS BIGINT) AS ppm
+           FROM (SELECT unnest([1, 10]) AS p), t)
+         SELECT 'gini' AS stat, g.ppm, CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.s AS BIGINT) AS total_cents
+         FROM g, t
+         UNION ALL
+         SELECT stat, ppm, CAST(t.n AS BIGINT), CAST(t.s AS BIGINT)
+         FROM tops, t""",
+    // Identical chained-gap windows; min (ts, id) per burst.
+    "q203_burst_dedup" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS tu
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL),
+         s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+               OR tu - lag(tu) OVER w > 600000000 THEN 1 ELSE 0 END
+               AS brk
+           FROM e
+           WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id)),
+         s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id,
+               event_type ORDER BY ts, event_id) AS burst
+           FROM s),
+         k AS (SELECT user_id, event_type, burst,
+             min(tu) AS ts_micros, count(*) - 1 AS n_suppressed
+           FROM s2 GROUP BY 1, 2, 3),
+         f AS (SELECT s2.user_id, s2.event_type, s2.event_id,
+             k.ts_micros, k.n_suppressed,
+             row_number() OVER (PARTITION BY s2.user_id, s2.event_type,
+               s2.burst ORDER BY s2.tu, s2.event_id) AS rn
+           FROM s2 JOIN k ON k.user_id = s2.user_id
+             AND k.event_type = s2.event_type AND k.burst = s2.burst)
+         SELECT user_id, event_type, event_id, ts_micros,
+           CAST(n_suppressed AS BIGINT) AS n_suppressed
+         FROM f WHERE rn = 1""",
     // Same integer weights/allocation; the sample re-ranked by a naive
     // per-stratum row_number over the identical portable hash.
     "q197_neyman_sample" ->

@@ -345,6 +345,40 @@ object Graphs {
         sum(col("w")).cast("double").as("subtree_total"))
   }
 
+  /** Multi-source exact BFS reach profile: from each seed, the EXACT
+    * number of nodes first reached at every depth ≤ `maxDepth` — the
+    * blast-radius / influence-horizon report ("how much of the graph is
+    * within 3 hops of this account"), and the exact ground truth the
+    * sketched 2-hop estimator (q161) trades away. Frontier-at-a-time:
+    * each round is one equi-join frontier⋈edges, a distinct, and an
+    * anti-join against the visited set — never materializing paths
+    * (the recursive-CTE failure mode on dense graphs: path count grows
+    * exponentially, first-visit sets don't). `maxDepth` sequential
+    * rounds, each checkpointed; state is (seed, node) pairs, bounded by
+    * seeds × nodes. */
+  def multiSourceBfs(spark: SparkSession, edges: DataFrame,
+      seeds: Seq[Long], maxDepth: Int): DataFrame = {
+    require(seeds.nonEmpty && maxDepth >= 1, "need seeds and depth >= 1")
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(eager = false)
+    var visited = seeds.map(s => (s, s, 0))
+      .toDF("seed", "node", "dist").localCheckpoint(eager = false)
+    var frontier = visited.select(col("seed"), col("node"))
+    for (d <- 1 to maxDepth) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(eager = false)
+      visited = visited.unionAll(next).localCheckpoint(eager = false)
+      frontier = next.select(col("seed"), col("node"))
+    }
+    visited.groupBy(col("seed"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** The customer–supplier interaction graph: an undirected bipartite
     * edge per distinct (o_custkey, l_suppkey) trading pair, encoded
     * customers = 2k, suppliers = 2k+1. */

@@ -1189,6 +1189,104 @@ object Profiling {
         col("m.t").as("updated_micros"), col("n_candidates"))
   }
 
+  /** Revenue/wealth concentration report — exact Gini coefficient and
+    * top-p% shares (the Lorenz points behind "the top 1% of customers
+    * drive X% of revenue") with NO global sort: distinct cent values
+    * with counts, the blocked two-phase prefix sum for both the rank
+    * prefix and the mass prefix, and the tie-exact closed form
+    * 2·Σᵢ i·xᵢ = Σ_v y_v·(2·c·m + c·(c+1)) over tied groups (m =
+    * 0-based min-rank) — all DECIMAL(38,0) integers, one division per
+    * statistic. Gini = (2Σ i·x − (n+1)·S) / (n·S); a top-p% share
+    * splits its boundary tie group exactly by row count.
+    *
+    * Output rows: ('gini', ppm), ('top1', ppm), ('top10', ppm), each
+    * carrying (n_rows, total_cents). Non-negative values required (the
+    * Lorenz construction); null values excluded. */
+  def concentrationReport(df: DataFrame, valueCol: String): DataFrame = {
+    val per = df
+      .select((col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+        .as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val bt = per.groupBy(col("block"))
+      .agg(sum(col("c")).as("tc"),
+        sum(col("c").cast("decimal(38,0)") * col("v")).as("tm"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger)))
+      .sortBy(_._1)
+    if (bt.isEmpty) {
+      return per.select(lit("gini").as("stat"), col("c").as("ppm"),
+        col("c").as("n_rows"), col("c").as("total_cents")).limit(0)
+    }
+    var accC = 0L; var accM = BigInt(0)
+    val offC = scala.collection.mutable.Map.empty[Long, Long]
+    val offM = scala.collection.mutable.Map.empty[Long, String]
+    bt.foreach { case (b, tc, tm) =>
+      offC(b) = accC; offM(b) = accM.toString
+      accC += tc; accM += tm
+    }
+    val n = accC
+    val s = accM
+    if (s == 0) {
+      // degenerate all-zero mass: Lorenz/Gini undefined — report nulls
+      return Seq("gini", "top1", "top10").map { st =>
+        per.groupBy(lit(st).as("stat"))
+          .agg(max(lit(null).cast("long")).as("ppm"))
+          .select(col("stat"), col("ppm"), lit(n).as("n_rows"),
+            lit(0L).as("total_cents"))
+      }.reduce(_ unionAll _)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("block")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cum = per.select(col("v"), col("c"),
+        (sum(col("c")).over(w) +
+          element_at(typedLit(offC.toMap), col("block").cast("long")))
+          .as("cumc"),
+        (sum(d38(col("c")) * col("v")).over(w) +
+          element_at(typedLit(offM.toMap),
+            col("block").cast("long")).cast("decimal(38,0)"))
+          .as("cumm"))
+      .localCheckpoint(eager = false)
+    val sLit = lit(new java.math.BigDecimal(s.bigInteger))
+      .cast("decimal(38,0)")
+    // gini: Σ_v y·(2cm + c(c+1)) with m = cumc − c, then the closed form
+    val gini = cum
+      .select((d38(col("v")) *
+        (d38(col("c")) * (col("cumc") - col("c")) * 2 +
+          d38(col("c")) * (col("c") + 1))).as("t"))
+      .groupBy(lit("gini").as("stat"))
+      .agg(expr(s"cast((sum(t) - ($n + 1) * cast('${s}' as " +
+        s"decimal(38,0))) * 1000000 div ($n * cast('${s}' as " +
+        "decimal(38,0))) as bigint)").as("ppm"))
+      .select(col("stat"), col("ppm"), lit(n).as("n_rows"),
+        sLit.cast("long").as("total_cents"))
+    val tops = Seq(1, 10).map { p =>
+      val kp = (n * p + 99) / 100
+      val bottom = n - kp
+      val top =
+        if (bottom <= 0) cum.groupBy(lit(s"top$p").as("stat"))
+          .agg(max(lit(1000000L)).as("ppm"))
+        else cum
+          .where(col("cumc") - col("c") <= bottom - 1 &&
+            col("cumc") > bottom - 1)
+          .select(((sLit - (col("cumm") - d38(col("c")) * col("v")) -
+            d38(lit(bottom) - (col("cumc") - col("c"))) * col("v")) *
+            1000000).as("topmass"))
+          .groupBy(lit(s"top$p").as("stat"))
+          .agg(expr(s"cast(sum(topmass) div cast('${s}' as " +
+            "decimal(38,0)) as bigint)").as("ppm"))
+      top.select(col("stat"), col("ppm"), lit(n).as("n_rows"),
+        sLit.cast("long").as("total_cents"))
+    }
+    (gini +: tops).reduce(_ unionAll _)
+  }
+
   /** t-closeness / l-diversity privacy audit — the release-gate
     * companion to k-anonymity (q125): per quasi-identifier group,
     * (a) group size (the k), (b) the count of distinct sensitive

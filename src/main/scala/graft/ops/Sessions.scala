@@ -679,6 +679,40 @@ object Sessions {
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
 
+  /** Burst (tolerance) deduplication: within each (user, type), events
+    * chained closer than `gapSeconds` to their PREDECESSOR collapse to
+    * the burst's first event — the telemetry double-fire / retry-storm
+    * cleaner. Chained semantics matter: three events at 0s, 4s, 8s with
+    * a 5s gap are ONE burst (a naive "within 5s of the first" window
+    * would split it), which is exactly gap-sessionization with a small
+    * gap — so the kept set is each micro-session's first row.
+    *
+    * One shuffle keyed by (user, type), one lag + running-sum window
+    * pass per key (ties by id — total order), then a min-struct per
+    * burst. Output: the kept rows with their exact suppressed count —
+    * (user, type, event_id, ts_micros, n_suppressed). */
+  def burstDedup(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val brk = when(prevTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prevTs) >
+        gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .withColumn("__burst", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col(typeCol), col("__burst"))
+      .agg(min(struct(unix_micros(col(tsCol)).as("tu"),
+        col(idCol).cast("long").as("id"))).as("first"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .select(col(userCol), col(typeCol), col("first.id").as("event_id"),
+        col("first.tu").as("ts_micros"), col("n_suppressed"))
+  }
+
   /** Seasonal anomaly detection on the hourly count series: each
     * (group, hour-of-week) cell learns a robust baseline — median and
     * MAD of that cell's counts across the weeks — and hours whose count

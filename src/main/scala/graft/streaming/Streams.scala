@@ -658,4 +658,59 @@ object Streams {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }
+
+  /** One Misra–Gries summary's running state per hash bucket. */
+  case class MgState(seen: Long, counters: Map[String, Long])
+
+  /** Per-bucket candidate emission after each micro-batch. */
+  case class MgOut(bucket: Int, seen_n: Long, candidates: Seq[String])
+
+  /** STREAMING heavy-hitter candidate maintenance — the stateful phase 1
+    * of the two-phase exact heavy hitters ([[graft.ops.Sketches
+    * .heavyHitters]]), kept ACROSS micro-batches with
+    * `mapGroupsWithState`: each of `buckets` hash-partitioned
+    * Misra–Gries summaries holds at most `k` counters forever (O(buckets
+    * ·k) total state, independent of stream length) and re-emits its
+    * candidate set after every batch (update mode; `seen_n` is monotone,
+    * so the final summary per bucket is the max-seen row).
+    *
+    * Correctness contract (what makes the downstream EXACT even though
+    * MG is order-sensitive): a value with global count c lands entirely
+    * in one bucket (hash partitioning), and MG with k counters never
+    * evicts a value with c > seen_bucket/(k+1); with k ≥ the final
+    * report threshold, candidates are a SUPERSET of the true heavy
+    * hitters under ANY batch split and ANY arrival order — the batch
+    * recount+filter then makes the output bit-deterministic. */
+  def streamingHeavyHitterCandidates(values: DataFrame, valueCol: String,
+      buckets: Int, k: Int): DataFrame = {
+    require(buckets >= 1 && k >= 2, s"bad buckets/k: $buckets/$k")
+    val spark = values.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    values.select(col(valueCol).cast("string").as("t"))
+      .where(col("t").isNotNull)
+      .as[String]
+      .groupByKey(t => math.floorMod(t.hashCode, buckets))
+      .mapGroupsWithState[MgState, MgOut](GroupStateTimeout.NoTimeout) {
+        (bucket, it, state) =>
+          val st = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var seen = st.seen
+          val counters =
+            scala.collection.mutable.HashMap(st.counters.toSeq: _*)
+          it.foreach { t =>
+            seen += 1
+            if (counters.contains(t)) counters(t) += 1
+            else if (counters.size < k) counters(t) = 1L
+            else {
+              counters.toList.foreach { case (key, v) =>
+                if (v == 1L) counters.remove(key)
+                else counters(key) = v - 1
+              }
+            }
+          }
+          state.update(MgState(seen, counters.toMap))
+          MgOut(bucket, seen, counters.keys.toSeq.sorted)
+      }
+      .toDF()
+  }
 }

@@ -51,6 +51,8 @@ class PlanLintSpec extends SparkSuite {
     "q188_association_rules", // one-row n_baskets totals frame
     "q198_t_closeness", // sensitive-domain grid (bounded categories) +
                         // one-row totals frame
+    "q200_stream_heavy_hitters", // one-row n_total frame (q148's
+                                 // threshold attach, streaming phase 1)
     "q166_ind_discovery",  // one-row ndv/missing count frames
     "q167_degree_assortativity", // one-row correlation-sums frame
     "q171_kmv_rollup",     // rolled-away dims fold to literal NULLs, so

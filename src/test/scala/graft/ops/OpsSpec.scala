@@ -2139,6 +2139,63 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("burstDedup: chained gaps merge transitively, keys independent, " +
+    "exact suppressed counts") {
+    import spark.implicits._
+    // user 1 type a: 0s, 4s, 8s chain (one burst under 5s gap even
+    // though 8s > 5s from the FIRST), then 20s (new burst);
+    // user 1 type b at 1s: separate key, untouched
+    val ev = Seq((1L, "a", 10L, 0L), (1L, "a", 11L, 4L),
+      (1L, "a", 12L, 8L), (1L, "a", 13L, 20L), (1L, "b", 14L, 1L))
+      .toDF("user_id", "event_type", "event_id", "sec")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = Sessions.burstDedup(ev, "user_id", "event_type", "ts",
+        "event_id", gapSeconds = 5)
+      .select("event_id", "n_suppressed")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 2L, 13L -> 0L, 14L -> 0L))
+  }
+
+  test("multiSourceBfs: exact first-visit depth counts on a planted " +
+    "graph, unreachable nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus branch 2-10; node 99 isolated
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.multiSourceBfs(spark, edges, seeds = Seq(1L, 4L),
+        maxDepth = 3)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // seed 1: d0={1} d1={2} d2={3,10} d3={4}
+    assert(got === Map((1L, 0) -> 1L, (1L, 1) -> 1L, (1L, 2) -> 2L,
+      (1L, 3) -> 1L,
+      // seed 4: d0={4} d1={3,5} d2={2} d3={1,10}
+      (4L, 0) -> 1L, (4L, 1) -> 2L, (4L, 2) -> 1L, (4L, 3) -> 2L))
+  }
+
+  test("concentrationReport: hand-computed Gini and tie-exact top " +
+    "shares") {
+    import spark.implicits._
+    val got = Profiling.concentrationReport(
+      Seq(1.0, 1.0, 1.0, 1.0, 6.0).toDF("v"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("ppm"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("total_cents"))).toMap
+    // sorted cents 100x4, 600: 2*sum(i*x)=8000_00, G=(8000-6*1000)/5000
+    assert(got("gini") === ((400000L, 5L, 1000L)))
+    // top1 and top10 both take ceil(5%) = 1 row -> 600/1000
+    assert(got("top1") === ((600000L, 5L, 1000L)))
+    assert(got("top10") === ((600000L, 5L, 1000L)))
+    // all-equal values: gini exactly 0; top-1-of-4 = exactly 1/4 even
+    // though the boundary splits a tie group
+    val eq = Profiling.concentrationReport(
+      Seq(2.0, 2.0, 2.0, 2.0).toDF("v"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ppm")).toMap
+    assert(eq("gini") === 0L)
+    assert(eq("top1") === 250000L)
+  }
+
   test("tCloseness: mirrored group scores 0 ppm, fully skewed group " +
     "scores the exact complement mass, absent values counted") {
     import spark.implicits._
