@@ -2663,6 +2663,31 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Chi-square independence audit: event type x day-of-week
+    // contingency grid with exact expected counts and per-cell
+    // contributions (absent cells included) — integer dow avoids
+    // engine weekday-convention mismatches
+    "q204_chi_square" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+      Profiling.chiSquareIndependence(ev, "event_type", "dow")
+    }),
+
+    // Markov next-event accuracy with an honest temporal split: the
+    // first half-month trains the per-state argmax successor, the
+    // second half scores it — per-state + overall exact ppm
+    "q205_markov_accuracy" -> ((s, dir) => {
+      graft.ops.Sessions.markovAccuracy(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", "2024-01-16 00:00:00")
+    }),
+
+    // CUPED-adjusted A/B readout: deterministic hash arms, pre-period
+    // covariate, theta from pooled exact moment sums, fixed IEEE tail
+    "q206_cuped_ab" -> ((s, dir) => {
+      Profiling.cupedAdjust(t(s, dir, "events"), "user_id", "ts",
+        "value", "2024-01-16 00:00:00")
+    }),
+
     // STREAMING exact heavy hitters: Misra-Gries candidate state kept
     // ACROSS micro-batches (mapGroupsWithState, O(buckets*k) state,
     // update mode), batch exact recount + threshold — bit-identical to
@@ -3239,6 +3264,130 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Full grid incl. absent cells; identical integer divisions.
+    "q204_chi_square" ->
+      """WITH cell AS (
+           SELECT event_type AS a,
+             CAST((epoch_us(ts) // 86400000000) % 7 AS VARCHAR) AS b,
+             count(*) AS nab
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         ra AS (SELECT a, sum(nab) AS rtot FROM cell GROUP BY 1),
+         cb AS (SELECT b, sum(nab) AS ctot FROM cell GROUP BY 1),
+         tot AS (SELECT sum(nab) AS n FROM cell)
+         SELECT ra.a AS event_type, cb.b AS dow,
+           CAST(coalesce(cell.nab, 0) AS BIGINT) AS n_ab,
+           CAST(ra.rtot AS BIGINT) AS row_total,
+           CAST(cb.ctot AS BIGINT) AS col_total,
+           CAST(CAST(ra.rtot AS HUGEINT) * cb.ctot * 10000 // tot.n
+             AS BIGINT) AS expected_e4,
+           CAST((CAST(coalesce(cell.nab, 0) AS HUGEINT) * tot.n -
+             CAST(ra.rtot AS HUGEINT) * cb.ctot) *
+             (CAST(coalesce(cell.nab, 0) AS HUGEINT) * tot.n -
+             CAST(ra.rtot AS HUGEINT) * cb.ctot) * 1000000 //
+             (CAST(tot.n AS HUGEINT) * ra.rtot * cb.ctot) AS BIGINT)
+             AS contrib_e6
+         FROM ra CROSS JOIN cb CROSS JOIN tot
+         LEFT JOIN cell ON cell.a = ra.a AND cell.b = cb.b""",
+    // Identical temporal split, argmax-with-min-name model, broadcast
+    // scoring; the __overall row sums the per-state test counts.
+    "q205_markov_accuracy" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id, event_type AS nxt,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         pp AS (SELECT * FROM p WHERE prev IS NOT NULL),
+         train AS (SELECT prev, nxt, count(*) AS c FROM pp
+           WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+         best AS (SELECT prev, max(c) AS mc, sum(c) AS n_train
+                  FROM train GROUP BY 1),
+         model AS (SELECT t.prev, b.n_train, min(t.nxt) AS predicted
+           FROM train t JOIN best b ON b.prev = t.prev AND t.c = b.mc
+           GROUP BY 1, 2),
+         test AS (SELECT m.prev, m.predicted, m.n_train,
+             count(*) AS n_test,
+             sum(CASE WHEN pp.nxt = m.predicted THEN 1 ELSE 0 END)
+               AS n_correct
+           FROM pp JOIN model m ON m.prev = pp.prev
+           WHERE pp.ts >= TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY 1, 2, 3)
+         SELECT prev AS state, predicted,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           CAST(n_correct * 1000000 // n_test AS BIGINT) AS acc_ppm
+         FROM test
+         UNION ALL
+         SELECT '__overall', CAST(NULL AS VARCHAR),
+           CAST(sum(n_train) AS BIGINT), CAST(sum(n_test) AS BIGINT),
+           CAST(sum(n_correct) AS BIGINT),
+           CAST(sum(n_correct) * 1000000 // sum(n_test) AS BIGINT)
+         FROM test""",
+    // Identical exact moment sums; the same fixed IEEE tail for theta
+    // and the adjusted difference.
+    "q206_cuped_ab" ->
+      """WITH per0 AS (
+           SELECT user_id AS u,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               END) AS pre_sum,
+             count(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 END) AS pre_n,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               END) AS post_sum,
+             count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 END) AS post_n
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1),
+         per AS (SELECT u,
+             CASE WHEN pre_n > 0 THEN pre_sum // pre_n ELSE 0 END AS x,
+             post_sum // post_n AS y,
+             (CAST(('0x' || substr(md5('graft-ab:' ||
+               CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 5000
+               AS isA
+           FROM per0 WHERE post_n > 0),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CASE WHEN isA THEN 1 ELSE 0 END) AS HUGEINT)
+               AS na,
+             CAST(sum(CASE WHEN isA THEN CAST(x AS HUGEINT) END)
+               AS HUGEINT) AS sxa,
+             CAST(sum(CASE WHEN isA THEN CAST(y AS HUGEINT) END)
+               AS HUGEINT) AS sya,
+             CAST(sum(CASE WHEN NOT isA THEN CAST(x AS HUGEINT) END)
+               AS HUGEINT) AS sxb,
+             CAST(sum(CASE WHEN NOT isA THEN CAST(y AS HUGEINT) END)
+               AS HUGEINT) AS syb
+           FROM per)
+         SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(n - na AS BIGINT) AS n_b,
+           CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a_e4,
+           CAST(syb AS DOUBLE) / CAST(n - na AS DOUBLE) AS mean_b_e4,
+           CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) -
+             CAST(syb AS DOUBLE) / CAST(n - na AS DOUBLE)
+             AS raw_diff_e4,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE) ELSE 0.0 END AS theta,
+           (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) -
+             CAST(syb AS DOUBLE) / CAST(n - na AS DOUBLE)) -
+             (CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) ELSE 0.0 END) *
+             (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) -
+               CAST(sxb AS DOUBLE) / CAST(n - na AS DOUBLE))
+             AS adj_diff_e4
+         FROM s""",
     // The streaming MG phase is a lossless candidate filter by
     // construction, so the oracle is the plain exact heavy-hitter
     // recount (same as q148).

@@ -1189,6 +1189,115 @@ object Profiling {
         col("m.t").as("updated_micros"), col("n_candidates"))
   }
 
+  /** Chi-square independence audit of two categorical columns — "is
+    * event type independent of day-of-week?": the full contingency
+    * grid with exact expected counts and per-cell chi-square
+    * contributions, ABSENT cells included (they carry the whole
+    * expected mass — the classic bug in naive GROUP BY versions).
+    * Domains are report-dimension-sized by contract.
+    *
+    * Exactness: expected·N = r_a·c_b, so the contribution is
+    * `(n_ab·N − r_a·c_b)²·1e6 div (N·r_a·c_b)` — one integer division
+    * per cell through DECIMAL(38,0), no float accumulation. Output one
+    * row per grid cell: (a, b, n_ab, row_total, col_total,
+    * expected_e4, contrib_e6). The test statistic is the sum of
+    * contrib_e6 (left to the reader with dof = (R−1)(C−1)). */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cell = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .localCheckpoint(eager = false)
+    val ra = cell.groupBy(col("a")).agg(sum(col("nab")).as("rtot"))
+    val cb = cell.groupBy(col("b")).agg(sum(col("nab")).as("ctot"))
+    val tot = broadcast(cell.groupBy(lit(1).as("__o"))
+      .agg(sum(col("nab")).as("n")))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    ra.crossJoin(broadcast(cb))
+      .join(cell, Seq("a", "b"), "left")
+      .crossJoin(tot)
+      .select(col("a").as(aCol), col("b").as(bCol),
+        coalesce(col("nab"), lit(0L)).as("n_ab"),
+        col("rtot").as("row_total"), col("ctot").as("col_total"),
+        expr("cast(cast(rtot as decimal(38,0)) * ctot * 10000 div n " +
+          "as bigint)").as("expected_e4"),
+        expr("cast((cast(coalesce(nab, 0) as decimal(38,0)) * n - " +
+          "cast(rtot as decimal(38,0)) * ctot) * " +
+          "(cast(coalesce(nab, 0) as decimal(38,0)) * n - " +
+          "cast(rtot as decimal(38,0)) * ctot) * 1000000 div " +
+          "(cast(n as decimal(38,0)) * rtot * ctot) as bigint)")
+          .as("contrib_e6"))
+  }
+
+  /** CUPED-adjusted A/B experiment readout — the variance-reduction
+    * standard of experimentation platforms: the post-period metric is
+    * adjusted by θ·(pre-period covariate − its mean) before comparing
+    * arms, removing the between-user variance the pre-period already
+    * explains. Assignment is the deterministic salted-hash split
+    * ([[graft.ops.Splits.splitBucket]] < 5000 → arm A).
+    *
+    * Exactness discipline: every SUM is an exact integer (per-user
+    * pre/post means in floored 1e-4 units through DECIMAL); θ and the
+    * final means are a fixed handful of IEEE ops over those exact
+    * sums — no float accumulation order anywhere. θ is the pooled
+    * cov(x,y)/var(x); users without pre-period activity take covariate
+    * 0 (documented; they still measure). Output one row: (n_a, n_b,
+    * mean_a_e4, mean_b_e4, raw_diff, theta, adj_diff). */
+  def cupedAdjust(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String,
+      salt: String = "graft-ab"): DataFrame = {
+    val cut = lit(splitTs).cast("timestamp")
+    val y4 = (col(valueCol).cast("decimal(18,4)") * 10000).cast("long")
+    val per = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        sum(when(col(tsCol) < cut, y4)).as("pre_sum"),
+        count(when(col(tsCol) < cut, 1)).as("pre_n"),
+        sum(when(col(tsCol) >= cut, y4)).as("post_sum"),
+        count(when(col(tsCol) >= cut, 1)).as("post_n"))
+      .where(col("post_n") > 0)
+      .select(col("u"),
+        when(col("pre_n") > 0, expr("pre_sum div pre_n"))
+          .otherwise(lit(0L)).as("x"),
+        expr("post_sum div post_n").as("y"),
+        (graft.ops.Splits.splitBucket(col("u"), salt) < 5000).as("isA"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val sums = per.groupBy(lit(1).as("__o"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("isA"), d38(col("x")))).as("sxa"),
+        sum(when(col("isA"), d38(col("y")))).as("sya"),
+        sum(when(!col("isA"), d38(col("x")))).as("sxb"),
+        sum(when(!col("isA"), d38(col("y")))).as("syb"))
+    // θ and the means: a FIXED chain of IEEE ops over exact sums
+    sums.select(col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
+        expr("cast(sya as double) / cast(na as double)")
+          .as("mean_a_e4"),
+        expr("cast(syb as double) / cast(n - na as double)")
+          .as("mean_b_e4"),
+        expr("cast(sya as double) / cast(na as double) - " +
+          "cast(syb as double) / cast(n - na as double)")
+          .as("raw_diff_e4"),
+        expr("case when n * sxx - sx * sx <> 0 then " +
+          "cast(n * sxy - sx * sy as double) / " +
+          "cast(n * sxx - sx * sx as double) else 0.0 end").as("theta"),
+        expr("(cast(sya as double) / cast(na as double) - " +
+          "cast(syb as double) / cast(n - na as double)) - " +
+          "(case when n * sxx - sx * sx <> 0 then " +
+          "cast(n * sxy - sx * sy as double) / " +
+          "cast(n * sxx - sx * sx as double) else 0.0 end) * " +
+          "(cast(sxa as double) / cast(na as double) - " +
+          "cast(sxb as double) / cast(n - na as double))")
+          .as("adj_diff_e4"))
+  }
+
   /** Revenue/wealth concentration report — exact Gini coefficient and
     * top-p% shares (the Lorenz points behind "the top 1% of customers
     * drive X% of revenue") with NO global sort: distinct cent values

@@ -679,6 +679,61 @@ object Sessions {
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
 
+  /** First-order Markov next-event prediction accuracy — the eval-
+    * pipeline question "how predictable is the next user action from
+    * the current one": transitions observed before `splitTs` train a
+    * per-state argmax predictor (most frequent successor, ties by type
+    * name — deterministic), transitions at/after `splitTs` score it.
+    * The honest temporal split matters: a random split leaks future
+    * behavior into the model.
+    *
+    * Shape: one per-user lag window builds (prev, next, next_ts) pairs
+    * (the q78 transition shuffle); the model is a state-domain-sized
+    * frame (argmax via max-count then min-name — two tiny aggregates,
+    * no window over data); scoring is one broadcast join. Output: one
+    * row per state with test coverage plus an '__overall' row —
+    * (state, predicted, n_train, n_test, n_correct, acc_ppm). */
+  def markovAccuracy(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, splitTs: String): DataFrame = {
+    val cut = lit(splitTs).cast("timestamp")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).cast("string").as("nxt"),
+        lag(col(typeCol).cast("string"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull)
+      .localCheckpoint(eager = false)
+    val train = pairs.where(col(tsCol) < cut)
+      .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("c"))
+    val best = train.groupBy(col("prev")).agg(max(col("c")).as("mc"),
+        sum(col("c")).as("n_train"))
+    val model = train.join(best, "prev")
+      .where(col("c") === col("mc"))
+      .groupBy(col("prev"), col("n_train"))
+      .agg(min(col("nxt")).as("predicted"))
+    val test = pairs.where(col(tsCol) >= cut)
+      .join(broadcast(model), "prev")
+      .groupBy(col("prev"), col("predicted"), col("n_train"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .localCheckpoint(eager = false)
+    val perState = test.select(col("prev").as("state"),
+      col("predicted"), col("n_train"), col("n_test"), col("n_correct"),
+      expr("n_correct * 1000000 div n_test").as("acc_ppm"))
+    val overall = test.groupBy(lit("__overall").as("state"))
+      .agg(min(lit(null).cast("string")).as("predicted"),
+        sum(col("n_train")).as("n_train"), sum(col("n_test")).as("n_test"),
+        sum(col("n_correct")).as("n_correct"))
+      .select(col("state"), col("predicted"), col("n_train"),
+        col("n_test"), col("n_correct"),
+        expr("n_correct * 1000000 div n_test").as("acc_ppm"))
+    perState.unionAll(overall)
+  }
+
   /** Burst (tolerance) deduplication: within each (user, type), events
     * chained closer than `gapSeconds` to their PREDECESSOR collapse to
     * the burst's first event — the telemetry double-fire / retry-storm

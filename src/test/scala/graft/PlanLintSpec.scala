@@ -53,6 +53,8 @@ class PlanLintSpec extends SparkSuite {
                         // one-row totals frame
     "q200_stream_heavy_hitters", // one-row n_total frame (q148's
                                  // threshold attach, streaming phase 1)
+    "q204_chi_square", // category-domain contingency grid (bounded) +
+                       // one-row totals frame
     "q166_ind_discovery",  // one-row ndv/missing count frames
     "q167_degree_assortativity", // one-row correlation-sums frame
     "q171_kmv_rollup",     // rolled-away dims fold to literal NULLs, so

@@ -2139,6 +2139,83 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("chiSquareIndependence: independent grid scores 0 everywhere, " +
+    "absent cell carries full expected mass") {
+    import spark.implicits._
+    // perfectly independent 2x2: a1/a2 x b1/b2 with counts 2,4,1,2?
+    // use exact independence: rows (a1,b1)x6, (a1,b2)x2, (a2,b1)x3,
+    // (a2,b2)x1 -> r=(8,4), c=(9,3), N=12: expected a1b1=6 etc -> 0
+    val ind = (Seq.fill(6)(("a1", "b1")) ++ Seq.fill(2)(("a1", "b2")) ++
+      Seq.fill(3)(("a2", "b1")) ++ Seq.fill(1)(("a2", "b2")))
+      .toDF("a", "b")
+    val gi = Profiling.chiSquareIndependence(ind, "a", "b").collect()
+    assert(gi.length === 4)
+    assert(gi.forall(_.getAs[Long]("contrib_e6") === 0L))
+    // absent cell: (a2,b2) never occurs -> n_ab 0, expected = r*c/N
+    val dep = (Seq.fill(4)(("a1", "b1")) ++ Seq.fill(4)(("a1", "b2")) ++
+      Seq.fill(4)(("a2", "b1"))).toDF("a", "b")
+    val gd = Profiling.chiSquareIndependence(dep, "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val absent = gd(("a2", "b2"))
+    assert(absent.getAs[Long]("n_ab") === 0L)
+    // expected = 4*4/12 = 1.3333 -> 13333 e4
+    assert(absent.getAs[Long]("expected_e4") === 13333L)
+    // contrib = (0*12 - 16)^2 * 1e6 / (12*16) = 256e6/192 = 1333333
+    assert(absent.getAs[Long]("contrib_e6") === 1333333L)
+  }
+
+  test("markovAccuracy: temporal split trains argmax successor with " +
+    "name tie-break; test scores exactly") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // ALL consecutive events pair (not just same-day chains):
+    // train pairs = a->b x3, b->a x3, a->c x1, b->c x1
+    //   -> model: a predicts b, b predicts a
+    // test pairs (user 3) = a->b OK, b->a OK, a->c wrong,
+    //   c->b (state c unmodeled, dropped), b->a OK
+    val ev = Seq(
+      (1L, 1L, "a", ts(1, 1)), (1L, 2L, "b", ts(1, 2)),
+      (1L, 3L, "a", ts(2, 1)), (1L, 4L, "b", ts(2, 2)),
+      (1L, 5L, "a", ts(3, 1)), (1L, 6L, "c", ts(3, 2)),
+      (2L, 7L, "b", ts(4, 1)), (2L, 8L, "a", ts(4, 2)),
+      (2L, 9L, "b", ts(5, 1)), (2L, 10L, "c", ts(5, 2)),
+      // test half: user 3 fresh chains
+      (3L, 11L, "a", ts(20, 1)), (3L, 12L, "b", ts(20, 2)),
+      (3L, 13L, "a", ts(21, 1)), (3L, 14L, "c", ts(21, 2)),
+      (3L, 15L, "b", ts(22, 1)), (3L, 16L, "a", ts(22, 2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.ops.Sessions.markovAccuracy(ev, "user_id", "ts",
+        "event_id", "event_type", "2024-01-16 00:00:00")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[String]("predicted") === "b")
+    assert(got("b").getAs[String]("predicted") === "a")
+    assert(got("a").getAs[Long]("n_test") === 2L)
+    assert(got("a").getAs[Long]("n_correct") === 1L)
+    assert(got("a").getAs[Long]("acc_ppm") === 500000L)
+    assert(got("__overall").getAs[Long]("n_test") === 4L)
+  }
+
+  test("cupedAdjust: perfectly predictive covariate zeroes the " +
+    "adjusted diff down to the arm-mean identity") {
+    import spark.implicits._
+    // users with y == x (pre value repeats post): theta = 1 exactly,
+    // adj diff = raw diff - (xbarA - xbarB) = 0
+    def ts(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val users = (1L to 40L)
+    val ev = users.flatMap { u =>
+      val v = (u % 7).toDouble * 10 + 5
+      Seq((u, ts(2), v), (u, ts(20), v))
+    }.toDF("user_id", "ts", "value")
+      .withColumn("event_id", col("user_id"))
+    val got = Profiling.cupedAdjust(ev, "user_id", "ts", "value",
+      "2024-01-16 00:00:00").collect().head
+    assert(got.getAs[Double]("theta") === 1.0)
+    assert(math.abs(got.getAs[Double]("adj_diff_e4")) < 1e-9)
+    assert(got.getAs[Long]("n_a") + got.getAs[Long]("n_b") === 40L)
+  }
+
   test("burstDedup: chained gaps merge transitively, keys independent, " +
     "exact suppressed counts") {
     import spark.implicits._
