@@ -2663,6 +2663,87 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // NATIVE session_window streaming aggregation — Spark's built-in
+    // session windows (merging state, watermark closure) must equal
+    // the batch gap-sessionization the oracle recomputes; append mode
+    // emits each closed session exactly once, trailing sessions
+    // held past the final watermark are modeled by the oracle
+    "q207_stream_session_window" -> ((s, dir) => {
+      s.catalog.dropTempView("q207_stream_out")
+      val stream = graft.streaming.Streams.eventStream(s, dir)
+        .where(col("user_id").isNotNull)
+      val st = stream.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_micros"),
+          unix_micros(col("w.end")).as("end_micros"), col("n_events"))
+      graft.streaming.Streams.runToMemory(s, st, "q207_stream_out",
+        outputMode = "append", statePartitions = Some(8))
+    }),
+
+    // Incremental rollup maintenance (IVM): the base half-month's
+    // daily rollup persists to parquet; the delta half merges in by
+    // re-aggregating MERGEABLE partials (sum/count/min/max) — never
+    // rescanning the base events; result == the full recompute
+    "q208_incremental_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      def rollup(df: DataFrame): DataFrame = df
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,4)") * 10000)
+            .cast("long")).as("sum_e4"),
+          min(col("value").cast("decimal(18,4)")).as("vmin"),
+          max(col("value").cast("decimal(18,4)")).as("vmax"))
+      val root = scratchDir("q208_ivm", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val base = s"$root/base"
+      rmr(new java.io.File(base))
+      rollup(ev.where(col("ts") < cut)).write.mode("overwrite")
+        .parquet(base)
+      val merged = s.read.parquet(base)
+        .unionAll(rollup(ev.where(col("ts") >= cut)))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_e4")).as("sum_e4"),
+          min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      merged.select(col("day"), col("event_type"), col("n"),
+        col("sum_e4"), col("vmin").cast("double").as("vmin"),
+        col("vmax").cast("double").as("vmax"))
+    }),
+
+    // Delete-propagation (right-to-erasure) audit: for a deletion
+    // cohort of customers, the exact surviving reference counts per
+    // table including the two-hop lineitem cascade — broadcast
+    // semi-joins, the big tables never shuffle
+    "q209_delete_audit" -> ((s, dir) => {
+      val doomed = broadcast(t(s, dir, "customer")
+        .where(pmod(col("c_custkey"), lit(97)) === 0)
+        .select(col("c_custkey").as("k")))
+      val ord = t(s, dir, "orders")
+      val doomedOrders = ord.join(doomed,
+        col("o_custkey") === col("k"))
+      val rows = Seq(
+        ("customer", doomed.select(col("k"))),
+        ("orders", doomedOrders.select(col("o_orderkey").as("k"))),
+        ("lineitem", t(s, dir, "lineitem").join(
+          broadcast(doomedOrders.select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("k"))))
+      rows.map { case (tbl, df) =>
+        df.groupBy(lit(tbl).as("table_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Chi-square independence audit: event type x day-of-week
     // contingency grid with exact expected counts and per-cell
     // contributions (absent cells included) — integer dow avoids
@@ -3264,6 +3345,57 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Batch gap-sessionization with session_window's exact semantics:
+    // merge iff gap < 30min (half-open [start, last+gap)), session
+    // end = last event + gap; append emits sessions closed by the
+    // final watermark (end <= max ts - 1h).
+    "q207_stream_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+               OR tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END
+               AS brk
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+         s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+               ORDER BY tu, event_id) AS sid
+           FROM s),
+         g AS (SELECT user_id, sid, min(tu) AS start_micros,
+             max(tu) + 1800000000 AS end_micros,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM s2 GROUP BY 1, 2),
+         wm AS (SELECT max(tu) - 3600000000 AS wmf FROM e)
+         SELECT user_id, start_micros, end_micros, n_events
+         FROM g, wm WHERE end_micros <= wmf""",
+    // Full recompute — must equal the base-table + delta merge.
+    "q208_incremental_rollup" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+             AS BIGINT)) AS BIGINT) AS sum_e4,
+           CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vmin,
+           CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vmax
+         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         GROUP BY 1, 2""",
+    // Same cohort + cascade joins.
+    "q209_delete_audit" ->
+      """WITH doomed AS (
+           SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+         do2 AS (SELECT o_orderkey FROM orders
+                 JOIN doomed ON o_custkey = k)
+         SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+         FROM doomed
+         UNION ALL
+         SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)
+         FROM do2
+         UNION ALL
+         SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         FROM lineitem JOIN do2 ON l_orderkey = o_orderkey""",
     // Full grid incl. absent cells; identical integer divisions.
     "q204_chi_square" ->
       """WITH cell AS (
