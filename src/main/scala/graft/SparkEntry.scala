@@ -2663,6 +2663,45 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Retractable rollup: a CDC log where every 10th customer's orders
+    // are later DELETED maintains the per-priority rollup by signed
+    // deltas (+1/-1, +cents/-cents) — one aggregation, no base rescan;
+    // == the recompute over surviving orders. (Min/max are NOT
+    // retraction-safe and are deliberately absent — the algebraic vs
+    // holistic aggregate distinction IVM systems live by.)
+    "q210_retractable_rollup" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val inserts = ord.select(col("o_orderpriority").as("prio"),
+        lit(1L).as("sign"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val deletes = ord.where(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(col("o_orderpriority").as("prio"), lit(-1L).as("sign"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      inserts.unionAll(deletes)
+        .groupBy(col("prio").as("o_orderpriority"))
+        .agg(sum(col("sign")).as("n"),
+          sum(col("sign") * col("cents")).as("sum_cents"))
+    }),
+
+    // Embedding-distribution drift: centroid cosine between the two
+    // vec_id-parity cohorts from exact per-dimension integer sums —
+    // one aggregation pass, vectors never pairwise compared
+    "q211_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(e, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(2)) === 0)
+    }),
+
+    // Rate alerting with hysteresis: arm after 2 consecutive hours at
+    // >= 150% of the type's mean rate, disarm below 50% — the
+    // monitoring state machine as one LOCF carry, integer thresholds
+    "q212_rate_alerts" -> ((s, dir) => {
+      graft.ops.Sessions.rateAlerts(t(s, dir, "events"), "event_type",
+        "ts")
+    }),
+
     // NATIVE session_window streaming aggregation — Spark's built-in
     // session windows (merging state, watermark closure) must equal
     // the batch gap-sessionization the oracle recomputes; append mode
@@ -3345,6 +3384,73 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Recompute over the surviving (non-retracted) orders.
+    "q210_retractable_rollup" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders WHERE o_custkey % 10 <> 0
+         GROUP BY 1""",
+    // Same per-dimension integer sums and DECIMAL dots; identical
+    // sqrt/divide tail.
+    "q211_embedding_drift" ->
+      """WITH dims0 AS (
+           SELECT unnest(range(1, (SELECT max(len(embedding))
+             FROM embeddings) + 1)) AS pos),
+         q AS (
+           SELECT vec_id % 2 = 0 AS a, dims0.pos,
+             CAST(round(CAST(embedding[dims0.pos] AS DOUBLE) * 10000)
+               AS BIGINT) AS qv
+           FROM embeddings CROSS JOIN dims0),
+         dims AS (SELECT pos,
+             sum(CASE WHEN a THEN qv END) AS sa,
+             sum(CASE WHEN NOT a THEN qv END) AS sb
+           FROM q GROUP BY 1),
+         d AS (SELECT
+             sum(CAST(coalesce(sa, 0) AS HUGEINT) * coalesce(sb, 0))
+               AS dot_ab,
+             sum(CAST(coalesce(sa, 0) AS HUGEINT) * coalesce(sa, 0))
+               AS nsq_a,
+             sum(CAST(coalesce(sb, 0) AS HUGEINT) * coalesce(sb, 0))
+               AS nsq_b
+           FROM dims),
+         c AS (SELECT
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+           FROM embeddings)
+         SELECT c.n_a, c.n_b, CAST(d.dot_ab AS BIGINT) AS dot_ab,
+           CAST(d.nsq_a AS BIGINT) AS nsq_a,
+           CAST(d.nsq_b AS BIGINT) AS nsq_b,
+           CASE WHEN d.nsq_a > 0 AND d.nsq_b > 0 THEN
+             CAST(d.dot_ab AS DOUBLE) /
+             (sqrt(CAST(d.nsq_a AS DOUBLE)) *
+              sqrt(CAST(d.nsq_b AS DOUBLE))) END AS cos_centroids
+         FROM d, c""",
+    // Same integer cross-multiplied thresholds, the same two-signal
+    // LOCF state machine over observed hours.
+    "q212_rate_alerts" ->
+      """WITH hourly AS (
+           SELECT event_type AS g, epoch_us(ts) // 3600000000 AS h,
+             count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT g, sum(c) AS ctot, count(*) AS m
+                 FROM hourly GROUP BY 1),
+         sig AS (SELECT hourly.g, h, c,
+             c * t.m * 100 >= 150 * t.ctot AS isHi,
+             c * t.m * 100 < 50 * t.ctot AS isLo,
+             CASE WHEN c * t.m * 100 < 50 * t.ctot THEN 'off'
+               WHEN c * t.m * 100 >= 150 * t.ctot
+                 AND lag(c * t.m * 100 >= 150 * t.ctot)
+                   OVER (PARTITION BY hourly.g ORDER BY h)
+               THEN 'on' END AS sg
+           FROM hourly JOIN tot t ON t.g = hourly.g)
+         SELECT g AS event_type, h AS hour, CAST(c AS BIGINT) AS n,
+           coalesce(last_value(sg IGNORE NULLS) OVER (PARTITION BY g
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             ROW), 'off') = 'on' AS alert_active
+         FROM sig""",
     // Batch gap-sessionization with session_window's exact semantics:
     // merge iff gap < 30min (half-open [start, last+gap)), session
     // end = last event + gap; append emits sessions closed by the

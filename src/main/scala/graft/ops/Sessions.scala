@@ -679,6 +679,51 @@ object Sessions {
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
 
+  /** Rate alerting with hysteresis over the hourly count series — the
+    * monitoring state machine SLO pipelines run: an alert ARMS after
+    * two consecutive observed hours at or above the high threshold and
+    * DISARMS at the first hour below the low threshold; the hysteresis
+    * band (hi > lo) prevents flapping on a series that hovers at one
+    * threshold. Thresholds are self-calibrating per group: hi =
+    * hiPct% and lo = loPct% of the group's own mean hourly rate,
+    * evaluated by integer cross-multiplication (c·m·100 vs pct·total —
+    * no float mean). Defined over OBSERVED hours (documented: an empty
+    * hour emits no row and does not advance the machine).
+    *
+    * The sequential state is a last-signal carry: signal = 'on' when
+    * (c ≥ hi ∧ prev_c ≥ hi), 'off' when c < lo, else no signal; the
+    * alert state at any hour is the most recent signal — one LOCF
+    * window per group over the hour-domain frame, no driver loop.
+    *
+    * Output: (group, hour, n, alert_active). */
+  def rateAlerts(events: DataFrame, groupCol: String, tsCol: String,
+      hiPct: Int = 150, loPct: Int = 50): DataFrame = {
+    require(hiPct > loPct && loPct >= 0, s"need hiPct > loPct >= 0")
+    val hourly = events.where(col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = hourly.groupBy(col("g"))
+      .agg(sum(col("c")).as("ctot"), count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val sig = hourly.join(broadcast(tot), "g")
+      .withColumn("isHi",
+        col("c") * col("m") * 100 >= lit(hiPct) * col("ctot"))
+      .withColumn("isLo",
+        col("c") * col("m") * 100 < lit(loPct) * col("ctot"))
+      .withColumn("sig", when(col("isLo"), lit("off"))
+        .when(col("isHi") && lag(col("isHi"), 1).over(w), lit("on"))
+        .otherwise(lit(null).cast("string")))
+    sig
+      .withColumn("state", coalesce(
+        last(col("sig"), ignoreNulls = true).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit("off")))
+      .select(col("g").as(groupCol), col("h").as("hour"), col("c").as("n"),
+        (col("state") === "on").as("alert_active"))
+  }
+
   /** First-order Markov next-event prediction accuracy — the eval-
     * pipeline question "how predictable is the next user action from
     * the current one": transitions observed before `splitTs` train a

@@ -674,6 +674,51 @@ object Similarity {
         col("best_rank"), col("rrf_ppm"))
   }
 
+  /** Embedding-distribution drift monitor: the cosine between the
+    * centroids of two cohorts of an embedding column — the cheap,
+    * online-computable canary for "did the upstream encoder / data mix
+    * shift" (a centroid cosine well below 1 means the cohorts occupy
+    * different regions; per-dimension sums also expose WHICH axes
+    * moved). At 100 TB this is one map-side-combined aggregation:
+    * vectors are never pairwise compared.
+    *
+    * Exactness: per-dimension SUM of quantized components is an exact
+    * integer (posexplode → groupBy dim — dims × cohorts rows, never a
+    * driver-side vector); the three dot products of the two sum-vectors
+    * are exact DECIMAL(38,0); only the final cosine is the fixed IEEE
+    * sqrt/divide tail. Centroid cosine == cosine of sums (the 1/n
+    * factors cancel), so no division happens before the tail.
+    *
+    * Output one row: (n_a, n_b, dot_ab, nsq_a, nsq_b,
+    * cos_centroids). */
+  def embeddingDrift(df: DataFrame, idCol: String, vecCol: String,
+      isCohortA: Column, quantScale: Int = 10000): DataFrame = {
+    val q = df.select(isCohortA.as("a"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * quantScale).cast("long"))))
+      .select(col("a"), col("pos"), col("col").as("qv"))
+    val dims = q.groupBy(col("pos"))
+      .agg(sum(when(col("a"), col("qv"))).as("sa"),
+        sum(when(!col("a"), col("qv"))).as("sb"))
+    def d38(c: Column) = coalesce(c, lit(0)).cast("decimal(38,0)")
+    val counts = df.groupBy(lit(1).as("__o"))
+      .agg(sum(when(isCohortA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isCohortA, 1L).otherwise(0L)).as("n_b"))
+    dims
+      .groupBy(lit(1).as("__o"))
+      .agg(sum(d38(col("sa")) * d38(col("sb"))).as("dot_ab"),
+        sum(d38(col("sa")) * d38(col("sa"))).as("nsq_a"),
+        sum(d38(col("sb")) * d38(col("sb"))).as("nsq_b"))
+      .join(counts, "__o")
+      .select(col("n_a"), col("n_b"),
+        col("dot_ab").cast("long").as("dot_ab"),
+        col("nsq_a").cast("long").as("nsq_a"),
+        col("nsq_b").cast("long").as("nsq_b"),
+        when(col("nsq_a") > 0 && col("nsq_b") > 0,
+          expr("cast(dot_ab as double) / (sqrt(cast(nsq_a as double))" +
+            " * sqrt(cast(nsq_b as double)))")).as("cos_centroids"))
+  }
+
   /** MMR (maximal marginal relevance) diversified re-ranking — the
     * standard fix for "the top-k are 10 copies of the same document":
     * after retrieval, results are picked greedily by

@@ -55,6 +55,8 @@ class PlanLintSpec extends SparkSuite {
                                  // threshold attach, streaming phase 1)
     "q204_chi_square", // category-domain contingency grid (bounded) +
                        // one-row totals frame
+    "q211_embedding_drift", // two ONE-ROW frames (dim-sums dots +
+                            // cohort counts) stitched by key join
     "q166_ind_discovery",  // one-row ndv/missing count frames
     "q167_degree_assortativity", // one-row correlation-sums frame
     "q171_kmv_rollup",     // rolled-away dims fold to literal NULLs, so

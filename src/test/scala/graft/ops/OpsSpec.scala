@@ -2139,6 +2139,52 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("rateAlerts: arms only after 2 consecutive high hours, " +
+    "disarms at first low hour, hovering inside the band holds state") {
+    import spark.implicits._
+    // counts per hour for one type; mean = 10 -> hi = 15, lo = 5.
+    // series: 10, 20(1st hi), 20(2nd hi -> ON), 10(hold), 4(OFF),
+    // 20(1st hi, still off), 6(hold off)
+    val counts = Seq(10, 20, 20, 10, 4, 20, 6)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(h.toLong) }
+    val ev = rows.toDF("h").select(lit("t").as("g"),
+      timestamp_micros(col("h") * 3600000000L).as("ts"))
+    val got = graft.ops.Sessions.rateAlerts(ev, "g", "ts",
+        hiPct = 150, loPct = 50)
+      .orderBy("hour").collect()
+      .map(r => r.getAs[Long]("hour") -> r.getAs[Boolean]("alert_active"))
+    // mean = 90/7 = 12.857 -> hi = 19.28 (c >= requires c*7*100 >=
+    // 150*90 i.e. c >= 19.28 -> 20 qualifies), lo: c*700 < 45*100
+    // i.e. c < 6.43 -> 4 and 6 qualify as low!
+    // recompute: signals: h1 hi(no prev), h2 hi+prev -> ON, h3 hold,
+    // h4 c=4 low -> OFF, h5 hi(prev not hi), h6 c=6 low -> OFF
+    assert(got.toMap === Map(0L -> false, 1L -> false, 2L -> true,
+      3L -> true, 4L -> false, 5L -> false, 6L -> false))
+  }
+
+  test("embeddingDrift: identical cohorts give cosine exactly 1, " +
+    "orthogonal cohorts give 0, exact integer sums") {
+    import spark.implicits._
+    val same = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val g1 = Similarity.embeddingDrift(same, "vec_id", "embedding",
+      pmod(col("vec_id"), lit(2)) === 0).collect().head
+    assert(g1.getAs[Long]("n_a") === 2L && g1.getAs[Long]("n_b") === 1L)
+    // sa = (2e4, 0), sb = (1e4, 0): dot 2e8, cos exactly 1.0
+    assert(g1.getAs[Long]("dot_ab") === 200000000L)
+    assert(g1.getAs[Double]("cos_centroids") === 1.0)
+    val orth = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Similarity.embeddingDrift(orth, "vec_id", "embedding",
+      pmod(col("vec_id"), lit(2)) === 0).collect().head
+    assert(g2.getAs[Long]("dot_ab") === 0L)
+    assert(g2.getAs[Double]("cos_centroids") === 0.0)
+  }
+
   test("chiSquareIndependence: independent grid scores 0 everywhere, " +
     "absent cell carries full expected mass") {
     import spark.implicits._
