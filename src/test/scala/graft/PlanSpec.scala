@@ -394,4 +394,40 @@ class PlanSpec extends SparkSuite {
       "blocking keys must come from the codegen'd kernel:\n" +
         p.take(3000))
   }
+
+  test("q185: RFM quintiles use blocked (metric, bit-length) windows — " +
+    "no single-partition rank exchange, no ntile") {
+    val p = SparkEntry.queries("q185_rfm_segments")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("ntile"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "rank must not serialize through one reducer:\n" + p.take(3000))
+  }
+
+  test("q193: business-day lag is a pure projection over the natural " +
+    "orderkey join — no calendar-dimension join, no window") {
+    val p = SparkEntry.queries("q193_business_day_lag")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), "no window expected:\n" + p.take(3000))
+    // exactly the one equi-join (orders x lineitem)
+    assert(p.split("Join").length - 1 <= 2, p.take(3000))
+  }
+
+  test("q203: burst dedup windows are keyed by (user, type) — never a " +
+    "global-order exchange") {
+    val p = SparkEntry.queries("q203_burst_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      p.take(3000))
+  }
+
+  test("q209: the delete-cascade probes are broadcast joins — the " +
+    "lineitem side never shuffles") {
+    val p = SparkEntry.queries("q209_delete_audit")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "cascade probe must not shuffle the fact tables:\n" + p.take(3000))
+  }
 }
