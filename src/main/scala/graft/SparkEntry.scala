@@ -2663,6 +2663,131 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // JSON-lines ingestion round trip: documents serialized to JSONL,
+    // re-read with an explicit schema (no sampling inference job), and
+    // the flattened aggregate must equal the parquet truth — the
+    // "land raw JSONL, read it with a contract" path
+    "q213_jsonl_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = scratchDir("q213_jsonl", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val out = s"$root/jsonl"
+      rmr(new java.io.File(out))
+      docs.select(to_json(struct(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // Corrupt-tolerant ingestion audit: every 13th JSONL line is
+    // deterministically mangled; the PERMISSIVE read quarantines them
+    // into _corrupt_record instead of failing the job, and the audit
+    // reports exact parsed/corrupt splits — the schema-on-read rescue
+    // path every raw landing zone needs
+    "q214_corrupt_record_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = scratchDir("q214_corrupt", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val out = s"$root/jsonl"
+      rmr(new java.io.File(out))
+      val good = to_json(struct(col("doc_id"), col("lang"),
+        col("source"), col("n_chars")))
+      docs.select(when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit("{corrupt!"), col("source")))
+        .otherwise(good).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .groupBy(lit(1).as("__g"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_parsed"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars")))
+            .as("sum_chars_parsed"))
+        .drop("__g")
+    }),
+
+    // CSV round trip with the hard cases on purpose — a synthetic
+    // column carrying commas, quotes AND a literal newline — written
+    // quoted, read back with multiLine+escape, aggregate must equal
+    // the parquet truth: the "excel-grade CSV actually round-trips"
+    // proof
+    "q215_csv_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = scratchDir("q215_csv", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val out = s"$root/csv"
+      rmr(new java.io.File(out))
+      val tricky = concat(col("lang"), lit(",\""), col("source"),
+        lit("\n"), col("doc_id").cast("string"))
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), tricky.as("tricky"))
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").option("escape", "\"").csv(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tricky",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("tricky"))).as("sum_tricky_len"),
+          sum(when(col("tricky").contains("\n"), 1L).otherwise(0L))
+            .as("n_with_newline"))
+    }),
+
     // Retractable rollup: a CDC log where every 10th customer's orders
     // are later DELETED maintains the per-priority rollup by signed
     // deltas (+1/-1, +cents/-cents) — one aggregation, no base rescan;
@@ -3384,6 +3509,36 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // The JSONL file carries the same rows, so the truth is the same
+    // aggregate over the parquet table.
+    "q213_jsonl_ingest" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY 1, 2""",
+    // The corrupt set is deterministic (doc_id % 13 = 0), so the split
+    // is recomputable without parsing anything.
+    "q214_corrupt_record_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars END)
+             AS BIGINT) AS sum_chars_parsed
+         FROM documents""",
+    // tricky = lang || ',"' || source || newline || doc_id: its length
+    // is len(lang)+2+len(source)+1+len(doc_id str), newline always
+    // present — recomputable from the parquet columns directly.
+    "q215_csv_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(lang) + 2 + length(source) + 1 +
+             length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS sum_tricky_len,
+           CAST(count(*) AS BIGINT) AS n_with_newline
+         FROM documents GROUP BY 1""",
     // Recompute over the surviving (non-retracted) orders.
     "q210_retractable_rollup" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
