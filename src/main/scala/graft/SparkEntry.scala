@@ -2663,6 +2663,49 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // ABC / Pareto inventory classification of parts by revenue: the
+    // 80/15/5 split with exact integer boundary tests and full tie
+    // determinism — no global ORDER BY
+    "q216_abc_classification" -> ((s, dir) => {
+      Profiling.abcClassification(t(s, dir, "lineitem"), "l_partkey",
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))
+    }),
+
+    // LSH tuning report: banded-minhash candidates vs the exact
+    // Jaccard>=0.5 truth on the SAME trigram shingles — recall,
+    // precision, and the verification workload the bands propose;
+    // the report every LSH parameter choice should be justified by
+    "q217_lsh_tuning_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 8, portable = true)
+        .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+      val exact = Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+      exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .groupBy(lit(1).as("__g"))
+        .agg(sum(col("e")).as("n_exact"), sum(col("c")).as("n_candidates"),
+          sum(col("e") * col("c")).as("n_hits"))
+        .select(coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("n_exact") > 0,
+            expr("n_hits * 1000000 div n_exact")).as("recall_ppm"),
+          when(col("n_candidates") > 0,
+            expr("n_hits * 1000000 div n_candidates"))
+            .as("precision_ppm"))
+    }),
+
+    // Rolling 7-day OLS trend of each type's hourly rate as of every
+    // hour — RANGE frames over the hour axis (gaps count as time),
+    // exact DECIMAL moment windows, IEEE slope tail
+    "q218_rolling_trend" -> ((s, dir) => {
+      graft.ops.Sessions.rollingTrend(t(s, dir, "events"),
+        "event_type", "ts", windowHours = 168)
+    }),
+
     // JSON-lines ingestion round trip: documents serialized to JSONL,
     // re-read with an explicit schema (no sampling inference job), and
     // the flattened aggregate must equal the parquet truth — the
@@ -3509,6 +3552,125 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Naive oracle: one global DESC running sum; identical integer
+    // boundary predicates.
+    "q216_abc_classification" ->
+      """WITH per AS (
+           SELECT l_partkey AS k,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS v
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         t AS (SELECT sum(CAST(v AS HUGEINT)) AS s FROM per),
+         r AS (SELECT k, v,
+             sum(CAST(v AS HUGEINT)) OVER (ORDER BY v DESC, k)
+               - v AS before
+           FROM per),
+         c AS (SELECT k, v, CASE
+             WHEN before * 100 < t.s * 80 THEN 'A'
+             WHEN before * 100 < t.s * 95 THEN 'B'
+             ELSE 'C' END AS abc_class
+           FROM r, t)
+         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(v) AS BIGINT) AS mass_cents,
+           CAST(sum(CAST(v AS HUGEINT)) * 1000000 // t.s AS BIGINT)
+             AS share_ppm
+         FROM c, t GROUP BY abc_class, t.s""",
+    // Both sides rebuilt relationally on the SAME trigram shingles:
+    // the q23-style banded-minhash candidates (trigram variant) joined
+    // against the q25-style exact Jaccard>=0.5 pairs.
+    "q217_lsh_tuning_report" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key
+           HAVING count(*) > 200),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+                             WHERE big.b = x.b AND big.key = x.key)),
+         shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         ex0 AS (SELECT doc_id, unnest(s) AS h FROM shd),
+         ecand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex0 a JOIN ex0 b ON a.h = b.h AND a.doc_id < b.doc_id),
+         exact AS (
+           SELECT id_a, id_b FROM ecand
+           JOIN shd x ON x.doc_id = id_a
+           JOIN shd y ON y.doc_id = id_b
+           WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)) >= 0.5),
+         stats AS (
+           SELECT
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+               AS n_hits)
+         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_exact > 0 THEN
+             CAST(n_hits * 1000000 // n_exact AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN n_candidates > 0 THEN
+             CAST(n_hits * 1000000 // n_candidates AS BIGINT) END
+             AS precision_ppm
+         FROM stats""",
+    // Identical RANGE frame over the hour axis; same DECIMAL moments
+    // and IEEE tail.
+    "q218_rolling_trend" ->
+      """WITH hourly AS (
+           SELECT event_type AS g, epoch_us(ts) // 3600000000 AS h,
+             count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT g, h,
+             count(*) OVER w AS n,
+             sum(CAST(h AS HUGEINT)) OVER w AS sx,
+             sum(CAST(c AS HUGEINT)) OVER w AS sy,
+             sum(CAST(h AS HUGEINT) * c) OVER w AS sxy,
+             sum(CAST(h AS HUGEINT) * h) OVER w AS sxx
+           FROM hourly
+           WINDOW w AS (PARTITION BY g ORDER BY h
+             RANGE BETWEEN 167 PRECEDING AND CURRENT ROW))
+         SELECT g AS event_type, h AS hour, CAST(n AS BIGINT) AS n_hours,
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS BIGINT)
+             AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS BIGINT)
+             AS slope_den,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx <> 0 THEN
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) END
+             AS slope_per_hour
+         FROM m""",
     // The JSONL file carries the same rows, so the truth is the same
     // aggregate over the parquet table.
     "q213_jsonl_ingest" ->

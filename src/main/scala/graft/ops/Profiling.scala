@@ -1189,6 +1189,76 @@ object Profiling {
         col("m.t").as("updated_micros"), col("n_candidates"))
   }
 
+  /** ABC / Pareto classification — the inventory-management classic:
+    * rank entities by value descending and classify A = the entities
+    * carrying the first 80% of total value, B = the next 15%, C = the
+    * tail. The naive form is one global ORDER BY value DESC with a
+    * running sum — a single-reducer sort at 100 TB. Here the
+    * descending cumulative "mass before this entity" comes from the
+    * blocked ascending mass prefix (mass-above = S − cumAsc) plus a
+    * within-tie prefix ((rank−1)·v over the tie group, ordered by
+    * entity id — tie groups are same-cents entities, tiny), so the
+    * classification predicate `before·100 < 80·S` is exact integer
+    * arithmetic with full tie determinism.
+    *
+    * Output: one row per class — (abc_class, n_entities, mass_cents,
+    * share_ppm). */
+  def abcClassification(df: DataFrame, keyCol: String,
+      valueCents: Column): DataFrame = {
+    val per = df.select(col(keyCol).cast("long").as("k"),
+        valueCents.cast("long").as("vc"))
+      .where(col("k").isNotNull && col("vc").isNotNull)
+      .groupBy(col("k")).agg(sum(col("vc")).as("v"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val bt = per.groupBy(col("block"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("tm"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, BigInt(r.getDecimal(1)
+        .toBigInteger)))
+      .sortBy(_._1)
+    if (bt.isEmpty) {
+      return per.select(lit("A").as("abc_class"),
+        col("v").as("n_entities"), col("v").as("mass_cents"),
+        col("v").as("share_ppm")).limit(0)
+    }
+    var acc = BigInt(0)
+    val offM = scala.collection.mutable.Map.empty[Long, String]
+    bt.foreach { case (b, tm) => offM(b) = acc.toString; acc += tm }
+    val s = acc
+    if (s <= 0) {
+      return per.groupBy(lit("C").as("abc_class"))
+        .agg(count(lit(1)).as("n_entities"), sum(col("v"))
+          .as("mass_cents"),
+          max(lit(null).cast("long")).as("share_ppm"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    // RANGE frame: cumAsc must include the WHOLE tie group (a ROWS
+    // frame would split ties in arbitrary physical order)
+    val wB = Window.partitionBy(col("block")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy(col("v")).orderBy(col("k"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val sLit = lit(s.toString).cast("decimal(38,0)")
+    val classed = per
+      .withColumn("cumAsc",
+        sum(d38(col("v"))).over(wB) +
+          element_at(typedLit(offM.toMap), col("block").cast("long"))
+            .cast("decimal(38,0)"))
+      .withColumn("before",
+        (sLit - col("cumAsc")) +
+          d38(row_number().over(wTie) - 1) * col("v"))
+      .withColumn("abc_class",
+        when(col("before") * 100 < sLit * 80, "A")
+          .when(col("before") * 100 < sLit * 95, "B")
+          .otherwise("C"))
+    classed.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("v")).as("mass_cents"),
+        expr(s"cast(sum(cast(v as decimal(38,0))) * 1000000 div " +
+          s"cast('${s}' as decimal(38,0)) as bigint)").as("share_ppm"))
+  }
+
   /** Chi-square independence audit of two categorical columns — "is
     * event type independent of day-of-week?": the full contingency
     * grid with exact expected counts and per-cell chi-square

@@ -679,6 +679,46 @@ object Sessions {
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
 
+  /** Rolling-window OLS trend of the per-group hourly rate — "is this
+    * type trending up over the trailing week, as of every hour": the
+    * rolling cousin of the global [[graft.ops.Profiling.groupOlsTrend]],
+    * built on RANGE window frames over the hour axis so gaps count as
+    * time (the frame is `[h−W+1, h]` in HOURS, not in rows; only
+    * observed hours contribute points — documented). All five OLS
+    * moment sums are exact DECIMAL windows over the hour-domain frame
+    * (one per-group sort, never event-scale partitions); the slope is
+    * the usual fixed IEEE tail.
+    *
+    * Output: (group, hour, n_hours, slope_num, slope_den,
+    * slope_per_hour). */
+  def rollingTrend(events: DataFrame, groupCol: String, tsCol: String,
+      windowHours: Int = 168): DataFrame = {
+    require(windowHours >= 2, s"windowHours must be >= 2")
+    val hourly = events.where(col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+      .rangeBetween(-(windowHours - 1).toLong, 0L)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(d38(col("h"))).over(w))
+      .withColumn("sy", sum(d38(col("c"))).over(w))
+      .withColumn("sxy", sum(d38(col("h")) * col("c")).over(w))
+      .withColumn("sxx", sum(d38(col("h")) * col("h")).over(w))
+      .select(col("g").as(groupCol), col("h").as("hour"),
+        col("n").as("n_hours"),
+        (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+          .cast("long").as("slope_num"),
+        (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("slope_den"),
+        expr("""case when cast(n as decimal(38,0)) * sxx - sx * sx <> 0
+          then cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)
+            / cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)
+          end""").as("slope_per_hour"))
+  }
+
   /** Rate alerting with hysteresis over the hourly count series — the
     * monitoring state machine SLO pipelines run: an alert ARMS after
     * two consecutive observed hours at or above the high threshold and

@@ -2139,6 +2139,24 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("abcClassification: boundary entity lands in A, ties split " +
+    "deterministically by key, shares exact") {
+    import spark.implicits._
+    // values (cents): 80, 10, 5, 5 -> S = 100. desc order: 80 (before
+    // 0 -> A), 10 (before 80 -> B since 80*100 >= 80*100 is false...
+    // 8000 < 8000 fails -> B), 5 (before 90 -> B), 5 (before 95 -> C;
+    // tie with the other 5 split by key: smaller key classifies B)
+    val df = Seq((1L, 80L), (2L, 10L), (3L, 5L), (4L, 5L))
+      .toDF("k", "vc")
+    val got = Profiling.abcClassification(df, "k", col("vc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_entities"), r.getAs[Long]("mass_cents"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(got("A") === ((1L, 80L, 800000L)))
+    assert(got("B") === ((2L, 15L, 150000L)))
+    assert(got("C") === ((1L, 5L, 50000L)))
+  }
+
   test("rateAlerts: arms only after 2 consecutive high hours, " +
     "disarms at first low hour, hovering inside the band holds state") {
     import spark.implicits._
