@@ -2663,6 +2663,47 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Leaderboard movers: every part's exact revenue rank pre- vs
+    // post-1998 (blocked count prefixes, RANGE tie frames, no global
+    // sort), top-20 by absolute rank change
+    "q219_rank_movers" -> ((s, dir) => {
+      Profiling.rankMovers(t(s, dir, "lineitem"), "l_partkey",
+        col("l_shipdate").cast("timestamp") <
+          lit("1998-01-01 00:00:00").cast("timestamp"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"), topK = 20)
+    }),
+
+    // Cohort LTV curves: first-purchase-week cohorts, cumulative exact
+    // cents by age week, per-customer average — the revenue companion
+    // to q71's retention matrix
+    "q220_cohort_ltv" -> ((s, dir) => {
+      graft.ops.Sessions.cohortLtv(t(s, dir, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice")
+    }),
+
+    // Nearest as-of with tolerance (pandas merge_asof direction=
+    // 'nearest'): every purchase matched to the closest click of the
+    // same user within 1h, both directions, backward-preferring ties —
+    // one shuffle, one per-key sort, two carries
+    "q221_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side unique per (key, ts) by contract: min click id wins
+      val clicks = ev.where(col("event_type") === "click" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("click_id"))
+      graft.ops.AsOf.asOfNearest(purchases, "user_id", "ts", clicks,
+          "user_id", "ts", Seq("click_id"),
+          toleranceMicros = 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_micros"), col("asof_dir"),
+          col("asof_dist_micros"), col("asof_click_id"))
+    }),
+
     // ABC / Pareto inventory classification of parts by revenue: the
     // 80/15/5 split with exact integer boundary tests and full tie
     // determinism — no global ORDER BY
@@ -3552,6 +3593,91 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Naive oracle: two global row_numbers (v desc, k) per period.
+    "q219_rank_movers" ->
+      """WITH per AS (
+           SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+               THEN 'a' ELSE 'b' END AS p,
+             l_partkey AS k,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS v
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT p, k, row_number() OVER (PARTITION BY p
+               ORDER BY v DESC, k) AS rnk
+           FROM per)
+         SELECT a.k AS l_partkey, CAST(a.rnk AS BIGINT) AS rank_a,
+           CAST(b.rnk AS BIGINT) AS rank_b,
+           CAST(a.rnk - b.rnk AS BIGINT) AS delta
+         FROM r a JOIN r b ON a.k = b.k AND a.p = 'a' AND b.p = 'b'
+         ORDER BY abs(a.rnk - b.rnk) DESC, a.k LIMIT 20""",
+    // Same cohort/age frame with a per-cohort running sum.
+    "q220_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey AS cust,
+             epoch_us(o_orderdate) // 604800000000 AS ow,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+         f AS (SELECT cust, min(ow) AS cohort FROM o GROUP BY 1),
+         sz AS (SELECT cohort, count(*) AS n_customers
+                FROM f GROUP BY 1),
+         wk AS (SELECT f.cohort, o.ow - f.cohort AS age,
+             sum(o.cents) AS week_cents
+           FROM o JOIN f ON f.cust = o.cust GROUP BY 1, 2),
+         c AS (SELECT cohort, age, week_cents,
+             sum(week_cents) OVER (PARTITION BY cohort ORDER BY age)
+               AS cum_cents
+           FROM wk)
+         SELECT c.cohort AS cohort_week, c.age AS age_weeks,
+           CAST(sz.n_customers AS BIGINT) AS n_customers,
+           CAST(c.week_cents AS BIGINT) AS week_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents // sz.n_customers AS BIGINT)
+             AS cum_per_customer_cents
+         FROM c JOIN sz USING (cohort)""",
+    // Two native ASOF joins (backward inclusive, forward strict on the
+    // negated axis) + the same pick/tolerance logic.
+    "q221_asof_nearest" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         c0 AS (SELECT user_id, epoch_us(ts) AS tu,
+             min(event_id) AS click_id
+           FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT p.event_id, c0.tu AS btu, c0.click_id AS bid
+           FROM p ASOF LEFT JOIN c0
+             ON p.user_id = c0.user_id AND p.tu >= c0.tu),
+         cneg AS (SELECT user_id, -tu AS ntu, tu, click_id FROM c0),
+         pn AS (SELECT event_id, user_id, -tu AS ntu FROM p),
+         f AS (SELECT pn.event_id, cneg.tu AS ftu,
+             cneg.click_id AS fid
+           FROM pn ASOF LEFT JOIN cneg
+             ON pn.user_id = cneg.user_id AND pn.ntu > cneg.ntu),
+         sel AS (SELECT p.event_id, p.user_id, p.tu, b.btu, b.bid,
+             f.ftu, f.fid, p.tu - b.btu AS bd, f.ftu - p.tu AS fd
+           FROM p LEFT JOIN b USING (event_id)
+           LEFT JOIN f USING (event_id)),
+         pick AS (SELECT *,
+             CASE WHEN btu IS NOT NULL AND bd <= 3600000000
+                 AND (ftu IS NULL OR fd > 3600000000 OR bd <= fd)
+               THEN 'b'
+               WHEN ftu IS NOT NULL AND fd <= 3600000000 THEN 'f'
+             END AS dir
+           FROM sel)
+         SELECT event_id, user_id, tu AS ts_micros, dir AS asof_dir,
+           CASE dir WHEN 'b' THEN bd WHEN 'f' THEN fd END
+             AS asof_dist_micros,
+           CASE dir WHEN 'b' THEN bid WHEN 'f' THEN fid END
+             AS asof_click_id
+         FROM pick""",
     // Naive oracle: one global DESC running sum; identical integer
     // boundary predicates.
     "q216_abc_classification" ->

@@ -1189,6 +1189,70 @@ object Profiling {
         col("m.t").as("updated_micros"), col("n_candidates"))
   }
 
+  /** Rank movers between two periods — "which products moved most in
+    * the revenue leaderboard": every entity's exact dense position
+    * (value desc, key asc — fully tie-deterministic) in period A and
+    * period B, top `topK` by absolute rank change. The naive form is
+    * two global ORDER BY DESC row_numbers; here each period's rank is
+    * `count-of-strictly-greater + within-tie row_number`, from the
+    * blocked (period, bit-length) COUNT prefix (RANGE frames so tie
+    * groups count whole) with driver offsets — parallel windows, no
+    * single-reducer sort. Entities present in only one period are
+    * excluded (no rank to compare).
+    *
+    * Output: (key, rank_a, rank_b, delta) — delta = rank_a − rank_b
+    * (positive = climbed), topK by |delta| desc then key. */
+  def rankMovers(df: DataFrame, keyCol: String, isPeriodA: Column,
+      valueCents: Column, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val per = df.select(
+        when(isPeriodA, "a").otherwise("b").as("p"),
+        col(keyCol).cast("long").as("k"),
+        valueCents.cast("long").as("vc"))
+      .where(col("k").isNotNull && col("vc").isNotNull)
+      .groupBy(col("p"), col("k")).agg(sum(col("vc")).as("v"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val bt = per.groupBy(col("p"), col("block"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    if (bt.isEmpty) {
+      return per.select(col("k").as(keyCol), col("v").as("rank_a"),
+        col("v").as("rank_b"), col("v").as("delta")).limit(0)
+    }
+    val off = scala.collection.mutable.Map.empty[String, Long]
+    val pTot = scala.collection.mutable.Map.empty[String, Long]
+    bt.groupBy(_._1).foreach { case (p, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, b, c) =>
+        off(s"$p:$b") = acc; acc += c
+      }
+      pTot(p) = acc
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wCnt = Window.partitionBy(col("p"), col("block"))
+      .orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy(col("p"), col("v")).orderBy(col("k"))
+    val ranked = per
+      .withColumn("cumCnt", count(lit(1)).over(wCnt) +
+        element_at(typedLit(off.toMap),
+          concat_ws(":", col("p"), col("block"))))
+      .withColumn("rank",
+        element_at(typedLit(pTot.toMap), col("p")) - col("cumCnt") +
+          row_number().over(wTie))
+    val ra = ranked.where(col("p") === "a")
+      .select(col("k"), col("rank").as("rank_a"))
+    val rb = ranked.where(col("p") === "b")
+      .select(col("k"), col("rank").as("rank_b"))
+    ra.join(rb, "k")
+      .select(col("k").as(keyCol), col("rank_a"), col("rank_b"),
+        (col("rank_a") - col("rank_b")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   /** ABC / Pareto classification — the inventory-management classic:
     * rank entities by value descending and classify A = the entities
     * carrying the first 80% of total value, B = the next 15%, C = the

@@ -679,6 +679,49 @@ object Sessions {
         col("mx.h").as("cp_hour"), col("mx.s").as("s_scaled"))
   }
 
+  /** Cohort LTV curves — "how much has the average week-W signup spent
+    * by age K": customers cohort on their FIRST purchase week, and the
+    * curve accumulates each cohort's spend across age weeks. The
+    * retention matrix (q71) counts activity; this is the revenue view
+    * finance actually discounts.
+    *
+    * Shape: one groupBy finds each customer's cohort week, one join
+    * tags every order with (cohort, age), one aggregation reduces to
+    * the (cohort × age) frame — the ONLY event-scale stages — and the
+    * cumulative runs as per-cohort windows over that tiny frame. Exact
+    * cents throughout; the per-customer average is floor-div cents
+    * (documented). Ages only at observed weeks (sparse — the curve
+    * holds flat between points).
+    *
+    * Output: (cohort_week, age_weeks, n_customers, week_cents,
+    * cum_cents, cum_per_customer_cents). */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+      priceCol: String): DataFrame = {
+    val o = orders
+      .where(col(custCol).isNotNull && col(dateCol).isNotNull &&
+        col(priceCol).isNotNull)
+      .select(col(custCol).as("cust"),
+        expr(s"unix_micros(cast($dateCol as timestamp))" +
+          " div 604800000000").as("ow"),
+        (col(priceCol).cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .localCheckpoint(eager = false)
+    val firstw = o.groupBy(col("cust")).agg(min(col("ow")).as("cohort"))
+    val sizes = firstw.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val weekly = o.join(firstw, "cust")
+      .groupBy(col("cohort"), (col("ow") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).as("week_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_cents", sum(col("week_cents")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort").as("cohort_week"), col("age").as("age_weeks"),
+        col("n_customers"), col("week_cents"), col("cum_cents"),
+        expr("cum_cents div n_customers").as("cum_per_customer_cents"))
+  }
+
   /** Rolling-window OLS trend of the per-group hourly rate — "is this
     * type trending up over the trailing week, as of every hour": the
     * rolling cousin of the global [[graft.ops.Profiling.groupOlsTrend]],

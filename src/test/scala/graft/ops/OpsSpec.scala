@@ -2139,6 +2139,42 @@ class OpsSpec extends SparkSuite {
       7L * 82600000L - 3L * 102800000L)
   }
 
+  test("asOfNearest: picks the closer side, equal-ts is a backward " +
+    "zero-distance match, equal distances prefer backward, tolerance " +
+    "excludes, keys isolated") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 1000L),  // nearest: right at 990 (d10) vs 1050 (d50) -> b
+      (2L, 10L, 2000L),  // equal distance: 1950 vs 2050 -> backward
+      (3L, 10L, 3000L),  // only forward in tolerance: 2050 (d950,
+                         // out of 500 tol) vs 3400 (d400) -> f
+      (4L, 10L, 5000L),  // nothing within 500 -> null
+      (5L, 10L, 6000L),  // exact equal ts -> b, d=0
+      (6L, 99L, 1000L))  // different key, no rights -> null
+      .toDF("event_id", "user_id", "tu")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tu")).as("ts"))
+    val right = Seq((10L, 990L, 100L), (10L, 1050L, 101L),
+      (10L, 1950L, 102L), (10L, 2050L, 103L), (10L, 3400L, 104L),
+      (10L, 6000L, 105L))
+      .toDF("user_id", "tu", "click_id")
+      .select(col("user_id"), timestamp_micros(col("tu")).as("ts"),
+        col("click_id"))
+    val got = AsOf.asOfNearest(left, "user_id", "ts", right, "user_id",
+        "ts", Seq("click_id"), toleranceMicros = 500L)
+      .select("event_id", "asof_dir", "asof_dist_micros",
+        "asof_click_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(got(1L) === ((Some("b"), Some(10L), Some(100L))))
+    assert(got(2L) === ((Some("b"), Some(50L), Some(102L))))
+    assert(got(3L) === ((Some("f"), Some(400L), Some(104L))))
+    assert(got(4L) === ((None, None, None)))
+    assert(got(5L) === ((Some("b"), Some(0L), Some(105L))))
+    assert(got(6L) === ((None, None, None)))
+  }
+
   test("abcClassification: boundary entity lands in A, ties split " +
     "deterministically by key, shares exact") {
     import spark.implicits._
