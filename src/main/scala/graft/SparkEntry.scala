@@ -2663,6 +2663,26 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Weighted exact quantiles: quantity-weighted p25/p50/p75 of the
+    // unit price — "the median dollar", not the median row; rank
+    // containment on the cumulative WEIGHT axis, no global sort
+    "q222_weighted_quantiles" -> ((s, dir) => {
+      graft.ops.Sketches.weightedQuantiles(
+        t(s, dir, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty")),
+        "cents", "qty", Seq((1, 4), (1, 2), (3, 4)))
+    }),
+
+    // Binary-conversion A/B: hash arms, exposure = first view,
+    // conversion = purchase at/after it (leakage-honest), exact counts
+    // with Wilson 95% bounds — the conversion-dashboard readout
+    "q223_conversion_ab" -> ((s, dir) => {
+      Profiling.conversionAb(t(s, dir, "events"), "user_id", "ts",
+        "event_type", triggerType = "view", goalType = "purchase")
+    }),
+
     // Leaderboard movers: every part's exact revenue rank pre- vs
     // post-1998 (blocked count prefixes, RANGE tie frames, no global
     // sort), top-20 by absolute rank change
@@ -3593,6 +3613,71 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Naive oracle: global cumulative weight ordered by value; value
+    // at 1-based weight rank ceil(p*W).
+    "q222_weighted_quantiles" ->
+      """WITH per AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS v,
+             sum(CAST(l_quantity AS BIGINT)) AS w
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND CAST(l_quantity AS BIGINT) > 0
+           GROUP BY 1),
+         c AS (SELECT v, w, sum(w) OVER (ORDER BY v) AS cum FROM per),
+         t AS (SELECT sum(w) AS wt FROM per),
+         f AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4))
+                 AS x(p_num, p_den))
+         SELECT f.p_num, f.p_den,
+           CAST((f.p_num * t.wt + f.p_den - 1) // f.p_den AS BIGINT)
+             AS wrank,
+           c.v AS value, CAST(t.wt AS BIGINT) AS total_weight
+         FROM f, t
+         JOIN c ON c.cum - c.w <
+             (f.p_num * t.wt + f.p_den - 1) // f.p_den
+           AND c.cum >= (f.p_num * t.wt + f.p_den - 1) // f.p_den""",
+    // Same exposure/conversion definitions and the identical Wilson
+    // expression tree.
+    "q223_conversion_ab" ->
+      """WITH per AS (
+           SELECT user_id AS u,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               AS first_trigger,
+             max(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS last_goal
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         arms AS (SELECT u,
+             last_goal IS NOT NULL AND last_goal >= first_trigger
+               AS converted,
+             CASE WHEN (CAST(('0x' || substr(md5('graft-ab:' ||
+                 CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 10000)
+                 < 5000
+               THEN 'A' ELSE 'B' END AS arm
+           FROM per WHERE first_trigger IS NOT NULL),
+         g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_exposed,
+             CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_converted
+           FROM arms GROUP BY 1)
+         SELECT arm, n_exposed, n_converted,
+           CAST(n_converted * 1000000 // n_exposed AS BIGINT)
+             AS rate_ppm,
+           (CAST(n_converted AS DOUBLE) / n_exposed
+               + 1.9208 / n_exposed
+               - 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_exposed)
+                 * (1.0 - CAST(n_converted AS DOUBLE) / n_exposed)
+                 / n_exposed + 0.9604 / (CAST(n_exposed AS DOUBLE)
+                 * n_exposed)))
+             / (1.0 + 3.8416 / n_exposed) AS wilson_lo,
+           (CAST(n_converted AS DOUBLE) / n_exposed
+               + 1.9208 / n_exposed
+               + 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_exposed)
+                 * (1.0 - CAST(n_converted AS DOUBLE) / n_exposed)
+                 / n_exposed + 0.9604 / (CAST(n_exposed AS DOUBLE)
+                 * n_exposed)))
+             / (1.0 + 3.8416 / n_exposed) AS wilson_hi
+         FROM g""",
     // Naive oracle: two global row_numbers (v desc, k) per period.
     "q219_rank_movers" ->
       """WITH per AS (

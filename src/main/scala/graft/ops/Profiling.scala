@@ -1189,6 +1189,54 @@ object Profiling {
         col("m.t").as("updated_micros"), col("n_candidates"))
   }
 
+  /** Binary-conversion A/B readout with Wilson intervals — the
+    * discrete-metric companion to [[cupedAdjust]]: users are assigned
+    * by the deterministic salted hash, exposure = has a 'view'-style
+    * trigger event, conversion = a 'purchase'-style goal event AT OR
+    * AFTER the user's first trigger (the leakage-honest definition —
+    * pre-exposure purchases don't count). Counts are exact; the rate
+    * and the Wilson 95% bounds are a fixed IEEE tail over them (z =
+    * 1.96 literal), the interval of record for conversion dashboards
+    * (never the naive normal interval, which breaks near 0/1).
+    *
+    * Output: one row per arm — (arm, n_exposed, n_converted, rate_ppm,
+    * wilson_lo, wilson_hi). */
+  def conversionAb(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, triggerType: String, goalType: String,
+      salt: String = "graft-ab"): DataFrame = {
+    val per = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(when(col(typeCol) === triggerType, col(tsCol)))
+        .as("first_trigger"),
+        max(when(col(typeCol) === goalType, col(tsCol))).as("last_goal"))
+      .where(col("first_trigger").isNotNull)
+      .select(col("u"),
+        (col("last_goal").isNotNull &&
+          col("last_goal") >= col("first_trigger")).as("converted"),
+        when(graft.ops.Splits.splitBucket(col("u"), salt) < 5000, "A")
+          .otherwise("B").as("arm"))
+    per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("arm"), col("n_exposed"), col("n_converted"),
+        expr("n_converted * 1000000 div n_exposed").as("rate_ppm"),
+        expr("""(cast(n_converted as double) / n_exposed
+            + 1.9208 / n_exposed
+            - 1.96 * sqrt((cast(n_converted as double) / n_exposed)
+              * (1.0 - cast(n_converted as double) / n_exposed)
+              / n_exposed + 0.9604 / (cast(n_exposed as double)
+              * n_exposed)))
+          / (1.0 + 3.8416 / n_exposed)""").as("wilson_lo"),
+        expr("""(cast(n_converted as double) / n_exposed
+            + 1.9208 / n_exposed
+            + 1.96 * sqrt((cast(n_converted as double) / n_exposed)
+              * (1.0 - cast(n_converted as double) / n_exposed)
+              / n_exposed + 0.9604 / (cast(n_exposed as double)
+              * n_exposed)))
+          / (1.0 + 3.8416 / n_exposed)""").as("wilson_hi"))
+  }
+
   /** Rank movers between two periods — "which products moved most in
     * the revenue leaderboard": every entity's exact dense position
     * (value desc, key asc — fully tie-deterministic) in period A and

@@ -332,6 +332,60 @@ object Sketches {
     }.reduce(_ unionAll _)
   }
 
+  /** EXACT weighted quantiles — order statistics where each row counts
+    * with a weight (the weighted median price by quantity sold, the
+    * byte-weighted latency percentile): the value v at which the
+    * cumulative WEIGHT first reaches ⌈p·W⌉. Same no-global-sort
+    * machinery as [[exactQuantiles]] with weight sums in place of row
+    * counts — distinct values → bit-length blocks → ≤64 driver
+    * subtotals → per-block parallel windows + rank containment on the
+    * weight axis. Weights must be non-negative integers (cast up
+    * front); zero-weight rows cannot carry a quantile and are dropped.
+    *
+    * Output: (p_num, p_den, wrank, value, total_weight) per
+    * fraction. */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) =>
+      n >= 1 && n <= d }, s"fractions must satisfy 1 <= num <= den: $ps")
+    val per = df.select(col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .where(col("v").isNotNull && col("wt").isNotNull && col("wt") > 0)
+      .groupBy(col("v")).agg(sum(col("wt")).as("w"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .localCheckpoint(eager = false)
+    val blockTotals = per.groupBy(col("block"))
+      .agg(sum(col("w")).as("tw"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+      .sortBy(_._1)
+    if (blockTotals.isEmpty) {
+      return per.select(lit(0).as("p_num"), lit(1).as("p_den"),
+        col("w").as("wrank"), col("v").as("value"),
+        col("w").as("total_weight")).limit(0)
+    }
+    var acc = 0L
+    val off = scala.collection.mutable.Map.empty[Long, Long]
+    blockTotals.foreach { case (b, tw) => off(b) = acc; acc += tw }
+    val wTot = acc
+    import org.apache.spark.sql.expressions.Window
+    val wnd = Window.partitionBy(col("block")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("v"), col("w"),
+        (sum(col("w")).over(wnd) +
+          element_at(typedLit(off.toMap), col("block").cast("long")))
+          .as("cum"))
+      .localCheckpoint(eager = false)
+    ps.map { case (num, den) =>
+      // 1-based weight rank ceil(p*W) in pure integer arithmetic
+      val rk = (num.toLong * wTot + den - 1) / den
+      cum.where(col("cum") - col("w") < rk && col("cum") >= rk)
+        .select(lit(num).as("p_num"), lit(den).as("p_den"),
+          lit(rk).as("wrank"), col("v").as("value"),
+          lit(wTot).as("total_weight"))
+    }.reduce(_ unionAll _)
+  }
+
   /** EXACT heavy hitters (frequency · k > N) via a two-phase
     * Misra–Gries sweep — the frequent-token / hot-key report that at
     * 100 TB cannot be answered with a plain `groupBy(token).count()`:

@@ -309,6 +309,26 @@ class SketchesSpec extends SparkSuite {
     assert(Sketches.heavyHitters(uniform, col("v"), 10).count() === 0)
   }
 
+  test("weightedQuantiles: cumulative-weight rank containment equals " +
+    "the expanded-row reference, zero weights dropped") {
+    import spark.implicits._
+    // values with weights: expanding (v,w) to w copies of v, the
+    // weighted p-quantile is the plain order statistic of the copies
+    val df = Seq((10L, 3L), (20L, 1L), (30L, 6L), (40L, 0L))
+      .toDF("v", "wt")
+    val ps = Seq((1, 4), (1, 2), (3, 4), (1, 1))
+    val got = Sketches.weightedQuantiles(df, "v", "wt", ps)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expanded = Seq.fill(3)(10L) ++ Seq(20L) ++ Seq.fill(6)(30L)
+    for ((num, den) <- ps) {
+      val rk = (num.toLong * expanded.size + den - 1) / den
+      assert(got((num, den)) ===
+        ((rk, expanded.sorted.apply(rk.toInt - 1), 10L)),
+        s"$num/$den")
+    }
+  }
+
   test("exactQuantilesByGroup: per-group order statistics equal the " +
     "sorted-array reference, groups independent, ties exact") {
     import spark.implicits._
