@@ -2663,6 +2663,140 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Session depth distribution: how many sessions reach k events,
+    // with exact cumulative reach share in ppm — the engagement-depth
+    // curve product teams read before any funnel is hypothesized
+    "q224_session_depth" -> ((s, dir) => {
+      val sess = graft.ops.Sessions.sessionize(
+        t(s, dir, "events").where(col("user_id").isNotNull &&
+          col("ts").isNotNull), "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("depth"))
+      val hist = sess.groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .withColumn("block",
+          (length(bin(col("depth"))) - 1).cast("int"))
+        .localCheckpoint(eager = false)
+      // descending cumulative via the blocked pattern (suffix offsets
+      // from higher bit-length blocks) — no single-partition window
+      val bt = hist.groupBy(col("block"))
+        .agg(sum(col("n_sessions")).as("tn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(-_._1)
+      var acc = 0L
+      val off = scala.collection.mutable.Map.empty[Int, Long]
+      bt.foreach { case (b, tn) => off(b) = acc; acc += tn }
+      val nTotal = acc
+      if (nTotal == 0) {
+        hist.select(col("depth"), col("n_sessions"),
+          col("n_sessions").as("n_reaching"),
+          col("n_sessions").as("reach_ppm")).limit(0)
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block")).orderBy(col("depth").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        hist
+          .withColumn("n_reaching", sum(col("n_sessions")).over(w) +
+            element_at(typedLit(off.toMap), col("block")))
+          .select(col("depth"), col("n_sessions"), col("n_reaching"),
+            expr(s"n_reaching * 1000000 div ${nTotal}L")
+              .as("reach_ppm"))
+      }
+    }),
+
+    // Inter-purchase intervals: exact p25/p50/p75 of the minutes
+    // between consecutive purchases of the same user — repeat-latency,
+    // the replenishment-cycle metric; per-user lag + blocked quantiles
+    "q225_repurchase_intervals" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = t(s, dir, "events")
+        .where(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(expr("(unix_micros(ts) - unix_micros(prev))" +
+          " div 60000000").as("gap_min"))
+      graft.ops.Sketches.exactQuantiles(gaps, "gap_min",
+        Seq((1, 4), (1, 2), (3, 4)))
+    }),
+
+    // Discount effectiveness: per discount percent, exact mean
+    // quantity (1e-4 units) and revenue share; plus the qty~discount
+    // OLS slope over ALL lineitems as exact moment sums — "do
+    // discounts move volume" without a single float accumulation
+    "q226_discount_effect" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_discount").isNotNull &&
+          col("l_quantity").isNotNull)
+        .select((col("l_discount").cast("decimal(4,2)") * 100)
+          .cast("long").as("disc_pct"),
+          (col("l_quantity").cast("decimal(18,4)") * 10000)
+            .cast("long").as("q4"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .localCheckpoint(eager = false)
+      val per = li.groupBy(col("disc_pct"))
+        .agg(count(lit(1)).as("n"), sum(col("q4")).as("sum_q4"),
+          sum(col("cents")).as("sum_cents"))
+        .select(col("disc_pct"), col("n"),
+          expr("sum_q4 div n").as("mean_qty_e4"), col("sum_cents"),
+          lit(null).cast("double").as("slope_e4_per_pct"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val slope = li.groupBy(lit(-1L).as("disc_pct"))
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("disc_pct"))).as("sx"),
+          sum(d38(col("q4"))).as("sy"),
+          sum(d38(col("disc_pct")) * col("q4")).as("sxy"),
+          sum(d38(col("disc_pct")) * col("disc_pct")).as("sxx"))
+        .select(col("disc_pct"), col("n"),
+          lit(null).cast("long").as("mean_qty_e4"),
+          lit(null).cast("long").as("sum_cents"),
+          expr("""case when cast(n as decimal(38,0)) * sxx - sx * sx
+              <> 0 then
+              cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)
+              / cast(cast(n as decimal(38,0)) * sxx - sx * sx
+                as double) end""").as("slope_e4_per_pct"))
+      per.unionAll(slope)
+    }),
+
+    // Declarative data-quality suite: five rules (nulls, domain,
+    // range, referential, uniqueness) evaluated in ONE pass per table
+    // — the Great-Expectations-style gate as a plain query, exact
+    // violation counts
+    "q227_dq_suite" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val r1 = ord.groupBy(lit("orders.custkey_not_null").as("rule"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("n_violations"))
+      val r2 = ord.groupBy(lit("orders.status_domain").as("rule"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("n_violations"))
+      val r3 = li.groupBy(lit("lineitem.qty_range_1_50").as("rule"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("n_violations"))
+      val r4 = li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .groupBy(lit("lineitem.orderkey_fk").as("rule"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(lit(1)).as("n_violations"))
+      val r5 = ord.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(lit("orders.orderkey_unique").as("rule"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(col("c") - 1).as("n_violations"))
+      Seq(r1, r2, r3, r4, r5).reduce(_ unionAll _)
+    }),
+
     // Weighted exact quantiles: quantity-weighted p25/p50/p75 of the
     // unit price — "the median dollar", not the median row; rank
     // containment on the cumulative WEIGHT axis, no global sort
@@ -3613,6 +3747,117 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Same sessionization; descending cumulative over the depth
+    // histogram.
+    "q224_session_depth" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS ns
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS sid
+           FROM s),
+         d AS (SELECT user_id, sid, count(*) AS depth
+               FROM s2 GROUP BY 1, 2),
+         h AS (SELECT depth, count(*) AS n_sessions FROM d GROUP BY 1),
+         t AS (SELECT sum(n_sessions) AS nt FROM h)
+         SELECT h.depth, CAST(h.n_sessions AS BIGINT) AS n_sessions,
+           CAST(sum(h.n_sessions) OVER (ORDER BY h.depth DESC)
+             AS BIGINT) AS n_reaching,
+           CAST(sum(h.n_sessions) OVER (ORDER BY h.depth DESC)
+             * 1000000 // t.nt AS BIGINT) AS reach_ppm
+         FROM h, t""",
+    // Same per-user lag gaps in whole minutes; q184-style rank lookup.
+    "q225_repurchase_intervals" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) AS tu, event_id, ts FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         g AS (SELECT (tu - ptu) // 60000000 AS v FROM (
+             SELECT tu, lag(tu) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS ptu
+             FROM p)
+           WHERE ptu IS NOT NULL),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn
+               FROM g),
+         n AS (SELECT count(*) AS n_rows FROM g),
+         t AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4))
+                 AS x(p_num, p_den))
+         SELECT t.p_num, t.p_den,
+           CAST((t.p_num * n.n_rows + t.p_den - 1) // t.p_den - 1
+             AS BIGINT) AS rank,
+           r.v AS value, n.n_rows
+         FROM t, n
+         JOIN r ON r.rn = (t.p_num * n.n_rows + t.p_den - 1)
+           // t.p_den - 1""",
+    // Same exact bucket means and HUGEINT moment sums; identical IEEE
+    // slope tail.
+    "q226_discount_effect" ->
+      """WITH li AS (
+           SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+               AS BIGINT) AS disc_pct,
+             CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS q4,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL),
+         per AS (SELECT disc_pct, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q4) // count(*) AS BIGINT) AS mean_qty_e4,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(NULL AS DOUBLE) AS slope_e4_per_pct
+           FROM li GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(disc_pct) AS HUGEINT) AS sx,
+             CAST(sum(q4) AS HUGEINT) AS sy,
+             CAST(sum(CAST(disc_pct AS HUGEINT) * q4) AS HUGEINT)
+               AS sxy,
+             CAST(sum(CAST(disc_pct AS HUGEINT) * disc_pct)
+               AS HUGEINT) AS sxx
+           FROM li),
+         sl AS (SELECT CAST(-1 AS BIGINT) AS disc_pct,
+             CAST(n AS BIGINT) AS n, CAST(NULL AS BIGINT)
+               AS mean_qty_e4,
+             CAST(NULL AS BIGINT) AS sum_cents,
+             CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) END
+               AS slope_e4_per_pct
+           FROM s)
+         SELECT * FROM per UNION ALL SELECT * FROM sl""",
+    // Same five rules; a rule with no qualifying rows emits no row on
+    // either side (the r4 anti-join), exact counts elsewhere.
+    "q227_dq_suite" ->
+      """SELECT 'orders.custkey_not_null' AS rule,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'orders.status_domain', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem.qty_range_1_50', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem.orderkey_fk', CAST(count(*) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+         HAVING count(*) > 0
+         UNION ALL
+         SELECT 'orders.orderkey_unique', CAST(sum(c) AS BIGINT),
+           CAST(sum(c - 1) AS BIGINT)
+         FROM (SELECT o_orderkey, count(*) AS c FROM orders
+               GROUP BY 1)""",
     // Naive oracle: global cumulative weight ordered by value; value
     // at 1-based weight rank ceil(p*W).
     "q222_weighted_quantiles" ->
