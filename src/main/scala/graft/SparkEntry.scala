@@ -2663,6 +2663,76 @@ object SparkEntry {
         Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
     }),
 
+    // Process-mining conformance: the directly-follows matrix of user
+    // event transitions against a declared legal-transition model —
+    // every observed (prev, next) pair with exact counts, an allowed
+    // flag, and its share of all transitions; the violations are the
+    // process-conformance findings
+    "q228_conformance_audit" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val allowed = Seq("signup>view", "signup>error", "view>view",
+        "view>click", "view>error", "click>view", "click>purchase",
+        "click>error", "purchase>view", "error>view")
+      val pairs = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("nxt"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val tot = broadcast(pairs.groupBy(lit(1).as("__o"))
+        .agg(sum(col("n")).as("n_total")))
+      pairs.crossJoin(tot)
+        .select(col("prev"), col("nxt"), col("n"),
+          concat(col("prev"), lit(">"), col("nxt")).isin(allowed: _*)
+            .as("allowed"),
+          expr("n * 1000000 div n_total").as("share_ppm"))
+    }),
+
+    // Growth accounting: every week's actives decomposed into new /
+    // retained / resurrected, plus churn measured against the prior
+    // week — the standard DAU/WAU decomposition, exact counts from one
+    // per-user week-sequence pass
+    "q229_growth_accounting" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("u"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("wk"))
+      val classed = uw
+        .withColumn("first_wk", min(col("wk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+        .select(col("wk"),
+          when(col("wk") === col("first_wk"), "new")
+            .when(col("prev_wk") === col("wk") - 1, "retained")
+            .otherwise("resurrected").as("cls"))
+      val weekly = classed.groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+        .localCheckpoint(eager = false)
+      // churn(w) = actives(w-1) - retained(w): week-domain self-join
+      weekly.join(weekly.select((col("wk") + 1).as("wk"),
+          col("n_active").as("prev_active")), Seq("wk"), "left")
+        .select(col("wk").as("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          when(col("prev_active").isNotNull,
+            col("prev_active") - col("n_retained"))
+            .as("n_churned_from_prev"))
+    }),
+
     // Session depth distribution: how many sessions reach k events,
     // with exact cumulative reach share in ppm — the engagement-depth
     // curve product teams read before any funnel is hypothesized
@@ -3747,6 +3817,53 @@ object SparkEntry {
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
   def oracleSql: Map[String, String] = Map(
     "q190_mmr_rerank" -> mmrOracleSql(12, 5),
+    // Same lag pairs; the allowed set is the identical literal list.
+    "q228_conformance_audit" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id, event_type AS nxt,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         g AS (SELECT prev, nxt, count(*) AS n FROM p
+               WHERE prev IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT sum(n) AS nt FROM g)
+         SELECT g.prev, g.nxt, CAST(g.n AS BIGINT) AS n,
+           g.prev || '>' || g.nxt IN ('signup>view', 'signup>error',
+             'view>view', 'view>click', 'view>error', 'click>view',
+             'click>purchase', 'click>error', 'purchase>view',
+             'error>view') AS allowed,
+           CAST(g.n * 1000000 // t.nt AS BIGINT) AS share_ppm
+         FROM g, t""",
+    // Same per-user week classification; churn from the shifted
+    // week-domain self-join.
+    "q229_growth_accounting" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id AS u,
+             epoch_us(ts) // 604800000000 AS wk
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT wk,
+             CASE WHEN wk = min(wk) OVER (PARTITION BY u) THEN 'new'
+               WHEN lag(wk) OVER (PARTITION BY u ORDER BY wk) = wk - 1
+                 THEN 'retained'
+               ELSE 'resurrected' END AS cls
+           FROM uw),
+         weekly AS (SELECT wk, count(*) AS n_active,
+             sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+               AS n_retained,
+             sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+               AS n_resurrected
+           FROM c GROUP BY 1)
+         SELECT w.wk AS week, CAST(w.n_active AS BIGINT) AS n_active,
+           CAST(w.n_new AS BIGINT) AS n_new,
+           CAST(w.n_retained AS BIGINT) AS n_retained,
+           CAST(w.n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(p.n_active - w.n_retained AS BIGINT)
+             AS n_churned_from_prev
+         FROM weekly w LEFT JOIN weekly p ON p.wk = w.wk - 1""",
     // Same sessionization; descending cumulative over the depth
     // histogram.
     "q224_session_depth" ->

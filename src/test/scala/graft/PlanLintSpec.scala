@@ -57,6 +57,7 @@ class PlanLintSpec extends SparkSuite {
                        // one-row totals frame
     "q211_embedding_drift", // two ONE-ROW frames (dim-sums dots +
                             // cohort counts) stitched by key join
+    "q228_conformance_audit", // one-row transition-total frame
     "q166_ind_discovery",  // one-row ndv/missing count frames
     "q167_degree_assortativity", // one-row correlation-sums frame
     "q171_kmv_rollup",     // rolled-away dims fold to literal NULLs, so
