@@ -55,9 +55,27 @@ object Bench {
         }
       }
     } catch { case _: Throwable => () }
+    // Per-query JVM telemetry (r9 item 7): three rounds running, the
+    // driver's full-229-query run has flagged dozens of regressions that
+    // isolated re-runs clear — this records, per query, the evidence
+    // needed to tell host noise / accumulated-JVM-pressure from a real
+    // leak: heap in use after the query, the GC-pause delta during it,
+    // and how many persistent RDDs (localCheckpoint blocks, persists)
+    // were still registered when it finished.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def heapMb(): Long =
+      (java.lang.Runtime.getRuntime.totalMemory() -
+        java.lang.Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+    val telemetry = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Int)] // heapMB, gcDeltaMs, rddBlocks
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -68,6 +86,16 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Release this query's lineage-truncation blocks before the next
+      // query runs: 229 queries' localCheckpoint RDDs accumulating in one
+      // JVM is the prime suspect for the full-run slowdown the isolated
+      // re-runs never see. Queries are self-contained (each builds its
+      // plan from the parquet scans), so nothing depends on a previous
+      // query's persisted state.
+      val blocks = spark.sparkContext.getPersistentRDDs.size
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      telemetry.put(name, (heapMb(), gcMillis() - gc0, blocks))
       if (ok) sec else -1.0
     }
     // Optional local-iteration filter (NOT set by the driver): comma list
@@ -131,12 +159,17 @@ object Bench {
       case (k, v) if overGuard(k, v) =>
         s"""{"query":"$k","sec":$v,"best":${baseline(k)}}"""
     }.mkString("[", ",", "]")
+    val telem = telemetry.map { case (k, (h, g, b)) =>
+      s"\"" + k + s"\":{\"heap_mb\":$h,\"gc_ms\":$g,\"rdd_blocks\":$b}"
+    }.mkString("{", ",", "}")
+    val maxHeap = if (telemetry.isEmpty) 0L else telemetry.values.map(_._1).max
+    val gcTotal = telemetry.values.map(_._2).sum
     // headline fields FIRST, per-query map LAST: if the consumer's log
     // capture truncates the line's tail, the totals still survive
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","queries":$qs}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","max_heap_mb":$maxHeap,"gc_total_ms":$gcTotal,"queries":$qs,"telemetry":$telem}"""
     println(json)
-    // ... and the full artifact also lands on DISK, immune to stdout
-    // truncation entirely (override the path via SPARK_GRAFT_BENCH_OUT)
+    // The full artifact also lands on DISK, immune to stdout truncation
+    // entirely (override the path via SPARK_GRAFT_BENCH_OUT)
     try {
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
@@ -147,6 +180,25 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"BENCH JSON file write failed: ${t.getMessage}")
     }
+    // Three rounds running, the driver has kept only a ~2000-char tail of
+    // this process's merged output, losing the start of the ~10 KB full
+    // JSON line above ("parsed": null in BENCH_r07..r09). The LAST stdout
+    // lines are therefore a COMPACT headline record (a few hundred bytes,
+    // regressions capped) that fits entirely inside any sane tail capture
+    // — emitted twice, once sentinel-prefixed for grep and once as bare
+    // JSON for a last-JSON-line scanner, then stdout is flushed BEFORE
+    // spark.stop() so no shutdown chatter can interleave.
+    val regressionsCapped = {
+      val all = results.collect {
+        case (k, v) if overGuard(k, v) =>
+          s"""{"query":"$k","sec":${math.rint(v * 1000) / 1000},"best":${baseline(k)}}"""
+      }
+      (all.take(8).mkString("[", ",", "]"), all.size)
+    }
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"subset37_total":${math.rint(subset37 * 1000) / 1000},"errors":$errors,"n_regressions":${regressionsCapped._2},"regressions":${regressionsCapped._1},"sf":"$sfDir","max_heap_mb":$maxHeap,"gc_total_ms":$gcTotal,"bench_file":"target/bench_last.json"}"""
+    println("GRAFT_BENCH_JSON:" + compact)
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -21,4 +21,24 @@ private[graft] object ConfScope {
       spark.conf.set(key, n.toString)
       try body finally spark.conf.set(key, previous)
   }
+
+  /** Generic scoped conf override (save/set/restore). Used by the
+    * iterative fixpoint family to pin `spark.sql.adaptive.enabled=false`
+    * for the loop: a checkpointed round's `LogicalRDD` only CAPTURES its
+    * physical outputPartitioning when the plan is not wrapped in
+    * `AdaptiveSparkPlan` (AQE reports unknown partitioning at checkpoint
+    * time), and that captured partitioning is what makes the next round's
+    * state join exchange-free. The loop plans are small and fixed-shape —
+    * partial aggregation already absorbs key skew map-side — so giving up
+    * AQE inside the loop costs nothing and saves one O(N) state shuffle
+    * per round. */
+  def withConf[T](spark: SparkSession, key: String, value: String)(
+      body: => T): T = {
+    val previous = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally previous match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

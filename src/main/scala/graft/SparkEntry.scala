@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Lineage._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1023,8 +1024,15 @@ object SparkEntry {
         .select(col("event_id").as("window_id"),
           unix_micros(col("ts")).as("ws"),
           (unix_micros(col("ts")) + hourUs).as("we"))
+      // bin width chosen from the data (counts/span/mean length — the
+      // q176 estimator family), not fixed: at sf1+ a fixed hour bin
+      // holds quadratically more candidates while the auto width
+      // narrows to keep ~constant pairs per bin. The result set is
+      // identical at any width (exact residual filter).
+      val w = graft.ops.RangeJoin.autoBinWidth(clicks, "pt",
+        windows, "ws", "we", fallback = hourUs)
       graft.ops.RangeJoin.pointInInterval(clicks, "click_id", "pt",
-        windows, "window_id", "ws", "we", binWidth = hourUs)
+        windows, "window_id", "ws", "we", binWidth = w)
         .select(col("point_id").as("click_id"),
           col("interval_id").as("window_id"))
     }),
@@ -1040,10 +1048,13 @@ object SparkEntry {
           .select(col("event_id").as(idAs),
             unix_micros(col("ts")).as(s"${idAs}_s"),
             (unix_micros(col("ts")) + hourUs).as(s"${idAs}_e"))
+      val w = graft.ops.RangeJoin.autoBinWidthIntervals(
+        win("purchase", "pid"), "pid_s", "pid_e",
+        win("error", "eid"), "eid_s", "eid_e", fallback = hourUs)
       graft.ops.RangeJoin.intervalOverlap(
         win("purchase", "pid"), "pid", "pid_s", "pid_e",
         win("error", "eid"), "eid", "eid_s", "eid_e",
-        binWidth = hourUs)
+        binWidth = w)
         .select(col("left_id").as("purchase_id"),
           col("right_id").as("error_id"))
     }),
@@ -1058,7 +1069,6 @@ object SparkEntry {
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ RangeJoinRewrite
       val hourUs = 3600L * 1000000L
-      s.conf.set(RangeJoinRewrite.BinWidthKey, hourUs.toString)
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"),
@@ -1067,6 +1077,12 @@ object SparkEntry {
         .select(col("event_id").as("window_id"),
           unix_micros(col("ts")).as("ws"),
           (unix_micros(col("ts")) + hourUs).as("we"))
+      // the rule's width conf is fed by the same data-driven chooser the
+      // explicit operator uses (the rule itself must stay job-free: an
+      // optimizer rule cannot run an estimation job mid-planning)
+      s.conf.set(RangeJoinRewrite.BinWidthKey,
+        graft.ops.RangeJoin.autoBinWidth(clicks, "pt", windows, "ws",
+          "we", fallback = hourUs).toString)
       clicks.join(windows, col("pt") >= col("ws") && col("pt") <= col("we"))
         .select(col("click_id"), col("window_id"))
     }),
@@ -2683,7 +2699,7 @@ object SparkEntry {
           lag(col("event_type"), 1).over(w).as("prev"))
         .where(col("prev").isNotNull)
         .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val tot = broadcast(pairs.groupBy(lit(1).as("__o"))
         .agg(sum(col("n")).as("n_total")))
       pairs.crossJoin(tot)
@@ -2703,7 +2719,7 @@ object SparkEntry {
         .select(col("user_id").as("u"),
           expr("unix_micros(ts) div 604800000000").as("wk"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("u")).orderBy(col("wk"))
       val classed = uw
@@ -2722,7 +2738,7 @@ object SparkEntry {
             .as("n_retained"),
           sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
             .as("n_resurrected"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       // churn(w) = actives(w-1) - retained(w): week-domain self-join
       weekly.join(weekly.select((col("wk") + 1).as("wk"),
           col("n_active").as("prev_active")), Seq("wk"), "left")
@@ -2747,7 +2763,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"))
         .withColumn("block",
           (length(bin(col("depth"))) - 1).cast("int"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       // descending cumulative via the blocked pattern (suffix offsets
       // from higher bit-length blocks) — no single-partition window
       val bt = hist.groupBy(col("block"))
@@ -2810,7 +2826,7 @@ object SparkEntry {
             .cast("long").as("q4"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100)
             .cast("long").as("cents"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val per = li.groupBy(col("disc_pct"))
         .agg(count(lit(1)).as("n"), sum(col("q4")).as("sum_q4"),
           sum(col("cents")).as("sum_cents"))
@@ -3116,6 +3132,10 @@ object SparkEntry {
         .groupBy(col("prio").as("o_orderpriority"))
         .agg(sum(col("sign")).as("n"),
           sum(col("sign") * col("cents")).as("sum_cents"))
+        // a fully-retracted group (sum(sign) = 0) has no surviving
+        // orders: drop it so the maintained rollup equals the oracle's
+        // recompute over survivors (which never sees the group at all)
+        .where(col("n") =!= 0)
     }),
 
     // Embedding-distribution drift: centroid cosine between the two
@@ -3953,17 +3973,17 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_violations
-         FROM orders
+         FROM orders GROUP BY 1
          UNION ALL
          SELECT 'orders.status_domain', CAST(count(*) AS BIGINT),
            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
              THEN 1 ELSE 0 END) AS BIGINT)
-         FROM orders
+         FROM orders GROUP BY 1
          UNION ALL
          SELECT 'lineitem.qty_range_1_50', CAST(count(*) AS BIGINT),
            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
              THEN 1 ELSE 0 END) AS BIGINT)
-         FROM lineitem
+         FROM lineitem GROUP BY 1
          UNION ALL
          SELECT 'lineitem.orderkey_fk', CAST(count(*) AS BIGINT),
            CAST(count(*) AS BIGINT)
@@ -3974,7 +3994,7 @@ object SparkEntry {
          SELECT 'orders.orderkey_unique', CAST(sum(c) AS BIGINT),
            CAST(sum(c - 1) AS BIGINT)
          FROM (SELECT o_orderkey, count(*) AS c FROM orders
-               GROUP BY 1)""",
+               GROUP BY 1) GROUP BY 1""",
     // Naive oracle: global cumulative weight ordered by value; value
     // at 1-based weight rank ceil(p*W).
     "q222_weighted_quantiles" ->

@@ -1,6 +1,7 @@
 package graft.closure
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Distributed transitive closure over a parent-child edge list.
@@ -60,7 +61,7 @@ object TransitiveClosure {
     val cleanEdges = edges.toDF().select(cols.map(col): _*)
       .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     var current = cleanEdges
     var prevCount = current.count()
     var converged = false
@@ -85,7 +86,7 @@ object TransitiveClosure {
         .where(!(col("ancestorSystem") === col("descendantSystem") &&
           col("ancestorValue") === col("descendantValue")))
         .distinct()
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val nextCount = next.count()
       current.unpersist()
       current = next
@@ -133,7 +134,7 @@ object TransitiveClosure {
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .where(col("parent").isNotNull && col("child").isNotNull)
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     var current = cleanEdges
     var prevCount = current.count()
     var converged = false
@@ -148,7 +149,7 @@ object TransitiveClosure {
       val next = current.union(extended)
         .where(col("ancestor") =!= col("descendant"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val nextCount = next.count()
       current.unpersist()
       current = next
@@ -184,7 +185,7 @@ object TransitiveClosure {
       shufflePartitions: Option[Int] = None): DataFrame =
     graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
       val c = closure.select(col("ancestor"), col("descendant"))
-        .distinct().localCheckpoint(eager = true)
+        .distinct().truncateLineage(eager = true)
       val d = delta
         .select(col("parent").as("ancestor"),
           col("child").as("descendant"))
@@ -204,7 +205,7 @@ object TransitiveClosure {
           col("c2.descendant").as("descendant"))
       var m = d.unionAll(cd).unionAll(dc).unionAll(cdc)
         .where(col("ancestor") =!= col("descendant"))
-        .distinct().localCheckpoint(eager = true)
+        .distinct().truncateLineage(eager = true)
       var prevCount = m.count()
       var converged = false
       var i = 0
@@ -216,7 +217,7 @@ object TransitiveClosure {
         val next = m.union(ext)
           .where(col("ancestor") =!= col("descendant"))
           .distinct()
-          .localCheckpoint(eager = false)
+          .truncateLineage(eager = false)
         val nextCount = next.count()
         m.unpersist()
         m = next

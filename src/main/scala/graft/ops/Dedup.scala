@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -415,7 +416,7 @@ object Dedup {
   def editOneJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val dels = expr(
       "transform(sequence(1, length(s)), " +
         "i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))")
@@ -461,7 +462,7 @@ object Dedup {
     val tf = df.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val p = pairs.select(col("id_a"), col("id_b"))
     val a = p.join(tf.select(col("id").as("id_a"), col("tok"),
       col("tf").as("ca")), Seq("id_a"))
@@ -586,12 +587,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     // lazy checkpoints: the plan is a leaf either way (the labelSum action
     // below materializes it), so each round runs a single job
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     // labels only decrease, so the label sum is a monotone convergence
     // measure: unchanged sum == fixpoint. Summed in DECIMAL(38,0): ids may
     // be hash-derived values spanning the full 64-bit range, where a long
@@ -623,7 +624,7 @@ object Dedup {
           col("x.label") === col("lid"))
         .select(col("x.id").as("id"),
           least(col("x.label"), col("llabel")).as("label"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Distributed graph centrality for corpus curation.
@@ -40,7 +41,12 @@ object Graphs {
     * rounds. On a cluster the checkpoint goes to reliable storage and
     * both sides pre-partition on the node key. */
   def pageRankFixedPoint(spark: SparkSession, edges: DataFrame,
-      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int, scale: Long = 1000000000000L): DataFrame =
+    // AQE off for the loop: checkpoints only capture outputPartitioning
+    // without the AdaptiveSparkPlan wrapper, and that capture is what
+    // keeps the per-round state join exchange-free (see ConfScope doc)
+    graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
+      "false") {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
@@ -50,24 +56,42 @@ object Graphs {
     // One-row N attaches by broadcast; base rank and teleport term are
     // integral divisions evaluated per node row (an empty graph has no
     // node rows, so the n=0 division never evaluates).
+    //
+    // The state frame is hash-partitioned by `node` ONCE, up front, with
+    // the same partitioning the edge list has on `src`: each round's
+    // e.join(state) is then exchange-free on BOTH sides (checkpoint
+    // captures the physical outputPartitioning into the LogicalRDD, and
+    // the left-outer update join keeps the left side's partitioning), so
+    // the only per-round shuffle left is the inherent src→dst contribution
+    // regroup. Without this, the O(N) rank frame re-shuffled every round.
     var state = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("deg"),
         expr(s"$scale div n").as("rank"),
         expr(s"(15 * $scale) div (100 * n)").as("base"))
-      .localCheckpoint()
+      .repartition(col("node"))
+      .truncateLineage()
     for (_ <- 1 to iterations) {
-      val contrib = e.join(state, e("src") === state("node"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("acc"))
-      state = state.join(contrib, state("node") === contrib("dst"), "left")
-        .select(col("node"), col("deg"), col("base"),
-          (col("base") +
-            expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
-        .localCheckpoint()
+      state = pageRankRound(e, state).truncateLineage()
     }
     e.unpersist()
     state
+  }
+
+  /** One power-iteration round — factored out so PlanSpec can pin its
+    * physical shape: with `edges` hash-partitioned on `src` and `state`
+    * on `node` (both LogicalRDDs carrying their outputPartitioning from
+    * the checkpoint), the ONLY shuffle in this plan is the inherent
+    * src→dst contribution regroup. */
+  private[graft] def pageRankRound(edges: DataFrame,
+      state: DataFrame): DataFrame = {
+    val contrib = edges.join(state, edges("src") === state("node"))
+      .select(col("dst"), expr("rank div deg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("acc"))
+    state.join(contrib, state("node") === contrib("dst"), "left")
+      .select(col("node"), col("deg"), col("base"),
+        (col("base") +
+          expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100"))
+          .as("rank"))
   }
 
   /** Global triangle census over an undirected edge list — the standard
@@ -95,7 +119,7 @@ object Graphs {
     val e = edges.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .where(col("lo") < col("hi")).distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val deg = e.select(col("lo").as("node"))
       .unionAll(e.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -107,7 +131,7 @@ object Graphs {
     val oriented = e.join(dl, "lo").join(dh, "hi")
       .select(when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
         when(loFirst, col("hi")).otherwise(col("lo")).as("dst"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     // adjacency-intersection count (forward algorithm): for each
     // oriented edge (u,v), triangles closed over it are
     // |adj+(u) ∩ adj+(v)| — each triangle counted exactly once at its
@@ -169,7 +193,7 @@ object Graphs {
     val nodes = e.select(col("parent").as("node"))
       .unionAll(e.select(col("child").as("node"))).distinct()
     var state = nodes.select(col("node"), lit(0L).as("depth"))
-      .localCheckpoint()
+      .truncateLineage()
     var round = 0
     // depths only ever grow, so convergence is "the depth SUM stopped
     // moving" — one scalar aggregate over the just-checkpointed frame
@@ -186,7 +210,7 @@ object Graphs {
         .select(col("child").as("node"), (col("depth") + 1).as("depth"))
       val next = state.unionAll(viaParent)
         .groupBy(col("node")).agg(max(col("depth")).as("depth"))
-        .localCheckpoint()
+        .truncateLineage()
       prevSum = curSum
       curSum = next.agg(coalesce(sum(col("depth")), lit(0L)))
         .head().getLong(0)
@@ -246,7 +270,7 @@ object Graphs {
       .unionAll(edges.select(col("src").as("u"), col("src").as("w")))
       .unionAll(edges.select(col("dst").as("u"), col("dst").as("w")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val hop1 = e.select(col("u"), h.as("h"))
       .groupBy(col("u"))
       .agg(graft.functions.GraftFunctions.kminValues(col("h"), k)
@@ -282,7 +306,7 @@ object Graphs {
     val e = edges.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .where(col("lo") < col("hi")).distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val deg = e.select(col("lo").as("node"))
       .unionAll(e.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -361,9 +385,9 @@ object Graphs {
     require(seeds.nonEmpty && maxDepth >= 1, "need seeds and depth >= 1")
     import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(eager = false)
+      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
     var visited = seeds.map(s => (s, s, 0))
-      .toDF("seed", "node", "dist").localCheckpoint(eager = false)
+      .toDF("seed", "node", "dist").truncateLineage(eager = false)
     var frontier = visited.select(col("seed"), col("node"))
     for (d <- 1 to maxDepth) {
       val next = frontier.join(e, col("node") === col("src"))
@@ -371,8 +395,8 @@ object Graphs {
         .join(visited.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint(eager = false)
-      visited = visited.unionAll(next).localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
+      visited = visited.unionAll(next).truncateLineage(eager = false)
       frontier = next.select(col("seed"), col("node"))
     }
     visited.groupBy(col("seed"), col("dist"))

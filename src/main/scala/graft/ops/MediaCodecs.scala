@@ -29,7 +29,8 @@ object MediaCodecs {
       if (sampleRate <= 0) 0.0 else nSamples * 1000.0 / sampleRate
   }
 
-  /** Container sniff by magic bytes: "bmp" | "ppm" | "wav" | "unknown". */
+  /** Container sniff by magic bytes:
+    * "bmp" | "ppm" | "wav" | "jpeg" | "png" | "unknown". */
   def sniff(b: Array[Byte]): String =
     if (b == null) "unknown"
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
@@ -37,6 +38,12 @@ object MediaCodecs {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E') "wav"
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF &&
+      (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpeg"
+    else if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G' && (b(4) & 0xFF) == 0x0D &&
+      (b(5) & 0xFF) == 0x0A && (b(6) & 0xFF) == 0x1A &&
+      (b(7) & 0xFF) == 0x0A) "png"
     else "unknown"
 
   private def u16(b: Array[Byte], o: Int): Int =
@@ -130,6 +137,44 @@ object MediaCodecs {
     }
     acc.stats(w, h)
   } catch { case _: RuntimeException => None }
+
+  /** Decode a JPEG or PNG through the JDK's built-in `javax.imageio`
+    * readers (headless-safe, zero external dependencies) into the same
+    * one-pass [[ImageStats]] the hand-rolled BMP/PPM decoders produce —
+    * the path a REAL multimodal corpus (overwhelmingly JPEG/PNG) takes.
+    *
+    * Unlike the streaming BMP/PPM passes this necessarily materializes
+    * the decoded raster (ImageIO's contract), so memory is O(pixels) per
+    * asset being decoded — bounded per executor core by the
+    * one-asset-at-a-time mapPartitions kernels that call it. Pixels are
+    * read through `getRGB` (sRGB-converted), so grayscale/palette/alpha
+    * sources all land in the same RGB space. Returns None on malformed
+    * bytes or any reader error — degrade, never fail. */
+  def decodeImageIO(b: Array[Byte]): Option[ImageStats] = try {
+    val kind = sniff(b)
+    if (kind != "jpeg" && kind != "png") return None
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file disk cache
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val acc = new RgbAcc
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        acc.add((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    acc.stats(w, h)
+  } catch { case _: Exception => None }
 
   /** Decode a RIFF/WAVE file with PCM (format 1) 16-bit samples. Walks
     * the chunk list for `fmt ` and `data`; multi-channel audio is mixed
@@ -343,6 +388,20 @@ object MediaCodecs {
         val o = dataStart + (y * w + x) * 3
         luma(b(o) & 0xFF, b(o + 1) & 0xFF, b(o + 2) & 0xFF)
       }))
+    } else if (sniff(b) == "jpeg" || sniff(b) == "png") {
+      // ImageIO path: the decoded raster is materialized once and the
+      // accessor reads from it — O(pixels) memory for the duration of
+      // the hash computation, then collected (see decodeImageIO doc)
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else Some((img.getWidth, img.getHeight, (x, y) => {
+          val p = img.getRGB(x, y)
+          luma((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+        }))
+      } catch { case _: Exception => None }
     } else None
   }
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Corpus mixture planning for training pipelines: per-source statistics
@@ -42,7 +43,7 @@ object Mixing {
     val s = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(weight.cast("long")).as("tokens"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val totals = s.agg(sum(col("tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     s.crossJoin(broadcast(totals))

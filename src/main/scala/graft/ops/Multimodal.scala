@@ -79,13 +79,16 @@ object Multimodal {
         val kind = r.getString(1)
         val payload = r.getAs[Array[Byte]](2)
         val n = if (payload == null) 0 else payload.length
+        def imageFeature(s: MediaCodecs.ImageStats): Array[Float] = Array(
+          s.width.toFloat, s.height.toFloat, s.meanR.toFloat,
+          s.meanG.toFloat, s.meanB.toFloat, s.lumaMean.toFloat,
+          s.lumaStd.toFloat, 1.0f)
         val decoded: Option[Array[Float]] = MediaCodecs.sniff(payload) match {
           case "bmp" | "ppm" =>
             (if (payload(0) == 'B') MediaCodecs.decodeBmp(payload)
-             else MediaCodecs.decodePpm(payload)).map(s => Array(
-              s.width.toFloat, s.height.toFloat, s.meanR.toFloat,
-              s.meanG.toFloat, s.meanB.toFloat, s.lumaMean.toFloat,
-              s.lumaStd.toFloat, 1.0f))
+             else MediaCodecs.decodePpm(payload)).map(imageFeature)
+          case "jpeg" | "png" =>
+            MediaCodecs.decodeImageIO(payload).map(imageFeature)
           case "wav" => MediaCodecs.decodeWav(payload).map(s => Array(
             s.sampleRate.toFloat, s.nSamples.toFloat, s.meanAbs.toFloat,
             s.rms.toFloat, s.zeroCrossRate.toFloat, s.durationMs.toFloat,
@@ -94,7 +97,8 @@ object Multimodal {
         }
         // FAKE fallback kernel: deterministic 8-dim byte-stats feature —
         // the slot where a codec library would plug in for formats the
-        // JVM can't decode (JPEG/MP4/...).
+        // JVM can't decode (MP4/MP3/WebP/...; JPEG+PNG are real via
+        // ImageIO, BMP/PPM/WAV via the hand-rolled one-pass decoders).
         val feature = decoded.getOrElse((0 until 8).map { i =>
           if (n == 0) 0.0f
           else payload.iterator.zipWithIndex

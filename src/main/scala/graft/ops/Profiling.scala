@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Distribution profiling for join/aggregation planning at scale: before
@@ -291,7 +292,7 @@ object Profiling {
       .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     // descending sweep: offsets accumulate from the HIGHEST block down
     val blockTotals = per.groupBy(col("block"))
       .agg(sum(col("c")).as("tc"), sum(col("p")).as("tp"))
@@ -320,7 +321,7 @@ object Profiling {
           .as("n_pos"))
       .withColumn("precision_ppm",
         expr("n_pos * 1000000L div n_kept"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     targets.map { t =>
       pr.where(col("precision_ppm") >= t)
         .groupBy(lit(t).as("target_ppm"))
@@ -350,7 +351,7 @@ object Profiling {
         col(bCol).cast("string").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     def d(c: Column) = c.cast("decimal(38,0)")
     def pairs(c: Column) = (d(c) * (d(c) - 1)).cast("decimal(38,0)")
     val aSide = ct.groupBy(col("a")).agg(sum(col("n")).as("na"))
@@ -447,7 +448,7 @@ object Profiling {
         sum(when(col("s") === sideB, 1L).otherwise(0L)).as("cb"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val blockTotals = per.groupBy(col("block"))
       .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
         count(lit(1)).as("nv"))
@@ -528,7 +529,7 @@ object Profiling {
       .unionAll(Sketches.heavyHitters(kb, col("k"), hhK)
         .select(col("value").as("hk")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     def hotCounts(side: DataFrame, out: String) = side
       .join(broadcast(hot), col("k") === col("hk"))
       .groupBy(col("hk")).agg(count(lit(1)).as(out))
@@ -622,7 +623,12 @@ object Profiling {
       .agg(count(lit(1)).as("n_categories"),
         sum(col("c")).as("n_obs"), sum(col("c") * col("c")).as("__s2"))
       .select(col(groupCol), col("n_categories"), col("n_obs"),
-        expr("1000000L - (__s2 * 1000000L div (n_obs * n_obs))")
+        // __s2 through DECIMAL(38,0): a single category count above
+        // ~3.0e6 would overflow c^2 * 1e6 in BIGINT (throw under ANSI,
+        // wrap otherwise) while the oracle computes in HUGEINT — the
+        // decimal widen keeps both engines exact at any group size
+        expr("1000000L - (CAST(__s2 AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(n_obs AS DECIMAL(38,0)) * n_obs))")
           .as("simpson_ppm"))
   }
 
@@ -784,7 +790,7 @@ object Profiling {
       s"cutoff must be positive with <= 2 decimals, got $cutoff")
     val vals = df.select(col(groupCol).as("g"),
         col(valueCol).cast("decimal(20,4)").as("v"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val med = medianX2(vals)
     val dev = vals.join(broadcast(med.select(col("g"), col("m2"))),
         Seq("g"))
@@ -1044,7 +1050,7 @@ object Profiling {
         count(lit(1)).as("f"),
         sum((col(priceCol).cast("decimal(18,2)") * 100).cast("long"))
           .as("m"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val long = rfm.select(col("k"), lit("r").as("metric"),
         col("r").as("v"))
       .unionAll(rfm.select(col("k"), lit("f").as("metric"),
@@ -1055,7 +1061,7 @@ object Profiling {
       .agg(count(lit(1)).as("c"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bt = per.groupBy(col("metric"), col("block"))
       .agg(sum(col("c")).as("tc"))
       .collect()
@@ -1122,7 +1128,7 @@ object Profiling {
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("b"), col(itemCol).cast("long").as("i"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val itemCnt = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
     val frequent = itemCnt.where(col("ci") >= minPairCount)
     val fbi = bi.join(frequent.select(col("i")), "i")
@@ -1221,20 +1227,26 @@ object Profiling {
         sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
       .select(col("arm"), col("n_exposed"), col("n_converted"),
         expr("n_converted * 1000000 div n_exposed").as("rate_ppm"),
+        // the D suffix on every literal matters: Spark parses a bare
+        // `1.9208` as DECIMAL(5,4), so `1.0 + 3.8416 / n` would be exact
+        // decimal arithmetic cast to double at the end — one ulp off the
+        // oracle's pure-double chain (seen: wilson_hi 1.0000000000000002
+        // vs 1.0 at n=5). Double literals keep the whole chain IEEE on
+        // both engines.
         expr("""(cast(n_converted as double) / n_exposed
-            + 1.9208 / n_exposed
-            - 1.96 * sqrt((cast(n_converted as double) / n_exposed)
-              * (1.0 - cast(n_converted as double) / n_exposed)
-              / n_exposed + 0.9604 / (cast(n_exposed as double)
+            + 1.9208D / n_exposed
+            - 1.96D * sqrt((cast(n_converted as double) / n_exposed)
+              * (1.0D - cast(n_converted as double) / n_exposed)
+              / n_exposed + 0.9604D / (cast(n_exposed as double)
               * n_exposed)))
-          / (1.0 + 3.8416 / n_exposed)""").as("wilson_lo"),
+          / (1.0D + 3.8416D / n_exposed)""").as("wilson_lo"),
         expr("""(cast(n_converted as double) / n_exposed
-            + 1.9208 / n_exposed
-            + 1.96 * sqrt((cast(n_converted as double) / n_exposed)
-              * (1.0 - cast(n_converted as double) / n_exposed)
-              / n_exposed + 0.9604 / (cast(n_exposed as double)
+            + 1.9208D / n_exposed
+            + 1.96D * sqrt((cast(n_converted as double) / n_exposed)
+              * (1.0D - cast(n_converted as double) / n_exposed)
+              / n_exposed + 0.9604D / (cast(n_exposed as double)
               * n_exposed)))
-          / (1.0 + 3.8416 / n_exposed)""").as("wilson_hi"))
+          / (1.0D + 3.8416D / n_exposed)""").as("wilson_hi"))
   }
 
   /** Rank movers between two periods — "which products moved most in
@@ -1261,7 +1273,7 @@ object Profiling {
       .groupBy(col("p"), col("k")).agg(sum(col("vc")).as("v"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bt = per.groupBy(col("p"), col("block"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -1323,7 +1335,7 @@ object Profiling {
       .groupBy(col("k")).agg(sum(col("vc")).as("v"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bt = per.groupBy(col("block"))
       .agg(sum(col("v").cast("decimal(38,0)")).as("tm"))
       .collect()
@@ -1391,7 +1403,7 @@ object Profiling {
       .select(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val ra = cell.groupBy(col("a")).agg(sum(col("nab")).as("rtot"))
     val cb = cell.groupBy(col("b")).agg(sum(col("nab")).as("ctot"))
     val tot = broadcast(cell.groupBy(lit(1).as("__o"))
@@ -1442,10 +1454,17 @@ object Profiling {
         sum(when(col(tsCol) >= cut, y4)).as("post_sum"),
         count(when(col(tsCol) >= cut, 1)).as("post_n"))
       .where(col("post_n") > 0)
+      // Per-user means are FLOOR division (a - pmod(a, n)) div n, not
+      // Spark's truncate-toward-zero `div`: the two differ on negative
+      // sums, and the DuckDB oracle's `//` floors — a metric that can go
+      // negative (refunds, deltas) must not desync the engines. pmod is
+      // non-negative for n > 0, so the subtraction lands exactly on the
+      // floor multiple.
       .select(col("u"),
-        when(col("pre_n") > 0, expr("pre_sum div pre_n"))
+        when(col("pre_n") > 0,
+          expr("(pre_sum - pmod(pre_sum, pre_n)) div pre_n"))
           .otherwise(lit(0L)).as("x"),
-        expr("post_sum div post_n").as("y"),
+        expr("(post_sum - pmod(post_sum, post_n)) div post_n").as("y"),
         (graft.ops.Splits.splitBucket(col("u"), salt) < 5000).as("isA"))
     def d38(c: Column) = c.cast("decimal(38,0)")
     val sums = per.groupBy(lit(1).as("__o"))
@@ -1501,7 +1520,7 @@ object Profiling {
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bt = per.groupBy(col("block"))
       .agg(sum(col("c")).as("tc"),
         sum(col("c").cast("decimal(38,0)") * col("v")).as("tm"))
@@ -1543,7 +1562,7 @@ object Profiling {
           element_at(typedLit(offM.toMap),
             col("block").cast("long")).cast("decimal(38,0)"))
           .as("cumm"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val sLit = lit(new java.math.BigDecimal(s.bigInteger))
       .cast("decimal(38,0)")
     // gini: Σ_v y·(2cm + c(c+1)) with m = cumc − c, then the closed form
@@ -1601,7 +1620,7 @@ object Profiling {
       .select(col(quasiCol).cast("string").as("q"),
         col(sensitiveCol).cast("string").as("s"))
       .groupBy(col("q"), col("s")).agg(count(lit(1)).as("nqs"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val grp = cell.groupBy(col("q"))
       .agg(sum(col("nqs")).as("nq"), count(lit(1)).as("ldiv"))
     val glob = cell.groupBy(col("s")).agg(sum(col("nqs")).as("ns"))

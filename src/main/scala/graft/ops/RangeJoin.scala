@@ -73,4 +73,94 @@ object RangeJoin {
           floor(greatest(col("l_s"), col("r_s")) / binWidth).cast("long"))
       .select(col("l_id").as("left_id"), col("r_id").as("right_id"))
   }
+
+  /** Data-driven bin width for [[pointInInterval]] — the knob SCALE
+    * stress runs showed is the one that matters: a FIXED width that is
+    * right at sf0.1 produces quadratic same-bin candidate volume at sf1+
+    * because density grows with data size while the time span does not.
+    * This picks the width from the same cheap statistics
+    * [[graft.ops.Profiling.joinSizeEstimate]] uses — counts, span, mean
+    * interval length — WITHOUT running the join.
+    *
+    * Uniform-density model: a bin of width w holds ~ n_p·w/span points
+    * and ~ n_i·(L+w)/span intervals (L = mean interval length), so
+    * expected candidate pairs per bin ≈ (n_p·w/span)·(n_i·(L+w)/span).
+    * Solving pairsPerBin = target for w gives the positive root of
+    * w² + L·w − C = 0, C = target·span²/(n_p·n_i): wide bins when data
+    * is sparse (fewer exploded rows), narrow bins when dense (bounded
+    * per-bin work, so AQE-sized tasks stay even). Candidate volume per
+    * bin is then ~target at ANY scale factor — the property a fixed
+    * width cannot have.
+    *
+    * Cost: ONE two-row aggregation job (both sides unioned, grouped by
+    * side; count/min/max/mean-length per side), collected to the driver
+    * — a planning statistic, same class as AQE's runtime stats, not a
+    * data-scale collect. Result is deterministic for a given input.
+    * Returns a width in [1, span], or `fallback` when either side is
+    * empty. */
+  def autoBinWidth(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      targetPairsPerBin: Long = 4096L,
+      fallback: Long = 3600L * 1000000L): Long = {
+    require(targetPairsPerBin > 0,
+      s"targetPairsPerBin must be positive, got $targetPairsPerBin")
+    sideStats(points.select(col(pointCol).as("s"), col(pointCol).as("e")),
+        intervals.select(col(startCol).as("s"), col(endCol).as("e"))) match {
+      case Some(((np, pLo, pHi, _), (ni, iLo, iHi, len))) =>
+        val span = math.max(1.0, math.max(pHi, iHi) - math.min(pLo, iLo))
+        val c = targetPairsPerBin.toDouble * span * span / (np * ni)
+        val w = (-len + math.sqrt(len * len + 4.0 * c)) / 2.0
+        math.max(1L, math.min(span.toLong, w.toLong))
+      case None => fallback
+    }
+  }
+
+  /** [[autoBinWidth]] for [[intervalOverlap]]: pairs per bin ≈
+    * (n_l·(L_l+w)/span)·(n_r·(L_r+w)/span); the positive root of
+    * (w+L_l)(w+L_r) = C, C = target·span²/(n_l·n_r). */
+  def autoBinWidthIntervals(lefts: DataFrame, leftStart: String,
+      leftEnd: String, rights: DataFrame, rightStart: String,
+      rightEnd: String, targetPairsPerBin: Long = 4096L,
+      fallback: Long = 3600L * 1000000L): Long = {
+    require(targetPairsPerBin > 0,
+      s"targetPairsPerBin must be positive, got $targetPairsPerBin")
+    sideStats(lefts.select(col(leftStart).as("s"), col(leftEnd).as("e")),
+        rights.select(col(rightStart).as("s"),
+          col(rightEnd).as("e"))) match {
+      case Some(((nl, lLo, lHi, ll), (nr, rLo, rHi, lr))) =>
+        val span = math.max(1.0, math.max(lHi, rHi) - math.min(lLo, rLo))
+        val c = targetPairsPerBin.toDouble * span * span / (nl * nr)
+        val disc = (ll - lr) * (ll - lr) + 4.0 * c
+        val w = (-(ll + lr) + math.sqrt(disc)) / 2.0
+        math.max(1L, math.min(span.toLong, w.toLong))
+      case None => fallback
+    }
+  }
+
+  /** One aggregation job over both sides (unioned, grouped by side tag):
+    * per side (count, min start, max end, mean length). None when either
+    * side is empty. */
+  private def sideStats(a: DataFrame, b: DataFrame)
+      : Option[((Double, Double, Double, Double),
+                (Double, Double, Double, Double))] = {
+    val rows = a.where(col("e") >= col("s"))
+      .select(lit(0).as("side"), col("s"), col("e"))
+      .unionAll(b.where(col("e") >= col("s"))
+        .select(lit(1).as("side"), col("s"), col("e")))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), min(col("s")).as("lo"),
+        max(col("e")).as("hi"), avg(col("e") - col("s")).as("len"))
+      .collect()
+    def num(v: Any): Double = v match {
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case d: java.lang.Double => d
+      case d: java.math.BigDecimal => d.doubleValue()
+      case other => other.toString.toDouble
+    }
+    val bySide = rows.map(r => r.getInt(0) ->
+      ((r.getLong(1).toDouble, num(r.get(2)), num(r.get(3)),
+        math.max(0.0, num(r.get(4)))))).toMap
+    for (x <- bySide.get(0); y <- bySide.get(1)) yield (x, y)
+  }
 }

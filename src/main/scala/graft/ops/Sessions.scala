@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -476,7 +477,7 @@ object Sessions {
     val hourly = events
       .groupBy(date_trunc("hour", col(tsCol)).as("hr"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     def d(c: Column) = c.cast("decimal(19,0)")
     lags.map { k =>
       val shifted = hourly.select(
@@ -594,7 +595,7 @@ object Sessions {
       .select(col(idCol).as("u"),
         expr(s"unix_micros($tsCol) div 3600000000").as("h"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val wU = Window.partitionBy(col("u")).orderBy(col("h"))
     val islands = uh
       .withColumn("brk",
@@ -617,7 +618,7 @@ object Sessions {
         coalesce(col("obs"), lit(0)).as("obs"))
       .withColumn("block", when(col("h") <= 0, lit(-1))
         .otherwise((length(bin(col("h"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bt = axis.groupBy(col("block")).agg(sum(col("net")).as("tn"))
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
       .sortBy(_._1)
@@ -660,7 +661,7 @@ object Sessions {
       .groupBy(col(groupCol).as("g"),
         expr(s"unix_micros($tsCol) div 3600000000").as("h"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val tot = hourly.groupBy(col("g"))
       .agg(sum(col("c")).as("ctot"), count(lit(1)).as("m"))
     val w = Window.partitionBy(col("g")).orderBy(col("h"))
@@ -705,7 +706,7 @@ object Sessions {
           " div 604800000000").as("ow"),
         (col(priceCol).cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val firstw = o.groupBy(col("cust")).agg(min(col("ow")).as("cohort"))
     val sizes = firstw.groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_customers"))
@@ -786,7 +787,7 @@ object Sessions {
       .groupBy(col(groupCol).as("g"),
         expr(s"unix_micros($tsCol) div 3600000000").as("h"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val tot = hourly.groupBy(col("g"))
       .agg(sum(col("c")).as("ctot"), count(lit(1)).as("m"))
     val w = Window.partitionBy(col("g")).orderBy(col("h"))
@@ -833,7 +834,7 @@ object Sessions {
         col(typeCol).cast("string").as("nxt"),
         lag(col(typeCol).cast("string"), 1).over(w).as("prev"))
       .where(col("prev").isNotNull)
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val train = pairs.where(col(tsCol) < cut)
       .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("c"))
     val best = train.groupBy(col("prev")).agg(max(col("c")).as("mc"),
@@ -848,7 +849,7 @@ object Sessions {
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
           .as("n_correct"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val perState = test.select(col("prev").as("state"),
       col("predicted"), col("n_train"), col("n_test"), col("n_correct"),
       expr("n_correct * 1000000 div n_test").as("acc_ppm"))
@@ -922,7 +923,7 @@ object Sessions {
         expr(s"unix_micros($tsCol) div 3600000000").as("h"))
       .agg(count(lit(1)).as("c"))
       .withColumn("how", pmod(col("h"), lit(168L)))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val cells = hourly.groupBy(col("g"), col("how"))
       .agg(sort_array(collect_list(col("c"))).as("arr"),
         count(lit(1)).as("n"))
@@ -980,7 +981,7 @@ object Sessions {
       .agg(min(struct(col("id"), col("y4"))).as("m"))
       .select(col("g"), col("tu"), col("m.y4").as("y4"),
         expr(s"tu div $H").as("hb"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val blocks = obs.groupBy(col("g"), col("hb").as("h"))
       .agg(max(struct(col("tu"), col("y4"))).as("lastm"),
         min(struct(col("tu"), col("y4"))).as("firstm"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -279,7 +280,7 @@ object Similarity {
     // it Spark re-runs the full O(n·m) scoring pass per branch —
     // measured as 3 full passes instead of 2 at the 10× scale run
     val fwd = bruteForceTopK(tgt, tgtId, tgtVec, src, srcId, srcVec, k)
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val bwd = bruteForceTopK(src, srcId, srcVec, tgt, tgtId, tgtVec, k)
     val degSrc = fwd.groupBy(col("query_id"))
       .agg(avg(col("score")).as("deg_src"))
@@ -443,7 +444,7 @@ object Similarity {
     val d = quantized(df, idCol, vecCol, quantScale)
       .withColumn("buckets",
         GraftFunctions.hyperplaneBands(col("qv"), bitsPerTable, numTables))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bucketed = d.select(col("id"), posexplode(col("buckets")))
       .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
     val cand = Dedup.candidatePairsFromBuckets(bucketed, maxBucketSize)
@@ -660,7 +661,7 @@ object Similarity {
     val fused = contrib.groupBy(col("corpus_id"))
       .agg(count(lit(1)).as("n_lists"), min(col("rank")).as("best_rank"),
         sum(expr(s"1000000L div ($kConst + rank)")).as("rrf_ppm"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     // literal grouping key: empty-input-safe bounded top-N (no constant
     // row from a global aggregate), ties broken by id like every list
     fused.groupBy(lit(1).as("__g"))
@@ -765,7 +766,7 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("corpus_id"),
         col("e.score").cast("long").as("rel"))
       .join(c, "corpus_id")
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val lamA = lambdaNum
     val lamB = lambdaDen - lambdaNum
     // seed: pure argmax relevance (tie: smaller id via negated key)
@@ -798,7 +799,7 @@ object Similarity {
           col("m.rel").as("rel_dot"), col("m.ms").as("max_sim"),
           col("m.mmr").as("mmr_score"), col("m.cv").as("scv"))
       selected = selected.unionAll(pick)
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
     }
     selected.select(col("query_id"), col("mmr_rank"), col("corpus_id"),
       col("rel_dot"), col("max_sim"), col("mmr_score"))

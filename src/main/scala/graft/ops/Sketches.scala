@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches for corpus profiling.
@@ -180,7 +181,7 @@ object Sketches {
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n"),
         graft.functions.GraftFunctions.kminValues(col("h"), k).as("kmv"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val nullStr = lit(null).cast("string")
     def level(name: String, keep1: Boolean, keep2: Boolean): DataFrame = {
       // Literal level key in the groupBy keeps the total level
@@ -240,7 +241,7 @@ object Sketches {
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val blockTotals = per.groupBy(col("block"))
       .agg(sum(col("c")).as("tc"))
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
@@ -261,7 +262,7 @@ object Sketches {
         (sum(col("c")).over(w) +
           element_at(typedLit(off.toMap), col("block").cast("long")))
           .as("cum"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     ps.map { case (num, den) =>
       // 0-based rank ceil(p*n) - 1 in pure integer arithmetic
       val rk = (num.toLong * n + den - 1) / den - 1
@@ -296,7 +297,7 @@ object Sketches {
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val bt = per.groupBy(col("g"), col("block"))
       .agg(sum(col("c")).as("tc"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -322,7 +323,7 @@ object Sketches {
           element_at(typedLit(off.toMap),
             concat_ws("\u0001", col("g"), col("block")))).as("cum"),
         element_at(typedLit(nTot.toMap), col("g")).as("n"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     ps.map { case (num, den) =>
       val rk = expr(s"($num * n + ${den - 1}) div $den - 1")
       cum.where(col("cum") - col("c") <= rk && col("cum") > rk)
@@ -354,7 +355,7 @@ object Sketches {
       .groupBy(col("v")).agg(sum(col("wt")).as("w"))
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val blockTotals = per.groupBy(col("block"))
       .agg(sum(col("w")).as("tw"))
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
@@ -375,7 +376,7 @@ object Sketches {
         (sum(col("w")).over(wnd) +
           element_at(typedLit(off.toMap), col("block").cast("long")))
           .as("cum"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     ps.map { case (num, den) =>
       // 1-based weight rank ceil(p*W) in pure integer arithmetic
       val rk = (num.toLong * wTot + den - 1) / den
@@ -410,7 +411,7 @@ object Sketches {
     import spark.implicits._
     val obs = df.select(values.cast("string").as("t"))
       .where(col("t").isNotNull)
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val candidates = obs.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { t =>

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training pipelines:
@@ -266,7 +267,7 @@ object Splits {
     val m = k * oversample
     val pos = positives.select(col(userCol).as("u"),
       col(itemCol).cast("long").as("item")).distinct()
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val dom = itemDomain.agg(
       min(col(domainItemCol)).cast("long").as("lo"),
       max(col(domainItemCol)).cast("long").as("hi"))
@@ -333,7 +334,7 @@ object Splits {
           .as("y4"))
       .withColumn("h", hash)
       .withColumn("block", (col("h") / lit(1L << 54)).cast("int"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val stats = base.groupBy(col("g"))
       .agg(count(lit(1)).as("nh"),
         sum(col("y4").cast("decimal(38,0)")).as("sy"),

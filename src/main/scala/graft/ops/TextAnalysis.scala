@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -631,7 +632,7 @@ object TextAnalysis {
   def phraseLift(df: DataFrame, textCol: String, k: Int,
       minCount: Long): DataFrame = {
     val toks = df.select(explode(Dedup.tokens(col(textCol))).as("tok"))
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n1"))
     val totals = toks.agg(count(lit(1)).as("n_total"))
     val bi = df.select(

@@ -430,4 +430,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       "cascade probe must not shuffle the fact tables:\n" + p.take(3000))
   }
+
+  test("pagerank round: state co-partitioned with edges — exactly ONE " +
+    "shuffle per round (the inherent src→dst contribution regroup)") {
+    import org.apache.spark.sql.functions._
+    // same construction as pageRankFixedPoint: edges partitioned by src,
+    // state by node, both checkpointed so the LogicalRDDs carry their
+    // outputPartitioning into the next round's plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val edges = spark.range(500).select((col("id") % 80).as("src"),
+          ((col("id") * 13 + 7) % 80).as("dst"))
+        .repartition(col("src")).localCheckpoint()
+      val state = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"),
+          lit(1000000L).as("rank"), lit(150000L).as("base"))
+        .repartition(col("node")).localCheckpoint()
+      graft.ops.Graphs.pageRankRound(edges, state)
+        .queryExecution.executedPlan.toString()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).size
+    assert(exchanges === 1,
+      s"expected 1 exchange per pagerank round, got $exchanges:\n" +
+        p.take(4000))
+  }
 }

@@ -67,6 +67,21 @@ class MediaCodecsSpec extends SparkSuite {
     out.toByteArray
   }
 
+  /** Encode pixels as PNG/JPEG via ImageIO (the JDK encoder; the decoder
+    * under test is [[MediaCodecs.decodeImageIO]] over the same bytes). */
+  private def encodeImageIO(fmt: String, w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
   // 2x3 test image: left column red-ish, middle green, right blue
   private val W = 3; private val H = 2
   private def pix(x: Int, y: Int): (Int, Int, Int) = x match {
@@ -102,6 +117,57 @@ class MediaCodecsSpec extends SparkSuite {
     val a = MediaCodecs.decodeBmp(encodeBmp(W, H, pix)).get
     val b = MediaCodecs.decodePpm(encodePpm(W, H, pix)).get
     assert(a === b)
+  }
+
+  test("PNG decode ≡ BMP decode on the same pixels (lossless container, " +
+    "identical statistics through the ImageIO path)") {
+    val png = encodeImageIO("png", W, H, pix)
+    assert(MediaCodecs.sniff(png) === "png")
+    val a = MediaCodecs.decodeBmp(encodeBmp(W, H, pix)).get
+    val b = MediaCodecs.decodeImageIO(png).get
+    assert(a === b)
+  }
+
+  test("JPEG decode: exact dimensions, statistics within lossy tolerance") {
+    // lossy codec → means move a little; a 16x16 smooth gradient keeps
+    // the error small and the fixture realistic
+    val side = 16
+    def grad(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 16) % 256, (y * 16) % 256, ((x + y) * 8) % 256)
+    val jpg = encodeImageIO("jpg", side, side, grad)
+    assert(MediaCodecs.sniff(jpg) === "jpeg")
+    val got = MediaCodecs.decodeImageIO(jpg).get
+    val exp = MediaCodecs.decodeBmp(encodeBmp(side, side, grad)).get
+    assert(got.width === side && got.height === side)
+    assert(math.abs(got.meanR - exp.meanR) < 8.0, s"$got vs $exp")
+    assert(math.abs(got.meanG - exp.meanG) < 8.0)
+    assert(math.abs(got.meanB - exp.meanB) < 8.0)
+    assert(math.abs(got.lumaMean - exp.lumaMean) < 4.0)
+  }
+
+  test("perceptual hash accepts JPEG/PNG: PNG bit-identical to BMP of " +
+    "the same pixels; JPEG within small Hamming distance") {
+    val side = 32
+    def grad(x: Int, y: Int): (Int, Int, Int) = {
+      val v = (x * 5 + y * 3) % 256; (v, (v + 40) % 256, (v + 80) % 256)
+    }
+    val hBmp = MediaCodecs.perceptualHash64(encodeBmp(side, side, grad)).get
+    val hPng = MediaCodecs.perceptualHash64(
+      encodeImageIO("png", side, side, grad)).get
+    assert(hPng === hBmp, "PNG is lossless: pHash must match BMP exactly")
+    val hJpg = MediaCodecs.perceptualHash64(
+      encodeImageIO("jpg", side, side, grad)).get
+    val dist = java.lang.Long.bitCount(hJpg ^ hBmp)
+    assert(dist <= 10,
+      s"JPEG re-encode moved the pHash $dist bits — not a near-dup")
+  }
+
+  test("decodeImageIO rejects non-JPEG/PNG and truncated payloads") {
+    assert(MediaCodecs.decodeImageIO(encodeBmp(W, H, pix)).isEmpty)
+    val png = encodeImageIO("png", W, H, pix)
+    assert(MediaCodecs.decodeImageIO(png.take(12)).isEmpty)
+    assert(MediaCodecs.decodeImageIO(Array[Byte](0x89.toByte, 'P', 'N',
+      'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3)).isEmpty)
   }
 
   test("WAV decode: known square wave → exact amplitude/RMS/ZCR") {
@@ -165,6 +231,25 @@ class MediaCodecsSpec extends SparkSuite {
     // unknown container → byte-stats fallback (kernel still total)
     assert(out(4L).length === 8)
     assert(out(4L) !== out(1L))
+  }
+
+  test("extractFeatures dispatches JPEG/PNG to the ImageIO decoder") {
+    import spark.implicits._
+    val png = encodeImageIO("png", W, H, pix)
+    val jpg = encodeImageIO("jpg", W, H, pix)
+    val assets = Seq((1L, "image", png), (2L, "image", jpg))
+      .toDF("asset_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(spark, assets)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("feature")).toMap
+    val exp = expectedImageStats
+    // PNG: lossless — exact pixel stats, image discriminator
+    assert(out(1L)(0) === W.toFloat && out(1L)(1) === H.toFloat)
+    assert(math.abs(out(1L)(2) - exp.meanR) < 1e-4)
+    assert(out(1L)(7) === 1.0f)
+    // JPEG: decoded (not byte-stats fallback) — dims exact, image flag
+    assert(out(2L)(0) === W.toFloat && out(2L)(1) === H.toFloat)
+    assert(out(2L)(7) === 1.0f)
   }
 
   // ---- perceptual hash ----------------------------------------------------

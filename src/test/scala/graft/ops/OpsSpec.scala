@@ -995,6 +995,42 @@ class OpsSpec extends SparkSuite {
     assert(out.toSet === Set((1L, 10L), (2L, 10L), (3L, 10L), (3L, 30L)))
   }
 
+  test("autoBinWidth: scale-adaptive, result-invariant, safe fallbacks") {
+    import spark.implicits._
+    // dense data → narrower bins than sparse data over the same span
+    // fixed 1e7 span so 10x the rows means 10x the density
+    def mk(n: Int) = {
+      val pts = (0 until n).map(i => (i.toLong, (i.toLong * 99989) % 10000000L))
+        .toDF("pid", "p")
+      val ivs = (0 until n).map { i =>
+        val s = (i.toLong * 99991) % 10000000L; (i.toLong, s, s + 50000L)
+      }.toDF("iid", "s", "e")
+      (pts, ivs)
+    }
+    val (p1, i1) = mk(100)
+    val (p2, i2) = mk(1000)
+    val wSparse = RangeJoin.autoBinWidth(p1, "p", i1, "s", "e",
+      targetPairsPerBin = 64)
+    val wDense = RangeJoin.autoBinWidth(p2, "p", i2, "s", "e",
+      targetPairsPerBin = 64)
+    assert(wSparse > 0 && wDense > 0)
+    assert(wDense < wSparse,
+      s"10x denser data must pick a narrower bin ($wDense !< $wSparse)")
+    // any width gives the SAME result set (exact residual filter)
+    def pairs(w: Long) = RangeJoin.pointInInterval(p1, "pid", "p",
+      i1, "iid", "s", "e", binWidth = w)
+      .select("point_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(wSparse) === pairs(3600L * 1000000L))
+    // empty side → fallback, never a crash or zero width
+    val empty = Seq.empty[(Long, Long)].toDF("pid", "p")
+    assert(RangeJoin.autoBinWidth(empty, "p", i1, "s", "e",
+      fallback = 777L) === 777L)
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
+    assert(RangeJoin.autoBinWidthIntervals(emptyIv, "s", "e",
+      emptyIv, "s", "e", fallback = 42L) === 42L)
+  }
+
   test("chunkText: overlapping windows, short tail, empty doc dropped") {
     import spark.implicits._
     val docs = Seq(
