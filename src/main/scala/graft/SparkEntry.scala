@@ -1025,10 +1025,12 @@ object SparkEntry {
           unix_micros(col("ts")).as("ws"),
           (unix_micros(col("ts")) + hourUs).as("we"))
       // bin width chosen from the data (counts/span/mean length — the
-      // q176 estimator family), not fixed: at sf1+ a fixed hour bin
-      // holds quadratically more candidates while the auto width
-      // narrows to keep ~constant pairs per bin. The result set is
-      // identical at any width (exact residual filter).
+      // q176 estimator family), not fixed: the width tracks the TRUE
+      // mean interval length (widening when points are sparse), so
+      // false candidates stay within ~1x of the join's real output at
+      // any scale — a fixed width can be 60x off when interval lengths
+      // differ from the guess. The result set is identical at any
+      // width (exact residual filter).
       val w = graft.ops.RangeJoin.autoBinWidth(clicks, "pt",
         windows, "ws", "we", fallback = hourUs)
       graft.ops.RangeJoin.pointInInterval(clicks, "click_id", "pt",

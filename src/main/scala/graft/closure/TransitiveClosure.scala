@@ -61,7 +61,7 @@ object TransitiveClosure {
     val cleanEdges = edges.toDF().select(cols.map(col): _*)
       .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .distinct()
-      .truncateLineage(eager = true)
+      .truncateLineage(eager = false)
     var current = cleanEdges
     var prevCount = current.count()
     var converged = false
@@ -134,7 +134,7 @@ object TransitiveClosure {
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .where(col("parent").isNotNull && col("child").isNotNull)
       .distinct()
-      .truncateLineage(eager = true)
+      .truncateLineage(eager = false)
     var current = cleanEdges
     var prevCount = current.count()
     var converged = false
@@ -185,7 +185,7 @@ object TransitiveClosure {
       shufflePartitions: Option[Int] = None): DataFrame =
     graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
       val c = closure.select(col("ancestor"), col("descendant"))
-        .distinct().truncateLineage(eager = true)
+        .distinct().truncateLineage(eager = false)
       val d = delta
         .select(col("parent").as("ancestor"),
           col("child").as("descendant"))
@@ -205,7 +205,7 @@ object TransitiveClosure {
           col("c2.descendant").as("descendant"))
       var m = d.unionAll(cd).unionAll(dc).unionAll(cdc)
         .where(col("ancestor") =!= col("descendant"))
-        .distinct().truncateLineage(eager = true)
+        .distinct().truncateLineage(eager = false)
       var prevCount = m.count()
       var converged = false
       var i = 0

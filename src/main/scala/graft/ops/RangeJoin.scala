@@ -82,15 +82,28 @@ object RangeJoin {
     * [[graft.ops.Profiling.joinSizeEstimate]] uses — counts, span, mean
     * interval length — WITHOUT running the join.
     *
-    * Uniform-density model: a bin of width w holds ~ n_p·w/span points
-    * and ~ n_i·(L+w)/span intervals (L = mean interval length), so
-    * expected candidate pairs per bin ≈ (n_p·w/span)·(n_i·(L+w)/span).
-    * Solving pairsPerBin = target for w gives the positive root of
-    * w² + L·w − C = 0, C = target·span²/(n_p·n_i): wide bins when data
-    * is sparse (fewer exploded rows), narrow bins when dense (bounded
-    * per-bin work, so AQE-sized tasks stay even). Candidate volume per
-    * bin is then ~target at ANY scale factor — the property a fixed
-    * width cannot have.
+    * Width policy, validated by a measured width sweep at 10x bench
+    * scale (SCALE_r10): **w = max(L, sqrt(L·span/n_p))**, L = mean
+    * interval length.
+    *   - `w = L` is the asymptotically safe anchor: explode volume is
+    *     ≤ 2 bins per interval and false candidates (n_p·n_i·w/span)
+    *     equal the TRUE pair volume (n_p·n_i·L/span) — i.e. total work
+    *     is within 2x of the join's unavoidable output at ANY density,
+    *     which no fixed width can guarantee (a fixed width 60x the true
+    *     interval length costs 60x false candidates).
+    *   - The sqrt term (from minimizing explode n_i·L/w + candidates
+    *     n_p·n_i·w/span) only exceeds L when points are SPARSE
+    *     (span/n_p > L); there, wider bins cut explode volume that
+    *     would otherwise dominate the tiny output.
+    *   - Narrower than L is never chosen: the sweep showed exploded
+    *     rows cost ~40x a codegen'd candidate-probe row (sequence +
+    *     explode + shuffle + sort vs a hash probe), so trading explode
+    *     for candidate precision loses even when the row-count model
+    *     says otherwise.
+    * A hard `maxFanout` floor (w ≥ L/maxFanout) bounds exploded volume
+    * under adversarial stats (and the 2^31 `sequence` element limit);
+    * the TRUE pair set is unaffected by w entirely (exact residual
+    * filter).
     *
     * Cost: ONE two-row aggregation job (both sides unioned, grouped by
     * side; count/min/max/mean-length per side), collected to the driver
@@ -100,41 +113,48 @@ object RangeJoin {
     * empty. */
   def autoBinWidth(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      targetPairsPerBin: Long = 4096L,
+      maxFanout: Long = 1024L,
       fallback: Long = 3600L * 1000000L): Long = {
-    require(targetPairsPerBin > 0,
-      s"targetPairsPerBin must be positive, got $targetPairsPerBin")
+    require(maxFanout > 0, s"maxFanout must be positive, got $maxFanout")
     sideStats(points.select(col(pointCol).as("s"), col(pointCol).as("e")),
         intervals.select(col(startCol).as("s"), col(endCol).as("e"))) match {
-      case Some(((np, pLo, pHi, _), (ni, iLo, iHi, len))) =>
+      case Some(((np, pLo, pHi, _), (_, iLo, iHi, len))) =>
         val span = math.max(1.0, math.max(pHi, iHi) - math.min(pLo, iLo))
-        val c = targetPairsPerBin.toDouble * span * span / (np * ni)
-        val w = (-len + math.sqrt(len * len + 4.0 * c)) / 2.0
-        math.max(1L, math.min(span.toLong, w.toLong))
+        val w = math.max(len, math.sqrt(len * span / np))
+        clampWidth(w, len, span, maxFanout)
       case None => fallback
     }
   }
 
-  /** [[autoBinWidth]] for [[intervalOverlap]]: pairs per bin ≈
-    * (n_l·(L_l+w)/span)·(n_r·(L_r+w)/span); the positive root of
-    * (w+L_l)(w+L_r) = C, C = target·span²/(n_l·n_r). */
+  /** [[autoBinWidth]] for [[intervalOverlap]]: anchored at the LONGER
+    * side's mean length (shared-bin multiplicity for a pair is
+    * ~overlap/w + 1, so w ≥ max(L_l, L_r) keeps it ≤ 2); the sparse-side
+    * sqrt term sqrt(span·(L_l/n_r + L_r/n_l)) widens it when either side
+    * is small. */
   def autoBinWidthIntervals(lefts: DataFrame, leftStart: String,
       leftEnd: String, rights: DataFrame, rightStart: String,
-      rightEnd: String, targetPairsPerBin: Long = 4096L,
+      rightEnd: String, maxFanout: Long = 1024L,
       fallback: Long = 3600L * 1000000L): Long = {
-    require(targetPairsPerBin > 0,
-      s"targetPairsPerBin must be positive, got $targetPairsPerBin")
+    require(maxFanout > 0, s"maxFanout must be positive, got $maxFanout")
     sideStats(lefts.select(col(leftStart).as("s"), col(leftEnd).as("e")),
         rights.select(col(rightStart).as("s"),
           col(rightEnd).as("e"))) match {
       case Some(((nl, lLo, lHi, ll), (nr, rLo, rHi, lr))) =>
         val span = math.max(1.0, math.max(lHi, rHi) - math.min(lLo, rLo))
-        val c = targetPairsPerBin.toDouble * span * span / (nl * nr)
-        val disc = (ll - lr) * (ll - lr) + 4.0 * c
-        val w = (-(ll + lr) + math.sqrt(disc)) / 2.0
-        math.max(1L, math.min(span.toLong, w.toLong))
+        val w = math.max(math.max(ll, lr),
+          math.sqrt(span * (ll / nr + lr / nl)))
+        clampWidth(w, math.max(ll, lr), span, maxFanout)
       case None => fallback
     }
+  }
+
+  /** Clamp a model width into [max(1, L/maxFanout), span]: the floor
+    * bounds per-interval explode volume, the ceiling keeps at least one
+    * bin of data. */
+  private def clampWidth(w: Double, len: Double, span: Double,
+      maxFanout: Long): Long = {
+    val floor = math.max(1.0, len / maxFanout)
+    math.max(floor, math.min(span, w)).toLong max 1L
   }
 
   /** One aggregation job over both sides (unioned, grouped by side tag):

@@ -1010,12 +1010,17 @@ class OpsSpec extends SparkSuite {
     val (p1, i1) = mk(100)
     val (p2, i2) = mk(1000)
     val wSparse = RangeJoin.autoBinWidth(p1, "p", i1, "s", "e",
-      targetPairsPerBin = 64)
+      maxFanout = 1024)
     val wDense = RangeJoin.autoBinWidth(p2, "p", i2, "s", "e",
-      targetPairsPerBin = 64)
+      maxFanout = 1024)
     assert(wSparse > 0 && wDense > 0)
     assert(wDense < wSparse,
       s"10x denser data must pick a narrower bin ($wDense !< $wSparse)")
+    // dense regime anchors at the mean interval length (never narrower:
+    // exploded rows cost far more than candidate-probe rows — measured
+    // in the SCALE_r10 width sweep), sparse regime widens past it
+    assert(wDense === 50000L, s"dense width should anchor at L, got $wDense")
+    assert(wSparse > 50000L)
     // any width gives the SAME result set (exact residual filter)
     def pairs(w: Long) = RangeJoin.pointInInterval(p1, "pid", "p",
       i1, "iid", "s", "e", binWidth = w)
