@@ -76,6 +76,11 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       val gc0 = gcMillis()
+      // Snapshot BEFORE the query so cleanup below releases only the RDDs
+      // this query created: blanket-unpersisting everything would silently
+      // evict any future shared cached input (or a concurrent query's
+      // state) mid-run and skew timings with no error (r10 advice).
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -92,9 +97,10 @@ object Bench {
       // re-runs never see. Queries are self-contained (each builds its
       // plan from the parquet scans), so nothing depends on a previous
       // query's persisted state.
-      val blocks = spark.sparkContext.getPersistentRDDs.size
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      val created = spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+      val blocks = created.size
+      created.values.foreach(_.unpersist(blocking = false))
       telemetry.put(name, (heapMb(), gcMillis() - gc0, blocks))
       if (ok) sec else -1.0
     }

@@ -2858,6 +2858,9 @@ object SparkEntry {
     // — the Great-Expectations-style gate as a plain query, exact
     // violation counts
     "q227_dq_suite" -> ((s, dir) => {
+      // groupBy(lit(rule)) mirrors the oracle's GROUP BY 1: BOTH engines
+      // emit zero rows per rule on an empty table (a global aggregate
+      // would emit a count-0 row and desync) — r10-advice-verified parity
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       val r1 = ord.groupBy(lit("orders.custkey_not_null").as("rule"))

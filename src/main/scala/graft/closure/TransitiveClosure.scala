@@ -88,7 +88,9 @@ object TransitiveClosure {
         .distinct()
         .truncateLineage(eager = false)
       val nextCount = next.count()
-      current.unpersist()
+      // round k's frame is dead once round k+1 materialized (but the
+      // initial edge frame feeds EVERY round in linear mode — never it)
+      if (!(current eq cleanEdges)) graft.Lineage.retire(current)
       current = next
       converged = nextCount == prevCount
       prevCount = nextCount
@@ -151,7 +153,9 @@ object TransitiveClosure {
         .distinct()
         .truncateLineage(eager = false)
       val nextCount = next.count()
-      current.unpersist()
+      // round k's frame is dead once round k+1 materialized (but the
+      // initial edge frame feeds EVERY round in linear mode — never it)
+      if (!(current eq cleanEdges)) graft.Lineage.retire(current)
       current = next
       converged = nextCount == prevCount
       prevCount = nextCount
@@ -219,7 +223,7 @@ object TransitiveClosure {
           .distinct()
           .truncateLineage(eager = false)
         val nextCount = next.count()
-        m.unpersist()
+        graft.Lineage.retire(m)
         m = next
         converged = nextCount == prevCount
         prevCount = nextCount

@@ -626,7 +626,7 @@ object Dedup {
           least(col("x.label"), col("llabel")).as("label"))
         .truncateLineage(eager = false)
       val nextSum = labelSum(next)
-      labels.unpersist()
+      graft.Lineage.retire(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -44,7 +44,12 @@ object Graphs {
       iterations: Int, scale: Long = 1000000000000L): DataFrame =
     // AQE off for the loop: checkpoints only capture outputPartitioning
     // without the AdaptiveSparkPlan wrapper, and that capture is what
-    // keeps the per-round state join exchange-free (see ConfScope doc)
+    // keeps the per-round state join exchange-free (see ConfScope doc).
+    // NOTE: the override lives on the shared session conf for the loop's
+    // duration — like every ConfScope use in this library it assumes one
+    // driver thread per SparkSession; a concurrent query on the SAME
+    // session would observe it (run loops on spark.newSession() to
+    // isolate).
     graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
       "false") {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -71,7 +76,12 @@ object Graphs {
       .repartition(col("node"))
       .truncateLineage()
     for (_ <- 1 to iterations) {
-      state = pageRankRound(e, state).truncateLineage()
+      val next = pageRankRound(e, state).truncateLineage()
+      // round k's state is dead once round k+1's eager checkpoint landed:
+      // drop its blocks / reliable files so a long run keeps O(1) round
+      // states, not O(rounds) (storage growth + local block pressure)
+      graft.Lineage.retire(state)
+      state = next
     }
     e.unpersist()
     state
@@ -214,6 +224,7 @@ object Graphs {
       prevSum = curSum
       curSum = next.agg(coalesce(sum(col("depth")), lit(0L)))
         .head().getLong(0)
+      graft.Lineage.retire(state)
       state = next
     }
     e.unpersist()
