@@ -2751,6 +2751,80 @@ object SparkEntry {
             .as("n_churned_from_prev"))
     }),
 
+    // One-pass pairwise Pearson correlation matrix over lineitem's
+    // exact-integer grid (quantity, price cents, discount/tax points):
+    // all k(k+3)/2 moment sums in a SINGLE scan + one 1-row shuffle,
+    // correlations from exact decimal terms — bit-reproducible
+    "q230_corr_matrix" -> ((s, dir) => {
+      Profiling.correlationMatrix(t(s, dir, "lineitem"), Seq(
+        "l_quantity" -> col("l_quantity").cast("long"),
+        "l_extendedprice" ->
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long"),
+        "l_discount" ->
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+        "l_tax" ->
+          (col("l_tax").cast("decimal(18,2)") * 100).cast("long")))
+    }),
+
+    // Governance: DP-style noisy count release over (event_type, day)
+    // with DETERMINISTIC md5-seeded Gaussian noise (Irwin-Hall 12) and
+    // small-cell suppression — the reproducible privacy release; cost =
+    // one keyed aggregation, noise is a projection
+    "q231_dp_counts" -> ((s, dir) => {
+      Profiling.dpNoisyCounts(
+        t(s, dir, "events")
+          .where(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day")),
+        Seq("event_type", "day"), sigma = 8.0, suppressBelow = 10L,
+        salt = "graft-dp-v1")
+    }),
+
+    // Tokenizer training step 1: weighted adjacent char-pair counts
+    // over the AGGREGATED vocabulary (the BPE trainer trick — pairs
+    // explode over |vocab|, not the corpus), top-64 merge candidates
+    "q232_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text",
+        topK = 64)
+    }),
+
+    // Personalized (seeded-teleport) PageRank: authority relative to a
+    // vetted customer seed set — same bigint fixed-point rounds as
+    // q117, teleport mass confined to customers 1-5
+    "q233_personalized_pagerank" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.customerSupplierEdges(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      graft.ops.Graphs.personalizedPageRank(s, edges,
+        seeds = Seq(2L, 4L, 6L, 8L, 10L), iterations = 3)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("node_key"),
+          col("deg"), col("rank").as("rank_fp"))
+    }),
+
+    // Streaming LEFT OUTER interval join: purchases with their
+    // preceding click within 1h, plus explicit null rows once the
+    // watermark proves no click can still arrive — the unattributed-
+    // conversion stream the inner join (q73) cannot express
+    "q234_stream_outer_interval_join" -> ((s, dir) => {
+      s.catalog.dropTempView("q234_stream_out")
+      val ev = graft.streaming.Streams.eventStream(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val st = graft.streaming.Streams.leftOuterIntervalJoinStream(
+        purchases, clicks, "user_id", windowSeconds = 3600,
+        watermark = "600 seconds")
+        .select(col("purchase_id"), col("click_id"))
+      graft.streaming.Streams.runToMemory(s, st, "q234_stream_out",
+        outputMode = "append", statePartitions = Some(4))
+    }),
+
     // Session depth distribution: how many sessions reach k events,
     // with exact cumulative reach share in ppm — the engagement-depth
     // curve product teams read before any funnel is hypothesized
@@ -3889,6 +3963,167 @@ object SparkEntry {
            CAST(p.n_active - w.n_retained AS BIGINT)
              AS n_churned_from_prev
          FROM weekly w LEFT JOIN weekly p ON p.wk = w.wk - 1""",
+    // Same moment sums in HUGEINT (exact), correlations from the same
+    // integer terms cast to double — both engines correctly round the
+    // identical integers, so the doubles match bit-for-bit.
+    "q230_corr_matrix" ->
+      """WITH b AS (
+           SELECT CAST(l_quantity AS HUGEINT) AS x0,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS HUGEINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT)
+               AS x2,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x3
+           FROM lineitem),
+         m AS (
+           SELECT count(*) AS n,
+             sum(x0) AS s0, sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+             sum(x0*x0) AS p00, sum(x0*x1) AS p01, sum(x0*x2) AS p02,
+             sum(x0*x3) AS p03, sum(x1*x1) AS p11, sum(x1*x2) AS p12,
+             sum(x1*x3) AS p13, sum(x2*x2) AS p22, sum(x2*x3) AS p23,
+             sum(x3*x3) AS p33
+           FROM b)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(p01*n - s0*s1 AS DOUBLE) /
+             (sqrt(CAST(p00*n - s0*s0 AS DOUBLE)) *
+              sqrt(CAST(p11*n - s1*s1 AS DOUBLE))) AS corr FROM m
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+           CAST(p02*n - s0*s2 AS DOUBLE) /
+             (sqrt(CAST(p00*n - s0*s0 AS DOUBLE)) *
+              sqrt(CAST(p22*n - s2*s2 AS DOUBLE))) FROM m
+         UNION ALL
+         SELECT 'l_quantity', 'l_tax', CAST(n AS BIGINT),
+           CAST(p03*n - s0*s3 AS DOUBLE) /
+             (sqrt(CAST(p00*n - s0*s0 AS DOUBLE)) *
+              sqrt(CAST(p33*n - s3*s3 AS DOUBLE))) FROM m
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+           CAST(p12*n - s1*s2 AS DOUBLE) /
+             (sqrt(CAST(p11*n - s1*s1 AS DOUBLE)) *
+              sqrt(CAST(p22*n - s2*s2 AS DOUBLE))) FROM m
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_tax', CAST(n AS BIGINT),
+           CAST(p13*n - s1*s3 AS DOUBLE) /
+             (sqrt(CAST(p11*n - s1*s1 AS DOUBLE)) *
+              sqrt(CAST(p33*n - s3*s3 AS DOUBLE))) FROM m
+         UNION ALL
+         SELECT 'l_discount', 'l_tax', CAST(n AS BIGINT),
+           CAST(p23*n - s2*s3 AS DOUBLE) /
+             (sqrt(CAST(p22*n - s2*s2 AS DOUBLE)) *
+              sqrt(CAST(p33*n - s3*s3 AS DOUBLE))) FROM m""",
+    // The identical deterministic noise recomputed from md5: 12
+    // left-associated uniform terms (dyadic rationals — exact double
+    // arithmetic, no transcendentals), sigma=8 (power of two), floor
+    // rounding, then suppression.
+    "q231_dp_counts" ->
+      """WITH g AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_true
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         z AS (
+           SELECT event_type, day, n_true,
+             (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':1'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':2'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':3'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':4'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':5'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':6'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':7'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':8'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':9'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':10'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':11'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             + (CAST(('0x' || substr(md5('graft-dp-v1:' || event_type || '|' || day || ':12'), 1, 15)) AS BIGINT) / 1152921504606846976.0)
+             - 6.0 AS z
+           FROM g)
+         SELECT event_type, day,
+           CAST(greatest(0, n_true +
+             CAST(floor(8.0 * z + 0.5) AS BIGINT)) AS BIGINT)
+             AS n_released
+         FROM z
+         WHERE greatest(0, n_true +
+           CAST(floor(8.0 * z + 0.5) AS BIGINT)) >= 10""",
+    // Same vocabulary-weighted adjacent-pair counting; top-64 by the
+    // (count desc, pair asc) total order.
+    "q232_bpe_pairs" ->
+      """WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+             '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         w AS (SELECT unnest(tk) AS w FROM toks),
+         v AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+         e AS (SELECT w, freq, unnest(range(1, len(w))) AS i
+               FROM v WHERE len(w) >= 2),
+         p AS (SELECT substr(w, i, 2) AS pair, freq FROM e)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS n_weighted
+         FROM p GROUP BY 1
+         ORDER BY n_weighted DESC, pair LIMIT 64""",
+    // q117's unrolled bigint power iteration with teleport mass
+    // confined to the seed customers (nodes 2,4,6,8,10).
+    "q233_personalized_pagerank" ->
+      """WITH p AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT c * 2 AS src, s * 2 + 1 AS dst FROM p
+           UNION ALL
+           SELECT s * 2 + 1 AS src, c * 2 AS dst FROM p),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         st0 AS (
+           SELECT src AS node, deg,
+             CASE WHEN src IN (2, 4, 6, 8, 10)
+               THEN 1000000000000 // 5 ELSE 0 END AS rank,
+             CASE WHEN src IN (2, 4, 6, 8, 10)
+               THEN (15 * 1000000000000) // (100 * 5) ELSE 0 END AS base
+           FROM deg),
+         c1 AS (SELECT e.dst AS node,
+                  CAST(sum(s.rank // s.deg) AS BIGINT) AS acc
+                FROM edges e JOIN st0 s ON e.src = s.node GROUP BY e.dst),
+         st1 AS (SELECT s.node, s.deg, s.base,
+                   s.base + (85 * coalesce(c.acc, 0)) // 100 AS rank
+                 FROM st0 s LEFT JOIN c1 c ON c.node = s.node),
+         c2 AS (SELECT e.dst AS node,
+                  CAST(sum(s.rank // s.deg) AS BIGINT) AS acc
+                FROM edges e JOIN st1 s ON e.src = s.node GROUP BY e.dst),
+         st2 AS (SELECT s.node, s.deg, s.base,
+                   s.base + (85 * coalesce(c.acc, 0)) // 100 AS rank
+                 FROM st1 s LEFT JOIN c2 c ON c.node = s.node),
+         c3 AS (SELECT e.dst AS node,
+                  CAST(sum(s.rank // s.deg) AS BIGINT) AS acc
+                FROM edges e JOIN st2 s ON e.src = s.node GROUP BY e.dst),
+         st3 AS (SELECT s.node, s.deg, s.base,
+                   s.base + (85 * coalesce(c.acc, 0)) // 100 AS rank
+                 FROM st2 s LEFT JOIN c3 c ON c.node = s.node)
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier'
+             END AS node_type,
+           node // 2 AS node_key, deg, rank AS rank_fp
+         FROM st3""",
+    // The outer-join contract replayed in batch: all matched pairs,
+    // plus a null row for every purchase the FINAL watermark (min of
+    // both sides' max event time, minus the 600s delay) had proven
+    // unmatchable — purchases younger than that stay buffered in state
+    // at shutdown and do not emit.
+    "q234_stream_outer_interval_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM p),
+             (SELECT max(ts) FROM c))
+             - INTERVAL 600 SECONDS AS w)
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM p JOIN c ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         UNION ALL
+         SELECT p.event_id, NULL
+         FROM p, wm
+         WHERE p.ts < wm.w AND NOT EXISTS (
+           SELECT 1 FROM c WHERE c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)""",
     // Same sessionization; descending cumulative over the depth
     // histogram.
     "q224_session_depth" ->

@@ -87,6 +87,52 @@ object Graphs {
     state
   }
 
+  /** Personalized (seeded-teleport) fixed-point PageRank: identical
+    * power iteration to [[pageRankFixedPoint]], but rank mass teleports
+    * ONLY to the seed set — the "authority relative to these trusted
+    * nodes" prior (topic-conditioned curation: weight documents/domains
+    * by proximity to a vetted seed list, not global popularity).
+    *
+    * Init: seeds get rank scale div |S| and teleport base
+    * (15·scale) div (100·|S|); everything else starts at 0. Each round
+    * reuses [[pageRankRound]] verbatim (rank' = base + 85%·inflow —
+    * base is just 0 for non-seeds), so the per-round plan shape, the
+    * co-partitioning, and the bigint bit-reproducibility are all
+    * inherited. `seeds` is a driver-side list (a vetted whitelist is
+    * small by nature); |S| counts the given seeds whether or not they
+    * have out-edges, and seeds absent from the node set simply drop
+    * their mass (documented teleport-loss semantics, matching the
+    * oracle's recomputation). */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+      seeds: Seq[Long], iterations: Int,
+      scale: Long = 1000000000000L): DataFrame =
+    graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
+      "false") {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(seeds.nonEmpty, "seed set must be non-empty")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val isSeed = col("src").isin(seeds: _*)
+    val nS = seeds.size
+    var state = deg
+      .select(col("src").as("node"), col("deg"),
+        when(isSeed, expr(s"$scale div $nS")).otherwise(lit(0L))
+          .as("rank"),
+        when(isSeed, expr(s"(15 * $scale) div (100 * $nS)"))
+          .otherwise(lit(0L)).as("base"))
+      .repartition(col("node"))
+      .truncateLineage()
+    for (_ <- 1 to iterations) {
+      val next = pageRankRound(e, state).truncateLineage()
+      graft.Lineage.retire(state)
+      state = next
+    }
+    e.unpersist()
+    state
+  }
+
   /** One power-iteration round — factored out so PlanSpec can pin its
     * physical shape: with `edges` hash-partitioned on `src` and `state`
     * on `node` (both LogicalRDDs carrying their outputPartitioning from

@@ -1659,4 +1659,94 @@ object Profiling {
       lit(5L) * intDiv(m, 7L) + least(pmod(m, lit(7L)) + 1, lit(5L))
     wd(endDay.cast("long") + 3) - wd(startDay.cast("long") + 3)
   }
+
+  /** One-pass pairwise Pearson correlation matrix over exact-integer
+    * columns — the ANALYZE-style companion to [[columnStats]]: the CBO /
+    * feature-selection correlation table computed in a SINGLE scan.
+    *
+    * Callers pass each column pre-scaled to an exact integer grid (cents,
+    * basis points, …). All moment sums (Σx, Σx², Σxy for every pair) run
+    * as one partial-aggregated pass — k columns cost k(k+3)/2 + 1
+    * aggregate buffers per task and ONE shuffle of one row, never a
+    * second scan per pair. The final correlations divide exact
+    * DECIMAL(38,0) moment terms cast to double (IEEE sqrt/division on
+    * identical integers — bit-reproducible across engines, unlike
+    * accumulating floating-point covariances in scan order).
+    *
+    * Output: one row per unordered column pair (col_a < col_b
+    * positionally): (col_a, col_b, n_rows, corr). At 100 TB the cost is
+    * the one scan; the pair explosion happens on a 1-row frame. */
+  def correlationMatrix(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val named = cols.zipWithIndex.map { case ((n, c), i) =>
+      (n, c, s"x$i")
+    }
+    val base = df.select(named.map { case (_, c, a) =>
+      c.cast("decimal(38,0)").as(a)
+    }: _*)
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n")) ++
+      named.map { case (_, _, a) => sum(col(a)).as(s"s_$a") } ++
+      (for {
+        i <- named.indices; j <- i until named.size
+      } yield {
+        val (ai, aj) = (named(i)._3, named(j)._3)
+        sum((col(ai) * col(aj)).cast("decimal(38,0)"))
+          .as(s"p_${ai}_$aj")
+      })
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    def term(p: String, a: String, b: String): Column =
+      (col(p) * col("n") - col(s"s_$a") * col(s"s_$b")).cast("double")
+    val pairRows = for {
+      i <- named.indices; j <- (i + 1) until named.size
+    } yield {
+      val (ni, _, ai) = named(i)
+      val (nj, _, aj) = named(j)
+      val denom = sqrt(term(s"p_${ai}_$ai", ai, ai)) *
+        sqrt(term(s"p_${aj}_$aj", aj, aj))
+      // a zero-variance column has no defined correlation: emit NaN
+      // explicitly (ANSI mode would otherwise throw on the 0-division)
+      g.select(lit(ni).as("col_a"), lit(nj).as("col_b"),
+        col("n").cast("long").as("n_rows"),
+        when(denom === 0d, lit(Double.NaN))
+          .otherwise(term(s"p_${ai}_$aj", ai, aj) / denom).as("corr"))
+    }
+    pairRows.reduce(_ unionAll _)
+  }
+
+  /** Differentially-private-style noisy count release with DETERMINISTIC
+    * seeded noise — the governance sibling of [[kAnonymityAudit]]: the
+    * release never publishes a true small count, and the whole pipeline
+    * stays reproducible (and cross-engine verifiable) because the noise
+    * is a pure function of the group key + salt, not an RNG stream.
+    *
+    * Noise: z ~ approx N(0,1) by Irwin–Hall — the sum of 12 uniforms
+    * u_i = md5_60(salt:key:i)/2^60 minus 6 — scaled by `sigma` and
+    * rounded via floor(x + 0.5). Every u_i is a dyadic rational, so with
+    * `sigma` a power of two ALL arithmetic is exact IEEE double ops (no
+    * transcendentals): any engine that computes the same md5 lands on
+    * the same released counts bit-for-bit. Groups whose released count
+    * falls below `suppressBelow` are dropped entirely (suppression, not
+    * clamping — publishing "0" would still reveal group existence).
+    *
+    * One keyed aggregation; the noise is a projection. Scale cost =
+    * exactly the groupBy. */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], sigma: Double,
+      suppressBelow: Long, salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    def u(i: Int): Column =
+      conv(substring(md5(concat(lit(salt + ":"), key, lit(":" + i))
+        .cast("binary")), 1, 15), 16, 10).cast("long").cast("double") /
+        lit(1152921504606846976.0) // 2^60
+    val z = (1 to 12).map(u).reduce(_ + _) - lit(6.0)
+    val released = greatest(lit(0L),
+      col("n_true") + floor(lit(sigma) * z + lit(0.5)).cast("long"))
+    counts
+      .select(keyCols.map(col) :+ released.as("n_released"): _*)
+      .where(col("n_released") >= suppressBelow)
+  }
 }

@@ -674,4 +674,37 @@ object TextAnalysis {
       .withColumn("lang_id", languageId(t))
       .withColumn("fingerprint", fingerprint64(t))
   }
+
+  /** First-iteration BPE merge statistics: the weighted frequency of
+    * every adjacent character pair over the corpus vocabulary — the
+    * table a byte-pair-encoding tokenizer trainer consults to pick its
+    * next merge (Sennrich et al. 2016's counting step, as a query).
+    *
+    * The classic trainer trick is what makes this scale: pairs are
+    * counted over the AGGREGATED vocabulary (distinct word × corpus
+    * frequency), not the raw token stream — the explode runs over
+    * |vocab| rows, orders of magnitude smaller than the corpus, and the
+    * corpus itself is touched exactly once by the word-count
+    * aggregation. Top-k by (weighted count desc, pair asc): a total
+    * order, so the boundary is deterministic; the plan is a
+    * TakeOrderedAndProject over the pair aggregate, never a global
+    * sort. */
+  def bpePairStats(docs: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val vocab = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // adjacent char pairs of each distinct word, weighted by corpus
+    // freq; `w` is a plain column, so the substring lambda is cheap
+    // (see the higher-order-function note on Dedup.shingles)
+    vocab
+      .where(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n_weighted"))
+      .orderBy(col("n_weighted").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

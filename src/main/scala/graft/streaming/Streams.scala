@@ -606,6 +606,39 @@ object Streams {
           s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: every left
+    * event emits — matched rows as they arrive, and an explicit
+    * null-padded row once the watermark PROVES no match can still come
+    * (right side bounded to [left.ts − windowSeconds, left.ts]). The
+    * "did this purchase have a preceding click?" shape where the
+    * negatives are the signal (unattributed conversions, requests with
+    * no upstream cause), which the inner [[intervalJoinStream]] cannot
+    * express.
+    *
+    * The outer semantics are what make state eviction subtle and
+    * watermark-bounded state non-negotiable: a left row must be held
+    * exactly until the right-side watermark passes its upper match
+    * bound (left.ts), then emitted-with-nulls and dropped. Spark
+    * derives both buffers' eviction thresholds from the two-sided time
+    * condition, so state holds one window's worth per side forever —
+    * and left rows younger than (max event time − watermark delay)
+    * remain buffered at shutdown, emitted only when more data (or a
+    * no-data batch) advances the watermark. The oracle reproduces
+    * exactly that contract: all matched pairs, plus null rows for
+    * unmatched left events older than the final watermark. */
+  def leftOuterIntervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, windowSeconds: Long,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(
+          s"INTERVAL $windowSeconds SECONDS") &&
+        col("r.ts") <= col("l.ts"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment: every micro-batch left-joins a STATIC
     * dimension (feature/profile lookup — the standard streaming enrich).
     * The dimension is explicitly broadcast, so each micro-batch is a

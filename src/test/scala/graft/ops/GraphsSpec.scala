@@ -167,4 +167,47 @@ class GraphsSpec extends SparkSuite {
       1L -> (5L, 105.0), 2L -> (2L, 60.0), 3L -> (2L, 35.0),
       4L -> (1L, 40.0)))
   }
+
+  /** Sequential personalized-PageRank model: teleport mass confined to
+    * the seed set, otherwise identical integral rounds. */
+  private def pprModel(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keys.toSeq.sorted
+    val nS = seeds.size.toLong
+    val seedSet = seeds.toSet
+    var rank = nodes.map(v =>
+      v -> (if (seedSet(v)) S / nS else 0L)).toMap
+    val base = nodes.map(v =>
+      v -> (if (seedSet(v)) (15 * S) / (100 * nS) else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val acc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (sr, _) => rank(sr) / deg(sr) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> (base(v) + 85 * acc.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  test("personalized pagerank matches the sequential model; mass " +
+      "concentrates near the seed; far node gets none in few rounds") {
+    // chain 1-2-3-4-5 (undirected) with seed {1}: after 2 rounds node 5
+    // is still unreachable from the seed's mass
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und ++ und.map(_.swap)
+    val got = Graphs.personalizedPageRank(spark,
+        edges.toDF("src", "dst"), seeds = Seq(1L), iterations = 2)
+      .select("node", "rank").as[(Long, Long)].collect().toMap
+    assert(got === pprModel(edges, Seq(1L), 2))
+    // 2 rounds reach at most distance 2 from the seed: nodes 4 and 5
+    // hold zero mass; total mass never exceeds what the seed teleports
+    assert(got(4L) === 0L && got(5L) === 0L)
+    assert(got.values.forall(_ >= 0L))
+    // a seed with no out-edges drops its mass but doesn't crash
+    val got2 = Graphs.personalizedPageRank(spark,
+        edges.toDF("src", "dst"), seeds = Seq(1L, 99L), iterations = 1)
+      .select("node", "rank").as[(Long, Long)].collect().toMap
+    assert(got2 === pprModel(edges, Seq(1L, 99L), 1)
+      .filter { case (k, _) => k != 99L })
+  }
 }

@@ -2508,4 +2508,69 @@ class OpsSpec extends SparkSuite {
       .as[(String, Long)].collect().toList
     assert(got === List(("a>b", 2L), ("a>b>c", 1L), ("c", 1L)))
   }
+
+  test("correlationMatrix: exact +1/-1 on linear columns, one row per " +
+      "pair, zero-variance denominator yields NaN not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L))
+      .toDF("a", "b", "c", "d")
+    val got = Profiling.correlationMatrix(df, Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c"),
+        "d" -> col("d")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 6) // 4 choose 2
+    // b = 2a, c = -a: |corr| = 1 up to one ulp of sqrt(v)*sqrt(4v)
+    assert(got(("a", "b"))._1 === 3L)
+    assert(math.abs(got(("a", "b"))._2 - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "c"))._2 + 1.0) < 1e-12)
+    // d is constant: zero variance -> 0/0 -> NaN (flagged, not wrong)
+    assert(got(("a", "d"))._2.isNaN)
+  }
+
+  test("dpNoisyCounts: deterministic across runs, suppression drops " +
+      "small cells, released counts never negative") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => ("big", s"r$i")) ++
+      (1 to 3).map(i => ("tiny", s"t$i"))
+    val df = rows.toDF("k", "payload")
+    def run() = Profiling.dpNoisyCounts(df, Seq("k"), sigma = 8.0,
+      suppressBelow = 10L, salt = "spec-salt")
+      .as[(String, Long)].collect().toMap
+    val a = run()
+    assert(a === run()) // pure function of (key, salt): reruns identical
+    // big cell survives with count within a few sigma of the truth
+    assert(a.contains("big") && math.abs(a("big") - 400L) <= 48L)
+    // 3-row cell: even +6 sigma of noise stays under the threshold
+    assert(!a.contains("tiny"))
+    assert(a.values.forall(_ >= 0L))
+  }
+
+  test("dpNoisyCounts: noise actually perturbs (not an identity) and " +
+      "differs across salts") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (s"g${i % 7}", i)).toDF("k", "v")
+    val rel1 = Profiling.dpNoisyCounts(df, Seq("k"), sigma = 8.0,
+      suppressBelow = 0L, salt = "s1").as[(String, Long)].collect().toMap
+    val rel2 = Profiling.dpNoisyCounts(df, Seq("k"), sigma = 8.0,
+      suppressBelow = 0L, salt = "s2").as[(String, Long)].collect().toMap
+    assert(rel1.keySet === rel2.keySet)
+    assert(rel1 !== rel2) // different salt, different noise stream
+  }
+
+  test("bpePairStats: hand-counted weighted pairs, vocab weighting not " +
+      "corpus explosion, single-char words ignored") {
+    import spark.implicits._
+    // corpus: "ab ab cd x" -> vocab ab:2 cd:1 x:1
+    // pairs: ab(freq 2), cd(freq 1); x has no pair
+    val docs = Seq("ab ab cd x").toDF("text")
+    val got = TextAnalysis.bpePairStats(docs, "text", topK = 10)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("ab", 2L), ("cd", 1L)))
+    // ties at the boundary cut by pair asc: "aa" before "bb"
+    val tied = TextAnalysis.bpePairStats(
+      Seq("aa bb").toDF("text"), "text", topK = 1)
+      .as[(String, Long)].collect().toList
+    assert(tied === List(("aa", 1L)))
+  }
 }

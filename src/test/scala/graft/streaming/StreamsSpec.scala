@@ -558,4 +558,47 @@ class StreamsSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("leftOuterIntervalJoinStream: matched rows pair, watermark-" +
+      "expired left rows emit null-padded, young left rows stay buffered") {
+    import spark.implicits._
+    val inL = tmp("loij_left")
+    val inR = tmp("loij_right")
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType)))
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        .toInstant.plusSeconds(sec))
+    def stage(dir: String, rows: Seq[(Long, Int)]): Unit = {
+      val sdir = tmp("loij_stage")
+      rows.map { case (k, sec) => (k, ts(sec)) }.toDF("key", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(sdir)
+      val src = new java.io.File(sdir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(dir, src.getName).toPath)
+    }
+    // left: k=1 matched, k=2 unmatched-and-old, k=3 unmatched-but-young
+    // right: match for k=1 (10s before), far-future rows advancing the
+    // watermark (delay 30s, window 60s) past k=1/k=2 but NOT k=3
+    stage(inL, Seq((1L, 100), (2L, 100), (3L, 980)))
+    stage(inR, Seq((1L, 90), (9L, 1000)))
+    val l = spark.readStream.schema(schema).parquet(inL)
+    val r = spark.readStream.schema(schema).parquet(inR)
+    val joined = Streams.leftOuterIntervalJoinStream(l, r, "key",
+        windowSeconds = 60, watermark = "30 seconds")
+      .select(col("l.key").as("key"), col("l.ts").as("l_ts"),
+        col("r.ts").as("r_ts"))
+    val got = Streams.runToMemory(spark, joined, "loij_out",
+        outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.getTimestamp(2)).map(_.toString)))
+      .sortBy(t => (t._1, t._2))
+    // watermark after the batch: min(max_l, max_r) - 30s = 10:16:10.
+    // k=1 pairs with its click; k=2 (ts 10:01:40 < wm) emits (2, null);
+    // k=3 (ts 10:16:20 >= wm) is still buffered and must NOT appear.
+    assert(got === Array(
+      (1L, ts(100).toString, Some(ts(90).toString)),
+      (2L, ts(100).toString, None)))
+  }
 }
