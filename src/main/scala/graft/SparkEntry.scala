@@ -2825,6 +2825,39 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(4))
     }),
 
+    // HLL register-sketch distinct users per event_type: 64 registers,
+    // md5-60 portable hash, EXACT integer harmonic term (no float-sum
+    // order sensitivity) — mergeable O(m) state; exact companion column
+    // doubles as the accuracy audit
+    "q235_hll_distinct" -> ((s, dir) => {
+      graft.ops.Sketches.hllDistinct(
+        t(s, dir, "events").where(col("event_type").isNotNull),
+        "event_type", col("user_id"))
+    }),
+
+    // Reliability-diagram (calibration) table: embedding[0] rescaled to
+    // a micro-unit confidence score vs the parity label — per-bin
+    // support, positives, total confidence, |acc-conf| gap, all exact
+    // integers (the ECE inputs)
+    "q236_ece_calibration" -> ((s, dir) => {
+      val su = least(lit(1000000L), greatest(lit(0L),
+        floor(((element_at(col("embedding"), 1).cast("double") +
+          lit(3.0)) / lit(6.0)) * lit(1000000.0)).cast("long")))
+      Profiling.calibrationReport(
+        t(s, dir, "embeddings").select(su.as("su"),
+          pmod(col("label"), lit(2)).cast("long").as("y")),
+        col("su"), col("y"))
+    }),
+
+    // Gopher-style quality-rule audit per source: five integer-exact
+    // hygiene rules (word count, mean word length, symbol ratio,
+    // stopword floor, numeric-word ratio) with per-rule violation
+    // counts and the pass-all tally — the source go/no-go table
+    "q237_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.qualityRulesAudit(t(s, dir, "documents"), "text",
+        "source")
+    }),
+
     // Session depth distribution: how many sessions reach k events,
     // with exact cumulative reach share in ppm — the engagement-depth
     // curve product teams read before any funnel is hypothesized
@@ -4124,6 +4157,96 @@ object SparkEntry {
          WHERE p.ts < wm.w AND NOT EXISTS (
            SELECT 1 FROM c WHERE c.user_id = p.user_id
              AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)""",
+    // Same registers from the same md5-60 bits (bitlen via printf %b),
+    // same exact integer harmonic term, one IEEE division.
+    "q235_hll_distinct" ->
+      """WITH b AS (
+           SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         h AS (SELECT g,
+             CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+           FROM b),
+         r AS (SELECT g, h // 18014398509481984 AS bucket,
+             h % 18014398509481984 AS r
+           FROM h),
+         rho AS (SELECT g, bucket,
+             55 - CASE WHEN r = 0 THEN 0
+               ELSE length(printf('%b', r)) END AS rho
+           FROM r),
+         regs AS (SELECT g, bucket, max(rho) AS m_j
+           FROM rho GROUP BY 1, 2),
+         sk AS (SELECT g, count(*) AS n_used,
+             sum(CAST(1 AS BIGINT) << CAST(55 - m_j AS INT)) AS s_used
+           FROM regs GROUP BY 1),
+         ex AS (SELECT g, count(DISTINCT v) AS n_exact FROM b GROUP BY 1)
+         SELECT sk.g AS event_type, CAST(n_used AS BIGINT) AS n_used,
+           CAST(s_used + (64 - n_used) * 36028797018963968 AS BIGINT)
+             AS s_total,
+           CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 /
+             CAST(s_used + (64 - n_used) * 36028797018963968 AS BIGINT)
+             AS hll_est,
+           CAST(n_exact AS BIGINT) AS n_exact
+         FROM sk JOIN ex ON ex.g = sk.g""",
+    // Same micro-unit score (identical IEEE expression order), integer
+    // binning and gap arithmetic.
+    "q236_ece_calibration" ->
+      """WITH b AS (
+           SELECT least(1000000, greatest(0,
+               CAST(floor(((CAST(embedding[1] AS DOUBLE) + 3.0) / 6.0)
+                 * 1000000.0) AS BIGINT))) AS su,
+             CAST(label % 2 AS BIGINT) AS y
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL)
+         SELECT CAST(least(9, greatest(0, su // 100000)) AS BIGINT)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(su) AS BIGINT) AS sum_score_u,
+           CAST(abs(sum(y) * 1000000 - sum(su)) // count(*) AS BIGINT)
+             AS gap_u
+         FROM b GROUP BY 1""",
+    // The five rules re-derived from the same tokenization, all
+    // thresholds cross-multiplied (integer-exact, no divisions).
+    "q237_gopher_rules" ->
+      """WITH b AS (
+           SELECT source, text,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         m AS (
+           SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(translate(text, '#*', ''))
+               AS BIGINT) AS n_sym,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+               AS BIGINT) AS sum_len,
+             CAST(len(list_filter(tk,
+               x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_dig,
+             CAST(len(list_filter(tk, x -> x IN ('the', 'of', 'and',
+               'to', 'a', 'in', 'is', 'it', 'that', 'was', 'for', 'on',
+               'are', 'with', 'as', 'at', 'be', 'this', 'have', 'or')))
+               AS BIGINT) AS n_stop
+           FROM b)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words < 10 OR n_words > 1000
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_wordcount,
+           CAST(sum(CASE WHEN 3 * n_words > sum_len
+               OR sum_len > 10 * n_words
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_meanwordlen,
+           CAST(sum(CASE WHEN 10 * n_sym > n_chars
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_symbols,
+           CAST(sum(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS v_stopwords,
+           CAST(sum(CASE WHEN 5 * n_dig > n_words THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_numeric,
+           CAST(sum(CASE WHEN NOT (n_words < 10 OR n_words > 1000)
+               AND NOT (3 * n_words > sum_len OR sum_len > 10 * n_words)
+               AND NOT (10 * n_sym > n_chars) AND NOT (n_stop < 2)
+               AND NOT (5 * n_dig > n_words)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM m GROUP BY 1""",
     // Same sessionization; descending cumulative over the depth
     // histogram.
     "q224_session_depth" ->

@@ -1749,4 +1749,35 @@ object Profiling {
       .select(keyCols.map(col) :+ released.as("n_released"): _*)
       .where(col("n_released") >= suppressBelow)
   }
+
+  /** Reliability-diagram (calibration) table for a scored binary
+    * outcome: rows bucketed into `bins` equal-width confidence bins,
+    * each bin reporting exact support, positives, total predicted
+    * confidence, and the |accuracy − confidence| gap — the per-bin data
+    * behind ECE (expected calibration error = Σ n_b·gap_b / N, left to
+    * the reader so every emitted number stays exact).
+    *
+    * `scoreUnits` is the model score as INTEGER micro-units (0..1e6):
+    * callers floor their double score once at the boundary, and all
+    * binning/aggregation/gap arithmetic below is integer-exact — no
+    * float means whose partial-aggregation order could differ between
+    * runs or engines. One keyed aggregation over `bins` groups. */
+  def calibrationReport(df: DataFrame, scoreUnits: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val width = 1000000L / bins
+    val b = df.select(scoreUnits.cast("long").as("su"),
+        label.cast("long").as("y"))
+      .where(col("su").isNotNull && col("y").isNotNull)
+      .select(least(lit(bins - 1L),
+        greatest(lit(0L), expr(s"su div $width"))).as("bin"),
+        col("su"), col("y"))
+    b.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("su")).as("sum_score_u"))
+      // |mean(y)*1e6 - mean(score_u)| in micro-units, exact integer div
+      .withColumn("gap_u",
+        expr("abs(n_pos * 1000000 - sum_score_u) div n"))
+  }
 }

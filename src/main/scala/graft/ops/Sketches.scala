@@ -437,4 +437,57 @@ object Sketches {
       .where(col("cnt") * k > col("n_total"))
       .select(col("t").as("value"), col("cnt"), col("n_total"))
   }
+
+  /** HyperLogLog-style register sketch cardinality per group — the
+    * register-based sibling of [[kmvDistinct]] (Flajolet et al. 2007):
+    * m = 64 registers, register j = max over hashed values landing in
+    * bucket j of (leading-zero run length + 1) of the remaining 54 hash
+    * bits. O(m) state per group, single-pass, MERGEABLE by registerwise
+    * max — the property that makes it the snapshot-union sketch (union
+    * cardinality from two sketches without touching either corpus;
+    * see the spec's merge test).
+    *
+    * Engine-portable AND bit-deterministic: the hash is the md5-60
+    * family, and the harmonic term is kept EXACT — Σ_j 2^(−M_j) is
+    * computed as the integer S = Σ_used 2^(55−M_j) + (64−n_used)·2^55
+    * over long arithmetic (no float sum whose order could differ), so
+    * the raw-HLL estimate α₆₄·m²·2^55 / S is one IEEE division on
+    * identical integers in any engine. No small/large-range corrections
+    * (they need ln; documented raw estimate — callers below ~2.5·m
+    * distinct should use [[kmvDistinct]], which is exact below k).
+    *
+    * Output: (group, n_used, s_total, hll_est, n_exact) — n_exact from
+    * a companion exact pass so the report doubles as an accuracy
+    * audit. */
+  def hllDistinct(df: DataFrame, groupCol: String,
+      value: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .where(col("v").isNotNull)
+    val hashed = base.select(col("g"), portable60(col("v")).as("h"))
+      .select(col("g"),
+        expr("h div 18014398509481984").as("bucket"), // top 6 of 60 bits
+        pmod(col("h"), lit(18014398509481984L)).as("r")) // low 54 bits
+      .select(col("g"), col("bucket"),
+        // rho = leading zeros of the 54-bit field + 1 = 55 - bitlen(r);
+        // bitlen via base-2 conv (portable: DuckDB printf('%b'))
+        (lit(55) - when(col("r") === 0, lit(0))
+          .otherwise(length(conv(col("r"), 10, 2)))).as("rho"))
+    val regs = hashed.groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    val sketch = regs.groupBy(col("g"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m_j AS INT))"))
+        .as("s_used"), count(lit(1)).as("n_used"))
+      .select(col("g"), col("n_used"),
+        (col("s_used") +
+          (lit(64L) - col("n_used")) * lit(36028797018963968L))
+          .as("s_total"))
+    val exact = base.groupBy(col("g"))
+      .agg(count_distinct(col("v")).as("n_exact"))
+    sketch.join(exact, Seq("g"))
+      .select(col("g").as(groupCol), col("n_used"), col("s_total"),
+        // alpha_64 * m^2 * 2^55 / S  (left-assoc IEEE, exact scalings)
+        (lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_total").cast("double")).as("hll_est"),
+        col("n_exact"))
+  }
 }

@@ -707,4 +707,51 @@ object TextAnalysis {
       .orderBy(col("n_weighted").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Gopher-style quality-rule audit (Rae et al. 2021's rule family,
+    * as an exact relational report): per source, how many documents
+    * violate each hygiene rule and how many pass ALL of them — the
+    * go/no-go table a curation pipeline reads before mixing a source
+    * in.
+    *
+    * Every rule is integer-exact (ratio thresholds are cross-
+    * multiplied, never divided), so the audit is bit-reproducible:
+    *   r1  word count in [minWords, maxWords]
+    *   r2  mean word length in [3, 10] chars (3n ≤ Σlen ≤ 10n)
+    *   r3  symbol characters ('#', '*') ≤ 10% of chars (10·sym ≤ chars)
+    *   r4  at least 2 stopword hits ([[EnglishStopwords]])
+    *   r5  digit-only words ≤ 20% of words (5·dig ≤ n)
+    * One scan, one source-keyed aggregation; the token array is built
+    * once per row and every rule reads it (plain column inside the
+    * lambdas — cheap per the Dedup.shingles note). */
+  def qualityRulesAudit(docs: DataFrame, textCol: String,
+      sourceCol: String, minWords: Int = 10,
+      maxWords: Int = 1000): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"),
+        col(textCol).as("t"), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col("source"),
+        length(col("t")).cast("long").as("n_chars"),
+        (length(col("t")) -
+          length(translate(col("t"), "#*", ""))).cast("long").as("n_sym"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("aggregate(tk, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + char_length(x))").as("sum_len"),
+        size(filter(col("tk"), x => x.rlike("^[0-9]+$")))
+          .cast("long").as("n_dig"),
+        size(filter(col("tk"), x => x.isInCollection(EnglishStopwords)))
+          .cast("long").as("n_stop"))
+    val v1 = col("n_words") < minWords || col("n_words") > maxWords
+    val v2 = lit(3L) * col("n_words") > col("sum_len") ||
+      col("sum_len") > lit(10L) * col("n_words")
+    val v3 = lit(10L) * col("n_sym") > col("n_chars")
+    val v4 = col("n_stop") < 2
+    val v5 = lit(5L) * col("n_dig") > col("n_words")
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(v1).as("v_wordcount"), cnt(v2).as("v_meanwordlen"),
+        cnt(v3).as("v_symbols"), cnt(v4).as("v_stopwords"),
+        cnt(v5).as("v_numeric"),
+        cnt(!v1 && !v2 && !v3 && !v4 && !v5).as("n_pass"))
+  }
 }

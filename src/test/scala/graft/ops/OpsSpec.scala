@@ -2573,4 +2573,51 @@ class OpsSpec extends SparkSuite {
       .as[(String, Long)].collect().toList
     assert(tied === List(("aa", 1L)))
   }
+
+  test("calibrationReport: hand-counted bins, boundary clamp to the top " +
+      "bin, exact integer gap") {
+    import spark.implicits._
+    // scores in micro-units; bins of width 100000
+    val rows = Seq(
+      (50000L, 0L),   // bin 0, y=0: gap = |0*1e6-50000|/1 = 50000
+      (150000L, 1L),  // bin 1
+      (160000L, 0L),  // bin 1: n=2, pos=1, sum=310000,
+                      //   gap = |1000000-310000|/2 = 345000
+      (1000000L, 1L), // su=1e6 -> raw bin 10, clamps to 9
+      (999999L, 1L))  // bin 9: n=2, pos=2, sum=1999999,
+                      //   gap = |2000000-1999999|/2 = 0
+      .toDF("su", "y")
+    val got = Profiling.calibrationReport(rows, col("su"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      0L -> (1L, 0L, 50000L, 50000L),
+      1L -> (2L, 1L, 310000L, 345000L),
+      9L -> (2L, 2L, 1999999L, 0L)))
+  }
+
+  test("qualityRulesAudit: each rule trips on its designed violator, " +
+      "clean doc passes all five") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and " +
+      "then it runs back home to rest for a while in the sun"
+    val tooShort = "the of and"                        // r1 (3 words) + r4? has 3 stopwords -> only r1
+    val symbols = "the cat ### *** ### *** sat on a mat " +
+      "#### **** #### is that it was for on"           // r3 symbol-heavy
+    val numeric = "the 1 2 3 4 5 6 7 8 9 10 11 is a doc"  // r5 digit words
+    val docs = Seq(
+      ("s1", clean), ("s1", tooShort),
+      ("s2", symbols), ("s2", numeric)).toDF("source", "text")
+    val got = TextAnalysis.qualityRulesAudit(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // s1: 2 docs; tooShort violates wordcount only -> 1 pass
+    val (n1, w1, _, _, st1, _, p1) = got("s1")
+    assert(n1 === 2L && w1 === 1L && p1 === 1L && st1 === 0L)
+    // s2: symbols doc violates symbol ratio; numeric doc violates
+    // numeric-word ratio; neither passes
+    val (n2, _, _, sy2, _, dg2, p2) = got("s2")
+    assert(n2 === 2L && sy2 >= 1L && dg2 >= 1L && p2 === 0L)
+  }
 }

@@ -353,4 +353,44 @@ class SketchesSpec extends SparkSuite {
     }
     assert(got.size === 9)
   }
+
+  test("hllDistinct: estimate within the m=64 error envelope, exact " +
+    "companion column, duplicate- and partition-invariant registers") {
+    import spark.implicits._
+    val vals = (1 to 4000).map(i => ("big", s"user$i"))
+    val df = vals.toDF("g", "v")
+    val row = Sketches.hllDistinct(df, "g", col("v"))
+      .select("n_used", "s_total", "hll_est", "n_exact").head()
+    assert(row.getLong(3) === 4000L)
+    // raw-HLL sigma ~ 1.04/sqrt(64) = 13%; fixed hash => deterministic,
+    // allow 3 sigma
+    assert(math.abs(row.getDouble(2) - 4000.0) / 4000.0 < 0.39,
+      s"estimate ${row.getDouble(2)} too far from 4000")
+    assert(row.getLong(0) === 64L) // all registers touched at 4000 keys
+
+    // registers are max-based: duplicating the input and shuffling its
+    // partitioning must not move a single register (the mergeability
+    // property that lets per-day sketches union without rescanning)
+    val doubled = Sketches.hllDistinct(
+      df.union(df).repartition(7), "g", col("v"))
+      .select("n_used", "s_total", "hll_est").head()
+    assert(doubled.getLong(0) === row.getLong(0))
+    assert(doubled.getLong(1) === row.getLong(1))
+    assert(doubled.getDouble(2) === row.getDouble(2))
+  }
+
+  test("hllDistinct: groups are independent; rho handles the all-zero " +
+    "remainder (r=0 => rho=55) without overflow") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("a", s"x$i")) ++ Seq(("b", "only")))
+      .toDF("g", "v")
+    val out = Sketches.hllDistinct(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out === Map("a" -> 100L, "b" -> 1L))
+    // s_total always in (0, 64*2^55]
+    Sketches.hllDistinct(df, "g", col("v")).select("s_total").collect()
+      .foreach { r =>
+        assert(r.getLong(0) > 0L && r.getLong(0) <= 64L * (1L << 55))
+      }
+  }
 }
