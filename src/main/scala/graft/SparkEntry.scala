@@ -2858,6 +2858,72 @@ object SparkEntry {
         "source")
     }),
 
+    // HLL snapshot union: per event_type, sketch the even-week and
+    // odd-week halves of the corpus SEPARATELY, merge by registerwise
+    // max, and prove the merged estimate is bit-identical to the
+    // single-pass sketch — the persisted-artifact property (union a
+    // month from 30 daily sketches without re-reading the corpus)
+    "q238_hll_snapshot_union" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val base = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type").as("g"),
+          col("user_id").cast("string").as("v"),
+          expr("pmod(unix_micros(ts) div 604800000000, 2)").as("par"))
+      val regsA = Sketches.hllRegisters(base.where(col("par") === 0))
+      val regsB = Sketches.hllRegisters(base.where(col("par") === 1))
+      val merged = Sketches.hllEstimate(
+        Sketches.hllMergeRegisters(regsA, regsB))
+      val single = Sketches.hllEstimate(Sketches.hllRegisters(base))
+        .select(col("g"), col("s_total").as("s_single"))
+      val exact = base.groupBy(col("g"))
+        .agg(count_distinct(col("v")).as("n_exact"))
+      merged.join(single, Seq("g")).join(exact, Seq("g"))
+        .select(col("g").as("event_type"), col("n_used"), col("s_total"),
+          col("hll_est"),
+          (col("s_total") === col("s_single")).as("matches_single"),
+          col("n_exact"))
+    }),
+
+    // Count-min sketch frequency audit: 4x256 cell table built with
+    // map-side combine (shuffle is O(partitions*d*w), never O(rows)),
+    // then point estimates for a deterministic key sample probed by
+    // broadcast against the 1024-row sketch, with the exact count and
+    // the collision overcount as the accuracy columns
+    "q239_cms_freq" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+      val cells = Sketches.cmsCells(ev, col("user_id"))
+      val keys = ev.where(pmod(col("user_id"), lit(29L)) === 0)
+        .select(col("user_id").cast("string").as("v")).distinct()
+      val exact = ev.where(pmod(col("user_id"), lit(29L)) === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsPointEstimates(cells, keys)
+        .join(exact, col("v") === col("user_id").cast("string"))
+        .select(col("user_id"), col("cms_est"), col("n_exact"),
+          (col("cms_est") - col("n_exact")).as("over_count"))
+    }),
+
+    // Survival life table over user lifetimes (days from first to last
+    // activity; final-day actives censored): n_risk / churn events /
+    // censored / exact-ppm discrete hazard per duration — the
+    // Kaplan-Meier inputs for retention analysis
+    "q240_life_table" -> ((s, dir) => {
+      graft.ops.Sessions.lifeTable(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull),
+        "user_id", expr("unix_micros(ts) div 86400000000"))
+    }),
+
+    // Readability inputs per source: exact integer word / sentence /
+    // vowel-run-syllable / complex-word sums (the Flesch-Kincaid and
+    // Gunning-fog numerators) from one scan
+    "q241_readability" -> ((s, dir) => {
+      TextAnalysis.readabilityReport(t(s, dir, "documents"), "text",
+        "source")
+    }),
+
     // Session depth distribution: how many sessions reach k events,
     // with exact cumulative reach share in ppm — the engagement-depth
     // curve product teams read before any funnel is hypothesized
@@ -4246,6 +4312,121 @@ object SparkEntry {
                AND NOT (10 * n_sym > n_chars) AND NOT (n_stop < 2)
                AND NOT (5 * n_dig > n_words)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM m GROUP BY 1""",
+    // Registers replayed per parity half, max-merged, and compared to
+    // the single-pass registers — identical md5-60 bucket/rho pipeline
+    // as q235.
+    "q238_hll_snapshot_union" ->
+      """WITH b AS (
+           SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v,
+             (epoch_us(ts) // 604800000000) % 2 AS par
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         h AS (SELECT g, par,
+             CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+           FROM b),
+         rho AS (SELECT g, par, h // 18014398509481984 AS bucket,
+             55 - CASE WHEN h % 18014398509481984 = 0 THEN 0
+               ELSE length(printf('%b', h % 18014398509481984)) END
+               AS rho
+           FROM h),
+         half AS (SELECT g, par, bucket, max(rho) AS m_j
+           FROM rho GROUP BY 1, 2, 3),
+         merged AS (SELECT g, bucket, max(m_j) AS m_j
+           FROM half GROUP BY 1, 2),
+         msk AS (SELECT g, count(*) AS n_used,
+             sum(CAST(1 AS BIGINT) << CAST(55 - m_j AS INT)) AS s_used
+           FROM merged GROUP BY 1),
+         single AS (SELECT g, bucket, max(rho) AS m_j
+           FROM rho GROUP BY 1, 2),
+         ssk AS (SELECT g, count(*) AS sn_used,
+             sum(CAST(1 AS BIGINT) << CAST(55 - m_j AS INT)) AS ss_used
+           FROM single GROUP BY 1),
+         ex AS (SELECT g, count(DISTINCT v) AS n_exact FROM b GROUP BY 1)
+         SELECT msk.g AS event_type, CAST(n_used AS BIGINT) AS n_used,
+           CAST(s_used + (64 - n_used) * 36028797018963968 AS BIGINT)
+             AS s_total,
+           CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 /
+             CAST(s_used + (64 - n_used) * 36028797018963968 AS BIGINT)
+             AS hll_est,
+           (s_used + (64 - n_used) * 36028797018963968) =
+             (ss_used + (64 - sn_used) * 36028797018963968)
+             AS matches_single,
+           CAST(n_exact AS BIGINT) AS n_exact
+         FROM msk JOIN ssk ON ssk.g = msk.g JOIN ex ON ex.g = msk.g""",
+    // Same 4x256 row-salted md5 cells, same min-over-rows probe.
+    "q239_cms_freq" ->
+      """WITH b AS (
+           SELECT CAST(user_id AS VARCHAR) AS v, user_id AS u
+           FROM events WHERE user_id IS NOT NULL),
+         r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+         cells AS (
+           SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+               || v), 1, 15)) AS BIGINT) % 256 AS c,
+             count(*) AS cnt
+           FROM b, r GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT v, u FROM b WHERE u % 29 = 0),
+         probe AS (SELECT u,
+             min(coalesce(cnt, 0)) AS cms_est
+           FROM (SELECT k.u, i, CAST(('0x' || substr(md5(CAST(i AS
+                 VARCHAR) || ':' || k.v), 1, 15)) AS BIGINT) % 256 AS c
+             FROM keys k, r) p
+           LEFT JOIN cells USING (i, c) GROUP BY 1),
+         ex AS (SELECT u, count(*) AS n_exact FROM b
+           WHERE u % 29 = 0 GROUP BY 1)
+         SELECT probe.u AS user_id, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(cms_est - n_exact AS BIGINT) AS over_count
+         FROM probe JOIN ex ON ex.u = probe.u""",
+    // Same spans -> censoring frontier -> duration histogram ->
+    // descending cumulative n_risk.
+    "q240_life_table" ->
+      """WITH uw AS (
+           SELECT user_id AS u,
+             min(epoch_us(ts) // 86400000000) AS f,
+             max(epoch_us(ts) // 86400000000) AS l
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+         m AS (SELECT max(l) AS mx FROM uw),
+         d AS (SELECT l - f AS t,
+             CASE WHEN l < mx THEN 1 ELSE 0 END AS churn
+           FROM uw, m),
+         bt AS (SELECT t, sum(churn) AS n_churn,
+             count(*) - sum(churn) AS n_censored
+           FROM d GROUP BY 1)
+         SELECT CAST(t AS BIGINT) AS duration,
+           CAST(sum(n_churn + n_censored)
+             OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+           CAST(n_churn AS BIGINT) AS n_churn,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(n_churn * 1000000 // (sum(n_churn + n_censored)
+             OVER (ORDER BY t DESC)) AS BIGINT) AS hazard_ppm
+         FROM bt""",
+    // Same tokenization; vowel runs / sentence runs via
+    // regexp_extract_all lengths.
+    "q241_readability" ->
+      """WITH b AS (
+           SELECT source, text,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         m AS (
+           SELECT source,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables,
+             CAST(len(list_filter(tk,
+               x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3))
+               AS BIGINT) AS n_complex
+           FROM b)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_sentences) AS BIGINT) AS n_sentences,
+           CAST(sum(n_syllables) AS BIGINT) AS n_syllables,
+           CAST(sum(n_complex) AS BIGINT) AS n_complex
          FROM m GROUP BY 1""",
     // Same sessionization; descending cumulative over the depth
     // histogram.

@@ -1009,4 +1009,45 @@ object Sessions {
           cast(nxt.y4 as decimal(38,0)) * (h * $H - prev.tu))
           div (nxt.tu - prev.tu)""").as("interp_e4"))
   }
+
+  /** Survival-analysis life table (the Kaplan–Meier estimator's exact
+    * inputs) over per-key activity lifetimes: each key's lifetime is
+    * `last active period − first active period`; a key still active in
+    * the corpus's final observed period is CENSORED (its true lifetime
+    * is only known to be ≥ t), everything else is a churn event at t.
+    * Per duration t the table reports n_risk(t) = keys with lifetime
+    * ≥ t, the churn events d_t, the censored c_t, and the discrete
+    * hazard d_t/n_risk(t) in exact ppm (integer division). The KM
+    * survival curve is the running product Π(1 − d/n) over this table —
+    * left to the reader so every emitted number stays integer-exact.
+    *
+    * Scale shape: one groupBy over the activity rows (the only
+    * data-sized pass), one broadcast of the 1-row censoring frontier,
+    * then all window work runs on the duration-domain table (≤ number
+    * of periods in the corpus — the same domain-sized-tail contract as
+    * the other report operators). */
+  def lifeTable(df: DataFrame, keyCol: String,
+      period: Column): DataFrame = {
+    val spans = df.select(col(keyCol).as("u"),
+        period.cast("long").as("per"))
+      .where(col("u").isNotNull && col("per").isNotNull)
+      .groupBy(col("u"))
+      .agg(min(col("per")).as("first_per"), max(col("per")).as("last_per"))
+    val frontier = spans.agg(max(col("last_per")).as("max_per"))
+    val byT = spans.crossJoin(broadcast(frontier))
+      .select((col("last_per") - col("first_per")).as("t"),
+        when(col("last_per") < col("max_per"), 1L).otherwise(0L)
+          .as("churn"))
+      .groupBy(col("t"))
+      .agg(sum(col("churn")).as("n_churn"),
+        (count(lit(1)) - sum(col("churn"))).as("n_censored"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_churn") + col("n_censored")).over(wDesc))
+      .select(col("t").as("duration"), col("n_risk"), col("n_churn"),
+        col("n_censored"),
+        expr("n_churn * 1000000 div n_risk").as("hazard_ppm"))
+  }
 }

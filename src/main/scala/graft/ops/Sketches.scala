@@ -463,7 +463,24 @@ object Sketches {
       value: Column): DataFrame = {
     val base = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
       .where(col("v").isNotNull)
-    val hashed = base.select(col("g"), portable60(col("v")).as("h"))
+    val exact = base.groupBy(col("g"))
+      .agg(count_distinct(col("v")).as("n_exact"))
+    hllEstimate(hllRegisters(base)).join(exact, Seq("g"))
+      .select(col("g").as(groupCol), col("n_used"), col("s_total"),
+        col("hll_est"), col("n_exact"))
+  }
+
+  /** The HLL register table itself: (g, bucket, m_j) with one row per
+    * TOUCHED register (untouched registers are implicit zeros, restored
+    * arithmetically by [[hllEstimate]]). This is the persistable sketch
+    * artifact: per-snapshot register tables are O(64) rows per group,
+    * and the union of any number of snapshots is a groupBy-max over
+    * their concatenated tables ([[hllMergeRegisters]]) — cardinality of
+    * a month is computed from 30 daily sketches without re-reading a
+    * byte of the corpus. Input must be pre-shaped to (g, v) string
+    * columns (see [[hllDistinct]]). */
+  def hllRegisters(base: DataFrame): DataFrame =
+    base.select(col("g"), portable60(col("v")).as("h"))
       .select(col("g"),
         expr("h div 18014398509481984").as("bucket"), // top 6 of 60 bits
         pmod(col("h"), lit(18014398509481984L)).as("r")) // low 54 bits
@@ -472,22 +489,72 @@ object Sketches {
         // bitlen via base-2 conv (portable: DuckDB printf('%b'))
         (lit(55) - when(col("r") === 0, lit(0))
           .otherwise(length(conv(col("r"), 10, 2)))).as("rho"))
-    val regs = hashed.groupBy(col("g"), col("bucket"))
+      .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("m_j"))
-    val sketch = regs.groupBy(col("g"))
+
+  /** Registerwise-max union of register tables — the sketch-merge
+    * operator. max is associative/commutative/idempotent, so any
+    * partition of the corpus into snapshots (and any merge order,
+    * including re-merging overlapping snapshots) yields bit-identical
+    * registers to a single pass over the union. */
+  def hllMergeRegisters(regTables: DataFrame*): DataFrame =
+    regTables.reduce(_ unionByName _)
+      .groupBy(col("g"), col("bucket")).agg(max(col("m_j")).as("m_j"))
+
+  /** Raw-HLL estimate from a register table: exact integer harmonic
+    * term S = Σ_used 2^(55−M_j) + (64−n_used)·2^55, then one IEEE
+    * division (see [[hllDistinct]] for the determinism contract). */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("g"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m_j AS INT))"))
         .as("s_used"), count(lit(1)).as("n_used"))
       .select(col("g"), col("n_used"),
         (col("s_used") +
           (lit(64L) - col("n_used")) * lit(36028797018963968L))
           .as("s_total"))
-    val exact = base.groupBy(col("g"))
-      .agg(count_distinct(col("v")).as("n_exact"))
-    sketch.join(exact, Seq("g"))
-      .select(col("g").as(groupCol), col("n_used"), col("s_total"),
-        // alpha_64 * m^2 * 2^55 / S  (left-assoc IEEE, exact scalings)
-        (lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
-          col("s_total").cast("double")).as("hll_est"),
-        col("n_exact"))
+      // alpha_64 * m^2 * 2^55 / S  (left-assoc IEEE, exact scalings)
+      .withColumn("hll_est",
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_total").cast("double"))
+
+  /** Count–min sketch cell table (Cormode & Muthukrishnan 2005): d
+    * row-salted hash rows × w columns of counters; occurrence of v adds
+    * 1 to cell (i, h_i(v) mod w) for each row i. The table is the whole
+    * sketch — d·w counters regardless of key cardinality — and it is
+    * MERGEABLE BY CELLWISE SUM, so per-partition/per-day cell tables
+    * union-and-re-aggregate into the corpus sketch without rescanning.
+    *
+    * Scale shape: the explode is a d× map-side multiply, but partial
+    * aggregation collapses each partition's contribution to ≤ d·w rows
+    * before the shuffle — the shuffle is O(partitions · d · w), never
+    * O(rows). Hash = md5-60 of "i:v" (row-salted), so every engine
+    * rebuilds identical cells. */
+  def cmsCells(df: DataFrame, value: Column, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.select(value.cast("string").as("v")).where(col("v").isNotNull)
+      .select(col("v"),
+        explode(array((0 until d).map(lit(_)): _*)).as("row"))
+      .select(col("row"),
+        pmod(portable60(concat(col("row").cast("string"), lit(":"),
+          col("v"))), lit(w.toLong)).as("col"))
+      .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** Point-frequency estimates from a CMS cell table for the given key
+    * frame (one string column `v`): est(v) = min over rows i of
+    * cell(i, h_i(v)) — never an underestimate; over-counting comes only
+    * from hash collisions (≤ e/w · N with probability 1 − e^−d). The
+    * cell table is d·w rows, so the probe join is broadcast — keys
+    * never shuffle. */
+  def cmsPointEstimates(cells: DataFrame, keys: DataFrame, d: Int = 4,
+      w: Int = 256): DataFrame =
+    keys.select(col("v"),
+        explode(array((0 until d).map(lit(_)): _*)).as("row"))
+      .select(col("v"), col("row"),
+        pmod(portable60(concat(col("row").cast("string"), lit(":"),
+          col("v"))), lit(w.toLong)).as("col"))
+      .join(broadcast(cells), Seq("row", "col"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -754,4 +754,38 @@ object TextAnalysis {
         cnt(v5).as("v_numeric"),
         cnt(!v1 && !v2 && !v3 && !v4 && !v5).as("n_pass"))
   }
+
+  /** Readability-input report per source: the exact integer sums behind
+    * Flesch reading-ease / Flesch–Kincaid grade (words, sentences,
+    * syllables, polysyllabic "complex" words à la Gunning fog). The
+    * formulas themselves are ratios of these sums — left to the reader
+    * so the report is bit-reproducible.
+    *
+    * Syllables use the standard corpus-scale approximation: maximal
+    * vowel runs ([aeiouy]+) per word — counted on the lowercased whole
+    * text, which equals the per-word sum because whitespace breaks any
+    * run. Sentences = maximal [.!?]+ runs. Complex words = tokens with
+    * ≥ 3 vowel runs. One scan, one source-keyed aggregation; every
+    * count is a plain long so partial aggregation is exact in any
+    * order. */
+  def readabilityReport(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"),
+        col(textCol).as("t"), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col("source"),
+        size(col("tk")).cast("long").as("n_words"),
+        regexp_count(col("t"), lit("[.!?]+")).cast("long")
+          .as("n_sentences"),
+        regexp_count(lower(col("t")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"),
+        size(filter(col("tk"),
+          w => regexp_count(w, lit("[aeiouy]+")) >= 3))
+          .cast("long").as("n_complex"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sentences")).as("n_sentences"),
+        sum(col("n_syllables")).as("n_syllables"),
+        sum(col("n_complex")).as("n_complex"))
+  }
 }

@@ -2620,4 +2620,45 @@ class OpsSpec extends SparkSuite {
     val (n2, _, _, sy2, _, dg2, p2) = got("s2")
     assert(n2 === 2L && sy2 >= 1L && dg2 >= 1L && p2 === 0L)
   }
+
+  test("lifeTable: hand-built cohort — censoring at the frontier, " +
+      "descending-cumulative n_risk, exact ppm hazard") {
+    import spark.implicits._
+    // periods observed: u1 {0,5} dur 5 churn; u2 {0,9} dur 9 CENSORED
+    // (active in the final period); u3 {9} dur 0 censored; u4 {2,4}
+    // dur 2 churn
+    val df = Seq(("u1", 0L), ("u1", 5L), ("u2", 0L), ("u2", 9L),
+      ("u3", 9L), ("u4", 2L), ("u4", 4L)).toDF("k", "p")
+    val got = graft.ops.Sessions.lifeTable(df, "k", col("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // durations: 5(churn), 9(cens), 0(cens), 2(churn)
+    // n_risk(t) = #durations >= t: t=0 ->4, t=2 ->3, t=5 ->2, t=9 ->1
+    assert(got === Map(
+      0L -> (4L, 0L, 1L, 0L),
+      2L -> (3L, 1L, 0L, 333333L),
+      5L -> (2L, 1L, 0L, 500000L),
+      9L -> (1L, 0L, 1L, 0L)))
+  }
+
+  test("readabilityReport: hand-counted words/sentences/vowel-run " +
+      "syllables/complex words") {
+    import spark.implicits._
+    // "the cat sat." -> 3 words, 1 sentence, syllables: e,a,a = 3
+    // "amazing elephants communicate quietly!?" -> 4 words, 1 sentence
+    //   (runs of [.!?]+ count once); vowel runs: a,a,i (amazing) +
+    //   e,e,a (elephants) + o,u,i,a,e (communicate) + uie,y (quietly)
+    //   = 3+3+5+2 = 13; complex words (>=3 runs): all 4... quietly has
+    //   runs 'uie','y' = 2 -> NOT complex => 3 complex
+    val docs = Seq(
+      ("s", "the cat sat."),
+      ("s", "amazing elephants communicate quietly!?")).toDF("src", "text")
+    val r = TextAnalysis.readabilityReport(docs, "text", "src").head()
+    assert(r.getString(0) === "s")
+    assert(r.getLong(1) === 2L)       // n_docs
+    assert(r.getLong(2) === 7L)       // n_words
+    assert(r.getLong(3) === 2L)       // n_sentences
+    assert(r.getLong(4) === 16L)      // n_syllables
+    assert(r.getLong(5) === 3L)       // n_complex
+  }
 }

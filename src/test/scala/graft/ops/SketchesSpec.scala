@@ -393,4 +393,63 @@ class SketchesSpec extends SparkSuite {
         assert(r.getLong(0) > 0L && r.getLong(0) <= 64L * (1L << 55))
       }
   }
+
+  test("hll register merge: disjoint AND overlapping snapshot sketches " +
+    "max-merge to bit-identical registers vs one pass over the union") {
+    import spark.implicits._
+    def shaped(vals: Seq[String]) =
+      vals.map(("g", _)).toDF("g", "v")
+    val a = (1 to 800).map(i => s"u$i")
+    val b = (500 to 1500).map(i => s"u$i") // overlaps a on 500..800
+    val whole = Sketches.hllEstimate(
+      Sketches.hllRegisters(shaped((a ++ b).distinct)))
+      .select("n_used", "s_total").head()
+    val merged = Sketches.hllEstimate(Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(shaped(a)),
+      Sketches.hllRegisters(shaped(b))))
+      .select("n_used", "s_total").head()
+    assert(merged === whole)
+    // idempotence: re-merging the merged table with one input is a no-op
+    val remerged = Sketches.hllEstimate(Sketches.hllMergeRegisters(
+      Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(shaped(a)), Sketches.hllRegisters(shaped(b))),
+      Sketches.hllRegisters(shaped(a))))
+      .select("n_used", "s_total").head()
+    assert(remerged === whole)
+  }
+
+  test("cms: point estimates never underestimate, are exact sans " +
+    "collision, and cells merge by sum across corpus halves") {
+    import spark.implicits._
+    val rows = (1 to 50).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    val df = rows.toDF("x")
+    val cells = Sketches.cmsCells(df, col("x"), d = 4, w = 256)
+    assert(cells.agg(sum("cnt")).head().getLong(0) === 4L * rows.size)
+    val keys = (1 to 50).map(i => s"k$i").toDF("v")
+    val est = Sketches.cmsPointEstimates(cells, keys, d = 4, w = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size }
+    // CMS guarantee: est >= exact always; with 50 keys in 256 columns x
+    // 4 rows, expect most keys exact (min over rows kills most collisions)
+    (1 to 50).foreach { i =>
+      assert(est(s"k$i") >= exact(s"k$i").toLong, s"k$i underestimated")
+    }
+    assert((1 to 50).count(i => est(s"k$i") === exact(s"k$i").toLong) >= 45)
+
+    // mergeability: cellwise SUM of per-half sketches == whole-corpus cells
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val mergedCells = Sketches.cmsCells(h1.toDF("x"), col("x"))
+      .unionByName(Sketches.cmsCells(h2.toDF("x"), col("x")))
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+    val direct = cells.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = mergedCells.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === direct)
+
+    // unseen key probes to 0 unless every row collides (never negative)
+    val unseen = Sketches.cmsPointEstimates(cells,
+      Seq("never-inserted-xyz").toDF("v")).head().getLong(1)
+    assert(unseen >= 0L)
+  }
 }
