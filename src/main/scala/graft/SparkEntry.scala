@@ -2924,6 +2924,69 @@ object SparkEntry {
         "source")
     }),
 
+    // Johnson-Lindenstrauss projection distortion audit: 64-dim
+    // embeddings quantized to exact integers, projected to 8 dims with
+    // a deterministic md5-parity +-1 matrix, and per adjacent-id pair
+    // the exact squared distances before/after plus the distortion in
+    // ppm of the expected 8x inflation
+    "q242_jl_distortion" -> ((s, dir) => {
+      Similarity.jlProjectDistortion(t(s, dir, "embeddings"), "vec_id",
+        "embedding", inDims = 64)
+    }),
+
+    // 40-core of the customer-supplier co-purchase graph by iterative
+    // peeling to fixpoint (shrink-only survivor set, count-equality
+    // convergence, O(1) live round states) — the cohesion filter run
+    // before any ranking
+    "q243_kcore" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.customerSupplierEdges(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      graft.ops.Graphs.kCore(s, edges, k = 40)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("node_key"), col("core_deg"))
+    }),
+
+    // Streaming count-min maintenance: two micro-batches (user parity)
+    // each append their 4x256 cell DELTA; the final sum-merged sketch
+    // probes the q239 key sample and must equal the batch sketch
+    // exactly (cellwise-sum mergeability) — the oracle IS q239's
+    "q244_stream_cms" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+      val root = scratchDir("q244_cms", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, cells, chk) = (s"$root/in", s"$root/cells", s"$root/chk")
+      Seq(in, cells, chk).foreach(p => rmr(new java.io.File(p)))
+      val vals = ev.select(col("user_id"))
+      vals.where(pmod(col("user_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      vals.where(pmod(col("user_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val st = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.cmsMaintainStream(st, "user_id", cells, chk)
+        .awaitTermination()
+      val cellTab = s.read.parquet(cells)
+        .groupBy(col("row"), col("col")).agg(sum(col("cnt")).as("cnt"))
+      val keys = ev.where(pmod(col("user_id"), lit(29L)) === 0)
+        .select(col("user_id").cast("string").as("v")).distinct()
+      val exact = ev.where(pmod(col("user_id"), lit(29L)) === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsPointEstimates(cellTab, keys)
+        .join(exact, col("v") === col("user_id").cast("string"))
+        .select(col("user_id"), col("cms_est"), col("n_exact"),
+          (col("cms_est") - col("n_exact")).as("over_count"))
+    }),
+
     // Session depth distribution: how many sessions reach k events,
     // with exact cumulative reach share in ppm — the engagement-depth
     // curve product teams read before any funnel is hypothesized
@@ -4428,6 +4491,103 @@ object SparkEntry {
            CAST(sum(n_syllables) AS BIGINT) AS n_syllables,
            CAST(sum(n_complex) AS BIGINT) AS n_complex
          FROM m GROUP BY 1""",
+    // Same exact-product quantization (float->double is exact, x*1e4
+    // fits the 53-bit mantissa), same md5-parity sign matrix, the
+    // projection applied to the difference vector (linearity).
+    "q242_jl_distortion" ->
+      """WITH q AS (
+           SELECT vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_transform(range(64),
+               i -> a.qv[i + 1] - b.qv[i + 1]) AS dv
+           FROM q a JOIN q b ON b.id = a.id + 1 WHERE a.id % 2 = 0),
+         sg AS (SELECT j.j, i.i,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR)
+                 || ':' || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 2 = 0
+               THEN 1 ELSE -1 END AS sgn
+           FROM range(8) j(j), range(64) i(i)),
+         proj AS (SELECT id_a, j, sum(sgn * dv[i + 1]) AS dy
+           FROM p, sg GROUP BY 1, 2),
+         pd AS (SELECT id_a, sum(dy * dy) AS d2_proj
+           FROM proj GROUP BY 1),
+         od AS (SELECT id_a, id_b,
+             list_sum(list_transform(dv, x -> x * x)) AS d2_orig
+           FROM p)
+         SELECT od.id_a, od.id_b, CAST(d2_orig AS BIGINT) AS d2_orig,
+           CAST(d2_proj AS BIGINT) AS d2_proj,
+           CASE WHEN d2_orig = 0 THEN NULL
+             ELSE CAST(d2_proj * 1000000 // (8 * d2_orig) AS BIGINT)
+             END AS distortion_ppm
+         FROM od JOIN pd ON pd.id_a = od.id_a""",
+    // Peeling unrolled to 7 levels (fixpoint lands by level 2 on every
+    // fixture scale; extra levels are no-ops at fixpoint).
+    "q243_kcore" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+           UNION ALL SELECT s * 2 + 1, c * 2 FROM pairs),
+         s0 AS (SELECT src AS node FROM e
+           GROUP BY 1 HAVING count(*) >= 40),
+         s1 AS (SELECT src AS node FROM e
+           WHERE src IN (SELECT node FROM s0)
+             AND dst IN (SELECT node FROM s0)
+           GROUP BY 1 HAVING count(*) >= 40),
+         s2 AS (SELECT src AS node FROM e
+           WHERE src IN (SELECT node FROM s1)
+             AND dst IN (SELECT node FROM s1)
+           GROUP BY 1 HAVING count(*) >= 40),
+         s3 AS (SELECT src AS node FROM e
+           WHERE src IN (SELECT node FROM s2)
+             AND dst IN (SELECT node FROM s2)
+           GROUP BY 1 HAVING count(*) >= 40),
+         s4 AS (SELECT src AS node FROM e
+           WHERE src IN (SELECT node FROM s3)
+             AND dst IN (SELECT node FROM s3)
+           GROUP BY 1 HAVING count(*) >= 40),
+         s5 AS (SELECT src AS node FROM e
+           WHERE src IN (SELECT node FROM s4)
+             AND dst IN (SELECT node FROM s4)
+           GROUP BY 1 HAVING count(*) >= 40),
+         s6 AS (SELECT src AS node, count(*) AS deg FROM e
+           WHERE src IN (SELECT node FROM s5)
+             AND dst IN (SELECT node FROM s5)
+           GROUP BY 1 HAVING count(*) >= 40)
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+             ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           CAST(deg AS BIGINT) AS core_deg
+         FROM s6""",
+    // The streamed sum-merged cells equal the batch cells (cellwise-sum
+    // mergeability), so the oracle is q239's replay verbatim.
+    "q244_stream_cms" ->
+      """WITH b AS (
+           SELECT CAST(user_id AS VARCHAR) AS v, user_id AS u
+           FROM events WHERE user_id IS NOT NULL),
+         r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+         cells AS (
+           SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+               || v), 1, 15)) AS BIGINT) % 256 AS c,
+             count(*) AS cnt
+           FROM b, r GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT v, u FROM b WHERE u % 29 = 0),
+         probe AS (SELECT u,
+             min(coalesce(cnt, 0)) AS cms_est
+           FROM (SELECT k.u, i, CAST(('0x' || substr(md5(CAST(i AS
+                 VARCHAR) || ':' || k.v), 1, 15)) AS BIGINT) % 256 AS c
+             FROM keys k, r) p
+           LEFT JOIN cells USING (i, c) GROUP BY 1),
+         ex AS (SELECT u, count(*) AS n_exact FROM b
+           WHERE u % 29 = 0 GROUP BY 1)
+         SELECT probe.u AS user_id, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(cms_est - n_exact AS BIGINT) AS over_count
+         FROM probe JOIN ex ON ex.u = probe.u""",
     // Same sessionization; descending cumulative over the depth
     // histogram.
     "q224_session_depth" ->

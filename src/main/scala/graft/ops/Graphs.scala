@@ -474,4 +474,56 @@ object Graphs {
       .unionAll(pairs.select((col("s") * 2 + 1).as("src"),
         (col("c") * 2).as("dst")))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983): drop
+    * every node whose degree (restricted to surviving nodes) is below
+    * k, recompute degrees, repeat to fixpoint — the maximal subgraph
+    * where every node keeps ≥ k surviving neighbors, the standard
+    * cohesion filter (spam/fringe pruning before any ranking).
+    * Edges must be a symmetric directed list (both directions present,
+    * as [[customerSupplierEdges]] emits).
+    *
+    * Per round: one src-side semi-join (exchange-free — edges are
+    * pre-partitioned on src and the survivor frame on node), one
+    * dst-side semi-join (the round's inherent regroup, same role as
+    * PageRank's contribution shuffle), one keyed count. The survivor
+    * set only SHRINKS, so count equality ⟹ set equality and the
+    * convergence check is a cheap count on the already-checkpointed
+    * frame — no EXCEPT/anti-join. Superseded rounds are retired
+    * ([[graft.Lineage.retire]]) so a deep peel holds O(1) round states.
+    *
+    * Returns surviving (node, core_deg) — core_deg is the degree inside
+    * the final core. */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame =
+    graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
+      "false") {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).persist()
+    var surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+      .select(col("src").as("node"), col("deg"))
+      .repartition(col("node"))
+      .truncateLineage()
+    var n = surv.count()
+    var converged = n == 0
+    while (!converged) {
+      val next = e
+        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src").as("node"), col("deg"))
+        .repartition(col("node"))
+        .truncateLineage()
+      val m = next.count()
+      graft.Lineage.retire(surv)
+      converged = m == n || m == 0
+      surv = next
+      n = m
+    }
+    e.unpersist()
+    surv.select(col("node"), col("deg").as("core_deg"))
+  }
 }

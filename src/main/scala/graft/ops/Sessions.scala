@@ -1023,9 +1023,11 @@ object Sessions {
     *
     * Scale shape: one groupBy over the activity rows (the only
     * data-sized pass), one broadcast of the 1-row censoring frontier,
-    * then all window work runs on the duration-domain table (≤ number
-    * of periods in the corpus — the same domain-sized-tail contract as
-    * the other report operators). */
+    * then the descending-cumulative n_risk runs BLOCKED on the
+    * duration-domain histogram (bit-length blocks + driver-collected
+    * per-block suffix offsets, the q224 pattern) — no single-partition
+    * window anywhere, so the tail stays parallel even if the period
+    * domain is large. */
   def lifeTable(df: DataFrame, keyCol: String,
       period: Column): DataFrame = {
     val spans = df.select(col(keyCol).as("u"),
@@ -1041,11 +1043,25 @@ object Sessions {
       .groupBy(col("t"))
       .agg(sum(col("churn")).as("n_churn"),
         (count(lit(1)) - sum(col("churn"))).as("n_censored"))
-    val wDesc = Window.orderBy(col("t").desc)
+      .withColumn("block", (length(bin(col("t"))) - 1).cast("int"))
+      .truncateLineage(eager = false)
+    // suffix offsets from higher bit-length blocks (block count ≤ 64,
+    // so the driver-side fold is constant-size by construction)
+    val bt = byT.groupBy(col("block"))
+      .agg(sum(col("n_churn") + col("n_censored")).as("tn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var acc = 0L
+    val off = scala.collection.mutable.Map.empty[Int, Long]
+    bt.foreach { case (b, tn) => off(b) = acc; acc += tn }
+    val offCol = bt.map { case (b, _) =>
+      when(col("block") === b, lit(off(b)))
+    }.foldLeft(lit(0L): Column)((a, c) => c.otherwise(a))
+    val wDesc = Window.partitionBy(col("block")).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     byT
       .withColumn("n_risk",
-        sum(col("n_churn") + col("n_censored")).over(wDesc))
+        sum(col("n_churn") + col("n_censored")).over(wDesc) + offCol)
       .select(col("t").as("duration"), col("n_risk"), col("n_churn"),
         col("n_censored"),
         expr("n_churn * 1000000 div n_risk").as("hazard_ppm"))

@@ -804,4 +804,64 @@ object Similarity {
     selected.select(col("query_id"), col("mmr_rank"), col("corpus_id"),
       col("rel_dot"), col("max_sim"), col("mmr_score"))
   }
+
+  /** Deterministic ±1 sign for the JL projection matrix cell (j, i):
+    * parity of the md5-60 of "j:i" — the same engine-portable hash
+    * family as every other sketch, computed DRIVER-side here (the
+    * matrix is outDims×inDims literals folded into the plan; nothing is
+    * broadcast) and replayed by the oracle's own md5. */
+  private def jlSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1
+    else -1
+  }
+
+  /** Johnson–Lindenstrauss random-projection distortion audit:
+    * embeddings are quantized to exact integers (quantScale units),
+    * projected to `outDims` dimensions with a deterministic ±1 sign
+    * matrix ([[jlSign]] — Achlioptas 2003's database-friendly variant,
+    * no 1/√m scaling so E[‖y‖²] = outDims·‖x‖²), and for each adjacent
+    * id pair (even, even+1) the report emits the EXACT integer squared
+    * distance before and after projection plus the distortion ratio in
+    * ppm of the expected outDims× inflation — the go/no-go table before
+    * swapping full vectors for projected ones in a 100 TB ANN pipeline.
+    *
+    * Projection is linear, so the pair's projected distance is computed
+    * from the DIFFERENCE vector (one matrix apply per pair, not two),
+    * and every number until the final ppm division is exact long
+    * arithmetic — no float reduction order anywhere. One self-join on
+    * id+1 (both sides shuffle-partitioned on the join key), then pure
+    * per-row expressions. */
+  def jlProjectDistortion(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int = 8, quantScale: Int = 10000): DataFrame = {
+    require(inDims >= 1 && outDims >= 1 && outDims <= inDims,
+      s"bad dims: in=$inDims out=$outDims")
+    val q = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * quantScale).cast("long")).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+    val pairs = q.select(col("id").as("id_a"), col("qv").as("qa"))
+      .where(pmod(col("id_a"), lit(2)) === 0)
+      .join(q.select(col("id").as("id_b"), col("qv").as("qb")),
+        col("id_b") === col("id_a") + 1)
+      // difference vector bound OUTSIDE the lambdas (HOFs are
+      // interpreted; see Dedup.shingles note)
+      .withColumn("dv", zip_with(col("qa"), col("qb"), (x, y) => x - y))
+    val d2o = expr("aggregate(dv, CAST(0 AS BIGINT), " +
+      "(acc, x) -> acc + x * x)")
+    val dys = (0 until outDims).map { j =>
+      (0 until inDims).map { i =>
+        element_at(col("dv"), i + 1) * lit(jlSign(j, i).toLong)
+      }.reduce(_ + _)
+    }
+    val d2p = dys.map(dy => dy * dy).reduce(_ + _)
+    pairs.select(col("id_a"), col("id_b"), d2o.as("d2_orig"),
+      d2p.as("d2_proj"))
+      .withColumn("distortion_ppm",
+        when(col("d2_orig") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"d2_proj * 1000000 div ($outDims * d2_orig)")))
+  }
 }

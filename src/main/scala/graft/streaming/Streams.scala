@@ -746,4 +746,33 @@ object Streams {
       }
       .toDF()
   }
+
+  /** Continuous count-min sketch maintenance: each micro-batch's values
+    * are collapsed to their d×w cell DELTA table
+    * ([[graft.ops.Sketches.cmsCells]]) and appended to `cellsPath` —
+    * an append-only log of mergeable partials (the same IVM shape as
+    * the incremental rollup): the corpus sketch at any moment is the
+    * (row, col) sum over the log, ≤ d·w rows per batch regardless of
+    * batch size, and readers probe it without ever touching the raw
+    * stream history.
+    *
+    * foreachBatch is at-least-once: a replayed batch appends its delta
+    * twice, which only OVER-counts — still a valid CMS upper bound
+    * (the estimate's one-sided guarantee survives retries; exactly-once
+    * consumers key the log by batch_id and keep the max). */
+  def cmsMaintainStream(stream: DataFrame, valueCol: String,
+      cellsPath: String, checkpointPath: String, d: Int = 4,
+      w: Int = 256,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.ops.Sketches.cmsCells(batch.toDF(), col(valueCol), d, w)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(cellsPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
 }

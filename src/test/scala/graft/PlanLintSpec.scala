@@ -67,9 +67,10 @@ class PlanLintSpec extends SparkSuite {
     "q172_benford_audit",  // one-row share-denominator totals frame
     "q176_join_size_estimate", // one-row totals/ndv/hot-stats frames
     "q181_partition_agreement", // one-row contingency-summary frames
-    "q182_quantization_recall"  // the ANN query set broadcasts (q26's
+    "q182_quantization_recall", // the ANN query set broadcasts (q26's
                            // pattern): corpus scored map-side once for
                            // both precisions, bounded top-k reduce
+    "q240_life_table"      // one-row censoring-frontier frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -210,4 +210,33 @@ class GraphsSpec extends SparkSuite {
     assert(got2 === pprModel(edges, Seq(1L, 99L), 1)
       .filter { case (k, _) => k != 99L })
   }
+
+  test("kCore: triangle survives the 2-core, pendant chain peeled; " +
+    "star cascade needs a second round; 1-core keeps the path") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    // triangle 1-2-3 plus chain 3-4-5 hanging off it
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val core2 = Graphs.kCore(spark, g, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // star: hub 0 with 5 leaves — hub has degree 5 >= 2, but leaves die
+    // in round 1 and the hub must die in round 2 (cascade correctness)
+    val star = sym((1L to 5L).map(i => (0L, i)))
+    assert(Graphs.kCore(spark, star, k = 2).count() === 0L)
+    // 1-core of a path keeps every node at its original degree
+    val path = sym(Seq((1L, 2L), (2L, 3L)))
+    val core1 = Graphs.kCore(spark, path, k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(core1 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("kCore: empty edge list and k above the max degree return " +
+    "empty cores without looping") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graphs.kCore(spark, g, k = 5).count() === 0L)
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.kCore(spark, empty, k = 1).count() === 0L)
+  }
 }

@@ -2641,6 +2641,30 @@ class OpsSpec extends SparkSuite {
       9L -> (1L, 0L, 1L, 0L)))
   }
 
+  test("jlProjectDistortion: single-axis difference projects to exactly " +
+      "outDims x the squared distance (ppm 1e6); identical pair yields " +
+      "null ppm; sign matrix is deterministic across calls") {
+    import spark.implicits._
+    // pair (0,1): differs only in dim 0 by 0.5 -> qdelta 5000,
+    // d2_orig = 25e6, each dy_j = ±5000 so d2_proj = 8*25e6 exactly
+    // pair (2,3): identical vectors -> d2_orig 0, ppm null
+    val v0 = Array.fill(16)(0.0f); val v1 = v0.clone(); v1(0) = 0.5f
+    val vc = Array.tabulate(16)(i => i * 0.1f)
+    val df = Seq((0L, v0.toSeq), (1L, v1.toSeq), (2L, vc.toSeq),
+      (3L, vc.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.jlProjectDistortion(df, "vec_id", "embedding",
+      inDims = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got(0L) === ((25000000L, 200000000L, 1000000L)))
+    assert(got(2L) === ((0L, 0L, -1L)))
+    // determinism: a second invocation produces identical rows
+    val again = Similarity.jlProjectDistortion(df, "vec_id", "embedding",
+      inDims = 16).collect().map(_.toSeq).toSet
+    assert(again === Similarity.jlProjectDistortion(df, "vec_id",
+      "embedding", inDims = 16).collect().map(_.toSeq).toSet)
+  }
+
   test("readabilityReport: hand-counted words/sentences/vowel-run " +
       "syllables/complex words") {
     import spark.implicits._

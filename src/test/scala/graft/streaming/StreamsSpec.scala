@@ -601,4 +601,34 @@ class StreamsSpec extends SparkSuite {
       (1L, ts(100).toString, Some(ts(90).toString)),
       (2L, ts(100).toString, None)))
   }
+
+  test("cmsMaintainStream: per-batch cell deltas sum-merge to exactly " +
+    "the batch sketch; batch_id tags every delta row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = tmp("cms_in"); val cells = tmp("cms_cells")
+    val chk = tmp("cms_chk")
+    val all = (1 to 300).map(i => i % 37L)
+    // two files -> two micro-batches (maxFilesPerTrigger=1)
+    all.take(150).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    all.drop(150).toDF("v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val st = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.Streams.cmsMaintainStream(st, "v", cells, chk)
+      .awaitTermination()
+    val log = spark.read.parquet(cells)
+    assert(log.select("batch_id").distinct().count() === 2L)
+    val merged = log.groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val direct = graft.ops.Sketches.cmsCells(all.toDF("v"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged === direct)
+  }
 }
