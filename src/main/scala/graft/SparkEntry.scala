@@ -2948,6 +2948,61 @@ object SparkEntry {
           expr("node div 2").as("node_key"), col("core_deg"))
     }),
 
+    // SimHash signature-fidelity report: pairs within Hamming<=3 of the
+    // 60-bit portable signatures (banded path, pigeonhole-complete at
+    // h<=3) vs the exact bigram-Jaccard>=0.5 truth — how well the
+    // 8-byte signature predicts real similarity, the q217 sibling for
+    // the signature (not the banding)
+    "q245_simhash_fidelity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.simhashNearDups(docs, "doc_id", "text",
+          maxHamming = 3, shingleSize = 3, portable = true)
+        .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+      val exact = Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+      exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .groupBy(lit(1).as("__g"))
+        .agg(sum(col("e")).as("n_exact"), sum(col("c")).as("n_candidates"),
+          sum(col("e") * col("c")).as("n_hits"))
+        .select(coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("n_exact") > 0,
+            expr("n_hits * 1000000 div n_exact")).as("recall_ppm"),
+          when(col("n_candidates") > 0,
+            expr("n_hits * 1000000 div n_candidates"))
+            .as("precision_ppm"))
+    }),
+
+    // Zone-map skipping effectiveness: the same three date predicates
+    // against the natural (orderkey-insertion) layout and a
+    // date-aligned (quarterly) layout — min/max zones per bucket,
+    // pruned buckets/rows, and exact-ppm scan efficiency; the report
+    // that justifies a re-layout before anyone pays for it
+    "q246_zonemap_report" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000").as("d"))
+      val preds = Seq(("y1996", 9496L, 9861L),
+        ("m1998_06", 10378L, 10407L), ("tail_2000on", 10957L, 11535L))
+      graft.ops.Layout.zoneMapReport(ord, "natural_orderkey",
+          expr("o_orderkey div 1024"), col("d"), preds)
+        .unionByName(graft.ops.Layout.zoneMapReport(ord, "date_quarter",
+          expr("d div 90"), col("d"), preds))
+    }),
+
+    // Rendezvous-hashing reshard audit: per shard, keys held at n=8 and
+    // n=9 and keys gained by the grow — pinning consistent hashing's
+    // contract (only ~1/9 of keys move, all to the new shard)
+    "q247_rendezvous_reshard" -> ((s, dir) => {
+      graft.ops.Bucketing.rendezvousReshardAudit(
+        t(s, dir, "events").where(col("user_id").isNotNull),
+        col("user_id"), shards = 8)
+    }),
+
     // Streaming count-min maintenance: two micro-batches (user parity)
     // each append their 4x256 cell DELTA; the final sum-merged sketch
     // probes the q239 key sample and must equal the batch sketch
@@ -4563,6 +4618,132 @@ object SparkEntry {
            CAST(node // 2 AS BIGINT) AS node_key,
            CAST(deg AS BIGINT) AS core_deg
          FROM s6""",
+    // q24's signature chain at trigram shingles + brute-force Hamming
+    // (banding is pigeonhole-complete at h<=3, so candidates ==
+    // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    "q245_simhash_fidelity" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS s
+           FROM toks),
+         hs AS (
+           SELECT doc_id,
+             list_transform(s, x ->
+               CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2 * len(list_filter(h, v -> ((v >> b) & 1) = 1))
+                   > len(h)
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+               AS sig
+           FROM hs),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         ex0 AS (SELECT doc_id, unnest(s) AS h FROM shd),
+         ecand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex0 a JOIN ex0 b ON a.h = b.h AND a.doc_id < b.doc_id),
+         exact AS (
+           SELECT id_a, id_b FROM ecand
+           JOIN shd x ON x.doc_id = id_a
+           JOIN shd y ON y.doc_id = id_b
+           WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)) >= 0.5),
+         stats AS (
+           SELECT
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+               AS n_hits)
+         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_exact > 0 THEN
+             CAST(n_hits * 1000000 // n_exact AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN n_candidates > 0 THEN
+             CAST(n_hits * 1000000 // n_candidates AS BIGINT) END
+             AS precision_ppm
+         FROM stats""",
+    // Same two bucketings, same zone-disjoint prune test, matching
+    // counts from one conditional pass.
+    "q246_zonemap_report" ->
+      """WITH o AS (
+           SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS d
+           FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         p AS (SELECT * FROM (VALUES ('y1996', 9496, 9861),
+           ('m1998_06', 10378, 10407), ('tail_2000on', 10957, 11535))
+           t(predicate, lo, hi)),
+         zn AS (SELECT o_orderkey // 1024 AS bucket, min(d) AS zmin,
+             max(d) AS zmax, count(*) AS n_rows
+           FROM o GROUP BY 1),
+         za AS (SELECT d // 90 AS bucket, min(d) AS zmin,
+             max(d) AS zmax, count(*) AS n_rows
+           FROM o GROUP BY 1),
+         mt AS (SELECT predicate, count(*) AS n_match
+           FROM o, p WHERE d >= lo AND d <= hi GROUP BY 1),
+         rep AS (
+           SELECT 'natural_orderkey' AS layout, predicate,
+             count(*) AS n_buckets,
+             sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+               AS n_pruned,
+             sum(CASE WHEN zmax < lo OR zmin > hi THEN n_rows
+               ELSE 0 END) AS rows_skipped,
+             sum(n_rows) AS rows_total
+           FROM zn, p GROUP BY 1, 2
+           UNION ALL
+           SELECT 'date_quarter', predicate, count(*),
+             sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END),
+             sum(CASE WHEN zmax < lo OR zmin > hi THEN n_rows
+               ELSE 0 END),
+             sum(n_rows)
+           FROM za, p GROUP BY 1, 2)
+         SELECT layout, predicate,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_pruned AS BIGINT) AS n_pruned,
+           CAST(rows_skipped AS BIGINT) AS rows_skipped,
+           CAST(coalesce(n_match, 0) AS BIGINT) AS rows_matching,
+           CAST(coalesce(n_match, 0) * 1000000 //
+             greatest(1, rows_total - rows_skipped) AS BIGINT)
+             AS scan_efficiency_ppm
+         FROM rep LEFT JOIN mt USING (predicate)""",
+    // Same md5-60 rendezvous weights; arg_max replays the max-struct.
+    "q247_rendezvous_reshard" ->
+      """WITH k AS (
+           SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+           FROM events WHERE user_id IS NOT NULL),
+         w AS (SELECT k, s.s,
+             CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || k),
+               1, 15)) AS BIGINT) AS h
+           FROM k, range(9) s(s)),
+         a AS (SELECT k,
+             arg_max(s, h) FILTER (WHERE s < 8) AS sn,
+             arg_max(s, h) AS sn1
+           FROM w GROUP BY 1),
+         g1 AS (SELECT sn1 AS shard, count(*) AS n_keys_after,
+             sum(CASE WHEN sn <> sn1 THEN 1 ELSE 0 END) AS n_gained
+           FROM a GROUP BY 1),
+         g0 AS (SELECT sn AS shard, count(*) AS n_keys_before
+           FROM a GROUP BY 1)
+         SELECT CAST(shard AS INT) AS shard,
+           CAST(coalesce(n_keys_before, 0) AS BIGINT) AS n_keys_before,
+           CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
+           CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
+         FROM g1 FULL JOIN g0 USING (shard)""",
     // The streamed sum-merged cells equal the batch cells (cellwise-sum
     // mergeability), so the oracle is q239's replay verbatim.
     "q244_stream_cms" ->

@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout: the shuffle-you-pay-once pattern.
   *
@@ -61,4 +61,50 @@ object Bucketing {
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable), Seq(key))
+
+  /** Rendezvous (highest-random-weight) shard assignment: key k goes to
+    * the shard s ∈ [0, n) maximizing the md5-60 of "s:k" — the
+    * consistent-hashing scheme whose reshard property this report
+    * AUDITS: growing n → n+1 moves a key iff the NEW shard wins its
+    * rendezvous, so exactly ~1/(n+1) of keys move and every move lands
+    * on the new shard (no shard-to-shard churn, unlike mod-n).
+    *
+    * Output per shard (under n+1): keys held at n, keys held at n+1,
+    * and keys GAINED by the grow — with the invariant (pinned by the
+    * spec) that gains are zero everywhere except the new shard. The
+    * md5 family makes the assignment engine-portable; argmax ties are
+    * impossible (distinct 60-bit hashes for distinct (s, k)).
+    *
+    * Scale shape: the n+1-row shard list explodes onto the key frame
+    * (map-side; no join), one max-struct aggregation per key, then an
+    * O(shards) rollup. */
+  def rendezvousReshardAudit(df: DataFrame, key: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val keys = df.select(key.cast("string").as("k"))
+      .where(col("k").isNotNull).distinct()
+    val w = keys.select(col("k"),
+        explode(array((0 to shards).map(s => lit(s)): _*)).as("s"))
+      .select(col("k"), col("s"),
+        conv(substring(md5(concat(col("s").cast("string"), lit(":"),
+          col("k")).cast("binary")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+    val assign = w.groupBy(col("k"))
+      .agg(
+        max(when(col("s") < shards, struct(col("h"), col("s"))))
+          .as("a_n"),
+        max(struct(col("h"), col("s"))).as("a_n1"))
+      .select(col("k"), col("a_n.s").as("shard_n"),
+        col("a_n1.s").as("shard_n1"))
+    assign.groupBy(col("shard_n1").as("shard"))
+      .agg(count(lit(1)).as("n_keys_after"),
+        sum(when(col("shard_n") =!= col("shard_n1"), 1L).otherwise(0L))
+          .as("n_gained"))
+      .join(assign.groupBy(col("shard_n").as("shard"))
+        .agg(count(lit(1)).as("n_keys_before")), Seq("shard"), "full")
+      .select(col("shard"),
+        coalesce(col("n_keys_before"), lit(0L)).as("n_keys_before"),
+        coalesce(col("n_keys_after"), lit(0L)).as("n_keys_after"),
+        coalesce(col("n_gained"), lit(0L)).as("n_gained"))
+  }
 }

@@ -655,10 +655,10 @@ object Dedup {
     * (DedupSpec pins the rescue on an adversarially skewed fixture). */
   def simhashNearDups(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, shingleSize: Int = 2,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000, portable: Boolean = false): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(
-        tokens(col(contentCol)), shingleSize).as("sig"))
+        tokens(col(contentCol)), shingleSize, portable).as("sig"))
     simhashPairsFromSigs(sigs, maxHamming, maxBucketSize)
   }
 

@@ -132,4 +132,33 @@ class LayoutSpec extends SparkSuite {
     assert(got(0)._2 === ((0L, 0L)))
     assert(got(255)._2 === ((15L, 0L)))
   }
+
+  test("zoneMapReport: aligned layout prunes disjoint buckets, shuffled " +
+    "layout prunes nothing, counts and efficiency exact") {
+    import spark.implicits._
+    // values 0..99; aligned layout: bucket = v div 10 (zones [0,9],
+    // [10,19], ...); scrambled layout: bucket = v % 10 (every zone
+    // spans ~[b, 90+b] -> nothing prunable)
+    val df = (0L to 99L).map(v => (v, v)).toDF("v", "x")
+    val preds = Seq(("mid", 30L, 39L), ("none", 200L, 300L))
+    val aligned = Layout.zoneMapReport(df, "aligned",
+      expr("v div 10"), col("v"), preds)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // "mid" prunes 9 of 10 buckets, skips 90 rows, matches 10,
+    // efficiency = 10/10 = 1e6 ppm
+    assert(aligned("mid") === ((10L, 9L, 90L, 10L, 1000000L)))
+    // "none": zones all disjoint from [200,300] -> everything pruned,
+    // 0 matches; efficiency 0 over the greatest(1,...) guard
+    assert(aligned("none") === ((10L, 10L, 100L, 0L, 0L)))
+    val scrambled = Layout.zoneMapReport(df, "scrambled",
+      expr("v % 10"), col("v"), preds)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // every bucket's zone covers [b, 90+b] -> "mid" prunes nothing,
+    // scans all 100 rows for 10 matches
+    assert(scrambled("mid") === ((10L, 0L, 0L, 10L, 100000L)))
+  }
 }

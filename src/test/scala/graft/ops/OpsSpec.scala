@@ -2621,6 +2621,30 @@ class OpsSpec extends SparkSuite {
     assert(n2 === 2L && sy2 >= 1L && dg2 >= 1L && p2 === 0L)
   }
 
+  test("rendezvousReshardAudit: shards partition the keys, growing " +
+      "n -> n+1 moves keys ONLY to the new shard, assignment is " +
+      "deterministic") {
+    import spark.implicits._
+    val keys = (1 to 400).map(i => s"user$i").toDF("k")
+    val got = Bucketing.rendezvousReshardAudit(keys, col("k"), shards = 8)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === (0 to 8).toSet)
+    assert(got.values.map(_._1).sum === 400L) // before partitions keys
+    assert(got.values.map(_._2).sum === 400L) // after partitions keys
+    assert(got(8)._1 === 0L)                  // new shard empty before
+    // THE rendezvous contract: every moved key lands on the new shard
+    (0 to 7).foreach(s => assert(got(s)._3 === 0L, s"churn into shard $s"))
+    assert(got(8)._3 === got(8)._2)
+    // expected movement ~ 1/9 of keys; allow wide slack, must be > 0
+    assert(got(8)._2 > 10L && got(8)._2 < 100L)
+    // determinism across invocations
+    val again = Bucketing.rendezvousReshardAudit(keys, col("k"), 8)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === got)
+  }
+
   test("lifeTable: hand-built cohort — censoring at the frontier, " +
       "descending-cumulative n_risk, exact ppm hazard") {
     import spark.implicits._
