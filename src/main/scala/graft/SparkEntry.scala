@@ -3003,6 +3003,50 @@ object SparkEntry {
         col("user_id"), shards = 8)
     }),
 
+    // Product-quantization assignment + distortion: 64 dims in 4
+    // subspaces, codebook = seed rows 0..7 per subspace, exact integer
+    // L2 argmin (ties to lowest code) — per (subspace, code) population
+    // and summed squared error, the PQ-index sizing table
+    "q248_pq_assignment" -> ((s, dir) => {
+      Similarity.pqAssignmentReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding", inDims = 64, nSub = 4, seedIds = 0L to 7L)
+    }),
+
+    // Heaps'-law vocabulary growth: exact vocab and token occurrences
+    // seen in the first 1,2,4,...,4096 documents — the
+    // diminishing-returns curve for tokenizer/corpus sizing
+    "q249_vocab_growth" -> ((s, dir) => {
+      TextAnalysis.vocabGrowthCurve(t(s, dir, "documents"), "doc_id",
+        "text", boundaries = (0 to 12).map(1L << _))
+    }),
+
+    // URL canonicalization dedup (the C4 dedup key): four synthesized
+    // variants per group (plain, uppercase-host + :443, utm-tracking,
+    // kept-param + fragment) — the first three MUST collapse to one
+    // canonical URL and the fourth stay distinct; per source, raw vs
+    // canonical counts
+    "q250_url_canonical_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      val host = concat(col("source"), lit("x"),
+        pmod(col("doc_id"), lit(97)))
+      val urls = array(
+        concat(lit("https://www."), host, lit(".com/p/"), col("doc_id")),
+        concat(lit("HTTPS://WWW."), upper(host), lit(".COM:443/p/"),
+          col("doc_id")),
+        concat(lit("https://www."), host, lit(".com/p/"), col("doc_id"),
+          lit("?utm_source=feed&utm_campaign=x")),
+        concat(lit("https://www."), host, lit(".com/p/"), col("doc_id"),
+          lit("?q=1#frag")))
+      docs.select(col("source"), explode(urls).as("url"))
+        .withColumn("canon", TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("canon")).as("n_canonical"),
+          (count(lit(1)) - count_distinct(col("canon")))
+            .as("n_collapsed"))
+    }),
+
     // Streaming count-min maintenance: two micro-batches (user parity)
     // each append their 4x256 cell DELTA; the final sum-merged sketch
     // probes the q239 key sample and must equal the batch sketch
@@ -4721,6 +4765,95 @@ object SparkEntry {
              greatest(1, rows_total - rows_skipped) AS BIGINT)
              AS scan_efficiency_ppm
          FROM rep LEFT JOIN mt USING (predicate)""",
+    // Same quantization and per-subspace integer L2; QUALIFY row_number
+    // replays the (dist, code) argmin tie-break.
+    "q248_pq_assignment" ->
+      """WITH q AS (
+           SELECT vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         cb AS (SELECT id AS code, qv AS cv FROM q
+           WHERE id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+         d AS (SELECT v.id, s.s AS sub, c.code,
+             list_sum(list_transform(range(16), i ->
+               (v.qv[s.s * 16 + i + 1] - c.cv[s.s * 16 + i + 1]) *
+               (v.qv[s.s * 16 + i + 1] - c.cv[s.s * 16 + i + 1])))
+               AS dist
+           FROM q v, range(4) s(s), cb c),
+         a AS (SELECT id, sub, code, dist FROM d
+           QUALIFY row_number() OVER (PARTITION BY id, sub
+             ORDER BY dist, code) = 1)
+         SELECT CAST(sub AS INT) AS subspace,
+           CAST(code AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(dist) AS BIGINT) AS sse
+         FROM a GROUP BY 1, 2""",
+    // Same first-occurrence / per-doc frames; boundaries as a VALUES
+    // frame with FILTERed conditional sums.
+    "q249_vocab_growth" ->
+      """WITH toks AS (
+           SELECT doc_id AS id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+               '\s+'), x -> len(x) > 0)) AS tok
+           FROM documents WHERE doc_id IS NOT NULL),
+         fo AS (SELECT tok, min(id) AS first_id FROM toks GROUP BY 1),
+         pd AS (SELECT id, count(*) AS n_tok FROM toks GROUP BY 1),
+         b AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16), (32),
+           (64), (128), (256), (512), (1024), (2048), (4096))
+           t(prefix_docs)),
+         v AS (SELECT prefix_docs,
+             count(*) FILTER (WHERE first_id < prefix_docs) AS vocab
+           FROM b, fo GROUP BY 1),
+         o AS (SELECT prefix_docs,
+             coalesce(sum(n_tok) FILTER (WHERE id < prefix_docs), 0)
+               AS n_token_occurrences
+           FROM b, pd GROUP BY 1)
+         SELECT CAST(b.prefix_docs AS BIGINT) AS prefix_docs,
+           CAST(o.n_token_occurrences AS BIGINT)
+             AS n_token_occurrences,
+           CAST(v.vocab AS BIGINT) AS vocab
+         FROM b JOIN v USING (prefix_docs) JOIN o USING (prefix_docs)""",
+    // Same synthesized variants; the canonicalization chain replayed
+    // step for step (DuckDB regexp_replace needs the 'g' flag to match
+    // the engine's replace-all).
+    "q250_url_canonical_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             source || 'x' || (doc_id % 97) AS host
+           FROM documents),
+         u AS (SELECT source, unnest([
+             'https://www.' || host || '.com/p/' || doc_id,
+             'HTTPS://WWW.' || upper(host) || '.COM:443/p/' || doc_id,
+             'https://www.' || host || '.com/p/' || doc_id ||
+               '?utm_source=feed&utm_campaign=x',
+             'https://www.' || host || '.com/p/' || doc_id ||
+               '?q=1#frag']) AS url
+           FROM d),
+         c AS (SELECT source,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(url, '#.*$', '', 'g'),
+               '[?&]utm_[^&#]*', '?', 'g'),
+               '\?[?&]*', '?', 'g'),
+               '[?&]+$', '', 'g') AS tidy
+           FROM u),
+         cc AS (SELECT source, tidy,
+             regexp_extract(tidy,
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pfx
+           FROM c),
+         canon AS (SELECT source,
+             CASE WHEN pfx = '' THEN tidy
+               ELSE regexp_replace(lower(pfx), ':(80|443)$', '') ||
+                 (CASE WHEN substr(tidy, length(pfx) + 1) = '/'
+                   THEN '' ELSE substr(tidy, length(pfx) + 1) END)
+               END AS canon
+           FROM cc)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT canon) AS BIGINT)
+             AS n_collapsed
+         FROM canon GROUP BY 1""",
     // Same md5-60 rendezvous weights; arg_max replays the max-struct.
     "q247_rendezvous_reshard" ->
       """WITH k AS (

@@ -805,6 +805,76 @@ object Similarity {
       col("rel_dot"), col("max_sim"), col("mmr_score"))
   }
 
+  /** Product-quantization assignment + reconstruction-error report
+    * (Jégou et al. 2011): the quantized vector is split into `nSub`
+    * contiguous subspaces; each subspace has its own codebook — here
+    * the designated seed rows' corresponding blocks (the persisted
+    * per-subspace k-means centers at scale, a driver-side literal by
+    * the same small-by-contract argument as seeded IVF) — and every
+    * vector's block is assigned to its nearest code by EXACT integer
+    * L2, ties broken by lowest code id. Output per (subspace, code):
+    * vectors assigned and the exact summed squared error — the
+    * distortion table that sizes a PQ index before anyone builds it
+    * (total SSE / nSub·scale² = mean per-block quantization error).
+    *
+    * Plan shape: codebook folded into the plan as literals; per row
+    * nSub·|codes| integer distance expressions + one O(nSub) explode;
+    * one keyed aggregation. No join, no shuffle except the final
+    * (subspace, code) rollup. */
+  def pqAssignmentReport(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, nSub: Int, seedIds: Seq[Long],
+      quantScale: Int = 10000): DataFrame = {
+    require(nSub >= 1 && inDims % nSub == 0,
+      s"inDims $inDims must divide into nSub $nSub")
+    require(seedIds.nonEmpty, "need at least one seed row")
+    val subLen = inDims / nSub
+    val q = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * quantScale).cast("long")).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+    val codebook: Seq[(Long, Seq[Long])] = q
+      .where(col("id").isin(seedIds: _*))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1).toSeq
+    require(codebook.nonEmpty, s"no seed rows found among $seedIds")
+    // ‖x−c‖² = Σx² − 2·x·c + ‖c‖²: Σx² is shared across the codebook
+    // and ‖c‖² is a literal, so the per-row work is one Σx² plus one
+    // dot per (subspace, code) — each bound as a NAMED column in its
+    // own projection (evaluated once; the naive flat form recomputed
+    // every difference per code and fell out of codegen: 5x slower at
+    // 50k rows)
+    def blockDot(off: Int, cv: Seq[Long]): Column =
+      (0 until subLen).map { i =>
+        element_at(col("qv"), off + i + 1) * lit(cv(off + i))
+      }.reduce(_ + _)
+    val ssqCols = (0 until nSub).map { s =>
+      val off = s * subLen
+      (0 until subLen).map { i =>
+        val x = element_at(col("qv"), off + i + 1); x * x
+      }.reduce(_ + _).as(s"__ssq$s")
+    }
+    val dotCols = for (s <- 0 until nSub; (ci, (_, cv)) <-
+        codebook.zipWithIndex.map(p => (p._2, p._1)))
+      yield blockDot(s * subLen, cv).as(s"__dot${s}_$ci")
+    val staged = q.select(col("id") +: (ssqCols ++ dotCols): _*)
+    val perSub = (0 until nSub).map { s =>
+      val best = array_min(array(codebook.zipWithIndex.map {
+        case ((code, cv), ci) =>
+          val off = s * subLen
+          val csq = (off until off + subLen)
+            .map(i => cv(i) * cv(i)).sum
+          struct((col(s"__ssq$s") - lit(2L) * col(s"__dot${s}_$ci") +
+            lit(csq)).as("d"), lit(code).as("c"))
+      }: _*))
+      struct(lit(s).as("sub"), best.getField("c").as("code"),
+        best.getField("d").as("err"))
+    }
+    staged.select(explode(array(perSub: _*)).as("a"))
+      .groupBy(col("a.sub").as("subspace"), col("a.code").as("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("a.err")).as("sse"))
+  }
+
   /** Deterministic ±1 sign for the JL projection matrix cell (j, i):
     * parity of the md5-60 of "j:i" — the same engine-portable hash
     * family as every other sketch, computed DRIVER-side here (the

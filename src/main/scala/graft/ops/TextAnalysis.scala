@@ -788,4 +788,70 @@ object TextAnalysis {
         sum(col("n_syllables")).as("n_syllables"),
         sum(col("n_complex")).as("n_complex"))
   }
+
+  /** Heaps'-law vocabulary growth curve: for each literal prefix
+    * boundary b (documents ordered by id), the exact token occurrences
+    * and DISTINCT vocabulary seen in documents with id < b — the
+    * "does the corpus still teach new words" curve that sizes
+    * tokenizer vocabularies and diminishing-returns cutoffs.
+    *
+    * Two passes, both keyed: token first-occurrence (groupBy token,
+    * min doc id) and per-doc token counts — then every boundary is a
+    * conditional sum over those aggregated frames in ONE aggregate
+    * each (a column per boundary, melted with stack; the q246
+    * no-row-multiplication pattern). Boundaries are literals, so the
+    * curve never sorts or windows anything globally. */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+      boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty, "need at least one boundary")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .where(col("id").isNotNull)
+    val firstOcc = toks.groupBy(col("tok"))
+      .agg(min(col("id")).as("first_id"))
+    val perDoc = toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"))
+    def melt(df: DataFrame, valueOf: Long => Column,
+        outName: String): DataFrame = {
+      val aggs = boundaries.zipWithIndex.map { case (b, i) =>
+        valueOf(b).as(s"__b$i")
+      }
+      val stackArgs = boundaries.zipWithIndex
+        .map { case (b, i) => s"${b}L, __b$i" }.mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${boundaries.size}, $stackArgs) " +
+          s"AS (prefix_docs, $outName)"))
+    }
+    val vocab = melt(firstOcc,
+      b => coalesce(sum(when(col("first_id") < b, 1L).otherwise(0L)),
+        lit(0L)), "vocab")
+    val occ = melt(perDoc,
+      b => coalesce(sum(when(col("id") < b, col("n_tok")).otherwise(0L)),
+        lit(0L)), "n_token_occurrences")
+    occ.join(vocab, Seq("prefix_docs"))
+      .select(col("prefix_docs"), col("n_token_occurrences"),
+        col("vocab"))
+  }
+
+  /** URL canonicalization — the C4/CommonCrawl dedup key: lowercase the
+    * scheme://host[:port] prefix, drop default ports (:80/:443), strip
+    * the fragment, strip utm_* tracking parameters (with separator
+    * cleanup), drop a trailing "?" and collapse a trailing slash on a
+    * bare path. Pure codegen'd regexp/string expressions — no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    // strip fragment first (everything after #)
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // drop utm_* params wherever they sit; then tidy separators
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "?")
+    val tidy0 = regexp_replace(noUtm, "\\?[?&]*", "?")
+    val tidy1 = regexp_replace(tidy0, "[?&]+$", "")
+    // lowercase the scheme://host[:port] prefix, drop default ports
+    val pfx = regexp_extract(tidy1, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = substring(tidy1, length(pfx) + 1, lit(1000000))
+    val canonPfx = regexp_replace(lower(pfx), ":(80|443)$", "")
+    // bare "/" path with no query collapses to the host itself
+    val canonRest = when(rest === "/", lit("")).otherwise(rest)
+    when(pfx === "", tidy1)
+      .otherwise(concat(canonPfx, canonRest))
+  }
 }

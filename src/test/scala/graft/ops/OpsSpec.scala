@@ -2621,6 +2621,68 @@ class OpsSpec extends SparkSuite {
     assert(n2 === 2L && sy2 >= 1L && dg2 >= 1L && p2 === 0L)
   }
 
+  test("pqAssignmentReport: seed rows assign to themselves with zero " +
+      "error, a near-seed vector assigns per subspace with the exact " +
+      "block SSE, dist ties break to the lowest code id") {
+    import spark.implicits._
+    // 4-dim vectors, 2 subspaces of 2; seeds 0 and 1
+    val s0 = Seq(0.0f, 0.0f, 0.0f, 0.0f)
+    val s1 = Seq(1.0f, 1.0f, 1.0f, 1.0f)
+    // v2: first block nearer s0 (0.1,0.1), second nearer s1 (0.9,0.9)
+    val v2 = Seq(0.1f, 0.1f, 0.9f, 0.9f)
+    // v3: exactly BETWEEN the seeds in both blocks (0.5 everywhere):
+    // equal distance -> must tie-break to code 0
+    val v3 = Seq(0.5f, 0.5f, 0.5f, 0.5f)
+    val df = Seq((0L, s0), (1L, s1), (2L, v2), (3L, v3))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAssignmentReport(df, "vec_id", "embedding",
+        inDims = 4, nSub = 2, seedIds = Seq(0L, 1L), quantScale = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // quantScale 10: v2 block errors = 1+1 = 2 per block; v3 -> 25+25
+    // sub 0: code 0 gets s0, v2, v3 (n=3, sse=0+2+50); code 1 gets s1
+    assert(got((0, 0L)) === ((3L, 52L)))
+    assert(got((0, 1L)) === ((1L, 0L)))
+    // sub 1: code 0 gets s0, v3 (sse 50); code 1 gets s1, v2 (sse 2)
+    assert(got((1, 0L)) === ((2L, 50L)))
+    assert(got((1, 1L)) === ((2L, 2L)))
+  }
+
+  test("vocabGrowthCurve: hand-built corpus — vocab counts distinct " +
+      "tokens first seen below each boundary, occurrences cumulative") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text",
+        boundaries = Seq(1L, 2L, 4L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(1L -> (3L, 2L), 2L -> (5L, 3L), 4L -> (8L, 5L)))
+  }
+
+  test("canonicalizeUrl: host-case/default-port/utm/fragment variants " +
+      "collapse; real params, non-default ports, and paths survive") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://www.Ex.com/p/1",
+      "HTTPS://WWW.EX.COM:443/p/1",
+      "https://www.ex.com/p/1?utm_source=a&utm_campaign=b#frag",
+      "https://www.ex.com/p/1?q=1",          // real param survives
+      "http://ex.com:8080/x",                 // non-default port kept
+      "https://ex.com/",                      // bare slash collapses
+      "not a url at all")
+      .toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect()
+    assert(urls(0) === "https://www.ex.com/p/1")
+    assert(urls(1) === "https://www.ex.com/p/1")
+    assert(urls(2) === "https://www.ex.com/p/1")
+    assert(urls(3) === "https://www.ex.com/p/1?q=1")
+    assert(urls(4) === "http://ex.com:8080/x")
+    assert(urls(5) === "https://ex.com")
+    assert(urls(6) === "not a url at all")
+  }
+
   test("rendezvousReshardAudit: shards partition the keys, growing " +
       "n -> n+1 moves keys ONLY to the new shard, assignment is " +
       "deterministic") {
