@@ -3047,6 +3047,25 @@ object SparkEntry {
             .as("n_collapsed"))
     }),
 
+    // word2vec frequent-word subsampling audit: per source, exact
+    // occurrences vs occurrences kept under u < sqrt(tN/f) — the sqrt
+    // never executes (u30^2*f*tDen < N*tNum*2^60 in DECIMAL(38,0)),
+    // so the thinning preview is bit-identical on any engine
+    "q251_word_subsample" -> ((s, dir) => {
+      graft.ops.Mixing.wordSubsampleAudit(t(s, dir, "documents"),
+        "doc_id", "source", "text")
+    }),
+
+    // Bloom-filter false-positive audit: 1024-bit 4-hash filter over
+    // the member users, probed by a disjoint user set — exact FP count,
+    // exact bit load (saturation reads straight off the report)
+    "q252_bloom_fpr" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+      graft.ops.Sketches.bloomFprAudit(
+        ev.where(pmod(col("user_id"), lit(3)) === 0), col("user_id"),
+        ev.where(pmod(col("user_id"), lit(3)) === 1), col("user_id"))
+    }),
+
     // Streaming count-min maintenance: two micro-batches (user parity)
     // each append their 4x256 cell DELTA; the final sum-merged sketch
     // probes the q239 key sample and must equal the batch sketch
@@ -4877,6 +4896,70 @@ object SparkEntry {
            CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
            CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
          FROM g1 FULL JOIN g0 USING (shard)""",
+    // Same tokenization with lateral-range positions, same md5-60 top
+    // 30 bits, the cross-multiplied test in HUGEINT.
+    "q251_word_subsample" ->
+      """WITH b AS (
+           SELECT doc_id AS id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         occ0 AS (SELECT id, source,
+             unnest(list_transform(range(len(tk)),
+               i -> {'pos': i, 'tok': tk[i + 1]})) AS u
+           FROM b),
+         occ AS (SELECT id, source, u.pos AS pos, u.tok AS tok
+           FROM occ0),
+         freq AS (SELECT tok, count(*) AS f FROM occ GROUP BY 1),
+         tot AS (SELECT sum(f) AS n_total FROM freq),
+         scored AS (SELECT o.source,
+             CAST(('0x' || substr(md5(CAST(o.id AS VARCHAR) || ':' ||
+               CAST(o.pos AS VARCHAR) || ':' || o.tok), 1, 15))
+               AS BIGINT) // 1073741824 AS u30,
+             freq.f
+           FROM occ o JOIN freq ON freq.tok = o.tok),
+         kept AS (SELECT source,
+             count(*) AS n_occurrences,
+             sum(CASE WHEN CAST(u30 AS HUGEINT) * u30 * f * 10000 <
+               CAST(n_total AS HUGEINT) * 1 * 1152921504606846976
+               THEN 1 ELSE 0 END) AS n_kept
+           FROM scored, tot GROUP BY 1)
+         SELECT source, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_kept * 1000000 // n_occurrences AS BIGINT)
+             AS kept_ppm
+         FROM kept""",
+    // Same md5-60 positions, distinct-bit filter, k-of-k probe hit.
+    "q252_bloom_fpr" ->
+      """WITH mem AS (
+           SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+           WHERE user_id IS NOT NULL AND user_id % 3 = 0),
+         prb AS (
+           SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+           WHERE user_id IS NOT NULL AND user_id % 3 = 1
+             AND CAST(user_id AS VARCHAR) NOT IN (SELECT v FROM mem)),
+         r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+         bits AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v),
+               1, 15)) AS BIGINT) % 1024 AS bpos
+           FROM mem, r),
+         pp AS (SELECT v,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v),
+               1, 15)) AS BIGINT) % 1024 AS pos
+           FROM prb, r),
+         hits AS (SELECT pp.v,
+             count(*) FILTER (WHERE bits.bpos IS NOT NULL) AS nh
+           FROM pp LEFT JOIN bits ON bits.bpos = pp.pos GROUP BY 1),
+         f AS (SELECT count(*) AS n_probes,
+             sum(CASE WHEN nh = 4 THEN 1 ELSE 0 END) AS nfp
+           FROM hits)
+         SELECT CAST((SELECT count(*) FROM mem) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(nfp AS BIGINT) AS n_false_positives,
+           CAST(nfp * 1000000 // greatest(1, n_probes) AS BIGINT)
+             AS fpr_ppm
+         FROM f""",
     // The streamed sum-merged cells equal the batch cells (cellwise-sum
     // mergeability), so the oracle is q239's replay verbatim.
     "q244_stream_cms" ->

@@ -130,4 +130,45 @@ object Mixing {
         explode(sequence(lit(0), col("copies") - 1)))
       .drop("rate", "copies")
   }
+
+  /** word2vec-style frequent-word subsampling audit (Mikolov et al.
+    * 2013): occurrence o of token w is KEPT iff u < sqrt(t·N/f(w)),
+    * u a deterministic per-occurrence hash in [0,1) — frequent tokens
+    * are thinned toward sqrt(t·N/f) of their mass, rare tokens pass
+    * untouched. The square root never executes: with u as the top 30
+    * bits of the md5-60 (u30), the test is u30²·f·tDen < N·tNum·2⁶⁰
+    * in DECIMAL(38,0) — exact integer cross-multiplication, engine-
+    * portable bit-for-bit (t = tNum/tDen, default 1e-4).
+    *
+    * Output per source: exact occurrences, kept occurrences, kept share
+    * in ppm — the corpus-thinning preview before a tokenizer run.
+    * One token explode + one (token) freq join (broadcast-size vocab
+    * aggregates on the build side), one 1-row total frame. */
+  def wordSubsampleAudit(docs: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, tNum: Long = 1L,
+      tDen: Long = 10000L): DataFrame = {
+    require(tNum > 0 && tDen > 0, s"bad threshold $tNum/$tDen")
+    val occ = docs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("source"), col(textCol).as("t"))
+      .select(col("id"), col("source"), posexplode(Dedup.tokens(col("t"))))
+      .select(col("id"), col("source"), col("pos"), col("col").as("tok"))
+    val freq = occ.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val total = freq.agg(sum(col("f")).as("n_total"))
+    val u30 = expr(
+      """cast(conv(substring(md5(cast(concat(id, ':', pos, ':', tok)
+         as binary)), 1, 15), 16, 10) as bigint) div 1073741824""")
+    occ.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("u30", u30)
+      .withColumn("keep",
+        (col("u30").cast("decimal(38,0)") * col("u30") * col("f") *
+          lit(tDen)) <
+        (col("n_total").cast("decimal(38,0)") * lit(tNum) *
+          lit(1152921504606846976L))) // 2^60
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_occurrences"), col("n_kept"),
+        expr("n_kept * 1000000 div n_occurrences").as("kept_ppm"))
+  }
 }

@@ -541,6 +541,54 @@ object Sketches {
       .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Portable Bloom-filter false-positive audit: build an mBits-bit,
+    * k-hash Bloom filter over the member set (bit positions from the
+    * md5-60 family, so any engine rebuilds the identical filter),
+    * probe it with a DISJOINT key set (probes are anti-joined against
+    * members inside the audit — the measured rate is honest), and
+    * report the exact false-positive count and rate. n_bits_set is the
+    * filter's real load, from which the theoretical rate
+    * (bits_set/m)^k is one reader-side division — saturation reads
+    * directly off the report.
+    *
+    * The filter itself is the distinct-positions table (≤ mBits rows —
+    * broadcastable no matter how many members), and it is MERGEABLE BY
+    * UNION (bitwise OR ≡ distinct of concatenated position tables):
+    * per-partition/per-day filters union into the corpus filter
+    * without rescanning, same contract as the KMV/HLL/CMS family. */
+  def bloomFprAudit(members: DataFrame, mValue: Column,
+      probes: DataFrame, pValue: Column, mBits: Int = 1024,
+      k: Int = 4): DataFrame = {
+    require(mBits >= 2 && k >= 1, s"bad mBits/k: $mBits/$k")
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("v"),
+        explode(array((0 until k).map(lit(_)): _*)).as("i"))
+      .select(col("v"),
+        pmod(portable60(concat(col("i").cast("string"), lit(":"),
+          col("v"))), lit(mBits.toLong)).as("pos"))
+    val mem = members.select(mValue.cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+    val prb = probes.select(pValue.cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+      .join(mem, Seq("v"), "left_anti")
+    val bits = positions(mem).select(col("pos")).distinct()
+    val hits = positions(prb)
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"),
+        "left")
+      .groupBy(col("v"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nh"))
+    val fp = hits.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("nh") === k, 1L).otherwise(0L))
+        .as("n_false_positives"))
+    mem.agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .crossJoin(broadcast(fp))
+      .select(col("n_members"), col("n_bits_set"), col("n_probes"),
+        col("n_false_positives"),
+        expr("n_false_positives * 1000000 div greatest(1, n_probes)")
+          .as("fpr_ppm"))
+  }
+
   /** Point-frequency estimates from a CMS cell table for the given key
     * frame (one string column `v`): est(v) = min over rows i of
     * cell(i, h_i(v)) — never an underestimate; over-counting comes only

@@ -2621,6 +2621,64 @@ class OpsSpec extends SparkSuite {
     assert(n2 === 2L && sy2 >= 1L && dg2 >= 1L && p2 === 0L)
   }
 
+  test("wordSubsampleAudit: sub-threshold tokens always kept, a " +
+      "dominant token is thinned but survives, deterministic") {
+    import spark.implicits._
+    // source A: "hot" 1000 times (f*tDen >> N*tNum -> thinned);
+    // source B: 1000 distinct rare tokens (f=1 -> f*tDen <= N*tNum
+    // would need N >= 10000... make N large via A) — rare tokens keep
+    // iff u30^2 < N*2^60/(f*tDen); with N=2000, f=1, tDen=1e4 the
+    // keep probability is sqrt(N/(f*tDen)) = sqrt(0.2) ~ 45% — so use
+    // tDen=1 (t=1): every token has f <= N -> ALL kept exactly.
+    val a = Seq(("a", (1 to 1000).map(_ => "hot").mkString(" ")))
+    val b = Seq(("b", (1 to 1000).map(i => s"w$i").mkString(" ")))
+    val all = (a ++ b).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    // t = 1 (tNum=1, tDen=1): sqrt(t*N/f) >= 1 for every token -> all kept
+    val keepAll = graft.ops.Mixing.wordSubsampleAudit(all, "doc_id",
+        "source", "text", tNum = 1L, tDen = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(keepAll("a") === ((1000L, 1000L)))
+    assert(keepAll("b") === ((1000L, 1000L)))
+    // t = 1e-4: "hot" (f=1000, N=2000) thinned to ~sqrt(2e-4*2) ~ 1.4%;
+    // rare tokens (f=1) keep with p ~ sqrt(0.2) ~ 45%
+    val thinned = graft.ops.Mixing.wordSubsampleAudit(all, "doc_id",
+        "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(thinned("a")._2 < 100L) // dominant token heavily thinned
+    assert(thinned("b")._2 > thinned("a")._2) // rare tokens kept more
+    // deterministic
+    assert(graft.ops.Mixing.wordSubsampleAudit(all, "doc_id", "source",
+      "text").collect().map(_.toSeq).toSet ===
+      graft.ops.Mixing.wordSubsampleAudit(all, "doc_id", "source",
+        "text").collect().map(_.toSeq).toSet)
+  }
+
+  test("bloomFprAudit: members filtered out of the probe set, a " +
+      "saturated filter fires on every probe, a roomy filter on few, " +
+      "bit load bounded by k*members") {
+    import spark.implicits._
+    val mem = (1 to 30).map(i => s"m$i").toDF("x")
+    val prbWithMembers = ((1 to 20).map(i => s"p$i") ++ Seq("m1", "m2"))
+      .toDF("x")
+    // m=8: 30 members x 4 hashes saturate all 8 bits -> every probe FP
+    val sat = Sketches.bloomFprAudit(mem, col("x"), prbWithMembers,
+      col("x"), mBits = 8, k = 4).head()
+    assert(sat.getLong(0) === 30L)
+    assert(sat.getLong(1) === 8L)
+    assert(sat.getLong(2) === 20L) // m1/m2 removed from probes
+    assert(sat.getLong(3) === 20L)
+    assert(sat.getLong(4) === 1000000L)
+    // m=65536: bit load <= k*members, few-to-zero FPs
+    val big = Sketches.bloomFprAudit(mem, col("x"), prbWithMembers,
+      col("x"), mBits = 65536, k = 4).head()
+    assert(big.getLong(1) <= 120L && big.getLong(1) > 100L)
+    assert(big.getLong(3) <= 1L)
+  }
+
   test("pqAssignmentReport: seed rows assign to themselves with zero " +
       "error, a near-seed vector assigns per subspace with the exact " +
       "block SSE, dist ties break to the lowest code id") {
