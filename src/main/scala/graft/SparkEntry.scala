@@ -3047,6 +3047,31 @@ object SparkEntry {
             .as("n_collapsed"))
     }),
 
+    // RLE layout audit: exact value-run counts for event_type and
+    // user_id under the event-time physical order (hour-blocked — no
+    // global sort), with the distinct-value floor a value-clustered
+    // layout would reach — the sort-on-ingest justification table
+    "q253_rle_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull)
+      graft.ops.Layout.rleRunsReport(ev,
+        expr("unix_micros(ts) div 3600000000"),
+        col("ts"), col("event_id"),
+        Seq("event_type" -> col("event_type"),
+          "user_id" -> col("user_id")))
+    }),
+
+    // CUBE over (event_type, engine-independent day-of-week) with
+    // grouping_id: all four grouping sets from ONE Expand pass — the
+    // grouping-sets surface parity row (ROLLUP already covered by q128)
+    "q254_cube_report" -> ((s, dir) => {
+      t(s, dir, "events").where(col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    }),
+
     // word2vec frequent-word subsampling audit: per source, exact
     // occurrences vs occurrences kept under u < sqrt(tN/f) — the sqrt
     // never executes (u30^2*f*tDen < N*tNum*2^60 in DECIMAL(38,0)),
@@ -4896,6 +4921,47 @@ object SparkEntry {
            CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
            CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
          FROM g1 FULL JOIN g0 USING (shard)""",
+    // One global lag window replays the blocked runs exactly (the
+    // oracle may single-sort; the engine must not).
+    "q253_rle_audit" ->
+      """WITH e AS (
+           SELECT ts, event_id, event_type, user_id FROM events
+           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         r AS (SELECT event_type AS vt, lag(event_type) OVER w AS pt,
+             user_id AS vu, lag(user_id) OVER w AS pu,
+             row_number() OVER w AS rn
+           FROM e WINDOW w AS (ORDER BY ts, event_id)),
+         s AS (SELECT count(*) AS n_rows,
+             sum(CASE WHEN rn = 1 OR vt IS DISTINCT FROM pt
+               THEN 1 ELSE 0 END) AS runs_t,
+             sum(CASE WHEN rn = 1 OR vu IS DISTINCT FROM pu
+               THEN 1 ELSE 0 END) AS runs_u,
+             count(DISTINCT vt) AS nd_t,
+             count(DISTINCT vu) AS nd_u
+           FROM r)
+         SELECT 'event_type' AS column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(runs_t AS BIGINT) AS n_runs,
+           CAST(nd_t AS BIGINT) AS n_distinct,
+           CAST(runs_t * 1000000 // greatest(1, n_rows) AS BIGINT)
+             AS runs_ppm
+         FROM s
+         UNION ALL
+         SELECT 'user_id', CAST(n_rows AS BIGINT),
+           CAST(runs_u AS BIGINT), CAST(nd_u AS BIGINT),
+           CAST(runs_u * 1000000 // greatest(1, n_rows) AS BIGINT)
+         FROM s""",
+    // Same CUBE; DuckDB's GROUPING(a, b) bitmask matches Spark's
+    // grouping_id (verified: leftmost column = most significant bit).
+    "q254_cube_report" ->
+      """WITH e AS (
+           SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+           FROM events WHERE ts IS NOT NULL)
+         SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
+         FROM e GROUP BY CUBE (event_type, dow)""",
     // Same tokenization with lateral-range positions, same md5-60 top
     // 30 bits, the cross-multiplied test in HUGEINT.
     "q251_word_subsample" ->

@@ -1,7 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.Lineage._
 
 /** Multi-dimensional data layout for scan pruning at 100 TB: Z-order
   * (Morton) clustering. Sorting a table by one column gives perfect
@@ -166,6 +169,94 @@ object Layout {
     }
     cur.withColumn(out, col("__hd"))
       .drop("__hx", "__hy", "__hd")
+  }
+
+  /** Run-length (RLE) layout audit: for each audited column, the exact
+    * number of value RUNS the column would store under the given
+    * physical order — the storage-engine question behind "should we
+    * sort on ingest": runs ≈ distinct values means near-perfect RLE,
+    * runs ≈ rows means the encoding buys nothing. n_distinct is the
+    * floor a value-clustered layout would achieve, reported alongside.
+    *
+    * NO GLOBAL SORT: rows sort only within `block` partitions (window
+    * keyed by block), per-block first/last values ride min/max structs
+    * on the (orderCol, tieCol) axis, and cross-block transitions come
+    * from joining each block to its successor on the block-domain
+    * table (O(blocks) rows). runs = within-block transitions +
+    * boundary transitions + 1. Null-safe comparisons throughout, so a
+    * NULL run counts like any other. Blocks must partition the order:
+    * b1 < b2 ⟹ every row of b1 precedes b2 (an hour bucket of the
+    * ordering timestamp, in the audit query). */
+  def rleRunsReport(df: DataFrame, block: Column, orderCol: Column,
+      tieCol: Column, values: Seq[(String, Column)]): DataFrame = {
+    require(values.nonEmpty, "need at least one audited column")
+    val base = df.select(Seq(block.as("b"), orderCol.as("o"),
+      tieCol.as("t")) ++
+      values.zipWithIndex.map { case ((_, c), i) => c.as(s"__v$i") }: _*)
+      .where(col("b").isNotNull && col("o").isNotNull &&
+        col("t").isNotNull)
+    val w = Window.partitionBy(col("b"))
+      .orderBy(col("o").asc, col("t").asc)
+    val withChg = values.indices.foldLeft(base) { (d, i) =>
+      // block-first rows contribute 0 (the global first run is the +1;
+      // block boundaries are counted from the per-block first/last
+      // table); mid-block nulls are handled by the null-safe compare
+      d.withColumn(s"__chg$i",
+        when(row_number().over(w) === 1, 0L)
+          .otherwise(when(!(col(s"__v$i") <=>
+            lag(col(s"__v$i"), 1).over(w)), 1L).otherwise(0L)))
+    }
+    val bsAggs = Seq(count(lit(1)).as("n_rows")) ++
+      values.indices.flatMap { i =>
+        Seq(sum(col(s"__chg$i")).as(s"__chgs$i"),
+          min(struct(col("o"), col("t"), col(s"__v$i")))
+            .getField(s"__v$i").as(s"__first$i"),
+          max(struct(col("o"), col("t"), col(s"__v$i")))
+            .getField(s"__v$i").as(s"__last$i"))
+      }
+    val blockStats = withChg.groupBy(col("b"))
+      .agg(bsAggs.head, bsAggs.tail: _*)
+      .truncateLineage(eager = false)
+    // boundary transitions between consecutive EXISTING blocks (block
+    // ids may have holes, so b+1 adjacency would undercount): the
+    // per-block first/last table is block-domain-sized — the same
+    // driver-side-fold contract as the q224 blocked suffix offsets
+    val edge = blockStats
+      .select(Seq(col("b")) ++ values.indices.flatMap(i =>
+        Seq(col(s"__first$i"), col(s"__last$i"))): _*)
+      .collect().sortBy(_.getAs[Any]("b") match {
+        case l: Long => l
+        case i: Int => i.toLong
+      })
+    val boundary: Seq[Long] = values.indices.map { i =>
+      edge.sliding(2).count {
+        case Array(a, c) =>
+          val lastA = a.getAs[Any](s"__last$i")
+          val firstC = c.getAs[Any](s"__first$i")
+          lastA != firstC
+        case _ => false
+      }.toLong
+    }
+    val totAggs = Seq(sum(col("n_rows")).as("n_rows")) ++
+      values.indices.map { i =>
+        (sum(col(s"__chgs$i")) + lit(boundary(i))).as(s"__runs$i")
+      }
+    val totals = blockStats.agg(totAggs.head, totAggs.tail: _*)
+    val distincts = base.agg(
+      values.indices.map(i =>
+        count_distinct(col(s"__v$i")).as(s"__nd$i")).head,
+      values.indices.drop(1).map(i =>
+        count_distinct(col(s"__v$i")).as(s"__nd$i")): _*)
+    val stacked = totals.crossJoin(broadcast(distincts))
+    val stackArgs = values.zipWithIndex.map { case ((name, _), i) =>
+      s"'${name.replace("'", "''")}', n_rows, __runs$i + 1, __nd$i"
+    }.mkString(", ")
+    stacked.select(expr(s"stack(${values.size}, $stackArgs) " +
+        "AS (column_name, n_rows, n_runs, n_distinct)"))
+      .select(col("column_name"), col("n_rows"), col("n_runs"),
+        col("n_distinct"),
+        expr("n_runs * 1000000 div greatest(1, n_rows)")
+          .as("runs_ppm"))
   }
 
   /** Zone-map (min/max data-skipping) effectiveness report: bucket the

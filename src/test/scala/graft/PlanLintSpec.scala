@@ -70,7 +70,11 @@ class PlanLintSpec extends SparkSuite {
     "q182_quantization_recall", // the ANN query set broadcasts (q26's
                            // pattern): corpus scored map-side once for
                            // both precisions, bounded top-k reduce
-    "q240_life_table"      // one-row censoring-frontier frame
+    "q240_life_table",     // one-row censoring-frontier frame
+    "q246_zonemap_report", // 3-row literal predicate frame on the
+                           // O(buckets) zone table
+    "q251_word_subsample", // one-row corpus-total frame
+    "q252_bloom_fpr"       // one-row member/bit/probe stat frames
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -161,4 +161,29 @@ class LayoutSpec extends SparkSuite {
     // scans all 100 rows for 10 matches
     assert(scrambled("mid") === ((10L, 0L, 0L, 10L, 100000L)))
   }
+
+  test("rleRunsReport: runs merge across a block GAP, a same-value " +
+    "boundary does not split, null runs count, distinct floor exact") {
+    import spark.implicits._
+    // order o=1,2,3 (block 0), o=7,8 (block 2; block 1 EMPTY):
+    // col a: a a b | b c  -> runs a, b (spans the gap), c = 3
+    // col x: x null null | null x -> runs x, null(spans), x = 3
+    val df = Seq(
+      (1L, "a", Some("x")), (2L, "a", None), (3L, "b", None),
+      (7L, "b", None), (8L, "c", Some("x")))
+      .toDF("o", "va", "vx")
+    val got = Layout.rleRunsReport(df, expr("o div 3"), col("o"),
+        col("o"), Seq("va" -> col("va"), "vx" -> col("vx")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("va") === ((5L, 3L, 3L, 600000L)))
+    assert(got("vx") === ((5L, 3L, 1L, 600000L)))
+    // fully sorted single column: runs == distinct
+    val sorted = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("o", "v")
+    val g2 = Layout.rleRunsReport(sorted, expr("o div 2"), col("o"),
+      col("o"), Seq("v" -> col("v"))).head()
+    assert(g2.getLong(2) === 2L && g2.getLong(3) === 2L)
+  }
 }
