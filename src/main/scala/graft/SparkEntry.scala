@@ -3047,6 +3047,45 @@ object SparkEntry {
             .as("n_collapsed"))
     }),
 
+    // Cross-group quantile matching: every priority class's price
+    // distribution mapped onto 1-URGENT's at the same exact min-rank
+    // percentile — the calibration table that makes per-source scores
+    // comparable; rank containment runs as the binned range equi-join
+    "q255_quantile_match" -> ((s, dir) => {
+      Profiling.quantileMatch(t(s, dir, "orders"), "o_orderpriority",
+        "o_totalprice", refGroup = "1-URGENT")
+    }),
+
+    // Watermarked stream-stream FULL OUTER interval join: matched
+    // purchase-click pairs plus watermark-proven unmatched rows from
+    // BOTH sides (left null-emission contract proven by q234; this adds
+    // the right side's window-shifted eviction)
+    "q256_stream_full_outer_join" -> ((s, dir) => {
+      s.catalog.dropTempView("q256_stream_out")
+      val ev = graft.streaming.Streams.eventStream(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val st = graft.streaming.Streams.fullOuterIntervalJoinStream(
+        purchases, clicks, "user_id", windowSeconds = 3600,
+        watermark = "600 seconds")
+        .select(col("purchase_id"), col("click_id"))
+      graft.streaming.Streams.runToMemory(s, st, "q256_stream_out",
+        outputMode = "append", statePartitions = Some(4))
+    }),
+
+    // Machine-cadence (bot) audit: per user, exact inter-event gap
+    // regularity — gaps, distinct gaps, and the modal gap's ppm share
+    // (a cron job reads ~1e6, a human reads low) — the pre-filter
+    // before any engagement metric trusts the traffic
+    "q257_cadence_audit" -> ((s, dir) => {
+      graft.ops.Sessions.cadenceAudit(t(s, dir, "events"), "user_id",
+        "ts", "event_id")
+    }),
+
     // RLE layout audit: exact value-run counts for event_type and
     // user_id under the event-time physical order (hour-blocked — no
     // global sort), with the distinct-value floor a value-clustered
@@ -4921,6 +4960,86 @@ object SparkEntry {
            CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
            CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
          FROM g1 FULL JOIN g0 USING (shard)""",
+    // Same min-rank ppm, same k = pct*(n_ref-1) div 1e6 containment
+    // (the oracle may inequality-join; the engine bins).
+    "q255_quantile_match" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+             CAST(o_totalprice AS DECIMAL(20,4)) AS v
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+         cw AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+         cum AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM cw),
+         ref AS (SELECT v AS r_v, cum - c AS r_lo, cum - 1 AS r_hi
+           FROM cum WHERE g = '1-URGENT'),
+         rn AS (SELECT max(n) AS n_ref FROM cum WHERE g = '1-URGENT'),
+         tgt AS (SELECT g, v, c,
+             CASE WHEN n = 1 THEN 0
+               ELSE ((cum - c) * 1000000) // (n - 1) END AS pct_ppm
+           FROM cum WHERE g <> '1-URGENT')
+         SELECT t.g AS o_orderpriority, CAST(t.v AS DOUBLE) AS value,
+           CAST(t.c AS BIGINT) AS n,
+           CAST(t.pct_ppm AS BIGINT) AS pct_ppm,
+           CAST(r.r_v AS DOUBLE) AS matched_value
+         FROM tgt t, rn, ref r
+         WHERE (t.pct_ppm * (n_ref - 1)) // 1000000
+           BETWEEN r.r_lo AND r.r_hi""",
+    // q234's watermark model plus the right side's window-shifted
+    // eviction (a click is final once wm passes ts + window).
+    "q256_stream_full_outer_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM p),
+             (SELECT max(ts) FROM c))
+             - INTERVAL 600 SECONDS AS w)
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM p JOIN c ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         UNION ALL
+         SELECT p.event_id, NULL
+         FROM p, wm
+         WHERE p.ts < wm.w AND NOT EXISTS (
+           SELECT 1 FROM c WHERE c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+         UNION ALL
+         SELECT NULL, c.event_id
+         FROM c, wm
+         WHERE c.ts + INTERVAL 1 HOUR < wm.w AND NOT EXISTS (
+           SELECT 1 FROM p WHERE p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)""",
+    // Same gap derivation; the modal tie (count, then larger gap) via
+    // the same lexicographic max.
+    "q257_cadence_audit" ->
+      """WITH e AS (
+           SELECT user_id AS u, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL),
+         g AS (SELECT u,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY u
+               ORDER BY ts, event_id)) AS gap
+           FROM e
+           QUALIFY gap IS NOT NULL),
+         bg AS (SELECT u, gap, count(*) AS cnt FROM g GROUP BY 1, 2),
+         top AS (SELECT u, gap, cnt FROM bg
+           QUALIFY row_number() OVER (PARTITION BY u
+             ORDER BY cnt DESC, gap DESC) = 1),
+         agg AS (SELECT u, sum(cnt) AS n_gaps,
+             count(*) AS n_distinct_gaps
+           FROM bg GROUP BY 1)
+         SELECT agg.u AS user_id,
+           CAST(n_gaps + 1 AS BIGINT) AS n_events,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(n_distinct_gaps AS BIGINT) AS n_distinct_gaps,
+           CAST(top.gap AS BIGINT) AS modal_gap_us,
+           CAST(top.cnt * 1000000 // n_gaps AS BIGINT)
+             AS modal_share_ppm
+         FROM agg JOIN top ON top.u = agg.u""",
     // One global lag window replays the blocked runs exactly (the
     // oracle may single-sort; the engine must not).
     "q253_rle_audit" ->

@@ -1780,4 +1780,64 @@ object Profiling {
       .withColumn("gap_u",
         expr("abs(n_pos * 1000000 - sum_score_u) div n"))
   }
+
+  /** Cross-group quantile matching (distribution alignment): map every
+    * distinct value of each non-reference group onto the REFERENCE
+    * group's value at the same percentile — the calibration table that
+    * makes per-source scores comparable before a global threshold
+    * (quantile normalization). Rank conventions are [[quantileTransform]]'s
+    * exact min-rank ppm; the reference lookup is rank containment
+    * (target rank k = pct·(n_ref−1) div 1e6 falls in exactly one ref
+    * value's [min-rank, max-rank] interval), executed as the binned
+    * range equi-join ([[RangeJoin.pointInInterval]]) — never a
+    * nested-loop BETWEEN.
+    *
+    * Output one row per (group, distinct value): its count, exact
+    * percentile ppm, and the matched reference value. All rank
+    * arithmetic exact longs; values carried as DECIMAL(20,4). */
+  def quantileMatch(df: DataFrame, groupCol: String, valueCol: String,
+      refGroup: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(col("g"))
+    val cum = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("decimal(20,4)").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byG.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byG))
+      .truncateLineage(eager = false)
+    val ref = cum.where(col("g") === refGroup)
+      .select(col("v").as("r_v"), (col("cum") - col("c")).as("r_lo"),
+        (col("cum") - 1).as("r_hi"))
+    val nRefRow = cum.where(col("g") === refGroup)
+      .agg(max(col("n"))).collect()
+    require(nRefRow.nonEmpty && !nRefRow.head.isNullAt(0),
+      s"reference group $refGroup has no rows")
+    val nRef = nRefRow.head.getLong(0)
+    val tgt = cum.where(col("g") =!= refGroup)
+      .select(col("g"), col("v"), col("c"),
+        when(col("n") === 1, lit(0L)).otherwise(
+          expr("((cum - c) * 1000000L) div (n - 1)")).as("pct_ppm"))
+      .withColumn("k", expr(s"(pct_ppm * (${nRef}L - 1)) div 1000000"))
+      .withColumn("pid", concat(col("g"), lit("\u0000"), col("v")))
+    // bin width ~ 4x the mean ref-interval length (interval length =
+    // value's duplicate count, usually 1): keeps interval fan-out ~1
+    // bin while bounding same-bin candidates to a handful per point —
+    // nRef/constant would put hundreds of singleton intervals per bin
+    // at high-cardinality refs (measured 5.7x wall at 10x rows)
+    val nRefVals = ref.count()
+    val matched = RangeJoin.pointInInterval(
+      tgt.select(col("pid"), col("k")), "pid", "k",
+      ref.withColumn("iid", col("r_v")), "iid", "r_lo", "r_hi",
+      binWidth = math.max(1L, 4L * nRef / math.max(1L, nRefVals)))
+      .select(col("point_id").as("pid"),
+        col("interval_id").cast("decimal(20,4)").as("matched_value"))
+    // DECIMAL internally for exact grouping; DOUBLE at the output
+    // boundary (the library-wide decimal-then-double contract)
+    tgt.join(matched, Seq("pid"))
+      .select(col("g").as(groupCol),
+        col("v").cast("double").as("value"),
+        col("c").as("n"), col("pct_ppm"),
+        col("matched_value").cast("double").as("matched_value"))
+  }
 }

@@ -1028,6 +1028,38 @@ object Sessions {
     * per-block suffix offsets, the q224 pattern) — no single-partition
     * window anywhere, so the tail stays parallel even if the period
     * domain is large. */
+  /** Machine-cadence (bot) audit: per key, how REGULAR the inter-event
+    * gaps are — a human's gaps are all over the place, a cron job's are
+    * one value. Reports exact integers only: events, gaps, distinct
+    * gaps, and the modal gap's share of all gaps in ppm (ties on the
+    * modal count break to the LARGER gap, pinned for engine parity).
+    * Thresholding (e.g. flag share > 50%) is the reader's policy call.
+    *
+    * One shuffle keyed by user (window lag), one (user, gap) count, one
+    * user rollup — parallelism scales with keys. */
+  def cadenceAudit(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ts").asc, col("tie").asc)
+    val gaps = events.select(col(keyCol).as("u"),
+        col(tsCol).as("ts"), col(tieCol).as("tie"))
+      .where(col("u").isNotNull && col("ts").isNotNull &&
+        col("tie").isNotNull)
+      .withColumn("gap",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .where(col("gap").isNotNull)
+    val byGap = gaps.groupBy(col("u"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    byGap.groupBy(col("u"))
+      .agg(sum(col("cnt")).as("n_gaps"),
+        count(lit(1)).as("n_distinct_gaps"),
+        max(struct(col("cnt"), col("gap"))).as("m"))
+      .select(col("u").as(keyCol), (col("n_gaps") + 1).as("n_events"),
+        col("n_gaps"), col("n_distinct_gaps"),
+        col("m.gap").as("modal_gap_us"),
+        expr("m.cnt * 1000000 div n_gaps").as("modal_share_ppm"))
+  }
+
   def lifeTable(df: DataFrame, keyCol: String,
       period: Column): DataFrame = {
     val spans = df.select(col(keyCol).as("u"),

@@ -639,6 +639,28 @@ object Streams {
       "left_outer")
   }
 
+  /** Watermarked stream-stream FULL OUTER interval join — completes the
+    * interval-join family (inner q73, left-outer q234): matched pairs
+    * emit on arrival; an UNMATCHED left row emits (l, null) and an
+    * unmatched right row emits (null, r) only once the watermark proves
+    * no future partner can arrive (the engine holds both sides' state
+    * until then). Same join condition as the left-outer variant, so the
+    * batch oracle replays it as a full outer join with the identical
+    * interval predicate. State on both sides is bounded by
+    * watermark + window, never history-sized. */
+  def fullOuterIntervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, windowSeconds: Long,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(
+          s"INTERVAL $windowSeconds SECONDS") &&
+        col("r.ts") <= col("l.ts"),
+      "full_outer")
+  }
+
   /** Stream-static enrichment: every micro-batch left-joins a STATIC
     * dimension (feature/profile lookup — the standard streaming enrich).
     * The dimension is explicitly broadcast, so each micro-batch is a

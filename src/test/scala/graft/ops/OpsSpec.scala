@@ -2765,6 +2765,41 @@ class OpsSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("quantileMatch: hand-built distributions — min-rank ppm, exact " +
+      "rank containment into the reference, duplicates weighted") {
+    import spark.implicits._
+    // ref R: 10,20,30,40 (ranks 0..3); target A: 5,5,7 (n=3)
+    // v=5: min-rank 0 -> pct 0 -> k=0 -> matched 10
+    // v=7: min-rank 2 -> pct 1e6 -> k=3 -> matched 40
+    val df = (Seq(("R", 10.0), ("R", 20.0), ("R", 30.0), ("R", 40.0)) ++
+      Seq(("A", 5.0), ("A", 5.0), ("A", 7.0))).toDF("g", "x")
+    val got = Profiling.quantileMatch(df, "g", "x", refGroup = "R")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("A", 5.0)) === ((2L, 0L, 10.0)))
+    assert(got(("A", 7.0)) === ((1L, 1000000L, 40.0)))
+  }
+
+  test("cadenceAudit: modal gap share exact, count ties break to the " +
+      "larger gap, single-event users excluded") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // u1 gaps: 10,10,20 -> modal 10s (2/3); u2 gaps: 10,20 -> tie,
+    // modal = 20s (1/2); u3 single event -> no row
+    val df = Seq(
+      ("u1", t(0), 1L), ("u1", t(10), 2L), ("u1", t(20), 3L),
+      ("u1", t(40), 4L),
+      ("u2", t(0), 5L), ("u2", t(10), 6L), ("u2", t(30), 7L),
+      ("u3", t(0), 8L)).toDF("u", "ts", "id")
+    val got = graft.ops.Sessions.cadenceAudit(df, "u", "ts", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got === Map(
+      "u1" -> (4L, 3L, 2L, 10000000L, 666666L),
+      "u2" -> (3L, 2L, 2L, 20000000L, 500000L)))
+  }
+
   test("lifeTable: hand-built cohort — censoring at the frontier, " +
       "descending-cumulative n_risk, exact ppm hazard") {
     import spark.implicits._

@@ -602,6 +602,52 @@ class StreamsSpec extends SparkSuite {
       (2L, ts(100).toString, None)))
   }
 
+  test("fullOuterIntervalJoinStream: matched rows pair, BOTH sides' " +
+      "watermark-expired unmatched rows emit null-padded, the right " +
+      "side waits out its shifted window") {
+    import spark.implicits._
+    val inL = tmp("foij_left")
+    val inR = tmp("foij_right")
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", TimestampType)))
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        .toInstant.plusSeconds(sec))
+    def stage(dir: String, rows: Seq[(Long, Int)]): Unit = {
+      val sdir = tmp("foij_stage")
+      rows.map { case (k, sec) => (k, ts(sec)) }.toDF("key", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(sdir)
+      val src = new java.io.File(sdir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(dir, src.getName).toPath)
+    }
+    // left: k=1 matched, k=2 unmatched-and-old; right: k=1's partner,
+    // k=4 unmatched-and-old (its l.ts window [ts, ts+60] fully below
+    // the watermark), k=9 far-future advancing the watermark on both
+    stage(inL, Seq((1L, 100), (2L, 100), (9L, 1000)))
+    stage(inR, Seq((1L, 90), (4L, 100), (9L, 1000)))
+    val l = spark.readStream.schema(schema).parquet(inL)
+    val r = spark.readStream.schema(schema).parquet(inR)
+    val joined = Streams.fullOuterIntervalJoinStream(l, r, "key",
+        windowSeconds = 60, watermark = "30 seconds")
+      .select(col("l.key").as("lk"), col("r.key").as("rk"))
+    val got = Streams.runToMemory(spark, joined, "foij_out",
+        outputMode = "append")
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toSet
+    // wm = 10:16:10. (1,1) matched; left 2 expired -> (2, null);
+    // right 4 expired (ts+60 = 10:02:40 < wm) -> (null, 4); the 9s
+    // match each other (same ts, window inclusive)
+    assert(got.contains((Some(1L), Some(1L))))
+    assert(got.contains((Some(2L), None)))
+    assert(got.contains((None, Some(4L))))
+    assert(got.contains((Some(9L), Some(9L))))
+    assert(got.size === 4)
+  }
+
   test("cmsMaintainStream: per-batch cell deltas sum-merge to exactly " +
     "the batch sketch; batch_id tags every delta row") {
     import spark.implicits._
