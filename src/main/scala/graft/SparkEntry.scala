@@ -3047,6 +3047,55 @@ object SparkEntry {
             .as("n_collapsed"))
     }),
 
+    // Streaming HLL register maintenance: two micro-batches append
+    // their per-group register tables; the registerwise-max merge over
+    // the log must equal the batch single-pass sketch (idempotent under
+    // at-least-once replay) — the oracle replays q235's registers
+    "q258_stream_hll" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      val root = scratchDir("q258_hll", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, regs, chk) = (s"$root/in", s"$root/regs", s"$root/chk")
+      Seq(in, regs, chk).foreach(p => rmr(new java.io.File(p)))
+      val vals = ev.select(col("event_type"), col("user_id"))
+      vals.where(pmod(col("user_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      vals.where(pmod(col("user_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val st = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.hllMaintainStream(st, "event_type",
+        "user_id", regs, chk).awaitTermination()
+      val merged = Sketches.hllMergeRegisters(
+        s.read.parquet(regs).select(col("g"), col("bucket"),
+          col("m_j")))
+      val exact = ev.groupBy(col("event_type").as("g"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      Sketches.hllEstimate(merged).join(exact, Seq("g"))
+        .select(col("g").as("event_type"), col("n_used"),
+          col("s_total"), col("hll_est"), col("n_exact"))
+    }),
+
+    // Missingness co-occurrence matrix: per column pair of events, the
+    // exact NULL-pattern contingency (n, each present, both present,
+    // neither) from ONE aggregate row — columns that vanish together
+    // mark a structural upstream cause
+    "q259_missingness" -> ((s, dir) => {
+      Profiling.missingnessMatrix(t(s, dir, "events"),
+        Seq("user_id", "event_type", "value", "props"))
+    }),
+
     // Cross-group quantile matching: every priority class's price
     // distribution mapped onto 1-URGENT's at the same exact min-rank
     // percentile — the calibration table that makes per-source scores
@@ -4960,6 +5009,66 @@ object SparkEntry {
            CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
            CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
          FROM g1 FULL JOIN g0 USING (shard)""",
+    // q235's register pipeline over the full corpus — max-merge of the
+    // streamed log must land on the identical registers.
+    "q258_stream_hll" ->
+      """WITH b AS (
+           SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         h AS (SELECT g,
+             CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+           FROM b),
+         r AS (SELECT g, h // 18014398509481984 AS bucket,
+             h % 18014398509481984 AS r
+           FROM h),
+         rho AS (SELECT g, bucket,
+             55 - CASE WHEN r = 0 THEN 0
+               ELSE length(printf('%b', r)) END AS rho
+           FROM r),
+         regs AS (SELECT g, bucket, max(rho) AS m_j
+           FROM rho GROUP BY 1, 2),
+         sk AS (SELECT g, count(*) AS n_used,
+             sum(CAST(1 AS BIGINT) << CAST(55 - m_j AS INT)) AS s_used
+           FROM regs GROUP BY 1),
+         ex AS (SELECT g, count(DISTINCT v) AS n_exact FROM b GROUP BY 1)
+         SELECT sk.g AS event_type, CAST(n_used AS BIGINT) AS n_used,
+           CAST(s_used + (64 - n_used) * 36028797018963968 AS BIGINT)
+             AS s_total,
+           CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 /
+             CAST(s_used + (64 - n_used) * 36028797018963968 AS BIGINT)
+             AS hll_est,
+           CAST(n_exact AS BIGINT) AS n_exact
+         FROM sk JOIN ex ON ex.g = sk.g""",
+    // Same one-row conditional sums, melted to the six pairs.
+    "q259_missingness" ->
+      """WITH f AS (
+           SELECT CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END AS pu,
+             CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END AS pe,
+             CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS pv,
+             CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END AS pp
+           FROM events),
+         s AS (SELECT count(*) AS n, sum(pu) AS au, sum(pe) AS ae,
+             sum(pv) AS av, sum(pp) AS ap,
+             sum(pu * pe) AS bue, sum(pu * pv) AS buv,
+             sum(pu * pp) AS bup, sum(pe * pv) AS bev,
+             sum(pe * pp) AS bep, sum(pv * pp) AS bvp
+           FROM f),
+         m AS (
+           SELECT 'user_id' AS col_a, 'event_type' AS col_b, n,
+             au AS n_a, ae AS n_b, bue AS n_both FROM s
+           UNION ALL SELECT 'user_id', 'value', n, au, av, buv FROM s
+           UNION ALL SELECT 'user_id', 'props', n, au, ap, bup FROM s
+           UNION ALL SELECT 'event_type', 'value', n, ae, av, bev
+             FROM s
+           UNION ALL SELECT 'event_type', 'props', n, ae, ap, bep
+             FROM s
+           UNION ALL SELECT 'value', 'props', n, av, ap, bvp FROM s)
+         SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n - n_a - n_b + n_both AS BIGINT) AS n_neither
+         FROM m""",
     // Same min-rank ppm, same k = pct*(n_ref-1) div 1e6 containment
     // (the oracle may inequality-join; the engine bins).
     "q255_quantile_match" ->

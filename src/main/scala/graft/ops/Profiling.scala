@@ -1781,6 +1781,41 @@ object Profiling {
         expr("abs(n_pos * 1000000 - sum_score_u) div n"))
   }
 
+  /** Missingness co-occurrence matrix: for every column pair, the exact
+    * contingency of NULL patterns — n rows, each column present, both
+    * present (absent cells derivable: n − n_a − n_b + n_both). Columns
+    * that go null TOGETHER signal a structural upstream cause (a failed
+    * join stage, a consent flag) rather than independent noise — the
+    * first question a missing-data audit asks, and chi/phi is one
+    * reader-side formula from these counts.
+    *
+    * ONE pass, one aggregate row (a conditional-sum column per column
+    * and per pair), melted to pair rows with stack — no per-pair scans,
+    * no row multiplication. */
+  def missingnessMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val flags = df.select(cols.zipWithIndex.map { case (c, i) =>
+      col(c).isNotNull.cast("long").as(s"__p$i")
+    }: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.indices.map(i => sum(col(s"__p$i")).as(s"__a$i")) ++
+      pairs.map { case (i, j) =>
+        sum(col(s"__p$i") * col(s"__p$j")).as(s"__b${i}_$j")
+      }
+    val row = flags.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"'${cols(i).replace("'", "''")}', " +
+        s"'${cols(j).replace("'", "''")}', __n, __a$i, __a$j, __b${i}_$j"
+    }.mkString(", ")
+    row.select(expr(s"stack(${pairs.size}, $stackArgs) " +
+        "AS (col_a, col_b, n, n_a, n_b, n_both)"))
+      .withColumn("n_neither",
+        col("n") - col("n_a") - col("n_b") + col("n_both"))
+  }
+
   /** Cross-group quantile matching (distribution alignment): map every
     * distinct value of each non-reference group onto the REFERENCE
     * group's value at the same percentile — the calibration table that

@@ -782,6 +782,33 @@ object Streams {
     * twice, which only OVER-counts — still a valid CMS upper bound
     * (the estimate's one-sided guarantee survives retries; exactly-once
     * consumers key the log by batch_id and keep the max). */
+  /** Continuous HLL register maintenance — the HLL sibling of
+    * [[cmsMaintainStream]]: each micro-batch appends its per-group
+    * register table ([[graft.ops.Sketches.hllRegisters]], ≤ 64 rows per
+    * group per batch); the corpus sketch at any moment is the
+    * registerwise MAX over the log, and because max is idempotent an
+    * at-least-once replayed batch changes NOTHING (strictly stronger
+    * than the CMS log's over-count-only guarantee). Readers estimate
+    * from the merged registers without touching stream history. */
+  def hllMaintainStream(stream: DataFrame, groupCol: String,
+      valueCol: String, regsPath: String, checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val base = batch.toDF()
+            .select(col(groupCol).as("g"),
+              col(valueCol).cast("string").as("v"))
+            .where(col("g").isNotNull && col("v").isNotNull)
+          graft.ops.Sketches.hllRegisters(base)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(regsPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
   def cmsMaintainStream(stream: DataFrame, valueCol: String,
       cellsPath: String, checkpointPath: String, d: Int = 4,
       w: Int = 256,

@@ -2765,6 +2765,25 @@ class OpsSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("missingnessMatrix: hand-built null patterns — exact pair " +
+      "contingencies, derived n_neither, one row per ordered pair") {
+    import spark.implicits._
+    // rows: (a,b) = (1,1), (1,null), (null,null), (null,2)
+    val df = Seq(
+      (Some(1), Some(1), Some("x")),
+      (Some(1), None, None),
+      (None, None, Some("y")),
+      (None, Some(2), None)).toDF("a", "b", "c")
+    val got = Profiling.missingnessMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got.size === 3)
+    assert(got(("a", "b")) === ((4L, 2L, 2L, 1L, 1L)))
+    assert(got(("a", "c")) === ((4L, 2L, 2L, 1L, 1L)))
+    assert(got(("b", "c")) === ((4L, 2L, 2L, 1L, 1L)))
+  }
+
   test("quantileMatch: hand-built distributions — min-rank ppm, exact " +
       "rank containment into the reference, duplicates weighted") {
     import spark.implicits._

@@ -648,6 +648,42 @@ class StreamsSpec extends SparkSuite {
     assert(got.size === 4)
   }
 
+  test("hllMaintainStream: streamed register log max-merges to the " +
+    "batch registers; replaying a batch changes nothing (idempotent)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = tmp("hll_in"); val regs = tmp("hll_regs")
+    val chk = tmp("hll_chk")
+    val all = (1 to 500).map(i => ("g1", s"u${i % 211}"))
+    all.take(250).toDF("g", "v").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    all.drop(250).toDF("g", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val st = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.Streams.hllMaintainStream(st, "g", "v", regs, chk)
+      .awaitTermination()
+    val log = spark.read.parquet(regs)
+    assert(log.select("batch_id").distinct().count() === 2L)
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g", "bucket").agg(max("m_j").as("m_j"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          r.getInt(2)).toMap
+    val merged = regMap(log.select("g", "bucket", "m_j"))
+    val direct = regMap(graft.ops.Sketches.hllRegisters(
+      all.toDF("g", "v")))
+    assert(merged === direct)
+    // idempotence: re-appending batch 0's registers moves no register
+    val replayed = regMap(log.select("g", "bucket", "m_j").unionByName(
+      log.where(col("batch_id") === 0).select("g", "bucket", "m_j")))
+    assert(replayed === direct)
+  }
+
   test("cmsMaintainStream: per-batch cell deltas sum-merge to exactly " +
     "the batch sketch; batch_id tags every delta row") {
     import spark.implicits._
