@@ -3047,6 +3047,37 @@ object SparkEntry {
             .as("n_collapsed"))
     }),
 
+    // Embedding-corpus health gate: every vector classified into
+    // exactly one state (null/wrong-dims/nonfinite/zero/ok) with exact
+    // integer norm-squared extremes for the ok mass — the hygiene table
+    // read before any ANN pipeline trusts the column
+    "q260_embedding_health" -> ((s, dir) => {
+      Similarity.embeddingHealthReport(t(s, dir, "embeddings"),
+        "vec_id", "embedding", expectedDims = 64)
+    }),
+
+    // Split balance audit: the q36 deterministic 80/10/10 split crossed
+    // with labels — observed vs expected cell mass and the exact-ppm
+    // deviation (the "did the hash split skew a class" check)
+    "q261_split_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id").isNotNull && col("label").isNotNull)
+      val cell = Splits.assignSplit(e, "vec_id")
+        .groupBy(col("split"), col("label"))
+        .agg(count(lit(1)).as("n_cell"))
+      val bySplit = cell.groupBy(col("split"))
+        .agg(sum(col("n_cell")).as("n_split"))
+      val byLabel = cell.groupBy(col("label"))
+        .agg(sum(col("n_cell")).as("n_label"))
+      val total = cell.agg(sum(col("n_cell")).as("n_total"))
+      cell.join(bySplit, Seq("split")).join(byLabel, Seq("label"))
+        .crossJoin(broadcast(total))
+        .select(col("split"), col("label"), col("n_cell"),
+          col("n_split"), col("n_label"), col("n_total"),
+          expr("""abs(n_cell * n_total - n_split * n_label) * 1000000
+            div (n_split * n_label)""").as("dev_ppm"))
+    }),
+
     // Streaming HLL register maintenance: two micro-batches append
     // their per-group register tables; the registerwise-max merge over
     // the log must equal the batch single-pass sketch (idempotent under
@@ -5009,6 +5040,65 @@ object SparkEntry {
            CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
            CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
          FROM g1 FULL JOIN g0 USING (shard)""",
+    // Same quantization, same state precedence, same exact norms.
+    "q260_embedding_health" ->
+      """WITH b AS (
+           SELECT embedding AS e,
+             list_transform(embedding, x ->
+               CASE WHEN isnan(CAST(x AS DOUBLE))
+                   OR isinf(CAST(x AS DOUBLE)) THEN 0
+                 ELSE CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                 END) AS qv
+           FROM embeddings),
+         c AS (SELECT
+             CASE WHEN e IS NULL THEN 'null_vector'
+               WHEN len(e) <> 64 THEN 'wrong_dims'
+               WHEN len(list_filter(e, x -> isnan(CAST(x AS DOUBLE))
+                 OR isinf(CAST(x AS DOUBLE)))) > 0 THEN 'nonfinite'
+               WHEN len(list_filter(qv, x -> x <> 0)) = 0
+                 THEN 'zero_vector'
+               ELSE 'ok' END AS state,
+             CASE WHEN e IS NOT NULL AND len(e) = 64
+                 AND len(list_filter(e, x -> isnan(CAST(x AS DOUBLE))
+                   OR isinf(CAST(x AS DOUBLE)))) = 0
+                 AND len(list_filter(qv, x -> x <> 0)) > 0
+               THEN list_sum(list_transform(qv, x -> x * x)) END AS n2
+           FROM b)
+         SELECT state, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(n2) AS BIGINT) AS min_norm2,
+           CAST(max(n2) AS BIGINT) AS max_norm2,
+           CAST(sum(n2) AS BIGINT) AS sum_norm2
+         FROM c GROUP BY 1""",
+    // Same md5-bucket split (salt 'graft', 10000 buckets, 8000/9000
+    // cuts), same exact cross-multiplied deviation.
+    "q261_split_balance" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             CAST(('0x' || substr(md5('graft:' ||
+               CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+               AS b
+           FROM embeddings
+           WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+         sp AS (SELECT label,
+             CASE WHEN b < 8000 THEN 'train'
+               WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+           FROM e),
+         cell AS (SELECT split, label, count(*) AS n_cell
+           FROM sp GROUP BY 1, 2),
+         bs AS (SELECT split, sum(n_cell) AS n_split
+           FROM cell GROUP BY 1),
+         bl AS (SELECT label, sum(n_cell) AS n_label
+           FROM cell GROUP BY 1),
+         t AS (SELECT sum(n_cell) AS n_total FROM cell)
+         SELECT cell.split, cell.label,
+           CAST(n_cell AS BIGINT) AS n_cell,
+           CAST(n_split AS BIGINT) AS n_split,
+           CAST(n_label AS BIGINT) AS n_label,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(abs(n_cell * n_total - n_split * n_label) * 1000000 //
+             (n_split * n_label) AS BIGINT) AS dev_ppm
+         FROM cell JOIN bs ON bs.split = cell.split
+           JOIN bl ON bl.label = cell.label, t""",
     // q235's register pipeline over the full corpus — max-merge of the
     // streamed log must land on the identical registers.
     "q258_stream_hll" ->

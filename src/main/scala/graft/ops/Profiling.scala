@@ -1846,8 +1846,13 @@ object Profiling {
         (col("cum") - 1).as("r_hi"))
     val nRefRow = cum.where(col("g") === refGroup)
       .agg(max(col("n"))).collect()
-    require(nRefRow.nonEmpty && !nRefRow.head.isNullAt(0),
-      s"reference group $refGroup has no rows")
+    if (nRefRow.isEmpty || nRefRow.head.isNullAt(0)) {
+      // empty input / missing reference: an empty mapping, not an
+      // error (the every-query-completes-on-empty-tables contract)
+      return cum.limit(0).select(col("g").as(groupCol),
+        lit(0.0).as("value"), lit(0L).as("n"), lit(0L).as("pct_ppm"),
+        lit(0.0).as("matched_value"))
+    }
     val nRef = nRefRow.head.getLong(0)
     val tgt = cum.where(col("g") =!= refGroup)
       .select(col("g"), col("v"), col("c"),

@@ -805,6 +805,47 @@ object Similarity {
       col("rel_dot"), col("max_sim"), col("mmr_score"))
   }
 
+  /** Embedding-corpus health report — the hygiene gate before any ANN /
+    * similarity work trusts a vector column: every row is classified
+    * into exactly one state (null_vector / wrong_dims / nonfinite /
+    * zero_vector / ok) and the ok rows carry exact integer norm²
+    * extremes and totals (quantScale² units), so "norms collapsed after
+    * that re-embed" is a table read, not a guess. One scan, one
+    * state-keyed aggregation; NaN/±Inf detection runs on the raw floats
+    * BEFORE quantization would destroy the evidence. */
+  def embeddingHealthReport(df: DataFrame, idCol: String, vecCol: String,
+      expectedDims: Int, quantScale: Int = 10000): DataFrame = {
+    require(expectedDims >= 1, s"bad expectedDims $expectedDims")
+    // non-finite elements quantize to 0 INSIDE the lambda (ANSI round/
+    // cast of NaN would throw before the state column could classify
+    // the row) — such rows are labeled nonfinite before qv is read
+    val staged = df.select(col(idCol).as("id"), col(vecCol).as("e"))
+      .withColumn("qv", transform(col("e"), x => {
+        val xd = x.cast("double")
+        when(isnan(xd) || xd === lit(Double.PositiveInfinity) ||
+          xd === lit(Double.NegativeInfinity), lit(0L))
+          .otherwise(round(xd * quantScale).cast("long"))
+      }))
+    val xd = (x: Column) => x.cast("double")
+    val nonfinite = exists(col("e"), x => isnan(xd(x)) ||
+      xd(x) === lit(Double.PositiveInfinity) ||
+      xd(x) === lit(Double.NegativeInfinity))
+    val state = when(col("e").isNull, lit("null_vector"))
+      .when(size(col("e")) =!= expectedDims, lit("wrong_dims"))
+      .when(nonfinite, lit("nonfinite"))
+      .when(size(filter(col("qv"), x => x =!= 0L)) === 0,
+        lit("zero_vector"))
+      .otherwise(lit("ok"))
+    val norm2 = expr(
+      "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    staged.select(state.as("state"),
+        when(state === "ok", norm2).as("n2"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n"), min(col("n2")).as("min_norm2"),
+        max(col("n2")).as("max_norm2"),
+        sum(col("n2")).as("sum_norm2"))
+  }
+
   /** Product-quantization assignment + reconstruction-error report
     * (Jégou et al. 2011): the quantized vector is split into `nSub`
     * contiguous subspaces; each subspace has its own codebook — here
@@ -837,7 +878,12 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .sortBy(_._1).toSeq
-    require(codebook.nonEmpty, s"no seed rows found among $seedIds")
+    if (codebook.isEmpty) {
+      // empty/seedless input: an empty report, not an error (the
+      // every-query-completes-on-empty-tables contract)
+      return q.limit(0).select(lit(0).as("subspace"),
+        lit(0L).as("code"), lit(0L).as("n_assigned"), lit(0L).as("sse"))
+    }
     // ‖x−c‖² = Σx² − 2·x·c + ‖c‖²: Σx² is shared across the codebook
     // and ‖c‖² is a literal, so the per-row work is one Σx² plus one
     // dot per (subspace, code) — each bound as a NAMED column in its

@@ -74,7 +74,9 @@ class PlanLintSpec extends SparkSuite {
     "q246_zonemap_report", // 3-row literal predicate frame on the
                            // O(buckets) zone table
     "q251_word_subsample", // one-row corpus-total frame
-    "q252_bloom_fpr"       // one-row member/bit/probe stat frames
+    "q252_bloom_fpr",      // one-row member/bit/probe stat frames
+    "q253_rle_audit",      // one-row totals x one-row distincts stitch
+    "q261_split_balance"   // one-row grand-total frame
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -2765,6 +2765,34 @@ class OpsSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("embeddingHealthReport: each designed pathology lands in its " +
+      "state, ok norms exact, nonfinite rows don't crash ANSI " +
+      "quantization") {
+    import spark.implicits._
+    val ok1 = Seq(1.0f, 0.0f)           // norm2 = 1e8
+    val ok2 = Seq(0.0f, 2.0f)           // norm2 = 4e8
+    val zero = Seq(0.0f, 0.0f)
+    val short = Seq(1.0f)
+    val nan = Seq(Float.NaN, 1.0f)
+    val inf = Seq(Float.PositiveInfinity, 1.0f)
+    val df = Seq((1L, Some(ok1)), (2L, Some(ok2)), (3L, Some(zero)),
+      (4L, Some(short)), (5L, Some(nan)), (6L, Some(inf)),
+      (7L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingHealthReport(df, "vec_id",
+        "embedding", expectedDims = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got("ok") === ((2L, 100000000L, 400000000L, 500000000L)))
+    assert(got("zero_vector")._1 === 1L)
+    assert(got("wrong_dims")._1 === 1L)
+    assert(got("nonfinite")._1 === 2L)
+    assert(got("null_vector")._1 === 1L)
+  }
+
   test("missingnessMatrix: hand-built null patterns — exact pair " +
       "contingencies, derived n_neither, one row per ordered pair") {
     import spark.implicits._
