@@ -3047,6 +3047,23 @@ object SparkEntry {
             .as("n_collapsed"))
     }),
 
+    // DAU/WAU stickiness: exact trailing-24h and trailing-168h distinct
+    // users at every observed hour (two passes of the exact
+    // sliding-distinct kernel — no per-hour rescans) and their exact
+    // ppm ratio, the engagement metric product teams track daily
+    "q262_stickiness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
+          windowHours = 24)
+        .select(col("hour"), col("rolling_users").as("dau24"))
+      val week = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
+          windowHours = 168)
+        .select(col("hour"), col("rolling_users").as("wau168"))
+      day.join(week, Seq("hour"))
+        .select(col("hour"), col("dau24"), col("wau168"),
+          expr("dau24 * 1000000 div wau168").as("stickiness_ppm"))
+    }),
+
     // Embedding-corpus health gate: every vector classified into
     // exactly one state (null/wrong-dims/nonfinite/zero/ok) with exact
     // integer norm-squared extremes for the ok mass — the hygiene table
@@ -5040,6 +5057,26 @@ object SparkEntry {
            CAST(coalesce(n_keys_after, 0) AS BIGINT) AS n_keys_after,
            CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
          FROM g1 FULL JOIN g0 USING (shard)""",
+    // The oracle may re-count each window directly (it is small); the
+    // engine must not — its plan is the island/delta prefix sweep.
+    "q262_stickiness" ->
+      """WITH uh AS (
+           SELECT DISTINCT user_id AS u,
+             epoch_us(ts) // 3600000000 AS h
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         hrs AS (SELECT DISTINCT h FROM uh),
+         d AS (SELECT hrs.h, count(DISTINCT u.u) AS dau24
+           FROM hrs JOIN uh u ON u.h BETWEEN hrs.h - 23 AND hrs.h
+           GROUP BY 1),
+         w AS (SELECT hrs.h, count(DISTINCT u.u) AS wau168
+           FROM hrs JOIN uh u ON u.h BETWEEN hrs.h - 167 AND hrs.h
+           GROUP BY 1)
+         SELECT CAST(d.h AS BIGINT) AS hour,
+           CAST(dau24 AS BIGINT) AS dau24,
+           CAST(wau168 AS BIGINT) AS wau168,
+           CAST(dau24 * 1000000 // wau168 AS BIGINT) AS stickiness_ppm
+         FROM d JOIN w ON w.h = d.h""",
     // Same quantization, same state precedence, same exact norms.
     "q260_embedding_health" ->
       """WITH b AS (
