@@ -36,6 +36,17 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       .config("spark.ui.enabled", "false")
+      // JVM-pressure fix at source (r11 directive #1): even with the UI
+      // disabled, the app-status stores retain per-execution SQL plan
+      // graphs (default 1000 executions) and per-job/stage/task rows in
+      // driver heap. 262 queries x compiled-FHIR-schema plan strings is
+      // gigabytes of dead-but-referenced state — the measured 2.3->30 GB
+      // heap climb that made q97 a phantom regression. Bound them hard:
+      // the bench only needs the telemetry it collects itself.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warmup (not timed): shuffle machinery, each table's parquet footer,
@@ -101,7 +112,21 @@ object Bench {
         .filterNot { case (id, _) => before.contains(id) }
       val blocks = created.size
       created.values.foreach(_.unpersist(blocking = false))
-      telemetry.put(name, (heapMb(), gcMillis() - gc0, blocks))
+      // gc_ms telemetry = pauses DURING the query; snapshot before the
+      // deliberate settle GC below so hygiene cost never reads as query GC.
+      val gcDuringQuery = gcMillis() - gc0
+      // Heap hygiene BETWEEN queries (r11 directive #1, outside the timed
+      // window): drop any frames the query left in the session cache, then
+      // force a full GC so (a) broadcast variables and checkpoint blocks
+      // released above are actually reclaimed by the ContextCleaner (it
+      // only acts on weak-ref enqueue, i.e. after a GC) and (b) the heap
+      // telemetry reads the LIVE set, not accumulated garbage — the
+      // 2.3->30 GB climb that made q97 a 10x phantom. One settle pass per
+      // query costs ~100 ms of untimed wall, nothing of the measurement.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+      try Thread.sleep(50) catch { case _: InterruptedException => () }
+      telemetry.put(name, (heapMb(), gcDuringQuery, blocks))
       if (ok) sec else -1.0
     }
     // Optional local-iteration filter (NOT set by the driver): comma list

@@ -727,7 +727,7 @@ object Profiling {
       pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one (det, dep) pair")
     def s(c: String) =
-      coalesce(col(c).cast("string"), lit(" null"))
+      coalesce(col(c).cast("string"), lit("\u0000null"))
     val packed = df.select(explode(array(pairs.map { case (a, b) =>
       struct(lit(a).as("det"), lit(b).as("dep"),
         s(a).as("av"), s(b).as("bv"))

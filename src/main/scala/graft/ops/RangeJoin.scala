@@ -105,12 +105,20 @@ object RangeJoin {
     * the TRUE pair set is unaffected by w entirely (exact residual
     * filter).
     *
-    * Cost: ONE two-row aggregation job (both sides unioned, grouped by
-    * side; count/min/max/mean-length per side), collected to the driver
-    * — a planning statistic, same class as AQE's runtime stats, not a
-    * data-scale collect. Result is deterministic for a given input.
-    * Returns a width in [1, span], or `fallback` when either side is
-    * empty. */
+    * Cost (r11 directive #2): two BOUNDED CollectLimit probes — each
+    * side contributes at most [[RangeJoin.PlanSampleRows]] rows
+    * (CollectLimit executes scan partitions incrementally until the cap
+    * fills, so the probe touches O(cap) rows for ANY input size — no
+    * full planning pass over 100 TB, unlike the old two-side
+    * aggregation job). When a side truncates at the cap, its
+    * span/count stats describe a contiguous storage slab; the width
+    * formula only consumes them as the DENSITY ratio span/n (mean
+    * inter-point gap), for which a local slab is an unbiased estimator
+    * under any locally-stationary layout — and the degenerate slab
+    * (all-equal timestamps → gap 0) collapses the sqrt term so the
+    * width falls back to the safe anchor w = L. Deterministic for a
+    * given input (partition-index order). Returns a width in
+    * [1, span], or `fallback` when either side is empty. */
   def autoBinWidth(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       maxFanout: Long = 1024L,
@@ -157,30 +165,43 @@ object RangeJoin {
     math.max(floor, math.min(span, w)).toLong max 1L
   }
 
-  /** One aggregation job over both sides (unioned, grouped by side tag):
-    * per side (count, min start, max end, mean length). None when either
-    * side is empty. */
+  /** Planning-probe row cap per side: 4Ki (s, e) doubles ≈ 64 KB on the
+    * driver — enough for a stable density/length estimate (SE of the mean
+    * length at 4Ki samples is ~1.6% of the sd), small enough that the probe
+    * fills from the FIRST scan partition — one incremental CollectLimit
+    * round per side, O(1) in input size. */
+  val PlanSampleRows = 4096
+
+  /** Bounded planning probe per side: (count, min start, max end, mean
+    * length) from at most [[PlanSampleRows]] rows, taken in
+    * partition-index order through CollectLimit (incremental partition
+    * execution — the probe never scans more partitions than needed to
+    * fill the cap). None when either side is empty. */
   private def sideStats(a: DataFrame, b: DataFrame)
       : Option[((Double, Double, Double, Double),
                 (Double, Double, Double, Double))] = {
-    val rows = a.where(col("e") >= col("s"))
-      .select(lit(0).as("side"), col("s"), col("e"))
-      .unionAll(b.where(col("e") >= col("s"))
-        .select(lit(1).as("side"), col("s"), col("e")))
-      .groupBy(col("side"))
-      .agg(count(lit(1)).as("n"), min(col("s")).as("lo"),
-        max(col("e")).as("hi"), avg(col("e") - col("s")).as("len"))
-      .collect()
-    def num(v: Any): Double = v match {
-      case l: java.lang.Long => l.toDouble
-      case i: java.lang.Integer => i.toDouble
-      case d: java.lang.Double => d
-      case d: java.math.BigDecimal => d.doubleValue()
-      case other => other.toString.toDouble
+    def one(df: DataFrame): Option[(Double, Double, Double, Double)] = {
+      val rows = df.where(col("e") >= col("s"))
+        .select(col("s").cast("double").as("s"),
+          col("e").cast("double").as("e"))
+        .limit(PlanSampleRows)
+        .collect()
+      if (rows.isEmpty) None
+      else {
+        var lo = Double.MaxValue
+        var hi = Double.MinValue
+        var lenSum = 0.0
+        rows.foreach { r =>
+          val s = r.getDouble(0)
+          val e = r.getDouble(1)
+          if (s < lo) lo = s
+          if (e > hi) hi = e
+          lenSum += e - s
+        }
+        val n = rows.length.toDouble
+        Some((n, lo, hi, math.max(0.0, lenSum / n)))
+      }
     }
-    val bySide = rows.map(r => r.getInt(0) ->
-      ((r.getLong(1).toDouble, num(r.get(2)), num(r.get(3)),
-        math.max(0.0, num(r.get(4)))))).toMap
-    for (x <- bySide.get(0); y <- bySide.get(1)) yield (x, y)
+    for (x <- one(a); y <- one(b)) yield (x, y)
   }
 }

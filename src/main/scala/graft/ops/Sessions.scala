@@ -1010,24 +1010,6 @@ object Sessions {
           div (nxt.tu - prev.tu)""").as("interp_e4"))
   }
 
-  /** Survival-analysis life table (the Kaplan–Meier estimator's exact
-    * inputs) over per-key activity lifetimes: each key's lifetime is
-    * `last active period − first active period`; a key still active in
-    * the corpus's final observed period is CENSORED (its true lifetime
-    * is only known to be ≥ t), everything else is a churn event at t.
-    * Per duration t the table reports n_risk(t) = keys with lifetime
-    * ≥ t, the churn events d_t, the censored c_t, and the discrete
-    * hazard d_t/n_risk(t) in exact ppm (integer division). The KM
-    * survival curve is the running product Π(1 − d/n) over this table —
-    * left to the reader so every emitted number stays integer-exact.
-    *
-    * Scale shape: one groupBy over the activity rows (the only
-    * data-sized pass), one broadcast of the 1-row censoring frontier,
-    * then the descending-cumulative n_risk runs BLOCKED on the
-    * duration-domain histogram (bit-length blocks + driver-collected
-    * per-block suffix offsets, the q224 pattern) — no single-partition
-    * window anywhere, so the tail stays parallel even if the period
-    * domain is large. */
   /** Machine-cadence (bot) audit: per key, how REGULAR the inter-event
     * gaps are — a human's gaps are all over the place, a cron job's are
     * one value. Reports exact integers only: events, gaps, distinct
@@ -1060,6 +1042,24 @@ object Sessions {
         expr("m.cnt * 1000000 div n_gaps").as("modal_share_ppm"))
   }
 
+  /** Survival-analysis life table (the Kaplan–Meier estimator's exact
+    * inputs) over per-key activity lifetimes: each key's lifetime is
+    * `last active period − first active period`; a key still active in
+    * the corpus's final observed period is CENSORED (its true lifetime
+    * is only known to be ≥ t), everything else is a churn event at t.
+    * Per duration t the table reports n_risk(t) = keys with lifetime
+    * ≥ t, the churn events d_t, the censored c_t, and the discrete
+    * hazard d_t/n_risk(t) in exact ppm (integer division). The KM
+    * survival curve is the running product Π(1 − d/n) over this table —
+    * left to the reader so every emitted number stays integer-exact.
+    *
+    * Scale shape: one groupBy over the activity rows (the only
+    * data-sized pass), one broadcast of the 1-row censoring frontier,
+    * then the descending-cumulative n_risk runs BLOCKED on the
+    * duration-domain histogram (bit-length blocks + driver-collected
+    * per-block suffix offsets, the q224 pattern) — no single-partition
+    * window anywhere, so the tail stays parallel even if the period
+    * domain is large. */
   def lifeTable(df: DataFrame, keyCol: String,
       period: Column): DataFrame = {
     val spans = df.select(col(keyCol).as("u"),

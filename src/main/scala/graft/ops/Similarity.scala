@@ -976,8 +976,12 @@ object Similarity {
     pairs.select(col("id_a"), col("id_b"), d2o.as("d2_orig"),
       d2p.as("d2_proj"))
       .withColumn("distortion_ppm",
+        // d2_proj * 1e6 wraps in 64-bit for d2_proj > ~9.2e12 while the
+        // DuckDB oracle promotes to HUGEINT; widen to decimal(38,0) (the
+        // wordSubsampleAudit pattern) so the ppm is exact at any norm.
         when(col("d2_orig") === 0, lit(null).cast("long"))
           .otherwise(expr(
-            s"d2_proj * 1000000 div ($outDims * d2_orig)")))
+            s"cast(cast(d2_proj as decimal(38,0)) * 1000000 div " +
+              s"($outDims * cast(d2_orig as decimal(38,0))) as bigint)")))
   }
 }

@@ -769,19 +769,6 @@ object Streams {
       .toDF()
   }
 
-  /** Continuous count-min sketch maintenance: each micro-batch's values
-    * are collapsed to their d×w cell DELTA table
-    * ([[graft.ops.Sketches.cmsCells]]) and appended to `cellsPath` —
-    * an append-only log of mergeable partials (the same IVM shape as
-    * the incremental rollup): the corpus sketch at any moment is the
-    * (row, col) sum over the log, ≤ d·w rows per batch regardless of
-    * batch size, and readers probe it without ever touching the raw
-    * stream history.
-    *
-    * foreachBatch is at-least-once: a replayed batch appends its delta
-    * twice, which only OVER-counts — still a valid CMS upper bound
-    * (the estimate's one-sided guarantee survives retries; exactly-once
-    * consumers key the log by batch_id and keep the max). */
   /** Continuous HLL register maintenance — the HLL sibling of
     * [[cmsMaintainStream]]: each micro-batch appends its per-group
     * register table ([[graft.ops.Sketches.hllRegisters]], ≤ 64 rows per
@@ -809,6 +796,19 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Continuous count-min sketch maintenance: each micro-batch's values
+    * are collapsed to their d×w cell DELTA table
+    * ([[graft.ops.Sketches.cmsCells]]) and appended to `cellsPath` —
+    * an append-only log of mergeable partials (the same IVM shape as
+    * the incremental rollup): the corpus sketch at any moment is the
+    * (row, col) sum over the log, ≤ d·w rows per batch regardless of
+    * batch size, and readers probe it without ever touching the raw
+    * stream history.
+    *
+    * foreachBatch is at-least-once: a replayed batch appends its delta
+    * twice, which only OVER-counts — still a valid CMS upper bound
+    * (the estimate's one-sided guarantee survives retries; exactly-once
+    * consumers key the log by batch_id and keep the max). */
   def cmsMaintainStream(stream: DataFrame, valueCol: String,
       cellsPath: String, checkpointPath: String, d: Int = 4,
       w: Int = 256,

@@ -231,6 +231,46 @@ class GraphsSpec extends SparkSuite {
     assert(core1 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("kCore oracle unroll-depth guard: the q243 fixture converges " +
+    "before the oracle's 7 fixed peel levels (level 6 == level 5)") {
+    // q243's DuckDB oracle unrolls peeling to exactly 7 levels while the
+    // engine iterates to true fixpoint. If a fixture ever needs MORE than
+    // 7 peel rounds, the two desync even though both are "correct". This
+    // guard peels the real fixture graph a fixed number of levels and
+    // asserts the survivor set is already stable one level before the
+    // oracle's unroll depth — so a deeper-peeling fixture fails HERE,
+    // loudly, instead of surfacing as an inscrutable hash mismatch.
+    val edges = Graphs.customerSupplierEdges(
+      spark.read.parquet(s"$sfDir/orders.parquet"),
+      spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    def peel(levels: Int): Set[Long] = {
+      var surv = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg")).where(col("deg") >= 40)
+        .select(col("src").as("node"))
+      for (_ <- 1 to levels) {
+        surv = edges
+          .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 40)
+          .select(col("src").as("node"))
+          .localCheckpoint()
+      }
+      surv.as[Long].collect().toSet
+    }
+    val l5 = peel(5)
+    val l6 = peel(6)
+    assert(l6 === l5,
+      "q243 fixture needs more than the oracle's 7 unrolled peel " +
+        "levels — deepen the oracle SQL's sN chain to match")
+    // and the engine's fixpoint agrees with the stable unrolled set
+    val fix = Graphs.kCore(spark, edges, k = 40)
+      .select("node").as[Long].collect().toSet
+    assert(fix === l6)
+  }
+
   test("kCore: empty edge list and k above the max degree return " +
     "empty cores without looping") {
     import spark.implicits._
