@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Temporarily override a session conf around a block, always restoring.
   *
@@ -39,6 +39,56 @@ private[graft] object ConfScope {
     try body finally previous match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Run an iterative fixpoint loop on an ISOLATED child session — same
+    * SparkContext (shared executors, block manager, checkpoint dir),
+    * fresh SQL-conf state — so a loop-scoped override like
+    * `adaptive.enabled=false` can NEVER be observed by a concurrent
+    * query on the caller's session (the shared-session caveat the
+    * [[withConf]] call sites documented; a save/set/restore on a shared
+    * conf is only safe single-threaded).
+    *
+    * `body` receives the child session and a `rebind` function that
+    * hands a caller-session DataFrame across via a global temp view —
+    * the supported cross-session plan hand-off: the view stores the
+    * ANALYZED logical plan, so scan pushdown and column pruning survive
+    * intact, no data movement happens. Views are dropped on exit; by
+    * then every fixpoint loop has checkpointed its state into
+    * LogicalRDDs that no longer reference them. The frame `body`
+    * returns belongs to the child session (only conf resolution
+    * differs; both sessions share one SparkContext), which also means
+    * its final actions run under the loop's conf — the intended
+    * behavior for a loop result. */
+  def withIsolatedSession[T](spark: SparkSession,
+      confs: (String, String)*)(
+      body: (SparkSession, DataFrame => DataFrame) => T): T = {
+    val iso = spark.newSession()
+    // COPY the caller's explicitly-set runtime conf: a bare newSession()
+    // starts from context defaults, silently dropping workload tuning
+    // the caller applied at runtime (AQE skew thresholds, broadcast
+    // limits, codegen knobs) — isolation means the loop's WRITES stay
+    // private, not that the caller's READS stop applying. Entries that
+    // are static/non-modifiable on a live session are skipped.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try iso.conf.set(k, v) catch { case _: Throwable => () }
+    }
+    confs.foreach { case (k, v) => iso.conf.set(k, v) }
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rebind: DataFrame => DataFrame = df =>
+      if (df.sparkSession eq iso) df
+      else {
+        val nm = "graft_iso_" +
+          java.util.UUID.randomUUID().toString.replaceAll("-", "")
+        df.createOrReplaceGlobalTempView(nm)
+        views += nm
+        iso.table(s"global_temp.$nm")
+      }
+    try body(iso, rebind)
+    finally views.foreach { nm =>
+      try spark.catalog.dropGlobalTempView(nm)
+      catch { case _: Throwable => () }
     }
   }
 }

@@ -2955,24 +2955,42 @@ object SparkEntry {
     // the signature (not the banding)
     "q245_simhash_fidelity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cand = Dedup.simhashNearDups(docs, "doc_id", "text",
+      Dedup.pairFidelity(
+        Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5).select("id_a", "id_b"),
+        Dedup.simhashNearDups(docs, "doc_id", "text",
           maxHamming = 3, shingleSize = 3, portable = true)
-        .select(col("id_a"), col("id_b"), lit(1L).as("c"))
-      val exact = Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), lit(1L).as("e"))
-      exact.join(cand, Seq("id_a", "id_b"), "full_outer")
-        .groupBy(lit(1).as("__g"))
-        .agg(sum(col("e")).as("n_exact"), sum(col("c")).as("n_candidates"),
-          sum(col("e") * col("c")).as("n_hits"))
-        .select(coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          when(col("n_exact") > 0,
-            expr("n_hits * 1000000 div n_exact")).as("recall_ppm"),
-          when(col("n_candidates") > 0,
-            expr("n_hits * 1000000 div n_candidates"))
-            .as("precision_ppm"))
+          .select("id_a", "id_b"))
+    }),
+
+    // Incremental near-dup cluster maintenance (r11 directive #5): docs
+    // hashing to the "new batch" (doc_id % 7 == 2) arrive after the
+    // base corpus was clustered; addToClusters merges only the delta
+    // pairs through root contraction — the result must be bit-identical
+    // to a full recompute over the union, which is exactly what the
+    // oracle computes (q140's incremental == full proof shape)
+    "q265_incremental_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 8, portable = true)
+      val isNew = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(7)) === 2
+      val base = pairs.where(!isNew(col("id_a")) && !isNew(col("id_b")))
+      val delta = pairs.where(isNew(col("id_a")) || isNew(col("id_b")))
+      val existing = Dedup.nearDupClusters(base,
+        shufflePartitions = Some(8))
+      Dedup.addToClusters(existing, delta, shufflePartitions = Some(8))
+    }),
+
+    // Sample-scale fidelity (r11 directive #4): truth evaluated on a
+    // deterministic 50% doc-hash sample, candidates from FULL-corpus
+    // banding restricted to sampled endpoints — the variant that stays
+    // runnable at corpus scale (truth cost × truthSample²) with an
+    // unbiased recall/precision estimate; q245 keeps the full truth
+    "q264_simhash_fidelity_sampled" -> ((s, dir) => {
+      Dedup.simhashFidelitySampled(t(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 3, shingleSize = 3, threshold = 0.5,
+        truthSample = 0.5)
     }),
 
     // Zone-map skipping effectiveness: the same three date predicates
@@ -3051,6 +3069,21 @@ object SparkEntry {
     // users at every observed hour (two passes of the exact
     // sliding-distinct kernel — no per-hour rescans) and their exact
     // ppm ratio, the engagement metric product teams track daily
+    // IVF-PQ ANN (r11 directive #3): seeded-IVF cells (q38's exact cell
+    // partition + probes) over a PQ-coded corpus — each vector carried
+    // as 8 code indices, scored by per-query ADC lookup tables; the
+    // oracle rebuilds cells, codes, LUTs and the final ranking from the
+    // same quantized integers, so the memory-bounded path is verified
+    // hash-exactly (recall vs the exact kernel is pinned in OpsSpec)
+    "q263_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        e.where(col("vec_id") < 16), "vec_id", "embedding",
+        codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 10,
+        nProbe = 4)
+    }),
+
     "q262_stickiness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
@@ -3479,24 +3512,12 @@ object SparkEntry {
     // the report every LSH parameter choice should be justified by
     "q217_lsh_tuning_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      Dedup.pairFidelity(
+        Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5).select("id_a", "id_b"),
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text",
           shingleSize = 3, numHashes = 16, bands = 8, portable = true)
-        .select(col("id_a"), col("id_b"), lit(1L).as("c"))
-      val exact = Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), lit(1L).as("e"))
-      exact.join(cand, Seq("id_a", "id_b"), "full_outer")
-        .groupBy(lit(1).as("__g"))
-        .agg(sum(col("e")).as("n_exact"), sum(col("c")).as("n_candidates"),
-          sum(col("e") * col("c")).as("n_hits"))
-        .select(coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          when(col("n_exact") > 0,
-            expr("n_hits * 1000000 div n_exact")).as("recall_ppm"),
-          when(col("n_candidates") > 0,
-            expr("n_hits * 1000000 div n_candidates"))
-            .as("precision_ppm"))
+          .select("id_a", "id_b"))
     }),
 
     // Rolling 7-day OLS trend of each type's hourly rate as of every
@@ -4845,6 +4866,124 @@ object SparkEntry {
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    // The oracle is the FULL recompute over the union of base + delta
+    // pairs (q47's minhash rebuild + recursive reach) — a hash match
+    // proves incremental addToClusters == full nearDupClusters.
+    "q265_incremental_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key HAVING count(*) > 200),
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+                             WHERE big.b = x.b AND big.key = x.key)),
+         und AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+         SELECT CAST(src AS BIGINT) AS id,
+           CAST(min(dst) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY src""",
+    // q245's rebuild with the deterministic md5-bucket sample: truth
+    // CTEs run on sampled docs only; the full-corpus candidate set is
+    // filtered to sampled endpoints AFTER banding (same as the engine).
+    "q264_simhash_fidelity_sampled" ->
+      """WITH samp AS (
+           SELECT doc_id FROM documents
+           WHERE CAST(('0x' || substr(md5('truth:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 10000 < 5000),
+         toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS s
+           FROM toks),
+         hs AS (
+           SELECT doc_id,
+             list_transform(s, x ->
+               CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2 * len(list_filter(h, v -> ((v >> b) & 1) = 1))
+                   > len(h)
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+               AS sig
+           FROM hs),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             AND a.doc_id IN (SELECT doc_id FROM samp)
+             AND b.doc_id IN (SELECT doc_id FROM samp)),
+         shd AS (
+           SELECT doc_id, list_distinct(s) AS s FROM sh
+           WHERE doc_id IN (SELECT doc_id FROM samp)),
+         ex0 AS (SELECT doc_id, unnest(s) AS h FROM shd),
+         ecand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex0 a JOIN ex0 b ON a.h = b.h AND a.doc_id < b.doc_id),
+         exact AS (
+           SELECT id_a, id_b FROM ecand
+           JOIN shd x ON x.doc_id = id_a
+           JOIN shd y ON y.doc_id = id_b
+           WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)) >= 0.5),
+         stats AS (
+           SELECT
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+               AS n_hits)
+         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_exact > 0 THEN
+             CAST(n_hits * 1000000 // n_exact AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN n_candidates > 0 THEN
+             CAST(n_hits * 1000000 // n_candidates AS BIGINT) END
+             AS precision_ppm
+         FROM stats""",
     "q245_simhash_fidelity" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -5059,6 +5198,61 @@ object SparkEntry {
          FROM g1 FULL JOIN g0 USING (shard)""",
     // The oracle may re-count each window directly (it is small); the
     // engine must not — its plan is the island/delta prefix sweep.
+    // Same quantized integers end to end: q38's cell partition/probes,
+    // PQ code assignment per 8-dim block (ties lowest code index), ADC
+    // LUT distances, final rank by approx_d2 asc / corpus_id asc.
+    "q263_ann_ivfpq" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cell, qv AS cv,
+             list_sum(list_transform(qv, x -> x * x)) AS cn
+           FROM qd WHERE vec_id < 16),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id >= 16 AND vec_id < 24),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             CAST(approx_d2 AS BIGINT) AS approx_d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+           FROM approx)
+         SELECT query_id, corpus_id, approx_d2, rank
+         FROM ranked WHERE rank <= 10""",
     "q262_stickiness" ->
       """WITH uh AS (
            SELECT DISTINCT user_id AS u,

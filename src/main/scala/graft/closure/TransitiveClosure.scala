@@ -47,8 +47,15 @@ object TransitiveClosure {
       maxIterations: Int = 25,
       linear: Boolean = false,
       shufflePartitions: Option[Int] = None): DataFrame =
-    graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
-      closureImpl(spark, edges, maxIterations, linear)
+    shufflePartitions match {
+      case None => closureImpl(spark, edges, maxIterations, linear)
+      case Some(n) =>
+        // isolated child session: the width override can never be
+        // observed by a concurrent query on the caller's session
+        graft.ConfScope.withIsolatedSession(spark,
+          "spark.sql.shuffle.partitions" -> n.toString) { (iso, rebind) =>
+          closureImpl(iso, rebind(edges.toDF()), maxIterations, linear)
+        }
     }
 
   private def closureImpl(
@@ -123,8 +130,13 @@ object TransitiveClosure {
       maxIterations: Int = 25,
       linear: Boolean = false,
       shufflePartitions: Option[Int] = None): DataFrame =
-    graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
-      closureLongImpl(spark, edges, maxIterations, linear)
+    shufflePartitions match {
+      case None => closureLongImpl(spark, edges, maxIterations, linear)
+      case Some(n) =>
+        graft.ConfScope.withIsolatedSession(spark,
+          "spark.sql.shuffle.partitions" -> n.toString) { (iso, rebind) =>
+          closureLongImpl(iso, rebind(edges), maxIterations, linear)
+        }
     }
 
   private def closureLongImpl(
@@ -187,7 +199,19 @@ object TransitiveClosure {
       delta: DataFrame, // columns: parent, child
       maxIterations: Int = 25,
       shufflePartitions: Option[Int] = None): DataFrame =
-    graft.ConfScope.withShuffleWidth(spark, shufflePartitions) {
+    shufflePartitions match {
+      case None => addEdgesImpl(closure, delta, maxIterations)
+      case Some(n) =>
+        graft.ConfScope.withIsolatedSession(spark,
+          "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>
+          addEdgesImpl(rebind(closure), rebind(delta), maxIterations)
+        }
+    }
+
+  private def addEdgesImpl(
+      closure: DataFrame,
+      delta: DataFrame,
+      maxIterations: Int): DataFrame = {
       val c = closure.select(col("ancestor"), col("descendant"))
         .distinct().truncateLineage(eager = false)
       val d = delta
@@ -231,5 +255,5 @@ object TransitiveClosure {
       }
       requireConverged(converged, linear = false, maxIterations)
       c.unionAll(m).distinct()
-    }
+  }
 }

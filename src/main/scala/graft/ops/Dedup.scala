@@ -578,9 +578,79 @@ object Dedup {
     * closure; no driver materialization. */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20,
       shufflePartitions: Option[Int] = None): DataFrame =
-    graft.ConfScope.withShuffleWidth(pairs.sparkSession, shufflePartitions) {
-      nearDupClustersImpl(pairs, maxIterations)
+    shufflePartitions match {
+      case None => nearDupClustersImpl(pairs, maxIterations)
+      case Some(n) =>
+        // isolated child session: the width override can never be
+        // observed by a concurrent query on the caller's session
+        graft.ConfScope.withIsolatedSession(pairs.sparkSession,
+          "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>
+          nearDupClustersImpl(rebind(pairs), maxIterations)
+        }
     }
+
+  /** Incremental near-dup cluster maintenance (r11 directive #5 — the
+    * dedup analogue of [[graft.closure.TransitiveClosure.addEdges]]):
+    * merge a DELTA of candidate pairs into persisted cluster
+    * assignments WITHOUT rescanning the corpus pair graph.
+    *
+    * Correctness rests on the standard union-find contraction: since
+    * `existing` holds exact components of the old graph, the
+    * components of (old ∪ delta) equal the components of the
+    * CONTRACTED graph whose nodes are old cluster roots and new doc
+    * ids, with each delta pair mapped endpoint-wise to its root
+    * (self-loops dropped). Label propagation runs only on that
+    * contracted graph — O(delta) edges, never O(corpus) — and the
+    * resulting root relabeling joins back onto `existing` by
+    * cluster_id. Because every old root IS the minimum member id of
+    * its old component, the propagated minimum over contracted
+    * components equals the global minimum member id of the merged
+    * component: bit-identical to a full [[nearDupClusters]] recompute
+    * over the union (the q140 proof shape; pinned by the q265 oracle).
+    *
+    * `existing` columns: (id, cluster_id); `newPairs`: (id_a, id_b).
+    * Output: (id, cluster_id) covering old ids ∪ delta endpoints. */
+  def addToClusters(existing: DataFrame, newPairs: DataFrame,
+      maxIterations: Int = 20,
+      shufflePartitions: Option[Int] = None): DataFrame =
+    shufflePartitions match {
+      case None => addToClustersImpl(existing, newPairs, maxIterations)
+      case Some(n) =>
+        graft.ConfScope.withIsolatedSession(existing.sparkSession,
+          "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>
+          addToClustersImpl(rebind(existing), rebind(newPairs),
+            maxIterations)
+        }
+    }
+
+  private def addToClustersImpl(existing: DataFrame, newPairs: DataFrame,
+      maxIterations: Int): DataFrame = {
+    val ex = existing.select(col("id"), col("cluster_id"))
+      .truncateLineage(eager = false)
+    // endpoint -> old root (or itself when the endpoint is a new doc)
+    val contractedPairs = newPairs.select(col("id_a"), col("id_b"))
+      .join(ex.select(col("id").as("id_a"), col("cluster_id").as("ra")),
+        Seq("id_a"), "left")
+      .join(ex.select(col("id").as("id_b"), col("cluster_id").as("rb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ra"), col("id_a")).as("id_a"),
+        coalesce(col("rb"), col("id_b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val contracted = nearDupClustersImpl(contractedPairs, maxIterations)
+      .truncateLineage(eager = false)
+    val relabel = contracted
+      .select(col("id").as("root"), col("cluster_id").as("newlab"))
+    // old members follow their root's new label (untouched roots keep
+    // their label through the coalesce); contracted nodes that are not
+    // old ids are the genuinely new docs
+    val updated = ex.join(relabel, ex("cluster_id") === relabel("root"),
+        "left")
+      .select(ex("id").as("id"),
+        coalesce(col("newlab"), ex("cluster_id")).as("cluster_id"))
+    val fresh = contracted
+      .join(ex.select(col("id")), Seq("id"), "left_anti")
+    updated.unionAll(fresh)
+  }
 
   private def nearDupClustersImpl(pairs: DataFrame,
       maxIterations: Int): DataFrame = {
@@ -769,5 +839,63 @@ object Dedup {
         round(when(col("n_windows") > 0,
           coalesce(col("n_repeated"), lit(0L)).cast("double") /
             col("n_windows")).otherwise(lit(0.0)), 4).as("repeat_ratio"))
+  }
+
+  /** Shared fidelity tail for the signature/banding quality reports
+    * (q217 minhash, q245 simhash, q264 sampled): exact-truth pairs vs
+    * candidate pairs, both keyed (id_a, id_b), reduced to one row of
+    * exact-integer counts and ppm ratios. One full-outer join on the
+    * pair key + one aggregation — scales with pair volume, never
+    * corpus². */
+  def pairFidelity(exact: DataFrame, candidates: DataFrame): DataFrame =
+    exact.select(col("id_a"), col("id_b"), lit(1L).as("e"))
+      .join(candidates.select(col("id_a"), col("id_b"), lit(1L).as("c")),
+        Seq("id_a", "id_b"), "full_outer")
+      .groupBy(lit(1).as("__g"))
+      .agg(sum(col("e")).as("n_exact"),
+        sum(col("c")).as("n_candidates"),
+        sum(col("e") * col("c")).as("n_hits"))
+      .select(coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_exact") > 0,
+          expr("n_hits * 1000000 div n_exact")).as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          expr("n_hits * 1000000 div n_candidates")).as("precision_ppm"))
+
+  /** Sample-scale SimHash fidelity (r11 directive #4): the exact-truth
+    * side of a fidelity report is inherently quadratic in matching
+    * documents (q245 measured 102 s at sf1 — unrunnable at corpus
+    * scale), while the candidate side stays banded and capped. This
+    * variant evaluates the truth on a DETERMINISTIC doc-hash sample
+    * (the q36/q64 md5-bucket kernel, engine-portable) of fraction
+    * `truthSample`, and restricts the FULL-corpus candidate set to
+    * pairs with both endpoints sampled — so banding density (bucket
+    * collisions, cap evictions) is that of the real corpus, truth cost
+    * drops by truthSample², and the reported recall/precision are the
+    * exact fidelity ON the sampled pair population (each true pair
+    * enters with probability truthSample², independent of its hit
+    * status, so the ppm ratios are unbiased estimators of the
+    * full-corpus ratios with a stated sample size n_exact). The
+    * full-truth path (q245) remains for oracle parity at fixture
+    * scales. */
+  def simhashFidelitySampled(docs: DataFrame, idCol: String,
+      contentCol: String, maxHamming: Int = 3, shingleSize: Int = 3,
+      threshold: Double = 0.5, truthSample: Double = 0.5,
+      salt: String = "truth", portable: Boolean = true): DataFrame = {
+    require(truthSample > 0 && truthSample <= 1,
+      s"truthSample must be in (0, 1], got $truthSample")
+    val cut = math.round(truthSample * Splits.Buckets)
+    val inSample = (c: Column) => Splits.splitBucket(c, salt) < cut
+    // pure expression filters — no join against a sample list
+    val cand = simhashNearDups(docs, idCol, contentCol, maxHamming,
+        shingleSize, portable = portable)
+      .where(inSample(col("id_a")) && inSample(col("id_b")))
+      .select(col("id_a"), col("id_b"))
+    val exact = jaccardNearDupsExact(
+        docs.where(inSample(col(idCol))), idCol, contentCol,
+        shingleSize, threshold)
+      .select(col("id_a"), col("id_b"))
+    pairFidelity(exact, cand)
   }
 }

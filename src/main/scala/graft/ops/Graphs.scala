@@ -45,15 +45,14 @@ object Graphs {
     // AQE off for the loop: checkpoints only capture outputPartitioning
     // without the AdaptiveSparkPlan wrapper, and that capture is what
     // keeps the per-round state join exchange-free (see ConfScope doc).
-    // NOTE: the override lives on the shared session conf for the loop's
-    // duration — like every ConfScope use in this library it assumes one
-    // driver thread per SparkSession; a concurrent query on the SAME
-    // session would observe it (run loops on spark.newSession() to
-    // isolate).
-    graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
-      "false") {
+    // The override lives on an ISOLATED child session (same
+    // SparkContext, own SQL conf), so a concurrent query on the
+    // caller's session never observes it — ConcurrentConfSpec pins
+    // that isolation with a two-thread race.
+    graft.ConfScope.withIsolatedSession(spark,
+      "spark.sql.adaptive.enabled" -> "false") { (_, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e = rebind(edges).select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .repartition(col("src")).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -106,11 +105,11 @@ object Graphs {
   def personalizedPageRank(spark: SparkSession, edges: DataFrame,
       seeds: Seq[Long], iterations: Int,
       scale: Long = 1000000000000L): DataFrame =
-    graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
-      "false") {
+    graft.ConfScope.withIsolatedSession(spark,
+      "spark.sql.adaptive.enabled" -> "false") { (_, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(seeds.nonEmpty, "seed set must be non-empty")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e = rebind(edges).select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .repartition(col("src")).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -495,10 +494,10 @@ object Graphs {
     * Returns surviving (node, core_deg) — core_deg is the degree inside
     * the final core. */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame =
-    graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
-      "false") {
+    graft.ConfScope.withIsolatedSession(spark,
+      "spark.sql.adaptive.enabled" -> "false") { (_, rebind) =>
     require(k >= 1, s"k must be >= 1, got $k")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e = rebind(edges).select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .repartition(col("src")).persist()
     var surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -921,6 +921,150 @@ object Similarity {
       .agg(count(lit(1)).as("n_assigned"), sum(col("a.err")).as("sse"))
   }
 
+  /** IVF-PQ approximate nearest neighbors (Jégou et al. 2011) — the
+    * memory-bounded composition of the two halves this library already
+    * ships separately: seeded-IVF coarse cells ([[ivfTopKSeeded]], q38)
+    * prune which corpus rows a query touches, and the per-subspace PQ
+    * codebook ([[pqAssignmentReport]], q248) stores each pruned row as
+    * nSub small code indices scored by ADC (asymmetric distance).
+    *
+    * Index layout — the 100 TB point: after the one-pass encode
+    * projection, a corpus vector is carried ONLY as
+    * (corpus_id, cell:int, codes:array<int> of nSub entries). The raw
+    * embedding column never crosses the candidate join, so index memory
+    * and scan traffic are O(nSub ints) per vector instead of
+    * O(dims floats) — for 64-dim floats at nSub=8 a 8x reduction, and
+    * the ratio grows with dims.
+    *
+    * Query path: cells are ranked exactly as q38 (integer quantized
+    * scores, ties to the lowest cell id); each query probes its
+    * `nProbe` best cells; candidates are scored by a per-query lookup
+    * table LUT[s][ci] = ‖q_s − c_{ci,s}‖² built once per query from the
+    * codebook literals, so a candidate costs nSub array probes — no dot
+    * products at scan time. This is the NON-RESIDUAL ADC variant (codes
+    * quantize the vector itself, not the cell residual): the codebook
+    * is one global table — the same one q248 audits — and every
+    * distance is an exact integer after quantization, replayable by any
+    * engine. All magnitudes stay under 2^53, so the double-typed
+    * aggregate scores are still exact integers.
+    *
+    * Output: (query_id, corpus_id, approx_d2, rank), ranked by
+    * approx_d2 asc with ties broken by corpus_id asc (`row_number()`
+    * parity). Recall@k vs the exact [[bruteForceTopK]] kernel is pinned
+    * in OpsSpec (q38's proof shape). */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      seeds: DataFrame, seedId: String, seedVec: String,
+      codebookIds: Seq[Long], inDims: Int, nSub: Int, k: Int,
+      nProbe: Int = 4, quantScale: Int = 10000): DataFrame = {
+    require(nSub >= 1 && inDims % nSub == 0,
+      s"inDims $inDims must divide into nSub $nSub")
+    require(codebookIds.nonEmpty, "need at least one codebook row")
+    val subLen = inDims / nSub
+    val quantD = (v: Column) =>
+      transform(v, x => round(x.cast("double") * quantScale))
+    val quantL = (v: Column) =>
+      transform(v, x => round(x.cast("double") * quantScale).cast("long"))
+    // PQ codebook rows collected from the corpus (small by contract —
+    // the persisted per-subspace k-means centers at scale); code index
+    // ci = position in ascending id order, so distance ties broken by
+    // lowest ci == lowest code id
+    val cb: Seq[Seq[Long]] = corpus
+      .select(col(corpusId).cast("long").as("id"),
+        quantL(col(corpusVec)).as("qv"))
+      .where(col("id").isin(codebookIds: _*) &&
+        col("qv").isNotNull && size(col("qv")) === inDims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1).map(_._2).toSeq
+    if (cb.isEmpty) {
+      // seedless/empty input: an empty result, not an error (the
+      // every-query-completes-on-empty-tables contract)
+      return queries.limit(0).select(lit(0L).as("query_id"),
+        lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
+        lit(0L).as("rank"))
+    }
+    val nCodes = cb.size
+    // code blocks as double literals (exact: quantized integers) — one
+    // native vectorDot per (subspace, code) instead of subLen unrolled
+    // element_at products: the unrolled form generated ~nSub·nCodes·
+    // subLen expression nodes and blew the 64KB codegen method limit
+    // (whole stage fell back to interpreted — measured on first build)
+    val cbBlock: Seq[Seq[Seq[Double]]] = (0 until nSub).map { s =>
+      cb.map(cv =>
+        (s * subLen until (s + 1) * subLen).map(i => cv(i).toDouble))
+    }
+    val csq: Seq[Seq[Double]] = (0 until nSub).map { s =>
+      cbBlock(s).map(b => b.map(x => x * x).sum)
+    }
+    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
+    // staged projections (the q248 named-column CSE lesson): layer 1
+    // binds each subspace slice once; layer 2 binds each Σx²/dot once
+    val blockCols = (0 until nSub).map { s =>
+      slice(col("qv"), s * subLen + 1, subLen).as(s"__b$s")
+    }
+    val ssqCols = (0 until nSub).map { s =>
+      GraftFunctions.vectorDot(col(s"__b$s"), col(s"__b$s")).as(s"__ssq$s")
+    }
+    val dotCols = for (s <- 0 until nSub; ci <- 0 until nCodes)
+      yield GraftFunctions.vectorDot(typedLit(cbBlock(s)(ci)),
+        col(s"__b$s")).as(s"__dot${s}_$ci")
+    def blockD2(s: Int, ci: Int): Column =
+      col(s"__ssq$s") - lit(2.0) * col(s"__dot${s}_$ci") + lit(csq(s)(ci))
+    // corpus encode: ONE pass vectors -> (corpus_id, cell, codes)
+    val base = corpus.select(col(corpusId).cast("long").as("corpus_id"),
+        quantD(col(corpusVec)).as("qv"),
+        cellScores(quantD(col(corpusVec))).as("cscores"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .select(col("corpus_id"), col("qv"),
+        (array_position(col("cscores"), array_max(col("cscores"))) - 1)
+          .cast("int").as("cell"))
+    val staged = base
+      .select(col("corpus_id") +: col("cell") +: blockCols: _*)
+      .select(col("corpus_id") +: col("cell") +: (ssqCols ++ dotCols): _*)
+    val codeCols = (0 until nSub).map { s =>
+      array_min(array((0 until nCodes).map { ci =>
+        struct(blockD2(s, ci).as("d"), lit(ci).as("ci"))
+      }: _*)).getField("ci").as(s"__c$s")
+    }
+    val coded = staged.select(
+        col("corpus_id") +: col("cell") +: codeCols: _*)
+      .select(col("corpus_id"), col("cell"),
+        array((0 until nSub).map(s => col(s"__c$s")): _*).as("codes"))
+    // query side: probe cells (q38's exact plan) + per-query ADC LUT
+    val q0 = queries.select(col(queryId).cast("long").as("query_id"),
+        quantD(col(queryVec)).as("qv"),
+        cellScores(quantD(col(queryVec))).as("cscores"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+    val qstaged = q0
+      .select(col("query_id") +: col("cscores") +: blockCols: _*)
+      .select(col("query_id") +: col("cscores") +: (ssqCols ++ dotCols): _*)
+    val qlut = qstaged.select(col("query_id"), col("cscores"),
+      array((0 until nSub).map { s =>
+        array((0 until nCodes).map(ci => blockD2(s, ci).cast("double")): _*)
+      }: _*).as("lut"))
+    val probes = qlut
+      .select(col("query_id"), posexplode(col("cscores")))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nProbe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+      .join(qlut.select(col("query_id"), col("lut")), Seq("query_id"))
+    // ADC scoring: nSub LUT probes per candidate; negated distance so
+    // the bounded top-k aggregate's (max score, ties id asc) semantics
+    // realize (min distance, ties corpus_id asc)
+    val approxD2 = (0 until nSub).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = coded.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("corpus_id"), (-approxD2).as("score"))
+    topKReduce(scored, k)
+      .select(col("query_id"), col("corpus_id"),
+        (-col("score")).cast("long").as("approx_d2"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic ±1 sign for the JL projection matrix cell (j, i):
     * parity of the md5-60 of "j:i" — the same engine-portable hash
     * family as every other sketch, computed DRIVER-side here (the

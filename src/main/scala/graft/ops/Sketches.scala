@@ -263,13 +263,28 @@ object Sketches {
           element_at(typedLit(off.toMap), col("block").cast("long")))
           .as("cum"))
       .truncateLineage(eager = false)
-    ps.map { case (num, den) =>
-      // 0-based rank ceil(p*n) - 1 in pure integer arithmetic
-      val rk = (num.toLong * n + den - 1) / den - 1
-      cum.where(col("cum") - col("c") <= rk && col("cum") > rk)
-        .select(lit(num).as("p_num"), lit(den).as("p_den"),
-          lit(rk).as("rank"), col("v").as("value"), lit(n).as("n_rows"))
-    }.reduce(_ unionAll _)
+    // ONE pass over the cumulative frame for ALL requested fractions
+    // (r11 directive #6 — the old per-fraction filter re-ran the frame
+    // ps.size times): the target ranks fold into the plan as a literal
+    // array of (p_num, p_den, rank) structs; each distinct value keeps
+    // the targets its cumulative range [cum−c, cum) contains (almost
+    // always zero, at most ps.size). 0-based rank = ceil(p·n) − 1 in
+    // pure integer arithmetic. The lambda touches only the pre-bound
+    // `lo`/`cum` columns and a ps-sized literal (the interpreted-HOF
+    // binding rule).
+    val targets = typedLit(ps.map { case (num, den) =>
+      (num, den, (num.toLong * n + den - 1) / den - 1)
+    })
+    cum.select(col("v"), col("cum"),
+        (col("cum") - col("c")).as("lo"))
+      .select(col("v"), filter(targets, t =>
+        t.getField("_3") >= col("lo") && t.getField("_3") < col("cum"))
+        .as("hits"))
+      .where(size(col("hits")) > 0)
+      .select(explode(col("hits")).as("t"), col("v"))
+      .select(col("t._1").as("p_num"), col("t._2").as("p_den"),
+        col("t._3").as("rank"), col("v").as("value"),
+        lit(n).as("n_rows"))
   }
 
   /** Per-GROUP exact quantiles — the "p99 latency per service" / "median

@@ -280,6 +280,40 @@ class OpsSpec extends SparkSuite {
     assert(Dedup.nearDupClusters(empty).count() === 0)
   }
 
+  test("addToClusters == full recompute: bridge merges two old " +
+    "clusters, new-only cluster forms, untouched cluster keeps its id") {
+    import spark.implicits._
+    // old graph: {1,2,3} and {7,9} and {20,21}; delta: new doc 5
+    // bridges the first two ({1,2,3,5,7,9} → min 1), new docs 30-31
+    // form their own cluster, delta also attaches 40 to old 20's
+    // cluster; {20,21} otherwise untouched by the bridge
+    val base = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val delta = Seq((3L, 5L), (5L, 7L), (30L, 31L), (40L, 20L))
+      .toDF("id_a", "id_b")
+    val existing = Dedup.nearDupClusters(base)
+    val inc = Dedup.addToClusters(existing, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.nearDupClusters(
+        base.unionAll(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc(9L) === 1L && inc(5L) === 1L) // merged across the bridge
+    assert(inc(31L) === 30L)                 // fresh cluster
+    assert(inc(21L) === 20L && inc(40L) === 20L)
+    // delta that only re-states an existing edge is a no-op
+    val noop = Dedup.addToClusters(existing,
+        Seq((1L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = existing.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop === before)
+    // empty delta is a no-op too
+    assert(Dedup.addToClusters(existing,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
+  }
+
   test("nearDupClusters handles full-range hash ids without overflow") {
     import spark.implicits._
     val pairs = Seq(
@@ -685,6 +719,60 @@ class OpsSpec extends SparkSuite {
     assert(lshRecall >= 0.25, s"LSH multiProbe=6 recall $lshRecall")
     info(f"measured recall@10: ivf(nprobe=4)=$ivfRecall%.2f " +
       f"lsh(6 planes, probe 6)=$lshRecall%.2f")
+  }
+
+  test("ivfPqTopK: cluster structure survives PQ coding; codebook rows " +
+    "reconstruct exactly; fixture recall@10 floor pinned") {
+    import spark.implicits._
+    // two well-separated clusters in 4 dims (nSub=2, 2-dim blocks):
+    // ids 0-3 near e1, ids 4-7 near e2; seeds AND codebook = {0, 4}
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.9f, 0.1f)),
+      (2L, Seq(0.8f, 0.0f, 1.0f, 0.1f)), (3L, Seq(1.0f, 0.2f, 0.8f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 1.0f)), (5L, Seq(0.1f, 0.9f, 0.1f, 0.9f)),
+      (6L, Seq(0.0f, 0.8f, 0.1f, 1.0f)), (7L, Seq(0.2f, 1.0f, 0.0f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val seeds = corpus.where(col("vec_id").isin(0L, 4L))
+    val got = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      corpus.where(col("vec_id").isin(0L, 4L)), "vec_id", "embedding",
+      seeds, "vec_id", "embedding",
+      codebookIds = Seq(0L, 4L), inDims = 4, nSub = 2, k = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every query sees all 8 (nProbe=2 probes both cells); own-cluster
+    // rows rank strictly before the other cluster's under ADC
+    assert(got.count(_._1 == 0L) === 8 && got.count(_._1 == 4L) === 8)
+    val q0ranks = got.filter(_._1 == 0L).sortBy(_._4).map(_._2)
+    assert(q0ranks.take(4).toSet === Set(0L, 1L, 2L, 3L))
+    val q4ranks = got.filter(_._1 == 4L).sortBy(_._4).map(_._2)
+    assert(q4ranks.take(4).toSet === Set(4L, 5L, 6L, 7L))
+    // a codebook row's codes reconstruct itself exactly, so its ADC
+    // distance to itself is 0 and it ranks first for its own query
+    assert(got.find(t => t._1 == 0L && t._2 == 0L).get._3 === 0L)
+    assert(got.find(t => t._1 == 4L && t._2 == 4L).get._3 === 0L)
+    // fixture recall floor (q38's proof shape): IVF-PQ at the q263
+    // setting vs the exact kernel
+    fixtureEmbeddings.foreach { e =>
+      val q = e.where(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pq = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", e.where(col("vec_id") < 16),
+          "vec_id", "embedding", codebookIds = 16L to 23L,
+          inDims = 64, nSub = 8, k = 10, nProbe = 4)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (pq & brute).size.toDouble / brute.size
+      // measured on the near-orthogonal noise fixture (the worst case
+      // for both cell pruning and an 8-code codebook — real clustered
+      // corpora do far better); brute-force cosine vs ADC-L2 also
+      // diverge on unnormalized vectors, so this floor is deliberately
+      // conservative
+      assert(recall >= 0.15, s"IVF-PQ recall@10 $recall")
+      info(f"measured IVF-PQ recall@10 on fixture: $recall%.2f")
+    }
   }
 
   test("reciprocalRankFusion: consensus mid-ranker beats single-list " +
