@@ -2963,6 +2963,88 @@ object SparkEntry {
           .select("id_a", "id_b"))
     }),
 
+    // Extended PII audit with Luhn validation: deterministic card/ip/
+    // phone material seeded into each document (q36's seeding pattern),
+    // candidates counted by regex and card candidates VALIDATED by the
+    // mod-10 checksum, IPv4s by octet range — the false-positive split
+    // a real scrubber needs; all exact integers the oracle recomputes
+    "q266_pii_luhn_audit" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" card "),
+        lpad(pmod(col("doc_id") * 7919, lit(10000000000000000L))
+          .cast("string"), 16, "0"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" visa 4111111111111111")).otherwise(lit("")),
+        lit(" ip 999.1.2.3 host 10."), pmod(col("doc_id"), lit(256)),
+        lit(".0.7"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise(lit(""))).as("text"))
+      TextAnalysis.piiAuditExtended(seeded, "doc_id", "text")
+    }),
+
+    // Hashing-trick linear classifier inference (fastText-style corpus
+    // quality/domain gate): md5-portable token buckets mod 512, a 2x512
+    // integer weight matrix folded into the plan as literals (synthesized
+    // here deterministically from the same md5 the oracle replays), exact
+    // integer scores, argmax with pinned ties and a runner-up margin
+    "q267_hash_classifier" -> ((s, dir) => {
+      val dim = 512
+      val weights = (0 until 2).map(c => (0 until dim).map(j =>
+        graft.functions.GraftHashImpl.portableHash60(s"w:$c:$j")
+          % 2001 - 1000).toSeq)
+      TextAnalysis.hashingTrickClassifier(t(s, dir, "documents"),
+        "doc_id", "text", weights)
+    }),
+
+    // Robust anomaly flags: per event_type hourly counts vs the key's
+    // exact type-1 median and MAD (blocked-rank kernel, no per-key
+    // sort); outlier test cross-multiplied so everything stays integer
+    "q268_mad_outliers" -> ((s, dir) => {
+      Profiling.madHourlyOutliers(t(s, dir, "events"), "event_type",
+        "ts", k = 3)
+    }),
+
+    // Streaming benchmark decontamination: the corpus arrives as a file
+    // stream (two triggers), benchmark 3-grams ride as a driver literal,
+    // contamination is a pure per-row projection (no state store) — the
+    // batch recount is the oracle
+    "q269_stream_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val benchGrams = docs.where(col("doc_id") < 5)
+        .select(explode(array_distinct(
+          graft.ops.Dedup.wordShingles(col("text"), 3))).as("g"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      val root = scratchDir("q269", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val in = s"$root/in"
+      rmr(new java.io.File(in))
+      val corpus = docs.where(col("doc_id") >= 5)
+        .select(col("doc_id"), col("text"))
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      corpus.where(pmod(col("doc_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      s.catalog.dropTempView("q269_stream_out")
+      val flagged = graft.streaming.Streams.decontaminateStream(
+        stream, "doc_id", "text", benchGrams, n = 3)
+      graft.streaming.Streams.runToMemory(s, flagged, "q269_stream_out",
+        outputMode = "append", statePartitions = Some(8))
+    }),
+
     // Incremental near-dup cluster maintenance (r11 directive #5): docs
     // hashing to the "new batch" (doc_id % 7 == 2) arrive after the
     // base corpus was clustered; addToClusters merges only the delta
@@ -4866,6 +4948,140 @@ object SparkEntry {
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    // Same seeding expression, same regexes (RE2 \b == Java \b on these
+    // ASCII patterns), same Luhn fold and octet alternation.
+    "q266_pii_luhn_audit" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+             text || ' card ' ||
+             lpad(CAST(doc_id * 7919 % 10000000000000000 AS VARCHAR),
+               16, '0') ||
+             CASE WHEN doc_id % 3 = 0 THEN ' visa 4111111111111111'
+               ELSE '' END ||
+             ' ip 999.1.2.3 host 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.7' ||
+             CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+               ELSE '' END AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t,
+             regexp_extract_all(t, '\b[0-9]{16}\b') AS cards
+           FROM seeded),
+         l AS (
+           SELECT doc_id, t, cards,
+             list_transform(cards, s ->
+               list_sum(list_transform(range(1, 17), i ->
+                 CASE WHEN (16 - i) % 2 = 1
+                   THEN CASE WHEN 2 * CAST(substr(s, CAST(i AS INT), 1)
+                       AS INT) > 9
+                     THEN 2 * CAST(substr(s, CAST(i AS INT), 1) AS INT)
+                       - 9
+                     ELSE 2 * CAST(substr(s, CAST(i AS INT), 1) AS INT)
+                     END
+                   ELSE CAST(substr(s, CAST(i AS INT), 1) AS INT)
+                 END))) AS sums
+           FROM c)
+         SELECT doc_id,
+           CAST(len(cards) AS BIGINT) AS n_card_candidates,
+           CAST(len(list_filter(sums, x -> x % 10 = 0)) AS BIGINT)
+             AS n_card_valid,
+           CAST(len(regexp_extract_all(t,
+             '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT)
+             AS n_ip_candidates,
+           CAST(len(regexp_extract_all(t,
+             '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b'))
+             AS BIGINT) AS n_ip_valid
+         FROM l""",
+    // Same md5 weight synthesis, same token buckets, same integer
+    // scores; argmax ties to class 0.
+    "q267_hash_classifier" ->
+      """WITH w AS (
+           SELECT
+             list_transform(range(0, 512), j ->
+               CAST(('0x' || substr(md5('w:0:' || j), 1, 15)) AS BIGINT)
+                 % 2001 - 1000) AS w0,
+             list_transform(range(0, 512), j ->
+               CAST(('0x' || substr(md5('w:1:' || j), 1, 15)) AS BIGINT)
+                 % 2001 - 1000) AS w1),
+         toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             coalesce(list_sum(list_transform(tk, t ->
+               w0[CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                 % 512 AS INT) + 1])), 0) AS s0,
+             coalesce(list_sum(list_transform(tk, t ->
+               w1[CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                 % 512 AS INT) + 1])), 0) AS s1
+           FROM toks, w)
+         SELECT doc_id,
+           CASE WHEN s0 >= s1 THEN 0 ELSE 1 END AS best_class,
+           CAST(greatest(s0, s1) AS BIGINT) AS score_best,
+           CAST(abs(s0 - s1) AS BIGINT) AS margin
+         FROM sc""",
+    // Same hourly counts, same type-1 medians (1-based row_number ==
+    // (n+1)//2), same cross-multiplied outlier test.
+    "q268_mad_outliers" ->
+      """WITH c AS (
+           SELECT event_type AS key,
+             epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (
+           SELECT key, n AS med FROM (
+             SELECT key, n,
+               row_number() OVER (PARTITION BY key ORDER BY n) AS rn,
+               count(*) OVER (PARTITION BY key) AS cnt
+             FROM c) t WHERE rn = (cnt + 1) // 2),
+         d AS (
+           SELECT c.key, c.hour, c.n, m.med, abs(c.n - m.med) AS dev
+           FROM c JOIN m USING (key)),
+         md AS (
+           SELECT key, dev AS mad FROM (
+             SELECT key, dev,
+               row_number() OVER (PARTITION BY key ORDER BY dev) AS rn,
+               count(*) OVER (PARTITION BY key) AS cnt
+             FROM d) t WHERE rn = (cnt + 1) // 2)
+         SELECT d.key, CAST(d.hour AS BIGINT) AS hour,
+           CAST(d.n AS BIGINT) AS n, CAST(d.med AS BIGINT) AS med,
+           CAST(md.mad AS BIGINT) AS mad,
+           CAST(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END AS BIGINT)
+             AS outlier
+         FROM d JOIN md USING (key)""",
+    // Batch recount of the streamed flags: same 3-gram construction
+    // (q245's sh CTE), bench = docs 0-4, corpus = the rest.
+    "q269_stream_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS s
+           FROM toks),
+         bg AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5),
+         corp AS (
+           SELECT doc_id, list_distinct(s) AS s FROM sh
+           WHERE doc_id >= 5),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM corp),
+         hit AS (
+           SELECT DISTINCT e.doc_id FROM ex e JOIN bg ON bg.g = e.g)
+         SELECT c.doc_id, CAST(len(c.s) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS contaminated
+         FROM corp c LEFT JOIN hit h ON h.doc_id = c.doc_id""",
     // The oracle is the FULL recompute over the union of base + delta
     // pairs (q47's minhash rebuild + recursive reach) — a hash match
     // proves incremental addToClusters == full nearDupClusters.

@@ -19,8 +19,6 @@ import org.apache.spark.SparkException
   * once per hash function; at 100 TB that difference is the job.
   */
 
-/** minhash signature: array<string> tokens → array<long> of `numHashes`
-  * minima over the `shingleSize`-token shingles. */
 private[functions] trait StringArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -29,6 +27,8 @@ private[functions] trait StringArrayInput { self: UnaryExpression =>
   }
 }
 
+/** minhash signature: array<string> tokens → array<long> of `numHashes`
+  * minima over the `shingleSize`-token shingles. */
 case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int,
     portable: Boolean = false)
     extends UnaryExpression with StringArrayInput {
@@ -228,10 +228,6 @@ case class HyperplaneBands(child: Expression, bitsPerTable: Int,
     copy(child = newChild)
 }
 
-/** Dot product of two float/double vectors as a double. Null when either
-  * input is null, the lengths differ, or any element is null — a
-  * corrupt/short embedding surfaces as a null score, never a plausible
-  * partial sum. */
 /** All index-ordered pairs (i < j) of an id array as
   * array<struct<id_a,id_b>> — the per-bucket candidate-pair expansion of
   * the LSH dedup family. Replaces the interpreted nested-`transform`
@@ -298,6 +294,10 @@ case class DeletionVariants(child: Expression) extends UnaryExpression {
       newChild: Expression): DeletionVariants = copy(child = newChild)
 }
 
+/** Dot product of two float/double vectors as a double. Null when either
+  * input is null, the lengths differ, or any element is null — a
+  * corrupt/short embedding surfaces as a null score, never a plausible
+  * partial sum. */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

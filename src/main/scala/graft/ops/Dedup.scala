@@ -100,15 +100,6 @@ object Dedup {
       array_min(transform(shingles, s => xxhash64(s, lit(i))))
     }: _*)
 
-  /** MinHash + LSH near-dup candidate pairs.
-    *
-    * Pipeline: shingle → k-element minhash signature → split into `bands`
-    * bands of k/bands rows → (band, bandSignature) bucket key → self-join
-    * within buckets → distinct candidate pairs (a < b).
-    *
-    * The band-bucket join is an equi-join on the bucket key, so Catalyst
-    * shuffles both sides by key; there is no O(n²) comparison anywhere.
-    */
   /** Buckets larger than this are dropped (degenerate LSH buckets make the
     * pair count quadratic; near-dups falling in a huge bucket on one band
     * are still caught by their other bands). Standard practice at scale. */
@@ -135,7 +126,15 @@ object Dedup {
       .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
 
-  /** `portable = true` computes the minhash minima with the md5-derived
+  /** MinHash + LSH near-dup candidate pairs.
+    *
+    * Pipeline: shingle → k-element minhash signature → split into `bands`
+    * bands of k/bands rows → (band, bandSignature) bucket key → self-join
+    * within buckets → distinct candidate pairs (a < b). The band-bucket
+    * join is an equi-join on the bucket key, so Catalyst shuffles both
+    * sides by key; there is no O(n²) comparison anywhere.
+    *
+    * `portable = true` computes the minhash minima with the md5-derived
     * portable hash (GraftHashImpl portable mode) so an external engine can
     * reproduce the bucket partition — the oracle-verified variant; the
     * banding/bucketing/pair-expansion plan is IDENTICAL either way. */

@@ -11,22 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
-  /** Heavy-hitter profile of a key column: the k most frequent non-null
-    * keys with row counts, share of the table, and `skew_ratio` — share ×
-    * distinct key count, i.e. how many times over-represented the key is
-    * vs a uniform spread (1.0 = perfectly uniform; a key with ratio 50
-    * makes its shuffle partition ~50× the average). Ties break by key
-    * ascending. A NULL-key group — the most common real-world skew
-    * culprit, and one a top-k over join keys can never surface because
-    * nulls don't equi-join — is reported unconditionally as a dedicated
-    * `rank 0` row whenever present, regardless of its size.
-    *
-    * Shape at scale: one map-side-combined groupBy(key) — the same
-    * shuffle the join under diagnosis would do, but carrying only
-    * (key, count) — then the bounded [[graft.functions.TopKByScore]]
-    * aggregate (O(k) partial buffers) for the winners and a broadcast of
-    * the k-row result back onto the counts; the one-row totals frame
-    * attaches by broadcast cross join. No global sort, no window. */
   /** ANALYZE-style catalog statistics in ONE pass: per column, row/null
     * counts, lexicographic and (where castable) numeric min/max, and a
     * KMV distinct-count estimate — the inputs a cost-based optimizer
@@ -152,6 +136,22 @@ object Profiling {
         count(lit(1)).as("n_rows"))
       .where(col("n_ids") < k)
 
+  /** Heavy-hitter profile of a key column: the k most frequent non-null
+    * keys with row counts, share of the table, and `skew_ratio` — share ×
+    * distinct key count, i.e. how many times over-represented the key is
+    * vs a uniform spread (1.0 = perfectly uniform; a key with ratio 50
+    * makes its shuffle partition ~50× the average). Ties break by key
+    * ascending. A NULL-key group — the most common real-world skew
+    * culprit, and one a top-k over join keys can never surface because
+    * nulls don't equi-join — is reported unconditionally as a dedicated
+    * `rank 0` row whenever present, regardless of its size.
+    *
+    * Shape at scale: one map-side-combined groupBy(key) — the same
+    * shuffle the join under diagnosis would do, but carrying only
+    * (key, count) — then the bounded [[graft.functions.TopKByScore]]
+    * aggregate (O(k) partial buffers) for the winners and a broadcast of
+    * the k-row result back onto the counts; the one-row totals frame
+    * attaches by broadcast cross join. No global sort, no window. */
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(col(keyCol).as("key"))
@@ -1879,5 +1879,43 @@ object Profiling {
         col("v").cast("double").as("value"),
         col("c").as("n"), col("pct_ppm"),
         col("matched_value").cast("double").as("matched_value"))
+  }
+
+  /** Robust per-key outlier flags via median / MAD (median absolute
+    * deviation) — the anomaly monitor that survives the exact skew that
+    * breaks mean/stddev z-scores (one traffic spike inflates a stddev
+    * until nothing else flags; the median barely moves). Rows are
+    * bucketed to hours per key; an hour is an outlier when its count
+    * deviates from the key's median by more than `k` × MAD. All
+    * quantities are EXACT integers: both medians are type-1 order
+    * statistics from the [[graft.ops.Sketches.exactQuantilesByGroup]]
+    * kernel (value at 0-based rank ⌈n/2⌉−1 — blocked two-phase ranks,
+    * no per-key global sort), the deviation is |n − med| in longs, and
+    * the flag test cross-multiplies (dev > k·MAD) so no division ever
+    * happens. MAD = 0 (an utterly regular key) flags ANY deviating
+    * hour — the desired behavior for cron-like keys. Output:
+    * (key, hour, n, med, mad, outlier 0/1). */
+  def madHourlyOutliers(df: DataFrame, keyCol: String, tsCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("us"))
+      .select(col("key"), expr("us div 3600000000").as("hour"))
+      .where(col("key").isNotNull && col("hour").isNotNull)
+      .groupBy(col("key"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val med = Sketches.exactQuantilesByGroup(counts, "key", "n",
+        Seq((1, 2)))
+      .select(col("key"), col("value").as("med"))
+    val dev = counts.join(med, Seq("key"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = Sketches.exactQuantilesByGroup(dev, "key", "dev",
+        Seq((1, 2)))
+      .select(col("key"), col("value").as("mad"))
+    dev.join(mad, Seq("key"))
+      .select(col("key"), col("hour"), col("n"), col("med"), col("mad"),
+        when(col("dev") > lit(k.toLong) * col("mad"), lit(1L))
+          .otherwise(lit(0L)).as("outlier"))
   }
 }

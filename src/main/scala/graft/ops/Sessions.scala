@@ -168,19 +168,6 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
-  /** Per-user inter-event gap statistics: count, mean, median and p90 of
-    * the gaps (seconds) between a user's consecutive events — the
-    * dwell-time/behavioral-cadence features (bot detection reads the p90,
-    * engagement models the median). Gaps are exact integer microseconds
-    * (ties broken by event id) and the quantiles use Spark's EXACT
-    * `percentile` with linear interpolation — the same definition as the
-    * SQL oracle's `quantile_cont`, so results hash-match. Users with a
-    * single event report zero gaps and null statistics.
-    *
-    * Shape at scale: one user-keyed shuffle + lag window (the
-    * sessionize family), then a map-side-combined per-user aggregation;
-    * exact percentile buffers hold one user's gaps, bounded by that
-    * user's event count. */
   /** Half-life-decayed user activity score as of a reference instant:
     * `score(u) = Σ value·2^(−age_halflives)` over the user's events at or
     * before `asOf`, where `age_halflives = floor(age / halfLife)` — the
@@ -222,6 +209,19 @@ object Sessions {
           .as("activity_score"))
   }
 
+  /** Per-user inter-event gap statistics: count, mean, median and p90 of
+    * the gaps (seconds) between a user's consecutive events — the
+    * dwell-time/behavioral-cadence features (bot detection reads the p90,
+    * engagement models the median). Gaps are exact integer microseconds
+    * (ties broken by event id) and the quantiles use Spark's EXACT
+    * `percentile` with linear interpolation — the same definition as the
+    * SQL oracle's `quantile_cont`, so results hash-match. Users with a
+    * single event report zero gaps and null statistics.
+    *
+    * Shape at scale: one user-keyed shuffle + lag window (the
+    * sessionize family), then a map-side-combined per-user aggregation;
+    * exact percentile buffers hold one user's gaps, bounded by that
+    * user's event count. */
   def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
       idCol: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -412,21 +412,6 @@ object Sessions {
         sum(col("credit_ppm")).as("credit_ppm"))
   }
 
-  /** Peak concurrency per hour — "how many sessions were open at once"
-    * (capacity planning, abuse detection, license audits). Every event
-    * opens a half-open session `[ts, ts+sessionSeconds)`; the answer is
-    * the running max of the +1/−1 boundary sweep.
-    *
-    * The naive sweep is ONE global ordered running sum — a single
-    * reducer over every boundary. This runs it two-phase: the running
-    * sum restarts per HOUR (window partitioned by the boundary's hour —
-    * parallel), per-hour net deltas are cumulated on the driver (state =
-    * one long per distinct hour, bounded by the time range, same budget
-    * as [[Splits.deterministicShuffle]]'s block counts), and
-    * `peak(h) = carry(h) + greatest(max_within(h), 0)` — the `0` is the
-    * hour-start instant, which is the peak when the hour only drains.
-    * Boundary ties order ends (−1) before starts (+1): half-open
-    * intervals, back-to-back sessions never overlap. */
   /** Bitemporal as-of reconstruction — "what did the store believe AT
     * transaction time txAt ABOUT state at valid time validAt?": the
     * audit query behind reproducible training snapshots. [[scd2]] /
@@ -500,6 +485,21 @@ object Sessions {
     }.reduce(_ unionAll _)
   }
 
+  /** Peak concurrency per hour — "how many sessions were open at once"
+    * (capacity planning, abuse detection, license audits). Every event
+    * opens a half-open session `[ts, ts+sessionSeconds)`; the answer is
+    * the running max of the +1/−1 boundary sweep.
+    *
+    * The naive sweep is ONE global ordered running sum — a single
+    * reducer over every boundary. This runs it two-phase: the running
+    * sum restarts per HOUR (window partitioned by the boundary's hour —
+    * parallel), per-hour net deltas are cumulated on the driver (state =
+    * one long per distinct hour, bounded by the time range, same budget
+    * as [[Splits.deterministicShuffle]]'s block counts), and
+    * `peak(h) = carry(h) + greatest(max_within(h), 0)` — the `0` is the
+    * hour-start instant, which is the peak when the hour only drains.
+    * Boundary ties order ends (−1) before starts (+1): half-open
+    * intervals, back-to-back sessions never overlap. */
   def peakConcurrency(events: DataFrame, tsCol: String,
       sessionSeconds: Long): DataFrame = {
     require(sessionSeconds >= 1,

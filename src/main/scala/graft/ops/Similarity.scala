@@ -30,13 +30,6 @@ object Similarity {
   private def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
     when(normA * normB === 0, lit(0.0)).otherwise(dotAB / (normA * normB))
 
-  /** Per-query top-k reduction of scored (query_id, corpus_id, score) rows
-    * via the bounded [[graft.functions.TopKByScore]] aggregate. Unlike a
-    * `row_number()` window partitioned by query_id — which shuffles EVERY
-    * scored corpus row for a query into a single reducer task — the
-    * aggregate does map-side partial aggregation with O(k) buffers, so
-    * per-query reducer input is k × numPartitions rows no matter how large
-    * the corpus is. Ties broken by corpus_id asc (deterministic). */
   /** Widen a CPU-bound stage to the session's core parallelism when the
     * planned input is narrower. A byte-small parquet file plans a single
     * split, which would run a compute-heavy kernel (dot products, media
@@ -50,6 +43,13 @@ object Similarity {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Per-query top-k reduction of scored (query_id, corpus_id, score) rows
+    * via the bounded [[graft.functions.TopKByScore]] aggregate. Unlike a
+    * `row_number()` window partitioned by query_id — which shuffles EVERY
+    * scored corpus row for a query into a single reducer task — the
+    * aggregate does map-side partial aggregation with O(k) buffers, so
+    * per-query reducer input is k × numPartitions rows no matter how large
+    * the corpus is. Ties broken by corpus_id asc (deterministic). */
   private def topKReduce(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(GraftFunctions.topKByScore(col("score"), col("corpus_id"), k)
@@ -255,11 +255,6 @@ object Similarity {
         GraftFunctions.vectorDot(c, qv) * 2 - element_at(typedLit(cn), i + 1))
   }
 
-  /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
-    * buckets (exact within-bucket scoring, a-id < b-id dedup). Candidate
-    * pairs come from the capped-bucket expansion (bounded buffers, no
-    * self-join) shared with the dedup operators; vectors are joined back
-    * only for surviving candidates. */
   /** Margin-based bitext/pair mining (Artetxe–Schwenk ratio margin — the
     * alignment-mining stage of the CCMatrix/LASER pipeline family):
     * candidate pairs are each source vector's forward top-`k` neighbors;
@@ -294,6 +289,11 @@ object Similarity {
       .where(col("margin") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs within one dataset, via LSH
+    * buckets (exact within-bucket scoring, a-id < b-id dedup). Candidate
+    * pairs come from the capped-bucket expansion (bounded buffers, no
+    * self-join) shared with the dedup operators; vectors are joined back
+    * only for surviving candidates. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 8): DataFrame = {
     val b = df.select(col(idCol).as("id"),

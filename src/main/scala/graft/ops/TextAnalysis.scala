@@ -320,20 +320,6 @@ object TextAnalysis {
           s => s.getField("line"))).as("clean_text"))
   }
 
-  /** Corpus-wide heavy hitters: the k most frequent word n-grams with
-    * occurrence and document counts — the audit table behind boilerplate
-    * detection, stopword-list induction and contamination triage. Ties
-    * break by gram ascending (deterministic). N-gram construction is
-    * [[Dedup.wordShingles]] (a document shorter than n tokens contributes
-    * its whole token string as one gram).
-    *
-    * Shape at scale: explode → one map-side-combined groupBy(gram) for
-    * (count, doc-count), then the bounded [[graft.functions.TopKByScore]]
-    * aggregate — O(k) partial buffers per map task, k×partitions rows
-    * into the single final reducer — NOT a global ORDER BY ... LIMIT,
-    * which would sort the full gram table. The k winners broadcast back
-    * onto the stats frame for their doc counts; Catalyst's ReuseExchange
-    * evaluates the underlying gram aggregation once. */
   /** Vocabulary coverage curve: the top `v` tokens by corpus frequency
     * with each prefix's CUMULATIVE share of all token occurrences — the
     * table a tokenizer design reads off ("a 512-word vocab covers X% of
@@ -366,6 +352,20 @@ object TextAnalysis {
         col("e.cum_share"))
   }
 
+  /** Corpus-wide heavy hitters: the k most frequent word n-grams with
+    * occurrence and document counts — the audit table behind boilerplate
+    * detection, stopword-list induction and contamination triage. Ties
+    * break by gram ascending (deterministic). N-gram construction is
+    * [[Dedup.wordShingles]] (a document shorter than n tokens contributes
+    * its whole token string as one gram).
+    *
+    * Shape at scale: explode → one map-side-combined groupBy(gram) for
+    * (count, doc-count), then the bounded [[graft.functions.TopKByScore]]
+    * aggregate — O(k) partial buffers per map task, k×partitions rows
+    * into the single final reducer — NOT a global ORDER BY ... LIMIT,
+    * which would sort the full gram table. The k winners broadcast back
+    * onto the stats frame for their doc counts; Catalyst's ReuseExchange
+    * evaluates the underlying gram aggregation once. */
   def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got $n/$k")
@@ -573,7 +573,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("count"))
   }
 
-  /** All signals as one struct-per-row projection. */
   /** Zipf-law slope per group — the corpus-health diagnostic that
     * separates natural language (slope ≈ −1 in log-log rank/frequency
     * space) from template spam, boilerplate floods, and synthetic
@@ -663,6 +662,7 @@ object TextAnalysis {
         col("nb"), col("lift_ppm"))
   }
 
+  /** All signals as one struct-per-row projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))
@@ -853,5 +853,92 @@ object TextAnalysis {
     val canonRest = when(rest === "/", lit("")).otherwise(rest)
     when(pfx === "", tidy1)
       .otherwise(concat(canonPfx, canonRest))
+  }
+
+  /** Extended PII audit with CHECKSUM validation — the step beyond the
+    * regex-only q36 family: card-number candidates (16 contiguous
+    * digits) are split into Luhn-valid and Luhn-invalid (mod-10
+    * checksum, the validation every real PII scrubber runs to keep the
+    * false-positive rate of "any 16 digits" usable), plus NANP-style
+    * phone numbers and IPv4 literals split into syntactic candidates vs
+    * octet-valid addresses.
+    *
+    * Everything is per-row projection — regexp_extract_all plus a
+    * per-candidate Luhn fold (interpreted HOF over the handful of
+    * candidates a document carries, never over tokens) — so the
+    * operator is one scan, zero shuffles, and every count is an exact
+    * integer an external engine reproduces from the same regexes and
+    * checksum arithmetic. */
+  def piiAuditExtended(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__cards",
+        expr("regexp_extract_all(__t, '\\\\b[0-9]{16}\\\\b', 0)"))
+    // Luhn mod-10: digits at odd distance from the RIGHT (position i
+    // with (16 - i) odd) double, 9-subtract on overflow
+    val luhn = base.withColumn("__sums", expr(
+      """transform(__cards, s -> aggregate(sequence(1, 16), 0,
+        |(acc, i) -> acc + (CASE WHEN pmod(16 - i, 2) = 1
+        |  THEN (CASE WHEN 2 * CAST(substring(s, i, 1) AS INT) > 9
+        |    THEN 2 * CAST(substring(s, i, 1) AS INT) - 9
+        |    ELSE 2 * CAST(substring(s, i, 1) AS INT) END)
+        |  ELSE CAST(substring(s, i, 1) AS INT) END)))""".stripMargin
+        .replace("\n", " ")))
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    luhn.select(col("doc_id"),
+      size(col("__cards")).cast("long").as("n_card_candidates"),
+      expr("size(filter(__sums, x -> pmod(x, 10) = 0))").cast("long")
+        .as("n_card_valid"),
+      expr("size(regexp_extract_all(__t, " +
+        "'\\\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', 0))").cast("long")
+        .as("n_phone"),
+      expr("size(regexp_extract_all(__t, " +
+        "'\\\\b([0-9]{1,3}\\\\.){3}[0-9]{1,3}\\\\b', 0))").cast("long")
+        .as("n_ip_candidates"),
+      size(regexp_extract_all(col("__t"),
+        lit(s"\\b($octet\\.){3}$octet\\b"), lit(0))).cast("long")
+        .as("n_ip_valid"))
+  }
+
+  /** Hashing-trick linear text classifier INFERENCE — the fastText-style
+    * quality/domain classifier every corpus-curation pipeline runs over
+    * 100 TB once a small model is trained offline: features are the
+    * md5-portable token hash mod `dim` (no vocabulary, no dictionary
+    * broadcast — [[hashedFeatures]]' trick), the model is `weights`
+    * (class × dim integer matrix) folded into the plan as literals, and
+    * a document's class score is the exact integer Σ over its tokens of
+    * w_class[bucket(token)] (bag-of-words, repeats count).
+    *
+    * Output: (doc_id, best_class, score_best, margin) — argmax with
+    * ties to the LOWEST class id, margin = best − runner-up (the
+    * confidence gate: route low-margin docs to review / higher-cost
+    * scoring). One scan, zero shuffles, fully replayable by any engine
+    * with md5. */
+  def hashingTrickClassifier(df: DataFrame, idCol: String,
+      textCol: String, weights: Seq[Seq[Long]]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_.size).distinct.size == 1,
+      "weights must be a non-empty class x dim matrix")
+    val dim = weights.head.size
+    val nC = weights.size
+    val b = df.select(col(idCol).as("doc_id"),
+        Dedup.tokens(col(textCol)).as("__tk"))
+      // bucket list bound ONCE as a named column (the interpreted-HOF
+      // binding rule): nC score folds below re-read it
+      .withColumn("__bk", transform(col("__tk"), t =>
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).cast("int")))
+    val scoreCols = (0 until nC).map { c =>
+      val w = typedLit(weights(c))
+      aggregate(col("__bk"), lit(0L),
+        (acc, bk) => acc + element_at(w, bk + 1)).as(s"__s$c")
+    }
+    val scored = b.select(col("doc_id") +: scoreCols: _*)
+    val arr = array((0 until nC).map(c => col(s"__s$c")): _*)
+    scored.select(col("doc_id"),
+        (array_position(arr, array_max(arr)) - 1).cast("int")
+          .as("best_class"),
+        array_max(arr).as("score_best"),
+        (array_max(arr) - element_at(reverse(array_sort(arr)),
+          if (nC >= 2) 2 else 1)).as("margin"))
   }
 }

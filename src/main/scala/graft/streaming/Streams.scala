@@ -119,15 +119,6 @@ object Streams {
           .as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming distinct-cardinality per window via the KMV sketch: the
-    * k-minimum-values aggregate (graft.functions.KMinValues) is a
-    * TypedImperativeAggregate, so it runs INSIDE the streaming state
-    * store — per-window state is k longs, not a distinct-user set.
-    * Streaming `count(DISTINCT ...)` is unsupported/unbounded; the
-    * mergeable sketch is the production answer ("distinct users per
-    * hour" over an unbounded stream with bounded state). The estimate
-    * uses the portable hash, so an external engine reproduces the exact
-    * same sketch and estimate from the batch data. */
   /** Streaming per-window value histogram — the live tail of the batch
     * drift monitor ([[graft.ops.Profiling.driftReport]]): counts per
     * (event-time window, deterministic value bin), maintained
@@ -150,6 +141,15 @@ object Streams {
         .as("hour"), col("bin"), col("n"))
   }
 
+  /** Streaming distinct-cardinality per window via the KMV sketch: the
+    * k-minimum-values aggregate (graft.functions.KMinValues) is a
+    * TypedImperativeAggregate, so it runs INSIDE the streaming state
+    * store — per-window state is k longs, not a distinct-user set.
+    * Streaming `count(DISTINCT ...)` is unsupported/unbounded; the
+    * mergeable sketch is the production answer ("distinct users per
+    * hour" over an unbounded stream with bounded state). The estimate
+    * uses the portable hash, so an external engine reproduces the exact
+    * same sketch and estimate from the batch data. */
   def windowedKmvDistinct(events: DataFrame, keyCol: String,
       watermark: String = "1 hour", window_ : String = "1 hour",
       k: Int = 64): DataFrame = {
@@ -824,4 +824,28 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+
+  /** Streaming benchmark decontamination — the live tail of the batch
+    * n-gram decontaminator ([[graft.ops.Dedup.ngramOverlap]], q46): a
+    * document micro-batch is flagged `contaminated` when it shares any
+    * word `n`-gram with the benchmark set. The benchmark grams arrive
+    * as a DRIVER-SIDE literal (a benchmark/eval set is small by
+    * nature — at a size where the literal pinches, swap in the
+    * [[graft.ops.Sketches]] Bloom positions table with the same
+    * overlap test), so the check is a PURE per-row projection:
+    * `arrays_overlap` against the literal — no stream-stream join, no
+    * state store, no watermark, append-mode safe, and a batch replay
+    * of the same frames produces bit-identical flags (the q269
+    * oracle). Works unchanged on a static frame. */
+  def decontaminateStream(docs: DataFrame, idCol: String,
+      textCol: String, benchGrams: Seq[String], n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = array_distinct(
+      graft.ops.Dedup.wordShingles(col(textCol), n))
+    docs.select(col(idCol).as("doc_id"), grams.as("__g"))
+      .select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"),
+        (if (benchGrams.isEmpty) lit(0L)
+         else arrays_overlap(col("__g"), typedLit(benchGrams))
+           .cast("long")).as("contaminated"))
+  }
 }

@@ -274,6 +274,91 @@ class OpsSpec extends SparkSuite {
     assert(dups.toSet === Set((7L, 8L)))
   }
 
+  test("piiAuditExtended: Luhn split, octet-valid IPv4 split, phone " +
+    "count on crafted text") {
+    import spark.implicits._
+    val docs = Seq(
+      // one valid card, one invalid (last digit bumped), one valid ip,
+      // two invalid candidates, one phone
+      (1L, "pay 4111111111111111 or 4111111111111112 from " +
+        "255.255.255.255 not 256.1.2.3 nor 999.999.999.999 " +
+        "call +1-212-555-0100"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiAuditExtended(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got(1L) === ((2L, 1L, 1L, 3L, 1L)))
+    assert(got(2L) === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("hashingTrickClassifier: crafted weights route scores; argmax " +
+    "ties break to class 0; empty text scores 0") {
+    import spark.implicits._
+    val dim = 8
+    def bucket(t: String): Int =
+      (graft.functions.GraftHashImpl.portableHash60(t) % dim).toInt
+    val docs = Seq((1L, "alpha alpha beta"), (2L, ""))
+      .toDF("doc_id", "text")
+    // w0: every bucket 1; w1: alpha's bucket 5, others 0
+    val w0 = Seq.fill(dim)(1L)
+    val w1 = Seq.tabulate(dim)(j => if (j == bucket("alpha")) 5L else 0L)
+    val got = TextAnalysis.hashingTrickClassifier(docs, "doc_id",
+        "text", Seq(w0, w1))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 expectation computed from the same buckets the engine uses
+    // (collisions between alpha/beta are then handled either way)
+    val s0 = 3L
+    val s1 = Seq("alpha", "alpha", "beta").map(t => w1(bucket(t))).sum
+    val expBest = if (s0 >= s1) 0 else 1
+    assert(got(1L) === ((expBest, math.max(s0, s1),
+      math.abs(s0 - s1))))
+    // empty text: both scores 0 -> tie -> class 0
+    assert(got(2L) === ((0, 0L, 0L)))
+  }
+
+  test("madHourlyOutliers: a spike hour flags, regular keys do not; " +
+    "MAD 0 flags any deviation") {
+    import spark.implicits._
+    def rows(key: String, hour: Long, n: Int) =
+      Seq.fill(n)((key, hour * 3600000000L))
+    // key A: four hours of 10 plus one hour of 100 -> med 10, MAD 0 ->
+    // only the spike flags; key B: counts 9,10,11 -> med 10, MAD 1 ->
+    // nothing exceeds 3*MAD
+    val data = (0L to 3L).flatMap(h => rows("A", h, 10)) ++
+      rows("A", 4L, 100) ++
+      rows("B", 0L, 9) ++ rows("B", 1L, 10) ++ rows("B", 2L, 11)
+    val df = data.toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.ops.Profiling.madHourlyOutliers(df, "k", "ts", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(("A", 4L)) === ((100L, 10L, 0L, 1L)))
+    (0L to 3L).foreach(h => assert(got(("A", h))._4 === 0L))
+    Seq(0L, 1L, 2L).foreach(h => assert(got(("B", h))._4 === 0L))
+  }
+
+  test("decontaminateStream (static form): planted 3-gram flags, " +
+    "empty benchmark flags nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely unrelated words here")).toDF("doc_id", "text")
+    val bench = Seq("quick brown fox")
+    val got = graft.streaming.Streams.decontaminateStream(docs,
+        "doc_id", "text", bench, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === ((3L, 1L))) // 5 tokens -> 3 grams, one planted
+    assert(got(2L) === ((2L, 0L))) // 4 tokens -> 2 grams, no hit
+    val none = graft.streaming.Streams.decontaminateStream(docs,
+        "doc_id", "text", Nil, n = 3)
+      .collect().map(r => r.getLong(2)).sum
+    assert(none === 0L)
+  }
+
   test("nearDupClusters on an empty pair set returns an empty result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
