@@ -2963,6 +2963,56 @@ object SparkEntry {
           .select("id_a", "id_b"))
     }),
 
+    // Fellegi-Sunter agreement-pattern profile over blocked customer
+    // pairs: cents-exact acctbal-derived comparison fields, capped
+    // blocks, per-pattern lift vs the independence expectation in
+    // exact floor ppm (decimal div) — the record-linkage threshold table
+    "q270_linkage_patterns" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("cents", expr(
+          "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)" +
+            " + 1000000"))
+        .select(col("c_custkey").as("id"),
+          col("c_nationkey").as("b1"), col("c_mktsegment").as("b2"),
+          expr("cents div 200000").as("b3"),
+          pmod(col("cents"), lit(10)).as("f1"),
+          pmod(expr("cents div 100"), lit(10)).as("f2"),
+          expr("cents div 100000").as("f3"))
+      Profiling.linkageAgreementPatterns(c, "id",
+        Seq("b1", "b2", "b3"), Seq("f1", "f2", "f3"),
+        maxBlockSize = 64)
+    }),
+
+    // Winsorization report: per-source exact p5/p95 cuts (blocked-rank
+    // kernel), clip counts and the exact mass the clip would move
+    "q271_winsorize_report" -> ((s, dir) => {
+      Profiling.winsorizeReport(t(s, dir, "documents"), "source",
+        "n_chars")
+    }),
+
+    // Largest-remainder (Hamilton) quota allocation of a 9973-sample
+    // budget across (source, lang) cells: integer quotas that sum
+    // exactly to the budget, remainder ties pinned by cell asc
+    "q272_quota_allocation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("source").isNotNull && col("lang").isNotNull)
+        .select(concat_ws("|", col("source"), col("lang")).as("cell"))
+      Splits.quotaAllocation(docs, "cell", budget = 9973L)
+    }),
+
+    // Order-invariant corpus checksum over three tables: commutative
+    // (count, decimal sum, bit-xor, min, max) reductions of md5-portable
+    // row hashes — the "did the migration keep exactly these rows"
+    // verifier that needs no sort on either side
+    "q273_corpus_checksum" -> ((s, dir) => {
+      Profiling.corpusChecksum(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"), "orders")
+        .unionAll(Profiling.corpusChecksum(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_suppkey"), "lineitem"))
+        .unionAll(Profiling.corpusChecksum(t(s, dir, "documents"),
+          Seq("doc_id", "source", "lang"), "documents"))
+    }),
+
     // Extended PII audit with Luhn validation: deterministic card/ip/
     // phone material seeded into each document (q36's seeding pattern),
     // candidates counted by regex and card candidates VALIDATED by the
@@ -4948,6 +4998,124 @@ object SparkEntry {
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    // Same cents derivation (decimal-exact), same capped blocks, same
+    // pattern counts; lift recomputed in HUGEINT with // floor.
+    "q270_linkage_patterns" ->
+      """WITH rec AS (
+           SELECT c_custkey AS id,
+             CAST(c_nationkey AS VARCHAR) AS b1, c_mktsegment AS b2,
+             CAST(cents // 200000 AS VARCHAR) AS b3,
+             CAST(cents % 10 AS VARCHAR) AS f1,
+             CAST((cents // 100) % 10 AS VARCHAR) AS f2,
+             CAST(cents // 100000 AS VARCHAR) AS f3
+           FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + 1000000 AS cents FROM customer)),
+         ok AS (SELECT b1, b2, b3 FROM rec
+           GROUP BY 1, 2, 3 HAVING count(*) <= 64),
+         bl AS (SELECT rec.* FROM rec JOIN ok USING (b1, b2, b3)),
+         p AS (
+           SELECT CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS a1,
+             CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END AS a2,
+             CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END AS a3
+           FROM bl a JOIN bl b ON a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.b3 = b.b3 AND a.id < b.id),
+         m AS (SELECT count(*) AS t, sum(a1) AS m1, sum(a2) AS m2,
+           sum(a3) AS m3 FROM p),
+         g AS (SELECT a1, a2, a3, count(*) AS n_pairs FROM p
+           GROUP BY 1, 2, 3)
+         SELECT CAST(a1 AS BIGINT) AS agree_f1,
+           CAST(a2 AS BIGINT) AS agree_f2,
+           CAST(a3 AS BIGINT) AS agree_f3,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN
+             (CASE WHEN a1 = 1 THEN m1 ELSE t - m1 END) *
+             (CASE WHEN a2 = 1 THEN m2 ELSE t - m2 END) *
+             (CASE WHEN a3 = 1 THEN m3 ELSE t - m3 END) > 0 THEN
+             (n_pairs * t * t * 1000000) //
+             ((CASE WHEN a1 = 1 THEN m1 ELSE t - m1 END) *
+              (CASE WHEN a2 = 1 THEN m2 ELSE t - m2 END) *
+              (CASE WHEN a3 = 1 THEN m3 ELSE t - m3 END))
+             END AS BIGINT) AS lift_ppm
+         FROM g, m""",
+    // Same type-1 rank cuts ((n+19)//20 and (19n+19)//20 1-based),
+    // same clamp sums.
+    "q271_winsorize_report" ->
+      """WITH v AS (
+           SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         q AS (
+           SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+           FROM v),
+         cuts AS (
+           SELECT g,
+             max(CASE WHEN rn = (cnt + 19) // 20 THEN v END) AS lo_cut,
+             max(CASE WHEN rn = (19 * cnt + 19) // 20 THEN v END)
+               AS hi_cut
+           FROM q GROUP BY g)
+         SELECT v.g AS source, count(*) AS n_rows,
+           max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+           CAST(sum(CASE WHEN v.v < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN v.v > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(sum(v.v) AS BIGINT) AS sum_raw,
+           CAST(sum(greatest(least(v.v, hi_cut), lo_cut)) AS BIGINT)
+             AS sum_winsorized
+         FROM v JOIN cuts USING (g)
+         GROUP BY 1""",
+    // Same floors/remainders; seats by row_number over
+    // (rem desc, cell asc).
+    "q272_quota_allocation" ->
+      """WITH c AS (
+           SELECT source || '|' || lang AS cell, count(*) AS n
+           FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+         tt AS (SELECT sum(n) AS t FROM c),
+         b AS (SELECT cell, n, (9973 * n) // t AS base,
+           (9973 * n) % t AS rem FROM c, tt),
+         e AS (SELECT 9973 - sum(base) AS extra FROM b),
+         r AS (SELECT cell, n, base, rem,
+           row_number() OVER (ORDER BY rem DESC, cell ASC) AS rk FROM b)
+         SELECT cell, CAST(n AS BIGINT) AS n, CAST(base AS BIGINT)
+             AS base,
+           CAST(rem AS BIGINT) AS remainder,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM r, e""",
+    // Same row-hash construction (chr(1) separator, chr(0)||'null'
+    // sentinel), same commutative reductions.
+    "q273_corpus_checksum" ->
+      """WITH h1 AS (SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+             coalesce(o_orderstatus, chr(0) || 'null'))), 1, 15))
+             AS BIGINT) AS h FROM orders),
+         h2 AS (SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+             coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'null'),
+             coalesce(CAST(l_linenumber AS VARCHAR), chr(0) || 'null'),
+             coalesce(CAST(l_suppkey AS VARCHAR), chr(0) || 'null'))),
+             1, 15)) AS BIGINT) AS h FROM lineitem),
+         h3 AS (SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+             coalesce(source, chr(0) || 'null'),
+             coalesce(lang, chr(0) || 'null'))), 1, 15))
+             AS BIGINT) AS h FROM documents)
+         SELECT 'orders' AS table_name, count(*) AS n_rows,
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS hash_sum,
+           CAST(bit_xor(h) AS BIGINT) AS hash_xor,
+           min(h) AS hash_min, max(h) AS hash_max FROM h1
+         UNION ALL
+         SELECT 'lineitem', count(*),
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR),
+           CAST(bit_xor(h) AS BIGINT), min(h), max(h) FROM h2
+         UNION ALL
+         SELECT 'documents', count(*),
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR),
+           CAST(bit_xor(h) AS BIGINT), min(h), max(h) FROM h3""",
     // Same seeding expression, same regexes (RE2 \b == Java \b on these
     // ASCII patterns), same Luhn fold and octet alternation.
     "q266_pii_luhn_audit" ->

@@ -1895,6 +1895,147 @@ object Profiling {
     * happens. MAD = 0 (an utterly regular key) flags ANY deviating
     * hour — the desired behavior for cron-like keys. Output:
     * (key, hour, n, med, mad, outlier 0/1). */
+  /** Fellegi–Sunter agreement-pattern profile — the u-probability
+    * estimation step of probabilistic record linkage: candidate pairs
+    * come from equi-join BLOCKING (pairs share every block column;
+    * blocks above `maxBlockSize` are dropped, the same quadratic guard
+    * as the LSH bucket cap — a hot block's pairs are O(size²) and a
+    * real linker refines its blocking key instead), each pair's
+    * agreement PATTERN is the bit vector of per-field equalities, and
+    * every observed pattern is reported with its pair count and its
+    * LIFT over the independence expectation
+    * (P(pattern) / Π P(bit_i)) in exact ppm — the table a linker reads
+    * to pick match/non-match thresholds: conditional dependence between
+    * fields shows up as lift far from 1e6.
+    *
+    * Exactness: lift_ppm = n_pattern · T^(k−1) · 1e6 div Π x_i computed
+    * in decimal(38,0) (T = total pairs, x_i = pairs agreeing — or
+    * disagreeing, per the pattern bit — on field i); null when some
+    * x_i = 0 (then n_pattern = 0 could not have been observed anyway).
+    * Shape: one block-keyed self-join (capped), one pattern groupBy,
+    * marginals as ONE one-row aggregate attached by broadcast. */
+  def linkageAgreementPatterns(df: DataFrame, idCol: String,
+      blockCols: Seq[String], fieldCols: Seq[String],
+      maxBlockSize: Int = 64): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(fieldCols.nonEmpty && fieldCols.size <= 6,
+      s"need 1..6 comparison fields, got ${fieldCols.size}")
+    val k = fieldCols.size
+    val recs = df.select(
+      (col(idCol).as("id") +:
+        blockCols.zipWithIndex.map { case (c, i) =>
+          coalesce(col(c).cast("string"), lit("\u0000null"))
+            .as(s"bk$i") } ++:
+        fieldCols.zipWithIndex.map { case (c, i) =>
+          coalesce(col(c).cast("string"), lit("\u0000null"))
+            .as(s"f$i") }): _*)
+    val bk = (0 until blockCols.size).map(i => col(s"bk$i"))
+    val small = recs.groupBy(bk: _*)
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") <= maxBlockSize)
+      .select(bk: _*)
+    val blocked = recs.join(small, blockCols.indices.map(i => s"bk$i"))
+    val right = blocked.select(
+      (col("id").as("id_b") +:
+        (blockCols.indices.map(i => col(s"bk$i")) ++
+        fieldCols.indices.map(i => col(s"f$i").as(s"g$i")))): _*)
+    val pairs = blocked.join(right,
+        blockCols.indices.map(i => s"bk$i").toSeq)
+      .where(col("id") < col("id_b"))
+      .select(fieldCols.indices.map(i =>
+        (col(s"f$i") === col(s"g$i")).cast("int").as(s"a$i")): _*)
+    val marg = pairs.groupBy()
+      .agg(count(lit(1)).as("t"),
+        fieldCols.indices.map(i => sum(col(s"a$i")).as(s"m$i")): _*)
+    val byPattern = pairs
+      .groupBy(fieldCols.indices.map(i => col(s"a$i")): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val denom = fieldCols.indices.map { i =>
+      d38(when(col(s"a$i") === 1, col(s"m$i"))
+        .otherwise(col("t") - col(s"m$i")))
+    }.reduce(_ * _)
+    val numer = (1 until k).map(_ => d38(col("t")))
+      .foldLeft(d38(col("n_pairs")) * 1000000L)(_ * _)
+    byPattern.join(broadcast(marg))
+      .withColumn("__num", numer.cast("decimal(38,0)"))
+      .withColumn("__den", denom.cast("decimal(38,0)"))
+      .select((fieldCols.indices.map(i =>
+          col(s"a$i").cast("long").as(s"agree_${fieldCols(i)}")) ++
+        Seq(col("n_pairs"),
+          // exact FLOOR quotient: decimal `div` (IntegralDivide), not
+          // `/` (rounded decimal quotient) — replayable as `//` on
+          // DuckDB HUGEINTs, which agrees for these non-negative terms
+          when(col("__den") > 0, expr("__num div __den"))
+            .as("lift_ppm"))): _*)
+  }
+
+  /** Winsorization / clipping report per group — the feature-pipeline
+    * gate run before any model consumes a heavy-tailed column: exact
+    * type-1 lo/hi cut values (the [[graft.ops.Sketches
+    * .exactQuantilesByGroup]] kernel — blocked ranks, no per-key global
+    * sort), how many rows each side would clip, and the exact integer
+    * column sum before vs after clipping (the mass the clip moves).
+    * Fractions are (num, den) pairs, integer-exact end to end. */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+      lo: (Int, Int) = (1, 20), hi: (Int, Int) = (19, 20)): DataFrame = {
+    val vals = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val cuts = Sketches.exactQuantilesByGroup(vals, "g", "v",
+        Seq(lo, hi))
+      .groupBy(col("g"))
+      .agg(max(when(col("p_num") === lo._1 && col("p_den") === lo._2,
+          col("value"))).as("lo_cut"),
+        max(when(col("p_num") === hi._1 && col("p_den") === hi._2,
+          col("value"))).as("hi_cut"))
+    vals.join(cuts, Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("lo_cut")).as("lo_cut"),
+        max(col("hi_cut")).as("hi_cut"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        sum(d38c(col("v"))).as("sum_raw"),
+        sum(d38c(greatest(least(col("v"), col("hi_cut")),
+          col("lo_cut")))).as("sum_winsorized"))
+      .select(col("g").as(groupCol), col("n_rows"), col("lo_cut"),
+        col("hi_cut"), col("n_clipped_lo"), col("n_clipped_hi"),
+        col("sum_raw").cast("long").as("sum_raw"),
+        col("sum_winsorized").cast("long").as("sum_winsorized"))
+  }
+
+  private def d38c(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Order-invariant corpus checksum — the migration/replication
+    * verifier for "did the rewritten 100 TB table keep EXACTLY the same
+    * rows" without sorting either side: each row hashes (md5-portable)
+    * over the given columns with an explicit null sentinel and a
+    * non-printing separator, and the table reduces to commutative
+    * aggregates (count, decimal(38,0) hash sum, bit-XOR, min, max) that
+    * are partition-order- and layout-independent — two copies match iff
+    * all five numbers match (sum+xor+count makes a forged collision
+    * need simultaneous preimages). One scan, one one-row aggregate; any
+    * engine with md5 recomputes it. */
+  def corpusChecksum(df: DataFrame, cols: Seq[String],
+      label: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val h = conv(substring(md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null")))
+        : _*)), 1, 15), 16, 10).cast("long")
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(d38c(col("h"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+          .as("hash_sum"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("hash_xor"),
+        min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
+      .select(lit(label).as("table_name"), col("n_rows"),
+        col("hash_sum").cast("string").as("hash_sum"),
+        col("hash_xor"), col("hash_min"), col("hash_max"))
+  }
+
   def madHourlyOutliers(df: DataFrame, keyCol: String, tsCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

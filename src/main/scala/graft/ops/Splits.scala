@@ -408,4 +408,56 @@ object Splits {
           .as("alloc_n"),
         col("sampled_n"), col("id_checksum"))
   }
+
+  /** Largest-remainder (Hamilton) quota allocation: split an integer
+    * sampling `budget` across cells proportional to their row mass so
+    * that the quotas are integers, sum EXACTLY to the budget, and no
+    * cell is more than 1 off its exact proportional share — the
+    * allocation step between "we want 10M samples at these domain
+    * proportions" and any per-cell sampler ([[deterministicSample]],
+    * [[quotaSample]]). Floors first (base = ⌊budget·n/T⌋), then the
+    * leftover seats go to the largest remainders (budget·n mod T), ties
+    * broken by cell ascending — all integer arithmetic, no float
+    * shares.
+    *
+    * Shape: one groupBy to cell counts (the only data-sized pass), then
+    * the remainder ranking runs INSIDE one collected row over the cell
+    * array (cells are report-dimension-sized by contract — sources ×
+    * languages, not keys; the O(cells²) interpreted rank runs once on
+    * one row — the [[graft.ops.TextAnalysis.vocabCoverage]] pattern, no
+    * single-partition window). Output: (cell, n, base, remainder,
+    * quota). */
+  def quotaAllocation(df: DataFrame, cellCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val cells = df.select(col(cellCol).cast("string").as("cell"))
+      .where(col("cell").isNotNull)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val one = cells.groupBy()
+      .agg(sort_array(collect_list(struct(col("cell"), col("n"))))
+        .as("cs"), sum(col("n")).as("t"))
+      .where(col("t") > 0)
+    one.select(col("t"),
+        expr(s"""transform(cs, x -> struct(
+          x.cell as cell, x.n as n,
+          (${budget}L * x.n) div t as base,
+          pmod(${budget}L * x.n, t) as rem))""".replace("\n", " "))
+          .as("cs2"))
+      .withColumn("extra",
+        lit(budget) - expr(
+          "aggregate(cs2, CAST(0 AS BIGINT), (a, x) -> a + x.base)"))
+      .select(explode(transform(col("cs2"), x => struct(
+        x.getField("cell").as("cell"), x.getField("n").as("n"),
+        x.getField("base").as("base"), x.getField("rem").as("rem"),
+        // seats by remainder rank: a cell wins +1 iff fewer than
+        // `extra` cells precede it under (rem desc, cell asc)
+        (x.getField("base") + when(size(filter(col("cs2"), y =>
+          y.getField("rem") > x.getField("rem") ||
+            (y.getField("rem") === x.getField("rem") &&
+              y.getField("cell") < x.getField("cell")))) < col("extra"),
+          1L).otherwise(0L)).as("quota")))).as("e"))
+      .select(col("e.cell").as("cell"), col("e.n").as("n"),
+        col("e.base").as("base"), col("e.rem").as("remainder"),
+        col("e.quota").as("quota"))
+  }
 }

@@ -28,7 +28,7 @@ class PartitionInvarianceSpec extends SparkSuite {
     val cols = df.columns.sorted
     df.selectExpr(cols.map(c => s"`$c`"): _*)
       .collect()
-      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001"))
       .toSeq.sorted
   }
 

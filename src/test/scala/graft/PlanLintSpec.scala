@@ -76,7 +76,9 @@ class PlanLintSpec extends SparkSuite {
     "q251_word_subsample", // one-row corpus-total frame
     "q252_bloom_fpr",      // one-row member/bit/probe stat frames
     "q253_rle_audit",      // one-row totals x one-row distincts stitch
-    "q261_split_balance"   // one-row grand-total frame
+    "q261_split_balance",  // one-row grand-total frame
+    "q270_linkage_patterns" // one-row pair-marginals frame attached to
+                           // the <=2^k-row pattern table
   )
 
   // Streaming entries run a query to a memory sink when invoked; their

@@ -274,6 +274,68 @@ class OpsSpec extends SparkSuite {
     assert(dups.toSet === Set((7L, 8L)))
   }
 
+  test("quotaAllocation: quotas sum exactly to the budget, each within " +
+    "1 of the exact share, remainder ties break by cell asc") {
+    import spark.implicits._
+    // masses 5/3/2 over budget 7: exact shares 3.5/2.1/1.4, floors
+    // 3/2/1 (sum 6), one seat left -> largest remainder .5 -> cell a
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("cell")
+    val got = Splits.quotaAllocation(df, "cell", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // remainder tie: masses 1/1 budget 3 -> floors 1/1, one seat, both
+    // remainders 1/2 -> tie to the ascending cell
+    val tie = Seq("x", "y").toDF("cell")
+    val got2 = Splits.quotaAllocation(tie, "cell", budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got2 === Map("x" -> 2L, "y" -> 1L))
+    // invariant at a messier size: sum == budget, |quota - share| <= 1
+    val big = (1 to 500).map(i => s"c${i % 13}").toDF("cell")
+    val q3 = Splits.quotaAllocation(big, "cell", budget = 9973L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(q3.map(_._3).sum === 9973L)
+    q3.foreach { case (_, n, q) =>
+      val exact = 9973.0 * n / 500.0
+      assert(math.abs(q - exact) <= 1.0, s"quota $q vs share $exact")
+    }
+  }
+
+  test("linkageAgreementPatterns: crafted blocks produce the exact " +
+    "pattern table; oversize blocks are dropped") {
+    import spark.implicits._
+    // one block of 3 records: pairs (1,2) agree on f1 only, (1,3) on
+    // f2 only, (2,3) on neither; plus a 70-record block that must drop
+    val blockA = Seq(
+      (1L, "B", "x", "p"), (2L, "B", "x", "q"), (3L, "B", "y", "p"))
+    val big = (100L to 169L).map(i => (i, "C", s"v$i", s"w$i"))
+    val df = (blockA ++ big).toDF("id", "blk", "f1", "f2")
+    val got = graft.ops.Profiling.linkageAgreementPatterns(df, "id",
+        Seq("blk"), Seq("f1", "f2"), maxBlockSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // T=3, m1=1, m2=1: patterns (1,0), (0,1), (0,0) each once
+    assert(got === Map((1L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 0L) -> 1L))
+  }
+
+  test("corpusChecksum: invariant under repartition/order, sensitive " +
+    "to any row change, nulls distinct from the string 'null'") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    def row(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profiling.corpusChecksum(d, Seq("id", "v"), "t")
+        .collect().head.toSeq
+    val base = row(df)
+    assert(row(df.repartition(7)) === base)
+    assert(row(df.orderBy(col("v").desc)) === base)
+    assert(row(Seq((1L, "a"), (2L, "b"), (3L, "d")).toDF("id", "v"))
+      !== base)
+    val withNull = row(Seq((1L, null.asInstanceOf[String]))
+      .toDF("id", "v"))
+    val withLiteral = row(Seq((1L, "null")).toDF("id", "v"))
+    assert(withNull !== withLiteral)
+  }
+
   test("piiAuditExtended: Luhn split, octet-valid IPv4 split, phone " +
     "count on crafted text") {
     import spark.implicits._
