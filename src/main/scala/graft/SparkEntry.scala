@@ -2963,6 +2963,41 @@ object SparkEntry {
           .select("id_a", "id_b"))
     }),
 
+    // Poisson-bootstrap CI for the per-source mean document length: 40
+    // deterministic hash-weighted replicas in ONE explode+groupBy pass,
+    // exact e4 replica means, type-1 (1/20,19/20) interval — the
+    // uncertainty every corpus-stat dashboard should carry
+    "q274_bootstrap_ci" -> ((s, dir) => {
+      Profiling.bootstrapMeanCi(t(s, dir, "documents"), "source",
+        "doc_id", "n_chars", b = 40)
+    }),
+
+    // Referential-integrity audit: the healthy lineitem->orders edge
+    // next to a deliberately degraded orders->customer edge (every
+    // custkey ending in 3 removed from the parent) — match/orphan/null
+    // splits and exact orphan ppm
+    "q275_fk_integrity" -> ((s, dir) => {
+      Profiling.fkIntegrityAudit(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem_orders")
+        .unionAll(Profiling.fkIntegrityAudit(t(s, dir, "orders"),
+          "o_custkey",
+          t(s, dir, "customer").where(pmod(col("c_custkey"),
+            lit(10)) =!= 3),
+          "c_custkey", "orders_customer_degraded"))
+    }),
+
+    // Dup-cluster density QA over the q47 pipeline's clusters: pairs
+    // per cluster vs the clique maximum in exact ppm — near-cliques are
+    // trustworthy dup groups, sparse chains are LSH transitivity glue
+    "q276_cluster_density" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 8, portable = true)
+      val clusters = Dedup.nearDupClusters(pairs,
+        shufflePartitions = Some(8))
+      Dedup.clusterDensityReport(clusters, pairs)
+    }),
+
     // Fellegi-Sunter agreement-pattern profile over blocked customer
     // pairs: cents-exact acctbal-derived comparison fields, capped
     // blocks, per-pattern lift vs the independence expectation in
@@ -4998,6 +5033,148 @@ object SparkEntry {
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    // Same hardcoded Poisson(1) CDF thresholds at 2^60 scale, same md5
+    // weights, same e4 floor means and type-1 interval ranks.
+    "q274_bootstrap_ci" ->
+      """WITH rows_ AS (
+           SELECT source AS g, CAST(doc_id AS VARCHAR) AS id,
+             CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE source IS NOT NULL AND doc_id IS NOT NULL
+             AND n_chars IS NOT NULL),
+         overall AS (
+           SELECT g, count(*) AS n_rows,
+             (10000 * sum(v)) // count(*) AS mean_e4
+           FROM rows_ GROUP BY g),
+         reps AS (
+           SELECT g, j.range AS j, id, v,
+             CAST(('0x' || substr(md5('graft-boot:' || id || ':' ||
+               CAST(j.range AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+           FROM rows_, range(0, 40) j),
+         w AS (
+           SELECT g, j, v,
+             (CASE WHEN u >= 424136118829305344 THEN 1 ELSE 0 END) +
+             (CASE WHEN u >= 848272237658610688 THEN 1 ELSE 0 END) +
+             (CASE WHEN u >= 1060340297073263360 THEN 1 ELSE 0 END) +
+             (CASE WHEN u >= 1131029650211480960 THEN 1 ELSE 0 END) +
+             (CASE WHEN u >= 1148701988496035328 THEN 1 ELSE 0 END) +
+             (CASE WHEN u >= 1152236456152946176 THEN 1 ELSE 0 END)
+               AS wt
+           FROM reps),
+         rm AS (
+           SELECT g, j, (10000 * sum(wt * v)) // sum(wt) AS m_e4
+           FROM w GROUP BY g, j HAVING sum(wt) > 0),
+         rk AS (
+           SELECT g, m_e4,
+             row_number() OVER (PARTITION BY g ORDER BY m_e4) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+           FROM rm),
+         ci AS (
+           SELECT g,
+             max(CASE WHEN rn = (cnt + 19) // 20 THEN m_e4 END)
+               AS ci_lo_e4,
+             max(CASE WHEN rn = (19 * cnt + 19) // 20 THEN m_e4 END)
+               AS ci_hi_e4
+           FROM rk GROUP BY g)
+         SELECT o.g AS source, o.n_rows,
+           CAST(o.mean_e4 AS BIGINT) AS mean_e4,
+           CAST(ci.ci_lo_e4 AS BIGINT) AS ci_lo_e4,
+           CAST(ci.ci_hi_e4 AS BIGINT) AS ci_hi_e4
+         FROM overall o JOIN ci ON ci.g = o.g""",
+    // Same distinct-parent left join, same splits and ppm.
+    "q275_fk_integrity" ->
+      """WITH p1 AS (SELECT DISTINCT o_orderkey AS k, 1 AS hit
+             FROM orders WHERE o_orderkey IS NOT NULL),
+         a1 AS (
+           SELECT 'lineitem_orders' AS fk_label, count(*) AS n_child,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_fk,
+             CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND hit IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             CAST(count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+               AND hit IS NULL THEN l_orderkey END) AS BIGINT)
+               AS n_orphan_keys
+           FROM lineitem LEFT JOIN p1 ON l_orderkey = p1.k),
+         p2 AS (SELECT DISTINCT c_custkey AS k, 1 AS hit FROM customer
+             WHERE c_custkey % 10 <> 3 AND c_custkey IS NOT NULL),
+         a2 AS (
+           SELECT 'orders_customer_degraded', count(*),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(coalesce(sum(hit), 0) AS BIGINT),
+             CAST(sum(CASE WHEN o_custkey IS NOT NULL AND hit IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+               AND hit IS NULL THEN o_custkey END) AS BIGINT)
+           FROM orders LEFT JOIN p2 ON o_custkey = p2.k),
+         u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         SELECT fk_label, n_child, n_null_fk, n_matched, n_orphans,
+           n_orphan_keys,
+           CASE WHEN n_child > 0 THEN
+             CAST(n_orphans * 1000000 // n_child AS BIGINT) END
+             AS orphan_ppm
+         FROM u""",
+    // q265's pair/cluster rebuild, then per-cluster pair counts vs the
+    // clique maximum with the same 2e6 cross-multiplied density.
+    "q276_cluster_density" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key HAVING count(*) > 200),
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+                             WHERE big.b = x.b AND big.key = x.key)),
+         und AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         clusters AS (
+           SELECT src AS id, min(dst) AS cluster_id FROM reach
+           GROUP BY src),
+         m AS (SELECT cluster_id, count(*) AS n_members FROM clusters
+           GROUP BY 1),
+         pc AS (SELECT c.cluster_id, count(*) AS n_pairs
+           FROM pairs p JOIN clusters c ON c.id = p.id_a GROUP BY 1)
+         SELECT CAST(m.cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CASE WHEN n_members >= 2 THEN
+             CAST(coalesce(n_pairs, 0) * 2000000 //
+               (n_members * (n_members - 1)) AS BIGINT) END
+             AS density_ppm
+         FROM m LEFT JOIN pc USING (cluster_id)""",
     // Same cents derivation (decimal-exact), same capped blocks, same
     // pattern counts; lift recomputed in HUGEINT with // floor.
     "q270_linkage_patterns" ->

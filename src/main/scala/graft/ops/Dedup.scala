@@ -651,6 +651,31 @@ object Dedup {
     updated.unionAll(fresh)
   }
 
+  /** Dup-cluster quality report — the QA table read after any
+    * clustering run before trusting its keepers: per cluster, member
+    * count, observed candidate pairs, and DENSITY in exact ppm (pairs
+    * over the n·(n−1)/2 clique maximum). A near-clique (density ~1e6)
+    * is a confident duplicate group; a long sparse chain (density
+    * → 2/n) is usually LSH transitivity gluing unrelated docs through
+    * borderline pairs — the clusters a pipeline should re-verify or
+    * split before deduping. Each pair is attributed through its
+    * id_a endpoint (both endpoints share a cluster by construction).
+    * Two keyed aggregations + one dimension join; nothing quadratic. */
+  def clusterDensityReport(clusters: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val m = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val pc = pairs.select(col("id_a").as("id"))
+      .join(clusters, Seq("id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_pairs"))
+    m.join(pc, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_members") >= 2, expr(
+          "coalesce(n_pairs, 0) * 2000000 div " +
+            "(n_members * (n_members - 1))")).as("density_ppm"))
+  }
+
   private def nearDupClustersImpl(pairs: DataFrame,
       maxIterations: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))

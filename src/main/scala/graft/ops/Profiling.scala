@@ -1895,6 +1895,102 @@ object Profiling {
     * happens. MAD = 0 (an utterly regular key) flags ANY deviating
     * hour — the desired behavior for cron-like keys. Output:
     * (key, hour, n, med, mad, outlier 0/1). */
+  /** floor(2^60 · P(Poisson(1) ≤ k)) for k = 0..5 — the inverse-CDF
+    * table for hash-derived Poisson bootstrap weights. Hardcoded (not
+    * recomputed with exp/factorial at runtime) so the engine and every
+    * external replayer compare against bit-identical thresholds. */
+  private val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * standard single-pass bootstrap at data scale (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams"): true resampling
+    * needs the whole dataset per replica, but Binomial(n, 1/n) →
+    * Poisson(1), so replica j simply weights each row by a
+    * Poisson(1)-distributed integer derived DETERMINISTICALLY from
+    * md5(salt:id:j) via the hardcoded inverse-CDF table — every engine
+    * reproduces the exact weights, every replica is one weighted
+    * aggregation, and all `b` replicas ride ONE explode+groupBy pass
+    * (map-side combined: the shuffle carries (group, replica) partial
+    * sums, not rows).
+    *
+    * Replica means are reported in exact e4 fixed point
+    * (⌊1e4·Σwv / Σw⌋, integer div — no float summation order anywhere);
+    * the interval is the type-1 (1/20, 19/20) quantile pair of the `b`
+    * replica means, selected inside one collected b-entry array per
+    * group (b is a constant, so the buffer is bounded). Output:
+    * (group, n_rows, mean_e4, ci_lo_e4, ci_hi_e4). */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, b: Int = 40,
+      salt: String = "graft-boot"): DataFrame = {
+    require(b >= 2 && b <= 256, s"need 2 <= b <= 256 replicas, got $b")
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("string").as("id"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("id").isNotNull &&
+        col("v").isNotNull)
+    val overall = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("(10000 * sum(cast(v as decimal(38,0)))) div count(1)")
+          .as("mean_e4"))
+    val cdf = typedLit(PoissonCdf60)
+    val reps = rows
+      .select(col("g"), col("v"), explode(sequence(lit(0),
+        lit(b - 1))).as("j"),
+        col("id"))
+      .withColumn("u", conv(substring(md5(concat_ws(":", lit(salt),
+        col("id"), col("j"))), 1, 15), 16, 10).cast("long"))
+      // weight = #{k : cdf[k] <= u} (0..6): u below cdf[0] -> 0, above
+      // cdf[5] -> 6; a size() over the filtered 6-entry literal
+      .withColumn("w", size(filter(cdf, t => t <= col("u"))).cast("long"))
+      .groupBy(col("g"), col("j"))
+      .agg(sum(expr("cast(w * v as decimal(38,0))")).as("swv"),
+        sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("g"),
+        expr("(10000 * swv) div sw").cast("long").as("m_e4"))
+    val ci = reps.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("m_e4"))).as("ms"))
+      .select(col("g"),
+        expr("element_at(ms, cast((size(ms) + 19) div 20 as int))")
+          .as("ci_lo_e4"),
+        expr("element_at(ms, cast((19 * size(ms) + 19) div 20 as int))")
+          .as("ci_hi_e4"))
+    overall.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n_rows"),
+        col("mean_e4").cast("long").as("mean_e4"),
+        col("ci_lo_e4"), col("ci_hi_e4"))
+  }
+
+  /** Referential-integrity audit — the data-quality gate between "the
+    * IND holds" ([[indDiscovery]]'s yes/no) and shipping a join that
+    * silently drops rows: per (child, parent) pair, how many child rows
+    * carry a NULL key, how many match, how many are ORPHANS, and the
+    * orphan rate in exact ppm (plus the distinct orphan key count — a
+    * few hot bad keys vs diffuse corruption read very differently).
+    * One left join against the DISTINCT parent keys (dimension-sized
+    * build side → broadcast at scale) + one aggregate. */
+  def fkIntegrityAudit(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String, label: String): DataFrame = {
+    val keys = parent.select(col(pkCol).as("k")).where(col("k").isNotNull)
+      .distinct().withColumn("hit", lit(1L))
+    child.select(col(fkCol).as("fk"))
+      .join(broadcast(keys), col("fk") === col("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_matched"),
+        sum(when(col("fk").isNotNull && col("hit").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"),
+        count_distinct(when(col("fk").isNotNull && col("hit").isNull,
+          col("fk"))).as("n_orphan_keys"))
+      .select(lit(label).as("fk_label"), col("n_child"),
+        col("n_null_fk"), col("n_matched"), col("n_orphans"),
+        col("n_orphan_keys"),
+        when(col("n_child") > 0,
+          expr("n_orphans * 1000000 div n_child")).as("orphan_ppm"))
+  }
+
   /** Fellegi–Sunter agreement-pattern profile — the u-probability
     * estimation step of probabilistic record linkage: candidate pairs
     * come from equi-join BLOCKING (pairs share every block column;

@@ -274,6 +274,55 @@ class OpsSpec extends SparkSuite {
     assert(dups.toSet === Set((7L, 8L)))
   }
 
+  test("bootstrapMeanCi: constant-valued group collapses to a " +
+    "degenerate interval at the exact mean; varied group brackets it") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => ("const", i.toLong, 7L)) ++
+      (1 to 200).map(i => ("vary", 1000L + i, (i % 100).toLong)))
+      .toDF("g", "id", "v")
+    val got = graft.ops.Profiling.bootstrapMeanCi(df, "g", "id", "v",
+        b = 40)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // every replica of an all-7 group has mean exactly 7.0000
+    assert(got("const") === ((50L, 70000L, 70000L, 70000L)))
+    val (n, m, lo, hi) = got("vary")
+    assert(n === 200L && lo <= hi)
+    // the interval surrounds the full-sample mean on this benign fixture
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+  }
+
+  test("fkIntegrityAudit: exact match/orphan/null splits and ppm") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(8L), None).toDF("fk")
+    val r = graft.ops.Profiling.fkIntegrityAudit(child, "fk", parent,
+      "pk", "t").collect().head
+    assert(r.getString(0) === "t")
+    assert(r.getLong(1) === 7L)  // n_child
+    assert(r.getLong(2) === 1L)  // n_null_fk
+    assert(r.getLong(3) === 3L)  // n_matched
+    assert(r.getLong(4) === 3L)  // n_orphans (9,9,8)
+    assert(r.getLong(5) === 2L)  // n_orphan_keys {9,8}
+    assert(r.getLong(6) === 3L * 1000000L / 7L) // orphan_ppm floor
+  }
+
+  test("clusterDensityReport: triangle is a 1e6-density clique, a " +
+    "4-chain is 500000") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    val got = Dedup.clusterDensityReport(clusters, pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 1000000L)))
+    // chain 10-11-12-13: 4 members, 3 pairs of C(4,2)=6 -> 500000
+    assert(got(10L) === ((4L, 3L, 500000L)))
+  }
+
   test("quotaAllocation: quotas sum exactly to the budget, each within " +
     "1 of the exact share, remainder ties break by cell asc") {
     import spark.implicits._
