@@ -2963,6 +2963,16 @@ object SparkEntry {
           .select("id_a", "id_b"))
     }),
 
+    // Deterministic negative sampling over the customer-supplier graph:
+    // 5 hash-drawn candidates per source from the destination universe's
+    // md5 shuffle positions, true edges and self-loops anti-joined away
+    // — reproducible link-prediction training pairs, no rand()
+    "q277_negative_samples" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.customerSupplierEdges(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      graft.ops.Graphs.negativeSamples(edges, k = 5)
+    }),
+
     // Poisson-bootstrap CI for the per-source mean document length: 40
     // deterministic hash-weighted replicas in ONE explode+groupBy pass,
     // exact e4 replica means, type-1 (1/20,19/20) interval — the
@@ -5033,6 +5043,36 @@ object SparkEntry {
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    // Same md5 shuffle ranks (13-hex key, ties by id), same 15-hex
+    // candidate hash mod universe size, same exclusions.
+    "q277_negative_samples" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+           UNION ALL SELECT s * 2 + 1, c * 2 FROM pairs),
+         d AS (SELECT DISTINCT dst AS id FROM e),
+         idx AS (
+           SELECT id, row_number() OVER (ORDER BY
+             CAST(('0x' || substr(md5('graft:' || CAST(id AS VARCHAR)),
+               1, 13)) AS BIGINT), id) - 1 AS pos
+           FROM d),
+         nn AS (SELECT count(*) AS n FROM d),
+         s0 AS (SELECT DISTINCT src FROM e),
+         cand AS (
+           SELECT src, j.range AS j,
+             CAST(('0x' || substr(md5('graft-neg:' ||
+               CAST(src AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)),
+               1, 15)) AS BIGINT) % n AS pos
+           FROM s0, range(0, 5) j, nn),
+         wd AS (
+           SELECT c.src, c.j, i.id AS neg_dst
+           FROM cand c JOIN idx i ON i.pos = c.pos)
+         SELECT CAST(src AS BIGINT) AS src, CAST(j AS BIGINT) AS j,
+           CAST(neg_dst AS BIGINT) AS neg_dst
+         FROM wd
+         WHERE src <> neg_dst AND NOT EXISTS (
+           SELECT 1 FROM e WHERE e.src = wd.src AND e.dst = wd.neg_dst)""",
     // Same hardcoded Poisson(1) CDF thresholds at 2^60 scale, same md5
     // weights, same e4 floor means and type-1 interval ranks.
     "q274_bootstrap_ci" ->

@@ -525,4 +525,46 @@ object Graphs {
     e.unpersist()
     surv.select(col("node"), col("deg").as("core_deg"))
   }
+
+  /** Deterministic negative sampling for link prediction — the
+    * training-pair generator for any edge-scoring model (recommender,
+    * knowledge-graph, citation): per source node, `k` pseudo-random
+    * candidates drawn from the DESTINATION universe by hashing
+    * (salt, src, j) into the universe's dense shuffle positions
+    * ([[graft.ops.Splits.deterministicShuffle]] — the same md5 rank any
+    * engine replays), then true edges and self-loops are removed by one
+    * keyed anti-join. A candidate lost to the exclusion simply drops
+    * (standard practice oversamples k; emitted j makes the gap
+    * visible), so resamples are reproducible end to end — no rand(),
+    * no retry loop.
+    *
+    * Scale shape: the universe index is node-sized; candidates are
+    * |src|·k rows joined by position (uniform key by construction —
+    * no skew), and the exclusion is a keyed left-anti against the edge
+    * list. Output: (src, j, neg_dst). */
+  def negativeSamples(edges: DataFrame, k: Int,
+      salt: String = "graft-neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val universe = e.select(col("dst").as("id")).distinct()
+    val idx = graft.ops.Splits.deterministicShuffle(universe, "id")
+      .select(col("position").as("pos"), col("id").as("neg_dst"))
+    val n = idx.count()
+    if (n == 0)
+      return e.limit(0).select(col("src"), lit(0L).as("j"),
+        col("dst").as("neg_dst"))
+    val cands = e.select(col("src")).distinct()
+      .select(col("src"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      .withColumn("pos", pmod(conv(substring(md5(concat_ws(":",
+        lit(salt), col("src").cast("string"), col("j"))), 1, 15),
+        16, 10).cast("long"), lit(n)))
+    cands.join(idx, Seq("pos"))
+      .join(e.select(col("src"), col("dst").as("neg_dst")).distinct(),
+        Seq("src", "neg_dst"), "left_anti")
+      .where(col("src") =!= col("neg_dst"))
+      .select(col("src"), col("j"), col("neg_dst"))
+  }
 }

@@ -456,4 +456,27 @@ class PlanSpec extends SparkSuite {
       s"expected 1 exchange per pagerank round, got $exchanges:\n" +
         p.take(4000))
   }
+
+  test("q263: the IVF-PQ candidate join carries codes, never vectors — " +
+    "the O(codes) index memory claim, pinned in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = SparkEntry.queries("q263_ann_ivfpq")(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j }
+    val cellJoin = joins.find(_.left.output.exists(_.name == "codes"))
+      .getOrElse(fail("no join with a codes-carrying corpus side found"))
+    // the corpus (streamed) side of the candidate join must hold ONLY
+    // the code table — any float/double array here means the raw
+    // embeddings are being shuffled/scanned past the encode projection
+    val floaty = cellJoin.left.output.filter(_.dataType match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    })
+    assert(floaty.isEmpty,
+      s"vector-typed columns cross the candidate join: " +
+        s"${floaty.map(a => a.name + ": " + a.dataType.simpleString)}")
+    assert(cellJoin.left.output.map(_.name).toSet ===
+      Set("corpus_id", "cell", "codes"))
+  }
 }

@@ -271,6 +271,34 @@ class GraphsSpec extends SparkSuite {
     assert(fix === l6)
   }
 
+  test("negativeSamples: no true edges or self-loops, at most k per " +
+    "source, drawn from the destination universe, reproducible") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L),
+      (10L, 1L)).toDF("src", "dst")
+    val got = Graphs.negativeSamples(edges, k = 4)
+      .as[(Long, Long, Long)].collect()
+    val trueEdges = Set((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L),
+      (10L, 1L))
+    val universe = Set(10L, 11L, 12L, 1L)
+    got.foreach { case (s, _, d) =>
+      assert(!trueEdges.contains((s, d)), s"true edge sampled: $s->$d")
+      assert(s !== d)
+      assert(universe.contains(d), s"$d not in the dst universe")
+    }
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length <= 4, s"src $s got ${rows.length} > k")
+      assert(rows.map(_._2).distinct.length === rows.length)
+    }
+    // deterministic: a second run is bit-identical
+    val again = Graphs.negativeSamples(edges, k = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // empty edges -> empty result, no division by zero
+    assert(Graphs.negativeSamples(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), k = 3).count() === 0L)
+  }
+
   test("kCore: empty edge list and k above the max degree return " +
     "empty cores without looping") {
     import spark.implicits._
