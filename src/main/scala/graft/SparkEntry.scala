@@ -2963,6 +2963,14 @@ object SparkEntry {
           .select("id_a", "id_b"))
     }),
 
+    // Exact Gini concentration of document length per source: the
+    // rank-formula coefficient in floor ppm from one decimal fraction —
+    // how evenly each source's character mass spreads across documents
+    "q278_gini_concentration" -> ((s, dir) => {
+      Profiling.giniConcentration(t(s, dir, "documents"), "source",
+        "n_chars")
+    }),
+
     // Deterministic negative sampling over the customer-supplier graph:
     // 5 hash-drawn candidates per source from the destination universe's
     // md5 shuffle positions, true edges and self-loops anti-joined away
@@ -5043,6 +5051,26 @@ object SparkEntry {
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
+    // Same ascending ranks (ties commute), same single HUGEINT floor
+    // fraction.
+    "q278_gini_concentration" ->
+      """WITH v AS (
+           SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             AND n_chars >= 0),
+         r AS (
+           SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS i
+           FROM v),
+         a AS (
+           SELECT g, count(*) AS n, sum(v) AS sx, sum(i * v) AS six
+           FROM r GROUP BY g)
+         SELECT g AS source, n, CAST(sx AS BIGINT) AS sum_value,
+           CASE WHEN sx > 0 THEN
+             CAST((1000000 * (2 * six - (n + 1) * sx)) // (n * sx)
+               AS BIGINT) END AS gini_ppm
+         FROM a""",
     // Same md5 shuffle ranks (13-hex key, ties by id), same 15-hex
     // candidate hash mod universe size, same exclusions.
     "q277_negative_samples" ->

@@ -1895,6 +1895,40 @@ object Profiling {
     * happens. MAD = 0 (an utterly regular key) flags ANY deviating
     * hour — the desired behavior for cron-like keys. Output:
     * (key, hour, n, med, mad, outlier 0/1). */
+  /** Exact Gini coefficient of a non-negative value per group — the
+    * concentration statistic behind "is this source's token mass spread
+    * across documents or piled into a few megadocs" (a high-Gini source
+    * is one dedup pass or one boilerplate generator away from
+    * dominating a mixture; [[mixDiversity]]'s Gini–SIMPSON index
+    * measures categorical variety, a different quantity). Uses the
+    * rank formula G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over values
+    * ranked ascending within the group; equal values commute under the
+    * rank sum, so the result is order-independent. Reported as exact
+    * floor ppm via one decimal(38,0) fraction — no float division.
+    *
+    * Shape: one GROUP-KEYED rank window (parallel across groups — never
+    * a single-partition window) + one groupBy. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").asc)
+    df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull && col("v") >= 0)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38c(col("v"))).as("sx"),
+        sum(d38c(col("i")) * d38c(col("v"))).as("six"))
+      .select(col("g").as(groupCol), col("n"),
+        col("sx").cast("long").as("sum_value"),
+        when(col("sx") > 0, expr(
+          """cast((1000000 * (2 * six - cast(n + 1 as decimal(38,0))
+            | * sx)) div (cast(n as decimal(38,0)) * sx) as bigint)"""
+            .stripMargin.replace("\n", " ")))
+          .as("gini_ppm"))
+  }
+
   /** floor(2^60 · P(Poisson(1) ≤ k)) for k = 0..5 — the inverse-CDF
     * table for hash-derived Poisson bootstrap weights. Hardcoded (not
     * recomputed with exp/factorial at runtime) so the engine and every

@@ -274,6 +274,28 @@ class OpsSpec extends SparkSuite {
     assert(dups.toSet === Set((7L, 8L)))
   }
 
+  test("giniConcentration: uniform group is 0, near-total " +
+    "concentration approaches (n-1)/n, ties order-independent") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("even", 100L)) ++
+      (Seq.fill(7)(("skew", 0L)) :+ (("skew", 1000L))) ++
+      Seq(("pair", 1L), ("pair", 3L)))
+      .toDF("g", "v")
+    val got = Profiling.giniConcentration(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    assert(got("even") === ((8L, 800L, 0L)))
+    // all mass on one of 8 rows: G = (n-1)/n = 7/8 = 875000 ppm
+    assert(got("skew") === ((8L, 1000L, 875000L)))
+    // {1, 3}: G = (2*(1*1+2*3) - 3*4) / (2*4) = 2/8 -> 250000 ppm
+    assert(got("pair") === ((2L, 4L, 250000L)))
+    // a zero-sum group reports null gini, not a division error
+    val z = Profiling.giniConcentration(
+        Seq(("z", 0L), ("z", 0L)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(z.isNullAt(3))
+  }
+
   test("bootstrapMeanCi: constant-valued group collapses to a " +
     "degenerate interval at the exact mean; varied group brackets it") {
     import spark.implicits._
