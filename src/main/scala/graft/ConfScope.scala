@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Temporarily override a session conf around a block, always restoring.
@@ -70,9 +72,11 @@ private[graft] object ConfScope {
     // the caller applied at runtime (AQE skew thresholds, broadcast
     // limits, codegen knobs) — isolation means the loop's WRITES stay
     // private, not that the caller's READS stop applying. Entries that
-    // are static/non-modifiable on a live session are skipped.
+    // are static/non-modifiable on a live session are skipped; fatal
+    // errors (OOM, interrupt) must still propagate, so only NonFatal
+    // is swallowed.
     spark.conf.getAll.foreach { case (k, v) =>
-      try iso.conf.set(k, v) catch { case _: Throwable => () }
+      try iso.conf.set(k, v) catch { case NonFatal(_) => () }
     }
     confs.foreach { case (k, v) => iso.conf.set(k, v) }
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -88,7 +92,7 @@ private[graft] object ConfScope {
     try body(iso, rebind)
     finally views.foreach { nm =>
       try spark.catalog.dropGlobalTempView(nm)
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     }
   }
 }

@@ -1906,24 +1906,59 @@ object Profiling {
     * rank sum, so the result is order-independent. Reported as exact
     * floor ppm via one decimal(38,0) fraction — no float division.
     *
-    * Shape: one GROUP-KEYED rank window (parallel across groups — never
-    * a single-partition window) + one groupBy. */
+    * Shape: the blocked two-phase rank kernel (the
+    * [[graft.ops.Sketches.exactQuantilesByGroup]] machinery) — a
+    * per-group window ranks the whole group's ROWS through one reducer
+    * task, the single-partition-window pattern this library exists to
+    * avoid when groups are few and huge (a handful of sources, billions
+    * of docs each). Instead: groupBy DISTINCT (group, value) counts →
+    * (group, bit-length) block subtotals (driver holds groups × ≤64
+    * longs) → per-block parallel cumulative windows + broadcast
+    * offsets. A distinct value v with count c and lo values below it
+    * occupies ranks lo+1..lo+c, contributing v·c·(2·lo + c + 1) to
+    * 2·Σi·x — equal values commute, so blocked ranks are exact. */
   def giniConcentration(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("v").asc)
-    df.select(col(groupCol).cast("string").as("g"),
+    val per = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull && col("v") >= 0)
-      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("block", when(col("v") <= 0, lit(-1))
+        .otherwise((length(bin(col("v"))) - 1).cast("int")))
+      .truncateLineage(eager = false)
+    val bt = per.groupBy(col("g"), col("block"))
+      .agg(sum(col("c")).as("tc"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    if (bt.isEmpty) {
+      return per.select(col("g").as(groupCol), col("c").as("n"),
+        col("v").as("sum_value"), col("v").as("gini_ppm")).limit(0)
+    }
+    val off = scala.collection.mutable.Map.empty[String, Long]
+    bt.groupBy(_._1).foreach { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, b, tc) =>
+        off(g + "\u0001" + b) = acc; acc += tc
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("block")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    per.select(col("g"), col("v"), col("c"),
+        (sum(col("c")).over(w) - col("c") +
+          element_at(typedLit(off.toMap),
+            concat_ws("\u0001", col("g"), col("block")))).as("lo"))
       .groupBy(col("g"))
-      .agg(count(lit(1)).as("n"),
-        sum(d38c(col("v"))).as("sx"),
-        sum(d38c(col("i")) * d38c(col("v"))).as("six"))
+      .agg(sum(col("c")).as("n"),
+        sum(d38c(col("v")) * d38c(col("c"))).as("sx"),
+        sum(d38c(col("v")) * d38c(col("c")) *
+          (d38c(col("lo")) * lit(2) + d38c(col("c")) + lit(1)))
+          .as("two_six"))
       .select(col("g").as(groupCol), col("n"),
         col("sx").cast("long").as("sum_value"),
         when(col("sx") > 0, expr(
-          """cast((1000000 * (2 * six - cast(n + 1 as decimal(38,0))
+          """cast((1000000 * (two_six - cast(n + 1 as decimal(38,0))
             | * sx)) div (cast(n as decimal(38,0)) * sx) as bigint)"""
             .stripMargin.replace("\n", " ")))
           .as("gini_ppm"))
@@ -2003,14 +2038,19 @@ object Profiling {
     * carry a NULL key, how many match, how many are ORPHANS, and the
     * orphan rate in exact ppm (plus the distinct orphan key count — a
     * few hot bad keys vs diffuse corruption read very differently).
-    * One left join against the DISTINCT parent keys (dimension-sized
-    * build side → broadcast at scale) + one aggregate. */
+    * One left join against the DISTINCT parent keys + one aggregate.
+    * No broadcast hint: parents range from dimension tables to
+    * fact-sized key sets (orders for lineitem→orders), so the join
+    * strategy is left to size-based planning — a forced broadcast of a
+    * fact-scale distinct-key set would blow the broadcast limit or OOM
+    * the driver at 100 TB, while a genuinely small parent still
+    * broadcasts via stats/AQE. */
   def fkIntegrityAudit(child: DataFrame, fkCol: String,
       parent: DataFrame, pkCol: String, label: String): DataFrame = {
     val keys = parent.select(col(pkCol).as("k")).where(col("k").isNotNull)
       .distinct().withColumn("hit", lit(1L))
     child.select(col(fkCol).as("fk"))
-      .join(broadcast(keys), col("fk") === col("k"), "left")
+      .join(keys, col("fk") === col("k"), "left")
       .agg(count(lit(1)).as("n_child"),
         sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
         coalesce(sum(col("hit")), lit(0L)).as("n_matched"),

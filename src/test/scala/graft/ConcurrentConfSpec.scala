@@ -30,25 +30,51 @@ class ConcurrentConfSpec extends SparkSuite {
       Seq((i.toLong, ((i + 1) % n).toLong),
         (i.toLong, ((i + 7) % n).toLong))
     }.toDF("src", "dst")
-    val ranks = Future {
-      graft.ops.Graphs.pageRankFixedPoint(spark, edges, iterations = 12)
-        .count()
+    // Sampling is driven by the loop's OWN job starts (a SparkListener),
+    // not wall-clock polling: a 12-iteration loop launches >= 12 jobs
+    // no matter how fast the machine is, so the "did a concurrent
+    // observation actually land mid-flight" assertion cannot flake on a
+    // warmed-up runner the way a sleep-counted loop can. In the
+    // regression world (save/set/restore on the SHARED session conf)
+    // the override is visible for the loop's whole span, so
+    // job-start-time samples catch it.
+    val sampled = new java.util.concurrent.atomic.AtomicInteger(0)
+    val leaked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (spark.conf.get("spark.sql.adaptive.enabled") == "true")
+          sampled.incrementAndGet()
+        else leaked.set(true)
+      }
     }
-    var samples = 0
-    while (!ranks.isCompleted) {
-      // the caller-session conf must NEVER show the loop's override
-      assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
-        "loop conf override leaked to the shared session")
-      // and a real concurrent query on the shared session still runs
-      if (samples % 20 == 0)
-        assert(spark.range(100).where(col("id") % 10 === 0).count() === 10L)
-      samples += 1
-      Thread.sleep(10)
-    }
-    assert(Await.result(ranks, 1.minute) === n.toLong)
-    assert(samples > 5, s"loop finished before any concurrent sample " +
-      s"landed ($samples) — grow the fixture")
-    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val ranks = Future {
+        graft.ops.Graphs.pageRankFixedPoint(spark, edges,
+          iterations = 12).count()
+      }
+      while (!ranks.isCompleted) {
+        // the caller-session conf must NEVER show the loop's override
+        assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+          "loop conf override leaked to the shared session")
+        // and a real concurrent query on the shared session still runs
+        assert(spark.range(100).where(col("id") % 10 === 0)
+          .count() === 10L)
+      }
+      assert(Await.result(ranks, 1.minute) === n.toLong)
+      // bounded drain of the async listener bus (the loop provably ran
+      // >= 12 jobs; their events just need delivery), then assert
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sampled.get() <= 5 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(!leaked.get(),
+        "a job started while the shared session showed the loop's " +
+          "adaptive.enabled=false override")
+      assert(sampled.get() > 5, s"expected >5 job-start conf samples " +
+        s"from a 12-iteration loop, saw ${sampled.get()}")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("withIsolatedSession: override visible inside, never outside; " +
