@@ -2971,6 +2971,29 @@ object SparkEntry {
         "n_chars")
     }),
 
+    // No-silent-caps accounting over the q23 LSH index at cap 8: ONE
+    // row of exact drop mass (rows/buckets dropped, floor-ppm share) —
+    // the side output that makes the banding family's quadratic guard
+    // observable instead of a silent recall hole
+    "q279_banding_drop_report" -> ((s, dir) => {
+      Dedup.bucketDropReport(
+        Dedup.minhashBandBuckets(t(s, dir, "documents"), "doc_id",
+          "text", shingleSize = 2, numHashes = 16, bands = 8,
+          portable = true),
+        maxBucketSize = 8)
+    }),
+
+    // Recall-safe banding: q23's candidate pairs at cap 8 with ONE
+    // recursive band-refinement round — an over-cap bucket re-bands on
+    // a fresh token-salted minhash family scoped inside the parent
+    // bucket (Jaccard exactly preserved, hashes re-rolled) instead of
+    // being dropped; only buckets still hot under the fresh family drop
+    "q280_minhash_pairs_refined" -> ((s, dir) => {
+      Dedup.minhashCandidatePairsRefined(t(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8,
+        portable = true, maxBucketSize = 8, refineRounds = 1)
+    }),
+
     // Deterministic negative sampling over the customer-supplier graph:
     // 5 hash-drawn candidates per source from the destination universe's
     // md5 shuffle positions, true edges and self-loops anti-joined away
@@ -5071,6 +5094,135 @@ object SparkEntry {
              CAST((1000000 * (2 * six - (n + 1) * sx)) // (n * sx)
                AS BIGINT) END AS gini_ppm
          FROM a""",
+    // Same portable band partition as q23; drop mass counted per
+    // (band, raw signature slice) class, share as one integer floor
+    // division.
+    "q279_banding_drop_report" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         sz AS (SELECT b, key, count(*) AS n FROM bands GROUP BY b, key)
+         SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_dropped,
+           CAST(sum(CASE WHEN n > 8 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_in_dropped_buckets,
+           CAST((sum(CASE WHEN n > 8 THEN n ELSE 0 END) * 1000000)
+             // sum(n) AS BIGINT) AS dropped_row_share_ppm
+         FROM sz""",
+    // Same partition again; one refinement level unrolled — fresh
+    // family = the same md5 minhash pipeline over '1:'-prefixed tokens
+    // (the engine's round-1 salt), sub-classes scoped by the parent
+    // (band, key) class.
+    "q280_minhash_pairs_refined" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         sz AS (SELECT b, key, count(*) AS n FROM bands GROUP BY b, key),
+         p0 AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x
+           JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           JOIN sz ON sz.b = x.b AND sz.key = x.key
+           WHERE sz.n <= 8),
+         over0 AS (
+           SELECT x.doc_id, x.b AS pb, x.key AS pkey
+           FROM bands x JOIN sz ON sz.b = x.b AND sz.key = x.key
+           WHERE sz.n > 8),
+         toks1 AS (
+           SELECT doc_id, list_transform(tk, x -> '1:' || x) AS tk
+           FROM toks
+           WHERE doc_id IN (SELECT doc_id FROM over0)),
+         sh1 AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) END AS s
+           FROM toks1),
+         hp1 AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh1),
+         sig1 AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp1),
+         bands1 AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig1, range(0, 8) b),
+         r1 AS (
+           SELECT o.doc_id, o.pb, o.pkey, f.b AS fb, f.key AS fkey
+           FROM over0 o JOIN bands1 f ON f.doc_id = o.doc_id),
+         sz1 AS (
+           SELECT pb, pkey, fb, fkey, count(*) AS n
+           FROM r1 GROUP BY pb, pkey, fb, fkey),
+         p1 AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM r1 x
+           JOIN r1 y ON x.pb = y.pb AND x.pkey = y.pkey
+             AND x.fb = y.fb AND x.fkey = y.fkey
+             AND x.doc_id < y.doc_id
+           JOIN sz1 z ON z.pb = x.pb AND z.pkey = x.pkey
+             AND z.fb = x.fb AND z.fkey = x.fkey
+           WHERE z.n <= 8)
+         SELECT id_a, id_b FROM p0
+         UNION
+         SELECT id_a, id_b FROM p1""",
     // Same md5 shuffle ranks (13-hex key, ties by id), same 15-hex
     // candidate hash mod universe size, same exclusions.
     "q277_negative_samples" ->

@@ -189,6 +189,115 @@ object Dedup {
       .distinct()
   }
 
+  /** Bucket-cap drop accounting — the NO-SILENT-CAPS side output for the
+    * banding family: [[candidatePairsFromBuckets]] (and the incremental
+    * path) drop buckets above `maxBucketSize` as degenerate, which is the
+    * right quadratic guard but, at 100 TB, also the classic dedup-recall
+    * hole when a hot shingle family concentrates real duplicates. This
+    * report makes the drop measurable instead of invisible: ONE row of
+    * (n_rows, n_buckets, n_buckets_dropped, n_rows_in_dropped_buckets,
+    * dropped_row_share_ppm) over any (id, bucket) frame — minhash bands,
+    * simhash bands, hyperplane tables alike. Share is exact floor ppm
+    * (integer div, no float). Shape: one groupBy on bucket (the same
+    * shuffle key the pair expansion uses) + one global fold. */
+  def bucketDropReport(bucketed: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
+    bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)),
+          lit(0L)).as("n_buckets_dropped"),
+        coalesce(sum(when(col("n") > maxBucketSize, col("n"))
+          .otherwise(0L)), lit(0L)).as("n_rows_in_dropped_buckets"))
+      .select(col("n_rows"), col("n_buckets"), col("n_buckets_dropped"),
+        col("n_rows_in_dropped_buckets"),
+        when(col("n_rows") > 0,
+          expr("n_rows_in_dropped_buckets * 1000000 div n_rows"))
+          .otherwise(lit(0L)).as("dropped_row_share_ppm"))
+
+  /** Recursive band refinement — candidate pairs where an over-cap bucket
+    * is RE-BANDED on a fresh hash family (scoped within its parent
+    * bucket) instead of dropped: the members of a hot bucket are handed
+    * to `refresh(members, round)` which returns fresh (id, bucket) rows
+    * from an independent family; sub-buckets are keyed by
+    * (parent, fresh) so refinement never merges unrelated buckets. Only
+    * buckets still over cap after `refineRounds` rounds are dropped
+    * (account for them with [[bucketDropReport]] on the banding input).
+    *
+    * Why this preserves recall where the flat cap loses it: a hot bucket
+    * is usually a FAMILY accident (a stop-shingle winning the minima for
+    * most of the corpus); true near-dups inside it still collide in the
+    * fresh family with the usual 1-(1-J^r)^b band probability, while the
+    * accidental co-residents disperse — each round thins a hot bucket by
+    * the non-dup collision factor, so a constant number of rounds brings
+    * any family-accident bucket under cap. A bucket that stays hot under
+    * EVERY family is a genuine clique (all-pairs output would be
+    * quadratic by definition) and is dropped with accounting.
+    *
+    * Shape at scale: per round, one groupBy on bucket for sizes, one
+    * re-band of ONLY the over-cap members (hot buckets are a vanishing
+    * corpus share by definition — the refresh input is delta-sized), and
+    * the same capped pair expansion. Rounds are bounded and
+    * driver-counted; each round's frame truncates lineage. */
+  def refinedCandidatePairs(bucketed: DataFrame,
+      refresh: (DataFrame, Int) => DataFrame,
+      maxBucketSize: Int = MaxBucketSize,
+      refineRounds: Int = 2): DataFrame = {
+    require(refineRounds >= 0, "refineRounds must be >= 0")
+    var cur = bucketed
+    var out: DataFrame = null
+    for (r <- 0 to refineRounds) {
+      // sizes via groupBy + key-join, NOT a per-bucket window: a window
+      // partition cannot be split, so a genuinely hot bucket would pin
+      // one straggler task; the join's probe side streams and AQE can
+      // split a skewed join partition
+      val sizes = cur.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      val sized = cur.join(sizes, Seq("bucket"))
+        .truncateLineage(eager = false)
+      val ok = sized.where(col("__n") <= maxBucketSize)
+        .select(col("bucket"), col("id"))
+      val p = candidatePairsFromBuckets(ok, maxBucketSize)
+      out = if (out == null) p else out.unionAll(p)
+      if (r < refineRounds) {
+        val over = sized.where(col("__n") > maxBucketSize)
+          .select(col("bucket").as("__parent"), col("id"))
+        val members = over.select(col("id")).distinct()
+        val fresh = refresh(members, r + 1)
+          .select(col("id"), col("bucket").as("__fresh"))
+        cur = over.join(fresh, Seq("id"))
+          .select(col("id"),
+            xxhash64(col("__parent"), col("__fresh")).as("bucket"))
+      }
+    }
+    out.distinct()
+  }
+
+  /** MinHash + LSH candidate pairs with recursive band refinement — the
+    * recall-safe form of [[minhashCandidatePairs]]: over-cap buckets are
+    * re-banded per round on a fresh minhash family (tokens salted with a
+    * fixed `"<round>:"` prefix — a bijection on the token set, so every
+    * pairwise Jaccard is EXACTLY preserved while all shingle hashes
+    * re-roll) instead of dropped. The refresh pass re-tokenizes only the
+    * over-cap members (semi-join against the corpus). */
+  def minhashCandidatePairsRefined(df: DataFrame, idCol: String,
+      contentCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, portable: Boolean = false,
+      maxBucketSize: Int = MaxBucketSize,
+      refineRounds: Int = 2): DataFrame = {
+    val base = minhashBandBuckets(df, idCol, contentCol, shingleSize,
+      numHashes, bands, portable)
+    val docs = df.select(col(idCol).as("id"), col(contentCol).as("__txt"))
+    val refresh = (members: DataFrame, round: Int) =>
+      docs.join(members, Seq("id"))
+        .select(col("id"),
+          posexplode(graft.functions.GraftFunctions.minhashBands(
+            transform(tokens(col("__txt")),
+              t => concat(lit(s"$round:"), t)),
+            shingleSize, numHashes, bands, portable)))
+        .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
+    refinedCandidatePairs(base, refresh, maxBucketSize, refineRounds)
+  }
+
   /** Benchmark decontamination: (doc, benchmark) pairs that share at least
     * one word n-gram, with the count of distinct shared n-grams — the
     * standard eval-set contamination sweep before training. The benchmark

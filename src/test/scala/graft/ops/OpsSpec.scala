@@ -3197,6 +3197,101 @@ class OpsSpec extends SparkSuite {
       "embedding", inDims = 16).collect().map(_.toSeq).toSet)
   }
 
+  test("bucketDropReport: exact drop accounting over a planted " +
+    "hot bucket; empty input is all zeros") {
+    import spark.implicits._
+    // buckets: 10 -> 3 members (hot at cap 2), 20 -> 2, 30 -> 1
+    val bucketed = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 30L)).toDF("id", "bucket")
+    val r = Dedup.bucketDropReport(bucketed, maxBucketSize = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("n_buckets") === 3L)
+    assert(r.getAs[Long]("n_buckets_dropped") === 1L)
+    assert(r.getAs[Long]("n_rows_in_dropped_buckets") === 3L)
+    assert(r.getAs[Long]("dropped_row_share_ppm") === 500000L)
+    val e = Dedup.bucketDropReport(
+      bucketed.where(col("id") < 0), maxBucketSize = 2).collect().head
+    assert(e.getAs[Long]("n_rows") === 0L)
+    assert(e.getAs[Long]("n_buckets_dropped") === 0L)
+    assert(e.getAs[Long]("dropped_row_share_ppm") === 0L)
+  }
+
+  test("minhashCandidatePairsRefined: a planted hot-bucket corpus " +
+    "retains its true dup pair through refinement where the flat cap " +
+    "loses it") {
+    import spark.implicits._
+    // Two identical docs (true dups — they collide on EVERY band) buried
+    // under 900 fillers that each contain the pair's full token set plus
+    // one unique junk token: per band a filler joins the pair's bucket
+    // when its junk shingle does not win either of the band's 2 minhash
+    // functions (measured fraction 0.40–0.96 per band for this family —
+    // the functions h1 + i·h2 are correlated within a band), so every
+    // band's pair-bucket holds 360+ members — over the 200 cap, and the
+    // flat path drops the pair on all 8 bands. Refinement re-bands those
+    // members on fresh (token-salted) families, scoped per parent
+    // bucket: the pair still collides on every fresh band while fillers
+    // thin multiplicatively per round, so within two rounds some
+    // (parent, fresh, fresh) chain is under cap and the pair surfaces.
+    val pairDocs = Seq((100001L, "alpha beta gamma"),
+      (100002L, "alpha beta gamma"))
+    val fillers = (1 to 900).map(i =>
+      (i.toLong, s"alpha beta gamma junk$i"))
+    val docs = (pairDocs ++ fillers).toDF("doc_id", "text")
+    def planted(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("id_a") === 100001L && col("id_b") === 100002L).count()
+    val flat = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleSize = 1, numHashes = 16, bands = 8)
+    assert(planted(flat) === 0L,
+      "fixture broke: the flat cap path found the planted pair (a " +
+        "sub-cap bucket slipped through) — grow the filler count")
+    // and the drop report SEES the loss: every row sits in some dropped
+    // bucket
+    val rep = Dedup.bucketDropReport(Dedup.minhashBandBuckets(docs,
+      "doc_id", "text", shingleSize = 1, numHashes = 16, bands = 8))
+      .collect().head
+    assert(rep.getAs[Long]("n_buckets_dropped") >= 8L)
+    // most band rows sit in dropped buckets (the rest are the fillers'
+    // singleton junk-token buckets on bands where the junk shingle wins)
+    assert(rep.getAs[Long]("dropped_row_share_ppm") > 500000L)
+    val refined = Dedup.minhashCandidatePairsRefined(docs, "doc_id",
+      "text", shingleSize = 1, numHashes = 16, bands = 8,
+      refineRounds = 2)
+    assert(planted(refined) === 1L,
+      "refinement failed to recover the planted true-dup pair")
+    // refinement is a superset path: it never invents a pair outside
+    // some (possibly refined) shared bucket — the planted pair plus
+    // filler-filler accidents only, all with id_a < id_b
+    assert(refined.where(col("id_a") >= col("id_b")).count() === 0L)
+  }
+
+  test("refinedCandidatePairs: refineRounds = 0 equals the flat capped " +
+    "path; a still-hot clique after all rounds is dropped") {
+    import spark.implicits._
+    val bucketed = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L)).toDF("id", "bucket")
+    val sameFamily = (members: org.apache.spark.sql.DataFrame, _: Int) =>
+      members.select(col("id"), lit(99L).as("bucket"))
+    val r0 = Dedup.refinedCandidatePairs(bucketed, sameFamily,
+      maxBucketSize = 2, refineRounds = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(r0 === Set((4L, 5L))) // bucket 10 over cap, dropped
+    // a refresh that keeps the clique together (a genuine clique stays
+    // hot under every family) → still dropped after the final round
+    val r2 = Dedup.refinedCandidatePairs(bucketed, sameFamily,
+      maxBucketSize = 2, refineRounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(r2 === Set((4L, 5L)))
+    // a refresh that disperses the clique rescues its pairs
+    val disperse = (members: org.apache.spark.sql.DataFrame, _: Int) =>
+      members.select(col("id"),
+        when(col("id") <= 2L, lit(1L)).otherwise(lit(2L)).as("bucket"))
+    val r1 = Dedup.refinedCandidatePairs(bucketed, disperse,
+      maxBucketSize = 2, refineRounds = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(r1 === Set((4L, 5L), (1L, 2L)))
+  }
+
   test("readabilityReport: hand-counted words/sentences/vowel-run " +
       "syllables/complex words") {
     import spark.implicits._
