@@ -3292,6 +3292,20 @@ object SparkEntry {
         nProbe = 4)
     }),
 
+    // IVF-PQ with N-SCALED cells (r12 directive #2): cell count derives
+    // from the corpus (ceil(sqrt(N)) hash-seeded cells, round(sqrt(cells))
+    // probes) instead of q263's fixed 16-seed fixture, so per-probe
+    // candidate work keeps the sqrt(N) IVF shape as the corpus grows;
+    // the hash-seeded trainer is the oracle-replayable twin of the
+    // kmeans trainer (recall spec-pinned in OpsSpec)
+    "q281_ann_ivfpq_scaled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKScaled(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 10,
+        trainer = "hash")
+    }),
+
     "q262_stickiness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
@@ -5982,6 +5996,75 @@ object SparkEntry {
     // Same quantized integers end to end: q38's cell partition/probes,
     // PQ code assignment per 8-dim block (ties lowest code index), ADC
     // LUT distances, final rank by approx_d2 asc / corpus_id asc.
+    // Same quantized integers as q263 but the seed set is the
+    // ceil(sqrt(N)) rows with the smallest (md5('ivf:'||id), id) and
+    // nProbe = round(sqrt(cells)) — the N-scaled trainer replayed.
+    "q281_ann_ivfpq_scaled" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         pc AS (
+           SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells,
+             GREATEST(1, CAST(round(sqrt(ceil(sqrt(count(*)))))
+               AS BIGINT)) AS np
+           FROM qd),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < (SELECT cells FROM pc)),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= (SELECT np FROM pc) AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id >= 16 AND vec_id < 24),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             CAST(approx_d2 AS BIGINT) AS approx_d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+           FROM approx)
+         SELECT query_id, corpus_id, approx_d2, rank
+         FROM ranked WHERE rank <= 10""",
     "q263_ann_ivfpq" ->
       """WITH qd AS (
            SELECT vec_id, list_transform(embedding,

@@ -1065,6 +1065,109 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** √N default for the IVF cell count and its probe default — exposed
+    * so specs and capacity planning use the library's own arithmetic. */
+  def defaultIvfCells(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+  def defaultIvfProbes(cells: Int): Int =
+    math.max(1, math.round(math.sqrt(cells.toDouble)).toInt)
+
+  /** Deterministic hash-seeded coarse quantizer: the `numCells` corpus
+    * rows with the smallest (md5("ivf:"+id), id) — an engine-portable
+    * uniform sample of the corpus as seed vectors, so the cell count
+    * scales with the corpus by construction and an external engine
+    * reproduces the exact same seed set (the oracle-verified trainer;
+    * [[ivfPqTopKScaled]]'s k-means mode clusters better but its centers
+    * are not replayable outside Spark). `sid` is the hex hash + ':' +
+    * zero-padded id, so ascending-sid order (the cell-index order
+    * [[seededCellScorer]] uses) is exactly (hash, id) order. Plan
+    * shape: TakeOrderedAndProject — per-partition top-numCells then a
+    * driver merge, never a global sort. */
+  def hashSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, salt: String = "ivf"): DataFrame = {
+    require(numCells >= 1, "numCells must be >= 1")
+    corpus.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("svec"))
+      .where(col("svec").isNotNull)
+      .select(concat(
+          substring(md5(concat(lit(salt + ":"),
+            col("__id").cast("string")).cast("binary")), 1, 15),
+          lit(":"), lpad(col("__id").cast("string"), 20, "0")).as("sid"),
+        col("svec"))
+      .orderBy(col("sid"))
+      .limit(numCells)
+  }
+
+  /** IVF-PQ with an N-SCALED coarse quantizer (r12 directive #2): cell
+    * count defaults to ⌈√N⌉ of the valid corpus and nProbe to ⌈√cells⌋,
+    * so per-probe candidate work stays at the √N IVF sweet spot as the
+    * corpus grows instead of degenerating to a scan of 1/16th of it.
+    *
+    * `trainer = "kmeans"` (default): Spark ML k-means fitted on a
+    * deterministic hash-capped sample (≤ `maxTrainRows` rows — training
+    * never scans 100 TB), centers become the seed frame. Best cell
+    * balance; Spark-only (centers are float iterates, not replayable
+    * elsewhere — recall vs the exact kernel is spec-pinned instead).
+    * `trainer = "hash"`: [[hashSeeds]] — slightly worse balance, but
+    * the whole index is engine-portable integer arithmetic (the
+    * oracle-verified q281 variant).
+    *
+    * Everything downstream is [[ivfPqTopK]] verbatim: one-pass encode to
+    * (corpus_id, cell, nSub codes), per-query ADC LUTs, O(codes) index
+    * traffic. Honest scale note: seeds fold into the plan as literals
+    * (cells × dims doubles) and every row scores all cells at assign
+    * time — O(N·√N·dims) assignment work and a √N-sized plan literal
+    * are the standard flat-IVF costs; beyond ~10⁵ cells a real
+    * deployment assigns via a second-level index over the centroids
+    * (out of scope here, the layout is unchanged by it). */
+  def ivfPqTopKScaled(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, codebookIds: Seq[Long], inDims: Int, nSub: Int,
+      k: Int, numCells: Option[Int] = None, nProbe: Option[Int] = None,
+      quantScale: Int = 10000, trainer: String = "kmeans",
+      seed: Long = 42, maxTrainRows: Int = 65536): DataFrame = {
+    require(trainer == "kmeans" || trainer == "hash",
+      s"trainer must be 'kmeans' or 'hash', got $trainer")
+    val valid = corpus.select(col(corpusId).cast("long").as("__id"),
+        col(corpusVec).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) === inDims)
+    val n = valid.count()
+    if (n == 0L) {
+      return queries.limit(0).select(lit(0L).as("query_id"),
+        lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
+        lit(0L).as("rank"))
+    }
+    val cells = numCells.getOrElse(defaultIvfCells(n))
+    val probe = nProbe.getOrElse(defaultIvfProbes(cells))
+    val seeds = trainer match {
+      case "hash" =>
+        hashSeeds(valid, "__id", "__v", cells)
+      case _ =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        // deterministic hash-capped training sample: the fit must never
+        // scan the full corpus at scale, and the same rows are kept on
+        // every run/engine restart (no rand())
+        val keepPpm = math.min(1000000L,
+          maxTrainRows.toLong * 1000000L / n)
+        val train = valid
+          .where(pmod(xxhash64(lit("ivf-train"), col("__id")),
+            lit(1000000L)) < lit(keepPpm))
+          .withColumn("features",
+            array_to_vector(col("__v").cast("array<double>")))
+        val model = new KMeans().setK(cells).setSeed(seed)
+          .setMaxIter(20).fit(train)
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
+          .map { case (c, i) => (i, c) }.toSeq
+          .toDF("sid", "svec")
+    }
+    ivfPqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      seeds, "sid", "svec", codebookIds, inDims, nSub, k, probe,
+      quantScale)
+  }
+
   /** Deterministic ±1 sign for the JL projection matrix cell (j, i):
     * parity of the md5-60 of "j:i" — the same engine-portable hash
     * family as every other sketch, computed DRIVER-side here (the

@@ -993,6 +993,68 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopKScaled: cells scale as ceil(sqrt(N)); hash trainer " +
+    "equals explicit hashSeeds plumbing; kmeans trainer recall floor " +
+    "on clustered data") {
+    import spark.implicits._
+    assert(Similarity.defaultIvfCells(500L) === 23)
+    assert(Similarity.defaultIvfCells(2000L) === 45)
+    assert(Similarity.defaultIvfCells(1L) === 1)
+    assert(Similarity.defaultIvfProbes(23) === 5)
+    assert(Similarity.defaultIvfProbes(45) === 7)
+    // four well-separated clusters in 8 dims, 25 rows each: center one
+    // of e1/e3/e5/e7 plus a small deterministic per-row wobble
+    val corpus = (0 until 100).map { i =>
+      val c = i % 4
+      val v = (0 until 8).map { d =>
+        val base = if (d == 2 * c) 1.0f else 0.0f
+        base + (if (d == (i * 3 + 1) % 8) 0.05f * ((i % 5) + 1) else 0.0f)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 8)
+    def rs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = rs(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", q, "vec_id", "embedding", k = 5))
+    // kmeans trainer at the defaults (cells = ceil(sqrt(100)) = 10,
+    // nProbe = round(sqrt(10)) = 3): clusters land in their own cells,
+    // so pruned probing keeps own-cluster neighbors
+    val trained = rs(Similarity.ivfPqTopKScaled(corpus, "vec_id",
+      "embedding", q, "vec_id", "embedding",
+      codebookIds = 0L to 7L, inDims = 8, nSub = 2, k = 5))
+    // the structural guarantee pruned IVF must deliver: every returned
+    // neighbor is from the query's own cluster (cell pruning keeps the
+    // cluster; other-cluster ADC distance ~2 never makes top-5). Strict
+    // recall@5 vs brute-force COSINE is deliberately a floor, not
+    // equality: within a tight cluster the 8-codeword ADC quantizes the
+    // wobbles into ties whose order differs from the cosine order
+    assert(trained.size === brute.size)
+    assert(trained.forall { case (qid, cid) => cid % 4 === qid % 4 },
+      "a pruned probe returned a neighbor from a foreign cluster")
+    val recall = (trained & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"kmeans-trained IVF-PQ recall@5 $recall")
+    info(f"kmeans-trained IVF-PQ recall@5 on clustered fixture: " +
+      f"$recall%.2f")
+    // hash trainer == ivfPqTopK fed the same hashSeeds explicitly (the
+    // scaled wrapper adds exactly the N-derived sizing, nothing else)
+    val viaScaled = Similarity.ivfPqTopKScaled(corpus, "vec_id",
+        "embedding", q, "vec_id", "embedding",
+        codebookIds = 0L to 7L, inDims = 8, nSub = 2, k = 5,
+        trainer = "hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 10)
+    assert(seeds.count() === 10L)
+    val viaExplicit = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        q, "vec_id", "embedding", seeds, "sid", "svec",
+        codebookIds = 0L to 7L, inDims = 8, nSub = 2, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaScaled === viaExplicit)
+  }
+
   test("reciprocalRankFusion: consensus mid-ranker beats single-list " +
     "winners; exact ppm weights") {
     import spark.implicits._
