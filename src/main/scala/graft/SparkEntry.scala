@@ -3742,6 +3742,24 @@ object SparkEntry {
           .select("id_a", "id_b"))
     }),
 
+    // q217's SAMPLE-SCALE twin (r12 directive #3): banding candidates
+    // from the full corpus restricted to sampled-endpoint pairs, exact
+    // PPJoin truth on the 50% md5-bucket sample — the quadratic truth
+    // side falls by sample², ppm ratios stay unbiased
+    "q282_lsh_tuning_sampled" -> ((s, dir) => {
+      Dedup.minhashFidelitySampled(t(s, dir, "documents"), "doc_id",
+        "text", shingleSize = 3, numHashes = 16, bands = 8,
+        threshold = 0.5, truthSample = 0.5)
+    }),
+
+    // q25's exact PPJoin join with the truthSample fraction threaded
+    // through (the form the fidelity reports consume at scale): same
+    // operator, deterministic 50% md5-bucket sub-corpus
+    "q283_jaccard_dups_sampled" -> ((s, dir) => {
+      Dedup.jaccardNearDupsExact(t(s, dir, "documents"), "doc_id",
+        "text", shingleSize = 3, threshold = 0.5, truthSample = 0.5)
+    }),
+
     // Rolling 7-day OLS trend of each type's hourly rate as of every
     // hour — RANGE frames over the hour axis (gaps count as time),
     // exact DECIMAL moment windows, IEEE slope tail
@@ -6753,6 +6771,110 @@ object SparkEntry {
     // Both sides rebuilt relationally on the SAME trigram shingles:
     // the q23-style banded-minhash candidates (trigram variant) joined
     // against the q25-style exact Jaccard>=0.5 pairs.
+    // q217's partition with the exact side on the 50% md5-bucket sample
+    // and candidate pairs restricted to sampled endpoints.
+    "q282_lsh_tuning_sampled" ->
+      """WITH samp AS (
+           SELECT doc_id FROM documents
+           WHERE CAST(('0x' || substr(md5('truth:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 10000 < 5000),
+         toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS s
+           FROM toks),
+         hp AS (
+           SELECT doc_id,
+             list_transform(s, x -> [
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT),
+               CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) | 1]) AS p
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(p,
+                 q -> (q[1] + i * q[2]) % 4294967296))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, b.range AS b,
+             sig[2 * b.range + 1 : 2 * b.range + 2] AS key
+           FROM sig, range(0, 8) b),
+         big AS (
+           SELECT b, key FROM bands GROUP BY b, key
+           HAVING count(*) > 200),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+             AND x.doc_id < y.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM big
+                             WHERE big.b = x.b AND big.key = x.key)
+             AND x.doc_id IN (SELECT doc_id FROM samp)
+             AND y.doc_id IN (SELECT doc_id FROM samp)),
+         shd AS (
+           SELECT doc_id, list_distinct(s) AS s FROM sh
+           WHERE doc_id IN (SELECT doc_id FROM samp)),
+         ex0 AS (SELECT doc_id, unnest(s) AS h FROM shd),
+         ecand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex0 a JOIN ex0 b ON a.h = b.h AND a.doc_id < b.doc_id),
+         exact AS (
+           SELECT id_a, id_b FROM ecand
+           JOIN shd x ON x.doc_id = id_a
+           JOIN shd y ON y.doc_id = id_b
+           WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)) >= 0.5),
+         stats AS (
+           SELECT
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+               AS n_hits)
+         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_exact > 0 THEN
+             CAST(n_hits * 1000000 // n_exact AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN n_candidates > 0 THEN
+             CAST(n_hits * 1000000 // n_candidates AS BIGINT) END
+             AS precision_ppm
+         FROM stats""",
+    // q25's truth on the same 50% sample — the sampled sub-corpus is
+    // the only difference.
+    "q283_jaccard_dups_sampled" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents
+           WHERE CAST(('0x' || substr(md5('truth:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 10000 < 5000),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)) AS jaccard
+         FROM cand
+         JOIN sh x ON x.doc_id = id_a
+         JOIN sh y ON y.doc_id = id_b
+         WHERE jaccard >= 0.5""",
     "q217_lsh_tuning_report" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -465,12 +465,26 @@ object Dedup {
     * At 100 TB: one extra aggregation for the frequency table (shuffle on
     * shingle hash, map-side combined), the candidate join shuffles only
     * rare-shingle prefix entries, and the verify join touches only
-    * surviving candidates. */
+    * surviving candidates. Those are corpus-linear; the irreducibly
+    * quadratic part is the Σdf² candidate volume of a planted-duplicate
+    * vocabulary, which is why the TRUTH role of this operator (fidelity
+    * reports) runs it at `truthSample` < 1: a deterministic md5-bucket
+    * sample of the corpus (the q264 escape hatch) cuts that Σdf² side by
+    * sample² while staying engine-portable. Default 1.0 = the exact
+    * full-corpus operator, unchanged. */
   def jaccardNearDupsExact(df: DataFrame, idCol: String, contentCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      truthSample: Double = 1.0,
+      sampleSalt: String = "truth"): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sh = df.select(col(idCol).as("id"),
+    require(truthSample > 0 && truthSample <= 1,
+      s"truthSample must be in (0, 1], got $truthSample")
+    val base =
+      if (truthSample >= 1.0) df
+      else df.where(Splits.splitBucket(col(idCol), sampleSalt) <
+        math.round(truthSample * Splits.Buckets))
+    val sh = base.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.shingleHashes(
         tokens(col(contentCol)), shingleSize).as("sh"))
     val exAll = sh.select(col("id"), explode(col("sh")).as("h"))
@@ -1025,9 +1039,37 @@ object Dedup {
         shingleSize, portable = portable)
       .where(inSample(col("id_a")) && inSample(col("id_b")))
       .select(col("id_a"), col("id_b"))
-    val exact = jaccardNearDupsExact(
-        docs.where(inSample(col(idCol))), idCol, contentCol,
-        shingleSize, threshold)
+    val exact = jaccardNearDupsExact(docs, idCol, contentCol,
+        shingleSize, threshold, truthSample, salt)
+      .select(col("id_a"), col("id_b"))
+    pairFidelity(exact, cand)
+  }
+
+  /** Sample-scale MinHash-LSH tuning report (r12 directive #3 — the
+    * q217 family's escape hatch, same construction as
+    * [[simhashFidelitySampled]]): the banding candidates come from the
+    * FULL corpus (real bucket density, real cap evictions) restricted
+    * to pairs with both endpoints in the deterministic md5-bucket
+    * sample, while the exact PPJoin truth runs only on the sampled
+    * sub-corpus — its quadratic Σdf² side falls by truthSample², and
+    * the recall/precision ppm are unbiased for the full corpus (every
+    * true pair enters the sampled population with probability
+    * truthSample² independent of its banding-hit status). */
+  def minhashFidelitySampled(docs: DataFrame, idCol: String,
+      contentCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 8, threshold: Double = 0.5,
+      truthSample: Double = 0.5, salt: String = "truth",
+      portable: Boolean = true): DataFrame = {
+    require(truthSample > 0 && truthSample <= 1,
+      s"truthSample must be in (0, 1], got $truthSample")
+    val cut = math.round(truthSample * Splits.Buckets)
+    val inSample = (c: Column) => Splits.splitBucket(c, salt) < cut
+    val cand = minhashCandidatePairs(docs, idCol, contentCol,
+        shingleSize, numHashes, bands, portable)
+      .where(inSample(col("id_a")) && inSample(col("id_b")))
+      .select(col("id_a"), col("id_b"))
+    val exact = jaccardNearDupsExact(docs, idCol, contentCol,
+        shingleSize, threshold, truthSample, salt)
       .select(col("id_a"), col("id_b"))
     pairFidelity(exact, cand)
   }

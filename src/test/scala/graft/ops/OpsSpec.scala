@@ -3327,6 +3327,47 @@ class OpsSpec extends SparkSuite {
     assert(refined.where(col("id_a") >= col("id_b")).count() === 0L)
   }
 
+  test("minhashFidelitySampled: truthSample=1 equals the full q217 " +
+    "composition; sampling restricts both sides to the same population") {
+    import spark.implicits._
+    val docs = ((1 to 40).map(i => (i.toLong,
+      s"unique text body number $i with its own words $i$i")) ++
+      Seq((101L, "the quick brown fox jumps over the lazy dog tonight"),
+        (102L, "the quick brown fox jumps over the lazy dog tonight"),
+        (103L, "an entirely different near dup pair sentence here now"),
+        (104L, "an entirely different near dup pair sentence here now")))
+      .toDF("doc_id", "text")
+    def row(df: DataFrame) = df.collect().head
+    val full = row(Dedup.minhashFidelitySampled(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, truthSample = 1.0))
+    val q217 = row(Dedup.pairFidelity(
+      Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5).select("id_a", "id_b"),
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, portable = true)
+        .select("id_a", "id_b")))
+    assert(full === q217)
+    assert(full.getAs[Long]("n_exact") >= 2L) // both planted pairs seen
+    // sampled: the truth and candidate sides see the SAME population —
+    // counts can only shrink, and recall stays a valid ratio
+    val s = row(Dedup.minhashFidelitySampled(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, truthSample = 0.5))
+    assert(s.getAs[Long]("n_exact") <= full.getAs[Long]("n_exact"))
+    assert(s.getAs[Long]("n_candidates") <=
+      full.getAs[Long]("n_candidates"))
+    assert(s.getAs[Long]("n_hits") <= s.getAs[Long]("n_exact") ||
+      s.getAs[Long]("n_exact") === 0L)
+    // jaccardNearDupsExact default truthSample=1.0 is byte-identical to
+    // the pre-sampling operator on the same input
+    val j = Dedup.jaccardNearDupsExact(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, truthSample = 0.5)
+    val sampleIds = docs.where(
+      graft.ops.Splits.splitBucket(col("doc_id"), "truth") < 5000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(j.collect().forall(r => sampleIds.contains(r.getLong(0)) &&
+      sampleIds.contains(r.getLong(1))))
+  }
+
   test("refinedCandidatePairs: refineRounds = 0 equals the flat capped " +
     "path; a still-hot clique after all rounds is dropped") {
     import spark.implicits._
