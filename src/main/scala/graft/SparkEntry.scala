@@ -5097,12 +5097,19 @@ object SparkEntry {
          s6 AS (SELECT src AS node, count(*) AS deg FROM e
            WHERE src IN (SELECT node FROM s5)
              AND dst IN (SELECT node FROM s5)
-           GROUP BY 1 HAVING count(*) >= 40)
+           GROUP BY 1 HAVING count(*) >= 40),
+         guard AS (
+           SELECT CASE WHEN (SELECT count(*) FROM s5) <>
+               (SELECT count(*) FROM s6)
+             THEN error('q243 oracle: the fixed 7-level peeling did ' ||
+               'not reach the k-core fixpoint on this fixture (s6 <> ' ||
+               's5) - deepen the unroll')
+             ELSE 1 END AS ok)
          SELECT CASE WHEN node % 2 = 0 THEN 'customer'
              ELSE 'supplier' END AS node_type,
            CAST(node // 2 AS BIGINT) AS node_key,
            CAST(deg AS BIGINT) AS core_deg
-         FROM s6""",
+         FROM s6, guard WHERE guard.ok = 1""",
     // q24's signature chain at trigram shingles + brute-force Hamming
     // (banding is pigeonhole-complete at h<=3, so candidates ==
     // all-pairs h<=3); exact truth is q217's string-set Jaccard.
