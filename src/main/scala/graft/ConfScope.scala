@@ -14,6 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the save/set/restore policy cannot drift between call sites. */
 private[graft] object ConfScope {
 
+  /** Per-round shuffle width for an iterative loop, derived from the
+    * loop's input row count (r12 directive #8): ceil(rows /
+    * rowsPerPartition) clamped to [1, sessionWidth]. A fixpoint loop
+    * pays its width in task-scheduling overhead EVERY round, so a
+    * 3-edge fixture must not run 200-task rounds; conversely the
+    * session width is the cluster-tuned ceiling and is never exceeded —
+    * at 100 TB the clamp leaves the operator at full cluster width.
+    * Always applied on an ISOLATED child session, never the caller's. */
+  def autoLoopPartitions(rows: Long, sessionWidth: Int,
+      rowsPerPartition: Long = 250000L): Int = {
+    require(sessionWidth >= 1 && rowsPerPartition >= 1,
+      s"bad width inputs: session=$sessionWidth per=$rowsPerPartition")
+    math.max(1L, math.min(sessionWidth.toLong,
+      (rows + rowsPerPartition - 1L) / rowsPerPartition)).toInt
+  }
+
+  /** The session's current shuffle width as an Int. */
+  def sessionShuffleWidth(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   def withShuffleWidth[T](spark: SparkSession,
       partitions: Option[Int])(body: => T): T = partitions match {
     case None => body

@@ -48,7 +48,14 @@ object TransitiveClosure {
       linear: Boolean = false,
       shufflePartitions: Option[Int] = None): DataFrame =
     shufflePartitions match {
-      case None => closureImpl(spark, edges, maxIterations, linear)
+      case None =>
+        // derive the loop width from the edge count (r12 directive #8)
+        // and re-enter through the isolated-session branch; a 3-edge
+        // fixture then runs 1-task rounds while the session width stays
+        // the ceiling for big graphs (and the session conf untouched)
+        closure(spark, edges, maxIterations, linear,
+          Some(graft.ConfScope.autoLoopPartitions(edges.toDF().count(),
+            graft.ConfScope.sessionShuffleWidth(spark))))
       case Some(n) =>
         // isolated child session: the width override can never be
         // observed by a concurrent query on the caller's session
@@ -131,7 +138,10 @@ object TransitiveClosure {
       linear: Boolean = false,
       shufflePartitions: Option[Int] = None): DataFrame =
     shufflePartitions match {
-      case None => closureLongImpl(spark, edges, maxIterations, linear)
+      case None =>
+        closureLong(spark, edges, maxIterations, linear,
+          Some(graft.ConfScope.autoLoopPartitions(edges.count(),
+            graft.ConfScope.sessionShuffleWidth(spark))))
       case Some(n) =>
         graft.ConfScope.withIsolatedSession(spark,
           "spark.sql.shuffle.partitions" -> n.toString) { (iso, rebind) =>
@@ -200,7 +210,12 @@ object TransitiveClosure {
       maxIterations: Int = 25,
       shufflePartitions: Option[Int] = None): DataFrame =
     shufflePartitions match {
-      case None => addEdgesImpl(closure, delta, maxIterations)
+      case None =>
+        // the iterated frame is delta-sized (the semi-naive seed), so
+        // the delta count sizes the loop
+        addEdges(spark, closure, delta, maxIterations,
+          Some(graft.ConfScope.autoLoopPartitions(delta.count(),
+            graft.ConfScope.sessionShuffleWidth(spark))))
       case Some(n) =>
         graft.ConfScope.withIsolatedSession(spark,
           "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>

@@ -701,7 +701,12 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20,
       shufflePartitions: Option[Int] = None): DataFrame =
     shufflePartitions match {
-      case None => nearDupClustersImpl(pairs, maxIterations)
+      case None =>
+        // loop width from the pair count (r12 directive #8); applied on
+        // the isolated-session branch so the caller conf never changes
+        nearDupClusters(pairs, maxIterations,
+          Some(graft.ConfScope.autoLoopPartitions(pairs.count(),
+            graft.ConfScope.sessionShuffleWidth(pairs.sparkSession))))
       case Some(n) =>
         // isolated child session: the width override can never be
         // observed by a concurrent query on the caller's session
@@ -736,7 +741,11 @@ object Dedup {
       maxIterations: Int = 20,
       shufflePartitions: Option[Int] = None): DataFrame =
     shufflePartitions match {
-      case None => addToClustersImpl(existing, newPairs, maxIterations)
+      case None =>
+        // the contracted loop graph is delta-sized — size by newPairs
+        addToClusters(existing, newPairs, maxIterations,
+          Some(graft.ConfScope.autoLoopPartitions(newPairs.count(),
+            graft.ConfScope.sessionShuffleWidth(existing.sparkSession))))
       case Some(n) =>
         graft.ConfScope.withIsolatedSession(existing.sparkSession,
           "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>

@@ -50,12 +50,25 @@ object Graphs {
     // caller's session never observes it — ConcurrentConfSpec pins
     // that isolation with a two-thread race.
     graft.ConfScope.withIsolatedSession(spark,
-      "spark.sql.adaptive.enabled" -> "false") { (_, rebind) =>
+      "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = rebind(edges).select(col("src").cast("long").as("src"),
+    val eRaw = rebind(edges).select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src")).persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // loop width derived from the edge count (r12 directive #8): a tiny
+    // fixture must not pay 200-task scheduling every round; the session
+    // width stays the ceiling. Set on the ISOLATED session only, before
+    // the edge repartition so the whole loop shares one width.
+    val m = eRaw.count()
+    val width = graft.ConfScope.autoLoopPartitions(m,
+      graft.ConfScope.sessionShuffleWidth(iso))
+    iso.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val (e, hot) = splitHotSources(eRaw, m, width)
+    val deg = hot match {
+      case None => e.groupBy("src").agg(count(lit(1)).as("deg"))
+      case Some((hotE, _)) => e.groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .unionAll(hotE.groupBy("src").agg(count(lit(1)).as("deg")))
+    }
     val n = deg.agg(count(lit(1)).as("n"))
     // One-row N attaches by broadcast; base rank and teleport term are
     // integral divisions evaluated per node row (an empty graph has no
@@ -75,7 +88,7 @@ object Graphs {
       .repartition(col("node"))
       .truncateLineage()
     for (_ <- 1 to iterations) {
-      val next = pageRankRound(e, state).truncateLineage()
+      val next = pageRankRound(e, state, hot).truncateLineage()
       // round k's state is dead once round k+1's eager checkpoint landed:
       // drop its blocks / reliable files so a long run keeps O(1) round
       // states, not O(rounds) (storage growth + local block pressure)
@@ -83,7 +96,42 @@ object Graphs {
       state = next
     }
     e.unpersist()
+    hot.foreach(_._1.unpersist())
     state
+  }
+
+  /** Hub-source skew split for the PageRank family (r12 directive #4,
+    * measured: one src owning 10% of a 20M-edge list made each round's
+    * src-partitioned join+partial-agg task 2.4x the uniform wall,
+    * because with AQE pinned off inside the loop nothing re-splits the
+    * hot partition). Sources whose out-degree would dominate a
+    * partition (deg ≥ m/(2·width), top 64 by degree — the pigeonhole
+    * cap keeps the id literal bounded) are split out of the
+    * src-partitioned edge frame into a DST-partitioned hot frame: their
+    * per-round contributions come from a broadcast of ≤64 state rows
+    * joined map-side, so the hub's work spreads across every partition
+    * instead of serializing in one task, while the cold path keeps its
+    * exchange-free co-partitioned join. Returns (coldEdges persisted,
+    * Some((hotEdges persisted, hotIds))) or None when no source
+    * qualifies — the common case, where the plan is unchanged. */
+  private[graft] def splitHotSources(eRaw: DataFrame, m: Long, width: Int)
+      : (DataFrame, Option[(DataFrame, Seq[Long])]) = {
+    val threshold = math.max(m / (2L * width), 1024L)
+    val hotIds: Seq[Long] =
+      if (width <= 1 || m == 0L) Seq.empty
+      else eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= threshold)
+        .orderBy(col("deg").desc, col("src"))
+        .limit(64).collect().map(_.getLong(0)).toSeq
+    if (hotIds.isEmpty) {
+      (eRaw.repartition(col("src")).persist(), None)
+    } else {
+      val cold = eRaw.where(!col("src").isin(hotIds: _*))
+        .repartition(col("src")).persist()
+      val hotE = eRaw.where(col("src").isin(hotIds: _*))
+        .repartition(col("dst")).persist()
+      (cold, Some((hotE, hotIds)))
+    }
   }
 
   /** Personalized (seeded-teleport) fixed-point PageRank: identical
@@ -106,13 +154,22 @@ object Graphs {
       seeds: Seq[Long], iterations: Int,
       scale: Long = 1000000000000L): DataFrame =
     graft.ConfScope.withIsolatedSession(spark,
-      "spark.sql.adaptive.enabled" -> "false") { (_, rebind) =>
+      "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(seeds.nonEmpty, "seed set must be non-empty")
-    val e = rebind(edges).select(col("src").cast("long").as("src"),
+    val eRaw = rebind(edges).select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src")).persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val m = eRaw.count()
+    val width = graft.ConfScope.autoLoopPartitions(m,
+      graft.ConfScope.sessionShuffleWidth(iso))
+    iso.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val (e, hot) = splitHotSources(eRaw, m, width)
+    val deg = hot match {
+      case None => e.groupBy("src").agg(count(lit(1)).as("deg"))
+      case Some((hotE, _)) => e.groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .unionAll(hotE.groupBy("src").agg(count(lit(1)).as("deg")))
+    }
     val isSeed = col("src").isin(seeds: _*)
     val nS = seeds.size
     var state = deg
@@ -124,11 +181,12 @@ object Graphs {
       .repartition(col("node"))
       .truncateLineage()
     for (_ <- 1 to iterations) {
-      val next = pageRankRound(e, state).truncateLineage()
+      val next = pageRankRound(e, state, hot).truncateLineage()
       graft.Lineage.retire(state)
       state = next
     }
     e.unpersist()
+    hot.foreach(_._1.unpersist())
     state
   }
 
@@ -138,10 +196,24 @@ object Graphs {
     * the checkpoint), the ONLY shuffle in this plan is the inherent
     * src→dst contribution regroup. */
   private[graft] def pageRankRound(edges: DataFrame,
-      state: DataFrame): DataFrame = {
-    val contrib = edges.join(state, edges("src") === state("node"))
+      state: DataFrame,
+      hot: Option[(DataFrame, Seq[Long])] = None): DataFrame = {
+    val cold = edges.join(state, edges("src") === state("node"))
       .select(col("dst"), expr("rank div deg").as("c"))
-      .groupBy("dst").agg(sum(col("c")).as("acc"))
+    val flows = hot match {
+      case None => cold
+      case Some((hotE, ids)) =>
+        // ≤64 hub state rows broadcast each round (a tiny job against
+        // the checkpointed state); the hub edges stay dst-partitioned,
+        // so the hub's contribution work runs map-side everywhere and
+        // partial aggregation folds it before the dst exchange
+        val hotState = broadcast(
+          state.where(col("node").isin(ids: _*))
+            .select(col("node").as("src"), col("deg"), col("rank")))
+        cold.unionAll(hotE.join(hotState, Seq("src"))
+          .select(col("dst"), expr("rank div deg").as("c")))
+    }
+    val contrib = flows.groupBy("dst").agg(sum(col("c")).as("acc"))
     state.join(contrib, state("node") === contrib("dst"), "left")
       .select(col("node"), col("deg"), col("base"),
         (col("base") +
@@ -495,11 +567,15 @@ object Graphs {
     * the final core. */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame =
     graft.ConfScope.withIsolatedSession(spark,
-      "spark.sql.adaptive.enabled" -> "false") { (_, rebind) =>
+      "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(k >= 1, s"k must be >= 1, got $k")
-    val e = rebind(edges).select(col("src").cast("long").as("src"),
+    val eRaw = rebind(edges).select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src")).persist()
+    // loop width from the edge count (r12 directive #8), isolated-only
+    iso.conf.set("spark.sql.shuffle.partitions",
+      graft.ConfScope.autoLoopPartitions(eRaw.count(),
+        graft.ConfScope.sessionShuffleWidth(iso)).toString)
+    val e = eRaw.repartition(col("src")).persist()
     var surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
       .select(col("src").as("node"), col("deg"))
