@@ -111,6 +111,11 @@ object TransitiveClosure {
       i += 1
     }
     requireConverged(converged, linear, maxIterations)
+    // the cleaned edge frame is dead once the final round checkpointed
+    // (it fed every round in linear mode; the result no longer reads
+    // it): retire its blocks so repeated closures on one session don't
+    // accumulate edge-frame checkpoints
+    if (!(current eq cleanEdges)) graft.Lineage.retire(cleanEdges)
     current
   }
 
@@ -184,6 +189,11 @@ object TransitiveClosure {
       i += 1
     }
     requireConverged(converged, linear, maxIterations)
+    // the cleaned edge frame is dead once the final round checkpointed
+    // (it fed every round in linear mode; the result no longer reads
+    // it): retire its blocks so repeated closures on one session don't
+    // accumulate edge-frame checkpoints
+    if (!(current eq cleanEdges)) graft.Lineage.retire(cleanEdges)
     current
   }
 

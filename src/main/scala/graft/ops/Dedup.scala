@@ -862,6 +862,11 @@ object Dedup {
       throw new IllegalStateException(
         s"Label propagation did not converge within $maxIterations rounds")
     }
+    // the undirected edge frame is dead once the final labels
+    // checkpointed: without this a long-lived session leaks 2x|pairs|
+    // rows of checkpoint blocks PER CALL (measured: two 20M-pair runs
+    // OOMed an 8g driver that a single run fits in comfortably)
+    graft.Lineage.retire(und)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

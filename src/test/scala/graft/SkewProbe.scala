@@ -17,6 +17,14 @@ object SkewProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the Bench JVM-hygiene bounds (r11 directive #1): without them
+      // the app-status stores retain per-execution plan graphs across
+      // the 24 loop runs and the probe OOMs at 8g on the LAST fixture —
+      // nearDupClusters on the same fixture runs in 49s in a fresh JVM
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
@@ -64,6 +72,11 @@ object SkewProbe {
         val sec = time(run())
         println(f"""{"op":"$name","fixture":"$fixture",""" +
           f""""edges":${baseE * scale},"sec":$sec%.2f}""")
+        // GC settle (the Bench hygiene pattern): each loop's final state
+        // checkpoint is reaped by the ContextCleaner only after the
+        // DataFrame object is garbage-collected — force that between ops
+        // so 24 consecutive loop runs fit one JVM
+        System.gc(); Thread.sleep(300)
       }
       e.unpersist()
     }
