@@ -703,10 +703,17 @@ object Dedup {
     shufflePartitions match {
       case None =>
         // loop width from the pair count (r12 directive #8); applied on
-        // the isolated-session branch so the caller conf never changes
-        nearDupClusters(pairs, maxIterations,
-          Some(graft.ConfScope.autoLoopPartitions(pairs.count(),
+        // the isolated-session branch so the caller conf never changes.
+        // Checkpoint-then-count: the pair frame is usually an expensive
+        // LSH pipeline — counting its raw plan would re-execute it
+        // (measured +27% on q47); the checkpoint is retired once the
+        // loop's own checkpoints carry the result
+        val ck = pairs.truncateLineage(eager = false)
+        val out = nearDupClusters(ck, maxIterations,
+          Some(graft.ConfScope.autoLoopPartitions(ck.count(),
             graft.ConfScope.sessionShuffleWidth(pairs.sparkSession))))
+        graft.Lineage.retire(ck)
+        out
       case Some(n) =>
         // isolated child session: the width override can never be
         // observed by a concurrent query on the caller's session
@@ -743,9 +750,13 @@ object Dedup {
     shufflePartitions match {
       case None =>
         // the contracted loop graph is delta-sized — size by newPairs
-        addToClusters(existing, newPairs, maxIterations,
-          Some(graft.ConfScope.autoLoopPartitions(newPairs.count(),
+        // (checkpoint-then-count, same rationale as nearDupClusters)
+        val ck = newPairs.truncateLineage(eager = false)
+        val out = addToClusters(existing, ck, maxIterations,
+          Some(graft.ConfScope.autoLoopPartitions(ck.count(),
             graft.ConfScope.sessionShuffleWidth(existing.sparkSession))))
+        graft.Lineage.retire(ck)
+        out
       case Some(n) =>
         graft.ConfScope.withIsolatedSession(existing.sparkSession,
           "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>

@@ -52,17 +52,26 @@ object Graphs {
     graft.ConfScope.withIsolatedSession(spark,
       "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val eRaw = rebind(edges).select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+    // checkpoint the raw edge frame FIRST: the width count, the
+    // hot-source scan, and the partitioned persist below all read it,
+    // and without the checkpoint each re-executes the caller's (possibly
+    // expensive) edge pipeline — measured +23% on q117 when the count
+    // ran against the raw distinct-join plan
+    val ckRaw = rebind(edges).select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
     // loop width derived from the edge count (r12 directive #8): a tiny
     // fixture must not pay 200-task scheduling every round; the session
     // width stays the ceiling. Set on the ISOLATED session only, before
     // the edge repartition so the whole loop shares one width.
-    val m = eRaw.count()
+    val m = ckRaw.count()
     val width = graft.ConfScope.autoLoopPartitions(m,
       graft.ConfScope.sessionShuffleWidth(iso))
     iso.conf.set("spark.sql.shuffle.partitions", width.toString)
-    val (e, hot) = splitHotSources(eRaw, m, width)
+    val (e, hot) = splitHotSources(ckRaw, m, width)
+    // materialize the persisted loop frames from the checkpoint blocks,
+    // then retire the checkpoint — it is dead once the splits landed
+    e.count(); hot.foreach(_._1.count())
+    graft.Lineage.retire(ckRaw)
     val deg = hot match {
       case None => e.groupBy("src").agg(count(lit(1)).as("deg"))
       case Some((hotE, _)) => e.groupBy("src")
@@ -157,13 +166,15 @@ object Graphs {
       "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(seeds.nonEmpty, "seed set must be non-empty")
-    val eRaw = rebind(edges).select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val m = eRaw.count()
+    val ckRaw = rebind(edges).select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
+    val m = ckRaw.count()
     val width = graft.ConfScope.autoLoopPartitions(m,
       graft.ConfScope.sessionShuffleWidth(iso))
     iso.conf.set("spark.sql.shuffle.partitions", width.toString)
-    val (e, hot) = splitHotSources(eRaw, m, width)
+    val (e, hot) = splitHotSources(ckRaw, m, width)
+    e.count(); hot.foreach(_._1.count())
+    graft.Lineage.retire(ckRaw)
     val deg = hot match {
       case None => e.groupBy("src").agg(count(lit(1)).as("deg"))
       case Some((hotE, _)) => e.groupBy("src")
@@ -569,13 +580,17 @@ object Graphs {
     graft.ConfScope.withIsolatedSession(spark,
       "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(k >= 1, s"k must be >= 1, got $k")
-    val eRaw = rebind(edges).select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+    // checkpoint-then-count so the width probe does not re-execute the
+    // caller's edge pipeline (see pageRankFixedPoint)
+    val ckRaw = rebind(edges).select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
     // loop width from the edge count (r12 directive #8), isolated-only
     iso.conf.set("spark.sql.shuffle.partitions",
-      graft.ConfScope.autoLoopPartitions(eRaw.count(),
+      graft.ConfScope.autoLoopPartitions(ckRaw.count(),
         graft.ConfScope.sessionShuffleWidth(iso)).toString)
-    val e = eRaw.repartition(col("src")).persist()
+    val e = ckRaw.repartition(col("src")).persist()
+    e.count()
+    graft.Lineage.retire(ckRaw)
     var surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
       .select(col("src").as("node"), col("deg"))
