@@ -207,15 +207,24 @@ object Similarity {
     val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
     val quant = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
-    val assigned = corpus.select(col(corpusId).as("corpus_id"),
+    // the quantized vector is BOUND in its own projection before the
+    // cell scorer touches it: the scorer's per-cell lambda references
+    // it, and an interpreted HOF re-evaluates an unbound argument once
+    // per cell — harmless at 16 fixture seeds, measured 111 s at the
+    // N-scaled 142 cells of q281's sf1 run (20x the bound form)
+    val assigned = widenForCompute(corpus)
+      .select(col(corpusId).as("corpus_id"),
         col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
-        cellScores(quant(col(corpusVec))).as("scores"))
+        quant(col(corpusVec)).as("__qn"))
+      .withColumn("scores", cellScores(col("__qn")))
       .select(col("corpus_id"), col("cvec"), col("cnorm"),
         (array_position(col("scores"), array_max(col("scores"))) - 1)
           .cast("int").as("cell"))
     val q0 = queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
-      cellScores(quant(col(queryVec))).as("scores"))
+        col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
+        quant(col(queryVec)).as("__qn"))
+      .withColumn("scores", cellScores(col("__qn")))
+      .drop("__qn")
     val probes = q0
       .select(col("query_id"), posexplode(col("scores")))
       .groupBy(col("query_id"))
@@ -1010,11 +1019,20 @@ object Similarity {
         col(s"__b$s")).as(s"__dot${s}_$ci")
     def blockD2(s: Int, ci: Int): Column =
       col(s"__ssq$s") - lit(2.0) * col(s"__dot${s}_$ci") + lit(csq(s)(ci))
-    // corpus encode: ONE pass vectors -> (corpus_id, cell, codes)
-    val base = corpus.select(col(corpusId).cast("long").as("corpus_id"),
-        quantD(col(corpusVec)).as("qv"),
-        cellScores(quantD(col(corpusVec))).as("cscores"))
+    // corpus encode: ONE pass vectors -> (corpus_id, cell, codes). The
+    // quantized vector binds FIRST (interpreted-HOF rule): the cell
+    // scorer's lambda re-evaluates an unbound argument once per cell —
+    // 111 s vs 5 s at q281's 142 N-scaled cells, measured at sf1
+    // widenForCompute: a small-file corpus scans as ONE partition, and
+    // the per-row interpreted cell scoring (O(cells·dims)) then runs
+    // single-threaded — the whole encode serializes (measured 62 s → 9 s
+    // at q281's sf1 run). At real corpus scale the scan is already wide
+    // and this is a no-op.
+    val base = widenForCompute(corpus)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        quantD(col(corpusVec)).as("qv"))
       .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .withColumn("cscores", cellScores(col("qv")))
       .select(col("corpus_id"), col("qv"),
         (array_position(col("cscores"), array_max(col("cscores"))) - 1)
           .cast("int").as("cell"))
@@ -1026,15 +1044,23 @@ object Similarity {
         struct(blockD2(s, ci).as("d"), lit(ci).as("ci"))
       }: _*)).getField("ci").as(s"__c$s")
     }
+    // PLAN BARRIER on the encoded index: without it Catalyst fuses the
+    // whole encode expression tree (cell scorer + 64 dot columns + code
+    // argmins) into and around the candidate join — a 380 KB plan whose
+    // fused megaexpression ran 50 s where the barriered form runs 3 s
+    // (measured, q281 at sf1). The checkpoint is also the honest shape:
+    // (corpus_id, cell, codes) IS the index artifact a real pipeline
+    // persists; its blocks are retired before returning.
     val coded = staged.select(
         col("corpus_id") +: col("cell") +: codeCols: _*)
       .select(col("corpus_id"), col("cell"),
         array((0 until nSub).map(s => col(s"__c$s")): _*).as("codes"))
+      .truncateLineage(eager = false)
     // query side: probe cells (q38's exact plan) + per-query ADC LUT
     val q0 = queries.select(col(queryId).cast("long").as("query_id"),
-        quantD(col(queryVec)).as("qv"),
-        cellScores(quantD(col(queryVec))).as("cscores"))
+        quantD(col(queryVec)).as("qv"))
       .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .withColumn("cscores", cellScores(col("qv")))
     val qstaged = q0
       .select(col("query_id") +: col("cscores") +: blockCols: _*)
       .select(col("query_id") +: col("cscores") +: (ssqCols ++ dotCols): _*)
@@ -1059,10 +1085,15 @@ object Similarity {
     }.reduce(_ + _)
     val scored = coded.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("corpus_id"), (-approxD2).as("score"))
-    topKReduce(scored, k)
+    // eager small result (queries x k rows) so the coded index blocks
+    // can be retired NOW instead of leaking per call (the und lesson)
+    val out = topKReduce(scored, k)
       .select(col("query_id"), col("corpus_id"),
         (-col("score")).cast("long").as("approx_d2"),
         col("rank").cast("long").as("rank"))
+      .truncateLineage()
+    graft.Lineage.retire(coded)
+    out
   }
 
   /** √N default for the IVF cell count and its probe default — exposed
