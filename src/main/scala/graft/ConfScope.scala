@@ -34,6 +34,7 @@ private[graft] object ConfScope {
   def sessionShuffleWidth(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily overridden (None = no-op); always restores. */
   def withShuffleWidth[T](spark: SparkSession,
       partitions: Option[Int])(body: => T): T = partitions match {
     case None => body

@@ -44,6 +44,7 @@ object Bundles {
     df.withColumn("bundle",
       from_json(col(column), FhirSchemas.bundleEnvelopeSchema))
 
+  /** Bundles from a JSON string column, default registry and all known resource types. */
   def fromJson(df: DataFrame, column: String,
       reg: FhirSchemas.FRegistry,
       resourceNames: Seq[String] = Nil): DataFrame = {
@@ -174,6 +175,7 @@ object Bundles {
   private val containedFixupUdf =
     udf((s: String) => if (s == null) null else FhirJson.fixupContained(s))
 
+  /** Serialize extracted resource rows back to FHIR JSON strings (U5). */
   def toJson(df: DataFrame, resourceName: String,
       reg: FhirSchemas.FRegistry = FhirSchemas.defaultRegistry): DataFrame = {
     val extNames = FhirSchemas.extensionFieldNames(resourceName, reg).toSet

@@ -210,6 +210,7 @@ object FhirAvro {
         DecoderFactory.get().binaryDecoder(bytes, null)))
   }
 
+  /** Row <-> Avro GenericRecord codec pair for one resource type. */
   def codecFor(name: String,
       reg: FRegistry = defaultRegistry): RowAvroCodec =
     new RowAvroCodec(schemaFor(name, reg),

@@ -317,6 +317,7 @@ object FhirSchemas {
   lazy val defaultRegistry: FRegistry =
     FRegistry(complexTypes, resources, extensionDefinitions)
 
+  /** Lower-case the first character (FHIR element naming helper). */
   def lowerFirst(s: String): String =
     if (s.isEmpty) s else s.substring(0, 1).toLowerCase + s.substring(1)
 

@@ -174,6 +174,7 @@ object TerminologyResources {
     (meta, mappings)
   }
 
+  /** ConceptMaps with every map found under `path` (JSON + XML) appended. */
   def withConceptMapsFromDirectory(spark: SparkSession,
       conceptMaps: ConceptMaps, path: String): ConceptMaps = {
     val (meta, mappings) = conceptMapsFromDirectory(spark, path)
@@ -220,6 +221,7 @@ object TerminologyResources {
       s"Concept map $uri not found in $path"))
   }
 
+  /** Like [[withConceptMapsFromDirectory]] but skips (url, version) pairs already loaded (J1 anti-join semantics). */
   def withDisjointConceptMapsFromDirectory(spark: SparkSession,
       conceptMaps: ConceptMaps, path: String): ConceptMaps = {
     val (meta, mappings) = conceptMapsFromDirectory(spark, path)

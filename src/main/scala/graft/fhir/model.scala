@@ -90,11 +90,13 @@ object model {
     Bundles.extractEntry(spark, bundles, "Patient")
       .as(Encoders.product[Patient])
 
+  /** Typed Dataset[Observation] extraction from a bundles frame. */
   def observations(spark: SparkSession,
       bundles: org.apache.spark.sql.DataFrame): Dataset[Observation] =
     Bundles.extractEntry(spark, bundles, "Observation")
       .as(Encoders.product[Observation])
 
+  /** Typed Dataset[Condition] extraction from a bundles frame. */
   def conditions(spark: SparkSession,
       bundles: org.apache.spark.sql.DataFrame): Dataset[Condition] =
     Bundles.extractEntry(spark, bundles, "Condition")

@@ -17,6 +17,7 @@ final class BoundedAnySet(val cap: Int) {
   val set = new java.util.HashSet[Any]()
   var overflowed = false
 
+  /** Add a value; flips to the over-cap (dropped) state past the bound. */
   def add(v: Any): Unit = {
     if (!overflowed) {
       if (set.size < cap || set.contains(v)) set.add(v)

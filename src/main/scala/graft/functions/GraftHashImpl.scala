@@ -205,6 +205,7 @@ object GraftHashImpl {
     sig
   }
 
+  /** Hyperplane sign signature of a double vector (production hash family). */
   def hyperplaneD(vec: ArrayData, numPlanes: Int): java.lang.Long = {
     if (hasNullElement(vec)) return null
     val n = vec.numElements()
@@ -449,6 +450,7 @@ object GraftHashImpl {
     portableHyperplaneSig(q, numPlanes)
   }
 
+  /** Portable (md5-derived plane signs) hyperplane signature of a double vector. */
   def portableHyperplaneD(vec: ArrayData, numPlanes: Int): java.lang.Long = {
     if (hasNullElement(vec)) return null
     val n = vec.numElements()
@@ -477,6 +479,7 @@ object GraftHashImpl {
     hyperplaneBandsImpl(v, bits, numTables)
   }
 
+  /** Multi-table hyperplane band hashes of a double vector. */
   def hyperplaneBandsD(vec: ArrayData, bits: Int, numTables: Int): ArrayData = {
     if (hasNullElement(vec)) return null
     val n = vec.numElements()

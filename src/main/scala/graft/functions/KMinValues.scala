@@ -18,6 +18,7 @@ import org.apache.spark.sql.types._
 final class KMinSet(val k: Int) {
   val set = new java.util.TreeSet[java.lang.Long]()
 
+  /** Add a hash, keeping the k smallest distinct values. */
   def add(v: Long): Unit = {
     if (set.size < k) { set.add(v); () }
     else if (v < set.last()) {

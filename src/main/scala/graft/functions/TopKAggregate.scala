@@ -55,6 +55,7 @@ final class TopKHeap(val k: Int, idOrd: Ordering[Any]) {
     }
   }
 
+  /** Insert (score, id) keeping the k best entries (ties: lowest id). */
   def insert(score: Double, id: Any): Unit = {
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1

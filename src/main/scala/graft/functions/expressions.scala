@@ -362,23 +362,30 @@ object GraftFunctions {
   // `portable = true` switches the kernels from xxhash64 to the md5-derived
   // 60-bit hash any engine reproduces (GraftHashImpl portable mode) — the
   // oracle-verifiable variants; production defaults stay on xxhash64.
+  /** k-function minhash signature column over token shingles. */
   def shingleMinhash(tokens: Column, shingleSize: Int, numHashes: Int,
       portable: Boolean = false): Column =
     col(ShingleMinHash(expr(tokens), shingleSize, numHashes, portable))
+  /** Per-band LSH bucket hash column (minhash signature folded per band). */
   def minhashBands(tokens: Column, shingleSize: Int, numHashes: Int,
       bands: Int, portable: Boolean = false): Column =
     col(MinHashBands(expr(tokens), shingleSize, numHashes, bands, portable))
+  /** Random-hyperplane LSH bucket column for a vector. */
   def hyperplaneLsh(vec: Column, numPlanes: Int,
       portable: Boolean = false): Column =
     col(HyperplaneLsh(expr(vec), numPlanes, portable))
+  /** Multi-table hyperplane LSH bucket array column. */
   def hyperplaneBands(vec: Column, bitsPerTable: Int, numTables: Int): Column =
     col(HyperplaneBands(expr(vec), bitsPerTable, numTables))
+  /** Distinct sorted 64-bit shingle hash array column. */
   def shingleHashes(tokens: Column, shingleSize: Int,
       portable: Boolean = false): Column =
     col(ShingleHashes(expr(tokens), shingleSize, portable))
+  /** 64-bit SimHash signature column over token shingles. */
   def simhash64(tokens: Column, shingleSize: Int,
       portable: Boolean = false): Column =
     col(SimHash(expr(tokens), shingleSize, portable))
+  /** Native dot product of two numeric array columns. */
   def vectorDot(a: Column, b: Column): Column =
     col(VectorDot(expr(a), expr(b)))
   /** Bounded top-k aggregate (score desc, id asc):

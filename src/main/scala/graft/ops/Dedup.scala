@@ -82,6 +82,7 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Word shingles from an already-bound token array (see [[wordShingles]]). */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks)
     val parts = (0 until n).map(j =>

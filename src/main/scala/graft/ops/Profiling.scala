@@ -2206,6 +2206,7 @@ object Profiling {
         col("hash_xor"), col("hash_min"), col("hash_max"))
   }
 
+  /** Robust per-key hourly outlier flags via median/MAD (doc comment above describes the exact kernel). */
   def madHourlyOutliers(df: DataFrame, keyCol: String, tsCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

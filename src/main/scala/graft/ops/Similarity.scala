@@ -18,6 +18,7 @@ object Similarity {
   /** Dot product of two array<float> or array<double> columns (native). */
   def dot(a: Column, b: Column): Column = GraftFunctions.vectorDot(a, b)
 
+  /** Euclidean norm of a vector column (native dot + sqrt). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either vector is all-zero. Prefer the
@@ -1085,21 +1086,21 @@ object Similarity {
     }.reduce(_ + _)
     val scored = coded.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("corpus_id"), (-approxD2).as("score"))
-    // eager small result (queries x k rows) so the coded index blocks
-    // can be retired NOW instead of leaking per call (the und lesson)
-    val out = topKReduce(scored, k)
+    // the result plan references the coded checkpoint (lazy barrier), so
+    // its blocks live exactly as long as the caller's frame — reaped by
+    // the ContextCleaner once the result is dropped, unlike the und-style
+    // orphan checkpoints the loops retire explicitly
+    topKReduce(scored, k)
       .select(col("query_id"), col("corpus_id"),
         (-col("score")).cast("long").as("approx_d2"),
         col("rank").cast("long").as("rank"))
-      .truncateLineage()
-    graft.Lineage.retire(coded)
-    out
   }
 
   /** √N default for the IVF cell count and its probe default — exposed
     * so specs and capacity planning use the library's own arithmetic. */
   def defaultIvfCells(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+  /** Probe-count default: round(sqrt(cells)), min 1. */
   def defaultIvfProbes(cells: Int): Int =
     math.max(1, math.round(math.sqrt(cells.toDouble)).toInt)
 

@@ -27,6 +27,7 @@ object TextAnalysis {
     * oracle. */
   val SubwordPattern = "[A-Za-z0-9]+|[!-/:-@\\[-`{-~]"
 
+  /** BPE-ish subword count: tokens split at letter/digit/punctuation boundaries. */
   def subwordCount(text: Column): Column =
     when(text.isNull, lit(0))
       .otherwise(regexp_count(text, lit(SubwordPattern)))
@@ -51,6 +52,7 @@ object TextAnalysis {
     "the", "of", "and", "to", "a", "in", "is", "it", "that", "was",
     "for", "on", "are", "with", "as", "at", "be", "this", "have", "or")
 
+  /** Fraction of whitespace tokens that are stopwords (0.0 for empty text). */
   def stopwordRatio(text: Column,
       stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -90,6 +92,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
     "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "del"))
 
+  /** N-gram-heuristic language id over the stopword profiles: best-scoring language label, 'und' when nothing matches. */
   def languageId(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val scores = LanguageStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
@@ -115,6 +118,7 @@ object TextAnalysis {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPattern = "https?://[^ \\t\\n\\r]+"
 
+  /** Replace detected PII spans (emails, phones, SSNs, cards, IPs) with type tags. */
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(text, UrlPattern, "<URL>"),

@@ -38,8 +38,9 @@
   *     hash-exactly; doubles only at documented output boundaries.
   *   - Iterative fixpoints truncate lineage per round ([[graft.Lineage]]),
   *     retire superseded checkpoints, run on isolated child sessions
-  *     ([[graft.ConfScope]]) with loop-sized shuffle widths, and switch
-  *     to reliable checkpoints via the `graft.checkpoint.dir` conf.
+  *     (`graft.ConfScope`, library-internal) with loop-sized shuffle
+  *     widths, and switch to reliable checkpoints via the
+  *     `graft.checkpoint.dir` conf.
   *   - Bounded state everywhere: LSH buckets are capped (with drop
   *     accounting and recursive refinement), aggregation buffers are
   *     O(k), driver-side collects are constant-size by construction.

@@ -30,11 +30,13 @@ final case class BroadcastableValueSets(
           bySystem.get(system).exists(_.contains(code))
     }
 
+  /** Names of concept maps this mapping delegates to (reference resolution inputs). */
   def getReferenceNames: Set[String] = valueSets.keySet
 }
 
 object BroadcastableValueSets {
 
+  /** Fresh builder for a broadcastable mapping set. */
   def newBuilder(): Builder = new Builder
 
   /** Accumulates explicit codes, valueset references, and descendants-of
@@ -169,6 +171,7 @@ object BroadcastableConceptMap {
   * (bunsen-spark-stu3/.../ConceptMaps.java:390-441, G2). Map counts are
   * small, so this stays on the driver by design. */
 object ConceptMapDependencies {
+  /** Topologically sort concept maps so every delegation target loads before its delegator (cycle = error). */
   def sortMapsToLoad(requested: Seq[String],
       children: String => Seq[String]): Seq[String] = {
     val ordered = scala.collection.mutable.LinkedHashSet.empty[String]

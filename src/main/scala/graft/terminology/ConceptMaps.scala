@@ -20,6 +20,7 @@ class ConceptMaps private (
 
   import spark.implicits._
 
+  /** All mapping rows (system/value -> system/value pairs per map version). */
   def getMappings: Dataset[Mapping] = mappings
 
   /** Mappings of one map version (partition-pruned when table-backed;
@@ -40,6 +41,7 @@ class ConceptMaps private (
     conceptMaps.where($"url" === uri && $"version" === version)
       .head(1).headOption
 
+  /** Distinct (url, version) pairs of the loaded concept maps. */
   def getUrlAndVersions: Dataset[UrlAndVersion] =
     conceptMaps.select($"url", $"version").distinct().as[UrlAndVersion]
 
@@ -53,6 +55,7 @@ class ConceptMaps private (
       .as[UrlAndVersion]
   }
 
+  /** url -> latest version (lexicographic max, experimental filtered per flag). */
   def getLatestVersionsMap(includeExperimental: Boolean): Map[String, String] =
     getLatestVersions(includeExperimental).as[(String, String)].collect().toMap
 
@@ -158,6 +161,7 @@ object ConceptMaps {
     Seq("url", "version", "name", "status", "source", "target",
       "experimental", "publisher", "date")
 
+  /** An empty ConceptMaps container bound to the session. */
   def getEmpty(spark: SparkSession): ConceptMaps = {
     import spark.implicits._
     val emptyMeta = Seq.empty[(String, String, String, String, String,
@@ -166,6 +170,7 @@ object ConceptMaps {
     new ConceptMaps(spark, emptyMeta, spark.emptyDataset[Mapping])
   }
 
+  /** Load concept maps persisted by [[writeToDatabase]] from the given database. */
   def getFromDatabase(spark: SparkSession, database: String): ConceptMaps = {
     import spark.implicits._
     val mappings = spark.table(s"$database.$MappingsTable").as[Mapping]

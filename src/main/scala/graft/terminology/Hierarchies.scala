@@ -169,6 +169,7 @@ object Hierarchies {
   /** Hierarchy URI convention (reference Hierarchies.java:82-86, adapted). */
   def uriForName(name: String): String = s"urn:graft:hierarchy:$name"
 
+  /** An empty Hierarchies container bound to the session. */
   def getEmpty(spark: SparkSession): Hierarchies = {
     import spark.implicits._
     new Hierarchies(spark, spark.emptyDataset[UrlAndVersion],

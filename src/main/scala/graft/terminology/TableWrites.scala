@@ -60,6 +60,7 @@ private[graft] object TableWrites {
       if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
 
+  /** Append `df` to `table` with columns aligned to the table's schema order. */
   def appendAligned(spark: SparkSession, df: DataFrame, table: String): Unit = {
     val catalogOrder = spark.table(table).columns
     df.select(catalogOrder.map(col).toSeq: _*)

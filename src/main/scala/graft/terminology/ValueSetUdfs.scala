@@ -84,6 +84,7 @@ object ValueSetUdfs {
     }
   }
 
+  /** The value sets currently bound to the in_valueset UDF stack top (None when unbound). */
   def currentValueSets: Option[BroadcastableValueSets] =
     Option(stack.peek()).map(_.value)
 

@@ -23,6 +23,7 @@ class ValueSets private (
 
   import spark.implicits._
 
+  /** All value rows across the loaded value sets. */
   def getValues: Dataset[Value] = values
 
   /** Values of one valueset version — prunes (valueSetUri, valueSetVersion)
@@ -44,6 +45,7 @@ class ValueSets private (
     valueSets.where($"url" === uri && $"version" === version)
       .head(1).headOption
 
+  /** Distinct (url, version) pairs of the loaded value sets. */
   def getUrlAndVersions: Dataset[UrlAndVersion] =
     valueSets.select($"url", $"version").distinct().as[UrlAndVersion]
 
@@ -58,6 +60,7 @@ class ValueSets private (
       .as[UrlAndVersion]
   }
 
+  /** url -> latest version (lexicographic max, experimental filtered per flag). */
   def getLatestVersionsMap(includeExperimental: Boolean): Map[String, String] =
     getLatestVersions(includeExperimental)
       .as[(String, String)].collect().toMap
@@ -161,6 +164,7 @@ object ValueSets {
     Seq("url", "version", "name", "status", "experimental", "publisher",
       "date")
 
+  /** An empty ValueSets container bound to the session. */
   def getEmpty(spark: SparkSession): ValueSets = {
     import spark.implicits._
     val emptyMeta = Seq.empty[
@@ -169,6 +173,7 @@ object ValueSets {
     new ValueSets(spark, emptyMeta, spark.emptyDataset[Value])
   }
 
+  /** Load value sets persisted by [[writeToDatabase]] from the given database. */
   def getFromDatabase(spark: SparkSession, database: String): ValueSets = {
     import spark.implicits._
     val values = spark.table(s"$database.$ValuesTable").as[Value]

@@ -10,11 +10,12 @@ package graft
   *   - [[graft.terminology.ValueSetUdfs]] — `in_valueset` membership
   *     (UDF and Catalyst forms over broadcast sets, with the push/pop
   *     stack) and `translate` lookups.
-  *   - [[graft.terminology.Broadcastable]] — broadcastable membership /
-  *     mapping structures: descendant expansion, reference resolution,
-  *     concept-map delegation (topological chaining).
-  *   - [[graft.terminology.systems]] — LOINC multiaxial CSV and SNOMED
-  *     RF2 relationship readers.
+  *   - `graft.terminology.Broadcastable` (library-internal) —
+  *     broadcastable membership / mapping structures: descendant
+  *     expansion, reference resolution, concept-map delegation
+  *     (topological chaining).
+  *   - [[graft.terminology.Loinc]] / [[graft.terminology.Snomed]] —
+  *     LOINC multiaxial CSV and SNOMED RF2 relationship readers.
   *   - [[graft.terminology.TableWrites]] — partitioned DDL + guarded
   *     insert sink with import metadata.
   */

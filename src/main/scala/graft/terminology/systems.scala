@@ -12,6 +12,7 @@ object Loinc {
   val SystemUri = "http://loinc.org"
   val HierarchyUri: String = Hierarchies.uriForName("loinc-multiaxial")
 
+  /** Parse a LOINC multiaxial hierarchy CSV into (ancestor, descendant) rows (reference: Loinc.java). */
   def readMultiaxialHierarchyFile(spark: SparkSession,
       path: String): Dataset[HierarchicalElement] = {
     import spark.implicits._
@@ -26,6 +27,7 @@ object Loinc {
       .as[HierarchicalElement]
   }
 
+  /** Hierarchies with the LOINC multiaxial hierarchy appended from a CSV path. */
   def withLoincHierarchy(spark: SparkSession, hierarchies: Hierarchies,
       path: String, version: String): Hierarchies =
     hierarchies.withHierarchyElements(HierarchyUri, version,
@@ -43,6 +45,7 @@ object Snomed {
   val HierarchyUri: String = Hierarchies.uriForName("snomed")
   val IsaRelationshipType = "116680003"
 
+  /** Parse a SNOMED RF2 relationship file into active is-a (ancestor, descendant) rows (reference: Snomed.java). */
   def readRelationshipFile(spark: SparkSession,
       path: String): Dataset[HierarchicalElement] = {
     import spark.implicits._
@@ -58,6 +61,7 @@ object Snomed {
       .as[HierarchicalElement]
   }
 
+  /** Hierarchies with the SNOMED is-a relationships appended from an RF2 path. */
   def withRelationships(spark: SparkSession, hierarchies: Hierarchies,
       path: String, version: String): Hierarchies =
     hierarchies.withHierarchyElements(HierarchyUri, version,

@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * the org.apache.spark.sql package purely for access; no Spark internals
   * are modified. */
 object GraftShim {
+  /** Wrap a Catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  /** Unwrap a Column to its Catalyst Expression. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
