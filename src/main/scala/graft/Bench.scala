@@ -108,8 +108,16 @@ object Bench {
       // re-runs never see. Queries are self-contained (each builds its
       // plan from the parquet scans), so nothing depends on a previous
       // query's persisted state.
+      // … except the shared graph-prep frames (r13 directive #1): those
+      // are built ONCE by the first consuming query — cross-query reuse
+      // is their point, and a lazily-checkpointed RDD cannot recompute
+      // once its blocks drop. Their ids are exempted, so the first
+      // query's slot pays the build and later slots read the blocks —
+      // exactly the materialize-once pipeline shape at 100 TB.
+      val shared = SparkEntry.sharedPrepRddIds
       val created = spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before.contains(id) }
+        .filterNot { case (id, _) =>
+          before.contains(id) || shared.contains(id) }
       val blocks = created.size
       created.values.foreach(_.unpersist(blocking = false))
       // gc_ms telemetry = pauses DURING the query; snapshot before the

@@ -87,6 +87,19 @@ object Lineage {
     }
   }
 
+  /** True when [[truncateLineage]] writes RELIABLE checkpoints on this
+    * session (`graft.checkpoint.dir` set). The fixpoint loops use this to
+    * DEFER retiring their input-edge checkpoint until the loop completes:
+    * in reliable mode the checkpoint files are the only recompute source
+    * for the loop's persisted edge partitions after an executor loss, so
+    * deleting them mid-loop would defeat the fault-tolerance mode this
+    * switch exists for. In local mode (single JVM) a lost block means a
+    * dead JVM anyway, so the early retire is safe and keeps block
+    * pressure O(1). */
+  def isReliable(spark: org.apache.spark.sql.SparkSession): Boolean =
+    (try spark.conf.get(CheckpointDirKey, "")
+     catch { case _: Throwable => "" }).nonEmpty
+
   /** Best-effort release of a SUPERSEDED checkpointed frame produced by
     * [[DataFrameLineageOps.truncateLineage]]: drops its localCheckpoint
     * blocks from executor storage and deletes its reliable checkpoint
@@ -103,14 +116,61 @@ object Lineage {
     try {
       df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.getCheckpointFile.foreach { p =>
-            val path = new org.apache.hadoop.fs.Path(p)
-            val fs = path.getFileSystem(
-              df.sparkSession.sparkContext.hadoopConfiguration)
-            fs.delete(path, true)
-          }
-          l.rdd.unpersist(blocking = false)
+          retireRdd(df.sparkSession, l)
         case _ => ()
       }
     } catch { case _: Throwable => () }
+
+  private def retireRdd(spark: org.apache.spark.sql.SparkSession,
+      l: org.apache.spark.sql.execution.LogicalRDD): Unit =
+    try {
+      l.rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+      }
+      l.rdd.unpersist(blocking = false)
+    } catch { case _: Throwable => () }
+
+  /** Checkpoint-block OWNERSHIP contract for one-shot operators (r13
+    * directive #2). The iterative loops retire their superseded rounds
+    * themselves, but a one-shot operator whose RESULT plan reads a
+    * lazily-checkpointed frame (e.g. [[graft.ops.Graphs.twoHopReach]]'s
+    * symmetrized edge frame, the banding family's per-round bucket-size
+    * frames, the blocked-rank kernels' per-block subtotals) cannot
+    * retire it before returning — the result depends on those blocks.
+    * The contract: those blocks belong to the RESULT; a caller invoking
+    * such operators repeatedly on a long-lived session calls
+    * [[retireDependents]] (or wraps the call in [[scoped]]) once its
+    * terminal action on the result completes, releasing every
+    * checkpoint-backed leaf the result plan still references. Walks the
+    * analyzed plan (subqueries included), so nested one-shot
+    * compositions release all their frames in one call. Idempotent;
+    * errors swallowed (cleanup must never fail the job). */
+  def retireDependents(df: DataFrame): Unit =
+    try {
+      val root = df.queryExecution.analyzed
+      (root +: root.subqueriesAll).foreach { p =>
+        p.foreachUp {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            retireRdd(df.sparkSession, l)
+          case _ => ()
+        }
+      }
+    } catch { case _: Throwable => () }
+
+  /** Scoped form of the ownership contract: `use` runs the caller's
+    * terminal action(s) on the operator result; on exit — success or
+    * failure — every checkpoint-backed leaf in the result plan is
+    * retired. The frame must not escape `use`.
+    *
+    * {{{
+    * val reach = Lineage.scoped(Graphs.twoHopReach(edges, k = 32)) { r =>
+    *   r.write.parquet(out) // terminal action; blocks released after
+    * }
+    * }}} */
+  def scoped[A](build: => DataFrame)(use: DataFrame => A): A = {
+    val df = build
+    try use(df) finally retireDependents(df)
+  }
 }

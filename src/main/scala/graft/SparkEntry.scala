@@ -38,6 +38,51 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Shared graph-prep cache (r13 directive #1): the co-purchase and
+    * customer–supplier edge graphs are rebuilt identically by several
+    * queries (q142/q152/q161/q167 and q117/q201/q233/q243/q277) — and
+    * their distinct-join prep DOMINATES each one's wall time. At 100 TB
+    * a pipeline materializes the interaction graph ONCE and runs every
+    * graph operator against the artifact (see
+    * [[graft.ops.Graphs.coPurchaseEdges]]'s shared-prep note); this is
+    * that wiring: one lazily-checkpointed frame per (application, kind,
+    * sfDir). The FIRST consuming query pays the prep — its bench slot
+    * honestly includes the build — and later queries read the blocks.
+    * Bench's per-query RDD hygiene exempts these ids
+    * ([[sharedPrepRddIds]]); an application that wants them gone calls
+    * [[graft.Lineage.retireDependents]] on the cached frame. */
+  private val sharedPrep =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def sharedGraphPrep(s: SparkSession, dir: String,
+      kind: String): DataFrame =
+    sharedPrep.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + kind + "|" + dir, _ => {
+        val raw = kind match {
+          case "co_purchase" =>
+            graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
+          case "customer_supplier" =>
+            graft.ops.Graphs.customerSupplierEdges(
+              t(s, dir, "orders"), t(s, dir, "lineitem"))
+          case other =>
+            throw new IllegalArgumentException(s"unknown prep kind $other")
+        }
+        raw.truncateLineage(eager = false)
+      })
+
+  /** RDD ids owned by the shared-prep cache — [[Bench]]'s per-query RDD
+    * cleanup must not evict them (cross-query reuse is the point; a
+    * lazily-checkpointed RDD cannot recompute once its blocks drop). */
+  def sharedPrepRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    sharedPrep.values.asScala.flatMap { df =>
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+        case _ => None
+      }
+    }.toSet
+  }
+
   /** First 60 bits of md5(s) as a non-negative long — the same portable
     * hash family as GraftHashImpl.portableHash60, as a plain Column so
     * oracle-checkable queries can construct signature tables DuckDB
@@ -2055,7 +2100,7 @@ object SparkEntry {
     // aggregate, fixed IEEE tail — the one-scalar graph-shape probe
     "q167_degree_assortativity" -> ((s, dir) => {
       graft.ops.Graphs.degreeAssortativity(
-        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")))
+        sharedGraphPrep(s, dir, "co_purchase"))
     }),
 
     // Quantile transform: every document's length mapped to its exact
@@ -2118,7 +2163,7 @@ object SparkEntry {
     // the exactly-enumerated 2-hop set at its small scale
     "q161_two_hop_reach" -> ((s, dir) => {
       graft.ops.Graphs.twoHopReach(
-        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")), k = 32)
+        sharedGraphPrep(s, dir, "co_purchase"), k = 32)
     }),
 
     // Linear multi-touch attribution: each purchase splits one unit of
@@ -2214,7 +2259,7 @@ object SparkEntry {
     // neighbor lists never serialize through one reducer
     "q152_item_item_topk" -> ((s, dir) => {
       graft.ops.Graphs.itemItemTopK(
-        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")), k = 5)
+        sharedGraphPrep(s, dir, "co_purchase"), k = 5)
     }),
 
     // Peak concurrent sessions per hour: +1/-1 boundary sweep with the
@@ -2338,7 +2383,7 @@ object SparkEntry {
     // oracle recounts with a plain a<b<c triple join
     "q142_triangle_count" -> ((s, dir) => {
       graft.ops.Graphs.triangleStats(
-        graft.ops.Graphs.coPurchaseEdges(t(s, dir, "lineitem")))
+        sharedGraphPrep(s, dir, "co_purchase"))
     }),
 
     // Edit-distance-1 entity-resolution join via deletion-neighborhood
@@ -2659,8 +2704,7 @@ object SparkEntry {
     // engines and partitionings; edges shuffle once, each round moves
     // only the O(N) rank frame
     "q117_pagerank_authority" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.customerSupplierEdges(
-        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val edges = sharedGraphPrep(s, dir, "customer_supplier")
       graft.ops.Graphs.pageRankFixedPoint(s, edges, iterations = 3)
         .select(
           when(pmod(col("node"), lit(2)) === 0, lit("customer"))
@@ -2793,8 +2837,7 @@ object SparkEntry {
     // vetted customer seed set — same bigint fixed-point rounds as
     // q117, teleport mass confined to customers 1-5
     "q233_personalized_pagerank" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.customerSupplierEdges(
-        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val edges = sharedGraphPrep(s, dir, "customer_supplier")
       graft.ops.Graphs.personalizedPageRank(s, edges,
         seeds = Seq(2L, 4L, 6L, 8L, 10L), iterations = 3)
         .select(
@@ -2939,8 +2982,7 @@ object SparkEntry {
     // convergence, O(1) live round states) — the cohesion filter run
     // before any ranking
     "q243_kcore" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.customerSupplierEdges(
-        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val edges = sharedGraphPrep(s, dir, "customer_supplier")
       graft.ops.Graphs.kCore(s, edges, k = 40)
         .select(
           when(pmod(col("node"), lit(2)) === 0, lit("customer"))
@@ -2999,8 +3041,7 @@ object SparkEntry {
     // md5 shuffle positions, true edges and self-loops anti-joined away
     // — reproducible link-prediction training pairs, no rand()
     "q277_negative_samples" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.customerSupplierEdges(
-        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val edges = sharedGraphPrep(s, dir, "customer_supplier")
       graft.ops.Graphs.negativeSamples(edges, k = 5)
     }),
 
@@ -4098,8 +4139,7 @@ object SparkEntry {
     // first-visit counts per depth — the exact ground truth beside
     // q161's sketched 2-hop estimate
     "q201_multi_source_bfs" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.customerSupplierEdges(
-        t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val edges = sharedGraphPrep(s, dir, "customer_supplier")
       graft.ops.Graphs.multiSourceBfs(s, edges,
         seeds = Seq(2L, 4L, 6L, 8L), maxDepth = 3)
     }),

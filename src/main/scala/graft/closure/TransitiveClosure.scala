@@ -52,10 +52,19 @@ object TransitiveClosure {
         // derive the loop width from the edge count (r12 directive #8)
         // and re-enter through the isolated-session branch; a 3-edge
         // fixture then runs 1-task rounds while the session width stays
-        // the ceiling for big graphs (and the session conf untouched)
-        closure(spark, edges, maxIterations, linear,
-          Some(graft.ConfScope.autoLoopPartitions(edges.toDF().count(),
+        // the ceiling for big graphs (and the session conf untouched).
+        // Checkpoint-then-count (r13 advice): counting the raw caller
+        // plan would re-execute the (possibly expensive) edge pipeline
+        // a second time when closureImpl builds cleanEdges — the exact
+        // double-execution nearDupClusters/pageRankFixedPoint fixed
+        // (measured +27% on q47). The checkpoint is retired once the
+        // loop's own checkpoints carry the result.
+        val ck = edges.toDF().truncateLineage(eager = false)
+        val out = closure(spark, ck, maxIterations, linear,
+          Some(graft.ConfScope.autoLoopPartitions(ck.count(),
             graft.ConfScope.sessionShuffleWidth(spark))))
+        graft.Lineage.retire(ck)
+        out
       case Some(n) =>
         // isolated child session: the width override can never be
         // observed by a concurrent query on the caller's session
@@ -144,9 +153,13 @@ object TransitiveClosure {
       shufflePartitions: Option[Int] = None): DataFrame =
     shufflePartitions match {
       case None =>
-        closureLong(spark, edges, maxIterations, linear,
-          Some(graft.ConfScope.autoLoopPartitions(edges.count(),
+        // checkpoint-then-count: same double-execution fix as [[closure]]
+        val ck = edges.truncateLineage(eager = false)
+        val out = closureLong(spark, ck, maxIterations, linear,
+          Some(graft.ConfScope.autoLoopPartitions(ck.count(),
             graft.ConfScope.sessionShuffleWidth(spark))))
+        graft.Lineage.retire(ck)
+        out
       case Some(n) =>
         graft.ConfScope.withIsolatedSession(spark,
           "spark.sql.shuffle.partitions" -> n.toString) { (iso, rebind) =>
@@ -219,31 +232,38 @@ object TransitiveClosure {
       delta: DataFrame, // columns: parent, child
       maxIterations: Int = 25,
       shufflePartitions: Option[Int] = None): DataFrame =
-    shufflePartitions match {
-      case None =>
-        // the iterated frame is delta-sized (the semi-naive seed), so
-        // the delta count sizes the loop
-        addEdges(spark, closure, delta, maxIterations,
-          Some(graft.ConfScope.autoLoopPartitions(delta.count(),
-            graft.ConfScope.sessionShuffleWidth(spark))))
-      case Some(n) =>
-        graft.ConfScope.withIsolatedSession(spark,
-          "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>
-          addEdgesImpl(rebind(closure), rebind(delta), maxIterations)
-        }
+    graft.ConfScope.withIsolatedSession(spark) { (iso, rebind) =>
+      addEdgesImpl(iso, rebind(closure), rebind(delta), maxIterations,
+        shufflePartitions)
     }
 
+  /** TWO shuffle widths (r13 advice): the prefix-doubling loop iterates
+    * a DELTA-sized frame and is sized by it, but the semi-naive seed
+    * joins (cd/dc/cdc) and the final union each touch the FULL closure —
+    * sizing those by a handful of delta edges would run one reducer
+    * over the entire closure. Seed joins and the final union run at the
+    * large-side width; only the loop rounds narrow to the seed's actual
+    * row count. An explicit `fixedWidth` pins both (caller knows best). */
   private def addEdgesImpl(
+      iso: SparkSession,
       closure: DataFrame,
       delta: DataFrame,
-      maxIterations: Int): DataFrame = {
+      maxIterations: Int,
+      fixedWidth: Option[Int]): DataFrame = {
+      val sessW = graft.ConfScope.sessionShuffleWidth(iso)
       val c = closure.select(col("ancestor"), col("descendant"))
         .distinct().truncateLineage(eager = false)
+      // the delta feeds FOUR plan branches (d, cd, dc, m's union) — the
+      // checkpoint also stops 4x re-execution of the caller's delta plan
       val d = delta
         .select(col("parent").as("ancestor"),
           col("child").as("descendant"))
         .where(col("parent").isNotNull && col("child").isNotNull)
-        .distinct()
+        .distinct().truncateLineage(eager = false)
+      val joinW = fixedWidth.getOrElse(
+        graft.ConfScope.autoLoopPartitions(math.max(c.count(), d.count()),
+          sessW))
+      iso.conf.set("spark.sql.shuffle.partitions", joinW.toString)
       val cd = c.as("c").join(d.as("d"),
           col("c.descendant") === col("d.ancestor"))
         .select(col("c.ancestor").as("ancestor"),
@@ -259,7 +279,12 @@ object TransitiveClosure {
       var m = d.unionAll(cd).unionAll(dc).unionAll(cdc)
         .where(col("ancestor") =!= col("descendant"))
         .distinct().truncateLineage(eager = false)
+      // the seed's count materializes it AT the large-side width; the
+      // loop then narrows to the seed's true size
       var prevCount = m.count()
+      iso.conf.set("spark.sql.shuffle.partitions", fixedWidth.getOrElse(
+        graft.ConfScope.autoLoopPartitions(prevCount, sessW)).toString)
+      graft.Lineage.retire(d)
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
@@ -279,6 +304,10 @@ object TransitiveClosure {
         i += 1
       }
       requireConverged(converged, linear = false, maxIterations)
+      // the final union reads the FULL closure again — restore the
+      // large-side width before handing the lazy result to the caller
+      // (its terminal action materializes under the session's width)
+      iso.conf.set("spark.sql.shuffle.partitions", joinW.toString)
       c.unionAll(m).distinct()
   }
 }

@@ -748,30 +748,34 @@ object Dedup {
   def addToClusters(existing: DataFrame, newPairs: DataFrame,
       maxIterations: Int = 20,
       shufflePartitions: Option[Int] = None): DataFrame =
-    shufflePartitions match {
-      case None =>
-        // the contracted loop graph is delta-sized — size by newPairs
-        // (checkpoint-then-count, same rationale as nearDupClusters)
-        val ck = newPairs.truncateLineage(eager = false)
-        val out = addToClusters(existing, ck, maxIterations,
-          Some(graft.ConfScope.autoLoopPartitions(ck.count(),
-            graft.ConfScope.sessionShuffleWidth(existing.sparkSession))))
-        graft.Lineage.retire(ck)
-        out
-      case Some(n) =>
-        graft.ConfScope.withIsolatedSession(existing.sparkSession,
-          "spark.sql.shuffle.partitions" -> n.toString) { (_, rebind) =>
-          addToClustersImpl(rebind(existing), rebind(newPairs),
-            maxIterations)
-        }
+    graft.ConfScope.withIsolatedSession(existing.sparkSession) {
+      (iso, rebind) =>
+        addToClustersImpl(iso, rebind(existing), rebind(newPairs),
+          maxIterations, shufflePartitions)
     }
 
-  private def addToClustersImpl(existing: DataFrame, newPairs: DataFrame,
-      maxIterations: Int): DataFrame = {
+  /** TWO shuffle widths (r13 advice, mirroring
+    * [[graft.closure.TransitiveClosure.addEdges]]): the label-propagation
+    * loop runs on the CONTRACTED delta graph and is sized by it, but the
+    * endpoint→root contraction joins and the final relabel join each
+    * touch the FULL `existing` table — sizing those by a handful of new
+    * pairs would run one reducer over the whole corpus assignment. */
+  private def addToClustersImpl(iso: org.apache.spark.sql.SparkSession,
+      existing: DataFrame, newPairs: DataFrame,
+      maxIterations: Int, fixedWidth: Option[Int]): DataFrame = {
+    val sessW = graft.ConfScope.sessionShuffleWidth(iso)
     val ex = existing.select(col("id"), col("cluster_id"))
       .truncateLineage(eager = false)
-    // endpoint -> old root (or itself when the endpoint is a new doc)
-    val contractedPairs = newPairs.select(col("id_a"), col("id_b"))
+    val np = newPairs.select(col("id_a"), col("id_b"))
+      .truncateLineage(eager = false)
+    val joinW = fixedWidth.getOrElse(
+      graft.ConfScope.autoLoopPartitions(math.max(ex.count(), np.count()),
+        sessW))
+    iso.conf.set("spark.sql.shuffle.partitions", joinW.toString)
+    // endpoint -> old root (or itself when the endpoint is a new doc);
+    // checkpointed at the large-side width, so the loop below never
+    // re-executes the existing-table joins
+    val contractedPairs = np
       .join(ex.select(col("id").as("id_a"), col("cluster_id").as("ra")),
         Seq("id_a"), "left")
       .join(ex.select(col("id").as("id_b"), col("cluster_id").as("rb")),
@@ -779,8 +783,18 @@ object Dedup {
       .select(coalesce(col("ra"), col("id_a")).as("id_a"),
         coalesce(col("rb"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
+      .truncateLineage(eager = false)
+    val nContracted = contractedPairs.count()
+    graft.Lineage.retire(np)
+    // the propagation loop narrows to the contracted graph's true size
+    iso.conf.set("spark.sql.shuffle.partitions", fixedWidth.getOrElse(
+      graft.ConfScope.autoLoopPartitions(nContracted, sessW)).toString)
     val contracted = nearDupClustersImpl(contractedPairs, maxIterations)
       .truncateLineage(eager = false)
+    graft.Lineage.retire(contractedPairs)
+    // relabel joins the full existing table — large-side width again for
+    // the caller's terminal action on the lazy result
+    iso.conf.set("spark.sql.shuffle.partitions", joinW.toString)
     val relabel = contracted
       .select(col("id").as("root"), col("cluster_id").as("newlab"))
     // old members follow their root's new label (untouched roots keep

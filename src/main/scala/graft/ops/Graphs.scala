@@ -57,8 +57,15 @@ object Graphs {
     // and without the checkpoint each re-executes the caller's (possibly
     // expensive) edge pipeline — measured +23% on q117 when the count
     // ran against the raw distinct-join plan
+    // null src/dst rows (e.g. non-numeric ids nulled by the cast) are
+    // dropped EXPLICITLY here so the hub-split and unsplit paths see the
+    // same graph: splitHotSources' !isin() predicate is null-rejecting,
+    // and without this filter a dirty input's node set would differ
+    // depending on whether a hub happened to trigger the split.
     val ckRaw = rebind(edges).select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .truncateLineage(eager = false)
     // loop width derived from the edge count (r12 directive #8): a tiny
     // fixture must not pay 200-task scheduling every round; the session
     // width stays the ceiling. Set on the ISOLATED session only, before
@@ -68,10 +75,15 @@ object Graphs {
       graft.ConfScope.sessionShuffleWidth(iso))
     iso.conf.set("spark.sql.shuffle.partitions", width.toString)
     val (e, hot) = splitHotSources(ckRaw, m, width)
-    // materialize the persisted loop frames from the checkpoint blocks,
-    // then retire the checkpoint — it is dead once the splits landed
+    // materialize the persisted loop frames from the checkpoint blocks.
+    // In LOCAL mode retire the checkpoint now — it is dead once the
+    // splits landed (an evicted persisted partition can only be lost
+    // with the whole JVM). In RELIABLE mode the checkpoint files are the
+    // only recompute source for the persisted loop frames after an
+    // executor loss, so they are retired AFTER the loop instead.
     e.count(); hot.foreach(_._1.count())
-    graft.Lineage.retire(ckRaw)
+    val deferCkRetire = graft.Lineage.isReliable(iso)
+    if (!deferCkRetire) graft.Lineage.retire(ckRaw)
     val deg = hot match {
       case None => e.groupBy("src").agg(count(lit(1)).as("deg"))
       case Some((hotE, _)) => e.groupBy("src")
@@ -106,6 +118,7 @@ object Graphs {
     }
     e.unpersist()
     hot.foreach(_._1.unpersist())
+    if (deferCkRetire) graft.Lineage.retire(ckRaw)
     state
   }
 
@@ -166,15 +179,20 @@ object Graphs {
       "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(seeds.nonEmpty, "seed set must be non-empty")
+    // explicit null-row drop + local-vs-reliable retire timing: same
+    // rationale as [[pageRankFixedPoint]]
     val ckRaw = rebind(edges).select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .truncateLineage(eager = false)
     val m = ckRaw.count()
     val width = graft.ConfScope.autoLoopPartitions(m,
       graft.ConfScope.sessionShuffleWidth(iso))
     iso.conf.set("spark.sql.shuffle.partitions", width.toString)
     val (e, hot) = splitHotSources(ckRaw, m, width)
     e.count(); hot.foreach(_._1.count())
-    graft.Lineage.retire(ckRaw)
+    val deferCkRetire = graft.Lineage.isReliable(iso)
+    if (!deferCkRetire) graft.Lineage.retire(ckRaw)
     val deg = hot match {
       case None => e.groupBy("src").agg(count(lit(1)).as("deg"))
       case Some((hotE, _)) => e.groupBy("src")
@@ -198,6 +216,7 @@ object Graphs {
     }
     e.unpersist()
     hot.foreach(_._1.unpersist())
+    if (deferCkRetire) graft.Lineage.retire(ckRaw)
     state
   }
 
@@ -301,7 +320,19 @@ object Graphs {
   /** The part co-purchase graph: an undirected edge between two parts
     * whenever some order contains both (the item-item graph of every
     * recommender / market-basket pipeline). Per-order pair expansion is
-    * bounded by the max lines-per-order, not by part popularity. */
+    * bounded by the max lines-per-order, not by part popularity.
+    *
+    * SHARED-PREP COST NOTE (r13 directive #8): this distinct + self-join
+    * DOMINATES the wall time of every downstream graph operator run on
+    * its output ([[twoHopReach]], [[itemItemTopK]], [[triangleStats]],
+    * [[degreeAssortativity]] each document their own shape, but their
+    * measured cost is mostly THIS prep). A pipeline running several of
+    * them materializes the edge list ONCE — `coPurchaseEdges(li)
+    * .truncateLineage(eager = false)` (or a bucketed table,
+    * [[graft.Tables.saveBucketed]]) — and feeds the checkpointed frame
+    * to each operator, paying the distinct-join a single time; at 100 TB
+    * the co-purchase graph is a persisted artifact, never a per-query
+    * recompute. `SparkEntry.sharedGraphPrep` is the reference wiring. */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val pr = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
@@ -404,11 +435,21 @@ object Graphs {
   def twoHopReach(edges: DataFrame, k: Int): DataFrame = {
     val h = conv(substring(md5(col("w").cast("string").cast("binary")),
       1, 15), 16, 10).cast("long")
-    val e = edges.select(col("src").as("u"), col("dst").as("w"))
+    // Closed-neighborhood edge set N[u]: the symmetric pairs are
+    // distinct'd WITHOUT the self-rows (halving the wide distinct's
+    // input vs the old 4-way unionAll — the allocation burst that made
+    // this query's shared-JVM bench slot 2-3x its isolated time, r13
+    // directive #1), and the (u,u) self-rows are rebuilt from the
+    // single-column node set — cheap map-side-combined distinct — then
+    // appended disjointly (self-loops are filtered OUT of the symmetric
+    // side, so the union is exactly the old set, no final dedup).
+    val sym = edges.select(col("src").as("u"), col("dst").as("w"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("w")))
-      .unionAll(edges.select(col("src").as("u"), col("src").as("w")))
-      .unionAll(edges.select(col("dst").as("u"), col("dst").as("w")))
-      .distinct()
+      .where(col("u").isNotNull && col("w").isNotNull)
+    val nonSelf = sym.where(col("u") =!= col("w")).distinct()
+    val selfRows = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("w"))
+    val e = nonSelf.unionAll(selfRows)
       .truncateLineage(eager = false)
     val hop1 = e.select(col("u"), h.as("h"))
       .groupBy(col("u"))
@@ -544,7 +585,9 @@ object Graphs {
 
   /** The customer–supplier interaction graph: an undirected bipartite
     * edge per distinct (o_custkey, l_suppkey) trading pair, encoded
-    * customers = 2k, suppliers = 2k+1. */
+    * customers = 2k, suppliers = 2k+1. Same shared-prep cost note as
+    * [[coPurchaseEdges]]: the orders⋈lineitem distinct dominates every
+    * downstream graph operator — materialize once, feed many. */
   def customerSupplierEdges(orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
@@ -581,16 +624,23 @@ object Graphs {
       "spark.sql.adaptive.enabled" -> "false") { (iso, rebind) =>
     require(k >= 1, s"k must be >= 1, got $k")
     // checkpoint-then-count so the width probe does not re-execute the
-    // caller's edge pipeline (see pageRankFixedPoint)
+    // caller's edge pipeline (see pageRankFixedPoint); null rows dropped
+    // explicitly for symmetry with the PageRank family
     val ckRaw = rebind(edges).select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).truncateLineage(eager = false)
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .truncateLineage(eager = false)
     // loop width from the edge count (r12 directive #8), isolated-only
     iso.conf.set("spark.sql.shuffle.partitions",
       graft.ConfScope.autoLoopPartitions(ckRaw.count(),
         graft.ConfScope.sessionShuffleWidth(iso)).toString)
     val e = ckRaw.repartition(col("src")).persist()
     e.count()
-    graft.Lineage.retire(ckRaw)
+    // reliable mode: the checkpoint is the recompute source for evicted
+    // persisted edge partitions after executor loss — retire after the
+    // peel completes instead (see pageRankFixedPoint)
+    val deferCkRetire = graft.Lineage.isReliable(iso)
+    if (!deferCkRetire) graft.Lineage.retire(ckRaw)
     var surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
       .select(col("src").as("node"), col("deg"))
@@ -614,6 +664,7 @@ object Graphs {
       n = m
     }
     e.unpersist()
+    if (deferCkRetire) graft.Lineage.retire(ckRaw)
     surv.select(col("node"), col("deg").as("core_deg"))
   }
 

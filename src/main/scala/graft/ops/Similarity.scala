@@ -1187,8 +1187,23 @@ object Similarity {
             lit(1000000L)) < lit(keepPpm))
           .withColumn("features",
             array_to_vector(col("__v").cast("array<double>")))
+          .truncateLineage(eager = false)
+        // loud guard (r13 advice): k-means needs >= k training rows.
+        // The ppm hash cap keeps ~maxTrainRows of them, so a caller-
+        // supplied numCells above the sample — or cells = ceil(sqrt(N))
+        // outgrowing maxTrainRows^2 corpora — must fail with the fix
+        // spelled out, not as a KMeans internals error at fit time.
+        val trainN = train.count()
+        require(trainN >= cells,
+          s"IVF k-means trainer: $cells cells requested but the hash-" +
+            s"capped training sample holds only $trainN rows (cap " +
+            s"maxTrainRows=$maxTrainRows); raise maxTrainRows above the " +
+            "cell count or lower numCells")
         val model = new KMeans().setK(cells).setSeed(seed)
           .setMaxIter(20).fit(train)
+        // the training sample's checkpoint fed the guard count + the fit
+        // iterations; dead once the centers are driver-side
+        graft.Lineage.retire(train)
         val spark = corpus.sparkSession
         import spark.implicits._
         model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
