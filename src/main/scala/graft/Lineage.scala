@@ -75,15 +75,18 @@ object Lineage {
       val spark = df.sparkSession
       val dir = try spark.conf.get(CheckpointDirKey, "")
         catch { case _: Throwable => "" }
-      if (dir.isEmpty) df.localCheckpoint(eager)
-      else {
-        val sc = spark.sparkContext
-        if (configuredDirs.add(sc.applicationId + " " + dir))
-          sc.setCheckpointDir(dir)
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        try cached.checkpoint(eager = true)
-        finally cached.unpersist(blocking = false)
-      }
+      val out =
+        if (dir.isEmpty) df.localCheckpoint(eager)
+        else {
+          val sc = spark.sparkContext
+          if (configuredDirs.add(sc.applicationId + " " + dir))
+            sc.setCheckpointDir(dir)
+          val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+          try cached.checkpoint(eager = true)
+          finally cached.unpersist(blocking = false)
+        }
+      registerInScope(out)
+      out
     }
   }
 
@@ -123,14 +126,7 @@ object Lineage {
 
   private def retireRdd(spark: org.apache.spark.sql.SparkSession,
       l: org.apache.spark.sql.execution.LogicalRDD): Unit =
-    try {
-      l.rdd.getCheckpointFile.foreach { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(path, true)
-      }
-      l.rdd.unpersist(blocking = false)
-    } catch { case _: Throwable => () }
+    releaseRdd(spark, l.rdd)
 
   /** Checkpoint-block OWNERSHIP contract for one-shot operators (r13
     * directive #2). The iterative loops retire their superseded rounds
@@ -159,18 +155,75 @@ object Lineage {
       }
     } catch { case _: Throwable => () }
 
-  /** Scoped form of the ownership contract: `use` runs the caller's
-    * terminal action(s) on the operator result; on exit — success or
-    * failure — every checkpoint-backed leaf in the result plan is
-    * retired. The frame must not escape `use`.
+  // ---- scope registry -------------------------------------------------
+  // [[retireDependents]] releases the checkpoint leaves still VISIBLE in
+  // the result's analyzed plan, but an operator may stack checkpoints
+  // (frame B checkpointed over frame A's blocks): once B materializes,
+  // A's RDD is lineage-truncated out of every reachable plan and only
+  // the ContextCleaner's GC-driven weak-ref sweep would ever release it.
+  // The scope registry makes that deterministic: every frame
+  // [[DataFrameLineageOps.truncateLineage]] creates ON THIS THREAD while
+  // a [[scoped]] block is active is recorded and released on scope exit.
+  // Thread-local because operator plan-building is single-threaded by
+  // construction here; frames built by other threads (streams) are
+  // intentionally not captured.
+  private val currentScope = new ThreadLocal[
+    scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.sql.SparkSession, org.apache.spark.rdd.RDD[_])]]()
+
+  private def registerInScope(df: DataFrame): Unit = {
+    val buf = currentScope.get()
+    if (buf != null) {
+      try {
+        df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            buf += ((df.sparkSession, l.rdd))
+          case _ => ()
+        }
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def releaseRdd(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    try {
+      rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+      }
+      rdd.unpersist(blocking = false)
+    } catch { case _: Throwable => () }
+
+  /** Scoped form of the ownership contract: `build` constructs the
+    * operator result, `use` runs the caller's terminal action(s) on it;
+    * on exit — success or failure — EVERY checkpoint this library
+    * created on the calling thread inside the scope is released
+    * (unpersist + reliable-file delete), including checkpoints stacked
+    * behind the result plan that [[retireDependents]] cannot see.
+    * Re-releasing a frame a loop already retired is a no-op. The frame
+    * must not escape `use`; scopes nest (inner frames release at the
+    * inner exit).
     *
     * {{{
-    * val reach = Lineage.scoped(Graphs.twoHopReach(edges, k = 32)) { r =>
+    * Lineage.scoped(Graphs.twoHopReach(edges, k = 32)) { r =>
     *   r.write.parquet(out) // terminal action; blocks released after
     * }
     * }}} */
   def scoped[A](build: => DataFrame)(use: DataFrame => A): A = {
-    val df = build
-    try use(df) finally retireDependents(df)
+    val prev = currentScope.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[
+      (org.apache.spark.sql.SparkSession, org.apache.spark.rdd.RDD[_])]
+    currentScope.set(buf)
+    try {
+      val df = build
+      try use(df)
+      finally {
+        buf.foreach { case (s, r) => releaseRdd(s, r) }
+        retireDependents(df)
+      }
+    } finally {
+      if (prev == null) currentScope.remove() else currentScope.set(prev)
+    }
   }
 }

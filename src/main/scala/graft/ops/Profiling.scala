@@ -1918,7 +1918,7 @@ object Profiling {
     * occupies ranks lo+1..lo+c, contributing v·c·(2·lo + c + 1) to
     * 2·Σi·x — equal values commute, so blocked ranks are exact. */
   def giniConcentration(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxGroups: Int = 65536): DataFrame = {
     val per = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull && col("v") >= 0)
@@ -1926,6 +1926,17 @@ object Profiling {
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
       .truncateLineage(eager = false)
+    // loud cardinality guard (r13 directive #6): the kernel collects
+    // groups × ≤65 block subtotals to the driver — the right contract
+    // for corpus stats over a handful of sources, an OOM trap if someone
+    // passes a row-scale group column. The probe reads the checkpoint
+    // blocks the collect below reuses, so it costs one cheap job.
+    val nGroups = per.select(col("g")).distinct().count()
+    require(nGroups <= maxGroups,
+      s"giniConcentration: $nGroups distinct '$groupCol' groups exceed " +
+        s"maxGroups=$maxGroups — the blocked-rank kernel holds groups x " +
+        "<=65 block subtotals on the driver. Use a genuinely low-" +
+        "cardinality group column, or raise maxGroups deliberately")
     val bt = per.groupBy(col("g"), col("block"))
       .agg(sum(col("c")).as("tc"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -2147,12 +2158,13 @@ object Profiling {
     * column sum before vs after clipping (the mass the clip moves).
     * Fractions are (num, den) pairs, integer-exact end to end. */
   def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
-      lo: (Int, Int) = (1, 20), hi: (Int, Int) = (19, 20)): DataFrame = {
+      lo: (Int, Int) = (1, 20), hi: (Int, Int) = (19, 20),
+      maxGroups: Int = 65536): DataFrame = {
     val vals = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
     val cuts = Sketches.exactQuantilesByGroup(vals, "g", "v",
-        Seq(lo, hi))
+        Seq(lo, hi), maxGroups)
       .groupBy(col("g"))
       .agg(max(when(col("p_num") === lo._1 && col("p_den") === lo._2,
           col("value"))).as("lo_cut"),
@@ -2208,7 +2220,7 @@ object Profiling {
 
   /** Robust per-key hourly outlier flags via median/MAD (doc comment above describes the exact kernel). */
   def madHourlyOutliers(df: DataFrame, keyCol: String, tsCol: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, maxGroups: Int = 65536): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df
       .select(col(keyCol).cast("string").as("key"),
@@ -2218,12 +2230,12 @@ object Profiling {
       .groupBy(col("key"), col("hour"))
       .agg(count(lit(1)).as("n"))
     val med = Sketches.exactQuantilesByGroup(counts, "key", "n",
-        Seq((1, 2)))
+        Seq((1, 2)), maxGroups)
       .select(col("key"), col("value").as("med"))
     val dev = counts.join(med, Seq("key"))
       .withColumn("dev", abs(col("n") - col("med")))
     val mad = Sketches.exactQuantilesByGroup(dev, "key", "dev",
-        Seq((1, 2)))
+        Seq((1, 2)), maxGroups)
       .select(col("key"), col("value").as("mad"))
     dev.join(mad, Seq("key"))
       .select(col("key"), col("hour"), col("n"), col("med"), col("mad"),

@@ -303,7 +303,8 @@ object Sketches {
     * group per fraction. Groups are read as strings; null groups/values
     * excluded. */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[(Int, Int)]): DataFrame = {
+      valueCol: String, ps: Seq[(Int, Int)],
+      maxGroups: Int = 65536): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (n, d) =>
       n >= 1 && n <= d }, s"fractions must satisfy 1 <= num <= den: $ps")
     val per = df.select(col(groupCol).cast("string").as("g"),
@@ -313,6 +314,18 @@ object Sketches {
       .withColumn("block", when(col("v") <= 0, lit(-1))
         .otherwise((length(bin(col("v"))) - 1).cast("int")))
       .truncateLineage(eager = false)
+    // loud cardinality guard (r13 directive #6): the kernel collects
+    // groups × ≤65 block subtotals (and a per-group offset literal) to
+    // the driver — an OOM trap on a row-scale group column; fail with
+    // the fix spelled out instead. The probe reads the checkpoint
+    // blocks the collect below reuses (one cheap job).
+    val nGroups = per.select(col("g")).distinct().count()
+    require(nGroups <= maxGroups,
+      s"exactQuantilesByGroup: $nGroups distinct '$groupCol' groups " +
+        s"exceed maxGroups=$maxGroups — the blocked-rank kernel holds " +
+        "groups x <=65 block subtotals on the driver. Use grouped " +
+        "quantile SKETCHES for high-cardinality groups, or raise " +
+        "maxGroups deliberately")
     val bt = per.groupBy(col("g"), col("block"))
       .agg(sum(col("c")).as("tc"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
