@@ -3347,6 +3347,19 @@ object SparkEntry {
         trainer = "hash")
     }),
 
+    // IVF-PQ with a TWO-LEVEL coarse quantizer (r13 directive #3):
+    // corpus rows assign through ceil(sqrt(cells)) hash-drawn
+    // super-cells (the only plan literal, ∜N) then score just their
+    // super-cell's centroids from a broadcast (g, members) table —
+    // O(N·∜N·dims) assignment vs q281's flat O(N·√N·dims); probes and
+    // the ADC tail are q281's exactly
+    "q284_ann_ivfpq_two_level" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKTwoLevel(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 10)
+    }),
+
     "q262_stickiness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
@@ -6097,6 +6110,116 @@ object SparkEntry {
          probes AS (
            SELECT vec_id AS query_id, cell FROM scored_cells
            WHERE rk <= (SELECT np FROM pc) AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id >= 16 AND vec_id < 24),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             CAST(approx_d2 AS BIGINT) AS approx_d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+           FROM approx)
+         SELECT query_id, corpus_id, approx_d2, rank
+         FROM ranked WHERE rank <= 10""",
+    // q281's pipeline with the TWO-LEVEL coarse quantizer replayed:
+    // ceil(sqrt(cells)) super-seeds hash-drawn from the CELL INDICES
+    // (salt 'ivf2', (md5, cell) order — the hashSeeds rule one level
+    // up), each centroid assigned to its argmax super-seed (ties lowest
+    // super index), and each corpus row routed super-cell-first, then
+    // argmax over ONLY that super-cell's centroids (ties lowest cell).
+    // Probes, PQ codes, ADC distances, and ranking are q281's verbatim.
+    "q284_ann_ivfpq_two_level" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         pc AS (
+           SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells,
+             GREATEST(1, CAST(round(sqrt(ceil(sqrt(count(*)))))
+               AS BIGINT)) AS np
+           FROM qd),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < (SELECT cells FROM pc)),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         pc2 AS (
+           SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT))
+             AS supers
+           FROM cents),
+         sseed AS (
+           SELECT g, sv, list_sum(list_transform(sv, x -> x * x)) AS sn
+           FROM (
+             SELECT c.cv AS sv,
+               row_number() OVER (ORDER BY
+                 substr(md5('ivf2:' || CAST(c.cell AS VARCHAR)), 1, 15),
+                 c.cell) - 1 AS g
+             FROM cents c) t
+           WHERE g < (SELECT supers FROM pc2)),
+         c2g AS (
+           SELECT cell, g FROM (
+             SELECT c.cell, s.g, row_number() OVER (PARTITION BY c.cell
+               ORDER BY 2 * list_sum(list_transform(
+                 range(1, len(c.cv) + 1), j -> c.cv[j] * s.sv[j])) - s.sn
+                 DESC, s.g ASC) AS rk
+             FROM cents c, sseed s) t WHERE rk = 1),
+         r2g AS (
+           SELECT vec_id, g FROM (
+             SELECT d.vec_id, s.g, row_number() OVER (PARTITION BY
+               d.vec_id ORDER BY 2 * list_sum(list_transform(
+                 range(1, len(d.qv) + 1), j -> d.qv[j] * s.sv[j])) - s.sn
+                 DESC, s.g ASC) AS rk
+             FROM qd d, sseed s) t WHERE rk = 1),
+         cellof AS (
+           SELECT vec_id, cell FROM (
+             SELECT r.vec_id, c.cell, row_number() OVER (PARTITION BY
+               r.vec_id ORDER BY 2 * list_sum(list_transform(
+                 range(1, len(d.qv) + 1), j -> d.qv[j] * c.cv[j])) - c.cn
+                 DESC, c.cell ASC) AS rk
+             FROM r2g r
+             JOIN qd d ON d.vec_id = r.vec_id
+             JOIN c2g cg ON cg.g = r.g
+             JOIN cents c ON c.cell = cg.cell) t WHERE rk = 1),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c
+           WHERE d.vec_id < 5),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= (SELECT np FROM pc)),
          cb AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
            FROM qd WHERE vec_id >= 16 AND vec_id < 24),

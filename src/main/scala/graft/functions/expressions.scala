@@ -346,6 +346,107 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** IVF coarse-assignment kernel, two-level or flat: argmax of the exact
+  * integer score 2·qv·c − ‖c‖² over super-centroids routes the row to a
+  * group, then the same argmax over that group's member centroids
+  * returns the cell id — one static call per row over primitive double
+  * arrays carried as an opaque task-closure REFERENCE OBJECT. The two
+  * rejected formulations, both measured slower at 448 cells / 200k
+  * rows: per-element plan literals (the flat-IVF ceiling — √N-sized
+  * expression trees, codegen budget), and a broadcast join delivering
+  * each group's member array (copies ~√cells × dims doubles into every
+  * corpus row's join output — 2.6× slower than the flat literal form).
+  * Flat mode (memberCells == null): single argmax over `superCents`,
+  * returning the index — bit-identical to the
+  * transform+array_position formulation (ties to the LOWEST index via
+  * strict > over ascending candidates). Null for null/element-null
+  * input or when no centroid matches the input length. */
+case class IvfArgmaxCell(child: Expression,
+    superCents: Array[Array[Double]], superCn: Array[Double],
+    memberCells: Array[Array[Int]],
+    cents: Array[Array[Double]], cn: Array[Double])
+    extends UnaryExpression {
+  require(superCents.nonEmpty && superCents.length == superCn.length,
+    "need at least one (super-)centroid with matching norms")
+  require((memberCells == null && cents == null && cn == null) ||
+    (memberCells != null && memberCells.length == superCents.length &&
+      cents != null && cents.length == cn.length),
+    "two-level mode needs per-group member lists and the full centroid " +
+      "table; flat mode passes null for all three")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_argmax_cell"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_argmax_cell expects array<double>, got ${t.sql}")
+  }
+
+  /** Row kernel — public so generated code can call it through the
+    * codegen reference object. */
+  def assign(a: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val q = a.toDoubleArray()
+    var bestG = -1
+    var bestS = Double.NegativeInfinity
+    var g = 0
+    while (g < superCents.length) {
+      val c = superCents(g)
+      if (c.length == n) {
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += q(j) * c(j); j += 1 }
+        val s = 2.0 * d - superCn(g)
+        if (s > bestS) { bestS = s; bestG = g }
+      }
+      g += 1
+    }
+    if (bestG < 0) return null
+    if (memberCells == null) return java.lang.Integer.valueOf(bestG)
+    val members = memberCells(bestG)
+    var bestCell = -1
+    var bestC = Double.NegativeInfinity
+    var m = 0
+    while (m < members.length) {
+      val ci = members(m)
+      val c = cents(ci)
+      if (c.length == n) {
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += q(j) * c(j); j += 1 }
+        val s = 2.0 * d - cn(ci)
+        if (s > bestC) { bestC = s; bestCell = ci }
+      }
+      m += 1
+    }
+    if (bestCell < 0) null else java.lang.Integer.valueOf(bestCell)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfAssigner", this,
+      classOf[IvfArgmaxCell].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cellRes")
+      s"""
+      java.lang.Integer $tmp = $ref.assign($c);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.intValue();
+      }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfArgmaxCell = copy(child = newChild)
+}
+
 /** Column-API and SQL surface for the native expressions.
   *
   * Column API: `GraftFunctions.shingleMinhash(tokens, 3, 16)`.
@@ -388,6 +489,13 @@ object GraftFunctions {
   /** Native dot product of two numeric array columns. */
   def vectorDot(a: Column, b: Column): Column =
     col(VectorDot(expr(a), expr(b)))
+  /** Native two-level IVF coarse assignment (see [[IvfArgmaxCell]]):
+    * centroid tables ride the task closure as reference objects. */
+  def ivfArgmaxCell(qv: Column, superCents: Array[Array[Double]],
+      superCn: Array[Double], memberCells: Array[Array[Int]],
+      cents: Array[Array[Double]], cn: Array[Double]): Column =
+    col(IvfArgmaxCell(expr(qv), superCents, superCn, memberCells,
+      cents, cn))
   /** Bounded top-k aggregate (score desc, id asc):
     * array<struct<score,id>> best-first; O(k) partial buffers. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

@@ -205,22 +205,26 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       seeds: DataFrame, seedId: String, seedVec: String,
       k: Int, nprobe: Int = 4, quantScale: Int = 10000): DataFrame = {
-    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
+    val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
+      quantScale)
+    val cellScores = scorerFromTable(centTab, cnTab)
     val quant = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
-    // the quantized vector is BOUND in its own projection before the
-    // cell scorer touches it: the scorer's per-cell lambda references
-    // it, and an interpreted HOF re-evaluates an unbound argument once
-    // per cell — harmless at 16 fixture seeds, measured 111 s at the
-    // N-scaled 142 cells of q281's sf1 run (20x the bound form)
+    // corpus assignment through the NATIVE argmax kernel (flat mode) —
+    // same ties-to-lowest-cell semantics as the interpreted
+    // transform+array_position form, one codegen'd call per row; the
+    // quantized vector still binds in its own projection first. Empty
+    // seed set keeps the old all-null-cells (empty-result) behavior.
+    val assignCell: Column =
+      if (centTab.isEmpty) lit(null).cast("int")
+      else GraftFunctions.ivfArgmaxCell(col("__qn"), centTab, cnTab,
+        null, null, null)
     val assigned = widenForCompute(corpus)
       .select(col(corpusId).as("corpus_id"),
         col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
         quant(col(corpusVec)).as("__qn"))
-      .withColumn("scores", cellScores(col("__qn")))
       .select(col("corpus_id"), col("cvec"), col("cnorm"),
-        (array_position(col("scores"), array_max(col("scores"))) - 1)
-          .cast("int").as("cell"))
+        assignCell.as("cell"))
     val q0 = queries.select(col(queryId).as("query_id"),
         col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
         quant(col(queryVec)).as("__qn"))
@@ -251,6 +255,17 @@ object Similarity {
     * be quantized with the same `quantScale`. */
   private[ops] def seededCellScorer(seeds: DataFrame, seedId: String,
       seedVec: String, quantScale: Int): Column => Column = {
+    val (cents, cn) = collectSeedTable(seeds, seedId, seedVec, quantScale)
+    scorerFromTable(cents, cn)
+  }
+
+  /** The seed rows as driver-side primitive tables (ascending `seedId`
+    * order = cell index), shared by the score-array form
+    * ([[scorerFromTable]], query probes) and the native argmax kernel
+    * (corpus assignment). */
+  private[ops] def collectSeedTable(seeds: DataFrame, seedId: String,
+      seedVec: String, quantScale: Int)
+      : (Array[Array[Double]], Array[Double]) = {
     val seedRows = seeds
       .select(col(seedId).as("sid"),
         transform(col(seedVec), x => round(x.cast("double") * quantScale))
@@ -258,11 +273,18 @@ object Similarity {
       .withColumn("cn", dot(col("cv"), col("cv")))
       .orderBy(col("sid"))
       .select("cv", "cn").collect()
-    val cents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](0)).toSeq
-    val cn: Seq[Double] = seedRows.map(_.getDouble(1)).toSeq
+    (seedRows.map(_.getSeq[Double](0).toArray),
+      seedRows.map(_.getDouble(1)))
+  }
+
+  private[ops] def scorerFromTable(cents: Array[Array[Double]],
+      cn: Array[Double]): Column => Column = {
+    val centsSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    val cnSeq: Seq[Double] = cn.toSeq
     (qv: Column) =>
-      transform(typedLit(cents), (c, i) =>
-        GraftFunctions.vectorDot(c, qv) * 2 - element_at(typedLit(cn), i + 1))
+      transform(typedLit(centsSeq), (c, i) =>
+        GraftFunctions.vectorDot(c, qv) * 2 -
+          element_at(typedLit(cnSeq), i + 1))
   }
 
   /** Margin-based bitext/pair mining (Artetxe–Schwenk ratio margin — the
@@ -970,22 +992,10 @@ object Similarity {
     require(nSub >= 1 && inDims % nSub == 0,
       s"inDims $inDims must divide into nSub $nSub")
     require(codebookIds.nonEmpty, "need at least one codebook row")
-    val subLen = inDims / nSub
     val quantD = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
-    val quantL = (v: Column) =>
-      transform(v, x => round(x.cast("double") * quantScale).cast("long"))
-    // PQ codebook rows collected from the corpus (small by contract —
-    // the persisted per-subspace k-means centers at scale); code index
-    // ci = position in ascending id order, so distance ties broken by
-    // lowest ci == lowest code id
-    val cb: Seq[Seq[Long]] = corpus
-      .select(col(corpusId).cast("long").as("id"),
-        quantL(col(corpusVec)).as("qv"))
-      .where(col("id").isin(codebookIds: _*) &&
-        col("qv").isNotNull && size(col("qv")) === inDims)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
-      .sortBy(_._1).map(_._2).toSeq
+    val cb = collectCodebook(corpus, corpusId, corpusVec, codebookIds,
+      inDims, quantScale)
     if (cb.isEmpty) {
       // seedless/empty input: an empty result, not an error (the
       // every-query-completes-on-empty-tables contract)
@@ -993,6 +1003,73 @@ object Similarity {
         lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
         lit(0L).as("rank"))
     }
+    val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
+      quantScale)
+    val cellScores = scorerFromTable(centTab, cnTab)
+    // corpus assignment: (corpus_id, qv, cell) in ONE pass through the
+    // NATIVE argmax kernel (flat mode — identical ties-to-lowest-index
+    // semantics as the transform+array_position form it replaces, but
+    // one codegen'd call per row instead of an interpreted per-cell
+    // lambda; at 448 N-scaled cells / 200k rows the interpreted form
+    // spent ~20 s where the kernel spends ~2 s). Empty seed set keeps
+    // the old all-null-cells behavior (empty result), not an error.
+    // widenForCompute: a small-file corpus scans as ONE partition, and
+    // the per-row cell scoring (O(cells·dims)) then runs
+    // single-threaded — the whole encode serializes (measured 62 s → 9 s
+    // at q281's sf1 run). At real corpus scale the scan is already wide
+    // and this is a no-op.
+    val assignCell: Column =
+      if (centTab.isEmpty) lit(null).cast("int")
+      else GraftFunctions.ivfArgmaxCell(col("qv"), centTab, cnTab,
+        null, null, null)
+    val base = widenForCompute(corpus)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        quantD(col(corpusVec)).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .select(col("corpus_id"), col("qv"), assignCell.as("cell"))
+    // query side: probe cells exactly as q38 — ranked integer scores,
+    // ties to the lowest cell id
+    val q0 = queries.select(col(queryId).cast("long").as("query_id"),
+        quantD(col(queryVec)).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .withColumn("cscores", cellScores(col("qv")))
+    val probes = q0
+      .select(col("query_id"), posexplode(col("cscores")))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nProbe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+    ivfPqAdc(base, q0.select(col("query_id"), col("qv")), probes,
+      cb, inDims, nSub, k)
+  }
+
+  /** PQ codebook rows collected from the corpus (small by contract —
+    * the persisted per-subspace k-means centers at scale); code index
+    * ci = position in ascending id order, so distance ties broken by
+    * lowest ci == lowest code id. */
+  private def collectCodebook(corpus: DataFrame, corpusId: String,
+      corpusVec: String, codebookIds: Seq[Long], inDims: Int,
+      quantScale: Int): Seq[Seq[Long]] =
+    corpus.select(col(corpusId).cast("long").as("id"),
+        transform(col(corpusVec),
+          x => round(x.cast("double") * quantScale).cast("long")).as("qv"))
+      .where(col("id").isin(codebookIds: _*) &&
+        col("qv").isNotNull && size(col("qv")) === inDims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** Shared PQ-encode + ADC-score tail of the IVF-PQ family: `base` is
+    * the coarse-assigned corpus (corpus_id, qv quantized, cell:int) —
+    * however the coarse quantizer chose the cell ([[ivfPqTopK]]'s exact
+    * argmax or [[ivfPqTopKTwoLevel]]'s two-level route) — `q0` the
+    * quantized queries (query_id, qv), `probes` the per-query probe
+    * cells. Everything downstream is quantizer-independent: one-pass
+    * encode to (corpus_id, cell, nSub codes), per-query ADC LUTs,
+    * O(codes) index traffic. */
+  private def ivfPqAdc(base: DataFrame, q0: DataFrame, probes: DataFrame,
+      cb: Seq[Seq[Long]], inDims: Int, nSub: Int, k: Int): DataFrame = {
+    val subLen = inDims / nSub
     val nCodes = cb.size
     // code blocks as double literals (exact: quantized integers) — one
     // native vectorDot per (subspace, code) instead of subLen unrolled
@@ -1006,7 +1083,6 @@ object Similarity {
     val csq: Seq[Seq[Double]] = (0 until nSub).map { s =>
       cbBlock(s).map(b => b.map(x => x * x).sum)
     }
-    val cellScores = seededCellScorer(seeds, seedId, seedVec, quantScale)
     // staged projections (the q248 named-column CSE lesson): layer 1
     // binds each subspace slice once; layer 2 binds each Σx²/dot once
     val blockCols = (0 until nSub).map { s =>
@@ -1020,23 +1096,6 @@ object Similarity {
         col(s"__b$s")).as(s"__dot${s}_$ci")
     def blockD2(s: Int, ci: Int): Column =
       col(s"__ssq$s") - lit(2.0) * col(s"__dot${s}_$ci") + lit(csq(s)(ci))
-    // corpus encode: ONE pass vectors -> (corpus_id, cell, codes). The
-    // quantized vector binds FIRST (interpreted-HOF rule): the cell
-    // scorer's lambda re-evaluates an unbound argument once per cell —
-    // 111 s vs 5 s at q281's 142 N-scaled cells, measured at sf1
-    // widenForCompute: a small-file corpus scans as ONE partition, and
-    // the per-row interpreted cell scoring (O(cells·dims)) then runs
-    // single-threaded — the whole encode serializes (measured 62 s → 9 s
-    // at q281's sf1 run). At real corpus scale the scan is already wide
-    // and this is a no-op.
-    val base = widenForCompute(corpus)
-      .select(col(corpusId).cast("long").as("corpus_id"),
-        quantD(col(corpusVec)).as("qv"))
-      .where(col("qv").isNotNull && size(col("qv")) === inDims)
-      .withColumn("cscores", cellScores(col("qv")))
-      .select(col("corpus_id"), col("qv"),
-        (array_position(col("cscores"), array_max(col("cscores"))) - 1)
-          .cast("int").as("cell"))
     val staged = base
       .select(col("corpus_id") +: col("cell") +: blockCols: _*)
       .select(col("corpus_id") +: col("cell") +: (ssqCols ++ dotCols): _*)
@@ -1057,26 +1116,14 @@ object Similarity {
       .select(col("corpus_id"), col("cell"),
         array((0 until nSub).map(s => col(s"__c$s")): _*).as("codes"))
       .truncateLineage(eager = false)
-    // query side: probe cells (q38's exact plan) + per-query ADC LUT
-    val q0 = queries.select(col(queryId).cast("long").as("query_id"),
-        quantD(col(queryVec)).as("qv"))
-      .where(col("qv").isNotNull && size(col("qv")) === inDims)
-      .withColumn("cscores", cellScores(col("qv")))
     val qstaged = q0
-      .select(col("query_id") +: col("cscores") +: blockCols: _*)
-      .select(col("query_id") +: col("cscores") +: (ssqCols ++ dotCols): _*)
-    val qlut = qstaged.select(col("query_id"), col("cscores"),
+      .select(col("query_id") +: blockCols: _*)
+      .select(col("query_id") +: (ssqCols ++ dotCols): _*)
+    val qlut = qstaged.select(col("query_id"),
       array((0 until nSub).map { s =>
         array((0 until nCodes).map(ci => blockD2(s, ci).cast("double")): _*)
       }: _*).as("lut"))
-    val probes = qlut
-      .select(col("query_id"), posexplode(col("cscores")))
-      .groupBy(col("query_id"))
-      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
-        nProbe).as("cells"))
-      .select(col("query_id"), explode(col("cells.id")).as("cell"))
-      .select(col("query_id"), col("cell").cast("int").as("cell"))
-      .join(qlut.select(col("query_id"), col("lut")), Seq("query_id"))
+    val probesL = probes.join(qlut, Seq("query_id"))
     // ADC scoring: nSub LUT probes per candidate; negated distance so
     // the bounded top-k aggregate's (max score, ties id asc) semantics
     // realize (min distance, ties corpus_id asc)
@@ -1084,12 +1131,13 @@ object Similarity {
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val scored = coded.join(broadcast(probes), Seq("cell"))
+    val scored = coded.join(broadcast(probesL), Seq("cell"))
       .select(col("query_id"), col("corpus_id"), (-approxD2).as("score"))
     // the result plan references the coded checkpoint (lazy barrier), so
     // its blocks live exactly as long as the caller's frame — reaped by
-    // the ContextCleaner once the result is dropped, unlike the und-style
-    // orphan checkpoints the loops retire explicitly
+    // the ContextCleaner once the result is dropped (or deterministically
+    // by Lineage.scoped/retireDependents), unlike the loop-internal
+    // checkpoints the iterative family retires explicitly
     topKReduce(scored, k)
       .select(col("query_id"), col("corpus_id"),
         (-col("score")).cast("long").as("approx_d2"),
@@ -1213,6 +1261,148 @@ object Similarity {
     ivfPqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
       seeds, "sid", "svec", codebookIds, inDims, nSub, k, probe,
       quantScale)
+  }
+
+  /** IVF-PQ with a TWO-LEVEL coarse quantizer (r13 directive #3): the
+    * flat N-scaled form ([[ivfPqTopKScaled]]) folds all ⌈√N⌉ centroids
+    * into the plan as literals and scores every corpus row against every
+    * centroid — O(N·√N·dims) assignment work and a √N-sized plan
+    * literal, the standard flat-IVF ceiling (~10⁵ cells). Here the
+    * centroids themselves are indexed by a second-level IVF: ⌈√cells⌉
+    * SUPER-cells are hash-drawn from the centroid list (same
+    * (md5, id)-order rule as [[hashSeeds]], salt "ivf2", over cell
+    * indices), each centroid assigns to its argmax super-cell
+    * driver-side, and a corpus row (a) scores only the ∜N super-cells —
+    * the ONLY plan literal — then (b) scores only its super-cell's
+    * centroids, delivered as a BROADCAST relation of (g, members), not
+    * plan literals. Assignment work drops to O(N·∜N·dims) and the plan
+    * carries ∜N literals; the √N centroid table rides the broadcast
+    * path built for dimension tables.
+    *
+    * The two-level route is itself part of the quantizer definition
+    * (the nearest centroid may live outside the chosen super-cell —
+    * standard hierarchical-IVF semantics), and every score is exact
+    * integer arithmetic in doubles with ties to the lowest index, so an
+    * external engine replays the identical assignment (the q284
+    * oracle). QUERIES still rank all cells exactly for their probe sets
+    * (queries are small by contract — a query batch, not the corpus —
+    * and scoring them via the same broadcast centroid table keeps even
+    * that free of √N literals). Everything downstream is the shared
+    * [[ivfPqAdc]] tail. */
+  def ivfPqTopKTwoLevel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, codebookIds: Seq[Long], inDims: Int, nSub: Int,
+      k: Int, numCells: Option[Int] = None, nProbe: Option[Int] = None,
+      quantScale: Int = 10000): DataFrame = {
+    require(nSub >= 1 && inDims % nSub == 0,
+      s"inDims $inDims must divide into nSub $nSub")
+    require(codebookIds.nonEmpty, "need at least one codebook row")
+    val spark = corpus.sparkSession
+    val quantD = (v: Column) =>
+      transform(v, x => round(x.cast("double") * quantScale))
+    val valid = corpus.select(col(corpusId).cast("long").as("__id"),
+        col(corpusVec).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) === inDims)
+    val n = valid.count()
+    val cb = collectCodebook(corpus, corpusId, corpusVec, codebookIds,
+      inDims, quantScale)
+    if (n == 0L || cb.isEmpty) {
+      return queries.limit(0).select(lit(0L).as("query_id"),
+        lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
+        lit(0L).as("rank"))
+    }
+    val cells = numCells.getOrElse(defaultIvfCells(n))
+    val probe = nProbe.getOrElse(defaultIvfProbes(cells))
+    // centroids: the hashSeeds rows in ascending sid order (cell index =
+    // position), quantized to exact integers. Collected driver-side to
+    // group them under the super-quantizer — √N rows of dims doubles
+    // (16 MB at 10⁹ vectors), the same driver contract as the k-means
+    // clusterCenters; they return to the executors as ONE broadcast.
+    val seedRows = hashSeeds(valid, "__id", "__v", cells)
+      .select(transform(col("svec"),
+        x => round(x.cast("double") * quantScale)).as("cv"))
+      .collect()
+    val cents: IndexedSeq[Seq[Double]] =
+      seedRows.map(_.getSeq[Double](0)).toIndexedSeq
+    val cn: IndexedSeq[Double] = cents.map(v => v.map(x => x * x).sum)
+    val nCells = cents.size
+    // super-seeds: the ⌈√cells⌉ cell INDICES with the smallest
+    // (md5("ivf2:" + cell), cell) — the hashSeeds rule one level up,
+    // replayable by any engine with md5
+    val superCount = math.max(1,
+      math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    def md5hex15(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15)
+    val superIdx: IndexedSeq[Int] = (0 until nCells)
+      .sortBy(ci => (md5hex15(s"ivf2:$ci"), ci)).take(superCount)
+      .toIndexedSeq
+    val superCents: Seq[Seq[Double]] = superIdx.map(cents)
+    val superCn: Seq[Double] = superIdx.map(cn)
+    // centroid -> super group, driver-side exact integer argmax
+    // (O(cells·√cells·dims) = O(N^¾·dims) flops — trivial beside one
+    // corpus pass); ties to the lowest super index
+    def superOf(v: Seq[Double]): Int =
+      (0 until superCount).maxBy { j =>
+        val s = superCents(j)
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * s(i); i += 1 }
+        (2.0 * d - superCn(j), -j)
+      }
+    val cellToSuper: IndexedSeq[Int] = cents.map(superOf)
+    // the assignment kernel's tables as primitive arrays — they ride
+    // the TASK CLOSURE as one opaque reference object (the two rejected
+    // shapes, both measured slower at 448 cells / 200k rows: √N plan
+    // literals, and a broadcast join copying each group's member arrays
+    // into every corpus row's join output)
+    val centsArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+    val cnArr: Array[Double] = cn.toArray
+    val superCentsArr: Array[Array[Double]] =
+      superIdx.map(ci => centsArr(ci)).toArray
+    val superCnArr: Array[Double] = superIdx.map(ci => cnArr(ci)).toArray
+    val membersByG: Map[Int, IndexedSeq[Int]] =
+      (0 until nCells).groupBy(cellToSuper)
+    val memberCells: Array[Array[Int]] = Array.tabulate(superCount)(g =>
+      membersByG.getOrElse(g, IndexedSeq.empty).sorted.toArray)
+    // the flat centroid table for query probe ranking — broadcast DATA,
+    // not plan literals (queries are few; the table is √N rows)
+    val centFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until nCells).map(ci =>
+        org.apache.spark.sql.Row(ci, cents(ci), cn(ci))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType))))
+    // corpus assignment: one native codegen'd call per row (super argmax
+    // then member argmax, ties to the lowest index at both levels —
+    // exactly the oracle's two row_number ranks)
+    val base = widenForCompute(corpus)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        quantD(col(corpusVec)).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .select(col("corpus_id"), col("qv"),
+        GraftFunctions.ivfArgmaxCell(col("qv"), superCentsArr, superCnArr,
+          memberCells, centsArr, cnArr).as("cell"))
+    // query probes: exact ranking over ALL cells via the broadcast
+    // centroid table (queries are small by contract); ties lowest cell
+    val q0 = queries.select(col(queryId).cast("long").as("query_id"),
+        quantD(col(queryVec)).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+    val probes = q0.crossJoin(broadcast(centFrame))
+      .select(col("query_id"), col("cell"),
+        (GraftFunctions.vectorDot(col("cv"), col("qv")) * 2 - col("cn"))
+          .as("score"))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("score"),
+        col("cell").cast("long"), probe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+    ivfPqAdc(base, q0, probes, cb, inDims, nSub, k)
   }
 
   /** Deterministic ±1 sign for the JL projection matrix cell (j, i):

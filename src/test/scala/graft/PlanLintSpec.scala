@@ -44,6 +44,13 @@ class PlanLintSpec extends SparkSuite {
     "q142_triangle_count", // three ONE-ROW census frames stitched by
                           // broadcast cross join
     "q143_pareto_frontier", // one-row percentile-boundaries frame
+    "q284_ann_ivfpq_two_level", // the √N-row centroid TABLE broadcasts
+                          // to rank the (small-by-contract) query batch
+                          // over all cells — the whole point of the
+                          // two-level quantizer is moving centroids out
+                          // of the plan literal and onto the broadcast
+                          // data path; the corpus side joins it KEYED
+                          // (by super-cell), never nested-loop
     "q150_sorted_neighborhood", // one-row band-boundaries frame
     "q148_heavy_hitters", // one-row totals frame for the N/k threshold
     "q154_phrase_lift",   // one-row corpus token-total frame

@@ -1055,6 +1055,53 @@ class OpsSpec extends SparkSuite {
     assert(viaScaled === viaExplicit)
   }
 
+  test("ivfPqTopKTwoLevel: cluster-structural guarantee + recall floor; " +
+    "degenerate one-cell case equals the flat quantizer") {
+    import spark.implicits._
+    // same four-cluster fixture as the scaled test: the two-level route
+    // must preserve the structural IVF guarantee (pruned probes stay in
+    // the query's own cluster) even though corpus rows now assign
+    // super-cell-first (a row's nearest centroid may sit outside its
+    // super-cell — hierarchical-IVF semantics, the documented trade)
+    val corpus = (0 until 100).map { i =>
+      val c = i % 4
+      val v = (0 until 8).map { d =>
+        val base = if (d == 2 * c) 1.0f else 0.0f
+        base + (if (d == (i * 3 + 1) % 8) 0.05f * ((i % 5) + 1) else 0.0f)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 8)
+    def rs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = rs(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", q, "vec_id", "embedding", k = 5))
+    val two = rs(Similarity.ivfPqTopKTwoLevel(corpus, "vec_id",
+      "embedding", q, "vec_id", "embedding",
+      codebookIds = 0L to 7L, inDims = 8, nSub = 2, k = 5))
+    assert(two.nonEmpty)
+    assert(two.forall { case (qid, cid) => cid % 4 === qid % 4 },
+      "a two-level pruned probe returned a foreign-cluster neighbor")
+    val recall = (two & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"two-level IVF-PQ recall@5 $recall")
+    info(f"two-level IVF-PQ recall@5 on clustered fixture: $recall%.2f")
+    // numCells = 1: one cell, one super-cell — the two-level route
+    // degenerates to the flat quantizer bit-for-bit
+    def full(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val oneTwo = full(Similarity.ivfPqTopKTwoLevel(corpus, "vec_id",
+      "embedding", q, "vec_id", "embedding",
+      codebookIds = 0L to 7L, inDims = 8, nSub = 2, k = 5,
+      numCells = Some(1), nProbe = Some(1)))
+    val oneFlat = full(Similarity.ivfPqTopKScaled(corpus, "vec_id",
+      "embedding", q, "vec_id", "embedding",
+      codebookIds = 0L to 7L, inDims = 8, nSub = 2, k = 5,
+      numCells = Some(1), nProbe = Some(1), trainer = "hash"))
+    assert(oneTwo === oneFlat)
+  }
+
   test("reciprocalRankFusion: consensus mid-ranker beats single-list " +
     "winners; exact ppm weights") {
     import spark.implicits._
