@@ -2486,6 +2486,22 @@ object SparkEntry {
         outputMode = "append", statePartitions = Some(8))
     }),
 
+    // q134's SCD2 stream under the ROCKSDB state-store provider (r13
+    // directive #4): keyed streaming state bounded by distinct keys
+    // moves from executor heap to spilling local disk; the provider is
+    // a pure storage swap, so the oracle (and result hash) is q134's
+    // verbatim
+    "q285_stream_scd2_rocksdb" -> ((s, dir) => {
+      s.catalog.dropTempView("q285_stream_out")
+      graft.streaming.Streams.withRocksDbState(s) {
+        val st = graft.streaming.Streams.scd2Stream(
+          graft.streaming.Streams.eventStream(s, dir), "event_type")
+        graft.streaming.Streams.runToMemory(s, st.toDF(),
+          "q285_stream_out", outputMode = "append",
+          statePartitions = Some(8))
+      }
+    }),
+
     // Bucket-pruned point lookup: the q121 layout's OTHER payoff — an
     // equality filter on the bucket key scans 1 of 16 buckets
     // (SelectedBucketsCount pinned in PlanSpec); at 100 TB that is a
@@ -10347,6 +10363,28 @@ object SparkEntry {
     // The stream emits exactly the CLOSED batch-SCD2 intervals (the open
     // run stays in state).
     "q134_stream_scd2" ->
+      """WITH o AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, event_id, tsu FROM o
+           WHERE prev IS NULL OR prev <> event_type),
+         iv AS (
+           SELECT user_id, event_type AS attr, tsu AS valid_from_us,
+             lead(tsu) OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id)
+               AS valid_to_us,
+             CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id) AS INT)
+               AS version
+           FROM ch)
+         SELECT user_id, attr, valid_from_us, valid_to_us, version
+         FROM iv WHERE valid_to_us IS NOT NULL""",
+    // q134's oracle verbatim: the RocksDB provider is a state-STORAGE
+    // swap and must not change a single emitted row
+    "q285_stream_scd2_rocksdb" ->
       """WITH o AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
              lag(event_type) OVER

@@ -16,6 +16,47 @@ import graft.fhir.{Bundles, FhirSchemas}
   */
 object Streams {
 
+  /** Fully-qualified class name of Spark's built-in RocksDB state-store
+    * provider (in Spark since 3.2; the rocksdbjni jar ships with the
+    * distribution). */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  /** Run `body` (streaming query construction + start) with the RocksDB
+    * state-store provider pinned (r13 directive #4), restoring the conf
+    * after.
+    *
+    * WHY at 100 TB: the default HDFS-backed provider keeps every state
+    * row ON-HEAP in the executor (one map per store per partition) —
+    * state is then bounded by executor memory. This library's operators
+    * bound their state by DESIGN (see each operator's doc): watermarked
+    * windows hold only open windows; [[streamingDedup]]/the media dedup
+    * index hold one row per distinct key INSIDE the watermark;
+    * [[scd2Stream]] holds exactly the OPEN run per key (closed runs are
+    * emitted and dropped); interval joins buffer only rows inside the
+    * watermark band; [[windowedKmvDistinct]]/sketch maintenance hold
+    * O(k) longs per window regardless of cardinality. But the
+    * keyed-state families (dedup index, SCD2, stream-stream joins) are
+    * bounded by DISTINCT KEYS, and at corpus-scale key counts
+    * (billions of doc ids / users) that bound exceeds heap — RocksDB
+    * spills state to local disk with an off-heap block cache, making
+    * state size a disk budget instead of an OOM. The provider is a
+    * pure storage swap: results are bit-identical (StreamsRocksDbSpec
+    * re-runs every ≡-batch suite under it; oracle row q285 = q134
+    * under RocksDB).
+    *
+    * Conf, not constructor: the provider class is read from the
+    * SESSION conf at query start, so the scope must wrap `.start()` —
+    * [[runToMemory]]/[[runToParquet]] calls inside `body` are covered.
+    * Save/set/restore on the shared session conf (single-threaded query
+    * construction assumed, the documented [[graft.ConfScope.withConf]]
+    * caveat). */
+  def withRocksDbState[T](spark: SparkSession)(body: => T): T =
+    graft.ConfScope.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      RocksDbProviderClass)(body)
+
   /** Streaming FHIR-bundle source: watch a directory of single-line-JSON
     * bundle files and extract one resource type continuously. The
     * transformation is *identical* to the batch path (Bundles.extractEntry
