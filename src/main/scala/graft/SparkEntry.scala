@@ -3376,6 +3376,80 @@ object SparkEntry {
         codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 10)
     }),
 
+    // Persisted IVF index LIFECYCLE: build on the base corpus (hash-
+    // seeded 32-cell coarse quantizer) → write partitioned by cell →
+    // append the delta slice under the FROZEN read-back centroids (no
+    // retrain, existing postings untouched) → re-open → probe. The
+    // probe's cell join dynamically prunes unprobed cell directories
+    // (AnnIndexSpec pins the pruning in the physical plan); the oracle
+    // re-derives the seed draw, both assignment passes, and the cosine
+    // top-k from the raw table — so a retrain-on-append (different
+    // seed set) or a stale-centroid bug hash-mismatches.
+    "q286_ann_index_lifecycle" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val base = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfidx", dir)
+      val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        seeds, "sid", "svec")
+      Similarity.writeIvfIndex(idx, path)
+      Similarity.appendToIvfIndex(s, path, delta, "vec_id", "embedding")
+      val reread = Similarity.readIvfIndex(s, path)
+      Similarity.probeIvfIndex(reread, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 6)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // STREAMING probe of the persisted index (the online serving half
+    // of q286): the full corpus is indexed once (hash-seeded 32 cells),
+    // then the query set arrives as two parity micro-batches, each
+    // probed against the frozen index — per-batch work is batch-sized ×
+    // probed cells, the corpus is never rescanned. The union of the
+    // micro-batch outputs must equal one batch probe over all queries
+    // (index frozen ⇒ batch-composition-invariant), which is exactly
+    // what the oracle recomputes.
+    "q287_stream_ann_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("annstream", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, idxp, outp, chk) = (s"$root/in", s"$root/index",
+        s"$root/out", s"$root/chk")
+      Seq(in, outp, chk).foreach(p => rmr(new java.io.File(p)))
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec"), idxp)
+      val qset = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      qset.where(pmod(col("vec_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      qset.where(pmod(col("vec_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.annProbeStream(stream, "vec_id",
+        "embedding", idxp, outp, chk, k = 10, nprobe = 4)
+        .awaitTermination()
+      s.read.parquet(outp)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "q262_stickiness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
@@ -6268,6 +6342,102 @@ object SparkEntry {
                ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
            FROM approx)
          SELECT query_id, corpus_id, approx_d2, rank
+         FROM ranked WHERE rank <= 10""",
+    // q286: the persisted-index lifecycle replayed end to end from the
+    // raw table — hash-seeded 32-cell draw from the BASE slice only
+    // (vec_id % 7 <> 0; an engine that retrained on base+delta at append
+    // time would draw different seeds and mismatch), quantized argmax
+    // assignment of EVERY valid row (base at build, delta at append —
+    // identical math under frozen centroids), top-6 probe cells per
+    // query, cosine top-10 over the probed cells' postings.
+    "q286_ann_index_lifecycle" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd WHERE vec_id % 7 <> 0
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 6 AND vec_id < 5),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        corpus_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON q.vec_id = query_id
+           JOIN embeddings c ON c.vec_id = corpus_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    // q287: the streaming probe unions to exactly one batch probe over
+    // the frozen full-corpus index — seeds drawn from ALL valid rows,
+    // queries vec_id < 8, 4 probe cells, cosine top-10.
+    "q287_stream_ann_probe" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 8),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        corpus_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON q.vec_id = query_id
+           JOIN embeddings c ON c.vec_id = corpus_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
     "q263_ann_ivfpq" ->
       """WITH qd AS (

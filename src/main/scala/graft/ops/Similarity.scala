@@ -1468,4 +1468,142 @@ object Similarity {
             s"cast(cast(d2_proj as decimal(38,0)) * 1000000 div " +
               s"($outDims * cast(d2_orig as decimal(38,0))) as bigint)")))
   }
+
+  // ===== Persisted IVF index lifecycle =====
+
+  /** The two frames of an IVF index: `centroids` — (cell INT, cvec
+    * ARRAY<FLOAT>), small by contract (≤ a few thousand rows, the
+    * driver-literal budget every IVF path here already assumes);
+    * `postings` — (cell INT, corpus_id BIGINT, cvec ARRAY<FLOAT>,
+    * cnorm DOUBLE), corpus-scale. When the postings frame comes from
+    * [[readIvfIndex]] it is a parquet read DISK-partitioned by `cell`,
+    * so a probe's equi-join on `cell` prunes unprobed cells at the file
+    * level (dynamic partition pruning) — the index is built and paid for
+    * once, then every probe batch reads only nprobe/cells of the data. */
+  final case class IvfIndexFrames(centroids: DataFrame, postings: DataFrame)
+
+  /** Build the index frames for a seed set (e.g. [[hashSeeds]] output or
+    * the persisted centers of a prior clustering job): cell index =
+    * position of the seed in ascending `seedId` order; every corpus row
+    * assigned to its argmax cell over the quantized-integer score
+    * 2·q·c − ‖c‖² (ties to the lowest cell — [[ivfTopKSeeded]]'s exact
+    * assignment rule, one native [[graft.functions.IvfArgmaxCell]] call
+    * per row). The corpus is touched once, map-side only: no shuffle —
+    * the cell partitioning is created by the WRITE, not an exchange. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      seeds: DataFrame, seedId: String, seedVec: String,
+      quantScale: Int = 10000): IvfIndexFrames = {
+    val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
+      quantScale)
+    require(centTab.nonEmpty, "buildIvfIndex: empty seed set")
+    // seeds are small by contract (collectSeedTable already holds them on
+    // the driver); the centroids frame is created from the same ascending-
+    // seedId collect, so the persisted cell index agrees with centTab by
+    // construction — and no window/shuffle appears in any plan.
+    val rawSeeds: Seq[(Int, Seq[Float])] = seeds
+      .select(col(seedId).as("sid"),
+        col(seedVec).cast("array<float>").as("cvec"))
+      .orderBy(col("sid")).select("cvec").collect()
+      .toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centroids = rawSeeds.toDF("cell", "cvec")
+    IvfIndexFrames(centroids,
+      assignPostings(corpus, corpusId, corpusVec, centTab, cnTab,
+        quantScale))
+  }
+
+  /** (cell, corpus_id, cvec, cnorm) under a driver-side centroid table —
+    * the shared assignment kernel of build and append. */
+  private def assignPostings(corpus: DataFrame, corpusId: String,
+      corpusVec: String, centTab: Array[Array[Double]],
+      cnTab: Array[Double], quantScale: Int): DataFrame =
+    widenForCompute(corpus)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        col(corpusVec).cast("array<float>").as("cvec"))
+      .where(col("cvec").isNotNull)
+      .select(col("corpus_id"), col("cvec"), norm(col("cvec")).as("cnorm"),
+        transform(col("cvec"), x => round(x.cast("double") * quantScale))
+          .as("__qn"))
+      .select(GraftFunctions.ivfArgmaxCell(col("__qn"), centTab, cnTab,
+          null, null, null).as("cell"),
+        col("corpus_id"), col("cvec"), col("cnorm"))
+
+  /** Persist the index: `<path>/centroids` (one small file) and
+    * `<path>/postings` partitioned by `cell` — one directory per cell, so
+    * later probes prune at the file listing. Overwrites any previous
+    * index at `path` (the rebuild contract; use [[appendToIvfIndex]] for
+    * deltas). */
+  def writeIvfIndex(idx: IvfIndexFrames, path: String): Unit = {
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(path + "/centroids")
+    idx.postings.write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/postings")
+  }
+
+  /** Re-open a persisted index. The postings read is partition-discovered
+    * on `cell`: a probe joining on `cell` dynamically prunes unprobed
+    * cell directories instead of scanning the corpus. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndexFrames =
+    IvfIndexFrames(spark.read.parquet(path + "/centroids"),
+      spark.read.parquet(path + "/postings"))
+
+  /** Append a delta of new vectors to a persisted index WITHOUT
+    * retraining: the frozen centroids are read back from `path` and the
+    * delta is assigned under them (same quantized argmax rule as build),
+    * then appended into the existing cell directories. O(|delta| · cells
+    * · dims) — the existing corpus is never touched, which is the whole
+    * point at 100 TB: nightly embedding deltas land in minutes while the
+    * index stays probe-consistent (a re-trained index would reshuffle
+    * every posting). */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 10000): Unit = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val (centTab, cnTab) = collectSeedTable(cents, "cell", "cvec",
+      quantScale)
+    require(centTab.nonEmpty, s"appendToIvfIndex: no centroids at $path")
+    assignPostings(delta, idCol, vecCol, centTab, cnTab, quantScale)
+      .write.mode("append").partitionBy("cell").parquet(path + "/postings")
+  }
+
+  /** Probe a (persisted or in-memory) index: [[ivfTopKSeeded]]'s exact
+    * probe plan — per-query cell ranking over the collected centroid
+    * table, top-`nprobe` cells through the bounded top-k aggregate, then
+    * an equi-join of postings against the broadcast probe set and a
+    * bounded cosine top-`k`. When `idx` came from [[readIvfIndex]] the
+    * cell join triggers dynamic partition pruning on the postings scan
+    * (the probe side is broadcast, the join key is the disk-partition
+    * column), so only the probed cells' files are read — verified by
+    * AnnIndexSpec against the physical plan. */
+  def probeIvfIndex(idx: IvfIndexFrames, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, nprobe: Int = 4,
+      quantScale: Int = 10000): DataFrame = {
+    val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell", "cvec",
+      quantScale)
+    require(centTab.nonEmpty, "probeIvfIndex: empty centroid frame")
+    val cellScores = scorerFromTable(centTab, cnTab)
+    val q0 = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
+        transform(col(queryVec), x => round(x.cast("double") * quantScale))
+          .as("__qn"))
+      .withColumn("scores", cellScores(col("__qn")))
+      .drop("__qn")
+    val probes = q0
+      .select(col("query_id"), posexplode(col("scores")))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+      .join(q0.select(col("query_id"), col("qvec"), col("qnorm")),
+        Seq("query_id"))
+    val scored = idx.postings.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("corpus_id"),
+        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
+          .as("score"))
+    topKReduce(scored, k)
+  }
 }

@@ -889,4 +889,32 @@ object Streams {
          else arrays_overlap(col("__g"), typedLit(benchGrams))
            .cast("long")).as("contaminated"))
   }
+
+  /** Streaming ANN probe against a PERSISTED IVF index (the online half
+    * of [[graft.ops.Similarity.probeIvfIndex]]'s lifecycle): each query
+    * micro-batch is probed against the frozen index at `indexPath` and
+    * its top-k appended to `outPath`. Per-batch work ∝ batch-size ×
+    * probed cells — the postings read is dynamically pruned to the
+    * batch's probe cells, so the served corpus is never rescanned, and
+    * the index is never mutated (deltas land through
+    * [[graft.ops.Similarity.appendToIvfIndex]] on the build side; the
+    * next batch sees them via the fresh per-batch read). At-least-once:
+    * a retried batch re-appends its own results, keyed by query_id. */
+  def annProbeStream(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, outPath: String, checkpointPath: String,
+      k: Int, nprobe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val spark = batch.sparkSession
+          val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
+          graft.ops.Similarity.probeIvfIndex(idx, batch.toDF(), idCol,
+            vecCol, k, nprobe)
+            .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
 }

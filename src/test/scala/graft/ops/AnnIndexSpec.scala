@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index lifecycle (q286): build/write/append/read/probe,
+  * the frozen-centroid append contract, and the scale property the
+  * family exists for — probes dynamically prune unprobed cell
+  * directories of the parquet-partitioned postings table. */
+class AnnIndexSpec extends SparkSuite {
+
+  import org.apache.spark.sql.DataFrame
+
+  private val dims = 8
+
+  private def vec(seed: Long): Seq[Float] =
+    (0 until dims).map { i =>
+      val h = ((seed * 2654435761L + i * 40503L) % 1000L + 1000L) % 1000L
+      (h.toFloat - 500f) / 250f
+    }
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  private def tmpDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"annidx_$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def probeRows(df: DataFrame): Seq[(Long, Long, Int)] =
+    df.select(col("query_id").cast("long"), col("corpus_id").cast("long"),
+        col("rank").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sortBy(t => (t._1, t._3))
+
+  test("probe over a built index equals ivfTopKSeeded on the same seeds") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    val queries = corpus.where(col("vec_id") < 3)
+    val viaIndex = probeRows(Similarity.probeIvfIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    val direct = probeRows(Similarity.ivfTopKSeeded(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding",
+      seeds, "sid", "svec", k = 5, nprobe = 3))
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("write/read round trip preserves postings and probe results") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    val path = tmpDir("roundtrip")
+    Similarity.writeIvfIndex(idx, path)
+    val back = Similarity.readIvfIndex(spark, path)
+    assert(back.centroids.count() === 8L)
+    assert(back.postings.count() === 200L)
+    // postings identical (cell column survives the partitioned write)
+    val a = idx.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    val b = back.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(a === b)
+    val queries = corpus.where(col("vec_id") < 3)
+    val mem = probeRows(Similarity.probeIvfIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    val disk = probeRows(Similarity.probeIvfIndex(back, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    assert(mem === disk)
+  }
+
+  test("append assigns the delta under FROZEN centroids and leaves " +
+    "existing postings untouched") {
+    val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+    val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 8)
+    val path = tmpDir("append")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val centsBefore = spark.read.parquet(path + "/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toList))
+      .sortBy(_._1)
+    Similarity.appendToIvfIndex(spark, path, delta, "vec_id", "embedding")
+    val back = Similarity.readIvfIndex(spark, path)
+    val centsAfter = back.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList))
+      .sortBy(_._1)
+    assert(centsBefore === centsAfter) // no retrain on append
+    assert(back.postings.count() === 200L)
+    // delta rows got the same cells a from-scratch assignment under the
+    // SAME (base-drawn) seeds gives — i.e. append == build(base+delta)
+    // with frozen centroids
+    val full = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    val a = back.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    val b = full.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(a === b)
+  }
+
+  test("probing a persisted index prunes unprobed cell partitions " +
+    "(dynamic partition pruning in the physical plan)") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("dpp")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val back = Similarity.readIvfIndex(spark, path)
+    val probe = Similarity.probeIvfIndex(back,
+      corpus.where(col("vec_id") < 2), "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-partition-pruning filter on the postings " +
+        s"scan; plan was:\n$physical")
+    assert(probe.count() > 0)
+  }
+
+  test("streaming probe over micro-batches equals one batch probe " +
+    "(frozen index => batch-composition invariance)") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val root = tmpDir("stream")
+    val (in, idxp, outp, chk) =
+      (s"$root/in", s"$root/index", s"$root/out", s"$root/chk")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), idxp)
+    val qset = corpus.where(col("vec_id") < 6)
+    qset.where(pmod(col("vec_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    qset.where(pmod(col("vec_id"), lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.Streams.annProbeStream(stream, "vec_id", "embedding",
+      idxp, outp, chk, k = 5, nprobe = 3).awaitTermination()
+    val streamed = probeRows(spark.read.parquet(outp))
+    val batch = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, idxp), qset, "vec_id", "embedding",
+      k = 5, nprobe = 3))
+    assert(streamed === batch)
+    assert(streamed.map(_._1).distinct.size === 6)
+  }
+}
