@@ -3450,6 +3450,28 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Index maintenance pass: build on the base slice, append the
+    // delta (leaves a second file set in every touched cell), COMPACT
+    // to one file per cell (two-rename staged swap), then report
+    // per-cell posting counts + exact ppm share — the skew report read
+    // before trusting probe latency. The oracle recomputes the per-cell
+    // counts from the raw table, so compaction losing or duplicating a
+    // single posting row hash-mismatches; AnnIndexSpec pins the
+    // one-file-per-cell layout and probe invariance.
+    "q288_ann_index_compact_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val base = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfcompact", dir)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
+        "embedding", seeds, "sid", "svec"), path)
+      Similarity.appendToIvfIndex(s, path, delta, "vec_id", "embedding")
+      Similarity.compactIvfIndex(s, path)
+      Similarity.ivfIndexStats(Similarity.readIvfIndex(s, path))
+    }),
+
     "q262_stickiness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
@@ -6439,6 +6461,42 @@ object SparkEntry {
            CAST(corpus_id AS BIGINT) AS corpus_id,
            CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
+    // q288: per-cell posting counts after the append+compact pass ==
+    // per-cell counts of a from-scratch assignment of ALL valid rows
+    // under the base-drawn seeds — any posting lost or duplicated by
+    // the compaction swap changes a count.
+    "q288_ann_index_compact_stats" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd WHERE vec_id % 7 <> 0
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         per AS (
+           SELECT cell, count(*) AS n_postings FROM cellof GROUP BY cell)
+         SELECT CAST(cell AS INT) AS cell,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(n_postings * 1000000 //
+             (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
+         FROM per""",
     "q263_ann_ivfpq" ->
       """WITH qd AS (
            SELECT vec_id, list_transform(embedding,

@@ -1606,4 +1606,48 @@ object Similarity {
           .as("score"))
     topKReduce(scored, k)
   }
+
+  /** Per-cell posting statistics — the skew report read before trusting
+    * an index's probe latency: a cell holding 30% of the corpus makes
+    * every probe that touches it a scan. One groupBy(cell) with map-side
+    * partial aggregation plus a broadcast single-row total; share_ppm is
+    * exact integer arithmetic (oracle-portable). */
+  def ivfIndexStats(idx: IvfIndexFrames): DataFrame = {
+    val per = idx.postings.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_postings"))
+    val tot = per.agg(sum(col("n_postings")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell").cast("int").as("cell"), col("n_postings"),
+        expr("n_postings * 1000000 div n_total").as("share_ppm"))
+  }
+
+  /** Compact a persisted index's postings to ONE file per cell.
+    * [[appendToIvfIndex]] adds a file set per delta, and probe cost at
+    * scale tracks files opened, not just bytes — nightly appends without
+    * compaction turn every probed cell into a many-small-files read.
+    * One shuffle on `cell` (each cell lands whole in one task, so the
+    * partitioned write emits exactly one file per cell), staged into a
+    * sibling directory and swapped in with two FS renames — readers that
+    * opened the old file set keep their snapshot; a crash before the
+    * swap leaves the live postings untouched. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path + "/postings")
+    val staged = new Path(path + "/postings_compacting")
+    val retired = new Path(path + "/postings_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staged, true)
+    fs.delete(retired, true)
+    spark.read.parquet(live.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staged.toString)
+    require(fs.rename(live, retired),
+      s"compactIvfIndex: could not retire $live")
+    require(fs.rename(staged, live),
+      s"compactIvfIndex: could not activate $staged")
+    fs.delete(retired, true)
+    ()
+  }
 }

@@ -17,6 +17,7 @@ class PlanLintSpec extends SparkSuite {
     "q44_quality_quantile", // percentile threshold row
     "q48_mixing_plan", "q50_temperature_mixing", // corpus totals row
     "q51_apply_mixture", // rates frame (one row per source)
+    "q288_ann_index_compact_stats", // postings-total row (share_ppm)
     "q55_prototypicality", // centroid list (k cells)
     "q49_semantic_dedup", // centroid TABLE broadcast (k rows by
                           // contract; within-cell pairs are capped —

@@ -150,4 +150,41 @@ class AnnIndexSpec extends SparkSuite {
     assert(streamed === batch)
     assert(streamed.map(_._1).distinct.size === 6)
   }
+
+  test("compaction collapses each cell to one file and changes neither " +
+    "postings nor probe results") {
+    val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+    val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 8)
+    val path = tmpDir("compact")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    Similarity.appendToIvfIndex(spark, path, delta, "vec_id", "embedding")
+    def cellDirs(): Seq[java.io.File] =
+      new java.io.File(path + "/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    def parquetFiles(d: java.io.File): Int =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(cellDirs().exists(parquetFiles(_) > 1),
+      "append should have left at least one multi-file cell")
+    val queries = corpus.where(col("vec_id") < 3)
+    val before = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, path), queries, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    val postingsBefore = spark.read.parquet(path + "/postings")
+      .select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    Similarity.compactIvfIndex(spark, path)
+    assert(cellDirs().nonEmpty)
+    assert(cellDirs().forall(parquetFiles(_) === 1),
+      "every cell should hold exactly one file after compaction")
+    val postingsAfter = spark.read.parquet(path + "/postings")
+      .select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(postingsBefore === postingsAfter)
+    val after = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, path), queries, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    assert(before === after)
+  }
 }
