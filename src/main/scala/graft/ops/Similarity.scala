@@ -1488,8 +1488,9 @@ object Similarity {
     * assigned to its argmax cell over the quantized-integer score
     * 2·q·c − ‖c‖² (ties to the lowest cell — [[ivfTopKSeeded]]'s exact
     * assignment rule, one native [[graft.functions.IvfArgmaxCell]] call
-    * per row). The corpus is touched once, map-side only: no shuffle —
-    * the cell partitioning is created by the WRITE, not an exchange. */
+    * per row). Assignment is one map-side pass over the corpus; the only
+    * shuffle in the lifecycle is [[writeIvfIndex]]'s single exchange onto
+    * the cell key, which buys the one-file-per-cell layout. */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       seeds: DataFrame, seedId: String, seedVec: String,
       quantScale: Int = 10000): IvfIndexFrames = {
@@ -1532,13 +1533,18 @@ object Similarity {
 
   /** Persist the index: `<path>/centroids` (one small file) and
     * `<path>/postings` partitioned by `cell` — one directory per cell, so
-    * later probes prune at the file listing. Overwrites any previous
-    * index at `path` (the rebuild contract; use [[appendToIvfIndex]] for
-    * deltas). */
+    * later probes prune at the file listing. The postings are shuffled
+    * onto the cell key before the write: without it a dynamic-partition
+    * write fans every input split across every cell (splits × cells
+    * small files — 45k for 2M rows at √N cells); with it each cell is
+    * ONE task writing one file (parquet row groups keep huge cells
+    * splittable for readers). Overwrites any previous index at `path`
+    * (the rebuild contract; use [[appendToIvfIndex]] for deltas). */
   def writeIvfIndex(idx: IvfIndexFrames, path: String): Unit = {
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(path + "/centroids")
-    idx.postings.write.mode("overwrite").partitionBy("cell")
+    idx.postings.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(path + "/postings")
   }
 
@@ -1565,7 +1571,9 @@ object Similarity {
     val (centTab, cnTab) = collectSeedTable(cents, "cell", "cvec",
       quantScale)
     require(centTab.nonEmpty, s"appendToIvfIndex: no centroids at $path")
+    // one file per touched cell per append (not delta-splits × cells)
     assignPostings(delta, idCol, vecCol, centTab, cnTab, quantScale)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path + "/postings")
   }
 

@@ -10,7 +10,8 @@ package graft
   *     clustering (+ incremental maintenance), banding fidelity reports.
   *   - [[graft.ops.Similarity]] — brute-force / LSH / IVF / IVF-PQ ANN,
   *     SemDeDup, margin mining, kNN graphs, MMR, RRF, JL projection,
-  *     PQ audits, embedding health.
+  *     PQ audits, embedding health; persisted IVF index lifecycle
+  *     (cell-partitioned build/append/compact, DPP-pruned probes).
   *   - [[graft.ops.TextAnalysis]] — language id, quality scores,
   *     TF-IDF, boilerplate, n-gram LMs, Zipf/Heaps, BPE, readability,
   *     PII audits, URL canonicalization, hashing-trick classifier.
