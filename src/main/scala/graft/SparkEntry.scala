@@ -3450,6 +3450,55 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // STREAMING SEMANTIC DEDUP against the persisted index: the
+    // quantizer is pre-trained (hash-seeded 32 cells over the corpus)
+    // and written with EMPTY postings; the corpus then arrives as two
+    // parity micro-batches — each probes the index's current postings
+    // for near-dups BEFORE appending itself, so pairs are cross-batch
+    // only (even batch probes empty, odd batch probes the even
+    // postings). Pair membership is the exact quantized-integer cosine
+    // rule (dotq²·10¹² ≥ τ²·‖q‖²·‖b‖², τ = 0.4), so there is no float
+    // boundary anywhere for the oracle to straddle.
+    "q289_stream_ann_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("anndedup", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, idxp, pairs, chk) = (s"$root/in", s"$root/index",
+        s"$root/pairs", s"$root/chk")
+      Seq(in, pairs, chk).foreach(p => rmr(new java.io.File(p)))
+      // centroids only — writeIvfIndex(overwrite) also clears any
+      // postings a previous run appended
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        e.where(lit(false)), "vec_id", "embedding", seeds, "sid", "svec"),
+        idxp)
+      val qset = e
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      qset.where(pmod(col("vec_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      qset.where(pmod(col("vec_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.incrementalAnnDedupStream(stream, "vec_id",
+        "embedding", idxp, pairs, chk, thresholdPpm = 400000L, nprobe = 4)
+        .awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("id_new").cast("long").as("id_new"),
+          col("id_existing").cast("long").as("id_existing"))
+    }),
+
     // Index maintenance pass: build on the base slice, append the
     // delta (leaves a second file set in every touched cell), COMPACT
     // to one file per cell (two-rename staged swap), then report
@@ -6461,6 +6510,61 @@ object SparkEntry {
            CAST(corpus_id AS BIGINT) AS corpus_id,
            CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
+    // q289: the streaming dedup replayed — even rows are "existing"
+    // (their batch probed an empty index), odd rows are "new"; a pair
+    // survives iff the existing row's cell is among the new row's top-4
+    // probe cells AND the exact quantized-integer cosine rule holds
+    // (dotq ≥ 0, nonzero norms, dotq²·10¹² ≥ 400000²·nq2·nb2 — HUGEINT
+    // here, decimal(38) in the engine, identical integers).
+    "q289_stream_ann_dedup" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing)
+         SELECT CAST(id_new AS BIGINT) AS id_new,
+           CAST(id_existing AS BIGINT) AS id_existing
+         FROM vals
+         WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+           AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+             * CAST(1000000000000 AS HUGEINT)
+             >= CAST(400000 AS HUGEINT) * CAST(400000 AS HUGEINT)
+               * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)""",
     // q288: per-cell posting counts after the append+compact pass ==
     // per-cell counts of a from-scratch assignment of ALL valid rows
     // under the base-drawn seeds — any posting lost or duplicated by

@@ -1331,10 +1331,6 @@ object Similarity {
     // replayable by any engine with md5
     val superCount = math.max(1,
       math.ceil(math.sqrt(nCells.toDouble)).toInt)
-    def md5hex15(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .substring(0, 15)
     val superIdx: IndexedSeq[Int] = (0 until nCells)
       .sortBy(ci => (md5hex15(s"ivf2:$ci"), ci)).take(superCount)
       .toIndexedSeq
@@ -1404,6 +1400,11 @@ object Similarity {
       .select(col("query_id"), col("cell").cast("int").as("cell"))
     ivfPqAdc(base, q0, probes, cb, inDims, nSub, k)
   }
+
+  private def md5hex15(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 15)
 
   /** Deterministic ±1 sign for the JL projection matrix cell (j, i):
     * parity of the md5-60 of "j:i" — the same engine-portable hash
@@ -1490,10 +1491,15 @@ object Similarity {
     * assignment rule, one native [[graft.functions.IvfArgmaxCell]] call
     * per row). Assignment is one map-side pass over the corpus; the only
     * shuffle in the lifecycle is [[writeIvfIndex]]'s single exchange onto
-    * the cell key, which buys the one-file-per-cell layout. */
+    * the cell key, which buys the one-file-per-cell layout. At or above
+    * `twoLevelThreshold` cells the pass routes through the q284
+    * two-level coarse quantizer (O(N·∜N·dims), no √N-sized closure
+    * tables scanned per row) — at 10⁹ vectors / 31623 cells flat argmax
+    * is 30× the per-row flops of the two-level route. */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       seeds: DataFrame, seedId: String, seedVec: String,
-      quantScale: Int = 10000): IvfIndexFrames = {
+      quantScale: Int = 10000,
+      twoLevelThreshold: Int = 4096): IvfIndexFrames = {
     val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
       quantScale)
     require(centTab.nonEmpty, "buildIvfIndex: empty seed set")
@@ -1512,14 +1518,59 @@ object Similarity {
     val centroids = rawSeeds.toDF("cell", "cvec")
     IvfIndexFrames(centroids,
       assignPostings(corpus, corpusId, corpusVec, centTab, cnTab,
-        quantScale))
+        quantScale, twoLevelThreshold))
+  }
+
+  /** The q284 two-level routing tables derived from a quantized centroid
+    * table: super seeds = the ⌈√cells⌉ cell indices with the smallest
+    * (md5("ivf2:" + cell), cell); each centroid grouped under its argmax
+    * super seed (exact integer scores, ties to the lowest super index).
+    * Deterministic from the table ALONE, so [[buildIvfIndex]] and
+    * [[appendToIvfIndex]] re-derive identical routing from the persisted
+    * centroids — no extra state to store. */
+  private def twoLevelTables(centTab: Array[Array[Double]],
+      cnTab: Array[Double])
+      : (Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
+    val nCells = centTab.length
+    val superCount = math.max(1,
+      math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val superIdx: IndexedSeq[Int] = (0 until nCells)
+      .sortBy(ci => (md5hex15(s"ivf2:$ci"), ci)).take(superCount)
+      .toIndexedSeq
+    val superCents = superIdx.map(centTab).toArray
+    val superCn = superIdx.map(cnTab).toArray
+    def superOf(v: Array[Double]): Int =
+      (0 until superCount).maxBy { j =>
+        val s = superCents(j)
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * s(i); i += 1 }
+        (2.0 * d - superCn(j), -j)
+      }
+    val membersByG = (0 until nCells).groupBy(ci => superOf(centTab(ci)))
+    val memberCells: Array[Array[Int]] = Array.tabulate(superCount)(g =>
+      membersByG.getOrElse(g, IndexedSeq.empty).sorted.toArray)
+    (superCents, superCn, memberCells)
   }
 
   /** (cell, corpus_id, cvec, cnorm) under a driver-side centroid table —
-    * the shared assignment kernel of build and append. */
+    * the shared assignment kernel of build and append. At or above
+    * `twoLevelThreshold` cells, assignment routes through the q284
+    * two-level coarse quantizer (argmax super cell, then argmax over
+    * only that super cell's member centroids): O(N·∜N·dims) instead of
+    * the flat O(N·√N·dims) — the exact shape r13's directive #3 fixed
+    * for the query path. Below it, flat exact argmax (the
+    * oracle-replayed form at the verification cell counts). */
   private def assignPostings(corpus: DataFrame, corpusId: String,
       corpusVec: String, centTab: Array[Array[Double]],
-      cnTab: Array[Double], quantScale: Int): DataFrame =
+      cnTab: Array[Double], quantScale: Int,
+      twoLevelThreshold: Int): DataFrame = {
+    val assign =
+      if (centTab.length >= twoLevelThreshold) {
+        val (sc, scn, members) = twoLevelTables(centTab, cnTab)
+        GraftFunctions.ivfArgmaxCell(col("__qn"), sc, scn, members,
+          centTab, cnTab)
+      } else GraftFunctions.ivfArgmaxCell(col("__qn"), centTab, cnTab,
+        null, null, null)
     widenForCompute(corpus)
       .select(col(corpusId).cast("long").as("corpus_id"),
         col(corpusVec).cast("array<float>").as("cvec"))
@@ -1527,9 +1578,9 @@ object Similarity {
       .select(col("corpus_id"), col("cvec"), norm(col("cvec")).as("cnorm"),
         transform(col("cvec"), x => round(x.cast("double") * quantScale))
           .as("__qn"))
-      .select(GraftFunctions.ivfArgmaxCell(col("__qn"), centTab, cnTab,
-          null, null, null).as("cell"),
+      .select(assign.as("cell"),
         col("corpus_id"), col("cvec"), col("cnorm"))
+  }
 
   /** Persist the index: `<path>/centroids` (one small file) and
     * `<path>/postings` partitioned by `cell` — one directory per cell, so
@@ -1566,13 +1617,17 @@ object Similarity {
     * every posting). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
-      quantScale: Int = 10000): Unit = {
+      quantScale: Int = 10000, twoLevelThreshold: Int = 4096): Unit = {
     val cents = spark.read.parquet(path + "/centroids")
     val (centTab, cnTab) = collectSeedTable(cents, "cell", "cvec",
       quantScale)
     require(centTab.nonEmpty, s"appendToIvfIndex: no centroids at $path")
-    // one file per touched cell per append (not delta-splits × cells)
-    assignPostings(delta, idCol, vecCol, centTab, cnTab, quantScale)
+    // one file per touched cell per append (not delta-splits × cells).
+    // twoLevelThreshold MUST match the build's so delta rows route the
+    // same way base rows did (the routing tables re-derive
+    // deterministically from the persisted centroids).
+    assignPostings(delta, idCol, vecCol, centTab, cnTab, quantScale,
+      twoLevelThreshold)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path + "/postings")
   }
@@ -1613,6 +1668,62 @@ object Similarity {
         cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
           .as("score"))
     topKReduce(scored, k)
+  }
+
+  /** Near-duplicate pairs of a batch of NEW vectors against an index's
+    * existing postings — the probe kernel of streaming SemDeDup: each new
+    * vector probes its `nprobe` best cells and pairs with every existing
+    * posting there whose cosine is ≥ `thresholdPpm`/10⁶. Membership is
+    * decided in EXACT integer arithmetic on the quantized vectors
+    * (dotq ≥ 0 ∧ dotq²·10¹² ≥ τ²·‖q‖²·‖b‖², decimal(38) — every term an
+    * integer-valued double < 2⁵³ before widening), so it is
+    * bit-reproducible on any engine: no float cosine anywhere in the
+    * decision, unlike a `score >= τ` filter, which flips on 1-ulp
+    * rounding differences wherever the corpus density is nonzero.
+    * Output is the surviving pairs only (no ranks — the threshold, not a
+    * top-k, bounds them). Work ∝ batch × probed-cell postings. */
+  def annNearDupPairs(idx: IvfIndexFrames, newRows: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long,
+      nprobe: Int = 4, quantScale: Int = 10000): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell", "cvec",
+      quantScale)
+    require(centTab.nonEmpty, "annNearDupPairs: empty centroid frame")
+    val cellScores = scorerFromTable(centTab, cnTab)
+    val quant = (v: Column) =>
+      transform(v, x => round(x.cast("double") * quantScale))
+    val q0 = newRows.select(col(idCol).cast("long").as("id_new"),
+        quant(col(vecCol)).as("__qn"))
+      .where(col("__qn").isNotNull)
+    val probes = q0
+      .withColumn("scores", cellScores(col("__qn")))
+      .select(col("id_new"), posexplode(col("scores")))
+      .groupBy(col("id_new"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nprobe).as("cells"))
+      .select(col("id_new"), explode(col("cells.id")).as("cell"))
+      .select(col("id_new"), col("cell").cast("int").as("cell"))
+      .join(q0, Seq("id_new"))
+    idx.postings
+      .select(col("cell"), col("corpus_id").as("id_existing"),
+        quant(col("cvec")).as("__bn"))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("id_new"), col("id_existing"),
+        dot(col("__qn"), col("__bn")).as("dotq"),
+        dot(col("__qn"), col("__qn")).as("nq2"),
+        dot(col("__bn"), col("__bn")).as("nb2"))
+      // zero-norm vectors have cosine 0 by convention (cosinePre): the
+      // nq2/nb2 > 0 guards keep them out — without them 0 ≥ 0 would
+      // pair a zero vector with everything in its probed cells
+      .where(col("dotq") >= 0 && col("nq2") > 0 && col("nb2") > 0 &&
+        expr(
+          "cast(dotq as decimal(19,0)) * cast(dotq as decimal(19,0)) " +
+            "* cast(1000000000000 as decimal(13,0)) >= " +
+            s"cast($thresholdPpm as decimal(13,0)) " +
+            s"* cast($thresholdPpm as decimal(13,0)) " +
+            "* cast(nq2 as decimal(19,0)) * cast(nb2 as decimal(19,0))"))
+      .select(col("id_new"), col("id_existing"))
   }
 
   /** Per-cell posting statistics — the skew report read before trusting

@@ -917,4 +917,59 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+
+  /** Incremental EMBEDDING near-dedup against a persisted IVF index —
+    * the semantic sibling of [[incrementalSignatureDedupStream]] and the
+    * production shape of streaming SemDeDup: each micro-batch of new
+    * vectors probes the index's CURRENT postings (cross-batch pairs
+    * only: the probe runs before the batch is appended, so a batch
+    * never matches itself), near-dup pairs at cosine ≥ thresholdPpm/10⁶
+    * land in `pairsPath` — membership decided by
+    * [[graft.ops.Similarity.annNearDupPairs]]'s exact quantized-integer
+    * rule, no float boundary — and the batch is appended under the
+    * frozen centroids. Work per batch ∝ batch × probed cells; the
+    * indexed corpus is never rescanned. The index must exist at
+    * `indexPath` with its centroids (pre-train the quantizer with
+    * [[graft.ops.Similarity.hashSeeds]] / k-means and
+    * [[graft.ops.Similarity.writeIvfIndex]]); empty postings (a fresh
+    * index) probe as empty. At-least-once: a replayed batch re-appends
+    * its own pairs and postings, keyed by id. */
+  def incrementalAnnDedupStream(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, pairsPath: String,
+      checkpointPath: String, thresholdPpm: Long, nprobe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val spark = batch.sparkSession
+          val cents = spark.read.parquet(indexPath + "/centroids")
+          val postings =
+            try spark.read.parquet(indexPath + "/postings")
+            catch {
+              // fresh index: no postings written yet
+              case _: org.apache.spark.sql.AnalysisException =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("corpus_id",
+                      org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField("cvec",
+                      org.apache.spark.sql.types.ArrayType(
+                        org.apache.spark.sql.types.FloatType)),
+                    org.apache.spark.sql.types.StructField("cnorm",
+                      org.apache.spark.sql.types.DoubleType),
+                    org.apache.spark.sql.types.StructField("cell",
+                      org.apache.spark.sql.types.IntegerType))))
+            }
+          val idx = graft.ops.Similarity.IvfIndexFrames(cents, postings)
+          graft.ops.Similarity.annNearDupPairs(idx, batch.toDF(), idCol,
+            vecCol, thresholdPpm, nprobe)
+            .write.mode("append").parquet(pairsPath)
+          graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
+            batch.toDF(), idCol, vecCol)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
 }

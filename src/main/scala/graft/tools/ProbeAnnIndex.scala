@@ -60,14 +60,27 @@ object ProbeAnnIndex {
       val corpus = synth(0L, n)
       val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
         cells)
-      val (tBuild, _) = timeIt {
-        Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus,
-          "vec_id", "embedding", seeds, "sid", "svec"), path)
+      // assignment-only walls, flat exact vs the two-level router, then
+      // the persisted build (assignment + cell shuffle + write) on the
+      // two-level route — the configuration a corpus this size runs.
+      // The forcing action must AGGREGATE the cell column: a bare
+      // count() lets column pruning drop the argmax projection entirely
+      // (measured 0.12 s for 4M rows — nothing ran)
+      val idxFlat = Similarity.buildIvfIndex(corpus, "vec_id",
+        "embedding", seeds, "sid", "svec")
+      val (tAssignFlat, _) = timeIt {
+        idxFlat.postings.agg(sum(col("cell"))).collect()
       }
+      val idx2 = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        seeds, "sid", "svec", twoLevelThreshold = 1)
+      val (tAssignTwoLevel, _) = timeIt {
+        idx2.postings.agg(sum(col("cell"))).collect()
+      }
+      val (tBuild, _) = timeIt { Similarity.writeIvfIndex(idx2, path) }
       val filesAfterBuild = postingsFiles(path)
       val (tAppend, _) = timeIt {
         Similarity.appendToIvfIndex(spark, path, synth(n, n + 10000L),
-          "vec_id", "embedding")
+          "vec_id", "embedding", twoLevelThreshold = 1)
       }
       val filesAfterAppend = postingsFiles(path)
       val queries = synth(0L, 16L)
@@ -110,6 +123,8 @@ object ProbeAnnIndex {
       val (tCompact, _) = timeIt { Similarity.compactIvfIndex(spark, path) }
       val filesAfterCompact = postingsFiles(path)
       println(s"""{"n":$n,"cells":$cells,""" +
+        f""""assign_flat_sec":$tAssignFlat%.2f,""" +
+        f""""assign_two_level_sec":$tAssignTwoLevel%.2f,""" +
         f""""build_write_sec":$tBuild%.2f,""" +
         s""""files_after_build":$filesAfterBuild,""" +
         f""""append_10k_sec":$tAppend%.2f,""" +
