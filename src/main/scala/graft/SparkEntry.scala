@@ -3450,6 +3450,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ADC + EXACT RERANK, the standard PQ serving pair: the compressed
+    // index nominates a wide top-30 by approximate ADC distance (q281's
+    // exact pipeline), then just those candidates' true vectors are
+    // scored and the final top-10 returned — recall of the wide ADC
+    // pass at a fraction of exact-scan cost, corpus never shuffled in
+    // either stage.
+    "q290_ann_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cand = Similarity.ivfPqTopKScaled(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 30,
+        trainer = "hash")
+      Similarity.rerankExactTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding", cand, k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // STREAMING SEMANTIC DEDUP against the persisted index: the
     // quantizer is pre-trained (hash-seeded 32 cells over the corpus)
     // and written with EMPTY postings; the corpus then arrives as two
@@ -6510,6 +6529,84 @@ object SparkEntry {
            CAST(corpus_id AS BIGINT) AS corpus_id,
            CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
+    // q290: q281's ADC pipeline widened to rank<=30, then the exact
+    // cosine rerank of just those candidates, top 10.
+    "q290_ann_pq_rerank" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         pc AS (
+           SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cells,
+             GREATEST(1, CAST(round(sqrt(ceil(sqrt(count(*)))))
+               AS BIGINT)) AS np
+           FROM qd),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < (SELECT cells FROM pc)),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= (SELECT np FROM pc) AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id >= 16 AND vec_id < 24),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         adc30 AS (
+           SELECT query_id, corpus_id FROM (
+             SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+             FROM approx) t WHERE rank <= 30),
+         rr AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        corpus_id ASC) AS rank
+           FROM adc30
+           JOIN embeddings q ON q.vec_id = query_id
+           JOIN embeddings c ON c.vec_id = corpus_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(rank AS BIGINT) AS rank
+         FROM rr WHERE rank <= 10""",
     // q289: the streaming dedup replayed — even rows are "existing"
     // (their batch probed an empty index), odd rows are "new"; a pair
     // survives iff the existing row's cell is among the new row's top-4

@@ -1500,9 +1500,21 @@ object Similarity {
       seeds: DataFrame, seedId: String, seedVec: String,
       quantScale: Int = 10000,
       twoLevelThreshold: Int = 4096): IvfIndexFrames = {
+    val session = corpus.sparkSession
     val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
       quantScale)
-    require(centTab.nonEmpty, "buildIvfIndex: empty seed set")
+    if (centTab.isEmpty) {
+      // empty corpus → empty seed draw → a typed empty index (the
+      // 100 TB empty-partition contract: complete, don't throw)
+      import session.implicits._
+      return IvfIndexFrames(
+        Seq.empty[(Int, Seq[Float])].toDF("cell", "cvec"),
+        corpus.limit(0)
+          .select(lit(0).cast("int").as("cell"),
+            col(corpusId).cast("long").as("corpus_id"),
+            col(corpusVec).cast("array<float>").as("cvec"),
+            lit(0.0).as("cnorm")))
+    }
     // seeds are small by contract (collectSeedTable already holds them on
     // the driver); the centroids frame is created from the same ascending-
     // seedId collect, so the persisted cell index agrees with centTab by
@@ -1513,7 +1525,6 @@ object Similarity {
       .orderBy(col("sid")).select("cvec").collect()
       .toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0)) }
-    val session = corpus.sparkSession
     import session.implicits._
     val centroids = rawSeeds.toDF("cell", "cvec")
     IvfIndexFrames(centroids,
@@ -1599,13 +1610,38 @@ object Similarity {
       .parquet(path + "/postings")
   }
 
+  /** The postings schema as persisted (partition column `cell` last, the
+    * order a partition-discovered read reports). */
+  private def postingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("corpus_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("cnorm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Re-open a persisted index. The postings read is partition-discovered
     * on `cell`: a probe joining on `cell` dynamically prunes unprobed
-    * cell directories instead of scanning the corpus. */
+    * cell directories instead of scanning the corpus. A fresh or empty
+    * index (centroids written, no posting files yet — a cell-partitioned
+    * write of zero rows leaves no inferable files) reads back with empty
+    * postings rather than failing schema inference. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfIndexFrames =
-    IvfIndexFrames(spark.read.parquet(path + "/centroids"),
-      spark.read.parquet(path + "/postings"))
+      path: String): IvfIndexFrames = {
+    val postings =
+      try spark.read.parquet(path + "/postings")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            postingsSchema)
+      }
+    IvfIndexFrames(spark.read.parquet(path + "/centroids"), postings)
+  }
 
   /** Append a delta of new vectors to a persisted index WITHOUT
     * retraining: the frozen centroids are read back from `path` and the
@@ -1621,7 +1657,15 @@ object Similarity {
     val cents = spark.read.parquet(path + "/centroids")
     val (centTab, cnTab) = collectSeedTable(cents, "cell", "cvec",
       quantScale)
-    require(centTab.nonEmpty, s"appendToIvfIndex: no centroids at $path")
+    if (centTab.isEmpty) {
+      // an empty index (built from an empty corpus) can place nothing:
+      // appending an empty delta is a no-op; a non-empty delta is a
+      // caller bug and must fail LOUDLY, not drop rows
+      require(delta.isEmpty,
+        s"appendToIvfIndex: no centroids at $path but the delta is " +
+          "non-empty — rebuild the index from a non-empty corpus first")
+      return
+    }
     // one file per touched cell per append (not delta-splits × cells).
     // twoLevelThreshold MUST match the build's so delta rows route the
     // same way base rows did (the routing tables re-derive
@@ -1646,7 +1690,12 @@ object Similarity {
       quantScale: Int = 10000): DataFrame = {
     val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell", "cvec",
       quantScale)
-    require(centTab.nonEmpty, "probeIvfIndex: empty centroid frame")
+    if (centTab.isEmpty) {
+      // empty index: every probe finds nothing (complete, don't throw)
+      return queries.limit(0)
+        .select(col(queryId).as("query_id"), lit(0L).as("corpus_id"),
+          lit(0.0).as("score"), lit(0).cast("int").as("rank"))
+    }
     val cellScores = scorerFromTable(centTab, cnTab)
     val q0 = queries.select(col(queryId).as("query_id"),
         col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
@@ -1681,7 +1730,11 @@ object Similarity {
     * decision, unlike a `score >= τ` filter, which flips on 1-ulp
     * rounding differences wherever the corpus density is nonzero.
     * Output is the surviving pairs only (no ranks — the threshold, not a
-    * top-k, bounds them). Work ∝ batch × probed-cell postings. */
+    * top-k, bounds them). Work ∝ batch × probed-cell postings; the
+    * probe set (batch × nprobe rows, each carrying its quantized
+    * vector) is BROADCAST, so `newRows` is micro-batch-sized by
+    * contract — the indexed corpus side streams through map-side only
+    * and is never shuffled. */
   def annNearDupPairs(idx: IvfIndexFrames, newRows: DataFrame,
       idCol: String, vecCol: String, thresholdPpm: Long,
       nprobe: Int = 4, quantScale: Int = 10000): DataFrame = {
@@ -1689,13 +1742,20 @@ object Similarity {
       s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
     val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell", "cvec",
       quantScale)
-    require(centTab.nonEmpty, "annNearDupPairs: empty centroid frame")
+    if (centTab.isEmpty) {
+      return newRows.limit(0)
+        .select(col(idCol).cast("long").as("id_new"),
+          lit(0L).as("id_existing"))
+    }
     val cellScores = scorerFromTable(centTab, cnTab)
     val quant = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
+    // norms bound per ROW on each side before the join — the pair loop
+    // below does ONE dot product per pair, not three
     val q0 = newRows.select(col(idCol).cast("long").as("id_new"),
         quant(col(vecCol)).as("__qn"))
       .where(col("__qn").isNotNull)
+      .withColumn("nq2", dot(col("__qn"), col("__qn")))
     val probes = q0
       .withColumn("scores", cellScores(col("__qn")))
       .select(col("id_new"), posexplode(col("scores")))
@@ -1708,11 +1768,11 @@ object Similarity {
     idx.postings
       .select(col("cell"), col("corpus_id").as("id_existing"),
         quant(col("cvec")).as("__bn"))
+      .withColumn("nb2", dot(col("__bn"), col("__bn")))
       .join(broadcast(probes), Seq("cell"))
       .select(col("id_new"), col("id_existing"),
         dot(col("__qn"), col("__bn")).as("dotq"),
-        dot(col("__qn"), col("__qn")).as("nq2"),
-        dot(col("__bn"), col("__bn")).as("nb2"))
+        col("nq2"), col("nb2"))
       // zero-norm vectors have cosine 0 by convention (cosinePre): the
       // nq2/nb2 > 0 guards keep them out — without them 0 ≥ 0 would
       // pair a zero vector with everything in its probed cells
@@ -1724,6 +1784,35 @@ object Similarity {
             s"* cast($thresholdPpm as decimal(13,0)) " +
             "* cast(nq2 as decimal(19,0)) * cast(nb2 as decimal(19,0))"))
       .select(col("id_new"), col("id_existing"))
+  }
+
+  /** Exact cosine re-rank of an APPROXIMATE candidate set — the serving
+    * tail of every PQ deployment: the compressed index (ADC distances,
+    * [[ivfPqTopKScaled]]) nominates a wide top-C cheaply, then the true
+    * vectors of just those C rows are scored exactly and the final
+    * top-`k` returned. Generic over the candidate source (PQ, LSH,
+    * banding — anything emitting (query_id, corpus_id)). Plan shape:
+    * candidates ⋈ queries is candidate-scale; the corpus is scored
+    * map-side against the BROADCAST candidate set (queries × C rows,
+    * small by contract) and reduced with the bounded top-k aggregate —
+    * the corpus is never shuffled. */
+  def rerankExactTopK(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, candidates: DataFrame, k: Int): DataFrame = {
+    val withQ = candidates
+      .select(col("query_id").cast("long").as("query_id"),
+        col("corpus_id").cast("long").as("corpus_id"))
+      .join(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm")),
+        Seq("query_id"))
+    val scored = widenForCompute(corpus)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"))
+      .join(broadcast(withQ), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"),
+          col("qnorm")).as("score"))
+    topKReduce(scored, k)
   }
 
   /** Per-cell posting statistics — the skew report read before trusting
@@ -1758,6 +1847,11 @@ object Similarity {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staged, true)
     fs.delete(retired, true)
+    // a fresh/empty index has no posting files to compact
+    val hasFiles =
+      try spark.read.parquet(live.toString).limit(1).count() >= 0
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!hasFiles) return
     spark.read.parquet(live.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")

@@ -943,26 +943,8 @@ object Streams {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
           val spark = batch.sparkSession
-          val cents = spark.read.parquet(indexPath + "/centroids")
-          val postings =
-            try spark.read.parquet(indexPath + "/postings")
-            catch {
-              // fresh index: no postings written yet
-              case _: org.apache.spark.sql.AnalysisException =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("corpus_id",
-                      org.apache.spark.sql.types.LongType),
-                    org.apache.spark.sql.types.StructField("cvec",
-                      org.apache.spark.sql.types.ArrayType(
-                        org.apache.spark.sql.types.FloatType)),
-                    org.apache.spark.sql.types.StructField("cnorm",
-                      org.apache.spark.sql.types.DoubleType),
-                    org.apache.spark.sql.types.StructField("cell",
-                      org.apache.spark.sql.types.IntegerType))))
-            }
-          val idx = graft.ops.Similarity.IvfIndexFrames(cents, postings)
+          // readIvfIndex tolerates a fresh index (no posting files yet)
+          val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
           graft.ops.Similarity.annNearDupPairs(idx, batch.toDF(), idCol,
             vecCol, thresholdPpm, nprobe)
             .write.mode("append").parquet(pairsPath)

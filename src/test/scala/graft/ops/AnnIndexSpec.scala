@@ -224,6 +224,28 @@ class AnnIndexSpec extends SparkSuite {
     assert(Similarity.readIvfIndex(spark, idxp).postings.count() === 200L)
   }
 
+  test("exact rerank over an all-pairs candidate set reproduces brute " +
+    "force, and never invents candidates") {
+    import spark.implicits._
+    val queries = corpus.where(col("vec_id") < 3)
+    // candidate set = full cross product → rerank must equal brute force
+    val allCand = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(corpus.select(col("vec_id").as("corpus_id")))
+    val rr = probeRows(Similarity.rerankExactTopK(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", allCand, k = 5))
+    val bf = probeRows(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 5))
+    assert(rr === bf)
+    // a restricted candidate set bounds the output: only listed pairs
+    // can appear, ranked within the restriction
+    val narrow = Seq((0L, 7L), (0L, 9L), (1L, 3L))
+      .toDF("query_id", "corpus_id")
+    val got = probeRows(Similarity.rerankExactTopK(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", narrow, k = 5))
+    assert(got.map(t => (t._1, t._2)).toSet ===
+      Set((0L, 7L), (0L, 9L), (1L, 3L)))
+  }
+
   test("compaction collapses each cell to one file and changes neither " +
     "postings nor probe results") {
     val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
