@@ -3450,6 +3450,36 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // PERSISTED PQ INDEX lifecycle: the at-rest layout when raw vectors
+    // don't fit the budget — codes (8 ints/vector), codebook, and
+    // centroids persisted; the delta slice appended under the FROZEN
+    // quantizer AND codebook (ids 16-24 minus multiples of 7, so the
+    // codebook is drawn from the base slice only); probes ADC-score
+    // just the probed cells' codes. The oracle replays seeds, both
+    // assignment+encode passes, probe cells, and the exact-integer ADC
+    // distances from the raw table.
+    "q291_ann_pq_index_lifecycle" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val base = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfpqidx", dir)
+      val idx = Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+        seeds, "sid", "svec",
+        codebookIds = Seq(16L, 17L, 18L, 19L, 20L, 22L, 23L, 24L),
+        inDims = 64, nSub = 8)
+      Similarity.writeIvfPqIndex(idx, path)
+      Similarity.appendToIvfPqIndex(s, path, delta, "vec_id", "embedding")
+      val reread = Similarity.readIvfPqIndex(s, path)
+      Similarity.probeIvfPqIndex(reread, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("approx_d2").cast("long").as("approx_d2"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ADC + EXACT RERANK, the standard PQ serving pair: the compressed
     // index nominates a wide top-30 by approximate ADC distance (q281's
     // exact pipeline), then just those candidates' true vectors are
@@ -6528,6 +6558,74 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(corpus_id AS BIGINT) AS corpus_id,
            CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    // q291: the persisted PQ lifecycle replayed — seeds AND codebook
+    // drawn from the base slice only (vec_id % 7 <> 0; ids 16-24 minus
+    // 21), every valid row assigned and PQ-encoded under them (base at
+    // build, delta at append — identical math under the frozen
+    // quantizer), 4 probe cells, exact-integer ADC distances, top 10.
+    "q291_ann_pq_index_lifecycle" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd WHERE vec_id % 7 <> 0
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id IN (16, 17, 18, 19, 20, 22, 23, 24)),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             CAST(approx_d2 AS BIGINT) AS approx_d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+           FROM approx)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           approx_d2, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
     // q290: q281's ADC pipeline widened to rank<=30, then the exact
     // cosine rerank of just those candidates, top 10.

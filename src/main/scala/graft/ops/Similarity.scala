@@ -1068,14 +1068,23 @@ object Similarity {
     * encode to (corpus_id, cell, nSub codes), per-query ADC LUTs,
     * O(codes) index traffic. */
   private def ivfPqAdc(base: DataFrame, q0: DataFrame, probes: DataFrame,
-      cb: Seq[Seq[Long]], inDims: Int, nSub: Int, k: Int): DataFrame = {
+      cb: Seq[Seq[Long]], inDims: Int, nSub: Int, k: Int): DataFrame =
+    pqAdcScore(pqEncode(base, cb, inDims, nSub), q0, probes, cb, inDims,
+      nSub, k)
+
+  /** The staged PQ column families shared by encode and query-LUT
+    * construction, derived from the (quantized) codebook alone:
+    * layer-1 subspace slices, layer-2 Σx²/dot bindings, and the exact
+    * per-(subspace, code) squared distance. Code blocks ride as double
+    * literals (exact: quantized integers) — one native vectorDot per
+    * (subspace, code) instead of subLen unrolled element_at products:
+    * the unrolled form blew the 64KB codegen method limit. Staged
+    * projections are the q248 named-column CSE lesson: each slice and
+    * each dot binds ONCE. */
+  private def pqColumns(cb: Seq[Seq[Long]], inDims: Int, nSub: Int)
+      : (Seq[Column], Seq[Column], Seq[Column], (Int, Int) => Column) = {
     val subLen = inDims / nSub
     val nCodes = cb.size
-    // code blocks as double literals (exact: quantized integers) — one
-    // native vectorDot per (subspace, code) instead of subLen unrolled
-    // element_at products: the unrolled form generated ~nSub·nCodes·
-    // subLen expression nodes and blew the 64KB codegen method limit
-    // (whole stage fell back to interpreted — measured on first build)
     val cbBlock: Seq[Seq[Seq[Double]]] = (0 until nSub).map { s =>
       cb.map(cv =>
         (s * subLen until (s + 1) * subLen).map(i => cv(i).toDouble))
@@ -1083,8 +1092,6 @@ object Similarity {
     val csq: Seq[Seq[Double]] = (0 until nSub).map { s =>
       cbBlock(s).map(b => b.map(x => x * x).sum)
     }
-    // staged projections (the q248 named-column CSE lesson): layer 1
-    // binds each subspace slice once; layer 2 binds each Σx²/dot once
     val blockCols = (0 until nSub).map { s =>
       slice(col("qv"), s * subLen + 1, subLen).as(s"__b$s")
     }
@@ -1094,8 +1101,25 @@ object Similarity {
     val dotCols = for (s <- 0 until nSub; ci <- 0 until nCodes)
       yield GraftFunctions.vectorDot(typedLit(cbBlock(s)(ci)),
         col(s"__b$s")).as(s"__dot${s}_$ci")
-    def blockD2(s: Int, ci: Int): Column =
+    val blockD2 = (s: Int, ci: Int) =>
       col(s"__ssq$s") - lit(2.0) * col(s"__dot${s}_$ci") + lit(csq(s)(ci))
+    (blockCols, ssqCols, dotCols, blockD2)
+  }
+
+  /** One-pass PQ encode of a coarse-assigned corpus (corpus_id, qv
+    * quantized, cell) → (corpus_id, cell, codes nSub×int), barriered.
+    * The PLAN BARRIER matters: without it Catalyst fuses the whole
+    * encode expression tree (cell scorer + dot columns + code argmins)
+    * into and around the candidate join — a 380 KB plan whose fused
+    * megaexpression ran 50 s where the barriered form runs 3 s
+    * (measured, q281 at sf1). The checkpoint is also the honest shape:
+    * (corpus_id, cell, codes) IS the index artifact a real pipeline
+    * persists ([[buildIvfPqIndex]] writes exactly this frame). */
+  private def pqEncode(base: DataFrame, cb: Seq[Seq[Long]], inDims: Int,
+      nSub: Int): DataFrame = {
+    val nCodes = cb.size
+    val (blockCols, ssqCols, dotCols, blockD2) =
+      pqColumns(cb, inDims, nSub)
     val staged = base
       .select(col("corpus_id") +: col("cell") +: blockCols: _*)
       .select(col("corpus_id") +: col("cell") +: (ssqCols ++ dotCols): _*)
@@ -1104,18 +1128,21 @@ object Similarity {
         struct(blockD2(s, ci).as("d"), lit(ci).as("ci"))
       }: _*)).getField("ci").as(s"__c$s")
     }
-    // PLAN BARRIER on the encoded index: without it Catalyst fuses the
-    // whole encode expression tree (cell scorer + 64 dot columns + code
-    // argmins) into and around the candidate join — a 380 KB plan whose
-    // fused megaexpression ran 50 s where the barriered form runs 3 s
-    // (measured, q281 at sf1). The checkpoint is also the honest shape:
-    // (corpus_id, cell, codes) IS the index artifact a real pipeline
-    // persists; its blocks are retired before returning.
-    val coded = staged.select(
-        col("corpus_id") +: col("cell") +: codeCols: _*)
+    staged.select(col("corpus_id") +: col("cell") +: codeCols: _*)
       .select(col("corpus_id"), col("cell"),
         array((0 until nSub).map(s => col(s"__c$s")): _*).as("codes"))
       .truncateLineage(eager = false)
+  }
+
+  /** ADC scoring of pre-encoded codes against quantized queries: build
+    * each query's per-(subspace, code) LUT, probe the coded index on
+    * the cell key, sum nSub LUT lookups per candidate, bounded top-k. */
+  private def pqAdcScore(coded: DataFrame, q0: DataFrame,
+      probes: DataFrame, cb: Seq[Seq[Long]], inDims: Int, nSub: Int,
+      k: Int): DataFrame = {
+    val nCodes = cb.size
+    val (blockCols, ssqCols, dotCols, blockD2) =
+      pqColumns(cb, inDims, nSub)
     val qstaged = q0
       .select(col("query_id") +: blockCols: _*)
       .select(col("query_id") +: (ssqCols ++ dotCols): _*)
@@ -1813,6 +1840,211 @@ object Similarity {
         cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"),
           col("qnorm")).as("score"))
     topKReduce(scored, k)
+  }
+
+  // ===== Persisted IVF-PQ index (codes at rest, not vectors) =====
+
+  /** A PQ-compressed persisted index: `centroids` (cell, cvec) and
+    * `codebook` (ci, cv) are driver-literal-small; `codes` is the
+    * corpus at rest as (cell, corpus_id, codes nSub×int) — nSub ints
+    * per vector instead of inDims floats (32× smaller at 64-dim/8-sub),
+    * THE at-rest layout when raw vectors don't fit the budget. Probes
+    * score candidates by ADC lookup tables against the codes only;
+    * exact re-ranking (if wanted) joins the survivors back to a raw
+    * vector table via [[rerankExactTopK]]. */
+  final case class IvfPqIndexFrames(centroids: DataFrame,
+      codebook: DataFrame, codes: DataFrame, inDims: Int, nSub: Int,
+      quantScale: Int)
+
+  /** (cell INT, corpus_id, qv) coarse assignment keeping the QUANTIZED
+    * vector (the PQ-encode input), two-level-routed at high cell
+    * counts like [[assignPostings]]. */
+  private def coarseAssignQuantized(corpus: DataFrame, corpusId: String,
+      corpusVec: String, centTab: Array[Array[Double]],
+      cnTab: Array[Double], quantScale: Int, twoLevelThreshold: Int,
+      inDims: Int): DataFrame = {
+    val assign =
+      if (centTab.length >= twoLevelThreshold) {
+        val (sc, scn, members) = twoLevelTables(centTab, cnTab)
+        GraftFunctions.ivfArgmaxCell(col("qv"), sc, scn, members,
+          centTab, cnTab)
+      } else GraftFunctions.ivfArgmaxCell(col("qv"), centTab, cnTab,
+        null, null, null)
+    widenForCompute(corpus)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        transform(col(corpusVec),
+          x => round(x.cast("double") * quantScale)).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === inDims)
+      .select(col("corpus_id"), col("qv"), assign.as("cell"))
+  }
+
+  /** Build the PQ index: hash/k-means seed rows become the coarse
+    * quantizer, `codebookIds` corpus rows the PQ codebook (ci =
+    * ascending-id position — the persisted per-subspace centers at
+    * scale), every valid corpus row coarse-assigned and PQ-encoded in
+    * one pass. Raw vectors appear nowhere in the result. */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: String,
+      corpusVec: String, seeds: DataFrame, seedId: String,
+      seedVec: String, codebookIds: Seq[Long], inDims: Int, nSub: Int,
+      quantScale: Int = 10000,
+      twoLevelThreshold: Int = 4096): IvfPqIndexFrames = {
+    require(nSub >= 1 && inDims % nSub == 0,
+      s"inDims $inDims must divide into nSub $nSub")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
+      quantScale)
+    val cbRows: Seq[(Int, Seq[Float])] = corpus
+      .select(col(corpusId).cast("long").as("id"),
+        col(corpusVec).cast("array<float>").as("cv"))
+      .where(col("id").isin(codebookIds: _*) &&
+        col("cv").isNotNull && size(col("cv")) === inDims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), ci) => (ci, v) }.toSeq
+    if (centTab.isEmpty || cbRows.isEmpty) {
+      // empty corpus (or codebook filtered away): typed empty index
+      return IvfPqIndexFrames(
+        Seq.empty[(Int, Seq[Float])].toDF("cell", "cvec"),
+        Seq.empty[(Int, Seq[Float])].toDF("ci", "cv"),
+        corpus.limit(0)
+          .select(lit(0).cast("int").as("cell"),
+            col(corpusId).cast("long").as("corpus_id"),
+            array().cast("array<int>").as("codes")),
+        inDims, nSub, quantScale)
+    }
+    val rawSeeds: Seq[(Int, Seq[Float])] = seeds
+      .select(col(seedId).as("sid"),
+        col(seedVec).cast("array<float>").as("cvec"))
+      .orderBy(col("sid")).select("cvec").collect()
+      .toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+    val codebookFrame = cbRows.toDF("ci", "cv")
+    // quantize through the SAME Column path probe/append use — one
+    // rounding rule everywhere, no driver-vs-engine divergence
+    val cb = collectCodebookFrame(codebookFrame, quantScale)
+    val base = coarseAssignQuantized(corpus, corpusId, corpusVec,
+      centTab, cnTab, quantScale, twoLevelThreshold, inDims)
+    IvfPqIndexFrames(rawSeeds.toDF("cell", "cvec"), codebookFrame,
+      pqEncode(base, cb, inDims, nSub)
+        .select(col("cell").cast("int").as("cell"), col("corpus_id"),
+          col("codes")),
+      inDims, nSub, quantScale)
+  }
+
+  /** Persist the PQ index: tiny `centroids`/`codebook`/`meta` files plus
+    * `codes` partitioned by cell (one file per cell — the same shuffled
+    * layout as [[writeIvfIndex]]). */
+  def writeIvfPqIndex(idx: IvfPqIndexFrames, path: String): Unit = {
+    val session = idx.centroids.sparkSession
+    import session.implicits._
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(path + "/centroids")
+    idx.codebook.coalesce(1).write.mode("overwrite")
+      .parquet(path + "/codebook")
+    Seq((idx.inDims, idx.nSub, idx.quantScale))
+      .toDF("in_dims", "n_sub", "quant_scale")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    idx.codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/codes")
+  }
+
+  /** Re-open a persisted PQ index (self-describing via its meta row;
+    * fresh indexes read back with empty codes). */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndexFrames = {
+    val meta = spark.read.parquet(path + "/meta").collect().head
+    val codes =
+      try spark.read.parquet(path + "/codes")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("corpus_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("codes",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType)),
+              org.apache.spark.sql.types.StructField("cell",
+                org.apache.spark.sql.types.IntegerType))))
+      }
+    IvfPqIndexFrames(spark.read.parquet(path + "/centroids"),
+      spark.read.parquet(path + "/codebook"), codes,
+      meta.getAs[Int]("in_dims"), meta.getAs[Int]("n_sub"),
+      meta.getAs[Int]("quant_scale"))
+  }
+
+  /** Append a delta to a persisted PQ index without retraining: the
+    * frozen centroids AND codebook read back from `path`, the delta
+    * coarse-assigned and PQ-encoded under them, one file per touched
+    * cell. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      twoLevelThreshold: Int = 4096): Unit = {
+    val idx = readIvfPqIndex(spark, path)
+    val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell",
+      "cvec", idx.quantScale)
+    val cb = collectCodebookFrame(idx.codebook, idx.quantScale)
+    if (centTab.isEmpty || cb.isEmpty) {
+      require(delta.isEmpty,
+        s"appendToIvfPqIndex: empty quantizer at $path but the delta " +
+          "is non-empty — rebuild from a non-empty corpus first")
+      return
+    }
+    val base = coarseAssignQuantized(delta, idCol, vecCol, centTab,
+      cnTab, idx.quantScale, twoLevelThreshold, idx.inDims)
+    pqEncode(base, cb, idx.inDims, idx.nSub)
+      .select(col("cell").cast("int").as("cell"), col("corpus_id"),
+        col("codes"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path + "/codes")
+  }
+
+  /** The codebook frame as quantized driver-side rows in ci order. */
+  private def collectCodebookFrame(codebook: DataFrame,
+      quantScale: Int): Seq[Seq[Long]] =
+    codebook.select(col("ci"),
+        transform(col("cv"),
+          x => round(x.cast("double") * quantScale).cast("long"))
+          .as("qv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1))
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** Probe a PQ index: probe cells exactly like [[probeIvfIndex]], then
+    * ADC-score ONLY the probed cells' codes (dynamic partition pruning
+    * on the codes scan when the index came from [[readIvfPqIndex]]) —
+    * per-candidate cost is nSub LUT lookups, and the scan reads nSub
+    * ints per row instead of inDims floats. Returns (query_id,
+    * corpus_id, approx_d2, rank). */
+  def probeIvfPqIndex(idx: IvfPqIndexFrames, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell",
+      "cvec", idx.quantScale)
+    val cb = collectCodebookFrame(idx.codebook, idx.quantScale)
+    if (centTab.isEmpty || cb.isEmpty) {
+      return queries.limit(0)
+        .select(col(queryId).cast("long").as("query_id"),
+          lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
+          lit(0L).as("rank"))
+    }
+    val cellScores = scorerFromTable(centTab, cnTab)
+    val q0 = queries.select(col(queryId).cast("long").as("query_id"),
+        transform(col(queryVec),
+          x => round(x.cast("double") * idx.quantScale)).as("qv"))
+      .where(col("qv").isNotNull && size(col("qv")) === idx.inDims)
+    val probes = q0
+      .withColumn("cscores", cellScores(col("qv")))
+      .select(col("query_id"), posexplode(col("cscores")))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .select(col("query_id"), col("cell").cast("int").as("cell"))
+    pqAdcScore(idx.codes, q0.select(col("query_id"), col("qv")), probes,
+      cb, idx.inDims, idx.nSub, k)
   }
 
   /** Per-cell posting statistics — the skew report read before trusting

@@ -246,6 +246,54 @@ class AnnIndexSpec extends SparkSuite {
       Set((0L, 7L), (0L, 9L), (1L, 3L)))
   }
 
+  test("persisted PQ index: probe equals the in-query ivfPqTopK, " +
+    "append encodes under the frozen codebook, codes scan prunes") {
+    val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+    val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 8)
+    val cbIds = Seq(1L, 2L, 3L, 4L)
+    val path = tmpDir("pqidx")
+    val idx = Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+      seeds, "sid", "svec", cbIds, inDims = dims, nSub = 2)
+    Similarity.writeIvfPqIndex(idx, path)
+    Similarity.appendToIvfPqIndex(spark, path, delta, "vec_id",
+      "embedding")
+    val back = Similarity.readIvfPqIndex(spark, path)
+    assert((back.inDims, back.nSub, back.quantScale) ===
+      (dims, 2, 10000))
+    assert(back.codes.count() === 200L)
+    // codebook frozen: append did not change it
+    val cbBack = back.codebook.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList)).sortBy(_._1)
+    val cbBuilt = idx.codebook.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList)).sortBy(_._1)
+    assert(cbBack === cbBuilt)
+    val queries = corpus.where(col("vec_id") < 3)
+    def pqRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("long"),
+          col("corpus_id").cast("long"), col("approx_d2").cast("long"),
+          col("rank").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    val persisted = pqRows(Similarity.probeIvfPqIndex(back, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    // equivalent single-query path over the SAME full corpus and seeds
+    val direct = pqRows(Similarity.ivfPqTopK(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", seeds, "sid", "svec",
+      cbIds, inDims = dims, nSub = 2, k = 5, nProbe = 3))
+    assert(persisted === direct)
+    assert(persisted.nonEmpty)
+    // the probe's codes scan dynamically prunes unprobed cells
+    val probe = Similarity.probeIvfPqIndex(back,
+      corpus.where(col("vec_id") < 2), "vec_id", "embedding", k = 5,
+      nprobe = 2)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("dynamicpruning"),
+      s"expected DPP on the codes scan; plan:\n$physical")
+  }
+
   test("compaction collapses each cell to one file and changes neither " +
     "postings nor probe results") {
     val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
