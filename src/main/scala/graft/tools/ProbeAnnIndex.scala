@@ -122,6 +122,30 @@ object ProbeAnnIndex {
       }
       val (tCompact, _) = timeIt { Similarity.compactIvfIndex(spark, path) }
       val filesAfterCompact = postingsFiles(path)
+      // PQ at-rest comparison: same corpus/seeds, codes instead of
+      // vectors (256-code codebook, 8 subspaces)
+      val pqPath = s"/tmp/annpq_$n"
+      val (tPqBuild, _) = timeIt {
+        Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+          "vec_id", "embedding", seeds, "sid", "svec",
+          codebookIds = 0L until 256L, inDims = 64, nSub = 8,
+          twoLevelThreshold = 1), pqPath)
+      }
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long = {
+          val kids = f.listFiles()
+          if (kids == null) f.length()
+          else kids.map(walk).sum
+        }
+        walk(new java.io.File(p))
+      }
+      val rawBytes = dirBytes(path + "/postings")
+      val pqBytes = dirBytes(pqPath + "/codes")
+      val (tPqProbe, _) = timeIt {
+        Similarity.probeIvfPqIndex(Similarity.readIvfPqIndex(spark,
+          pqPath), queries, "vec_id", "embedding", k = 10, nprobe = 4)
+          .count()
+      }
       println(s"""{"n":$n,"cells":$cells,""" +
         f""""assign_flat_sec":$tAssignFlat%.2f,""" +
         f""""assign_two_level_sec":$tAssignTwoLevel%.2f,""" +
@@ -137,6 +161,10 @@ object ProbeAnnIndex {
         s""""probe_bytes_read_full":$bytesFull,""" +
         f""""compact_sec":$tCompact%.2f,""" +
         s""""files_after_compact":$filesAfterCompact,""" +
+        f""""pq_build_write_sec":$tPqBuild%.2f,""" +
+        s""""raw_postings_bytes":$rawBytes,""" +
+        s""""pq_codes_bytes":$pqBytes,""" +
+        f""""pq_probe16_sec":$tPqProbe%.2f,""" +
         s""""probe_rows":$nProbeRows}""")
     }
     spark.stop()
