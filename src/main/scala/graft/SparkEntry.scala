@@ -3470,6 +3470,10 @@ object SparkEntry {
         codebookIds = Seq(16L, 17L, 18L, 19L, 20L, 22L, 23L, 24L),
         inDims = 64, nSub = 8)
       Similarity.writeIvfPqIndex(idx, path)
+      // ownership contract: the built codes frame rides a lazy encode
+      // barrier; once persisted, the files are the recompute source and
+      // the in-memory blocks are released deterministically
+      graft.Lineage.retireDependents(idx.codes)
       Similarity.appendToIvfPqIndex(s, path, delta, "vec_id", "embedding")
       val reread = Similarity.readIvfPqIndex(s, path)
       Similarity.probeIvfPqIndex(reread, e.where(col("vec_id") < 5),

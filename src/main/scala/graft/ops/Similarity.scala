@@ -1882,7 +1882,12 @@ object Similarity {
     * quantizer, `codebookIds` corpus rows the PQ codebook (ci =
     * ascending-id position — the persisted per-subspace centers at
     * scale), every valid corpus row coarse-assigned and PQ-encoded in
-    * one pass. Raw vectors appear nowhere in the result. */
+    * one pass. Raw vectors appear nowhere in the result. The codes
+    * frame rides the encode's lazy checkpoint barrier and OWNS those
+    * blocks ([[graft.Lineage]] ownership contract): a caller that
+    * persists the index via [[writeIvfPqIndex]] should then release
+    * them with `Lineage.retireDependents(idx.codes)` — the files are
+    * the recompute source from that point. */
   def buildIvfPqIndex(corpus: DataFrame, corpusId: String,
       corpusVec: String, seeds: DataFrame, seedId: String,
       seedVec: String, codebookIds: Seq[Long], inDims: Int, nSub: Int,

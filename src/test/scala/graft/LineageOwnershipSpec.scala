@@ -121,6 +121,24 @@ class LineageOwnershipSpec extends SparkSuite {
     assert(left.isEmpty, s"leaked persistent RDDs: $left")
   }
 
+  test("buildIvfPqIndex codes release via retireDependents after write") {
+    import spark.implicits._
+    val corpus = (0L until 64L).map { i =>
+      (i, (0 until 8).map(j => ((i * 7 + j) % 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val seeds = graft.ops.Similarity.hashSeeds(corpus, "vec_id",
+      "embedding", 4)
+    val before = persistedIds
+    val idx = graft.ops.Similarity.buildIvfPqIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec", codebookIds = Seq(1L, 2L),
+      inDims = 8, nSub = 2)
+    val path = java.nio.file.Files.createTempDirectory("pq_own").toString
+    graft.ops.Similarity.writeIvfPqIndex(idx, path)
+    Lineage.retireDependents(idx.codes)
+    val left = persistedIds -- before
+    assert(left.isEmpty, s"leaked persistent RDDs: $left")
+  }
+
   test("scoped releases on failure too") {
     val before = persistedIds
     intercept[RuntimeException] {
