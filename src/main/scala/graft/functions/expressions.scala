@@ -447,6 +447,165 @@ case class IvfArgmaxCell(child: Expression,
       newChild: Expression): IvfArgmaxCell = copy(child = newChild)
 }
 
+/** Shared row math of the native PQ kernels: per-subspace squared
+  * distances of a quantized vector against every codebook block.
+  * `cbBlock(s)(ci)` is code ci's slice for subspace s, `csq(s)(ci)` its
+  * Σx² — both driver-built once and riding the task closure as one
+  * reference object (the IvfArgmaxCell shape). All inputs are
+  * quantized integers-as-doubles, so every sum/product below is exact
+  * in double arithmetic — bit-identical to any evaluation order,
+  * including the staged-column formulation these kernels replace
+  * (which generated nSub×nCodes dot columns per row and spent its time
+  * compiling 64KB-limit-skirting codegen stages). */
+private[functions] object PqRowMath {
+  /** d2(s)(ci) for one row, or null if any element is null. */
+  def blockD2(a: ArrayData, cbBlock: Array[Array[Array[Double]]],
+      csq: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val q = a.toDoubleArray()
+    val nSub = cbBlock.length
+    val out = new Array[Array[Double]](nSub)
+    var s = 0
+    while (s < nSub) {
+      val codes = cbBlock(s)
+      val subLen = if (codes.isEmpty) 0 else codes(0).length
+      val off = s * subLen
+      if (off + subLen > n) return null
+      var ssq = 0.0
+      var j = 0
+      while (j < subLen) { val x = q(off + j); ssq += x * x; j += 1 }
+      val row = new Array[Double](codes.length)
+      var ci = 0
+      while (ci < codes.length) {
+        val c = codes(ci)
+        var d = 0.0
+        var j2 = 0
+        while (j2 < subLen) { d += c(j2) * q(off + j2); j2 += 1 }
+        row(ci) = ssq - 2.0 * d + csq(s)(ci)
+        ci += 1
+      }
+      out(s) = row
+      s += 1
+    }
+    out
+  }
+}
+
+/** Native PQ encode: quantized vector → nSub code indices (per
+  * subspace, the argmin-d2 codebook entry, ties to the LOWEST code
+  * index). One codegen'd call per row. */
+case class PqEncodeCodes(child: Expression,
+    cbBlock: Array[Array[Array[Double]]], csq: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cbBlock.nonEmpty && cbBlock.length == csq.length,
+    "need at least one subspace with matching Σx² tables")
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_codes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_codes expects array<double>, got ${t.sql}")
+  }
+
+  def encode(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d2 = PqRowMath.blockD2(a, cbBlock, csq)
+    if (d2 == null) return null
+    val out = new Array[Int](d2.length)
+    var s = 0
+    while (s < d2.length) {
+      val row = d2(s)
+      var best = 0
+      var ci = 1
+      while (ci < row.length) {
+        if (row(ci) < row(best)) best = ci
+        ci += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncoder", this,
+      classOf[PqEncodeCodes].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("codesRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData $tmp =
+        $ref.encode($c);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp;
+      }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeCodes = copy(child = newChild)
+}
+
+/** Native PQ query LUT: quantized query vector → the full
+  * nSub×nCodes squared-distance table the ADC scorer indexes with each
+  * candidate's codes. One call per QUERY row (queries are few by
+  * contract; the win is replacing nSub×nCodes generated dot columns
+  * with one kernel — plan size and codegen time drop by that factor). */
+case class PqQueryLut(child: Expression,
+    cbBlock: Array[Array[Array[Double]]], csq: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cbBlock.nonEmpty && cbBlock.length == csq.length,
+    "need at least one subspace with matching Σx² tables")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, false), false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_query_lut"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_query_lut expects array<double>, got ${t.sql}")
+  }
+
+  def lut(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d2 = PqRowMath.blockD2(a, cbBlock, csq)
+    if (d2 == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      d2.map(row =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+          .asInstanceOf[AnyRef]))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    lut(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLutBuilder", this,
+      classOf[PqQueryLut].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("lutRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData $tmp =
+        $ref.lut($c);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp;
+      }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqQueryLut = copy(child = newChild)
+}
+
 /** Column-API and SQL surface for the native expressions.
   *
   * Column API: `GraftFunctions.shingleMinhash(tokens, 3, 16)`.
@@ -496,6 +655,16 @@ object GraftFunctions {
       cents: Array[Array[Double]], cn: Array[Double]): Column =
     col(IvfArgmaxCell(expr(qv), superCents, superCn, memberCells,
       cents, cn))
+  /** Native PQ encode: quantized vector → nSub code indices (see
+    * [[PqEncodeCodes]]). */
+  def pqEncodeCodes(qv: Column, cbBlock: Array[Array[Array[Double]]],
+      csq: Array[Array[Double]]): Column =
+    col(PqEncodeCodes(expr(qv), cbBlock, csq))
+  /** Native PQ query LUT: quantized vector → nSub×nCodes d² table (see
+    * [[PqQueryLut]]). */
+  def pqQueryLut(qv: Column, cbBlock: Array[Array[Array[Double]]],
+      csq: Array[Array[Double]]): Column =
+    col(PqQueryLut(expr(qv), cbBlock, csq))
   /** Bounded top-k aggregate (score desc, id asc):
     * array<struct<score,id>> best-first; O(k) partial buffers. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

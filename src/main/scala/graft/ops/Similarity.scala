@@ -1072,84 +1072,55 @@ object Similarity {
     pqAdcScore(pqEncode(base, cb, inDims, nSub), q0, probes, cb, inDims,
       nSub, k)
 
-  /** The staged PQ column families shared by encode and query-LUT
-    * construction, derived from the (quantized) codebook alone:
-    * layer-1 subspace slices, layer-2 Σx²/dot bindings, and the exact
-    * per-(subspace, code) squared distance. Code blocks ride as double
-    * literals (exact: quantized integers) — one native vectorDot per
-    * (subspace, code) instead of subLen unrolled element_at products:
-    * the unrolled form blew the 64KB codegen method limit. Staged
-    * projections are the q248 named-column CSE lesson: each slice and
-    * each dot binds ONCE. */
-  private def pqColumns(cb: Seq[Seq[Long]], inDims: Int, nSub: Int)
-      : (Seq[Column], Seq[Column], Seq[Column], (Int, Int) => Column) = {
+  /** The PQ kernel tables derived from the (quantized) codebook alone:
+    * `cbBlock(s)(ci)` = code ci's slice for subspace s, `csq(s)(ci)`
+    * its Σx². They ride the task closure as ONE reference object inside
+    * the native kernels — the staged-column formulation this replaced
+    * (nSub×nCodes generated dot columns per row) spent most of its wall
+    * COMPILING 64KB-limit-skirting codegen stages (measured: 2048
+    * columns at a 256-code/8-sub codebook). All values are quantized
+    * integers-as-doubles, so the kernel's arithmetic is exact and
+    * bit-identical to the column form it replaced. */
+  private def pqTables(cb: Seq[Seq[Long]], inDims: Int, nSub: Int)
+      : (Array[Array[Array[Double]]], Array[Array[Double]]) = {
     val subLen = inDims / nSub
-    val nCodes = cb.size
-    val cbBlock: Seq[Seq[Seq[Double]]] = (0 until nSub).map { s =>
+    val cbBlock: Array[Array[Array[Double]]] = (0 until nSub).map { s =>
       cb.map(cv =>
-        (s * subLen until (s + 1) * subLen).map(i => cv(i).toDouble))
-    }
-    val csq: Seq[Seq[Double]] = (0 until nSub).map { s =>
-      cbBlock(s).map(b => b.map(x => x * x).sum)
-    }
-    val blockCols = (0 until nSub).map { s =>
-      slice(col("qv"), s * subLen + 1, subLen).as(s"__b$s")
-    }
-    val ssqCols = (0 until nSub).map { s =>
-      GraftFunctions.vectorDot(col(s"__b$s"), col(s"__b$s")).as(s"__ssq$s")
-    }
-    val dotCols = for (s <- 0 until nSub; ci <- 0 until nCodes)
-      yield GraftFunctions.vectorDot(typedLit(cbBlock(s)(ci)),
-        col(s"__b$s")).as(s"__dot${s}_$ci")
-    val blockD2 = (s: Int, ci: Int) =>
-      col(s"__ssq$s") - lit(2.0) * col(s"__dot${s}_$ci") + lit(csq(s)(ci))
-    (blockCols, ssqCols, dotCols, blockD2)
+        (s * subLen until (s + 1) * subLen).map(i => cv(i).toDouble)
+          .toArray).toArray
+    }.toArray
+    val csq: Array[Array[Double]] =
+      cbBlock.map(_.map(b => b.map(x => x * x).sum))
+    (cbBlock, csq)
   }
 
   /** One-pass PQ encode of a coarse-assigned corpus (corpus_id, qv
-    * quantized, cell) → (corpus_id, cell, codes nSub×int), barriered.
-    * The PLAN BARRIER matters: without it Catalyst fuses the whole
-    * encode expression tree (cell scorer + dot columns + code argmins)
-    * into and around the candidate join — a 380 KB plan whose fused
-    * megaexpression ran 50 s where the barriered form runs 3 s
-    * (measured, q281 at sf1). The checkpoint is also the honest shape:
-    * (corpus_id, cell, codes) IS the index artifact a real pipeline
-    * persists ([[buildIvfPqIndex]] writes exactly this frame). */
+    * quantized, cell) → (corpus_id, cell, codes nSub×int), one native
+    * [[graft.functions.PqEncodeCodes]] call per row, barriered.
+    * The PLAN BARRIER matters: without it Catalyst fuses the encode
+    * into and around the candidate join (measured 50 s vs 3 s at q281's
+    * sf1 run in the staged-column era). The checkpoint is also the
+    * honest shape: (corpus_id, cell, codes) IS the index artifact a
+    * real pipeline persists ([[buildIvfPqIndex]] writes exactly this
+    * frame). */
   private def pqEncode(base: DataFrame, cb: Seq[Seq[Long]], inDims: Int,
       nSub: Int): DataFrame = {
-    val nCodes = cb.size
-    val (blockCols, ssqCols, dotCols, blockD2) =
-      pqColumns(cb, inDims, nSub)
-    val staged = base
-      .select(col("corpus_id") +: col("cell") +: blockCols: _*)
-      .select(col("corpus_id") +: col("cell") +: (ssqCols ++ dotCols): _*)
-    val codeCols = (0 until nSub).map { s =>
-      array_min(array((0 until nCodes).map { ci =>
-        struct(blockD2(s, ci).as("d"), lit(ci).as("ci"))
-      }: _*)).getField("ci").as(s"__c$s")
-    }
-    staged.select(col("corpus_id") +: col("cell") +: codeCols: _*)
-      .select(col("corpus_id"), col("cell"),
-        array((0 until nSub).map(s => col(s"__c$s")): _*).as("codes"))
+    val (cbBlock, csq) = pqTables(cb, inDims, nSub)
+    base.select(col("corpus_id"), col("cell"),
+        GraftFunctions.pqEncodeCodes(col("qv"), cbBlock, csq).as("codes"))
       .truncateLineage(eager = false)
   }
 
-  /** ADC scoring of pre-encoded codes against quantized queries: build
-    * each query's per-(subspace, code) LUT, probe the coded index on
-    * the cell key, sum nSub LUT lookups per candidate, bounded top-k. */
+  /** ADC scoring of pre-encoded codes against quantized queries: one
+    * native [[graft.functions.PqQueryLut]] call per query row builds
+    * the per-(subspace, code) LUT, candidates in probed cells sum nSub
+    * LUT lookups each, bounded top-k. */
   private def pqAdcScore(coded: DataFrame, q0: DataFrame,
       probes: DataFrame, cb: Seq[Seq[Long]], inDims: Int, nSub: Int,
       k: Int): DataFrame = {
-    val nCodes = cb.size
-    val (blockCols, ssqCols, dotCols, blockD2) =
-      pqColumns(cb, inDims, nSub)
-    val qstaged = q0
-      .select(col("query_id") +: blockCols: _*)
-      .select(col("query_id") +: (ssqCols ++ dotCols): _*)
-    val qlut = qstaged.select(col("query_id"),
-      array((0 until nSub).map { s =>
-        array((0 until nCodes).map(ci => blockD2(s, ci).cast("double")): _*)
-      }: _*).as("lut"))
+    val (cbBlock, csq) = pqTables(cb, inDims, nSub)
+    val qlut = q0.select(col("query_id"),
+      GraftFunctions.pqQueryLut(col("qv"), cbBlock, csq).as("lut"))
     val probesL = probes.join(qlut, Seq("query_id"))
     // ADC scoring: nSub LUT probes per candidate; negated distance so
     // the bounded top-k aggregate's (max score, ties id asc) semantics
