@@ -1,6 +1,6 @@
 package graft.fhir
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** FHIR bundle ingestion: directories or columns of bundle JSON documents →
@@ -175,24 +175,87 @@ object Bundles {
   private val containedFixupUdf =
     udf((s: String) => if (s == null) null else FhirJson.fixupContained(s))
 
-  /** Serialize extracted resource rows back to FHIR JSON strings (U5). */
+  /** One contained element (a one-field-per-declared-type struct) rendered
+    * as spec JSON (`{"resourceType":"T",...fields}`) entirely in Catalyst:
+    * the matching type's sub-struct is serialized with `to_json` and the
+    * discriminator spliced in front — same bytes [[FhirJson.fixupContained]]
+    * produces, with no per-row document parse. */
+  private def containedElemJson(x: Column,
+      typeFields: Seq[String]): Column = {
+    val candidates = typeFields.map { fn =>
+      val rt = fn.substring(0, 1).toUpperCase + fn.substring(1)
+      val inner = to_json(x.getField(fn), Map("ignoreNullFields" -> "true"))
+      when(x.getField(fn).isNotNull,
+        when(inner === "{}", lit(s"""{"resourceType":"$rt"}"""))
+          .otherwise(concat(lit(s"""{"resourceType":"$rt","""),
+            inner.substr(lit(2), length(inner) - 1))))
+    }
+    // element of an undeclared type (all type slots null) → "{}", matching
+    // the fixup's pass-through of an object with no type field
+    coalesce((candidates :+ when(x.isNotNull, lit("{}"))): _*)
+  }
+
+  /** Serialize extracted resource rows back to FHIR JSON strings (U5).
+    *
+    * The contained reshape (one-field-per-type structs → inline
+    * resourceType form) runs as a Catalyst string splice whenever
+    * `contained` is the resource's LAST serialized field — the only shape
+    * [[extractEntry]] produces — so the whole decode stays inside
+    * whole-stage codegen and materializes ONE string per row. The old
+    * jackson path (parse the full document, reshape, re-serialize — a
+    * per-row tree allocation burst that dominated the q97 round trip under
+    * shared-JVM pressure) survives only as the fallback for caller-built
+    * frames where `contained` sits mid-row. */
   def toJson(df: DataFrame, resourceName: String,
       reg: FhirSchemas.FRegistry = FhirSchemas.defaultRegistry): DataFrame = {
     val extNames = FhirSchemas.extensionFieldNames(resourceName, reg).toSet
-    val plain = df.columns.filterNot(extNames.contains).map(col).toSeq
+    val plainNames = df.columns.filterNot(extNames.contains).toSeq
+    val plain = plainNames.map(col)
     val cols = lit(resourceName).as("resourceType") +: plain
-    val all = FhirSchemas.decodeExtensions(resourceName, reg) match {
+    val withExt = FhirSchemas.decodeExtensions(resourceName, reg) match {
       case Some(ext) if df.columns.exists(extNames.contains) =>
-        cols :+ ext.as("extension")
-      case _ => cols
+        Some(ext.as("extension"))
+      case _ => None
     }
-    val raw = df.select(to_json(struct(all: _*),
-      Map("ignoreNullFields" -> "true")).as("json"))
-    // contained decodes as one-field-per-type structs; reshape to the
-    // spec's inline resourceType form so the output re-ingests
-    if (df.columns.contains("contained"))
-      raw.select(containedFixupUdf(col("json")).as("json"))
-    else raw
+    val hasContained = df.columns.contains("contained")
+    val containedLast =
+      hasContained && plainNames.lastOption.contains("contained") &&
+        withExt.isEmpty
+    if (containedLast) {
+      val typeFields = df.schema("contained").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            s: org.apache.spark.sql.types.StructType, _) =>
+          s.fields.map(_.name).toSeq
+        case other => throw new IllegalArgumentException(
+          s"toJson: contained column must be array<struct>, got $other")
+      }
+      val mainCols = lit(resourceName).as("resourceType") +:
+        plainNames.filterNot(_ == "contained").map(col)
+      // main doc always holds at least resourceType, so it ends "...}" and
+      // the contained array splices in before the final brace — key order
+      // identical to serializing the full struct and reshaping in place
+      val mainJson = to_json(struct(mainCols: _*),
+        Map("ignoreNullFields" -> "true"))
+      val arrJson = concat(lit("\"contained\":["),
+        array_join(transform(col("contained"),
+          containedElemJson(_, typeFields)), ",", "null"),
+        lit("]"))
+      df.select(when(col("contained").isNull, mainJson)
+        .otherwise(concat(mainJson.substr(lit(1), length(mainJson) - 1),
+          lit(","), arrJson, lit("}"))).as("json"))
+    } else {
+      val all = withExt match {
+        case Some(ext) => cols :+ ext
+        case None => cols
+      }
+      val raw = df.select(to_json(struct(all: _*),
+        Map("ignoreNullFields" -> "true")).as("json"))
+      // contained decodes as one-field-per-type structs; reshape to the
+      // spec's inline resourceType form so the output re-ingests
+      if (hasContained)
+        raw.select(containedFixupUdf(col("json")).as("json"))
+      else raw
+    }
   }
 
   /** U6: serialize resource rows to FHIR XML documents. */

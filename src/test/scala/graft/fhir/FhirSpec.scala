@@ -384,6 +384,42 @@ class FhirSpec extends SparkSuite {
     assert(back.collect().toSeq === mr.collect().toSeq)
   }
 
+  test("contained toJson: Catalyst splice equals the jackson fixup bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two rows: one with a contained Medication, one with contained ABSENT
+    // (null column) — the splice must byte-match the legacy parse→reshape→
+    // re-serialize path on both, and stay UDF-free in the plan
+    val json = Seq(
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        {"resource":{"resourceType":"MedicationRequest","id":"mrA",
+          "status":"active","intent":"order",
+          "medicationReference":{"reference":"#mA"},
+          "subject":{"reference":"Patient/p1"},
+          "contained":[{"resourceType":"Medication","id":"mA",
+            "status":"active",
+            "code":{"coding":[{"system":"http://example.org/meds",
+              "code":"med-\"quoted\" & <odd>"}]}}]}},
+        {"resource":{"resourceType":"MedicationRequest","id":"mrB",
+          "status":"completed","intent":"order",
+          "subject":{"reference":"Patient/p2"}}}]}""")
+      .toDF("bundle_json")
+    val mr = Bundles.extractEntry(spark,
+      Bundles.fromJson(json, "bundle_json"), "MedicationRequest",
+      containedTypes = Seq("Medication"))
+    val fast = Bundles.toJson(mr, "MedicationRequest")
+    // legacy path reconstructed: serialize WITH contained in place, then
+    // the jackson reshape
+    val legacy = mr.select(to_json(
+        struct(lit("MedicationRequest").as("resourceType") +:
+          mr.columns.toSeq.map(col): _*),
+        Map("ignoreNullFields" -> "true")).as("json"))
+      .collect().map(r => FhirJson.fixupContained(r.getString(0)))
+    assert(fast.collect().map(_.getString(0)).toSeq === legacy.toSeq)
+    assert(!fast.queryExecution.executedPlan.toString.contains("UDF"),
+      "contained toJson fast path must not fall back to the jackson UDF")
+  }
+
   test("toBundle keeps sibling sub-extensions when one child is null") {
     import spark.implicits._
     // race with ONLY text (no ombCategory): the null child array must not
