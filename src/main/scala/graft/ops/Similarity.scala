@@ -1478,8 +1478,13 @@ object Similarity {
     * [[readIvfIndex]] it is a parquet read DISK-partitioned by `cell`,
     * so a probe's equi-join on `cell` prunes unprobed cells at the file
     * level (dynamic partition pruning) — the index is built and paid for
-    * once, then every probe batch reads only nprobe/cells of the data. */
-  final case class IvfIndexFrames(centroids: DataFrame, postings: DataFrame)
+    * once, then every probe batch reads only nprobe/cells of the data.
+    * `quantScale`/`twoLevelThreshold` are the build's quantization
+    * parameters, carried WITH the index (persisted in `<path>/meta`,
+    * read back by [[readIvfIndex]]) so append and probe can never
+    * silently diverge from the build's rounding or routing. */
+  final case class IvfIndexFrames(centroids: DataFrame, postings: DataFrame,
+      quantScale: Int = 10000, twoLevelThreshold: Int = 4096)
 
   /** Build the index frames for a seed set (e.g. [[hashSeeds]] output or
     * the persisted centers of a prior clustering job): cell index =
@@ -1499,7 +1504,13 @@ object Similarity {
       quantScale: Int = 10000,
       twoLevelThreshold: Int = 4096): IvfIndexFrames = {
     val session = corpus.sparkSession
-    val (centTab, cnTab) = collectSeedTable(seeds, seedId, seedVec,
+    // quantize through ONE rounding rule: the persisted centroids are
+    // float32, so the build-time table quantizes from the float32 cast
+    // too — a double-precision seed source (e.g. k-means centers) would
+    // otherwise round differently at build vs the read-back append/probe
+    val seedsF = seeds.select(col(seedId).as("__sid"),
+      col(seedVec).cast("array<float>").as("__svec"))
+    val (centTab, cnTab) = collectSeedTable(seedsF, "__sid", "__svec",
       quantScale)
     if (centTab.isEmpty) {
       // empty corpus → empty seed draw → a typed empty index (the
@@ -1511,23 +1522,23 @@ object Similarity {
           .select(lit(0).cast("int").as("cell"),
             col(corpusId).cast("long").as("corpus_id"),
             col(corpusVec).cast("array<float>").as("cvec"),
-            lit(0.0).as("cnorm")))
+            lit(0.0).as("cnorm")),
+        quantScale, twoLevelThreshold)
     }
     // seeds are small by contract (collectSeedTable already holds them on
     // the driver); the centroids frame is created from the same ascending-
     // seedId collect, so the persisted cell index agrees with centTab by
     // construction — and no window/shuffle appears in any plan.
-    val rawSeeds: Seq[(Int, Seq[Float])] = seeds
-      .select(col(seedId).as("sid"),
-        col(seedVec).cast("array<float>").as("cvec"))
-      .orderBy(col("sid")).select("cvec").collect()
+    val rawSeeds: Seq[(Int, Seq[Float])] = seedsF
+      .orderBy(col("__sid")).select("__svec").collect()
       .toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0)) }
     import session.implicits._
     val centroids = rawSeeds.toDF("cell", "cvec")
     IvfIndexFrames(centroids,
       assignPostings(corpus, corpusId, corpusVec, centTab, cnTab,
-        quantScale, twoLevelThreshold))
+        quantScale, twoLevelThreshold),
+      quantScale, twoLevelThreshold)
   }
 
   /** The q284 two-level routing tables derived from a quantized centroid
@@ -1601,11 +1612,61 @@ object Similarity {
     * splittable for readers). Overwrites any previous index at `path`
     * (the rebuild contract; use [[appendToIvfIndex]] for deltas). */
   def writeIvfIndex(idx: IvfIndexFrames, path: String): Unit = {
+    val session = idx.centroids.sparkSession
+    import session.implicits._
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(path + "/centroids")
+    // self-describing index: the quantization scale and routing
+    // threshold are properties OF the index, not parameters a later
+    // append/probe caller has to remember — a mismatched re-supply
+    // would silently corrupt cell assignment
+    Seq((idx.quantScale, idx.twoLevelThreshold))
+      .toDF("quant_scale", "two_level_threshold")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     idx.postings.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(path + "/postings")
+  }
+
+  /** The persisted (quantScale, twoLevelThreshold) of the index at
+    * `path`; defaults for a pre-meta index. */
+  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) =
+    try {
+      val m = spark.read.parquet(path + "/meta").collect().head
+      (m.getAs[Int]("quant_scale"), m.getAs[Int]("two_level_threshold"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => (10000, 4096)
+    }
+
+  /** Crash recovery for the compaction swap: a crash between
+    * `rename(live → retired)` and `rename(staged → live)` leaves the
+    * ONLY full copy of the postings under `postings_retired`. Every
+    * entry point that opens or mutates the postings dir runs this
+    * first, so that window can never be misread as an empty index (and
+    * a subsequent append can never silently rebuild postings holding
+    * just its delta). Single-writer contract: build/append/compact must
+    * not run concurrently against one index root. */
+  private def recoverIvfPostings(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      dirName: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(root + "/" + dirName)
+    val staged = new Path(root + "/" + dirName + "_compacting")
+    val retired = new Path(root + "/" + dirName + "_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(retired)) {
+      // mid-swap crash: retired IS the pre-compaction corpus — restore
+      // it and discard the partial stage (it will be re-compacted)
+      require(fs.rename(retired, live),
+        s"recoverIvfPostings: could not restore $retired to $live")
+      fs.delete(staged, true)
+    } else if (fs.exists(live) && fs.exists(retired)) {
+      // crash after the swap completed but before the retired cleanup:
+      // live is current, retired is the superseded copy
+      fs.delete(retired, true)
+    }
+    ()
   }
 
   /** The postings schema as persisted (partition column `cell` last, the
@@ -1630,15 +1691,31 @@ object Similarity {
     * postings rather than failing schema inference. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfIndexFrames = {
+    recoverIvfPostings(spark, path, "postings")
     val postings =
       try spark.read.parquet(path + "/postings")
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException =>
+          // only a PROVABLY fresh index (no compaction siblings left
+          // behind) reads back empty — anything else is a broken root
+          // and must fail loudly, not silently serve an empty corpus
+          import org.apache.hadoop.fs.Path
+          val staged = new Path(path + "/postings_compacting")
+          val retired = new Path(path + "/postings_retired")
+          val fs = staged.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(staged) || fs.exists(retired))
+            throw new IllegalStateException(
+              s"readIvfIndex: $path has no live postings but leftover " +
+                "compaction state survived recovery — refusing to serve " +
+                "an empty index", e)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             postingsSchema)
       }
-    IvfIndexFrames(spark.read.parquet(path + "/centroids"), postings)
+    val (qs, tlt) = readIvfMeta(spark, path)
+    IvfIndexFrames(spark.read.parquet(path + "/centroids"), postings,
+      qs, tlt)
   }
 
   /** Append a delta of new vectors to a persisted index WITHOUT
@@ -1650,8 +1727,45 @@ object Similarity {
     * index stays probe-consistent (a re-trained index would reshuffle
     * every posting). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    // the index is self-describing: quantization scale and routing
+    // threshold come from the persisted meta, never from the caller
+    val (qs, tlt) = readIvfMeta(spark, path)
+    appendToIvfIndexImpl(spark, path, delta, idCol, vecCol, qs, tlt)
+  }
+
+  /** Legacy explicit-parameter append, kept for pre-meta indexes: when
+    * the index HAS a meta file the supplied parameters must match it —
+    * a mismatch would silently corrupt cell assignment, so it fails
+    * loudly instead. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
-      quantScale: Int = 10000, twoLevelThreshold: Int = 4096): Unit = {
+      quantScale: Int, twoLevelThreshold: Int): Unit = {
+    try {
+      val m = spark.read.parquet(path + "/meta").collect().head
+      val (mqs, mtlt) = (m.getAs[Int]("quant_scale"),
+        m.getAs[Int]("two_level_threshold"))
+      require(quantScale == mqs && twoLevelThreshold == mtlt,
+        s"appendToIvfIndex: supplied (quantScale=$quantScale, " +
+          s"twoLevelThreshold=$twoLevelThreshold) contradict the " +
+          s"index's persisted meta ($mqs, $mtlt) at $path — an append " +
+          "under different quantization would corrupt cell assignment")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => () // pre-meta index
+    }
+    appendToIvfIndexImpl(spark, path, delta, idCol, vecCol, quantScale,
+      twoLevelThreshold)
+  }
+
+  private def appendToIvfIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int, twoLevelThreshold: Int): Unit = {
+    // never append into a half-swapped root (a crashed compaction's
+    // live dir may be MISSING — appending would recreate postings
+    // containing only this delta)
+    recoverIvfPostings(spark, path, "postings")
     val cents = spark.read.parquet(path + "/centroids")
     val (centTab, cnTab) = collectSeedTable(cents, "cell", "cvec",
       quantScale)
@@ -1664,10 +1778,9 @@ object Similarity {
           "non-empty — rebuild the index from a non-empty corpus first")
       return
     }
-    // one file per touched cell per append (not delta-splits × cells).
-    // twoLevelThreshold MUST match the build's so delta rows route the
-    // same way base rows did (the routing tables re-derive
-    // deterministically from the persisted centroids).
+    // one file per touched cell per append (not delta-splits × cells);
+    // the routing tables re-derive deterministically from the persisted
+    // centroids, so delta rows route exactly the way base rows did
     assignPostings(delta, idCol, vecCol, centTab, cnTab, quantScale,
       twoLevelThreshold)
       .repartition(col("cell"))
@@ -1684,8 +1797,9 @@ object Similarity {
     * column), so only the probed cells' files are read — verified by
     * AnnIndexSpec against the physical plan. */
   def probeIvfIndex(idx: IvfIndexFrames, queries: DataFrame,
-      queryId: String, queryVec: String, k: Int, nprobe: Int = 4,
-      quantScale: Int = 10000): DataFrame = {
+      queryId: String, queryVec: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val quantScale = idx.quantScale
     val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell", "cvec",
       quantScale)
     if (centTab.isEmpty) {
@@ -1735,15 +1849,85 @@ object Similarity {
     * and is never shuffled. */
   def annNearDupPairs(idx: IvfIndexFrames, newRows: DataFrame,
       idCol: String, vecCol: String, thresholdPpm: Long,
-      nprobe: Int = 4, quantScale: Int = 10000): DataFrame = {
+      nprobe: Int = 4, maxPairsPerNew: Int = 0,
+      excludeIds: DataFrame = null): DataFrame = {
+    val scored = annNearDupScored(idx, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+    if (maxPairsPerNew <= 0)
+      scored.select(col("id_new"), col("id_existing"))
+    else
+      // dense-cell guard: keep the top-`maxPairsPerNew` partners per
+      // new row by quantized-cosine order. Rank key = dotq² div nb2 —
+      // exact integer (≤ nq2 < 2⁵³ by Cauchy–Schwarz, so also exact in
+      // the aggregate's double score), same id_new ⇒ same nq2, so the
+      // key orders like cosine² up to the integer floor; floor ties
+      // break to the LOWER id_existing (the aggregate's id-asc rule) —
+      // deterministic and engine-replayable. Bounded O(c) partial
+      // buffers, map-side combined; account for what the cap drops
+      // with [[annNearDupDropReport]] (the q279 no-silent-caps pattern).
+      scored
+        .withColumn("__key", expr(
+          "cast((cast(dotq as decimal(19,0)) * cast(dotq as " +
+            "decimal(19,0))) div cast(nb2 as decimal(19,0)) as double)"))
+        .groupBy(col("id_new"))
+        .agg(GraftFunctions.topKByScore(col("__key"), col("id_existing"),
+          maxPairsPerNew).as("kept"))
+        .select(col("id_new"), explode(col("kept.id")).as("id_existing"))
+  }
+
+  /** Pair-cap drop accounting for [[annNearDupPairs]] — the no-silent-caps
+    * side output (q279 parity for the ANN path): ONE row of
+    * (n_new_rows_paired, n_pairs, n_pairs_kept, n_pairs_dropped,
+    * dropped_pair_share_ppm) for a batch under a `maxPairsPerNew` cap.
+    * The share is exact floor ppm — integer arithmetic end to end, so
+    * the report hash-matches on any engine. A dense indexed cell turning
+    * one micro-batch into a multi-million-pair emit is exactly the
+    * failure mode this makes measurable instead of invisible
+    * (SCALE_r14: τ=0.4 over the clustered sf1 fixture emits ~9M pairs). */
+  def annNearDupDropReport(idx: IvfIndexFrames, newRows: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long,
+      maxPairsPerNew: Int, nprobe: Int = 4,
+      excludeIds: DataFrame = null): DataFrame = {
+    require(maxPairsPerNew > 0,
+      s"maxPairsPerNew must be > 0, got $maxPairsPerNew")
+    annNearDupScored(idx, newRows, idCol, vecCol, thresholdPpm, nprobe,
+      excludeIds)
+      .groupBy(col("id_new")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_new_rows_paired"),
+        coalesce(sum(col("n")), lit(0L)).as("n_pairs"),
+        coalesce(sum(least(col("n"), lit(maxPairsPerNew.toLong))),
+          lit(0L)).as("n_pairs_kept"),
+        coalesce(sum(greatest(col("n") - maxPairsPerNew, lit(0L))),
+          lit(0L)).as("n_pairs_dropped"))
+      .select(col("n_new_rows_paired"), col("n_pairs"),
+        col("n_pairs_kept"), col("n_pairs_dropped"),
+        when(col("n_pairs") > 0,
+          expr("n_pairs_dropped * 1000000 div n_pairs"))
+          .otherwise(lit(0L)).as("dropped_pair_share_ppm"))
+  }
+
+  /** The shared probe-and-threshold kernel of [[annNearDupPairs]] /
+    * [[annNearDupDropReport]]: (id_new, id_existing, dotq, nq2, nb2)
+    * rows surviving the exact quantized-integer cosine rule
+    * dotq ≥ 0 ∧ dotq²·10¹² ≥ τ²·‖q‖²·‖b‖². The comparison is evaluated
+    * in an overflow-free split — ‖b‖² = bh·10⁶ + bl, then
+    * (dotq²·10⁶ − τ²‖q‖²·bh)·10⁶ ≥ τ²‖q‖²·bl with an early sign/magnitude
+    * branch — so every intermediate fits decimal(38,0) across the whole
+    * documented <2⁵³ exact-double domain (a dotq ≥ ~10¹³ would overflow
+    * the naive dotq²·10¹² form and silently drop true pairs). */
+  private def annNearDupScored(idx: IvfIndexFrames, newRows: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long,
+      nprobe: Int, excludeIds: DataFrame = null): DataFrame = {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    val quantScale = idx.quantScale
     val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell", "cvec",
       quantScale)
     if (centTab.isEmpty) {
       return newRows.limit(0)
         .select(col(idCol).cast("long").as("id_new"),
-          lit(0L).as("id_existing"))
+          lit(0L).as("id_existing"), lit(0.0).as("dotq"),
+          lit(0.0).as("nq2"), lit(0.0).as("nb2"))
     }
     val cellScores = scorerFromTable(centTab, cnTab)
     val quant = (v: Column) =>
@@ -1763,7 +1947,19 @@ object Similarity {
       .select(col("id_new"), explode(col("cells.id")).as("cell"))
       .select(col("id_new"), col("cell").cast("int").as("cell"))
       .join(q0, Seq("id_new"))
-    idx.postings
+    val tSq = thresholdPpm * thresholdPpm // ≤ 10¹², exact in Long
+    // retry-safety hook (`excludeIds`): postings whose corpus_id is in
+    // the excluded set are pruned BEFORE any dot product or cap slot —
+    // an at-least-once replay that already appended this batch must not
+    // pair the batch with its own postings (or spend cap slots on them).
+    // Broadcast-hash anti join: the corpus side stays map-side only.
+    val postingsIn =
+      if (excludeIds == null) idx.postings
+      else idx.postings.join(
+        broadcast(excludeIds.select(
+          col(excludeIds.columns.head).cast("long").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")
+    postingsIn
       .select(col("cell"), col("corpus_id").as("id_existing"),
         quant(col("cvec")).as("__bn"))
       .withColumn("nb2", dot(col("__bn"), col("__bn")))
@@ -1774,14 +1970,23 @@ object Similarity {
       // zero-norm vectors have cosine 0 by convention (cosinePre): the
       // nq2/nb2 > 0 guards keep them out — without them 0 ≥ 0 would
       // pair a zero vector with everything in its probed cells
-      .where(col("dotq") >= 0 && col("nq2") > 0 && col("nb2") > 0 &&
-        expr(
-          "cast(dotq as decimal(19,0)) * cast(dotq as decimal(19,0)) " +
-            "* cast(1000000000000 as decimal(13,0)) >= " +
-            s"cast($thresholdPpm as decimal(13,0)) " +
-            s"* cast($thresholdPpm as decimal(13,0)) " +
-            "* cast(nq2 as decimal(19,0)) * cast(nb2 as decimal(19,0))"))
-      .select(col("id_new"), col("id_existing"))
+      .where(col("dotq") >= 0 && col("nq2") > 0 && col("nb2") > 0)
+      .withColumn("__bh", expr("cast(nb2 as bigint) div 1000000"))
+      .withColumn("__bl", expr("cast(nb2 as bigint) % 1000000"))
+      .withColumn("__c", expr(
+        s"cast($tSq as decimal(13,0)) * cast(nq2 as decimal(19,0))"))
+      .withColumn("__x", expr(
+        "cast(dotq as decimal(19,0)) * cast(dotq as decimal(19,0)) " +
+          "* cast(1000000 as decimal(7,0)) " +
+          "- __c * cast(__bh as decimal(19,0))"))
+      .where(expr(
+        "CASE WHEN __x < 0 THEN false " +
+          "WHEN __x >= cast(10000000000000000000000000000 as " +
+          "decimal(38,0)) THEN true " +
+          "ELSE __x * cast(1000000 as decimal(7,0)) >= " +
+          "__c * cast(__bl as decimal(7,0)) END"))
+      .select(col("id_new"), col("id_existing"), col("dotq"),
+        col("nq2"), col("nb2"))
   }
 
   /** Exact cosine re-rank of an APPROXIMATE candidate set — the serving
@@ -2037,6 +2242,50 @@ object Similarity {
         expr("n_postings * 1000000 div n_total").as("share_ppm"))
   }
 
+  /** End-to-end recall audit of a PERSISTED index — the measurement read
+    * alongside [[ivfIndexStats]] before trusting a probe budget: for each
+    * candidate `nprobe`, [[probeIvfIndex]]'s top-`k` over a (deterministic,
+    * caller-sampled) query set is compared against [[bruteForceTopK]]
+    * ground truth on the raw corpus, and the hit share reported as exact
+    * floor ppm. One row per nprobe: (nprobe, n_truth, n_probe_rows,
+    * n_hits, recall_ppm) — so an operator can pick the smallest probe
+    * budget that clears the recall bar instead of guessing. Both sides
+    * use the same deterministic tie rule (score desc, corpus_id asc), so
+    * the audit is engine-replayable. Plan shape: ONE brute-force pass
+    * (corpus scored map-side against the broadcast query sample, never
+    * shuffled) plus one DPP-pruned probe per nprobe; the per-nprobe
+    * overlap joins are sample×k-sized and broadcast. */
+  def ivfRecallAudit(idx: IvfIndexFrames, corpus: DataFrame,
+      corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallAudit: nprobes must be non-empty")
+    require(nprobes.forall(_ >= 1),
+      s"ivfRecallAudit: every nprobe must be >= 1, got $nprobes")
+    val truth = bruteForceTopK(corpus, corpusId, corpusVec, queries,
+        queryId, queryVec, k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("corpus_id").cast("long").as("corpus_id"),
+        lit(1L).as("__t"))
+    val probed = nprobes.distinct.sorted.map { np =>
+      probeIvfIndex(idx, queries, queryId, queryVec, k, np)
+        .select(lit(np).cast("int").as("nprobe"),
+          col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"))
+    }.reduce(_ unionAll _)
+    probed
+      .join(broadcast(truth), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_probe_rows"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("nprobe"), col("n_truth"), col("n_probe_rows"),
+        col("n_hits"),
+        when(col("n_truth") > 0,
+          expr("n_hits * 1000000 div n_truth"))
+          .otherwise(lit(0L)).as("recall_ppm"))
+  }
+
   /** Compact a persisted index's postings to ONE file per cell.
     * [[appendToIvfIndex]] adds a file set per delta, and probe cost at
     * scale tracks files opened, not just bytes — nightly appends without
@@ -2047,8 +2296,20 @@ object Similarity {
     * opened the old file set keep their snapshot; a crash before the
     * swap leaves the live postings untouched. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit =
+    compactIvfIndexHooked(spark, path, () => ())
+
+  /** [[compactIvfIndex]] with a test seam: `afterStage` runs after the
+    * staged rewrite completes, just before the defensive live-set
+    * re-check — the window a concurrent append would land in. */
+  private[ops] def compactIvfIndexHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, afterStage: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
+    // restore a half-swapped root FIRST — the blind delete of a leftover
+    // `postings_retired` would otherwise destroy the only full copy
+    // after a mid-swap crash
+    recoverIvfPostings(spark, path, "postings")
     val live = new Path(path + "/postings")
     val staged = new Path(path + "/postings_compacting")
     val retired = new Path(path + "/postings_retired")
@@ -2060,10 +2321,39 @@ object Similarity {
       try spark.read.parquet(live.toString).limit(1).count() >= 0
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!hasFiles) return
-    spark.read.parquet(live.toString)
-      .repartition(col("cell"))
+    def listDataFiles(dir: Path): Set[String] = {
+      val out = scala.collection.mutable.Set[String]()
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          out += f.getPath.toUri.getPath
+      }
+      out.toSet
+    }
+    val input = spark.read.parquet(live.toString)
+    // the exact file set this compaction will fold in — compared against
+    // a fresh listing immediately before the retire-rename, so an append
+    // landing DURING the compaction (a single-writer-contract violation)
+    // aborts the swap with the live set intact instead of silently
+    // deleting the concurrent append's postings with the retired dir
+    val inputFiles = input.inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    input.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(staged.toString)
+    afterStage()
+    val liveNow = listDataFiles(live)
+    if (liveNow != inputFiles) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"compactIvfIndex: the live posting set at $live changed while " +
+          s"compacting (${inputFiles.size} files read, ${liveNow.size} " +
+          "now present) — a concurrent append violated the single-writer " +
+          "contract; the swap was aborted with the live postings intact. " +
+          "Serialize appends and compaction against one index root.")
+    }
     require(fs.rename(live, retired),
       s"compactIvfIndex: could not retire $live")
     require(fs.rename(staged, live),

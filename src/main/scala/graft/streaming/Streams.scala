@@ -933,23 +933,80 @@ object Streams {
     * [[graft.ops.Similarity.hashSeeds]] / k-means and
     * [[graft.ops.Similarity.writeIvfIndex]]); empty postings (a fresh
     * index) probe as empty. At-least-once: a replayed batch re-appends
-    * its own pairs and postings, keyed by id. */
+    * its own pairs and postings, keyed by id — and because the pair
+    * probe EXCLUDES the batch's own ids from the postings side, a retry
+    * that runs after its first attempt's append landed still emits only
+    * cross-batch pairs (no self-pairs, no intra-batch pairs), keeping
+    * the cross-batch invariant under replay.
+    *
+    * Dense-cell protection: `maxPairsPerNew > 0` caps the emitted
+    * partners per new row (top-c by exact quantized cosine,
+    * [[graft.ops.Similarity.annNearDupPairs]]) and, when `dropsPath` is
+    * set, writes one exact accounting row per micro-batch
+    * ([[graft.ops.Similarity.annNearDupDropReport]] + batch_id) — the
+    * q279 no-silent-caps contract for the ANN path: without it one hot
+    * cell turns a micro-batch into an unbounded multi-million-pair emit
+    * with no observability. */
   def incrementalAnnDedupStream(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, pairsPath: String,
       checkpointPath: String, thresholdPpm: Long, nprobe: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxPairsPerNew: Int = 0, dropsPath: String = null): StreamingQuery =
     stream.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
+         batchId: Long) =>
           val spark = batch.sparkSession
           // readIvfIndex tolerates a fresh index (no posting files yet)
           val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
-          graft.ops.Similarity.annNearDupPairs(idx, batch.toDF(), idCol,
-            vecCol, thresholdPpm, nprobe)
+          val batchDf = batch.toDF()
+          val ownIds = batchDf.select(col(idCol).cast("long").as("id"))
+          graft.ops.Similarity.annNearDupPairs(idx, batchDf, idCol,
+            vecCol, thresholdPpm, nprobe, maxPairsPerNew,
+            excludeIds = ownIds)
             .write.mode("append").parquet(pairsPath)
+          if (maxPairsPerNew > 0 && dropsPath != null)
+            graft.ops.Similarity.annNearDupDropReport(idx, batchDf,
+              idCol, vecCol, thresholdPpm, maxPairsPerNew, nprobe,
+              excludeIds = ownIds)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(dropsPath)
+          graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
+            batchDf, idCol, vecCol)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
+  /** Streaming index maintenance — the "index the firehose" composition
+    * in one call: each micro-batch of new vectors is appended to the
+    * persisted IVF index at `indexPath` under its frozen centroids
+    * ([[graft.ops.Similarity.appendToIvfIndex]], parameters from the
+    * index's own meta), and after every `compactEvery`-th batch the
+    * postings are compacted back to one file per cell
+    * ([[graft.ops.Similarity.compactIvfIndex]]) so probe cost tracks
+    * bytes, not an ever-growing append-file count. The single-writer
+    * contract holds by construction: append and compaction run
+    * serialized inside the same foreachBatch, and micro-batches never
+    * overlap. Probe results after any number of batches equal a batch
+    * build over the union of the deltas (frozen quantizer ⇒
+    * batch-composition-invariant — pinned by StreamsSpec).
+    * At-least-once: a replayed batch re-appends its postings, keyed by
+    * id (dedup downstream on corpus_id if exact-once matters).
+    * `compactEvery <= 0` disables compaction. */
+  def indexMaintenanceStream(deltas: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpointPath: String,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    deltas.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val spark = batch.sparkSession
           graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
             batch.toDF(), idCol, vecCol)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Similarity.compactIvfIndex(spark, indexPath)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)

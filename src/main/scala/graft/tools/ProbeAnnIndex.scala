@@ -79,8 +79,9 @@ object ProbeAnnIndex {
       val (tBuild, _) = timeIt { Similarity.writeIvfIndex(idx2, path) }
       val filesAfterBuild = postingsFiles(path)
       val (tAppend, _) = timeIt {
+        // routing parameters come from the index's persisted meta
         Similarity.appendToIvfIndex(spark, path, synth(n, n + 10000L),
-          "vec_id", "embedding", twoLevelThreshold = 1)
+          "vec_id", "embedding")
       }
       val filesAfterAppend = postingsFiles(path)
       val queries = synth(0L, 16L)

@@ -159,8 +159,10 @@ class AnnIndexSpec extends SparkSuite {
     val path = tmpDir("twolevel")
     Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
       "embedding", seeds, "sid", "svec", twoLevelThreshold = 1), path)
+    // no explicit routing params: the meta written by writeIvfIndex
+    // must round-trip twoLevelThreshold = 1 into the append
     Similarity.appendToIvfIndex(spark, path, delta, "vec_id",
-      "embedding", twoLevelThreshold = 1)
+      "embedding")
     val appended = Similarity.readIvfIndex(spark, path).postings
       .select("cell", "corpus_id").collect()
       .map(r => (r.getInt(0), r.getLong(1))).sorted
@@ -329,5 +331,274 @@ class AnnIndexSpec extends SparkSuite {
       Similarity.readIvfIndex(spark, path), queries, "vec_id",
       "embedding", k = 5, nprobe = 3))
     assert(before === after)
+  }
+
+  test("index is self-describing: meta round-trips non-default params " +
+    "and a mismatched legacy append fails loudly") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("meta")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec", quantScale = 5000,
+      twoLevelThreshold = 1), path)
+    val back = Similarity.readIvfIndex(spark, path)
+    assert((back.quantScale, back.twoLevelThreshold) === (5000, 1))
+    // parameterless append must route under the persisted (5000, 1)
+    val delta = corpus.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, path, delta, "vec_id", "embedding")
+    val cells = Similarity.readIvfIndex(spark, path).postings
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 3L).foreach(i => assert(cells(i + 1000L) === cells(i),
+      s"delta row $i must land in its base row's cell"))
+    // a caller re-supplying DIFFERENT quantization must not silently
+    // corrupt assignment — loud failure instead
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, path, delta, "vec_id",
+        "embedding", quantScale = 10000, twoLevelThreshold = 1)
+    }
+    assert(ex.getMessage.contains("persisted meta"))
+  }
+
+  test("a file landing mid-compaction aborts the swap with the live " +
+    "set intact") {
+    import org.apache.spark.sql.SaveMode
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("concurrent")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val before = spark.read.parquet(path + "/postings")
+      .select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // the "concurrent appender": lands a delta between the staged
+    // rewrite and the swap — the single-writer-contract violation
+    val delta = corpus.where(col("vec_id") < 2)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val ex = intercept[IllegalStateException] {
+      Similarity.compactIvfIndexHooked(spark, path, () =>
+        Similarity.appendToIvfIndex(spark, path, delta, "vec_id",
+          "embedding"))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // live postings intact: the original set PLUS the concurrent
+    // append — nothing deleted, nothing swapped
+    val after = spark.read.parquet(path + "/postings")
+      .select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(after.size === before.size + 2)
+    assert(before.subsetOf(after))
+    assert(!new java.io.File(path + "/postings_compacting").exists)
+    // the root is still healthy: a retried compaction (no interference)
+    // succeeds and preserves the full set
+    Similarity.compactIvfIndex(spark, path)
+    val compacted = spark.read.parquet(path + "/postings")
+      .select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(compacted === after)
+  }
+
+  test("mid-swap crash recovery: a retired-only root restores instead " +
+    "of serving an empty index; a broken root fails loudly") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("crash")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val full = spark.read.parquet(path + "/postings").count()
+    // simulate a crash between rename(live→retired) and
+    // rename(staged→live): live gone, retired holds the only copy
+    val live = new java.io.File(path + "/postings")
+    val retired = new java.io.File(path + "/postings_retired")
+    val staged = new java.io.File(path + "/postings_compacting")
+    assert(live.renameTo(retired))
+    staged.mkdirs() // a partial stage may or may not exist; both legal
+    val recovered = Similarity.readIvfIndex(spark, path)
+    assert(recovered.postings.count() === full)
+    assert(live.exists && !retired.exists && !staged.exists)
+    // a compaction started on the crashed root must also recover, not
+    // blind-delete the retired copy
+    assert(live.renameTo(retired))
+    Similarity.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(path + "/postings").count() === full)
+    // broken root (live AND retired both gone, stage leftover) must
+    // fail loudly, never read back as an empty index
+    val path2 = tmpDir("broken")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path2)
+    val live2 = new java.io.File(path2 + "/postings")
+    def rmr(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmr)
+      f.delete(); ()
+    }
+    rmr(live2)
+    new java.io.File(path2 + "/postings_compacting").mkdirs()
+    val ex = intercept[IllegalStateException] {
+      Similarity.readIvfIndex(spark, path2)
+    }
+    assert(ex.getMessage.contains("refusing to serve"))
+  }
+
+  test("quantization is float32-consistent: double-precision seeds " +
+    "route build and append identically") {
+    import spark.implicits._
+    // seed0 differs from seed1 ONLY by a component that rounds to 1 when
+    // quantized from double (0.00005·10⁴ = 0.5 → 1) but to 0 when
+    // quantized from its float32 cast (≈0.49999998 → 0): quantizing the
+    // build table from raw doubles while append/probe re-quantize the
+    // persisted float32 centroids would flip this corpus row's argmax
+    val seeds = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.00005)),
+      (1, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("sid", "svec")
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Seq(0.5f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val path = tmpDir("floatseeds")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(rows, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val delta = rows.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    Similarity.appendToIvfIndex(spark, path, delta, "vec_id", "embedding")
+    val cells = Similarity.readIvfIndex(spark, path).postings
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 2L).foreach(i => assert(cells(i + 100L) === cells(i),
+      s"build and append disagree on row $i's cell"))
+  }
+
+  test("annNearDupPairs: exact decision survives the large-dotq domain " +
+    "and the cap keeps the top-c by quantized cosine with exact drops") {
+    import spark.implicits._
+    // dotq = 8·10¹⁴ for the identical pair: the naive dotq²·10¹²
+    // comparison (≈6.4·10⁴¹) overflows decimal(38,0); the split
+    // evaluation must still decide it exactly
+    val big = Seq.fill(8)(1000f)
+    val bigOff = Seq(1000f, 1000f, 1000f, 1000f, 1000f, 1000f, 1000f,
+      -1000f) // cosine 0.75 vs big
+    val base = Seq((10L, big), (11L, bigOff)).toDF("vec_id", "embedding")
+    val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 1)
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    val newRows = Seq((1L, big)).toDF("vec_id", "embedding")
+    val pairs = Similarity.annNearDupPairs(idx, newRows, "vec_id",
+      "embedding", thresholdPpm = 990000L, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 10L)),
+      "identical large-magnitude pair must survive; cosine-0.75 must not")
+    // cap + accounting: 4 partners above τ=0.5, keep top-2 by
+    // dotq² div nb2 (monotone in cosine here), exact drop counts
+    val graded = Seq(
+      (20L, Seq(1000f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (21L, Seq(1000f, 100f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (22L, Seq(1000f, 200f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (23L, Seq(1000f, 300f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val gseeds = Similarity.hashSeeds(graded, "vec_id", "embedding", 1)
+    val gidx = Similarity.buildIvfIndex(graded, "vec_id", "embedding",
+      gseeds, "sid", "svec")
+    val q = Seq((2L, Seq(1000f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.annNearDupPairs(gidx, q, "vec_id",
+      "embedding", thresholdPpm = 500000L, nprobe = 1,
+      maxPairsPerNew = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((2L, 20L), (2L, 21L)),
+      "cap must keep the two highest-cosine partners")
+    val rep = Similarity.annNearDupDropReport(gidx, q, "vec_id",
+      "embedding", thresholdPpm = 500000L, maxPairsPerNew = 2,
+      nprobe = 1).collect().head
+    assert(rep.getAs[Long]("n_new_rows_paired") === 1L)
+    assert(rep.getAs[Long]("n_pairs") === 4L)
+    assert(rep.getAs[Long]("n_pairs_kept") === 2L)
+    assert(rep.getAs[Long]("n_pairs_dropped") === 2L)
+    assert(rep.getAs[Long]("dropped_pair_share_ppm") === 500000L)
+    // retry-safety hook: excluding the batch's own ids removes
+    // self/intra-batch pairs a replayed append would otherwise create
+    val replayIdx = Similarity.readIvfIndex(spark, {
+      val p = tmpDir("replay")
+      Similarity.writeIvfIndex(gidx, p)
+      Similarity.appendToIvfIndex(spark, p, q, "vec_id", "embedding")
+      p
+    })
+    val replayPairs = Similarity.annNearDupPairs(replayIdx, q, "vec_id",
+      "embedding", thresholdPpm = 500000L, nprobe = 1,
+      excludeIds = q.select("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayPairs === Set((2L, 20L), (2L, 21L), (2L, 22L),
+      (2L, 23L)), "replay must emit cross-batch pairs only, no self-pair")
+  }
+
+  test("ivfRecallAudit: probing every cell recovers brute-force truth " +
+    "exactly; recall is monotone in nprobe") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("recall")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val idx = Similarity.readIvfIndex(spark, path)
+    val queries = corpus.where(col("vec_id") < 4)
+    val audit = Similarity.ivfRecallAudit(idx, corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 5,
+      nprobes = Seq(1, 2, 8))
+      .collect().map(r => r.getAs[Int]("nprobe") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_probe_rows"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(audit.keySet === Set(1, 2, 8))
+    // nprobe = all cells ⇒ the probe IS brute force (same tie rule)
+    assert(audit(8) === ((20L, 20L, 20L, 1000000L)))
+    assert(audit(1)._4 <= audit(2)._4 && audit(2)._4 <= audit(8)._4,
+      s"recall must be monotone in nprobe: $audit")
+    audit.values.foreach { case (t, _, _, _) => assert(t === 20L) }
+  }
+
+  test("indexMaintenanceStream: append+compact per micro-batch cadence " +
+    "equals a batch build over the union, one file per cell after " +
+    "compaction") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val root = tmpDir("maint")
+    val (in, idxp, chk) = (s"$root/in", s"$root/index", s"$root/chk")
+    // pre-trained quantizer, empty postings — the firehose starts cold
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      corpus.where(lit(false)), "vec_id", "embedding", seeds, "sid",
+      "svec"), idxp)
+    // four single-file micro-batches covering the whole corpus
+    (0 until 4).foreach { m =>
+      corpus.where(pmod(col("vec_id"), lit(4)) === m)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.Streams.indexMaintenanceStream(stream, "vec_id",
+      "embedding", idxp, chk, compactEvery = 2).awaitTermination()
+    // contents: exactly a batch build over the union
+    val streamed = Similarity.readIvfIndex(spark, idxp).postings
+      .select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    val batchIdx = Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec")
+    val direct = batchIdx.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(streamed === direct)
+    // probes served from the maintained index match the batch index
+    val queries = corpus.where(col("vec_id") < 3)
+    val a = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, idxp), queries, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    val b = probeRows(Similarity.probeIvfIndex(batchIdx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    assert(a === b)
+    // compaction ran after batch 4 (batchId 3): every cell is one file
+    val cellDirs = new java.io.File(idxp + "/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"${d.getName} has $files files after compact")
+    }
   }
 }
