@@ -3574,6 +3574,125 @@ object SparkEntry {
       Similarity.ivfIndexStats(Similarity.readIvfIndex(s, path))
     }),
 
+    // Capped ANN dedup — the q279 no-silent-caps parity for the ANN
+    // path: q289's pair universe shape (evens indexed, odds the new
+    // batch, 4 probe cells) at τ=0.2 — dense enough that the cap
+    // actually drops pairs at the gate scales — with each new row
+    // keeping at most its top-2 partners by the exact integer cosine
+    // key dotq² div ‖b‖² (same id_new ⇒ same ‖q‖², so the key orders
+    // like cosine² up to the floor; ties → lower id_existing). The
+    // oracle replays the cap with HUGEINT floor-division + row_number,
+    // so a wrong key, tie rule, or cap boundary hash-mismatches.
+    "q292_ann_dedup_capped" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val evens = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val idx = Similarity.buildIvfIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec")
+      Similarity.annNearDupPairs(idx, odds, "vec_id", "embedding",
+        thresholdPpm = 200000L, nprobe = 4, maxPairsPerNew = 2)
+        .select(col("id_new").cast("long").as("id_new"),
+          col("id_existing").cast("long").as("id_existing"))
+    }),
+
+    // The cap's exact accounting row (annNearDupDropReport): how many
+    // pairs the τ=0.2 threshold admitted, how many the top-2 cap kept,
+    // how many it dropped, and the exact floor-ppm drop share — the
+    // side output that makes a dense-cell emit measurable instead of
+    // invisible. Integer arithmetic end to end; the oracle recomputes
+    // every count from the raw table.
+    "q293_ann_dedup_drop_report" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val evens = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val idx = Similarity.buildIvfIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec")
+      Similarity.annNearDupDropReport(idx, odds, "vec_id", "embedding",
+        thresholdPpm = 200000L, maxPairsPerNew = 2, nprobe = 4)
+        .select(col("n_new_rows_paired").cast("long")
+            .as("n_new_rows_paired"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          col("n_pairs_kept").cast("long").as("n_pairs_kept"),
+          col("n_pairs_dropped").cast("long").as("n_pairs_dropped"),
+          col("dropped_pair_share_ppm").cast("long")
+            .as("dropped_pair_share_ppm"))
+    }),
+
+    // End-to-end recall audit of the PERSISTED index (the q217/q182
+    // QA parity for the index lifecycle): probeIvfIndex's top-10 over
+    // the first 8 queries, per probe budget nprobe ∈ {1,2,4,32},
+    // against bruteForceTopK ground truth — exact floor-ppm recall so
+    // an operator can pick the smallest nprobe that clears the bar.
+    // nprobe=32 probes every cell, so its row must recover truth
+    // exactly (recall_ppm = 10⁶) — a built-in self-check the oracle
+    // also replays.
+    "q294_ann_index_recall_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfrecall", dir)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec"), path)
+      Similarity.ivfRecallAudit(Similarity.readIvfIndex(s, path),
+        e, "vec_id", "embedding", e.where(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nprobes = Seq(1, 2, 4, 32))
+        .select(col("nprobe").cast("int").as("nprobe"),
+          col("n_truth").cast("long").as("n_truth"),
+          col("n_probe_rows").cast("long").as("n_probe_rows"),
+          col("n_hits").cast("long").as("n_hits"),
+          col("recall_ppm").cast("long").as("recall_ppm"))
+    }),
+
+    // STREAMING INDEX MAINTENANCE — the "index the firehose"
+    // composition in one call: a pre-trained empty index (full-corpus
+    // hash seeds), the corpus arriving as four micro-batches
+    // (vec_id mod 4), each appended under the frozen centroids and the
+    // postings compacted every second batch. The output is the final
+    // per-cell posting stats: the oracle recomputes them from a
+    // from-scratch assignment of ALL valid rows, so a posting lost or
+    // duplicated anywhere in the append+compact cadence — including a
+    // compaction swap racing the next batch — hash-mismatches.
+    "q295_stream_index_maintenance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("annmaint", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, idxp, chk) = (s"$root/in", s"$root/index", s"$root/chk")
+      Seq(in, chk).foreach(p => rmr(new java.io.File(p)))
+      // centroids only — writeIvfIndex(overwrite) also clears any
+      // postings a previous run appended
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        e.where(lit(false)), "vec_id", "embedding", seeds, "sid", "svec"),
+        idxp)
+      val qset = e
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      (0 until 4).foreach { m =>
+        qset.where(pmod(col("vec_id"), lit(4)) === m)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.indexMaintenanceStream(stream, "vec_id",
+        "embedding", idxp, chk, compactEvery = 2)
+        .awaitTermination()
+      Similarity.ivfIndexStats(Similarity.readIvfIndex(s, idxp))
+    }),
+
     "q262_stickiness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val day = graft.ops.Sessions.slidingDistinct(ev, "ts", "user_id",
@@ -6781,6 +6900,235 @@ object SparkEntry {
                  || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
                - 1 AS cell
            FROM qd WHERE vec_id % 7 <> 0
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         per AS (
+           SELECT cell, count(*) AS n_postings FROM cellof GROUP BY cell)
+         SELECT CAST(cell AS INT) AS cell,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(n_postings * 1000000 //
+             (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
+         FROM per""",
+    // q292: q289's pair replay at τ=0.2 + the cap — rank surviving
+    // pairs per id_new by the exact integer key (dotq²//nb2, HUGEINT
+    // floor-div; ties → lower id_existing), keep rn <= 2.
+    "q292_ann_dedup_capped" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing),
+         kept AS (
+           SELECT id_new, id_existing,
+             row_number() OVER (PARTITION BY id_new ORDER BY
+               (CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT))
+                 // CAST(nb2 AS HUGEINT) DESC,
+               id_existing ASC) AS rn
+           FROM vals
+           WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+             AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+               * CAST(1000000000000 AS HUGEINT)
+               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
+                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT))
+         SELECT CAST(id_new AS BIGINT) AS id_new,
+           CAST(id_existing AS BIGINT) AS id_existing
+         FROM kept WHERE rn <= 2""",
+    // q293: the cap's accounting — per-id_new admitted-pair counts,
+    // folded to one exact row (kept = min(n,2), dropped = max(n-2,0),
+    // share = floor ppm).
+    "q293_ann_dedup_drop_report" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing),
+         counted AS (
+           SELECT id_new, count(*) AS n
+           FROM vals
+           WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+             AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+               * CAST(1000000000000 AS HUGEINT)
+               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
+                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
+           GROUP BY id_new)
+         SELECT CAST(count(*) AS BIGINT) AS n_new_rows_paired,
+           CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(sum(least(n, 2)), 0) AS BIGINT) AS n_pairs_kept,
+           CAST(COALESCE(sum(greatest(n - 2, 0)), 0) AS BIGINT)
+             AS n_pairs_dropped,
+           CAST(CASE WHEN COALESCE(sum(n), 0) > 0
+             THEN COALESCE(sum(greatest(n - 2, 0)), 0) * 1000000
+               // COALESCE(sum(n), 0)
+             ELSE 0 END AS BIGINT) AS dropped_pair_share_ppm
+         FROM counted""",
+    // q294: the recall audit replayed — brute-force cosine top-10
+    // truth over the valid corpus for queries vec_id < 8, the probe
+    // top-10 per nprobe ∈ {1,2,4,32} (same cell ranking as q286/q287),
+    // overlap counted, exact floor-ppm recall. nprobe=32 probes every
+    // cell, so its row must equal truth exactly.
+    "q294_ann_index_recall_audit" ->
+      """WITH qd AS (
+           SELECT vec_id, embedding, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         truth AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+           FROM qd q JOIN qd c ON q.vec_id < 8
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_cosine_similarity(c.embedding, q.embedding) DESC,
+             c.vec_id ASC) <= 10),
+         pr AS (
+           SELECT np.np AS nprobe, sc.vec_id AS query_id, sc.cell
+           FROM (VALUES (1), (2), (4), (32)) np(np)
+           JOIN scored_cells sc ON sc.rk <= np.np AND sc.vec_id < 8),
+         cand AS (
+           SELECT pr.nprobe, pr.query_id, co.vec_id AS corpus_id
+           FROM pr JOIN cellof co ON co.cell = pr.cell),
+         probed AS (
+           SELECT nprobe, query_id, corpus_id FROM (
+             SELECT cand.nprobe, cand.query_id, cand.corpus_id,
+               row_number() OVER (PARTITION BY cand.nprobe, cand.query_id
+                 ORDER BY
+                   list_cosine_similarity(c.embedding, q.embedding) DESC,
+                   cand.corpus_id ASC) AS rank
+             FROM cand
+             JOIN qd q ON q.vec_id = cand.query_id
+             JOIN qd c ON c.vec_id = cand.corpus_id)
+           WHERE rank <= 10),
+         hits AS (
+           SELECT p.nprobe, count(*) AS n_probe_rows,
+             COALESCE(sum(CASE WHEN t.corpus_id IS NOT NULL
+               THEN 1 ELSE 0 END), 0) AS n_hits
+           FROM probed p
+           LEFT JOIN truth t ON t.query_id = p.query_id
+             AND t.corpus_id = p.corpus_id
+           GROUP BY p.nprobe),
+         tot AS (SELECT count(*) AS n_truth FROM truth)
+         SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_probe_rows AS BIGINT) AS n_probe_rows,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_truth > 0
+             THEN n_hits * 1000000 // n_truth ELSE 0 END AS BIGINT)
+             AS recall_ppm
+         FROM hits, tot""",
+    // q295: the maintained index's per-cell stats == a from-scratch
+    // assignment of ALL valid rows under the full-corpus seeds — a
+    // posting lost or duplicated anywhere in the append+compact
+    // cadence changes a count.
+    "q295_stream_index_maintenance" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
            QUALIFY cell < 32),
          cents AS (
            SELECT cell, cv,
