@@ -158,6 +158,15 @@ object Bench {
     // committed — the local-mode noise band is ~±2s total, well under 2x on
     // any query that matters). A regression thus surfaces in the round's
     // BENCH output instead of hiding inside a stable-looking total.
+    //
+    // REFRESH POLICY (r15, VERDICT r14 #7): any query whose SOURCE changed
+    // in a round gets its baseline re-recorded from a fresh-JVM
+    // `graft.tools.ProbeQuery` steady-state minimum, NOT from shared-run
+    // slots — shared slots both under-state (warm-JIT luck: the pre-r15
+    // q97 best of 2.08 vs 3.0 isolated) and over-state (scheduler
+    // pressure: q161's 2.715 vs 1.9 isolated) the honest number, and
+    // either error makes the guard mis-flag for rounds afterward.
+    // Unchanged queries keep their committed best-ever.
     val baseline: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
