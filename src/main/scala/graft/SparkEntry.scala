@@ -3574,6 +3574,33 @@ object SparkEntry {
       Similarity.ivfIndexStats(Similarity.readIvfIndex(s, path))
     }),
 
+    // PQ-index maintenance pass (the q288 sibling for the codes-at-rest
+    // layout): build on the base slice, append the delta (a second file
+    // set per touched cell), COMPACT the codes to one file per cell
+    // (same staged two-rename swap + crash recovery + concurrent-append
+    // defense as the postings compactor), then report per-cell code
+    // counts + exact ppm share. The oracle recomputes the counts from a
+    // from-scratch coarse assignment of ALL valid rows under the
+    // base-drawn seeds, so a code row lost or duplicated by the swap
+    // hash-mismatches.
+    "q296_ann_pq_compact_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val base = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfpqcompact", dir)
+      val idx = Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+        seeds, "sid", "svec",
+        codebookIds = Seq(16L, 17L, 18L, 19L, 20L, 22L, 23L, 24L),
+        inDims = 64, nSub = 8)
+      Similarity.writeIvfPqIndex(idx, path)
+      graft.Lineage.retireDependents(idx.codes)
+      Similarity.appendToIvfPqIndex(s, path, delta, "vec_id", "embedding")
+      Similarity.compactIvfPqIndex(s, path)
+      Similarity.ivfPqIndexStats(Similarity.readIvfPqIndex(s, path))
+    }),
+
     // Capped ANN dedup — the q279 no-silent-caps parity for the ANN
     // path: q289's pair universe shape (evens indexed, odds the new
     // batch, 4 probe cells) at τ=0.2 — dense enough that the cap
@@ -6888,6 +6915,41 @@ object SparkEntry {
     // under the base-drawn seeds — any posting lost or duplicated by
     // the compaction swap changes a count.
     "q288_ann_index_compact_stats" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd WHERE vec_id % 7 <> 0
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         per AS (
+           SELECT cell, count(*) AS n_postings FROM cellof GROUP BY cell)
+         SELECT CAST(cell AS INT) AS cell,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(n_postings * 1000000 //
+             (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
+         FROM per""",
+    // q296: per-cell code counts after the PQ append+compact pass ==
+    // per-cell counts of a from-scratch assignment of ALL valid rows
+    // under the base-drawn seeds (the q288 rule on the codes frame).
+    "q296_ann_pq_compact_stats" ->
       """WITH qd AS (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

@@ -2135,11 +2135,24 @@ object Similarity {
     * fresh indexes read back with empty codes). */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndexFrames = {
+    recoverIvfPostings(spark, path, "codes")
     val meta = spark.read.parquet(path + "/meta").collect().head
     val codes =
       try spark.read.parquet(path + "/codes")
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException =>
+          // same contract as readIvfIndex: only a provably fresh index
+          // (no compaction siblings left after recovery) reads empty
+          import org.apache.hadoop.fs.Path
+          val staged = new Path(path + "/codes_compacting")
+          val retired = new Path(path + "/codes_retired")
+          val fs = staged.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(staged) || fs.exists(retired))
+            throw new IllegalStateException(
+              s"readIvfPqIndex: $path has no live codes but leftover " +
+                "compaction state survived recovery — refusing to serve " +
+                "an empty index", e)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
@@ -2164,6 +2177,8 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
       twoLevelThreshold: Int = 4096): Unit = {
+    // readIvfPqIndex runs the half-swapped-root recovery, so the append
+    // can never recreate a codes dir holding only this delta
     val idx = readIvfPqIndex(spark, path)
     val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell",
       "cvec", idx.quantScale)
@@ -2233,8 +2248,16 @@ object Similarity {
     * every probe that touches it a scan. One groupBy(cell) with map-side
     * partial aggregation plus a broadcast single-row total; share_ppm is
     * exact integer arithmetic (oracle-portable). */
-  def ivfIndexStats(idx: IvfIndexFrames): DataFrame = {
-    val per = idx.postings.groupBy(col("cell"))
+  def ivfIndexStats(idx: IvfIndexFrames): DataFrame =
+    cellShareStats(idx.postings)
+
+  /** [[ivfIndexStats]] for a PQ index — per-cell CODE counts + exact ppm
+    * share (coarse assignment is what skews; the PQ codes just ride it). */
+  def ivfPqIndexStats(idx: IvfPqIndexFrames): DataFrame =
+    cellShareStats(idx.codes)
+
+  private def cellShareStats(rows: DataFrame): DataFrame = {
+    val per = rows.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_postings"))
     val tot = per.agg(sum(col("n_postings")).as("n_total"))
     per.crossJoin(broadcast(tot))
@@ -2297,22 +2320,31 @@ object Similarity {
     * swap leaves the live postings untouched. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
-    compactIvfIndexHooked(spark, path, () => ())
+    compactCellDirHooked(spark, path, "postings", () => ())
 
-  /** [[compactIvfIndex]] with a test seam: `afterStage` runs after the
+  /** Compact a persisted PQ index's `codes` to ONE file per cell — the
+    * same maintenance [[compactIvfIndex]] gives the raw-vector index:
+    * [[appendToIvfPqIndex]] adds a file set per delta, and probe cost
+    * at scale tracks files opened. Same staged two-rename swap, crash
+    * recovery, and concurrent-append defense; single-writer contract. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactCellDirHooked(spark, path, "codes", () => ())
+
+  /** The compaction kernel with a test seam: `afterStage` runs after the
     * staged rewrite completes, just before the defensive live-set
     * re-check — the window a concurrent append would land in. */
-  private[ops] def compactIvfIndexHooked(
+  private[ops] def compactCellDirHooked(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, afterStage: () => Unit): Unit = {
+      path: String, dirName: String, afterStage: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     // restore a half-swapped root FIRST — the blind delete of a leftover
-    // `postings_retired` would otherwise destroy the only full copy
+    // `<dir>_retired` would otherwise destroy the only full copy
     // after a mid-swap crash
-    recoverIvfPostings(spark, path, "postings")
-    val live = new Path(path + "/postings")
-    val staged = new Path(path + "/postings_compacting")
-    val retired = new Path(path + "/postings_retired")
+    recoverIvfPostings(spark, path, dirName)
+    val live = new Path(path + "/" + dirName)
+    val staged = new Path(path + "/" + dirName + "_compacting")
+    val retired = new Path(path + "/" + dirName + "_retired")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staged, true)
     fs.delete(retired, true)
@@ -2348,16 +2380,16 @@ object Similarity {
     if (liveNow != inputFiles) {
       fs.delete(staged, true)
       throw new IllegalStateException(
-        s"compactIvfIndex: the live posting set at $live changed while " +
+        s"compactCellDir: the live file set at $live changed while " +
           s"compacting (${inputFiles.size} files read, ${liveNow.size} " +
           "now present) — a concurrent append violated the single-writer " +
           "contract; the swap was aborted with the live postings intact. " +
           "Serialize appends and compaction against one index root.")
     }
     require(fs.rename(live, retired),
-      s"compactIvfIndex: could not retire $live")
+      s"compactCellDir: could not retire $live")
     require(fs.rename(staged, live),
-      s"compactIvfIndex: could not activate $staged")
+      s"compactCellDir: could not activate $staged")
     fs.delete(retired, true)
     ()
   }

@@ -18,6 +18,9 @@ class PlanLintSpec extends SparkSuite {
     "q48_mixing_plan", "q50_temperature_mixing", // corpus totals row
     "q51_apply_mixture", // rates frame (one row per source)
     "q288_ann_index_compact_stats", // postings-total row (share_ppm)
+    "q295_stream_index_maintenance", // postings-total row (share_ppm)
+    "q296_ann_pq_compact_stats", // codes-total row (share_ppm)
+    "q294_ann_index_recall_audit", // one-row truth-count frame
     "q55_prototypicality", // centroid list (k cells)
     "q49_semantic_dedup", // centroid TABLE broadcast (k rows by
                           // contract; within-cell pairs are capped —

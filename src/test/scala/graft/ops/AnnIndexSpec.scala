@@ -375,7 +375,7 @@ class AnnIndexSpec extends SparkSuite {
     val delta = corpus.where(col("vec_id") < 2)
       .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
     val ex = intercept[IllegalStateException] {
-      Similarity.compactIvfIndexHooked(spark, path, () =>
+      Similarity.compactCellDirHooked(spark, path, "postings", () =>
         Similarity.appendToIvfIndex(spark, path, delta, "vec_id",
           "embedding"))
     }
@@ -526,6 +526,57 @@ class AnnIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayPairs === Set((2L, 20L), (2L, 21L), (2L, 22L),
       (2L, 23L)), "replay must emit cross-batch pairs only, no self-pair")
+  }
+
+  test("PQ compaction collapses each cell's codes to one file and " +
+    "changes neither codes nor probe results; crash recovery restores " +
+    "a half-swapped codes dir") {
+    val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+    val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 4)
+    val path = tmpDir("pqcompact")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(base, "vec_id",
+      "embedding", seeds, "sid", "svec", codebookIds = Seq(1L, 2L, 3L, 4L),
+      inDims = dims, nSub = 2), path)
+    Similarity.appendToIvfPqIndex(spark, path, delta, "vec_id",
+      "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    def pqProbe() = Similarity.probeIvfPqIndex(
+      Similarity.readIvfPqIndex(spark, path), queries, "vec_id",
+      "embedding", k = 5, nprobe = 2)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    val codesBefore = spark.read.parquet(path + "/codes")
+      .select("cell", "corpus_id", "codes").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .sortBy(t => (t._1, t._2))
+    val probeBefore = pqProbe()
+    Similarity.compactIvfPqIndex(spark, path)
+    val cellDirs = new java.io.File(path + "/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName} has $n files after compaction")
+    }
+    val codesAfter = spark.read.parquet(path + "/codes")
+      .select("cell", "corpus_id", "codes").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .sortBy(t => (t._1, t._2))
+    assert(codesBefore === codesAfter)
+    assert(probeBefore === pqProbe())
+    // stats read the same counts the raw assignment gives
+    val stats = Similarity.ivfPqIndexStats(
+      Similarity.readIvfPqIndex(spark, path))
+      .agg(sum(col("n_postings"))).collect().head.getLong(0)
+    assert(stats === 200L)
+    // mid-swap crash on the codes dir recovers on the next read
+    val live = new java.io.File(path + "/codes")
+    val retired = new java.io.File(path + "/codes_retired")
+    assert(live.renameTo(retired))
+    assert(Similarity.readIvfPqIndex(spark, path).codes.count() === 200L)
+    assert(live.exists && !retired.exists)
   }
 
   test("ivfRecallAudit: probing every cell recovers brute-force truth " +
