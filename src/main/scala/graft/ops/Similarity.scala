@@ -1628,15 +1628,42 @@ object Similarity {
       .parquet(path + "/postings")
   }
 
+  /** The single meta row read DRIVER-SIDE (plain parquet-hadoop, no
+    * Spark job): the file is a few hundred bytes and every lifecycle
+    * step (read/append/probe) consults it — as Spark jobs those reads
+    * added ~0.3 s of pure scheduler overhead each at any scale. None
+    * when the directory has no data file (a pre-meta index). */
+  private def readMetaRow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fields: Seq[String]): Option[Seq[Int]] = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return None
+    fs.listStatus(d).map(_.getPath)
+      .find { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+          new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+          .withConf(spark.sparkContext.hadoopConfiguration).build()
+        try {
+          val g = rd.read()
+          require(g != null, s"readMetaRow: empty meta file $f")
+          fields.map(n => g.getInteger(n, 0))
+        } finally rd.close()
+      }
+  }
+
   /** The persisted (quantScale, twoLevelThreshold) of the index at
     * `path`; defaults for a pre-meta index. */
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) =
-    try {
-      val m = spark.read.parquet(path + "/meta").collect().head
-      (m.getAs[Int]("quant_scale"), m.getAs[Int]("two_level_threshold"))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => (10000, 4096)
+    readMetaRow(spark, path + "/meta",
+      Seq("quant_scale", "two_level_threshold")) match {
+      case Some(Seq(qs, tlt)) => (qs, tlt)
+      case _ => (10000, 4096)
     }
 
   /** Crash recovery for the compaction swap: a crash between
@@ -1742,17 +1769,15 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
       quantScale: Int, twoLevelThreshold: Int): Unit = {
-    try {
-      val m = spark.read.parquet(path + "/meta").collect().head
-      val (mqs, mtlt) = (m.getAs[Int]("quant_scale"),
-        m.getAs[Int]("two_level_threshold"))
-      require(quantScale == mqs && twoLevelThreshold == mtlt,
-        s"appendToIvfIndex: supplied (quantScale=$quantScale, " +
-          s"twoLevelThreshold=$twoLevelThreshold) contradict the " +
-          s"index's persisted meta ($mqs, $mtlt) at $path — an append " +
-          "under different quantization would corrupt cell assignment")
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => () // pre-meta index
+    readMetaRow(spark, path + "/meta",
+      Seq("quant_scale", "two_level_threshold")) match {
+      case Some(Seq(mqs, mtlt)) =>
+        require(quantScale == mqs && twoLevelThreshold == mtlt,
+          s"appendToIvfIndex: supplied (quantScale=$quantScale, " +
+            s"twoLevelThreshold=$twoLevelThreshold) contradict the " +
+            s"index's persisted meta ($mqs, $mtlt) at $path — an append " +
+            "under different quantization would corrupt cell assignment")
+      case _ => () // pre-meta index
     }
     appendToIvfIndexImpl(spark, path, delta, idCol, vecCol, quantScale,
       twoLevelThreshold)
@@ -2136,7 +2161,11 @@ object Similarity {
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndexFrames = {
     recoverIvfPostings(spark, path, "codes")
-    val meta = spark.read.parquet(path + "/meta").collect().head
+    val Seq(metaInDims, metaNSub, metaQs) =
+      readMetaRow(spark, path + "/meta",
+        Seq("in_dims", "n_sub", "quant_scale"))
+        .getOrElse(throw new IllegalStateException(
+          s"readIvfPqIndex: no meta row at $path — not a PQ index root"))
     val codes =
       try spark.read.parquet(path + "/codes")
       catch {
@@ -2166,8 +2195,7 @@ object Similarity {
       }
     IvfPqIndexFrames(spark.read.parquet(path + "/centroids"),
       spark.read.parquet(path + "/codebook"), codes,
-      meta.getAs[Int]("in_dims"), meta.getAs[Int]("n_sub"),
-      meta.getAs[Int]("quant_scale"))
+      metaInDims, metaNSub, metaQs)
   }
 
   /** Append a delta to a persisted PQ index without retraining: the
