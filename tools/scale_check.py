@@ -5,7 +5,7 @@ like check_oracle.py.
 Diffs a NEW sf1 bench run (graft.Bench JSON — the file at
 target/bench_last.json / SPARK_GRAFT_BENCH_OUT, or any JSON object with a
 "queries" map, possibly nested under "result") against the committed sf1
-baseline (BENCH_SF1_r13.json by default), applying the SAME rule as the
+baseline (BENCH_SF1_r15.json by default), applying the SAME rule as the
 sf0.1 driver detector: flag when new > max(2 * base, base + 1s). Queries
 absent from the baseline are reported as "new" (they become baseline on
 the next refresh), errors (value < 0) are always flagged.
@@ -32,7 +32,7 @@ def load_queries(path):
 
 def main():
     new_path = sys.argv[1]
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SF1_r13.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SF1_r15.json"
     new = load_queries(new_path)
     base = load_queries(base_path)
     regressions, errors, fresh = [], [], []
