@@ -1791,6 +1791,20 @@ object Similarity {
     // live dir may be MISSING — appending would recreate postings
     // containing only this delta)
     recoverIvfPostings(spark, path, "postings")
+    locally {
+      import org.apache.hadoop.fs.Path
+      val live = new Path(path + "/postings")
+      val staged = new Path(path + "/postings_compacting")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a root whose live dir is gone while compaction leftovers survived
+      // recovery is externally damaged — appending would silently rebuild
+      // postings holding only this delta
+      if (!fs.exists(live) && fs.exists(staged))
+        throw new IllegalStateException(
+          s"appendToIvfIndex: $path has no live postings but leftover " +
+            "compaction state survived recovery — refusing to rebuild " +
+            "the postings from a delta")
+    }
     val cents = spark.read.parquet(path + "/centroids")
     val (centTab, cnTab) = collectSeedTable(cents, "cell", "cvec",
       quantScale)

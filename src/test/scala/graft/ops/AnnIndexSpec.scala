@@ -579,6 +579,52 @@ class AnnIndexSpec extends SparkSuite {
     assert(live.exists && !retired.exists)
   }
 
+  test("incrementalAnnDedupStream: pair cap + exact per-batch drop " +
+    "accounting land in the drops sink") {
+    import spark.implicits._
+    val graded = Seq(
+      (20L, Seq(1000f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (21L, Seq(1000f, 100f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (22L, Seq(1000f, 200f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (23L, Seq(1000f, 300f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((2L, Seq(1000f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.hashSeeds(graded, "vec_id", "embedding", 1)
+    val root = tmpDir("dedupcap")
+    val (in, idxp, pairsP, dropsP, chk) = (s"$root/in", s"$root/index",
+      s"$root/pairs", s"$root/drops", s"$root/chk")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      graded.where(lit(false)), "vec_id", "embedding", seeds, "sid",
+      "svec"), idxp)
+    graded.coalesce(1).write.mode("overwrite").parquet(in)
+    q.coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.Streams.incrementalAnnDedupStream(stream, "vec_id",
+      "embedding", idxp, pairsP, chk, thresholdPpm = 500000L, nprobe = 1,
+      maxPairsPerNew = 2, dropsPath = dropsP).awaitTermination()
+    // batch 0 (the graded four) probed an empty index; batch 1 (the
+    // query) admitted all four partners, kept the top-2 by quantized
+    // cosine, dropped the other two — and the drops sink says exactly
+    // that, one accounting row per batch
+    val got = spark.read.parquet(pairsP).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 20L), (2L, 21L)))
+    val dr = spark.read.parquet(dropsP)
+      .select("batch_id", "n_pairs", "n_pairs_kept", "n_pairs_dropped",
+        "dropped_pair_share_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(dr === Set((0L, 0L, 0L, 0L, 0L), (1L, 4L, 2L, 2L, 500000L)))
+  }
+
   test("ivfRecallAudit: probing every cell recovers brute-force truth " +
     "exactly; recall is monotone in nprobe") {
     val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
