@@ -3601,6 +3601,82 @@ object SparkEntry {
       Similarity.ivfPqIndexStats(Similarity.readIvfPqIndex(s, path))
     }),
 
+    // STREAMING PQ-INDEX MAINTENANCE (the q295 sibling for the
+    // codes-at-rest layout): PQ index built on the base slice, the
+    // delta slice arriving as two micro-batches — each PQ-encoded and
+    // appended under the FROZEN quantizer and codebook, codes compacted
+    // after every batch. Output = final per-cell code stats; the oracle
+    // recomputes them from a from-scratch coarse assignment of ALL
+    // valid rows under the base-drawn seeds, so an encode or compaction
+    // losing/duplicating a code row hash-mismatches.
+    "q297_stream_pq_maintenance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val base = e.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val delta = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      val seeds = Similarity.hashSeeds(base, "vec_id", "embedding", 32)
+      val root = scratchDir("pqmaint", dir)
+      def rmr(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmr)
+        f.delete(); ()
+      }
+      val (in, idxp, chk) = (s"$root/in", s"$root/index", s"$root/chk")
+      Seq(in, chk).foreach(p => rmr(new java.io.File(p)))
+      val idx = Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+        seeds, "sid", "svec",
+        codebookIds = Seq(16L, 17L, 18L, 19L, 20L, 22L, 23L, 24L),
+        inDims = 64, nSub = 8)
+      Similarity.writeIvfPqIndex(idx, root + "/index")
+      graft.Lineage.retireDependents(idx.codes)
+      val dset = delta
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      (0 until 2).foreach { m =>
+        dset.where(pmod(expr("vec_id div 7"), lit(2)) === m)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.pqIndexMaintenanceStream(stream, "vec_id",
+        "embedding", idxp, chk, compactEvery = 1)
+        .awaitTermination()
+      Similarity.ivfPqIndexStats(Similarity.readIvfPqIndex(s, idxp))
+    }),
+
+    // Serving-pair recall audit for the COMPRESSED index (the q294
+    // sibling the PQ deployment actually needs): per probe budget, the
+    // ADC probe nominates a wide top-30 from the persisted codes, the
+    // exact rerank keeps the true top-10, and the result is scored
+    // against brute-force truth — so the ppm prices coarse routing + PQ
+    // distortion + the rerank window together. nprobe=32 isolates pure
+    // PQ/rerank loss (no routing loss).
+    "q298_ann_pq_recall_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("pqrecall", dir)
+      val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+        seeds, "sid", "svec", codebookIds = 16L to 23L,
+        inDims = 64, nSub = 8)
+      Similarity.writeIvfPqIndex(idx, path)
+      graft.Lineage.retireDependents(idx.codes)
+      Similarity.ivfPqRecallAudit(Similarity.readIvfPqIndex(s, path),
+        e, "vec_id", "embedding", e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, rerankK = 30,
+        nprobes = Seq(2, 32))
+        .select(col("nprobe").cast("int").as("nprobe"),
+          col("n_truth").cast("long").as("n_truth"),
+          col("n_probe_rows").cast("long").as("n_probe_rows"),
+          col("n_hits").cast("long").as("n_hits"),
+          col("recall_ppm").cast("long").as("recall_ppm"))
+    }),
+
     // Capped ANN dedup — the q279 no-silent-caps parity for the ANN
     // path: q289's pair universe shape (evens indexed, odds the new
     // batch, 4 probe cells) at τ=0.2 — dense enough that the cap
@@ -6981,6 +7057,140 @@ object SparkEntry {
            CAST(n_postings * 1000000 //
              (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
          FROM per""",
+    // q297: final per-cell code counts after the STREAMED PQ
+    // append+compact cadence == a from-scratch assignment of ALL valid
+    // rows under the base-drawn seeds (same rule as q296 — the streamed
+    // path must land the identical code set).
+    "q297_stream_pq_maintenance" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd WHERE vec_id % 7 <> 0
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         per AS (
+           SELECT cell, count(*) AS n_postings FROM cellof GROUP BY cell)
+         SELECT CAST(cell AS INT) AS cell,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(n_postings * 1000000 //
+             (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
+         FROM per""",
+    // q298: the PQ serving-pair recall replayed — per nprobe, ADC
+    // scores (q291's encode/LUT replay) nominate a top-30, the exact
+    // cosine rerank keeps top-10, overlap vs brute-force truth as
+    // exact floor ppm.
+    "q298_ann_pq_recall_audit" ->
+      """WITH qd AS (
+           SELECT vec_id, embedding, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id IN (16, 17, 18, 19, 20, 21, 22, 23)),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         truth AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+           FROM qd q JOIN qd c ON q.vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_cosine_similarity(c.embedding, q.embedding) DESC,
+             c.vec_id ASC) <= 10),
+         pr AS (
+           SELECT np.np AS nprobe, sc.vec_id AS query_id, sc.cell
+           FROM (VALUES (2), (32)) np(np)
+           JOIN scored_cells sc ON sc.rk <= np.np AND sc.vec_id < 5),
+         cand AS (
+           SELECT pr.nprobe, pr.query_id, co.vec_id AS corpus_id
+           FROM pr JOIN cellof co ON co.cell = pr.cell),
+         approx AS (
+           SELECT c.nprobe, c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2, 3),
+         wide AS (
+           SELECT nprobe, query_id, corpus_id FROM (
+             SELECT nprobe, query_id, corpus_id, row_number() OVER (
+               PARTITION BY nprobe, query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rk
+             FROM approx) t WHERE rk <= 30),
+         rr AS (
+           SELECT nprobe, query_id, corpus_id FROM (
+             SELECT w.nprobe, w.query_id, w.corpus_id,
+               row_number() OVER (PARTITION BY w.nprobe, w.query_id
+                 ORDER BY
+                   list_cosine_similarity(c.embedding, q.embedding) DESC,
+                   w.corpus_id ASC) AS rank
+             FROM wide w
+             JOIN qd q ON q.vec_id = w.query_id
+             JOIN qd c ON c.vec_id = w.corpus_id) t
+           WHERE rank <= 10),
+         hits AS (
+           SELECT p.nprobe, count(*) AS n_probe_rows,
+             COALESCE(sum(CASE WHEN t.corpus_id IS NOT NULL
+               THEN 1 ELSE 0 END), 0) AS n_hits
+           FROM rr p
+           LEFT JOIN truth t ON t.query_id = p.query_id
+             AND t.corpus_id = p.corpus_id
+           GROUP BY p.nprobe),
+         tot AS (SELECT count(*) AS n_truth FROM truth)
+         SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_probe_rows AS BIGINT) AS n_probe_rows,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_truth > 0
+             THEN n_hits * 1000000 // n_truth ELSE 0 END AS BIGINT)
+             AS recall_ppm
+         FROM hits, tot""",
     // q292: q289's pair replay at τ=0.2 + the cap — rank surviving
     // pairs per id_new by the exact integer key (dotq²//nb2, HUGEINT
     // floor-div; ties → lower id_existing), keep rn <= 2.

@@ -2338,6 +2338,49 @@ object Similarity {
           col("query_id").cast("long").as("query_id"),
           col("corpus_id").cast("long").as("corpus_id"))
     }.reduce(_ unionAll _)
+    recallOverlap(probed, truth)
+  }
+
+  /** The recall audit for the PQ SERVING PAIR — measures what operators
+    * actually deploy against the compressed index: per candidate
+    * `nprobe`, the ADC probe nominates a wide top-`rerankK`
+    * ([[probeIvfPqIndex]]), the exact rerank keeps the true top-`k`
+    * ([[rerankExactTopK]]), and the result is compared against
+    * [[bruteForceTopK]] truth — so the reported ppm prices the WHOLE
+    * pipeline (coarse routing + PQ distortion + rerank window), not one
+    * stage. Same output shape as [[ivfRecallAudit]]. */
+  def ivfPqRecallAudit(idx: IvfPqIndexFrames, corpus: DataFrame,
+      corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, rerankK: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty, "ivfPqRecallAudit: nprobes must be non-empty")
+    require(nprobes.forall(_ >= 1),
+      s"ivfPqRecallAudit: every nprobe must be >= 1, got $nprobes")
+    require(rerankK >= k,
+      s"ivfPqRecallAudit: rerankK $rerankK must be >= k $k (the rerank " +
+        "window can only narrow the candidate set)")
+    val truth = bruteForceTopK(corpus, corpusId, corpusVec, queries,
+        queryId, queryVec, k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("corpus_id").cast("long").as("corpus_id"),
+        lit(1L).as("__t"))
+    val probed = nprobes.distinct.sorted.map { np =>
+      val cand = probeIvfPqIndex(idx, queries, queryId, queryVec,
+        rerankK, np).select(col("query_id"), col("corpus_id"))
+      rerankExactTopK(corpus, corpusId, corpusVec, queries, queryId,
+        queryVec, cand, k)
+        .select(lit(np).cast("int").as("nprobe"),
+          col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"))
+    }.reduce(_ unionAll _)
+    recallOverlap(probed, truth)
+  }
+
+  /** Shared audit tail: overlap of (nprobe, query_id, corpus_id) probe
+    * rows against the `__t`-marked truth set, as exact floor-ppm recall
+    * per nprobe. Broadcast joins only — probe rows are sample×k-sized. */
+  private def recallOverlap(probed: DataFrame, truth: DataFrame)
+      : DataFrame =
     probed
       .join(broadcast(truth), Seq("query_id", "corpus_id"), "left")
       .groupBy(col("nprobe"))
@@ -2349,7 +2392,6 @@ object Similarity {
         when(col("n_truth") > 0,
           expr("n_hits * 1000000 div n_truth"))
           .otherwise(lit(0L)).as("recall_ppm"))
-  }
 
   /** Compact a persisted index's postings to ONE file per cell.
     * [[appendToIvfIndex]] adds a file set per delta, and probe cost at

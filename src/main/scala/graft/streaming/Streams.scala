@@ -1011,4 +1011,30 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+
+  /** [[indexMaintenanceStream]] for a persisted PQ index: each
+    * micro-batch PQ-encoded and appended under the FROZEN quantizer and
+    * codebook ([[graft.ops.Similarity.appendToIvfPqIndex]] — all
+    * parameters from the index's own meta), codes compacted back to one
+    * file per cell every `compactEvery` batches
+    * ([[graft.ops.Similarity.compactIvfPqIndex]]). Same single-writer-
+    * by-construction and at-least-once properties as the raw-vector
+    * maintenance stream. */
+  def pqIndexMaintenanceStream(deltas: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpointPath: String,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    deltas.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          val spark = batch.sparkSession
+          graft.ops.Similarity.appendToIvfPqIndex(spark, indexPath,
+            batch.toDF(), idCol, vecCol)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Similarity.compactIvfPqIndex(spark, indexPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
 }

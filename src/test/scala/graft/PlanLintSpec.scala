@@ -20,6 +20,8 @@ class PlanLintSpec extends SparkSuite {
     "q288_ann_index_compact_stats", // postings-total row (share_ppm)
     "q295_stream_index_maintenance", // postings-total row (share_ppm)
     "q296_ann_pq_compact_stats", // codes-total row (share_ppm)
+    "q297_stream_pq_maintenance", // codes-total row (share_ppm)
+    "q298_ann_pq_recall_audit", // one-row truth-count frame
     "q294_ann_index_recall_audit", // one-row truth-count frame
     "q55_prototypicality", // centroid list (k cells)
     "q49_semantic_dedup", // centroid TABLE broadcast (k rows by
