@@ -647,6 +647,33 @@ class AnnIndexSpec extends SparkSuite {
     audit.values.foreach { case (t, _, _, _) => assert(t === 20L) }
   }
 
+  test("ivfPqRecallAudit: full-probe row isolates PQ/rerank loss and a " +
+    "corpus-wide rerank window recovers truth exactly") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 4)
+    val path = tmpDir("pqrecall")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = 0L until 16L, inDims = dims, nSub = 2), path)
+    val idx = Similarity.readIvfPqIndex(spark, path)
+    val queries = corpus.where(col("vec_id") < 4)
+    // rerank window = the whole corpus at nprobe=all: the ADC stage can
+    // drop nothing the rerank needs, so recall must be exactly 10^6
+    val audit = Similarity.ivfPqRecallAudit(idx, corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 5,
+      rerankK = 200, nprobes = Seq(1, 4))
+      .collect().map(r => r.getAs[Int]("nprobe") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("recall_ppm"))).toMap
+    assert(audit(4) === ((20L, 20L, 1000000L)))
+    assert(audit(1)._3 <= 1000000L && audit(1)._1 === 20L)
+    // the rerank window can only narrow the candidate set
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRecallAudit(idx, corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, rerankK = 3,
+        nprobes = Seq(1))
+    }
+  }
+
   test("indexMaintenanceStream: append+compact per micro-batch cadence " +
     "equals a batch build over the union, one file per cell after " +
     "compaction") {
