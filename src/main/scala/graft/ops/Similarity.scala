@@ -438,14 +438,47 @@ object Similarity {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val t2 = java.math.BigDecimal.valueOf(threshold).pow(2)
-    val num = t2.unscaledValue()
-    val den = java.math.BigInteger.TEN.pow(t2.scale())
+    // double-noise thresholds (0.8500000000000001) would push den past
+    // what the overflow-free split below can carry — and sub-1e-6
+    // threshold precision is meaningless anyway; fail loudly instead
+    require(t2.scale() <= 12,
+      s"threshold $threshold has no short decimal representation " +
+        "(squared scale " + t2.scale() + " > 12) — pass the intended " +
+        "short-decimal threshold, e.g. 0.85 not 0.8500000000000001")
+    val num = new java.math.BigDecimal(t2.unscaledValue()) // < den
+    val den = new java.math.BigDecimal(
+      java.math.BigInteger.TEN.pow(t2.scale()))             // ≤ 10¹²
+    // EXACT dot²·den ≥ num·na·nb across the whole < 2⁵³ integer domain:
+    // the direct products reach ~10⁴⁴ and overflow decimal(38,0) (the
+    // annNearDupPairs bug class, ADVICE r14), so split den = dh·10⁶+dl
+    // and nb = bh·10⁶+bl and compare (A·dh − C·bh)·10⁶ ≥ C·bl − A·dl
+    // with A = dot², C = num·na — every intermediate ≤ ~8.1·10³⁷. The
+    // magnitude branches keep the final ·10⁶ product in range: at
+    // L ≥ 10²⁸ the LHS exceeds any possible RHS (≤ 9·10³³); at
+    // L ≤ −10³² it is below any possible RHS (≥ −8.1·10³⁷).
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (dh, dl) = {
+      val Array(q, r) = den.toBigInteger
+        .divideAndRemainder(java.math.BigInteger.valueOf(1000000L))
+      (new java.math.BigDecimal(q), new java.math.BigDecimal(r))
+    }
     cand
       .withColumn("dotd", dot(col("qv_a"), col("qv_b")))
-      .where(col("nrm_a") > 0 && col("nrm_b") > 0 && col("dotd") > 0 &&
-        dec(col("dotd")) * dec(col("dotd")) * lit(new java.math.BigDecimal(den)) >=
-          dec(col("nrm_a")) * dec(col("nrm_b")) * lit(new java.math.BigDecimal(num)))
+      .where(col("nrm_a") > 0 && col("nrm_b") > 0 && col("dotd") > 0)
+      .withColumn("__a", dec(col("dotd")) * dec(col("dotd")))
+      .withColumn("__c", lit(num) * dec(col("nrm_a")))
+      .withColumn("__bh", expr("cast(nrm_b as bigint) div 1000000"))
+      .withColumn("__bl", expr("cast(nrm_b as bigint) % 1000000"))
+      .withColumn("__l", col("__a") * lit(dh) -
+        col("__c") * expr("cast(__bh as decimal(19,0))"))
+      .withColumn("__r", col("__c") * expr("cast(__bl as decimal(7,0))")
+        - col("__a") * lit(dl))
+      .where(expr(
+        "CASE WHEN __l >= cast(10000000000000000000000000000 as " +
+          "decimal(38,0)) THEN true " +
+          "WHEN __l <= cast(-100000000000000000000000000000000 as " +
+          "decimal(38,0)) THEN false " +
+          "ELSE __l * cast(1000000 as decimal(7,0)) >= __r END"))
       .select(col("id_a"), col("id_b"))
   }
 

@@ -903,6 +903,38 @@ class OpsSpec extends SparkSuite {
     assert(banded === exact)
   }
 
+  test("cosineNearDupsExact: exact decision at large quantized magnitude " +
+    "and max threshold scale; double-noise thresholds fail loudly") {
+    import spark.implicits._
+    // magnitude 1000 vectors quantize to 10^7 per element: dot products
+    // reach 8*10^14 and dot^2*den reaches ~10^42 at den=10^12 — the
+    // domain where the direct decimal(38,0) product overflows; the split
+    // evaluation must still decide every pair exactly
+    val rows = Seq(
+      (1L, Seq(1000f, 1000f, 1000f, 1000f, 1000f, 1000f, 1000f, 1000f)),
+      (2L, Seq(1000f, 1000f, 1000f, 1000f, 1000f, 1000f, 1000f, 1000f)),
+      (3L, Seq(1000f, 1000f, 1000f, 1000f, 1000f, 1000f, 1000f, -1000f)),
+      (4L, Seq(-1000f, 1000f, -1000f, 1000f, -1000f, 1000f, -1000f,
+        1000f))).toDF("vec_id", "embedding")
+    // threshold with the maximum supported squared scale (0.866025² has
+    // 12 decimal digits): pairs at cosine 1.0 and 0.75 straddle it
+    val got = pairSet(Similarity.cosineNearDupsExact(
+      rows, "vec_id", "embedding", threshold = 0.866025))
+    assert(got === Set((1L, 2L)),
+      "cos=1 must pass, cos=0.75 and cos=0 must not, at any magnitude")
+    // below 0.75: the (1,3)/(2,3) pairs (cos exactly 0.75) now pass
+    val low = pairSet(Similarity.cosineNearDupsExact(
+      rows, "vec_id", "embedding", threshold = 0.75))
+    assert(low === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // a double-noise threshold has no short decimal representation and
+    // must be rejected, not silently mis-decided
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupsExact(rows, "vec_id", "embedding",
+        threshold = 0.8500000000000001)
+    }
+    assert(ex.getMessage.contains("short decimal"))
+  }
+
   test("ANN scale paths: measured recall@10 vs brute force on the fixture") {
     val e = fixtureEmbeddings.getOrElse(cancel("no embeddings fixture"))
     val q = e.where(col("vec_id") < 5)
