@@ -3601,6 +3601,34 @@ object SparkEntry {
       Similarity.ivfPqIndexStats(Similarity.readIvfPqIndex(s, path))
     }),
 
+    // INDEX MERGE — the fan-in of the parallel-build pattern: the even
+    // and odd corpus halves are indexed INDEPENDENTLY under the same
+    // full-corpus seeds (two jobs at 100 TB), merged into a new root
+    // (centroid/meta verification + one cell-partitioned union write),
+    // and the merged index is probed. The oracle replays one probe over
+    // a SINGLE build of the whole corpus — the merge is correct iff the
+    // split is invisible to every probe.
+    "q299_ann_index_merge" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("annmerge", dir)
+      val (pa, pb, pm) = (s"$root/even", s"$root/odd", s"$root/merged")
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        e.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        seeds, "sid", "svec"), pa)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        e.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        seeds, "sid", "svec"), pb)
+      Similarity.mergeIvfIndexes(s, Seq(pa, pb), pm)
+      Similarity.probeIvfIndex(Similarity.readIvfIndex(s, pm),
+        e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // STREAMING PQ-INDEX MAINTENANCE (the q295 sibling for the
     // codes-at-rest layout): PQ index built on the base slice, the
     // delta slice arriving as two micro-batches — each PQ-encoded and
@@ -7057,6 +7085,53 @@ object SparkEntry {
            CAST(n_postings * 1000000 //
              (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
          FROM per""",
+    // q299: probing the merged index == probing one build over the
+    // whole corpus (q287's replay: full-corpus seeds, queries < 8,
+    // 4 probe cells, cosine top-10) — any posting lost, duplicated, or
+    // re-routed by the merge changes a rank.
+    "q299_ann_index_merge" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 8),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        corpus_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON q.vec_id = query_id
+           JOIN embeddings c ON c.vec_id = corpus_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
     // q297: final per-cell code counts after the STREAMED PQ
     // append+compact cadence == a from-scratch assignment of ALL valid
     // rows under the base-drawn seeds (same rule as q296 — the streamed

@@ -2340,6 +2340,47 @@ object Similarity {
         expr("n_postings * 1000000 div n_total").as("share_ppm"))
   }
 
+  /** Merge persisted IVF indexes built under the SAME frozen quantizer
+    * into one new root — the fan-in of the parallel-build pattern: at
+    * 100 TB, per-region/per-day corpus slices are indexed by independent
+    * jobs against shared centroids, and the merge is centroid
+    * verification plus ONE cell-partitioned union write (one shuffle,
+    * one file per cell at `destPath`) — never a retrain, and the merged
+    * index probes exactly like a single build over the union (cell
+    * assignment depends only on the shared centroids). Sources must
+    * agree EXACTLY: same meta and bit-identical quantized centroid
+    * tables — a mismatch means the postings were routed under different
+    * geometry and must fail loudly, not interleave. Sources are read
+    * through the usual crash recovery; `destPath` must be a new root. */
+  def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], destPath: String): Unit = {
+    require(srcPaths.nonEmpty, "mergeIvfIndexes: no source indexes")
+    require(!srcPaths.contains(destPath),
+      s"mergeIvfIndexes: destPath $destPath must not be a source " +
+        "(the overwrite would race its own input)")
+    val idxs = srcPaths.map(p => p -> readIvfIndex(spark, p))
+    val (p0, first) = idxs.head
+    val (t0, _) = collectSeedTable(first.centroids, "cell", "cvec",
+      first.quantScale)
+    idxs.tail.foreach { case (p, i) =>
+      require(i.quantScale == first.quantScale &&
+        i.twoLevelThreshold == first.twoLevelThreshold,
+        s"mergeIvfIndexes: $p meta (${i.quantScale}, " +
+          s"${i.twoLevelThreshold}) contradicts $p0 " +
+          s"(${first.quantScale}, ${first.twoLevelThreshold})")
+      val (t, _) = collectSeedTable(i.centroids, "cell", "cvec",
+        first.quantScale)
+      require(t.length == t0.length &&
+        t.indices.forall(j => java.util.Arrays.equals(t(j), t0(j))),
+        s"mergeIvfIndexes: $p was built under DIFFERENT centroids than " +
+          s"$p0 — postings routed under different geometry cannot be " +
+          "merged; rebuild one side under the shared quantizer")
+    }
+    writeIvfIndex(IvfIndexFrames(first.centroids,
+      idxs.map(_._2.postings).reduce(_ unionAll _),
+      first.quantScale, first.twoLevelThreshold), destPath)
+  }
+
   /** End-to-end recall audit of a PERSISTED index — the measurement read
     * alongside [[ivfIndexStats]] before trusting a probe budget: for each
     * candidate `nprobe`, [[probeIvfIndex]]'s top-`k` over a (deterministic,

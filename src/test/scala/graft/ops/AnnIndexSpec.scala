@@ -625,6 +625,58 @@ class AnnIndexSpec extends SparkSuite {
     assert(dr === Set((0L, 0L, 0L, 0L, 0L), (1L, 4L, 2L, 2L, 500000L)))
   }
 
+  test("mergeIvfIndexes: merged halves equal one full build; different " +
+    "geometry or meta fails loudly") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val root = tmpDir("merge")
+    val (pa, pb, pm) = (s"$root/a", s"$root/b", s"$root/m")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      corpus.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+      "embedding", seeds, "sid", "svec"), pa)
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      corpus.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+      "embedding", seeds, "sid", "svec"), pb)
+    Similarity.mergeIvfIndexes(spark, Seq(pa, pb), pm)
+    val merged = Similarity.readIvfIndex(spark, pm)
+    val a = merged.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    val full = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    val b = full.postings.select("cell", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(a === b)
+    assert((merged.quantScale, merged.twoLevelThreshold) === (10000, 4096))
+    // the merged root has the compacted one-file-per-cell layout
+    val cellDirs = new java.io.File(pm + "/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach(d => assert(
+      d.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+    // different centroids → loud refusal
+    val otherSeeds = Similarity.hashSeeds(
+      corpus.where(col("vec_id") >= 100), "vec_id", "embedding", 8)
+    val pc = s"$root/c"
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", otherSeeds, "sid", "svec"), pc)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, Seq(pa, pc), s"$root/x")
+    }
+    assert(ex.getMessage.contains("DIFFERENT centroids"))
+    // different meta → loud refusal
+    val pd = s"$root/d"
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      corpus.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+      "embedding", seeds, "sid", "svec", quantScale = 5000), pd)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, Seq(pa, pd), s"$root/y")
+    }
+    assert(ex2.getMessage.contains("meta"))
+    // dest must be a new root
+    intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, Seq(pa, pb), pa)
+    }
+  }
+
   test("ivfRecallAudit: probing every cell recovers brute-force truth " +
     "exactly; recall is monotone in nprobe") {
     val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
