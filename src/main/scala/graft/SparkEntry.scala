@@ -3629,6 +3629,46 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // PQ-INDEX MERGE (q299's codes-at-rest twin): even and odd halves
+    // PQ-indexed independently under the SAME seeds and codebook, merged
+    // (centroid + codebook + meta verification, one cell-partitioned
+    // union write of the codes), then ADC-probed — the oracle replays
+    // one ADC probe over a single whole-corpus encode, so the split is
+    // correct iff it is invisible to every approximate distance.
+    "q300_ann_pq_index_merge" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("pqmerge", dir)
+      val (pa, pb, pm) = (s"$root/even", s"$root/odd", s"$root/merged")
+      def half(m: Int, path: String): Unit = {
+        // codebook ids 16-23 are drawn from the FULL table inside each
+        // half-build via the shared-codebook contract: both halves must
+        // encode under identical reconstruction points, so the codebook
+        // rows ride a separate full-corpus frame
+        val idx = Similarity.buildIvfPqIndex(
+          e.where(pmod(col("vec_id"), lit(2)) === m ||
+            (col("vec_id") >= 16 && col("vec_id") <= 23)),
+          "vec_id", "embedding", seeds, "sid", "svec",
+          codebookIds = 16L to 23L, inDims = 64, nSub = 8)
+        // drop the codebook-only rows the filter smuggled in for the
+        // OTHER parity so the halves partition the corpus exactly
+        val own = idx.codes.where(pmod(col("corpus_id"), lit(2)) === m)
+        Similarity.writeIvfPqIndex(Similarity.IvfPqIndexFrames(idx.centroids,
+          idx.codebook, own, idx.inDims, idx.nSub, idx.quantScale), path)
+        graft.Lineage.retireDependents(idx.codes)
+      }
+      half(0, pa); half(1, pb)
+      Similarity.mergeIvfPqIndexes(s, Seq(pa, pb), pm)
+      Similarity.probeIvfPqIndex(Similarity.readIvfPqIndex(s, pm),
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("approx_d2").cast("long").as("approx_d2"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // STREAMING PQ-INDEX MAINTENANCE (the q295 sibling for the
     // codes-at-rest layout): PQ index built on the base slice, the
     // delta slice arriving as two micro-batches — each PQ-encoded and
@@ -7131,6 +7171,73 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(corpus_id AS BIGINT) AS corpus_id,
            CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    // q300: ADC-probing the merged PQ index == one whole-corpus encode
+    // + probe (q291's replay with full-corpus seeds and codebook ids
+    // 16-23): cell assignment and PQ codes depend only on the row and
+    // the shared tables, so the even/odd split must be invisible.
+    "q300_ann_pq_index_merge" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id IN (16, 17, 18, 19, 20, 21, 22, 23)),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             CAST(approx_d2 AS BIGINT) AS approx_d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+           FROM approx)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           approx_d2, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
     // q297: final per-cell code counts after the STREAMED PQ
     // append+compact cadence == a from-scratch assignment of ALL valid

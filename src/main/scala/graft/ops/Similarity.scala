@@ -2381,6 +2381,48 @@ object Similarity {
       first.quantScale, first.twoLevelThreshold), destPath)
   }
 
+  /** [[mergeIvfIndexes]] for persisted PQ indexes: sources must carry
+    * bit-identical quantized centroid tables, bit-identical quantized
+    * codebooks, AND identical meta (inDims/nSub/quantScale) — the codes
+    * are meaningless under any other geometry — then the merge is one
+    * cell-partitioned union write of the codes plus a copy of the
+    * shared centroids/codebook/meta. Same no-retrain fan-in contract. */
+  def mergeIvfPqIndexes(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], destPath: String): Unit = {
+    require(srcPaths.nonEmpty, "mergeIvfPqIndexes: no source indexes")
+    require(!srcPaths.contains(destPath),
+      s"mergeIvfPqIndexes: destPath $destPath must not be a source " +
+        "(the overwrite would race its own input)")
+    val idxs = srcPaths.map(p => p -> readIvfPqIndex(spark, p))
+    val (p0, first) = idxs.head
+    val (t0, _) = collectSeedTable(first.centroids, "cell", "cvec",
+      first.quantScale)
+    val cb0 = collectCodebookFrame(first.codebook, first.quantScale)
+    idxs.tail.foreach { case (p, i) =>
+      require(i.inDims == first.inDims && i.nSub == first.nSub &&
+        i.quantScale == first.quantScale,
+        s"mergeIvfPqIndexes: $p meta (${i.inDims}, ${i.nSub}, " +
+          s"${i.quantScale}) contradicts $p0 (${first.inDims}, " +
+          s"${first.nSub}, ${first.quantScale})")
+      val (t, _) = collectSeedTable(i.centroids, "cell", "cvec",
+        first.quantScale)
+      require(t.length == t0.length &&
+        t.indices.forall(j => java.util.Arrays.equals(t(j), t0(j))),
+        s"mergeIvfPqIndexes: $p was built under DIFFERENT centroids " +
+          s"than $p0 — codes routed under different geometry cannot be " +
+          "merged")
+      val cb = collectCodebookFrame(i.codebook, first.quantScale)
+      require(cb == cb0,
+        s"mergeIvfPqIndexes: $p was encoded under a DIFFERENT codebook " +
+          s"than $p0 — its codes index other reconstruction points and " +
+          "cannot be merged; re-encode one side under the shared " +
+          "codebook")
+    }
+    writeIvfPqIndex(IvfPqIndexFrames(first.centroids, first.codebook,
+      idxs.map(_._2.codes).reduce(_ unionAll _),
+      first.inDims, first.nSub, first.quantScale), destPath)
+  }
+
   /** End-to-end recall audit of a PERSISTED index — the measurement read
     * alongside [[ivfIndexStats]] before trusting a probe budget: for each
     * candidate `nprobe`, [[probeIvfIndex]]'s top-`k` over a (deterministic,
