@@ -182,7 +182,13 @@ object Bundles {
     * produces, with no per-row document parse. */
   private def containedElemJson(x: Column,
       typeFields: Seq[String]): Column = {
-    val candidates = typeFields.map { fn =>
+    // candidates in REVERSE declaration order: [[extractEntry]] output
+    // has exactly one non-null type slot, but a caller-built frame with
+    // two must serialize the same on this path as on the jackson
+    // fallback, whose [[FhirJson.fixupContained]] keeps the LAST
+    // object-valued field — coalesce over the reversed slots realizes
+    // that rule
+    val candidates = typeFields.reverse.map { fn =>
       val rt = fn.substring(0, 1).toUpperCase + fn.substring(1)
       val inner = to_json(x.getField(fn), Map("ignoreNullFields" -> "true"))
       when(x.getField(fn).isNotNull,

@@ -1665,28 +1665,45 @@ object Similarity {
     * Spark job): the file is a few hundred bytes and every lifecycle
     * step (read/append/probe) consults it — as Spark jobs those reads
     * added ~0.3 s of pure scheduler overhead each at any scale. None
-    * when the directory has no data file (a pre-meta index). */
+    * when the directory has no data file (a pre-meta index). EXACTLY
+    * one data file is required when any exist: an external copy or
+    * partial overwrite that leaves two meta files would otherwise
+    * route appends under an arbitrary (possibly stale) row — the same
+    * broken-root-fails-loudly posture the postings read takes. A field
+    * in `defaults` may be absent from the file (a meta written before
+    * the field existed) and reads as its default; any other field must
+    * be present. */
   private def readMetaRow(spark: org.apache.spark.sql.SparkSession,
-      dir: String, fields: Seq[String]): Option[Seq[Int]] = {
+      dir: String, fields: Seq[String],
+      defaults: Map[String, Int] = Map.empty): Option[Seq[Int]] = {
     import org.apache.hadoop.fs.Path
     val d = new Path(dir)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) return None
-    fs.listStatus(d).map(_.getPath)
-      .find { p =>
+    val dataFiles = fs.listStatus(d).map(_.getPath)
+      .filter { p =>
         val n = p.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
-      .map { f =>
-        val rd = org.apache.parquet.hadoop.ParquetReader.builder(
-          new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
-          .withConf(spark.sparkContext.hadoopConfiguration).build()
-        try {
-          val g = rd.read()
-          require(g != null, s"readMetaRow: empty meta file $f")
-          fields.map(n => g.getInteger(n, 0))
-        } finally rd.close()
-      }
+    if (dataFiles.isEmpty) return None
+    require(dataFiles.length == 1,
+      s"readMetaRow: ${dataFiles.length} data files in $dir — a meta " +
+        "dir must hold exactly one; an external copy or partial " +
+        "overwrite left ambiguous metadata and routing appends under " +
+        "an arbitrary row would corrupt the index. Repair the root.")
+    val f = dataFiles.head
+    val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+      .withConf(spark.sparkContext.hadoopConfiguration).build()
+    try {
+      val g = rd.read()
+      require(g != null, s"readMetaRow: empty meta file $f")
+      Some(fields.map { n =>
+        if (g.getType.containsField(n)) g.getInteger(n, 0)
+        else defaults.getOrElse(n, throw new IllegalStateException(
+          s"readMetaRow: required field $n missing from meta at $dir"))
+      })
+    } finally rd.close()
   }
 
   /** The persisted (quantScale, twoLevelThreshold) of the index at
@@ -1927,25 +1944,29 @@ object Similarity {
       thresholdPpm, nprobe, excludeIds)
     if (maxPairsPerNew <= 0)
       scored.select(col("id_new"), col("id_existing"))
-    else
-      // dense-cell guard: keep the top-`maxPairsPerNew` partners per
-      // new row by quantized-cosine order. Rank key = dotq² div nb2 —
-      // exact integer (≤ nq2 < 2⁵³ by Cauchy–Schwarz, so also exact in
-      // the aggregate's double score), same id_new ⇒ same nq2, so the
-      // key orders like cosine² up to the integer floor; floor ties
-      // break to the LOWER id_existing (the aggregate's id-asc rule) —
-      // deterministic and engine-replayable. Bounded O(c) partial
-      // buffers, map-side combined; account for what the cap drops
-      // with [[annNearDupDropReport]] (the q279 no-silent-caps pattern).
-      scored
-        .withColumn("__key", expr(
-          "cast((cast(dotq as decimal(19,0)) * cast(dotq as " +
-            "decimal(19,0))) div cast(nb2 as decimal(19,0)) as double)"))
-        .groupBy(col("id_new"))
-        .agg(GraftFunctions.topKByScore(col("__key"), col("id_existing"),
-          maxPairsPerNew).as("kept"))
-        .select(col("id_new"), explode(col("kept.id")).as("id_existing"))
+    else cappedPairsFromScored(scored, maxPairsPerNew)
   }
+
+  /** The cap tail of [[annNearDupPairs]] over a pre-scored frame:
+    * keep the top-`maxPairsPerNew` partners per new row by
+    * quantized-cosine order. Rank key = dotq² div nb2 — exact integer
+    * (≤ nq2 < 2⁵³ by Cauchy–Schwarz, so also exact in the aggregate's
+    * double score), same id_new ⇒ same nq2, so the key orders like
+    * cosine² up to the integer floor; floor ties break to the LOWER
+    * id_existing (the aggregate's id-asc rule) — deterministic and
+    * engine-replayable. Bounded O(c) partial buffers, map-side
+    * combined; account for what the cap drops with
+    * [[annNearDupDropReport]] (the q279 no-silent-caps pattern). */
+  private def cappedPairsFromScored(scored: DataFrame,
+      maxPairsPerNew: Int): DataFrame =
+    scored
+      .withColumn("__key", expr(
+        "cast((cast(dotq as decimal(19,0)) * cast(dotq as " +
+          "decimal(19,0))) div cast(nb2 as decimal(19,0)) as double)"))
+      .groupBy(col("id_new"))
+      .agg(GraftFunctions.topKByScore(col("__key"), col("id_existing"),
+        maxPairsPerNew).as("kept"))
+      .select(col("id_new"), explode(col("kept.id")).as("id_existing"))
 
   /** Pair-cap drop accounting for [[annNearDupPairs]] — the no-silent-caps
     * side output (q279 parity for the ANN path): ONE row of
@@ -1962,8 +1983,15 @@ object Similarity {
       excludeIds: DataFrame = null): DataFrame = {
     require(maxPairsPerNew > 0,
       s"maxPairsPerNew must be > 0, got $maxPairsPerNew")
-    annNearDupScored(idx, newRows, idCol, vecCol, thresholdPpm, nprobe,
-      excludeIds)
+    dropReportFromScored(annNearDupScored(idx, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds), maxPairsPerNew)
+  }
+
+  /** The accounting tail of [[annNearDupDropReport]] over a pre-scored
+    * frame. */
+  private def dropReportFromScored(scored: DataFrame,
+      maxPairsPerNew: Int): DataFrame =
+    scored
       .groupBy(col("id_new")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_new_rows_paired"),
         coalesce(sum(col("n")), lit(0L)).as("n_pairs"),
@@ -1976,6 +2004,28 @@ object Similarity {
         when(col("n_pairs") > 0,
           expr("n_pairs_dropped * 1000000 div n_pairs"))
           .otherwise(lit(0L)).as("dropped_pair_share_ppm"))
+
+  /** [[annNearDupPairs]] AND [[annNearDupDropReport]] from ONE
+    * evaluation of the shared probe/threshold kernel — the per-batch
+    * shape a maintenance stream wants: the scored frame (probe join +
+    * exact quantized cosine filter, the expensive part) is persisted
+    * once, both outputs are derived from it inside `emit`, and the
+    * cache is released before returning. Computing the two outputs
+    * separately would run the kernel twice, roughly doubling per-batch
+    * cost at any corpus density. */
+  def annNearDupPairsAndDropReport(idx: IvfIndexFrames,
+      newRows: DataFrame, idCol: String, vecCol: String,
+      thresholdPpm: Long, maxPairsPerNew: Int, nprobe: Int = 4,
+      excludeIds: DataFrame = null)(
+      emit: (DataFrame, DataFrame) => Unit): Unit = {
+    require(maxPairsPerNew > 0,
+      s"maxPairsPerNew must be > 0, got $maxPairsPerNew")
+    val scored = annNearDupScored(idx, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try emit(cappedPairsFromScored(scored, maxPairsPerNew),
+      dropReportFromScored(scored, maxPairsPerNew))
+    finally { scored.unpersist(); () }
   }
 
   /** The shared probe-and-threshold kernel of [[annNearDupPairs]] /
@@ -2102,7 +2152,7 @@ object Similarity {
     * vector table via [[rerankExactTopK]]. */
   final case class IvfPqIndexFrames(centroids: DataFrame,
       codebook: DataFrame, codes: DataFrame, inDims: Int, nSub: Int,
-      quantScale: Int)
+      quantScale: Int, twoLevelThreshold: Int = 4096)
 
   /** (cell INT, corpus_id, qv) coarse assignment keeping the QUANTIZED
     * vector (the PQ-encode input), two-level-routed at high cell
@@ -2164,7 +2214,7 @@ object Similarity {
           .select(lit(0).cast("int").as("cell"),
             col(corpusId).cast("long").as("corpus_id"),
             array().cast("array<int>").as("codes")),
-        inDims, nSub, quantScale)
+        inDims, nSub, quantScale, twoLevelThreshold)
     }
     val rawSeeds: Seq[(Int, Seq[Float])] = seeds
       .select(col(seedId).as("sid"),
@@ -2182,7 +2232,7 @@ object Similarity {
       pqEncode(base, cb, inDims, nSub)
         .select(col("cell").cast("int").as("cell"), col("corpus_id"),
           col("codes")),
-      inDims, nSub, quantScale)
+      inDims, nSub, quantScale, twoLevelThreshold)
   }
 
   /** Persist the PQ index: tiny `centroids`/`codebook`/`meta` files plus
@@ -2195,8 +2245,8 @@ object Similarity {
       .parquet(path + "/centroids")
     idx.codebook.coalesce(1).write.mode("overwrite")
       .parquet(path + "/codebook")
-    Seq((idx.inDims, idx.nSub, idx.quantScale))
-      .toDF("in_dims", "n_sub", "quant_scale")
+    Seq((idx.inDims, idx.nSub, idx.quantScale, idx.twoLevelThreshold))
+      .toDF("in_dims", "n_sub", "quant_scale", "two_level_threshold")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     idx.codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -2208,9 +2258,14 @@ object Similarity {
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndexFrames = {
     recoverIvfPostings(spark, path, "codes")
-    val Seq(metaInDims, metaNSub, metaQs) =
+    // two_level_threshold is assignment-affecting (it picks the coarse
+    // routing path), so it is part of the persisted quantizer definition;
+    // a meta written before the field existed reads as the historical
+    // default it was built under
+    val Seq(metaInDims, metaNSub, metaQs, metaTlt) =
       readMetaRow(spark, path + "/meta",
-        Seq("in_dims", "n_sub", "quant_scale"))
+        Seq("in_dims", "n_sub", "quant_scale", "two_level_threshold"),
+        defaults = Map("two_level_threshold" -> 4096))
         .getOrElse(throw new IllegalStateException(
           s"readIvfPqIndex: no meta row at $path — not a PQ index root"))
     val codes =
@@ -2242,19 +2297,45 @@ object Similarity {
       }
     IvfPqIndexFrames(spark.read.parquet(path + "/centroids"),
       spark.read.parquet(path + "/codebook"), codes,
-      metaInDims, metaNSub, metaQs)
+      metaInDims, metaNSub, metaQs, metaTlt)
   }
 
   /** Append a delta to a persisted PQ index without retraining: the
     * frozen centroids AND codebook read back from `path`, the delta
     * coarse-assigned and PQ-encoded under them, one file per touched
-    * cell. */
+    * cell. The index is self-describing: ALL quantizer parameters —
+    * including the assignment-affecting `two_level_threshold` routing
+    * switch — come from the persisted meta, never from the caller. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String,
+      vecCol: String): Unit =
+    appendToIvfPqIndexImpl(spark, path, delta, idCol, vecCol, None)
+
+  /** Legacy explicit-threshold append: the supplied value must match
+    * the index's persisted meta — a mismatched re-supply would
+    * coarse-route the delta under different geometry (the silent-cell-
+    * corruption class the self-describing meta exists to prevent), so
+    * it fails loudly instead. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
-      twoLevelThreshold: Int = 4096): Unit = {
+      twoLevelThreshold: Int): Unit =
+    appendToIvfPqIndexImpl(spark, path, delta, idCol, vecCol,
+      Some(twoLevelThreshold))
+
+  private def appendToIvfPqIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      suppliedTlt: Option[Int]): Unit = {
     // readIvfPqIndex runs the half-swapped-root recovery, so the append
     // can never recreate a codes dir holding only this delta
     val idx = readIvfPqIndex(spark, path)
+    suppliedTlt.foreach { t =>
+      require(t == idx.twoLevelThreshold,
+        s"appendToIvfPqIndex: supplied twoLevelThreshold=$t contradicts " +
+          s"the index's persisted meta (${idx.twoLevelThreshold}) at " +
+          s"$path — an append under a different coarse-routing switch " +
+          "would corrupt cell assignment")
+    }
     val (centTab, cnTab) = collectSeedTable(idx.centroids, "cell",
       "cvec", idx.quantScale)
     val cb = collectCodebookFrame(idx.codebook, idx.quantScale)
@@ -2265,7 +2346,7 @@ object Similarity {
       return
     }
     val base = coarseAssignQuantized(delta, idCol, vecCol, centTab,
-      cnTab, idx.quantScale, twoLevelThreshold, idx.inDims)
+      cnTab, idx.quantScale, idx.twoLevelThreshold, idx.inDims)
     pqEncode(base, cb, idx.inDims, idx.nSub)
       .select(col("cell").cast("int").as("cell"), col("corpus_id"),
         col("codes"))
@@ -2400,10 +2481,12 @@ object Similarity {
     val cb0 = collectCodebookFrame(first.codebook, first.quantScale)
     idxs.tail.foreach { case (p, i) =>
       require(i.inDims == first.inDims && i.nSub == first.nSub &&
-        i.quantScale == first.quantScale,
+        i.quantScale == first.quantScale &&
+        i.twoLevelThreshold == first.twoLevelThreshold,
         s"mergeIvfPqIndexes: $p meta (${i.inDims}, ${i.nSub}, " +
-          s"${i.quantScale}) contradicts $p0 (${first.inDims}, " +
-          s"${first.nSub}, ${first.quantScale})")
+          s"${i.quantScale}, ${i.twoLevelThreshold}) contradicts $p0 " +
+          s"(${first.inDims}, ${first.nSub}, ${first.quantScale}, " +
+          s"${first.twoLevelThreshold})")
       val (t, _) = collectSeedTable(i.centroids, "cell", "cvec",
         first.quantScale)
       require(t.length == t0.length &&
@@ -2420,7 +2503,8 @@ object Similarity {
     }
     writeIvfPqIndex(IvfPqIndexFrames(first.centroids, first.codebook,
       idxs.map(_._2.codes).reduce(_ unionAll _),
-      first.inDims, first.nSub, first.quantScale), destPath)
+      first.inDims, first.nSub, first.quantScale,
+      first.twoLevelThreshold), destPath)
   }
 
   /** End-to-end recall audit of a PERSISTED index — the measurement read
@@ -2548,11 +2632,19 @@ object Similarity {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staged, true)
     fs.delete(retired, true)
-    // a fresh/empty index has no posting files to compact
+    // a fresh/empty index has no posting files to compact — this is an
+    // exception probe: schema inference over the dir throws exactly when
+    // there is nothing inferable to compact
     val hasFiles =
-      try spark.read.parquet(live.toString).limit(1).count() >= 0
+      try { spark.read.parquet(live.toString); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!hasFiles) return
+    // file sets are compared RELATIVE to their root dir, so the same
+    // set can be re-checked after the retire rename moves it wholesale
+    def relativize(root: Path, p: Path): String = {
+      val rootPath = root.toUri.getPath.stripSuffix("/") + "/"
+      p.toUri.getPath.stripPrefix(rootPath)
+    }
     def listDataFiles(dir: Path): Set[String] = {
       val out = scala.collection.mutable.Set[String]()
       val it = fs.listFiles(dir, true)
@@ -2560,7 +2652,7 @@ object Similarity {
         val f = it.next()
         val n = f.getPath.getName
         if (!n.startsWith("_") && !n.startsWith("."))
-          out += f.getPath.toUri.getPath
+          out += relativize(dir, f.getPath)
       }
       out.toSet
     }
@@ -2571,7 +2663,7 @@ object Similarity {
     // aborts the swap with the live set intact instead of silently
     // deleting the concurrent append's postings with the retired dir
     val inputFiles = input.inputFiles
-      .map(f => new Path(f).toUri.getPath).toSet
+      .map(f => relativize(live, new Path(f))).toSet
     input.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(staged.toString)
@@ -2588,6 +2680,30 @@ object Similarity {
     }
     require(fs.rename(live, retired),
       s"compactCellDir: could not retire $live")
+    // the pre-rename check leaves a TOCTOU window (an append landing
+    // between the listing and the retire rename rides into `retired`);
+    // the retire rename is atomic, so re-listing what actually moved
+    // closes it: on mismatch the retired dir is renamed straight back —
+    // the live set is restored intact and the late append survives
+    val retiredNow = listDataFiles(retired)
+    if (retiredNow != inputFiles) {
+      val restored = fs.rename(retired, live)
+      fs.delete(staged, true)
+      if (!restored)
+        throw new IllegalStateException(
+          s"compactCellDir: an append landed at $live during the swap " +
+            s"AND recreated the live dir before restore — $retired " +
+            "holds the full pre-compaction corpus plus the late append; " +
+            "repair by moving its cell files back under the live dir. " +
+            "Serialize appends and compaction against one index root.")
+      throw new IllegalStateException(
+        s"compactCellDir: the live file set at $live changed between " +
+          s"the pre-swap check and the retire rename (${inputFiles.size}" +
+          s" files read, ${retiredNow.size} retired) — a concurrent " +
+          "append violated the single-writer contract; the swap was " +
+          "rolled back with the live postings (and the late append) " +
+          "intact. Serialize appends and compaction against one root.")
+    }
     require(fs.rename(staged, live),
       s"compactCellDir: could not activate $staged")
     fs.delete(retired, true)

@@ -961,16 +961,22 @@ object Streams {
           val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
           val batchDf = batch.toDF()
           val ownIds = batchDf.select(col(idCol).cast("long").as("id"))
-          graft.ops.Similarity.annNearDupPairs(idx, batchDf, idCol,
-            vecCol, thresholdPpm, nprobe, maxPairsPerNew,
-            excludeIds = ownIds)
-            .write.mode("append").parquet(pairsPath)
           if (maxPairsPerNew > 0 && dropsPath != null)
-            graft.ops.Similarity.annNearDupDropReport(idx, batchDf,
-              idCol, vecCol, thresholdPpm, maxPairsPerNew, nprobe,
+            // one evaluation of the probe/threshold kernel feeds BOTH
+            // sinks — running pairs and report separately would score
+            // every candidate twice per micro-batch
+            graft.ops.Similarity.annNearDupPairsAndDropReport(idx,
+              batchDf, idCol, vecCol, thresholdPpm, maxPairsPerNew,
+              nprobe, excludeIds = ownIds) { (pairs, report) =>
+                pairs.write.mode("append").parquet(pairsPath)
+                report.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(dropsPath)
+              }
+          else
+            graft.ops.Similarity.annNearDupPairs(idx, batchDf, idCol,
+              vecCol, thresholdPpm, nprobe, maxPairsPerNew,
               excludeIds = ownIds)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(dropsPath)
+              .write.mode("append").parquet(pairsPath)
           graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
             batchDf, idCol, vecCol)
       }

@@ -360,6 +360,52 @@ class AnnIndexSpec extends SparkSuite {
     assert(ex.getMessage.contains("persisted meta"))
   }
 
+  test("PQ index meta round-trips two_level_threshold, the legacy " +
+    "append validates it, and an ambiguous meta dir fails loudly") {
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("pqmeta")
+    // non-default routing switch: assignment-affecting, so it is part
+    // of the persisted quantizer definition
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = Seq(1L, 2L, 3L, 4L), inDims = dims, nSub = 2,
+      twoLevelThreshold = 2), path)
+    val back = Similarity.readIvfPqIndex(spark, path)
+    assert(back.twoLevelThreshold === 2)
+    // the parameterless append routes under the persisted threshold:
+    // shifted copies of base rows must land in their base rows' cells
+    val delta = corpus.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, path, delta, "vec_id",
+      "embedding")
+    val cells = Similarity.readIvfPqIndex(spark, path).codes
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 3L).foreach(i => assert(cells(i + 1000L) === cells(i),
+      s"PQ delta row $i must land in its base row's cell"))
+    // a legacy caller re-supplying a DIFFERENT threshold fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, path, delta, "vec_id",
+        "embedding", twoLevelThreshold = 4096)
+    }
+    assert(ex.getMessage.contains("persisted meta"))
+    // a meta dir holding TWO data files (external copy / partial
+    // overwrite) is ambiguous — reading it must fail, not route under
+    // an arbitrary row
+    import org.apache.hadoop.fs.Path
+    val metaDir = new Path(path + "/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orig = fs.listStatus(metaDir).map(_.getPath).find(p =>
+      p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).get
+    val copy = new Path(metaDir, "part-copy-stale.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, orig, fs, copy, false,
+      spark.sparkContext.hadoopConfiguration)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqIndex(spark, path)
+    }
+    assert(ex2.getMessage.contains("exactly one"))
+  }
+
   test("a file landing mid-compaction aborts the swap with the live " +
     "set intact") {
     import org.apache.spark.sql.SaveMode
