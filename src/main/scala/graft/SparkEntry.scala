@@ -119,6 +119,17 @@ object SparkEntry {
     * exit. Concurrent runs over different SF dirs get distinct paths. */
   private val scratchRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Recursive delete of a scratch sub-path (a consuming merge needs a
+    * fresh destination on every run of the same query). */
+  private def rmScratch(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   private def scratchDir(tag: String, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val p = java.nio.file.Paths.get(
@@ -3620,7 +3631,11 @@ object SparkEntry {
       Similarity.writeIvfIndex(Similarity.buildIvfIndex(
         e.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
         seeds, "sid", "svec"), pb)
-      Similarity.mergeIvfIndexes(s, Seq(pa, pb), pm)
+      // the CONSUMING fast path: O(cells) renames, no corpus job; a
+      // prior run's dest must go first (fresh-root contract)
+      rmScratch(pm)
+      Similarity.mergeIvfIndexes(s, Seq(pa, pb), pm,
+        consumeSources = true)
       Similarity.probeIvfIndex(Similarity.readIvfIndex(s, pm),
         e.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, nprobe = 4)
@@ -3659,7 +3674,11 @@ object SparkEntry {
         graft.Lineage.retireDependents(idx.codes)
       }
       half(0, pa); half(1, pb)
-      Similarity.mergeIvfPqIndexes(s, Seq(pa, pb), pm)
+      // the consuming fast path (q299's twin): codebook + centroids +
+      // meta verified, then O(cells) renames
+      rmScratch(pm)
+      Similarity.mergeIvfPqIndexes(s, Seq(pa, pb), pm,
+        consumeSources = true)
       Similarity.probeIvfPqIndex(Similarity.readIvfPqIndex(s, pm),
         e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nprobe = 4)
@@ -3793,6 +3812,61 @@ object SparkEntry {
             .as("dropped_pair_share_ppm"))
     }),
 
+    // ADC-PREFILTERED capped ANN dedup — q292's exact fixture and
+    // output routed through the compressed index: the PQ codes of the
+    // probed cells are scored with a per-query subspace dot-LUT and a
+    // pair pays the exact 64-dim dot ONLY when its provable upper
+    // bound ⟨q,x̂⟩ + (⌊√‖q‖²⌋+2)(⌊√e2⌋+2) can still pass the membership
+    // rule — lossless by Cauchy–Schwarz, so the oracle is q292's
+    // replay VERBATIM: a hash match proves the prefilter dropped no
+    // true pair on real data. The candidate-work bound this buys is
+    // measured by q302.
+    "q301_ann_dedup_adc_prefilter" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val evens = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val raw = Similarity.buildIvfIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec")
+      val pq = Similarity.buildIvfPqIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec", codebookIds = (16L to 46L by 2).toSeq,
+        inDims = 64, nSub = 8)
+      Similarity.annNearDupPairsPq(pq, raw, odds, "vec_id", "embedding",
+        thresholdPpm = 200000L, nprobe = 4, maxPairsPerNew = 2)
+        .select(col("id_new").cast("long").as("id_new"),
+          col("id_existing").cast("long").as("id_existing"))
+    }),
+
+    // The prefilter's work accounting (the q279/q293 no-silent-bounds
+    // pattern applied to the CANDIDATE stage): one exact row — how many
+    // candidate pairs the probed cells held, how many survived the ADC
+    // upper-bound test (the only ones that paid an exact dot), how many
+    // passed the exact rule, and the pruned share in floor ppm. The
+    // oracle replays the ENTIRE chain — coarse assignment, PQ encode
+    // with per-row distortion, subspace dot-LUT, the √-margin bound —
+    // in DuckDB list SQL, so a wrong margin constant or LUT index
+    // hash-mismatches, not just a wrong final pair set.
+    "q302_ann_adc_prefilter_report" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val evens = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val raw = Similarity.buildIvfIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec")
+      val pq = Similarity.buildIvfPqIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec", codebookIds = (16L to 46L by 2).toSeq,
+        inDims = 64, nSub = 8)
+      Similarity.annNearDupAdcPrefilterReport(pq, raw, odds, "vec_id",
+        "embedding", thresholdPpm = 200000L, nprobe = 4)
+        .select(col("n_candidates").cast("long").as("n_candidates"),
+          col("n_prefilter_kept").cast("long").as("n_prefilter_kept"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          col("pruned_candidate_share_ppm").cast("long")
+            .as("pruned_candidate_share_ppm"))
+    }),
+
     // End-to-end recall audit of the PERSISTED index (the q217/q182
     // QA parity for the index lifecycle): probeIvfIndex's top-10 over
     // the first 8 queries, per probe budget nprobe ∈ {1,2,4,32},
@@ -3816,6 +3890,59 @@ object SparkEntry {
           col("n_probe_rows").cast("long").as("n_probe_rows"),
           col("n_hits").cast("long").as("n_hits"),
           col("recall_ppm").cast("long").as("recall_ppm"))
+    }),
+
+    // TOMBSTONE DELETE (right-to-erasure for the persisted index):
+    // every 10th vector deleted AFTER the index was built — probing
+    // must behave exactly as if the index had been rebuilt without
+    // them (the tombstones anti-join every read, physically folded at
+    // the next compaction). The oracle replays the probe over the
+    // corpus minus the deleted ids.
+    "q303_ann_index_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfdelete", dir)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec"), path)
+      Similarity.deleteFromIvfIndex(s, path,
+        e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
+        "vec_id")
+      Similarity.probeIvfIndex(Similarity.readIvfIndex(s, path),
+        e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // The delete's PHYSICAL fold: after delete + compaction the RAW
+    // postings directory (read directly, not through the tombstone-
+    // filtering readIvfIndex) must hold exactly the corpus minus the
+    // deleted rows — per-cell counts + exact ppm share replayed by the
+    // oracle from a from-scratch assignment of the surviving rows. A
+    // compaction that forgot to fold (or folded the wrong ids) changes
+    // a count and hash-mismatches.
+    "q304_ann_delete_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfdelcompact", dir)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec"), path)
+      Similarity.deleteFromIvfIndex(s, path,
+        e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
+        "vec_id")
+      Similarity.compactIvfIndex(s, path)
+      val rawP = s.read.parquet(path + "/postings")
+      val per = rawP.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_postings"))
+      val tot = per.agg(sum(col("n_postings")).as("n_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cell").cast("int").as("cell"),
+          col("n_postings").cast("long").as("n_postings"),
+          expr("n_postings * 1000000 div n_total").cast("long")
+            .as("share_ppm"))
     }),
 
     // STREAMING INDEX MAINTENANCE — the "index the firehose"
@@ -7495,6 +7622,272 @@ object SparkEntry {
                // COALESCE(sum(n), 0)
              ELSE 0 END AS BIGINT) AS dropped_pair_share_ppm
          FROM counted""",
+    // q301: q292's replay VERBATIM — the ADC-prefiltered path promises
+    // IDENTICAL output to the raw kernel (the prefilter is provably
+    // lossless), so the strongest oracle is the raw exact replay: a
+    // hash match proves no true pair was dropped by the margin bound.
+    "q301_ann_dedup_adc_prefilter" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing),
+         kept AS (
+           SELECT id_new, id_existing,
+             row_number() OVER (PARTITION BY id_new ORDER BY
+               (CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT))
+                 // CAST(nb2 AS HUGEINT) DESC,
+               id_existing ASC) AS rn
+           FROM vals
+           WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+             AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+               * CAST(1000000000000 AS HUGEINT)
+               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
+                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT))
+         SELECT CAST(id_new AS BIGINT) AS id_new,
+           CAST(id_existing AS BIGINT) AS id_existing
+         FROM kept WHERE rn <= 2""",
+    // q302: the whole prefilter chain replayed — coarse cells, the
+    // 4-point codebook (even ids 16/18/20/22, ci = ascending-id order),
+    // per-subspace argmin codes + summed distortion e2, the query-side
+    // subspace dot-LUT, ub = adot + (⌊√nq2⌋+2)(⌊√e2⌋+2), and the same
+    // membership rule on ub (prefilter) and the true dot (exact).
+    "q302_ann_adc_prefilter_report" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id IN (16, 18, 20, 22, 24, 26, 28, 30,
+             32, 34, 36, 38, 40, 42, 44, 46)),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb
+           WHERE d.vec_id % 2 = 0),
+         codes AS (
+           SELECT vec_id, s, ci, d FROM (
+             SELECT vec_id, s, ci, d, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         enc AS (SELECT vec_id, SUM(d) AS e2 FROM codes GROUP BY 1),
+         norms AS (
+           SELECT vec_id,
+             list_sum(list_transform(qv, x -> x * x)) AS n2
+           FROM qd),
+         ddot AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> d.qv[sub.s * 8 + j] * cb.cv[sub.s * 8 + j])) AS dt
+           FROM qd d, subs sub, cb
+           WHERE d.vec_id % 2 = 1),
+         adots AS (
+           SELECT c.id_new, c.id_existing, SUM(l.dt) AS adot
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.id_existing
+           JOIN ddot l ON l.vec_id = c.id_new AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         pre AS (
+           SELECT a.id_new, a.id_existing,
+             CAST(a.adot AS HUGEINT)
+               + (CAST(floor(sqrt(CAST(nq.n2 AS DOUBLE))) AS HUGEINT)
+                   + 2)
+               * (CAST(floor(sqrt(CAST(en.e2 AS DOUBLE))) AS HUGEINT)
+                   + 2) AS ub,
+             nq.n2 AS nq2, nb.n2 AS nb2
+           FROM adots a
+           JOIN norms nq ON nq.vec_id = a.id_new
+           JOIN norms nb ON nb.vec_id = a.id_existing
+           JOIN enc en ON en.vec_id = a.id_existing),
+         kept AS (
+           SELECT id_new, id_existing FROM pre
+           WHERE ub >= 0 AND nq2 > 0 AND nb2 > 0
+             AND ub * ub * CAST(1000000000000 AS HUGEINT)
+               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
+                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing),
+         exact AS (
+           SELECT count(*) AS n_pairs FROM vals
+           WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+             AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+               * CAST(1000000000000 AS HUGEINT)
+               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
+                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)),
+         totals AS (
+           SELECT (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM kept) AS n_prefilter_kept,
+             (SELECT n_pairs FROM exact) AS n_pairs)
+         SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_prefilter_kept AS BIGINT) AS n_prefilter_kept,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN n_candidates > 0
+             THEN (n_candidates - n_prefilter_kept) * 1000000
+               // n_candidates
+             ELSE 0 END AS BIGINT) AS pruned_candidate_share_ppm
+         FROM totals""",
+    // q303: the probe replayed over the corpus MINUS the deleted ids —
+    // cell ranking and candidate scoring as q294's probe, with every
+    // vec_id % 10 == 0 row excluded from the candidate side (a
+    // tombstoned row surviving anywhere in the probe path
+    // hash-mismatches).
+    "q303_ann_index_delete" ->
+      """WITH qd AS (
+           SELECT vec_id, embedding, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (
+           SELECT vec_id, cell FROM scored_cells
+           WHERE rk = 1 AND vec_id % 10 <> 0),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 8),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p JOIN cellof co ON co.cell = p.cell)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(rank AS BIGINT) AS rank
+         FROM (
+           SELECT cand.query_id, cand.corpus_id,
+             row_number() OVER (PARTITION BY cand.query_id ORDER BY
+               list_cosine_similarity(c.embedding, q.embedding) DESC,
+               cand.corpus_id ASC) AS rank
+           FROM cand
+           JOIN qd q ON q.vec_id = cand.query_id
+           JOIN qd c ON c.vec_id = cand.corpus_id)
+         WHERE rank <= 10""",
+    // q304: per-cell stats of the raw postings dir after delete +
+    // compaction == a from-scratch assignment of the SURVIVING rows
+    // (vec_id % 10 <> 0) under the full-corpus seeds — the physical
+    // fold proof.
+    "q304_ann_delete_compact" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (
+           SELECT vec_id, cell FROM scored_cells
+           WHERE rk = 1 AND vec_id % 10 <> 0),
+         per AS (
+           SELECT cell, count(*) AS n_postings FROM cellof GROUP BY cell)
+         SELECT CAST(cell AS INT) AS cell,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(n_postings * 1000000 //
+             (SELECT sum(n_postings) FROM per) AS BIGINT) AS share_ppm
+         FROM per""",
     // q294: the recall audit replayed — brute-force cosine top-10
     // truth over the valid corpus for queries vec_id < 8, the probe
     // top-10 per nprobe ∈ {1,2,4,32} (same cell ranking as q286/q287),

@@ -553,6 +553,152 @@ case class PqEncodeCodes(child: Expression,
       newChild: Expression): PqEncodeCodes = copy(child = newChild)
 }
 
+/** Native PQ encode WITH reconstruction error: quantized vector →
+  * struct(codes array<int>, err2 double) where err2 = Σ_s min d² =
+  * ‖x − x̂‖² in the quantized-integer domain (every term an
+  * integer-valued double, so it is exact and engine-replayable). The
+  * per-posting distortion is the ADC-prefilter margin of the lossless
+  * compressed dedup path — |⟨q,x⟩ − ⟨q,x̂⟩| ≤ ‖q‖·√err2 by
+  * Cauchy–Schwarz — and computing it inside the argmin pass costs
+  * nothing beyond the encode itself (a separate sweep would double the
+  * per-row codebook work). */
+case class PqEncodeWithErr(child: Expression,
+    cbBlock: Array[Array[Array[Double]]], csq: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cbBlock.nonEmpty && cbBlock.length == csq.length,
+    "need at least one subspace with matching Σx² tables")
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, false), nullable = false),
+    StructField("err2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_with_err"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_with_err expects array<double>, got ${t.sql}")
+  }
+
+  def encode(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val d2 = PqRowMath.blockD2(a, cbBlock, csq)
+    if (d2 == null) return null
+    val out = new Array[Int](d2.length)
+    var err2 = 0.0
+    var s = 0
+    while (s < d2.length) {
+      val row = d2(s)
+      var best = 0
+      var ci = 1
+      while (ci < row.length) {
+        if (row(ci) < row(best)) best = ci
+        ci += 1
+      }
+      out(s) = best
+      err2 += row(best)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out),
+        err2))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqErrEncoder", this,
+      classOf[PqEncodeWithErr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("encErrRes")
+      s"""
+      org.apache.spark.sql.catalyst.InternalRow $tmp = $ref.encode($c);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp;
+      }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeWithErr = copy(child = newChild)
+}
+
+/** Native PQ query dot-LUT: quantized query vector → the nSub×nCodes
+  * table of ⟨q_s, c_s[ci]⟩ subspace dot products, so a candidate's
+  * approximate dot ⟨q, x̂⟩ is nSub lookups summed — the ADC-prefilter
+  * quantity of the compressed dedup path (the d²-LUT of [[PqQueryLut]]
+  * serves distance ranking; dedup thresholds on the DOT, and deriving
+  * it from d² would need the reconstruction norm as a third lookup
+  * chain). All values integer-valued doubles — exact. */
+case class PqQueryDotLut(child: Expression,
+    cbBlock: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(cbBlock.nonEmpty, "need at least one subspace")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, false), false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_query_dot_lut"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_query_dot_lut expects array<double>, got ${t.sql}")
+  }
+
+  def lut(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val q = a.toDoubleArray()
+    val nSub = cbBlock.length
+    val out = new Array[AnyRef](nSub)
+    var s = 0
+    while (s < nSub) {
+      val codes = cbBlock(s)
+      val subLen = if (codes.isEmpty) 0 else codes(0).length
+      val off = s * subLen
+      if (off + subLen > n) return null
+      val row = new Array[Double](codes.length)
+      var ci = 0
+      while (ci < codes.length) {
+        val c = codes(ci)
+        var d = 0.0
+        var j = 0
+        while (j < subLen) { d += c(j) * q(off + j); j += 1 }
+        row(ci) = d
+        ci += 1
+      }
+      out(s) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    lut(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqDotLutBuilder", this,
+      classOf[PqQueryDotLut].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dotLutRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData $tmp =
+        $ref.lut($c);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp;
+      }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqQueryDotLut = copy(child = newChild)
+}
+
 /** Native PQ query LUT: quantized query vector → the full
   * nSub×nCodes squared-distance table the ADC scorer indexes with each
   * candidate's codes. One call per QUERY row (queries are few by
@@ -665,6 +811,16 @@ object GraftFunctions {
   def pqQueryLut(qv: Column, cbBlock: Array[Array[Array[Double]]],
       csq: Array[Array[Double]]): Column =
     col(PqQueryLut(expr(qv), cbBlock, csq))
+  /** Native PQ encode + reconstruction error: quantized vector →
+    * struct(codes, err2) (see [[PqEncodeWithErr]]). */
+  def pqEncodeWithErr(qv: Column, cbBlock: Array[Array[Array[Double]]],
+      csq: Array[Array[Double]]): Column =
+    col(PqEncodeWithErr(expr(qv), cbBlock, csq))
+  /** Native PQ query dot-LUT: quantized vector → nSub×nCodes
+    * subspace-dot table (see [[PqQueryDotLut]]). */
+  def pqQueryDotLut(qv: Column,
+      cbBlock: Array[Array[Array[Double]]]): Column =
+    col(PqQueryDotLut(expr(qv), cbBlock))
   /** Bounded top-k aggregate (score desc, id asc):
     * array<struct<score,id>> best-first; O(k) partial buffers. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

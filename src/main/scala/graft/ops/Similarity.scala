@@ -1144,6 +1144,25 @@ object Similarity {
       .truncateLineage(eager = false)
   }
 
+  /** [[pqEncode]] plus the two per-posting margin columns the PERSISTED
+    * index carries: `nb2` = ‖x‖² and `e2` = ‖x − x̂‖², both exact
+    * integers in the quantized domain (the encode kernel's own argmin
+    * distances, one pass — [[graft.functions.PqEncodeWithErr]]). The
+    * stored distortion is what makes [[annNearDupPairsPq]]'s ADC
+    * prefilter provably lossless; the in-query paths keep the leaner
+    * [[pqEncode]]. */
+  private def pqEncodeIndexed(base: DataFrame, cb: Seq[Seq[Long]],
+      inDims: Int, nSub: Int): DataFrame = {
+    val (cbBlock, csq) = pqTables(cb, inDims, nSub)
+    base.select(col("corpus_id"), col("cell"),
+        GraftFunctions.pqEncodeWithErr(col("qv"), cbBlock, csq).as("enc"),
+        dot(col("qv"), col("qv")).as("nb2"))
+      .select(col("corpus_id"), col("cell"),
+        col("enc").getField("codes").as("codes"),
+        col("enc").getField("err2").as("e2"), col("nb2"))
+      .truncateLineage(eager = false)
+  }
+
   /** ADC scoring of pre-encoded codes against quantized queries: one
     * native [[graft.functions.PqQueryLut]] call per query row builds
     * the per-(subspace, code) LUT, candidates in probed cells sum nSub
@@ -1647,6 +1666,7 @@ object Similarity {
   def writeIvfIndex(idx: IvfIndexFrames, path: String): Unit = {
     val session = idx.centroids.sparkSession
     import session.implicits._
+    clearTombstones(session, path) // a rebuild defines the corpus anew
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(path + "/centroids")
     // self-describing index: the quantization scale and routing
@@ -1746,6 +1766,229 @@ object Similarity {
     ()
   }
 
+  // ===== Best-effort single-writer lease =====
+
+  /** Conf key enabling the writer lease: when
+    * `spark.graft.annIndexWriterLease=true`, every mutating index
+    * operation (append, compaction, merge-destination write) takes a
+    * best-effort lease on the root — a `_writer` marker holding a
+    * random token, created atomically (create-no-overwrite), verified
+    * again immediately before the operation's commit point, and
+    * released after. Two concurrent writers then fail LOUDLY instead
+    * of interleaving file sets. Best-effort by design: the
+    * acquire/verify pair shrinks the undetected-race window to the
+    * verify-to-commit gap, it does not eliminate it (only an external
+    * lock service could). Stale takeover: a marker older than
+    * `spark.graft.annIndexWriterLeaseStaleMs` (default 1 h) is
+    * presumed to belong to a dead writer and is replaced — a crashed
+    * append cannot brick the root. OFF by default: the single-writer
+    * contract is the documented operating mode, and serialized
+    * pipelines (one maintenance stream per root) need no marker I/O. */
+  private val leaseConfKey = "spark.graft.annIndexWriterLease"
+  private val leaseStaleKey = "spark.graft.annIndexWriterLeaseStaleMs"
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Run `body` under the (optional) writer lease for `root`. The body
+    * receives a verify callback to invoke immediately before its
+    * commit point; it throws if another writer took the lease over. */
+  private def withWriterLease[T](
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      op: String)(body: (() => Unit) => T): T = {
+    if (!spark.conf.get(leaseConfKey, "false").toBoolean)
+      return body(() => ())
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val marker = new Path(root + "/_writer")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootPath)
+    val staleMs = spark.conf.get(leaseStaleKey, "3600000").toLong
+    val token = java.util.UUID.randomUUID().toString
+    if (fs.exists(marker)) {
+      val st = fs.getFileStatus(marker)
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (age <= staleMs)
+        throw new IllegalStateException(
+          s"$op: another writer holds the lease on $root " +
+            s"(${age / 1000} s old, stale after ${staleMs / 1000} s) — " +
+            "serialize writers against one index root, or remove the " +
+            "_writer marker if the holder is known dead")
+      fs.delete(marker, false) // stale takeover (documented)
+    }
+    val out =
+      try fs.create(marker, false) // atomic: fails if a racer created it
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"$op: lost the lease race on $root — another writer " +
+            "created the _writer marker concurrently", e)
+      }
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    def verify(): Unit = {
+      val held =
+        try readMarker(fs, marker)
+        catch { case _: java.io.IOException => "<missing>" }
+      if (held != token)
+        throw new IllegalStateException(
+          s"$op: the writer lease on $root was taken over before the " +
+            "commit point — aborting with the root untouched")
+    }
+    try body(() => verify())
+    finally {
+      // release only if still ours (a takeover's marker is not ours to
+      // delete)
+      try {
+        if (fs.exists(marker) && readMarker(fs, marker) == token)
+          fs.delete(marker, false)
+      } catch { case _: java.io.IOException => () }
+      ()
+    }
+  }
+
+  // ===== Tombstone deletes (right-to-erasure for persisted indexes) ==
+
+  /** Delete vectors from a persisted index (IVF or IVF-PQ — the
+    * tombstone layer is index-kind-agnostic) WITHOUT rewriting the
+    * corpus: the ids land as an append-only parquet tombstone set at
+    * `<path>/tombstones`, and every read of the index
+    * ([[readIvfIndex]]/[[readIvfPqIndex]] — so every probe, dedup,
+    * audit, stats and merge built on them) anti-joins it broadcast
+    * (tombstones are small by nature: a right-to-erasure list, not a
+    * corpus). Physical removal happens at the NEXT compaction
+    * ([[compactIvfIndex]]/[[compactIvfPqIndex]]), which folds the
+    * tombstones into its rewrite and clears exactly the tombstone
+    * files it folded — a delete landing DURING compaction keeps
+    * filtering reads and is folded by the next one. Appending a
+    * tombstoned id resurrects it: [[appendToIvfIndex]] /
+    * [[appendToIvfPqIndex]] clear their delta's ids from the tombstone
+    * set before the postings land. A rebuild ([[writeIvfIndex]] /
+    * [[writeIvfPqIndex]]) clears all tombstones — the new corpus
+    * defines the index. Idempotent: deleting an absent or
+    * already-tombstoned id is a no-op. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit = {
+    recoverTombstones(spark, path)
+    ids.select(col(idCol).cast("long").as("corpus_id"))
+      .where(col("corpus_id").isNotNull)
+      .coalesce(1)
+      .write.mode("append").parquet(path + "/tombstones")
+  }
+
+  /** [[deleteFromIvfIndex]] under the PQ name, for discoverability —
+    * the tombstone layer is shared. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit =
+    deleteFromIvfIndex(spark, path, ids, idCol)
+
+  /** The live tombstone set at an index root, or None when there are
+    * no pending tombstones. Runs the staged-rewrite crash recovery
+    * first, so a half-swapped resurrection can never serve a stale or
+    * missing tombstone set. */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    recoverTombstones(spark, path)
+    val dir = new Path(path + "/tombstones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    try Some(spark.read.parquet(dir.toString))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Apply the pending tombstones (if any) to a postings/codes frame —
+    * broadcast anti-join on corpus_id, map-side only. */
+  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): DataFrame =
+    readTombstones(spark, path) match {
+      case Some(tomb) => rows.join(
+        broadcast(tomb.select(col("corpus_id"))), Seq("corpus_id"),
+        "left_anti")
+      case None => rows
+    }
+
+  /** Crash recovery for the tombstone-rewrite swap (resurrection path):
+    * write staged → retire live → promote staged → drop retired. A
+    * staged dir is complete iff its _SUCCESS marker exists (the write
+    * finished before any rename started). */
+  private def recoverTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path + "/tombstones")
+    val staged = new Path(path + "/tombstones_staged")
+    val retired = new Path(path + "/tombstones_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) {
+      // the swap either never started or fully completed: leftovers are
+      // stale
+      fs.delete(staged, true)
+      fs.delete(retired, true)
+    } else if (fs.exists(retired)) {
+      if (fs.exists(staged) &&
+          fs.exists(new Path(staged, "_SUCCESS"))) {
+        // crash between the two renames: staged is the committed state
+        require(fs.rename(staged, live),
+          s"recoverTombstones: could not promote $staged to $live")
+        fs.delete(retired, true)
+      } else {
+        // staged incomplete (cannot happen in the documented order, but
+        // external damage is conservative-restored): the retired set is
+        // the last full copy
+        require(fs.rename(retired, live),
+          s"recoverTombstones: could not restore $retired to $live")
+        fs.delete(staged, true)
+      }
+    }
+    ()
+  }
+
+  /** Drop the whole tombstone state at a root (rebuild path). */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("tombstones", "tombstones_staged", "tombstones_retired")
+      .foreach(d => fs.delete(new Path(path + "/" + d), true))
+  }
+
+  /** Resurrection: remove `deltaIds` from the pending tombstone set
+    * (staged rewrite + two-rename swap). Runs BEFORE the postings of an
+    * append land, so a crash between the two steps leaves resurrected-
+    * but-absent ids (harmless: probes just find nothing) rather than
+    * appended-but-still-tombstoned rows (which would be silently
+    * invisible). No-op when no tombstone intersects the delta. */
+  private def resurrectTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaIds: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tomb = readTombstones(spark, path).getOrElse(return)
+    val delta = deltaIds.select(
+      col(deltaIds.columns.head).cast("long").as("corpus_id"))
+    if (tomb.join(broadcast(delta), Seq("corpus_id"), "left_semi")
+        .isEmpty) return
+    val live = new Path(path + "/tombstones")
+    val staged = new Path(path + "/tombstones_staged")
+    val retired = new Path(path + "/tombstones_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tomb.join(broadcast(delta), Seq("corpus_id"), "left_anti")
+      .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    require(fs.rename(live, retired),
+      s"resurrectTombstones: could not retire $live")
+    require(fs.rename(staged, live),
+      s"resurrectTombstones: could not promote $staged")
+    fs.delete(retired, true)
+    ()
+  }
+
   /** The postings schema as persisted (partition column `cell` last, the
     * order a partition-discovered read reports). */
   private def postingsSchema: org.apache.spark.sql.types.StructType =
@@ -1791,8 +2034,11 @@ object Similarity {
             postingsSchema)
       }
     val (qs, tlt) = readIvfMeta(spark, path)
-    IvfIndexFrames(spark.read.parquet(path + "/centroids"), postings,
-      qs, tlt)
+    // pending tombstones filter EVERY consumer of the read-back frame
+    // (probe, dedup, audits, stats, merge) — broadcast anti-join on
+    // corpus_id, map-side only, physically removed at next compaction
+    IvfIndexFrames(spark.read.parquet(path + "/centroids"),
+      applyTombstones(spark, path, postings), qs, tlt)
   }
 
   /** Append a delta of new vectors to a persisted index WITHOUT
@@ -1836,7 +2082,8 @@ object Similarity {
   private def appendToIvfIndexImpl(
       spark: org.apache.spark.sql.SparkSession, path: String,
       delta: DataFrame, idCol: String, vecCol: String,
-      quantScale: Int, twoLevelThreshold: Int): Unit = {
+      quantScale: Int, twoLevelThreshold: Int): Unit =
+    withWriterLease(spark, path, "appendToIvfIndex") { verifyLease =>
     // never append into a half-swapped root (a crashed compaction's
     // live dir may be MISSING — appending would recreate postings
     // containing only this delta)
@@ -1867,6 +2114,12 @@ object Similarity {
           "non-empty — rebuild the index from a non-empty corpus first")
       return
     }
+    // appending a tombstoned id RESURRECTS it: the tombstone set is
+    // rewritten without the delta's ids BEFORE the postings land (a
+    // crash between the steps leaves resurrected-but-absent ids —
+    // harmless — never appended-but-invisible rows)
+    resurrectTombstones(spark, path, delta.select(col(idCol)))
+    verifyLease()
     // one file per touched cell per append (not delta-splits × cells);
     // the routing tables re-derive deterministically from the persisted
     // centroids, so delta rows route exactly the way base rows did
@@ -2092,14 +2345,29 @@ object Similarity {
       // zero-norm vectors have cosine 0 by convention (cosinePre): the
       // nq2/nb2 > 0 guards keep them out — without them 0 ≥ 0 would
       // pair a zero vector with everything in its probed cells
-      .where(col("dotq") >= 0 && col("nq2") > 0 && col("nb2") > 0)
+      .transform(ppmRuleFilter(_, "dotq", tSq))
+      .select(col("id_new"), col("id_existing"), col("dotq"),
+        col("nq2"), col("nb2"))
+  }
+
+  /** The exact ppm-threshold membership rule shared by the raw dedup
+    * kernel and the ADC prefilter: keep rows where dot ≥ 0 ∧ nq2 > 0 ∧
+    * nb2 > 0 ∧ dot²·10¹² ≥ tSq·nq2·nb2, evaluated in an overflow-free
+    * split — ‖b‖² = bh·10⁶ + bl, then (dot²·10⁶ − tSq·‖q‖²·bh)·10⁶ ≥
+    * tSq·‖q‖²·bl with an early sign/magnitude branch — so every
+    * intermediate fits decimal(38,0) across the whole documented <2⁵³
+    * exact-double domain. `dotName`/`nq2`/`nb2` must hold
+    * integer-valued numerics; helper columns are dropped. */
+  private def ppmRuleFilter(df: DataFrame, dotName: String,
+      tSq: Long): DataFrame =
+    df.where(col(dotName) >= 0 && col("nq2") > 0 && col("nb2") > 0)
       .withColumn("__bh", expr("cast(nb2 as bigint) div 1000000"))
       .withColumn("__bl", expr("cast(nb2 as bigint) % 1000000"))
       .withColumn("__c", expr(
         s"cast($tSq as decimal(13,0)) * cast(nq2 as decimal(19,0))"))
       .withColumn("__x", expr(
-        "cast(dotq as decimal(19,0)) * cast(dotq as decimal(19,0)) " +
-          "* cast(1000000 as decimal(7,0)) " +
+        s"cast($dotName as decimal(19,0)) * cast($dotName as " +
+          "decimal(19,0)) * cast(1000000 as decimal(7,0)) " +
           "- __c * cast(__bh as decimal(19,0))"))
       .where(expr(
         "CASE WHEN __x < 0 THEN false " +
@@ -2107,8 +2375,195 @@ object Similarity {
           "decimal(38,0)) THEN true " +
           "ELSE __x * cast(1000000 as decimal(7,0)) >= " +
           "__c * cast(__bl as decimal(7,0)) END"))
-      .select(col("id_new"), col("id_existing"), col("dotq"),
-        col("nq2"), col("nb2"))
+      .drop("__bh", "__bl", "__c", "__x")
+
+  /** [[annNearDupPairs]] routed through the COMPRESSED index — the
+    * bounded-candidate-work dedup path: identical output to the raw
+    * kernel (same exact membership rule, same cap key and tie rule),
+    * but the exact inDims-dim dot product runs only for postings an
+    * ADC prefilter could not refute, so fixed-batch cost tracks the
+    * NEAR-DUPLICATE density of the probed cells instead of their raw
+    * posting count (SCALE_r15's unbounded-work path: every posting in
+    * a probed cell paid the exact dot before the cap).
+    *
+    * Two passes, both map-side over the corpus:
+    *   1. ADC: the PQ codes of the probed cells (nSub ints per row,
+    *      DPP-pruned) are scored with a per-query subspace dot-LUT —
+    *      nSub lookups per candidate — and a pair is kept only when
+    *      the PROVABLE upper bound ub = ⟨q,x̂⟩ + margin can still pass
+    *      the membership rule, margin ≥ ‖q‖·‖x−x̂‖ by Cauchy–Schwarz
+    *      (per-posting distortion `e2` is stored at encode time;
+    *      margin = (⌊√nq2⌋+2)·(⌊√e2⌋+2) in exact decimal — the +2
+    *      absorbs the ≤0.5-ulp IEEE sqrt rounding, so ub ≥ ⟨q,x⟩
+    *      ALWAYS and the prefilter can only drop provably-failing
+    *      pairs: lossless by construction).
+    *   2. Exact: the raw postings semi-joined to the distinct
+    *      surviving (cell, corpus_id) set (broadcast — survivor IDS
+    *      are near-duplicate-scale, not cell-scale), then the standard
+    *      exact quantized-integer kernel decides membership and the
+    *      cap. Identity with [[annNearDupPairs]] follows because the
+    *      exact rule re-tests every surviving pair.
+    *
+    * `pq` and `raw` must be the SAME corpus under the SAME frozen
+    * quantizer (bit-identical quantized centroids, same quantScale) —
+    * the parallel-build pattern already maintains exactly this pair of
+    * artifacts (vectors for rerank/dedup, codes for cheap probes).
+    * The PQ codes must carry the `e2`/`nb2` margin columns
+    * ([[buildIvfPqIndex]]/[[appendToIvfPqIndex]] of this version;
+    * rebuild a pre-margin index to use this path). */
+  def annNearDupPairsPq(pq: IvfPqIndexFrames, raw: IvfIndexFrames,
+      newRows: DataFrame, idCol: String, vecCol: String,
+      thresholdPpm: Long, nprobe: Int = 4, maxPairsPerNew: Int = 0,
+      excludeIds: DataFrame = null): DataFrame = {
+    val scored = annNearDupScoredPq(pq, raw, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+    if (maxPairsPerNew <= 0)
+      scored.select(col("id_new"), col("id_existing"))
+    else cappedPairsFromScored(scored, maxPairsPerNew)
+  }
+
+  /** Work accounting for [[annNearDupPairsPq]]'s prefilter — ONE exact
+    * row of (n_candidates, n_prefilter_kept, n_pairs,
+    * pruned_candidate_share_ppm): how many candidate pairs the probed
+    * cells held, how many survived the ADC upper-bound test (the only
+    * ones that paid an exact dot product), and how many passed the
+    * exact rule. The q279 no-silent-work-bounds pattern applied to the
+    * candidate stage: the gap between n_candidates and
+    * n_prefilter_kept IS the measured saving, and n_prefilter_kept ≥
+    * n_pairs always (the prefilter is lossless). Every count is
+    * integer arithmetic over the same quantized domain, so the row is
+    * engine-replayable end to end — including the margin bound. */
+  def annNearDupAdcPrefilterReport(pq: IvfPqIndexFrames,
+      raw: IvfIndexFrames, newRows: DataFrame, idCol: String,
+      vecCol: String, thresholdPpm: Long, nprobe: Int = 4,
+      excludeIds: DataFrame = null): DataFrame = {
+    val (cand, surv) = adcPrefilterPairs(pq, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nKept = surv.agg(count(lit(1)).as("n_prefilter_kept"))
+    val nPairs = annNearDupScoredPq(pq, raw, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+      .agg(count(lit(1)).as("n_pairs"))
+    nCand.crossJoin(broadcast(nKept)).crossJoin(broadcast(nPairs))
+      .select(col("n_candidates"), col("n_prefilter_kept"),
+        col("n_pairs"),
+        when(col("n_candidates") > 0,
+          expr("(n_candidates - n_prefilter_kept) * 1000000 div " +
+            "n_candidates")).otherwise(lit(0L))
+          .as("pruned_candidate_share_ppm"))
+  }
+
+  /** The shared ADC pass of the prefiltered dedup: (candidates,
+    * survivors) where candidates = (id_new, id_existing, cell) pairs in
+    * probed cells (post exclude-anti-join) and survivors = the subset
+    * whose upper-bounded quantized dot can still pass the membership
+    * rule. Geometry and margin-column preconditions checked here. */
+  private def adcPrefilterPairs(pq: IvfPqIndexFrames,
+      newRows: DataFrame, idCol: String, vecCol: String,
+      thresholdPpm: Long, nprobe: Int,
+      excludeIds: DataFrame): (DataFrame, DataFrame) = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    require(pq.codes.columns.contains("e2") &&
+      pq.codes.columns.contains("nb2"),
+      "annNearDupPairsPq: the PQ codes carry no e2/nb2 margin columns " +
+        "— the index predates the stored-distortion format; rebuild it " +
+        "(buildIvfPqIndex + writeIvfPqIndex) to use the ADC prefilter")
+    val quantScale = pq.quantScale
+    val (centTab, cnTab) = collectSeedTable(pq.centroids, "cell", "cvec",
+      quantScale)
+    val cb = collectCodebookFrame(pq.codebook, quantScale)
+    val emptyPairs = newRows.limit(0)
+      .select(col(idCol).cast("long").as("id_new"),
+        lit(0L).as("id_existing"), lit(0).cast("int").as("cell"))
+    if (centTab.isEmpty || cb.isEmpty) return (emptyPairs, emptyPairs)
+    val (cbBlock, _) = pqTables(cb, pq.inDims, pq.nSub)
+    val cellScores = scorerFromTable(centTab, cnTab)
+    val quant = (v: Column) =>
+      transform(v, x => round(x.cast("double") * quantScale))
+    val q0 = newRows.select(col(idCol).cast("long").as("id_new"),
+        quant(col(vecCol)).as("__qn"))
+      .where(col("__qn").isNotNull && size(col("__qn")) === pq.inDims)
+      .withColumn("nq2", dot(col("__qn"), col("__qn")))
+    // probe set kept NARROW (id_new, cell) for the broadcast cell join
+    // — the per-query dot-LUT (nSub×nCodes doubles, ~16 KB at a
+    // 256-code book) is attached ONCE PER QUERY by a second broadcast
+    // join on id_new AFTER the cell join. Riding the lut on the probe
+    // rows instead multiplies it by nprobe in the broadcast (measured
+    // 640 MB at a 10k batch — the whole pass went memory-bound)
+    val probes = q0
+      .withColumn("scores", cellScores(col("__qn")))
+      .select(col("id_new"), posexplode(col("scores")))
+      .groupBy(col("id_new"))
+      .agg(GraftFunctions.topKByScore(col("col"), col("pos").cast("long"),
+        nprobe).as("cells"))
+      .select(col("id_new"), explode(col("cells.id")).as("cell"))
+      .select(col("id_new"), col("cell").cast("int").as("cell"))
+    val qlut = q0.select(col("id_new"), col("nq2"),
+      GraftFunctions.pqQueryDotLut(col("__qn"), cbBlock).as("dlut"))
+    val codesIn =
+      if (excludeIds == null) pq.codes
+      else pq.codes.join(
+        broadcast(excludeIds.select(
+          col(excludeIds.columns.head).cast("long").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")
+    val adot = (0 until pq.nSub).map { s =>
+      element_at(element_at(col("dlut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val cand = codesIn
+      .select(col("cell"), col("corpus_id").as("id_existing"),
+        col("codes"), col("e2"), col("nb2"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qlut), Seq("id_new"))
+    val tSq = thresholdPpm * thresholdPpm // ≤ 10¹², exact in Long
+    // ub = ⟨q,x̂⟩ + (⌊√nq2⌋+2)(⌊√e2⌋+2) ≥ ⟨q,x⟩: the margin product is
+    // computed in decimal (each factor < 2²⁷ but the product can pass
+    // 2⁵³, where double addition would round), so ub is exact and the
+    // membership test below can only err on the KEEP side
+    val surv = cand
+      .withColumn("__adot", adot)
+      .withColumn("__ub", expr(
+        "cast(cast(__adot as decimal(19,0)) + " +
+          "cast(floor(sqrt(nq2)) + 2 as decimal(19,0)) * " +
+          "cast(floor(sqrt(e2)) + 2 as decimal(19,0)) " +
+          "as decimal(19,0))"))
+      .transform(ppmRuleFilter(_, "__ub", tSq))
+    (cand.select(col("id_new"), col("id_existing"), col("cell")),
+      surv.select(col("id_new"), col("id_existing"), col("cell")))
+  }
+
+  /** The exact pass of [[annNearDupPairsPq]]: raw postings semi-joined
+    * to the distinct ADC survivors, then the standard exact kernel. */
+  private def annNearDupScoredPq(pq: IvfPqIndexFrames,
+      raw: IvfIndexFrames, newRows: DataFrame, idCol: String,
+      vecCol: String, thresholdPpm: Long, nprobe: Int,
+      excludeIds: DataFrame): DataFrame = {
+    require(pq.quantScale == raw.quantScale,
+      s"annNearDupPairsPq: the PQ index (quantScale ${pq.quantScale}) " +
+        s"and the raw index (${raw.quantScale}) were quantized under " +
+        "different scales — their cells do not correspond")
+    val (rawTab, _) = collectSeedTable(raw.centroids, "cell", "cvec",
+      raw.quantScale)
+    val (pqTab, _) = collectSeedTable(pq.centroids, "cell", "cvec",
+      pq.quantScale)
+    require(rawTab.length == pqTab.length &&
+      rawTab.indices.forall(j =>
+        java.util.Arrays.equals(rawTab(j), pqTab(j))),
+      "annNearDupPairsPq: the PQ and raw indexes carry DIFFERENT " +
+        "quantized centroids — their cells do not correspond and the " +
+        "survivor semi-join would match wrong postings; build both " +
+        "under one shared quantizer")
+    val (_, surv) = adcPrefilterPairs(pq, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+    val survivorIds = surv
+      .select(col("cell"), col("id_existing").as("corpus_id")).distinct()
+    val filteredRaw = IvfIndexFrames(raw.centroids,
+      raw.postings.join(broadcast(survivorIds),
+        Seq("cell", "corpus_id"), "left_semi"),
+      raw.quantScale, raw.twoLevelThreshold)
+    annNearDupScored(filteredRaw, newRows, idCol, vecCol, thresholdPpm,
+      nprobe, excludeIds)
   }
 
   /** Exact cosine re-rank of an APPROXIMATE candidate set — the serving
@@ -2213,7 +2668,8 @@ object Similarity {
         corpus.limit(0)
           .select(lit(0).cast("int").as("cell"),
             col(corpusId).cast("long").as("corpus_id"),
-            array().cast("array<int>").as("codes")),
+            array().cast("array<int>").as("codes"),
+            lit(0.0).as("e2"), lit(0.0).as("nb2")),
         inDims, nSub, quantScale, twoLevelThreshold)
     }
     val rawSeeds: Seq[(Int, Seq[Float])] = seeds
@@ -2229,9 +2685,9 @@ object Similarity {
     val base = coarseAssignQuantized(corpus, corpusId, corpusVec,
       centTab, cnTab, quantScale, twoLevelThreshold, inDims)
     IvfPqIndexFrames(rawSeeds.toDF("cell", "cvec"), codebookFrame,
-      pqEncode(base, cb, inDims, nSub)
+      pqEncodeIndexed(base, cb, inDims, nSub)
         .select(col("cell").cast("int").as("cell"), col("corpus_id"),
-          col("codes")),
+          col("codes"), col("e2"), col("nb2")),
       inDims, nSub, quantScale, twoLevelThreshold)
   }
 
@@ -2241,6 +2697,7 @@ object Similarity {
   def writeIvfPqIndex(idx: IvfPqIndexFrames, path: String): Unit = {
     val session = idx.centroids.sparkSession
     import session.implicits._
+    clearTombstones(session, path) // a rebuild defines the corpus anew
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(path + "/centroids")
     idx.codebook.coalesce(1).write.mode("overwrite")
@@ -2292,11 +2749,16 @@ object Similarity {
               org.apache.spark.sql.types.StructField("codes",
                 org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.IntegerType)),
+              org.apache.spark.sql.types.StructField("e2",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("nb2",
+                org.apache.spark.sql.types.DoubleType),
               org.apache.spark.sql.types.StructField("cell",
                 org.apache.spark.sql.types.IntegerType))))
       }
     IvfPqIndexFrames(spark.read.parquet(path + "/centroids"),
-      spark.read.parquet(path + "/codebook"), codes,
+      spark.read.parquet(path + "/codebook"),
+      applyTombstones(spark, path, codes),
       metaInDims, metaNSub, metaQs, metaTlt)
   }
 
@@ -2325,7 +2787,8 @@ object Similarity {
   private def appendToIvfPqIndexImpl(
       spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
-      suppliedTlt: Option[Int]): Unit = {
+      suppliedTlt: Option[Int]): Unit =
+    withWriterLease(spark, path, "appendToIvfPqIndex") { verifyLease =>
     // readIvfPqIndex runs the half-swapped-root recovery, so the append
     // can never recreate a codes dir holding only this delta
     val idx = readIvfPqIndex(spark, path)
@@ -2345,11 +2808,17 @@ object Similarity {
           "is non-empty — rebuild from a non-empty corpus first")
       return
     }
+    // same resurrection contract as the raw-vector append
+    resurrectTombstones(spark, path, delta.select(col(idCol)))
+    verifyLease()
     val base = coarseAssignQuantized(delta, idCol, vecCol, centTab,
       cnTab, idx.quantScale, idx.twoLevelThreshold, idx.inDims)
-    pqEncode(base, cb, idx.inDims, idx.nSub)
+    // appends into a pre-margin-column index root (codes without
+    // e2/nb2) would leave mixed file schemas behind — compact/rebuild
+    // such a root before appending with this version
+    pqEncodeIndexed(base, cb, idx.inDims, idx.nSub)
       .select(col("cell").cast("int").as("cell"), col("corpus_id"),
-        col("codes"))
+        col("codes"), col("e2"), col("nb2"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path + "/codes")
   }
@@ -2434,7 +2903,29 @@ object Similarity {
     * geometry and must fail loudly, not interleave. Sources are read
     * through the usual crash recovery; `destPath` must be a new root. */
   def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
-      srcPaths: Seq[String], destPath: String): Unit = {
+      srcPaths: Seq[String], destPath: String): Unit =
+    mergeIvfIndexes(spark, srcPaths, destPath, consumeSources = false)
+
+  /** [[mergeIvfIndexes]] with the CONSUMING fast path: when
+    * `consumeSources` is true the merge is pure filesystem renames —
+    * the first source's centroids/meta move to `destPath`, every
+    * source's cell directories (and pending tombstone files, which
+    * keep filtering the union) move under the destination's postings,
+    * and the drained source roots are deleted. O(cells) driver
+    * operations, NO Spark job over the corpus — merging two 50 TB
+    * indexes costs directory renames instead of a full-corpus
+    * exchange + parquet rewrite. The trade: sources are gone
+    * afterwards (the parallel-build fan-in deletes them anyway), the
+    * destination's file count is the sum of the sources' (compact it
+    * if probes warrant), and a crash mid-move leaves a restartable
+    * half-state — re-running the same merge completes it; the
+    * destination must not be read before the merge returns. With
+    * `consumeSources = false` (default) the sources are left intact
+    * and the merge is the one cell-partitioned union rewrite. Both
+    * paths verify geometry identically first. */
+  def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], destPath: String,
+      consumeSources: Boolean): Unit = {
     require(srcPaths.nonEmpty, "mergeIvfIndexes: no source indexes")
     require(!srcPaths.contains(destPath),
       s"mergeIvfIndexes: destPath $destPath must not be a source " +
@@ -2457,9 +2948,87 @@ object Similarity {
           s"$p0 — postings routed under different geometry cannot be " +
           "merged; rebuild one side under the shared quantizer")
     }
-    writeIvfIndex(IvfIndexFrames(first.centroids,
-      idxs.map(_._2.postings).reduce(_ unionAll _),
-      first.quantScale, first.twoLevelThreshold), destPath)
+    withWriterLease(spark, destPath, "mergeIvfIndexes") { verifyLease =>
+      verifyLease()
+      if (consumeSources)
+        moveMergeRoots(spark, srcPaths, destPath,
+          dataDir = "postings", smallDirs = Seq("centroids", "meta"),
+          op = "mergeIvfIndexes")
+      else
+        writeIvfIndex(IvfIndexFrames(first.centroids,
+          idxs.map(_._2.postings).reduce(_ unionAll _),
+          first.quantScale, first.twoLevelThreshold), destPath)
+    }
+  }
+
+  /** The consuming merge's file mechanics, shared by the raw and PQ
+    * fan-ins: rename `smallDirs` (quantizer artifacts) from the first
+    * source into a FRESH `destPath`, then move every source's cell
+    * directories under `destPath/dataDir` (whole-dir rename when the
+    * destination cell is new — the common disjoint-slice case — else
+    * per-file renames; name collisions get a per-source prefix), move
+    * pending tombstone files along (the union of tombstone sets
+    * filters the union of postings), and delete the drained roots.
+    * Restartable: every file moves exactly once, so re-running the
+    * same merge after a crash completes it. */
+  private def moveMergeRoots(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], destPath: String, dataDir: String,
+      smallDirs: Seq[String], op: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(destPath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(destPath + "/" + dataDir)),
+      s"$op: consuming merge needs a fresh destination root — " +
+        s"$destPath already holds a $dataDir dir")
+    fs.mkdirs(dest)
+    smallDirs.foreach { d =>
+      val t = new Path(destPath + "/" + d)
+      if (!fs.exists(t))
+        require(fs.rename(new Path(srcPaths.head + "/" + d), t),
+          s"$op: could not move ${srcPaths.head}/$d to $t")
+    }
+    val destData = new Path(destPath + "/" + dataDir)
+    fs.mkdirs(destData)
+    val destTomb = new Path(destPath + "/tombstones")
+    srcPaths.zipWithIndex.foreach { case (src, si) =>
+      val srcData = new Path(src + "/" + dataDir)
+      if (fs.exists(srcData)) {
+        fs.listStatus(srcData).filter(_.isDirectory).foreach { cellDir =>
+          val target = new Path(destData, cellDir.getPath.getName)
+          if (!fs.exists(target)) {
+            require(fs.rename(cellDir.getPath, target),
+              s"$op: could not move ${cellDir.getPath} to $target")
+          } else {
+            fs.listStatus(cellDir.getPath).foreach { f =>
+              val name = f.getPath.getName
+              if (!name.startsWith("_") && !name.startsWith(".")) {
+                val t0 = new Path(target, name)
+                val t = if (fs.exists(t0))
+                  new Path(target, s"src$si-$name") else t0
+                require(fs.rename(f.getPath, t),
+                  s"$op: could not move ${f.getPath} to $t")
+              }
+            }
+          }
+        }
+      }
+      val srcTomb = new Path(src + "/tombstones")
+      if (fs.exists(srcTomb)) {
+        fs.mkdirs(destTomb)
+        fs.listStatus(srcTomb).foreach { f =>
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            val t0 = new Path(destTomb, name)
+            val t = if (fs.exists(t0))
+              new Path(destTomb, s"src$si-$name") else t0
+            require(fs.rename(f.getPath, t),
+              s"$op: could not move tombstone ${f.getPath} to $t")
+          }
+        }
+      }
+      fs.delete(new Path(src), true)
+    }
+    ()
   }
 
   /** [[mergeIvfIndexes]] for persisted PQ indexes: sources must carry
@@ -2469,7 +3038,17 @@ object Similarity {
     * cell-partitioned union write of the codes plus a copy of the
     * shared centroids/codebook/meta. Same no-retrain fan-in contract. */
   def mergeIvfPqIndexes(spark: org.apache.spark.sql.SparkSession,
-      srcPaths: Seq[String], destPath: String): Unit = {
+      srcPaths: Seq[String], destPath: String): Unit =
+    mergeIvfPqIndexes(spark, srcPaths, destPath, consumeSources = false)
+
+  /** [[mergeIvfPqIndexes]] with the consuming file-move fast path —
+    * same contract as the raw-index overload ([[mergeIvfIndexes]]):
+    * `consumeSources = true` turns the merge into O(cells) renames
+    * (centroids/codebook/meta from the first source, every source's
+    * code cell dirs and tombstones moved, drained roots deleted). */
+  def mergeIvfPqIndexes(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], destPath: String,
+      consumeSources: Boolean): Unit = {
     require(srcPaths.nonEmpty, "mergeIvfPqIndexes: no source indexes")
     require(!srcPaths.contains(destPath),
       s"mergeIvfPqIndexes: destPath $destPath must not be a source " +
@@ -2501,10 +3080,18 @@ object Similarity {
           "cannot be merged; re-encode one side under the shared " +
           "codebook")
     }
-    writeIvfPqIndex(IvfPqIndexFrames(first.centroids, first.codebook,
-      idxs.map(_._2.codes).reduce(_ unionAll _),
-      first.inDims, first.nSub, first.quantScale,
-      first.twoLevelThreshold), destPath)
+    withWriterLease(spark, destPath, "mergeIvfPqIndexes") { verifyLease =>
+      verifyLease()
+      if (consumeSources)
+        moveMergeRoots(spark, srcPaths, destPath, dataDir = "codes",
+          smallDirs = Seq("centroids", "codebook", "meta"),
+          op = "mergeIvfPqIndexes")
+      else
+        writeIvfPqIndex(IvfPqIndexFrames(first.centroids, first.codebook,
+          idxs.map(_._2.codes).reduce(_ unionAll _),
+          first.inDims, first.nSub, first.quantScale,
+          first.twoLevelThreshold), destPath)
+    }
   }
 
   /** End-to-end recall audit of a PERSISTED index — the measurement read
@@ -2620,7 +3207,8 @@ object Similarity {
     * re-check — the window a concurrent append would land in. */
   private[ops] def compactCellDirHooked(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, dirName: String, afterStage: () => Unit): Unit = {
+      path: String, dirName: String, afterStage: () => Unit): Unit =
+    withWriterLease(spark, path, "compactCellDir") { verifyLease =>
     import org.apache.hadoop.fs.Path
     // restore a half-swapped root FIRST — the blind delete of a leftover
     // `<dir>_retired` would otherwise destroy the only full copy
@@ -2664,7 +3252,27 @@ object Similarity {
     // deleting the concurrent append's postings with the retired dir
     val inputFiles = input.inputFiles
       .map(f => relativize(live, new Path(f))).toSet
-    input.repartition(col("cell"))
+    // fold pending tombstones into the rewrite — this is where deleted
+    // vectors are PHYSICALLY removed. The tombstone files being folded
+    // are listed NOW and exactly those are cleared after the swap: a
+    // delete landing mid-compaction keeps filtering reads (its file is
+    // not in this list) and is folded by the next compaction.
+    recoverTombstones(spark, path)
+    val tombDir = new Path(path + "/tombstones")
+    val tombFiles: Seq[Path] =
+      if (fs.exists(tombDir))
+        fs.listStatus(tombDir).map(_.getPath).filter { p =>
+          val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      else Seq.empty
+    val folded =
+      if (tombFiles.isEmpty) input
+      else input.join(
+        broadcast(spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select(col("corpus_id"))),
+        Seq("corpus_id"), "left_anti")
+    folded.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(staged.toString)
     afterStage()
@@ -2678,6 +3286,7 @@ object Similarity {
           "contract; the swap was aborted with the live postings intact. " +
           "Serialize appends and compaction against one index root.")
     }
+    verifyLease() // last check before the commit rename
     require(fs.rename(live, retired),
       s"compactCellDir: could not retire $live")
     // the pre-rename check leaves a TOCTOU window (an append landing
@@ -2707,6 +3316,10 @@ object Similarity {
     require(fs.rename(staged, live),
       s"compactCellDir: could not activate $staged")
     fs.delete(retired, true)
+    // clear exactly the folded tombstone files — AFTER the swap, so a
+    // crash anywhere above leaves them pending (re-folding an already-
+    // removed id is a no-op anti-join, never data loss)
+    tombFiles.foreach(f => fs.delete(f, false))
     ()
   }
 }

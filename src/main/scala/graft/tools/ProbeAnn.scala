@@ -1,0 +1,551 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** THE consolidated ANN/index evidence tool — every scale claim the
+  * index family makes is reproducible from one parameterized entry
+  * point (this replaced the per-round ProbeAnnIndex / ProbeAnnR15 /
+  * ProbeExplainR15 / ProbeIvf / ProbeQ58 mains):
+  *
+  *   runMain graft.tools.ProbeAnn lifecycle [n1 n2 ...]
+  *     — persisted IVF lifecycle walls at each corpus size: flat vs
+  *       two-level assignment, build/write, delta append, DPP-on/off
+  *       probe file+byte reads, compaction layout, PQ at-rest bytes.
+  *   runMain graft.tools.ProbeAnn suite [n1 n2 ...]
+  *     — the dedup/audit/maintenance suite: capped vs uncapped dedup
+  *       emit + drop accounting, recall-vs-nprobe audit wall, PQ code
+  *       compaction file counts and probe walls.
+  *   runMain graft.tools.ProbeAnn dedup-prefilter [n1 n2 ...]
+  *     — raw capped ANN dedup vs the ADC-prefiltered path on a FIXED
+  *       10k batch as the corpus grows: the candidate-work bound
+  *       (pair counts must match exactly — the prefilter is lossless).
+  *   runMain graft.tools.ProbeAnn assign <dir1> <dir2> ...
+  *     — coarse-assignment kernels on real embeddings dirs: interpreted
+  *       vs native flat vs two-level, plus the in-query IVF-PQ pair.
+  *   runMain graft.tools.ProbeAnn explain <query1> <query2> ...
+  *     — formatted physical plans of named SparkEntry queries at
+  *       sf0.001 (plan-audit helper).
+  *   runMain graft.tools.ProbeAnn rangejoin [sfDir]
+  *     — the q58 range-join cost breakdown (planning probe vs join).
+  *
+  * Driver-side evidence tooling, not library surface. One JSON line per
+  * measurement so rounds diff cleanly. */
+object ProbeAnn {
+
+  private def session(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** The suite's synthetic 64-dim corpus: deterministic, phase-family
+    * structured (sin over a 1-parameter sweep), so near-duplicates are
+    * DENSE and a 256-point codebook reconstructs well — the regime the
+    * dedup and prefilter claims are about. */
+  private def synth(spark: SparkSession, from: Long,
+      until: Long): DataFrame =
+    spark.range(from, until).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => sin(col("id") * 1.37 + j * 0.61).cast("float"))
+        .as("embedding"))
+
+  private def timeIt[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def parquetFiles(path: String): Int = {
+    def walk(f: java.io.File): Int = {
+      val kids = f.listFiles()
+      if (kids == null) 0
+      else kids.map(k => if (k.isDirectory) walk(k)
+        else if (k.getName.endsWith(".parquet")) 1 else 0).sum
+    }
+    walk(new java.io.File(path))
+  }
+
+  private def dirBytes(p: String): Long = {
+    def walk(f: java.io.File): Long = {
+      val kids = f.listFiles()
+      if (kids == null) f.length()
+      else kids.map(walk).sum
+    }
+    walk(new java.io.File(p))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: ProbeAnn <lifecycle|suite|dedup-prefilter|assign|" +
+        "explain|rangejoin> [args...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rest = args.tail.toSeq
+    args.head match {
+      case "lifecycle" =>
+        val sizes = if (rest.nonEmpty) rest.map(_.toLong)
+          else Seq(200000L, 1000000L)
+        lifecycle(session(cpus), sizes)
+      case "suite" =>
+        val sizes = if (rest.nonEmpty) rest.map(_.toLong)
+          else Seq(250000L, 1000000L)
+        suite(session(cpus), sizes)
+      case "dedup-prefilter" =>
+        val sizes = if (rest.nonEmpty) rest.map(_.toLong)
+          else Seq(50000L, 250000L, 1000000L)
+        dedupPrefilter(session(cpus), sizes)
+      case "assign" =>
+        require(rest.nonEmpty, "assign needs embeddings dirs")
+        assign(session(cpus), rest)
+      case "explain" =>
+        require(rest.nonEmpty, "explain needs SparkEntry query names")
+        val spark = session("8")
+        rest.foreach { q =>
+          println(s"===== $q =====")
+          graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+            .explain("formatted")
+        }
+        spark.stop()
+      case "rangejoin" =>
+        rangejoin(session(cpus),
+          rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown subcommand $other")
+    }
+  }
+
+  /** The prefilter probe's corpus: CLUSTERED, PQ-COMPRESSIBLE vectors
+    * — the regime the ADC prefilter (and IVF-PQ itself) exists for.
+    * Each vector's 8-dim subspace blocks are drawn from a shared
+    * 64-pattern pool keyed by the row's cluster (id mod nClusters), so
+    * a 256-sample codebook reconstructs almost exactly (e2 ≈ the small
+    * per-id jitter) while DISTINCT clusters collide on a block with
+    * probability 1/64 — same-cluster cosine ≈ 0.995, cross-cluster
+    * ≤ 0.58 (measured max). At τ = 0.8 a probed cell's candidates are
+    * therefore mostly refutable (the real dedup shape: few true dups
+    * among many coarse-cell neighbors), unlike the `synth` phase-family
+    * corpus where EVERY same-cell pair clears even τ = 0.5 and there
+    * is nothing to prune. */
+  private def synthClustered(spark: SparkSession, from: Long,
+      until: Long, nClusters: Long): DataFrame =
+    spark.range(from, until).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j => {
+        val cl = pmod(col("id"), lit(nClusters))
+        // NONLINEAR pool hash of (cluster, block): a linear form (low
+        // OR high bits of a multiplicative hash of cl*8+s) makes the 8
+        // pool choices of two clusters shift TOGETHER, collapsing
+        // thousands of clusters into ~64 mega-cluster twins — measured:
+        // 58% of same-cell candidates were true pairs. fract-sin breaks
+        // the linearity (cross-cluster max cosine 0.58, same ≥ 0.9)
+        val hx = sin((cl * 8 + floor(j / 8).cast("long")) * 12.9898) *
+          43758.5453
+        val pool = floor((hx - floor(hx)) * 64).cast("long")
+        // fract-sin pattern values: near-iid uniform in [-1, 1], so
+        // blocks with DIFFERENT pools are near-orthogonal (a shared-
+        // frequency sin family would correlate as cos(Δphase))
+        val base = sin(pool * 378.233 + j * 12.9898) * 43758.5453
+        ((base - floor(base)) * 2 - 1 +
+          sin(col("id") * 97.17 + j * 31.7) * 0.05).cast("float")
+      }).as("embedding"))
+
+  /** Raw capped dedup vs the ADC-prefiltered path, fixed 10k batch,
+    * growing corpus — the r15 "candidate work is unbounded" finding's
+    * fix under measurement. Both paths must emit IDENTICAL pair counts
+    * (the prefilter is lossless); the report row shows how much exact
+    * dot-product work the prefilter refused. */
+  private def dedupPrefilter(spark: SparkSession,
+      sizes: Seq[Long]): Unit = {
+    sizes.foreach { n =>
+      val cells = math.ceil(math.sqrt(n.toDouble)).toInt
+      val nClusters = math.max(64L, n / 16L)
+      val path = s"/tmp/annpre_$n"
+      val pqPath = s"/tmp/annprepq_$n"
+      val corpus = synthClustered(spark, 0L, n, nClusters)
+      val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
+        cells)
+      val (tBuildRaw, _) = timeIt {
+        Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus,
+          "vec_id", "embedding", seeds, "sid", "svec",
+          twoLevelThreshold = 1), path)
+      }
+      val (tBuildPq, _) = timeIt {
+        val pq = Similarity.buildIvfPqIndex(corpus, "vec_id",
+          "embedding", seeds, "sid", "svec",
+          codebookIds = 0L until 256L, inDims = 64, nSub = 8,
+          twoLevelThreshold = 1)
+        Similarity.writeIvfPqIndex(pq, pqPath)
+        graft.Lineage.retireDependents(pq.codes)
+      }
+      val raw = Similarity.readIvfIndex(spark, path)
+      val pq = Similarity.readIvfPqIndex(spark, pqPath)
+      // batch ids continue id-mod-cluster, so most batch rows HAVE
+      // same-cluster near-duplicates in the corpus
+      val batch = synthClustered(spark, n, n + 10000L, nClusters)
+      val (tRaw, nRaw) = timeIt {
+        Similarity.annNearDupPairs(raw, batch, "vec_id", "embedding",
+          thresholdPpm = 800000L, nprobe = 4, maxPairsPerNew = 8)
+          .count()
+      }
+      val (tPre, nPre) = timeIt {
+        Similarity.annNearDupPairsPq(pq, raw, batch, "vec_id",
+          "embedding", thresholdPpm = 800000L, nprobe = 4,
+          maxPairsPerNew = 8).count()
+      }
+      val (tReport, rep) = timeIt {
+        Similarity.annNearDupAdcPrefilterReport(pq, raw, batch,
+          "vec_id", "embedding", thresholdPpm = 800000L, nprobe = 4)
+          .collect().head
+      }
+      require(nRaw == nPre,
+        s"LOSSLESS VIOLATION at n=$n: raw=$nRaw prefiltered=$nPre")
+      println(s"""{"n":$n,"cells":$cells,""" +
+        f""""build_raw_sec":$tBuildRaw%.2f,""" +
+        f""""build_pq_sec":$tBuildPq%.2f,""" +
+        f""""dedup_raw_capped_sec":$tRaw%.2f,""" +
+        f""""dedup_adc_prefiltered_sec":$tPre%.2f,""" +
+        s""""pairs_raw":$nRaw,"pairs_prefiltered":$nPre,""" +
+        f""""prefilter_report_sec":$tReport%.2f,""" +
+        s""""n_candidates":${rep.getLong(0)},""" +
+        s""""n_prefilter_kept":${rep.getLong(1)},""" +
+        s""""n_pairs":${rep.getLong(2)},""" +
+        s""""pruned_candidate_share_ppm":${rep.getLong(3)}}""")
+    }
+    spark.stop()
+  }
+
+  /** Persisted IVF lifecycle walls (formerly ProbeAnnIndex). */
+  private def lifecycle(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    sizes.foreach { n =>
+      val cells = math.ceil(math.sqrt(n.toDouble)).toInt
+      val path = s"/tmp/annprobe_$n"
+      val corpus = synth(spark, 0L, n)
+      val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
+        cells)
+      // assignment-only walls, flat exact vs the two-level router, then
+      // the persisted build (assignment + cell shuffle + write) on the
+      // two-level route — the configuration a corpus this size runs.
+      // The forcing action must AGGREGATE the cell column: a bare
+      // count() lets column pruning drop the argmax projection entirely
+      val idxFlat = Similarity.buildIvfIndex(corpus, "vec_id",
+        "embedding", seeds, "sid", "svec")
+      val (tAssignFlat, _) = timeIt {
+        idxFlat.postings.agg(sum(col("cell"))).collect()
+      }
+      val idx2 = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        seeds, "sid", "svec", twoLevelThreshold = 1)
+      val (tAssignTwoLevel, _) = timeIt {
+        idx2.postings.agg(sum(col("cell"))).collect()
+      }
+      val (tBuild, _) = timeIt { Similarity.writeIvfIndex(idx2, path) }
+      val filesAfterBuild = parquetFiles(path + "/postings")
+      val (tAppend, _) = timeIt {
+        // routing parameters come from the index's persisted meta
+        Similarity.appendToIvfIndex(spark, path,
+          synth(spark, n, n + 10000L), "vec_id", "embedding")
+      }
+      val filesAfterAppend = parquetFiles(path + "/postings")
+      val queries = synth(spark, 0L, 16L)
+      // files/bytes actually READ by the postings scan — the metric the
+      // pruning claim is about (at fixture scale the tiny per-cell files
+      // coalesce into a handful of splits, so WALL barely moves; at
+      // cell sizes worth indexing the byte cut is the probe cost)
+      def probedScan(df0: => DataFrame): (Long, Long, Long) =
+        // AQE query stages hide executed scans from plan.collect; the
+        // probe measurement runs non-adaptive so the scan metrics are
+        // reachable (DPP inserts with or without AQE)
+        graft.ConfScope.withConf(spark, "spark.sql.adaptive.enabled",
+          "false") {
+          val df = df0
+          // collect() (not count()) so the metrics are read from the
+          // SAME queryExecution that ran — count() plans a separate agg
+          val rows = df.collect().length.toLong
+          val scans = df.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.output.exists(_.name == "cnorm") => s
+          }
+          val files = scans.map(_.metrics("numFiles").value).sum
+          val bytes = scans.map(_.metrics("filesSize").value).sum
+          (rows, files, bytes)
+        }
+      val (tProbe, (nProbeRows, filesDpp, bytesDpp)) = timeIt {
+        probedScan(Similarity.probeIvfIndex(
+          Similarity.readIvfIndex(spark, path),
+          queries, "vec_id", "embedding", k = 10, nprobe = 4))
+      }
+      val (tProbeNoDpp, (_, filesFull, bytesFull)) = timeIt {
+        graft.ConfScope.withConf(spark,
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+          "false") {
+          probedScan(Similarity.probeIvfIndex(
+            Similarity.readIvfIndex(spark, path),
+            queries, "vec_id", "embedding", k = 10, nprobe = 4))
+        }
+      }
+      val (tCompact, _) =
+        timeIt { Similarity.compactIvfIndex(spark, path) }
+      val filesAfterCompact = parquetFiles(path + "/postings")
+      // PQ at-rest comparison: same corpus/seeds, codes instead of
+      // vectors (256-code codebook, 8 subspaces)
+      val pqPath = s"/tmp/annpq_$n"
+      val (tPqBuild, _) = timeIt {
+        Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+          "vec_id", "embedding", seeds, "sid", "svec",
+          codebookIds = 0L until 256L, inDims = 64, nSub = 8,
+          twoLevelThreshold = 1), pqPath)
+      }
+      val rawBytes = dirBytes(path + "/postings")
+      val pqBytes = dirBytes(pqPath + "/codes")
+      val (tPqProbe, _) = timeIt {
+        Similarity.probeIvfPqIndex(Similarity.readIvfPqIndex(spark,
+          pqPath), queries, "vec_id", "embedding", k = 10, nprobe = 4)
+          .count()
+      }
+      println(s"""{"n":$n,"cells":$cells,""" +
+        f""""assign_flat_sec":$tAssignFlat%.2f,""" +
+        f""""assign_two_level_sec":$tAssignTwoLevel%.2f,""" +
+        f""""build_write_sec":$tBuild%.2f,""" +
+        s""""files_after_build":$filesAfterBuild,""" +
+        f""""append_10k_sec":$tAppend%.2f,""" +
+        s""""files_after_append":$filesAfterAppend,""" +
+        f""""probe16_dpp_sec":$tProbe%.2f,""" +
+        s""""probe_files_read_dpp":$filesDpp,""" +
+        s""""probe_bytes_read_dpp":$bytesDpp,""" +
+        f""""probe16_full_scan_sec":$tProbeNoDpp%.2f,""" +
+        s""""probe_files_read_full":$filesFull,""" +
+        s""""probe_bytes_read_full":$bytesFull,""" +
+        f""""compact_sec":$tCompact%.2f,""" +
+        s""""files_after_compact":$filesAfterCompact,""" +
+        f""""pq_build_write_sec":$tPqBuild%.2f,""" +
+        s""""raw_postings_bytes":$rawBytes,""" +
+        s""""pq_codes_bytes":$pqBytes,""" +
+        f""""pq_probe16_sec":$tPqProbe%.2f,""" +
+        s""""probe_rows":$nProbeRows}""")
+    }
+    spark.stop()
+  }
+
+  /** Dedup/audit/PQ-maintenance suite (formerly ProbeAnnR15). */
+  private def suite(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    sizes.foreach { n =>
+      val cells = math.ceil(math.sqrt(n.toDouble)).toInt
+      val path = s"/tmp/annsuite_$n"
+      val corpus = synth(spark, 0L, n)
+      val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
+        cells)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus,
+        "vec_id", "embedding", seeds, "sid", "svec",
+        twoLevelThreshold = 1), path)
+      val idx = Similarity.readIvfIndex(spark, path)
+      val batch = synth(spark, n, n + 10000L)
+
+      // (a) dense-batch dedup: uncapped emit vs top-8 cap + accounting
+      val (tUncapped, nUncapped) = timeIt {
+        Similarity.annNearDupPairs(idx, batch, "vec_id", "embedding",
+          thresholdPpm = 500000L, nprobe = 4).count()
+      }
+      val (tCapped, nCapped) = timeIt {
+        Similarity.annNearDupPairs(idx, batch, "vec_id", "embedding",
+          thresholdPpm = 500000L, nprobe = 4, maxPairsPerNew = 8)
+          .count()
+      }
+      val (tReport, rep) = timeIt {
+        Similarity.annNearDupDropReport(idx, batch, "vec_id",
+          "embedding", thresholdPpm = 500000L, maxPairsPerNew = 8,
+          nprobe = 4).collect().head
+      }
+
+      // (b) recall audit: 32 sampled queries, three probe budgets
+      val queries = corpus.where(col("vec_id") < 32)
+      val (tAudit, audit) = timeIt {
+        Similarity.ivfRecallAudit(idx, corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10,
+          nprobes = Seq(1, 4, 16))
+          .collect().map(r => r.getAs[Int]("nprobe") ->
+            r.getAs[Long]("recall_ppm")).sortBy(_._1)
+      }
+
+      // (c) PQ codes compaction after three 10k appends
+      val pqPath = s"/tmp/annsuitepq_$n"
+      val pq = Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        seeds, "sid", "svec", codebookIds = 0L until 256L,
+        inDims = 64, nSub = 8, twoLevelThreshold = 1)
+      Similarity.writeIvfPqIndex(pq, pqPath)
+      graft.Lineage.retireDependents(pq.codes)
+      (0 until 3).foreach { i =>
+        Similarity.appendToIvfPqIndex(spark, pqPath,
+          synth(spark, n + i * 10000L, n + (i + 1) * 10000L), "vec_id",
+          "embedding")
+      }
+      val filesBefore = parquetFiles(pqPath + "/codes")
+      val pqQueries = corpus.where(col("vec_id") < 16)
+      def pqProbe(): Long = Similarity.probeIvfPqIndex(
+        Similarity.readIvfPqIndex(spark, pqPath), pqQueries, "vec_id",
+        "embedding", k = 10, nprobe = 4).count()
+      val (tProbePre, _) = timeIt(pqProbe())
+      val (tCompact, _) =
+        timeIt(Similarity.compactIvfPqIndex(spark, pqPath))
+      val filesAfter = parquetFiles(pqPath + "/codes")
+      val (tProbePost, _) = timeIt(pqProbe())
+
+      println(s"""{"n":$n,"cells":$cells,""" +
+        f""""dedup_uncapped_sec":$tUncapped%.2f,""" +
+        s""""dedup_uncapped_pairs":$nUncapped,""" +
+        f""""dedup_capped_sec":$tCapped%.2f,""" +
+        s""""dedup_capped_pairs":$nCapped,""" +
+        f""""drop_report_sec":$tReport%.2f,""" +
+        s""""drop_report":{"n_new_rows_paired":${rep.getLong(0)},""" +
+        s""""n_pairs":${rep.getLong(1)},""" +
+        s""""n_pairs_kept":${rep.getLong(2)},""" +
+        s""""n_pairs_dropped":${rep.getLong(3)},""" +
+        s""""dropped_pair_share_ppm":${rep.getLong(4)}},""" +
+        f""""recall_audit_sec":$tAudit%.2f,""" +
+        s""""recall_ppm_by_nprobe":{${
+          audit.map { case (np, r) => s"\"$np\":$r" }.mkString(",")}},""" +
+        s""""pq_code_files_after_3_appends":$filesBefore,""" +
+        f""""pq_probe_pre_compact_sec":$tProbePre%.2f,""" +
+        f""""pq_compact_sec":$tCompact%.2f,""" +
+        s""""pq_code_files_after_compact":$filesAfter,""" +
+        f""""pq_probe_post_compact_sec":$tProbePost%.2f}""")
+    }
+    spark.stop()
+  }
+
+  /** Coarse-assignment kernel walls on real embeddings dirs (formerly
+    * ProbeIvf). */
+  private def assign(spark: SparkSession, dirs: Seq[String]): Unit = {
+    def timeRows(body: => Long): (Double, Long) = timeIt(body)
+    dirs.foreach { dir =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
+      val cells = Similarity.defaultIvfCells(n)
+      e.limit(1).count() // warm the scan
+      val q = e.where(col("vec_id") < 5)
+      // ---- ASSIGN-STAGE-ONLY timings (flat per-row assign cost grows
+      // with √N, two-level stays ~flat; the full-query numbers below
+      // carry the shared PQ tail) --------------------------------------
+      val quant = transform(col("embedding"),
+        x => round(x.cast("double") * 10000))
+      val valid = e.select(col("vec_id").cast("long").as("id"),
+          quant.as("qv"))
+        .where(col("qv").isNotNull && size(col("qv")) === 64)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      valid.count()
+      val seedTab = Similarity.hashSeeds(
+          e.select(col("vec_id").as("__id"), col("embedding").as("__v")),
+          "__id", "__v", cells)
+        .select(transform(col("svec"),
+          x => round(x.cast("double") * 10000)).as("cv"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cn = seedTab.map(v => v.map(x => x * x).sum)
+      val centsSeq: Seq[Seq[Double]] = seedTab.map(_.toSeq).toSeq
+      val scorer = transform(typedLit(centsSeq), (c, i) =>
+        graft.functions.GraftFunctions.vectorDot(c, col("qv")) * 2 -
+          element_at(typedLit(cn.toSeq), i + 1))
+      val (interpSec, _) = timeRows {
+        valid.withColumn("s", scorer)
+          .select((array_position(col("s"), array_max(col("s"))) - 1)
+            .cast("int").as("cell"))
+          .agg(count(col("cell"))).head(); n
+      }
+      val (nativeFlatSec, _) = timeRows {
+        valid.select(graft.functions.GraftFunctions.ivfArgmaxCell(
+            col("qv"), seedTab, cn, null, null, null).as("cell"))
+          .agg(count(col("cell"))).head(); n
+      }
+      val superCount = math.max(1,
+        math.ceil(math.sqrt(seedTab.length.toDouble)).toInt)
+      def md5hex15(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15)
+      val superIdx = seedTab.indices
+        .sortBy(ci => (md5hex15(s"ivf2:$ci"), ci)).take(superCount)
+      val superCents = superIdx.map(seedTab).toArray
+      val superCn = superIdx.map(cn).toArray
+      def superOf(v: Array[Double]): Int =
+        (0 until superCount).maxBy { j =>
+          val s = superCents(j)
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * s(i); i += 1 }
+          (2.0 * d - superCn(j), -j)
+        }
+      val c2g = seedTab.map(superOf)
+      val memberCells = Array.tabulate(superCount)(g =>
+        seedTab.indices.filter(ci => c2g(ci) == g).toArray)
+      val (nativeTwoSec, _) = timeRows {
+        valid.select(graft.functions.GraftFunctions.ivfArgmaxCell(
+            col("qv"), superCents, superCn, memberCells, seedTab, cn)
+          .as("cell"))
+          .agg(count(col("cell"))).head(); n
+      }
+      valid.unpersist()
+      println(s"""{"dir":"$dir","stage":"assign_only","n_vectors":$n,""" +
+        s""""cells":$cells,"supers":$superCount,""" +
+        s""""interp_flat_sec":$interpSec,""" +
+        s""""interp_flat_us_per_row":${interpSec * 1e6 / n},""" +
+        s""""native_flat_sec":$nativeFlatSec,""" +
+        s""""native_flat_us_per_row":${nativeFlatSec * 1e6 / n},""" +
+        s""""native_two_level_sec":$nativeTwoSec,""" +
+        s""""native_two_level_us_per_row":${nativeTwoSec * 1e6 / n}}""")
+      val (flatSec, fr) = timeRows {
+        graft.Lineage.scoped(Similarity.ivfPqTopKScaled(e, "vec_id",
+          "embedding", q, "vec_id", "embedding",
+          codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 10,
+          trainer = "hash"))(_.count())
+      }
+      val (twoSec, tr) = timeRows {
+        graft.Lineage.scoped(Similarity.ivfPqTopKTwoLevel(e, "vec_id",
+          "embedding", q, "vec_id", "embedding",
+          codebookIds = 16L to 23L, inDims = 64, nSub = 8, k = 10))(
+          _.count())
+      }
+      println(s"""{"dir":"$dir","n_vectors":$n,"cells":$cells,""" +
+        s""""flat_sec":$flatSec,"flat_us_per_row":${flatSec * 1e6 / n},""" +
+        s""""two_level_sec":$twoSec,""" +
+        s""""two_level_us_per_row":${twoSec * 1e6 / n},""" +
+        s""""flat_rows":$fr,"two_level_rows":$tr}""")
+    }
+    spark.stop()
+  }
+
+  /** q58 range-join cost breakdown (formerly ProbeQ58). */
+  private def rangejoin(spark: SparkSession, dir: String): Unit = {
+    val hourUs = 3600L * 1000000L
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val ev = graft.sources.EventTime.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    ev.limit(1).count()
+    for (i <- 1 to 3) {
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("pt"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("ws"),
+          (unix_micros(col("ts")) + hourUs).as("we"))
+      val w = t(s"probe $i") {
+        graft.ops.RangeJoin.autoBinWidth(clicks, "pt", windows, "ws",
+          "we", fallback = hourUs)
+      }
+      println(s"  width=$w (hour=$hourUs)")
+      t(s"join  $i") {
+        graft.ops.RangeJoin.pointInInterval(clicks, "click_id", "pt",
+          windows, "window_id", "ws", "we", binWidth = w).count()
+      }
+    }
+    spark.stop()
+  }
+}

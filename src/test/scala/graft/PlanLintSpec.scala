@@ -23,6 +23,9 @@ class PlanLintSpec extends SparkSuite {
     "q297_stream_pq_maintenance", // codes-total row (share_ppm)
     "q298_ann_pq_recall_audit", // one-row truth-count frame
     "q294_ann_index_recall_audit", // one-row truth-count frame
+    "q302_ann_adc_prefilter_report", // one-row candidate/kept/pairs
+                                     // count frames (exact report)
+    "q304_ann_delete_compact", // postings-total row (share_ppm)
     "q55_prototypicality", // centroid list (k cells)
     "q49_semantic_dedup", // centroid TABLE broadcast (k rows by
                           // contract; within-cell pairs are capped —

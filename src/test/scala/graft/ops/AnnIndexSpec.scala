@@ -360,6 +360,286 @@ class AnnIndexSpec extends SparkSuite {
     assert(ex.getMessage.contains("persisted meta"))
   }
 
+  test("tombstone deletes: probe-after-delete equals rebuild-without-" +
+    "deleted, compaction folds physically and clears tombstones, " +
+    "appends resurrect") {
+    import spark.implicits._
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("tomb")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val doomed = corpus.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"))
+    Similarity.deleteFromIvfIndex(spark, path, doomed, "vec_id")
+    // idempotent double delete
+    Similarity.deleteFromIvfIndex(spark, path, doomed, "vec_id")
+    val queries = corpus.where(col("vec_id") < 3)
+    def probe(p: String) = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, p), queries, "vec_id", "embedding",
+      k = 5, nprobe = 8))
+    // ground truth: a fresh build over the corpus minus the deleted
+    // rows, under the SAME seeds (drawn from the full corpus)
+    val path2 = tmpDir("tombtruth")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      corpus.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id",
+      "embedding", seeds, "sid", "svec"), path2)
+    assert(probe(path) === probe(path2))
+    // logical now, physical at compaction: raw files still hold 200
+    assert(spark.read.parquet(path + "/postings").count() === 200L)
+    assert(Similarity.readIvfIndex(spark, path).postings.count() ===
+      180L)
+    Similarity.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(path + "/postings").count() === 180L)
+    // folded tombstone files cleared
+    val tombFiles = new java.io.File(path + "/tombstones").listFiles()
+    assert(tombFiles == null ||
+      !tombFiles.exists(_.getName.endsWith(".parquet")))
+    assert(probe(path) === probe(path2))
+    // resurrection: delete 0, then append a delta containing 0 — the
+    // append clears its ids from the tombstone set before landing
+    Similarity.deleteFromIvfIndex(spark, path,
+      Seq(0L).toDF("vec_id"), "vec_id")
+    assert(Similarity.readIvfIndex(spark, path).postings
+      .where(col("corpus_id") === 0L).count() === 0L)
+    Similarity.appendToIvfIndex(spark, path,
+      corpus.where(col("vec_id") === 0L), "vec_id", "embedding")
+    assert(Similarity.readIvfIndex(spark, path).postings
+      .where(col("corpus_id") === 0L).count() === 1L)
+    // PQ twin: the tombstone layer is shared
+    val pqPath = tmpDir("tombpq")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = Seq(1L, 2L, 3L, 4L), inDims = dims, nSub = 2),
+      pqPath)
+    Similarity.deleteFromIvfPqIndex(spark, pqPath,
+      Seq(7L).toDF("vec_id"), "vec_id")
+    assert(Similarity.readIvfPqIndex(spark, pqPath).codes
+      .where(col("corpus_id") === 7L).count() === 0L)
+    Similarity.compactIvfPqIndex(spark, pqPath)
+    assert(spark.read.parquet(pqPath + "/codes")
+      .where(col("corpus_id") === 7L).count() === 0L)
+  }
+
+  test("consuming merge is pure file moves: names preserved, pending " +
+    "tombstones ride along, sources deleted, probe equals the " +
+    "rewrite merge") {
+    import spark.implicits._
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    def buildHalves(root: String): (String, String) = {
+      val (pa, pb) = (s"$root/even", s"$root/odd")
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        corpus.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", seeds, "sid", "svec"), pa)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        corpus.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "embedding", seeds, "sid", "svec"), pb)
+      (pa, pb)
+    }
+    def dataFileNames(dir: String): Set[String] = {
+      def walk(f: java.io.File): Seq[String] = {
+        val kids = f.listFiles()
+        if (kids == null) Seq.empty
+        else kids.flatMap(k => if (k.isDirectory) walk(k)
+          else if (k.getName.endsWith(".parquet")) Seq(k.getName)
+          else Seq.empty).toSeq
+      }
+      walk(new java.io.File(dir)).toSet
+    }
+    val rootA = tmpDir("movemerge")
+    val (pa, pb) = buildHalves(rootA)
+    Similarity.deleteFromIvfIndex(spark, pa, Seq(10L).toDF("vec_id"),
+      "vec_id")
+    val srcNames = dataFileNames(pa + "/postings") ++
+      dataFileNames(pb + "/postings")
+    val pm = s"$rootA/merged"
+    Similarity.mergeIvfIndexes(spark, Seq(pa, pb), pm,
+      consumeSources = true)
+    // sources consumed, every posting file MOVED (same names — no
+    // rewrite happened), the pending tombstone still filters
+    assert(!new java.io.File(pa).exists() &&
+      !new java.io.File(pb).exists())
+    assert(dataFileNames(pm + "/postings") === srcNames)
+    val merged = Similarity.readIvfIndex(spark, pm)
+    assert(merged.postings.where(col("corpus_id") === 10L).count() ===
+      0L, "source tombstone rode along")
+    assert(merged.postings.count() === 199L)
+    // probe parity with the rewrite merge over fresh halves
+    val rootB = tmpDir("movemergeref")
+    val (qa, qb) = buildHalves(rootB)
+    Similarity.deleteFromIvfIndex(spark, qa, Seq(10L).toDF("vec_id"),
+      "vec_id")
+    val pm2 = s"$rootB/merged"
+    Similarity.mergeIvfIndexes(spark, Seq(qa, qb), pm2)
+    val queries = corpus.where(col("vec_id") < 3)
+    def probe(p: String) = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, p), queries, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    assert(probe(pm) === probe(pm2))
+  }
+
+  test("writer lease: a second writer fails loudly with the lease on " +
+    "and proceeds (documented-unsafe) with it off; stale leases are " +
+    "taken over; a mid-flight takeover aborts compaction before the " +
+    "swap") {
+    import org.apache.hadoop.fs.Path
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("lease")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    val delta = corpus.where(col("vec_id") < 2)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+    val marker = new Path(path + "/_writer")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantMarker(token: String): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    }
+    // lease OFF (default): a foreign marker is ignored — the
+    // documented-unsafe single-writer-by-contract mode
+    plantMarker("someone-else")
+    Similarity.appendToIvfIndex(spark, path, delta, "vec_id",
+      "embedding")
+    graft.ConfScope.withConf(spark, "spark.graft.annIndexWriterLease",
+      "true") {
+      // a FRESH foreign marker = a live concurrent writer → loud
+      val ex = intercept[IllegalStateException] {
+        Similarity.appendToIvfIndex(spark, path,
+          delta.select((col("vec_id") + 500L).as("vec_id"),
+            col("embedding")), "vec_id", "embedding")
+      }
+      assert(ex.getMessage.contains("holds the lease"))
+      // a STALE marker (older than the threshold) is taken over
+      fs.setTimes(marker, System.currentTimeMillis() - 7200000L, -1)
+      Similarity.appendToIvfIndex(spark, path,
+        delta.select((col("vec_id") + 1000L).as("vec_id"),
+          col("embedding")), "vec_id", "embedding")
+      assert(!fs.exists(marker), "lease released after the append")
+      // a takeover DURING compaction aborts before the commit rename,
+      // live postings intact
+      val before = spark.read.parquet(path + "/postings").count()
+      val ex2 = intercept[IllegalStateException] {
+        Similarity.compactCellDirHooked(spark, path, "postings",
+          () => plantMarker("usurper"))
+      }
+      assert(ex2.getMessage.contains("taken over"))
+      assert(spark.read.parquet(path + "/postings").count() === before)
+      fs.delete(marker, false)
+      // and a clean run under the lease completes + releases
+      Similarity.compactIvfIndex(spark, path)
+      assert(!fs.exists(marker))
+    }
+  }
+
+  test("tombstone crash windows: a delete landing mid-compaction " +
+    "survives the fold-clear, and a half-swapped resurrection " +
+    "recovers to the committed state") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("tombrace")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    Similarity.deleteFromIvfIndex(spark, path,
+      Seq(10L).toDF("vec_id"), "vec_id")
+    // a second delete lands DURING compaction (after the staged
+    // rewrite): its tombstone file was not folded, so the fold-clear
+    // must leave it pending — still filtering reads, physically
+    // removed by the NEXT compaction
+    Similarity.compactCellDirHooked(spark, path, "postings", () =>
+      Similarity.deleteFromIvfIndex(spark, path,
+        Seq(20L).toDF("vec_id"), "vec_id"))
+    assert(spark.read.parquet(path + "/postings")
+      .where(col("corpus_id") === 10L).count() === 0L, "folded delete")
+    assert(spark.read.parquet(path + "/postings")
+      .where(col("corpus_id") === 20L).count() === 1L,
+      "late delete not yet physical")
+    assert(Similarity.readIvfIndex(spark, path).postings
+      .where(col("corpus_id") === 20L).count() === 0L,
+      "late delete still filters reads")
+    Similarity.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(path + "/postings")
+      .where(col("corpus_id") === 20L).count() === 0L,
+      "late delete folded by the next compaction")
+    // half-swapped resurrection recovery: staged (complete, _SUCCESS)
+    // + retired present, live missing → staged is the committed state
+    Similarity.deleteFromIvfIndex(spark, path,
+      Seq(30L, 40L).toDF("vec_id"), "vec_id")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // construct the mid-swap state by hand: the committed (staged) set
+    // holds only 40
+    Seq(40L).toDF("corpus_id").coalesce(1).write
+      .parquet(path + "/tombstones_staged")
+    assert(fs.rename(new Path(path + "/tombstones"),
+      new Path(path + "/tombstones_retired")))
+    val back = Similarity.readIvfIndex(spark, path)
+    assert(back.postings.where(col("corpus_id") === 30L).count() === 1L,
+      "30 was resurrected in the committed staged set")
+    assert(back.postings.where(col("corpus_id") === 40L).count() === 0L,
+      "40 stays tombstoned after recovery")
+    assert(!fs.exists(new Path(path + "/tombstones_staged")) &&
+      !fs.exists(new Path(path + "/tombstones_retired")))
+  }
+
+  test("ADC-prefiltered dedup equals the raw kernel exactly (capped " +
+    "and uncapped), the prefilter actually prunes, and broken " +
+    "preconditions fail loudly") {
+    val evens = corpus.where(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = corpus.where(pmod(col("vec_id"), lit(2)) === 1)
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val raw = Similarity.buildIvfIndex(evens, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    // a 4-entry codebook over 8 dims / 2 subspaces: coarse enough that
+    // the per-posting distortion e2 is large and the margin matters
+    val pq = Similarity.buildIvfPqIndex(evens, "vec_id", "embedding",
+      seeds, "sid", "svec", codebookIds = Seq(0L, 2L, 4L, 6L),
+      inDims = dims, nSub = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("id_new").cast("long"),
+          col("id_existing").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (cap <- Seq(0, 2)) {
+      val viaRaw = pairs(Similarity.annNearDupPairs(raw, odds,
+        "vec_id", "embedding", thresholdPpm = 200000L, nprobe = 3,
+        maxPairsPerNew = cap))
+      val viaPq = pairs(Similarity.annNearDupPairsPq(pq, raw, odds,
+        "vec_id", "embedding", thresholdPpm = 200000L, nprobe = 3,
+        maxPairsPerNew = cap))
+      assert(viaPq === viaRaw, s"cap=$cap")
+      assert(viaPq.nonEmpty, s"cap=$cap fixture must produce pairs")
+    }
+    // the accounting row: candidates ≥ prefilter-kept ≥ exact pairs,
+    // and with a 4-point codebook the prefilter must still prune SOME
+    // candidates (otherwise the test exercises nothing)
+    val rep = Similarity.annNearDupAdcPrefilterReport(pq, raw, odds,
+      "vec_id", "embedding", thresholdPpm = 200000L, nprobe = 3)
+      .collect().head
+    val (nCand, nKept, nPairs) =
+      (rep.getLong(0), rep.getLong(1), rep.getLong(2))
+    val nRawPairs = Similarity.annNearDupPairs(raw, odds, "vec_id",
+      "embedding", thresholdPpm = 200000L, nprobe = 3).count()
+    assert(nCand >= nKept && nKept >= nPairs)
+    assert(nPairs === nRawPairs)
+    assert(nKept < nCand, "prefilter pruned nothing — margin too loose")
+    // a pre-margin index (no e2/nb2) must fail loudly, not drop pairs
+    val legacy = pq.copy(codes = pq.codes.drop("e2", "nb2"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annNearDupPairsPq(legacy, raw, odds, "vec_id",
+        "embedding", thresholdPpm = 200000L, nprobe = 3)
+    }
+    assert(ex.getMessage.contains("margin columns"))
+    // mismatched geometry (different seed set) must fail loudly
+    val otherSeeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
+      8, salt = "other")
+    val otherRaw = Similarity.buildIvfIndex(evens, "vec_id", "embedding",
+      otherSeeds, "sid", "svec")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.annNearDupPairsPq(pq, otherRaw, odds, "vec_id",
+        "embedding", thresholdPpm = 200000L, nprobe = 3)
+    }
+    assert(ex2.getMessage.contains("DIFFERENT"))
+  }
+
   test("PQ index meta round-trips two_level_threshold, the legacy " +
     "append validates it, and an ambiguous meta dir fails loudly") {
     val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
