@@ -3892,6 +3892,60 @@ object SparkEntry {
           col("recall_ppm").cast("long").as("recall_ppm"))
     }),
 
+    // ATTRIBUTE-FILTERED ANN PROBE — "nearest label-1 vectors only":
+    // the index is built with `label` as a payload column (a plain
+    // parquet column of the cell-partitioned postings), and the probe
+    // filters on it BEFORE the top-k, so all k survivors satisfy the
+    // predicate and the filter is pushed into the postings scan
+    // alongside DPP. The oracle replays the probe with the candidate
+    // side restricted to label = 1.
+    "q305_ann_filtered_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("ivffiltered", dir)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec",
+        payloadCols = Seq("label")), path)
+      Similarity.probeIvfIndexFiltered(Similarity.readIvfIndex(s, path),
+        e.where(col("vec_id") < 8), "vec_id", "embedding", k = 10,
+        predicate = col("label") === 1, nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // PER-SELECTIVITY filtered recall audit: recall under an attribute
+    // filter does NOT transfer from the unfiltered audit (the filter
+    // thins probed cells, shifting the nprobe-recall curve), so each
+    // selectivity band gets its own rows — here label = 1 (~10%) and
+    // label >= 5 (~50%) at nprobe ∈ {2, 32}. Truth is brute force over
+    // the FILTERED corpus; nprobe = 32 probes every cell, so its rows
+    // must recover filtered truth exactly (recall_ppm = 10⁶) — the
+    // built-in self-check the oracle replays.
+    "q306_ann_filtered_recall_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("ivffilteraudit", dir)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec",
+        payloadCols = Seq("label")), path)
+      val idx = Similarity.readIvfIndex(s, path)
+      def band(pred: org.apache.spark.sql.Column, tag: Int) =
+        Similarity.ivfFilteredRecallAudit(idx, e, "vec_id", "embedding",
+          e.where(col("vec_id") < 8), "vec_id", "embedding", k = 10,
+          nprobes = Seq(2, 32), predicate = pred)
+          .select(lit(tag).cast("int").as("sel"),
+            col("nprobe").cast("int").as("nprobe"),
+            col("n_truth").cast("long").as("n_truth"),
+            col("n_probe_rows").cast("long").as("n_probe_rows"),
+            col("n_hits").cast("long").as("n_hits"),
+            col("recall_ppm").cast("long").as("recall_ppm"))
+      band(col("label") === 1, 1)
+        .unionAll(band(col("label") >= 5, 2))
+    }),
+
     // TOMBSTONE DELETE (right-to-erasure for the persisted index):
     // every 10th vector deleted AFTER the index was built — probing
     // must behave exactly as if the index had been rebuilt without
@@ -7683,10 +7737,13 @@ object SparkEntry {
            CAST(id_existing AS BIGINT) AS id_existing
          FROM kept WHERE rn <= 2""",
     // q302: the whole prefilter chain replayed — coarse cells, the
-    // 4-point codebook (even ids 16/18/20/22, ci = ascending-id order),
+    // 16-point codebook (even ids 16..46, ci = ascending-id order),
     // per-subspace argmin codes + summed distortion e2, the query-side
-    // subspace dot-LUT, ub = adot + (⌊√nq2⌋+2)(⌊√e2⌋+2), and the same
-    // membership rule on ub (prefilter) and the true dot (exact).
+    // subspace dot-LUT, the guarded-double upper bound
+    // ub = adot + (⌊√nq2⌋+2)(⌊√e2⌋+2) + 8 and its inflated rule
+    // ub²·(1+10⁻⁹)·10¹² ≥ tSq·nq2·nb2 (prefilter; IEEE-deterministic
+    // doubles on integer-valued inputs, same association both
+    // engines), and the exact integer rule on the true dot (pairs).
     "q302_ann_adc_prefilter_report" ->
       """WITH qd AS (
            SELECT vec_id, list_transform(embedding,
@@ -7756,22 +7813,20 @@ object SparkEntry {
            GROUP BY 1, 2),
          pre AS (
            SELECT a.id_new, a.id_existing,
-             CAST(a.adot AS HUGEINT)
-               + (CAST(floor(sqrt(CAST(nq.n2 AS DOUBLE))) AS HUGEINT)
-                   + 2)
-               * (CAST(floor(sqrt(CAST(en.e2 AS DOUBLE))) AS HUGEINT)
-                   + 2) AS ub,
-             nq.n2 AS nq2, nb.n2 AS nb2
+             CAST(a.adot AS DOUBLE)
+               + (floor(sqrt(CAST(nq.n2 AS DOUBLE))) + 2.0)
+               * (floor(sqrt(CAST(en.e2 AS DOUBLE))) + 2.0) + 8.0 AS ub,
+             CAST(nq.n2 AS DOUBLE) AS nq2,
+             CAST(nb.n2 AS DOUBLE) AS nb2
            FROM adots a
            JOIN norms nq ON nq.vec_id = a.id_new
            JOIN norms nb ON nb.vec_id = a.id_existing
            JOIN enc en ON en.vec_id = a.id_existing),
          kept AS (
            SELECT id_new, id_existing FROM pre
-           WHERE ub >= 0 AND nq2 > 0 AND nb2 > 0
-             AND ub * ub * CAST(1000000000000 AS HUGEINT)
-               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
-                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)),
+           WHERE nq2 > 0 AND nb2 > 0 AND ub >= 0
+             AND ub * ub * 1.000000001e12
+               >= 40000000000.0 * (nq2 * nb2)),
          vals AS (
            SELECT c.id_new, c.id_existing,
              list_sum(list_transform(range(1, len(a.qv) + 1),
@@ -7800,6 +7855,138 @@ object SparkEntry {
                // n_candidates
              ELSE 0 END AS BIGINT) AS pruned_candidate_share_ppm
          FROM totals""",
+    // q305: the filtered probe replayed — q303's probe shape with the
+    // candidate side restricted to label = 1 (the payload predicate
+    // applies before the top-k, so the oracle filters cellof).
+    "q305_ann_filtered_probe" ->
+      """WITH qd AS (
+           SELECT vec_id, embedding, label, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (
+           SELECT vec_id, cell FROM scored_cells
+           WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 8),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p
+           JOIN cellof co ON co.cell = p.cell
+           JOIN qd cq ON cq.vec_id = co.vec_id AND cq.label = 1)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(rank AS BIGINT) AS rank
+         FROM (
+           SELECT cand.query_id, cand.corpus_id,
+             row_number() OVER (PARTITION BY cand.query_id ORDER BY
+               list_cosine_similarity(c.embedding, q.embedding) DESC,
+               cand.corpus_id ASC) AS rank
+           FROM cand
+           JOIN qd q ON q.vec_id = cand.query_id
+           JOIN qd c ON c.vec_id = cand.corpus_id)
+         WHERE rank <= 10""",
+    // q306: the per-selectivity filtered audit replayed — per band
+    // (label = 1, label >= 5) and nprobe (2, 32): filtered brute-force
+    // truth, filtered probe top-10, overlap as exact floor ppm.
+    "q306_ann_filtered_recall_audit" ->
+      """WITH qd AS (
+           SELECT vec_id, embedding, label, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         bands AS (SELECT 1 AS sel UNION ALL SELECT 2),
+         members AS (
+           SELECT b.sel, d.vec_id, co.cell
+           FROM bands b
+           JOIN qd d ON (b.sel = 1 AND d.label = 1)
+             OR (b.sel = 2 AND d.label >= 5)
+           JOIN cellof co ON co.vec_id = d.vec_id),
+         truth AS (
+           SELECT m.sel, q.vec_id AS query_id, c.vec_id AS corpus_id
+           FROM qd q
+           JOIN members m ON q.vec_id < 8
+           JOIN qd c ON c.vec_id = m.vec_id
+           QUALIFY row_number() OVER (PARTITION BY m.sel, q.vec_id
+             ORDER BY
+               list_cosine_similarity(c.embedding, q.embedding) DESC,
+               c.vec_id ASC) <= 10),
+         pr AS (
+           SELECT np.np AS nprobe, sc.vec_id AS query_id, sc.cell
+           FROM (VALUES (2), (32)) np(np)
+           JOIN scored_cells sc ON sc.rk <= np.np AND sc.vec_id < 8),
+         cand AS (
+           SELECT m.sel, pr.nprobe, pr.query_id, m.vec_id AS corpus_id
+           FROM pr JOIN members m ON m.cell = pr.cell),
+         probed AS (
+           SELECT sel, nprobe, query_id, corpus_id FROM (
+             SELECT cand.sel, cand.nprobe, cand.query_id,
+               cand.corpus_id,
+               row_number() OVER (PARTITION BY cand.sel, cand.nprobe,
+                 cand.query_id ORDER BY
+                   list_cosine_similarity(c.embedding, q.embedding) DESC,
+                   cand.corpus_id ASC) AS rank
+             FROM cand
+             JOIN qd q ON q.vec_id = cand.query_id
+             JOIN qd c ON c.vec_id = cand.corpus_id)
+           WHERE rank <= 10),
+         hits AS (
+           SELECT p.sel, p.nprobe, count(*) AS n_probe_rows,
+             COALESCE(sum(CASE WHEN t.corpus_id IS NOT NULL
+               THEN 1 ELSE 0 END), 0) AS n_hits
+           FROM probed p
+           LEFT JOIN truth t ON t.sel = p.sel
+             AND t.query_id = p.query_id AND t.corpus_id = p.corpus_id
+           GROUP BY p.sel, p.nprobe),
+         tot AS (
+           SELECT sel, count(*) AS n_truth FROM truth GROUP BY sel)
+         SELECT CAST(h.sel AS INT) AS sel,
+           CAST(h.nprobe AS INT) AS nprobe,
+           CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST(h.n_probe_rows AS BIGINT) AS n_probe_rows,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN t.n_truth > 0
+             THEN h.n_hits * 1000000 // t.n_truth ELSE 0 END AS BIGINT)
+             AS recall_ppm
+         FROM hits h JOIN tot t ON t.sel = h.sel""",
     // q303: the probe replayed over the corpus MINUS the deleted ids —
     // cell ranking and candidate scoring as q294's probe, with every
     // vec_id % 10 == 0 row excluded from the candidate side (a

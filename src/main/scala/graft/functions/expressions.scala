@@ -625,18 +625,21 @@ case class PqEncodeWithErr(child: Expression,
       newChild: Expression): PqEncodeWithErr = copy(child = newChild)
 }
 
-/** Native PQ query dot-LUT: quantized query vector → the nSub×nCodes
-  * table of ⟨q_s, c_s[ci]⟩ subspace dot products, so a candidate's
-  * approximate dot ⟨q, x̂⟩ is nSub lookups summed — the ADC-prefilter
+/** Native PQ query dot-LUT: quantized query vector → the FLAT
+  * nSub·nCodes table of ⟨q_s, c_s[ci]⟩ subspace dot products (entry
+  * s·nCodes + ci), so a candidate's approximate dot ⟨q, x̂⟩ is nSub
+  * primitive reads summed by [[PqAdcDotFlat]] — the ADC-prefilter
   * quantity of the compressed dedup path (the d²-LUT of [[PqQueryLut]]
   * serves distance ranking; dedup thresholds on the DOT, and deriving
   * it from d² would need the reconstruction norm as a third lookup
-  * chain). All values integer-valued doubles — exact. */
+  * chain). FLAT layout on purpose: a nested array<array<double>>
+  * costs one wrapper allocation per (candidate, subspace) at read
+  * time — 8 allocations per candidate dominated the scoring wall at
+  * 10⁷ candidates. All values integer-valued doubles — exact. */
 case class PqQueryDotLut(child: Expression,
     cbBlock: Array[Array[Array[Double]]]) extends UnaryExpression {
   require(cbBlock.nonEmpty, "need at least one subspace")
-  override def dataType: DataType =
-    ArrayType(ArrayType(DoubleType, false), false)
+  override def dataType: DataType = ArrayType(DoubleType, false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_query_dot_lut"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -651,25 +654,23 @@ case class PqQueryDotLut(child: Expression,
     while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
     val q = a.toDoubleArray()
     val nSub = cbBlock.length
-    val out = new Array[AnyRef](nSub)
+    val nCodes = cbBlock(0).length
+    val out = new Array[Double](nSub * nCodes)
     var s = 0
     while (s < nSub) {
       val codes = cbBlock(s)
       val subLen = if (codes.isEmpty) 0 else codes(0).length
       val off = s * subLen
       if (off + subLen > n) return null
-      val row = new Array[Double](codes.length)
       var ci = 0
       while (ci < codes.length) {
         val c = codes(ci)
         var d = 0.0
         var j = 0
         while (j < subLen) { d += c(j) * q(off + j); j += 1 }
-        row(ci) = d
+        out(s * nCodes + ci) = d
         ci += 1
       }
-      out(s) =
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
       s += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -697,6 +698,54 @@ case class PqQueryDotLut(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): PqQueryDotLut = copy(child = newChild)
+}
+
+/** The ADC inner loop as ONE native call per candidate: sum the flat
+  * dot-LUT ([[PqQueryDotLut]]) entries selected by the candidate's PQ
+  * codes — lut[s·nCodes + codes[s]] over s. A column-expression chain
+  * of nested element_at calls evaluates 3·nSub expression nodes and
+  * allocates nSub array wrappers per candidate; at 10⁷ candidates per
+  * batch that overhead exceeded the exact dot products the prefilter
+  * exists to avoid. Exact: every LUT entry is an integer-valued
+  * double. */
+case class PqAdcDotFlat(left: Expression, right: Expression,
+    nCodes: Int) extends BinaryExpression {
+  require(nCodes >= 1, "nCodes must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_dot_flat"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_dot_flat expects (array<double>, array<int>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  def adc(lut: ArrayData, codes: ArrayData): Double = {
+    val nSub = codes.numElements()
+    var d = 0.0
+    var s = 0
+    while (s < nSub) {
+      d += lut.getDouble(s * nCodes + codes.getInt(s))
+      s += 1
+    }
+    d
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcDot", this,
+      classOf[PqAdcDotFlat].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.adc($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDotFlat =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native PQ query LUT: quantized query vector → the full
@@ -816,11 +865,15 @@ object GraftFunctions {
   def pqEncodeWithErr(qv: Column, cbBlock: Array[Array[Array[Double]]],
       csq: Array[Array[Double]]): Column =
     col(PqEncodeWithErr(expr(qv), cbBlock, csq))
-  /** Native PQ query dot-LUT: quantized vector → nSub×nCodes
+  /** Native PQ query dot-LUT: quantized vector → flat nSub·nCodes
     * subspace-dot table (see [[PqQueryDotLut]]). */
   def pqQueryDotLut(qv: Column,
       cbBlock: Array[Array[Array[Double]]]): Column =
     col(PqQueryDotLut(expr(qv), cbBlock))
+  /** Native ADC dot over a flat LUT and a codes array (see
+    * [[PqAdcDotFlat]]). */
+  def pqAdcDotFlat(lut: Column, codes: Column, nCodes: Int): Column =
+    col(PqAdcDotFlat(expr(lut), expr(codes), nCodes))
   /** Bounded top-k aggregate (score desc, id asc):
     * array<struct<score,id>> best-first; O(k) partial buffers. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

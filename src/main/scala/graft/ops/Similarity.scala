@@ -1554,7 +1554,8 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       seeds: DataFrame, seedId: String, seedVec: String,
       quantScale: Int = 10000,
-      twoLevelThreshold: Int = 4096): IvfIndexFrames = {
+      twoLevelThreshold: Int = 4096,
+      payloadCols: Seq[String] = Nil): IvfIndexFrames = {
     val session = corpus.sparkSession
     // quantize through ONE rounding rule: the persisted centroids are
     // float32, so the build-time table quantizes from the float32 cast
@@ -1571,10 +1572,10 @@ object Similarity {
       return IvfIndexFrames(
         Seq.empty[(Int, Seq[Float])].toDF("cell", "cvec"),
         corpus.limit(0)
-          .select(lit(0).cast("int").as("cell"),
-            col(corpusId).cast("long").as("corpus_id"),
-            col(corpusVec).cast("array<float>").as("cvec"),
-            lit(0.0).as("cnorm")),
+          .select(lit(0).cast("int").as("cell") +:
+            col(corpusId).cast("long").as("corpus_id") +:
+            col(corpusVec).cast("array<float>").as("cvec") +:
+            lit(0.0).as("cnorm") +: payloadCols.map(col): _*),
         quantScale, twoLevelThreshold)
     }
     // seeds are small by contract (collectSeedTable already holds them on
@@ -1589,7 +1590,7 @@ object Similarity {
     val centroids = rawSeeds.toDF("cell", "cvec")
     IvfIndexFrames(centroids,
       assignPostings(corpus, corpusId, corpusVec, centTab, cnTab,
-        quantScale, twoLevelThreshold),
+        quantScale, twoLevelThreshold, payloadCols),
       quantScale, twoLevelThreshold)
   }
 
@@ -1635,7 +1636,13 @@ object Similarity {
   private def assignPostings(corpus: DataFrame, corpusId: String,
       corpusVec: String, centTab: Array[Array[Double]],
       cnTab: Array[Double], quantScale: Int,
-      twoLevelThreshold: Int): DataFrame = {
+      twoLevelThreshold: Int,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("cell", "corpus_id", "cvec", "cnorm", "__qn")
+    require(payloadCols.forall(p => !reserved(p)),
+      s"assignPostings: payload columns $payloadCols collide with the " +
+        s"postings schema names $reserved")
+    val pl = payloadCols.map(col)
     val assign =
       if (centTab.length >= twoLevelThreshold) {
         val (sc, scn, members) = twoLevelTables(centTab, cnTab)
@@ -1644,14 +1651,15 @@ object Similarity {
       } else GraftFunctions.ivfArgmaxCell(col("__qn"), centTab, cnTab,
         null, null, null)
     widenForCompute(corpus)
-      .select(col(corpusId).cast("long").as("corpus_id"),
-        col(corpusVec).cast("array<float>").as("cvec"))
+      .select(col(corpusId).cast("long").as("corpus_id") +:
+        col(corpusVec).cast("array<float>").as("cvec") +: pl: _*)
       .where(col("cvec").isNotNull)
-      .select(col("corpus_id"), col("cvec"), norm(col("cvec")).as("cnorm"),
+      .select(col("corpus_id") +: col("cvec") +:
+        norm(col("cvec")).as("cnorm") +:
         transform(col("cvec"), x => round(x.cast("double") * quantScale))
-          .as("__qn"))
-      .select(assign.as("cell"),
-        col("corpus_id"), col("cvec"), col("cnorm"))
+          .as("__qn") +: pl: _*)
+      .select(assign.as("cell") +: col("corpus_id") +: col("cvec") +:
+        col("cnorm") +: pl: _*)
   }
 
   /** Persist the index: `<path>/centroids` (one small file) and
@@ -2120,11 +2128,20 @@ object Similarity {
     // harmless — never appended-but-invisible rows)
     resurrectTombstones(spark, path, delta.select(col(idCol)))
     verifyLease()
+    // payload columns are self-describing too: whatever non-core
+    // columns the existing postings carry, the delta must supply under
+    // the same names (the select below fails loudly if it can't)
+    val payloadCols: Seq[String] =
+      try spark.read.parquet(path + "/postings").columns.toSeq
+        .filterNot(Set("cell", "corpus_id", "cvec", "cnorm"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Seq.empty
+      }
     // one file per touched cell per append (not delta-splits × cells);
     // the routing tables re-derive deterministically from the persisted
     // centroids, so delta rows route exactly the way base rows did
     assignPostings(delta, idCol, vecCol, centTab, cnTab, quantScale,
-      twoLevelThreshold)
+      twoLevelThreshold, payloadCols)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path + "/postings")
   }
@@ -2171,6 +2188,59 @@ object Similarity {
         cosinePre(dot(col("cvec"), col("qvec")), col("cnorm"), col("qnorm"))
           .as("score"))
     topKReduce(scored, k)
+  }
+
+  /** ATTRIBUTE-FILTERED probe — "nearest ENGLISH documents", "same
+    * source bucket only": [[probeIvfIndex]] with a metadata predicate
+    * over the postings' payload columns (caller-declared at
+    * build/append via `payloadCols` — plain parquet columns riding the
+    * cell-partitioned postings files). The filter applies BEFORE the
+    * bounded top-k, so all `k` returned rows satisfy it (a
+    * filter-after-top-k would return fewer than k, or none, for
+    * selective predicates), and it sits directly above the postings
+    * scan, so Catalyst pushes it into the parquet reader alongside the
+    * dynamic partition pruning on `cell` — the scan reads only probed
+    * cells AND skips row groups the predicate excludes (pinned by
+    * AnnIndexSpec against the physical plan). Recall under filtering
+    * is measured by [[ivfFilteredRecallAudit]]: selective predicates
+    * thin the probed cells, so a fixed nprobe returns k of a SMALLER
+    * candidate pool — budget nprobe per selectivity band, not
+    * globally. */
+  def probeIvfIndexFiltered(idx: IvfIndexFrames, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, predicate: Column,
+      nprobe: Int = 4): DataFrame =
+    probeIvfIndex(idx.copy(postings = idx.postings.where(predicate)),
+      queries, queryId, queryVec, k, nprobe)
+
+  /** [[ivfRecallAudit]] under an attribute filter: truth =
+    * [[bruteForceTopK]] over the PREDICATE-FILTERED corpus, probe =
+    * [[probeIvfIndexFiltered]] — so the reported ppm prices exactly
+    * what a filtered serving path returns. The predicate references
+    * the payload columns by name (they exist on both the corpus and
+    * the postings). Run it once per selectivity band an application
+    * serves; an unfiltered-recall number does NOT transfer (the
+    * filter thins probed cells, shifting the nprobe-recall curve). */
+  def ivfFilteredRecallAudit(idx: IvfIndexFrames, corpus: DataFrame,
+      corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int,
+      nprobes: Seq[Int], predicate: Column): DataFrame = {
+    require(nprobes.nonEmpty,
+      "ivfFilteredRecallAudit: nprobes must be non-empty")
+    require(nprobes.forall(_ >= 1),
+      s"ivfFilteredRecallAudit: every nprobe must be >= 1, got $nprobes")
+    val truth = bruteForceTopK(corpus.where(predicate), corpusId,
+        corpusVec, queries, queryId, queryVec, k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("corpus_id").cast("long").as("corpus_id"),
+        lit(1L).as("__t"))
+    val probed = nprobes.distinct.sorted.map { np =>
+      probeIvfIndexFiltered(idx, queries, queryId, queryVec, k,
+        predicate, np)
+        .select(lit(np).cast("int").as("nprobe"),
+          col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"))
+    }.reduce(_ unionAll _)
+    recallOverlap(probed, truth)
   }
 
   /** Near-duplicate pairs of a batch of NEW vectors against an index's
@@ -2361,6 +2431,21 @@ object Similarity {
   private def ppmRuleFilter(df: DataFrame, dotName: String,
       tSq: Long): DataFrame =
     df.where(col(dotName) >= 0 && col("nq2") > 0 && col("nb2") > 0)
+      // DOUBLE FAST BAND first, decimal only for the boundary sliver:
+      // dot²·10¹² and tSq·nq2·nb2 in double carry ≤ 2-mult relative
+      // error ~4·10⁻¹⁶, so a 10⁻⁹ guard band decides all but the rows
+      // within one part per billion of the threshold EXACTLY as the
+      // integer rule would — the decimal(38) evaluation (≈10 s per
+      // 2.7·10⁷ candidates, measured) runs only inside the ELSE
+      // branch, which project-collapsing inlines so it is evaluated
+      // lazily per row. Results are bit-identical to the all-decimal
+      // form: the band is conservative on both sides.
+      .withColumn("__lhsd",
+        col(dotName).cast("double") * col(dotName).cast("double") *
+          lit(1.0e12))
+      .withColumn("__rhsd",
+        lit(tSq.toDouble) * col("nq2").cast("double") *
+          col("nb2").cast("double"))
       .withColumn("__bh", expr("cast(nb2 as bigint) div 1000000"))
       .withColumn("__bl", expr("cast(nb2 as bigint) % 1000000"))
       .withColumn("__c", expr(
@@ -2370,12 +2455,14 @@ object Similarity {
           "decimal(19,0)) * cast(1000000 as decimal(7,0)) " +
           "- __c * cast(__bh as decimal(19,0))"))
       .where(expr(
-        "CASE WHEN __x < 0 THEN false " +
+        "CASE WHEN __lhsd > __rhsd * 1.000000001D THEN true " +
+          "WHEN __lhsd < __rhsd * 0.999999999D THEN false " +
+          "WHEN __x < 0 THEN false " +
           "WHEN __x >= cast(10000000000000000000000000000 as " +
           "decimal(38,0)) THEN true " +
           "ELSE __x * cast(1000000 as decimal(7,0)) >= " +
           "__c * cast(__bl as decimal(7,0)) END"))
-      .drop("__bh", "__bl", "__c", "__x")
+      .drop("__lhsd", "__rhsd", "__bh", "__bl", "__c", "__x")
 
   /** [[annNearDupPairs]] routed through the COMPRESSED index — the
     * bounded-candidate-work dedup path: identical output to the raw
@@ -2481,10 +2568,17 @@ object Similarity {
     val cellScores = scorerFromTable(centTab, cnTab)
     val quant = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
+    // the quantized batch rides a lazy plan barrier: it is referenced
+    // by THREE subgraphs (probe-cell ranking, the dot-LUT table, and
+    // the exact pass's own kernel) and a caller-supplied lineage (a
+    // synthetic generator, an expensive upstream transform) would
+    // otherwise re-evaluate per reference — batch-scale blocks, reaped
+    // with the result frame (the pqEncode ownership contract)
     val q0 = newRows.select(col(idCol).cast("long").as("id_new"),
         quant(col(vecCol)).as("__qn"))
       .where(col("__qn").isNotNull && size(col("__qn")) === pq.inDims)
       .withColumn("nq2", dot(col("__qn"), col("__qn")))
+      .truncateLineage(eager = false)
     // probe set kept NARROW (id_new, cell) for the broadcast cell join
     // — the per-query dot-LUT (nSub×nCodes doubles, ~16 KB at a
     // 256-code book) is attached ONCE PER QUERY by a second broadcast
@@ -2507,28 +2601,39 @@ object Similarity {
         broadcast(excludeIds.select(
           col(excludeIds.columns.head).cast("long").as("corpus_id"))),
         Seq("corpus_id"), "left_anti")
-    val adot = (0 until pq.nSub).map { s =>
-      element_at(element_at(col("dlut"), s + 1),
-        element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    // ONE native call per candidate (nSub primitive reads) — the
+    // nested element_at form cost 3·nSub expression nodes + nSub array
+    // wrappers per candidate, which at 10⁷ candidates exceeded the
+    // exact dots the prefilter avoids
+    val adot = GraftFunctions.pqAdcDotFlat(col("dlut"), col("codes"),
+      cb.length)
     val cand = codesIn
       .select(col("cell"), col("corpus_id").as("id_existing"),
         col("codes"), col("e2"), col("nb2"))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(qlut), Seq("id_new"))
     val tSq = thresholdPpm * thresholdPpm // ≤ 10¹², exact in Long
-    // ub = ⟨q,x̂⟩ + (⌊√nq2⌋+2)(⌊√e2⌋+2) ≥ ⟨q,x⟩: the margin product is
-    // computed in decimal (each factor < 2²⁷ but the product can pass
-    // 2⁵³, where double addition would round), so ub is exact and the
-    // membership test below can only err on the KEEP side
+    // PURE-DOUBLE conservative prefilter — the exactness budget belongs
+    // to the exact pass (which re-decides every survivor); the
+    // prefilter only has to never refute a true pair, so every
+    // rounding is absorbed on the KEEP side instead of paid in decimal
+    // arithmetic per candidate (a decimal ub rule cost as much per row
+    // as the exact dots it avoids):
+    //   ub = ⟨q,x̂⟩ + (⌊√nq2⌋+2)(⌊√e2⌋+2) + 8   ≥ ⟨q,x⟩ always
+    //     (+2 per factor absorbs IEEE sqrt rounding, +8 absorbs the
+    //      ≤2-ulp-at-2⁵⁴ product/sum rounding)
+    //   keep iff ub ≥ 0 ∧ ub²·(1+10⁻⁹)·10¹² ≥ tSq·nq2·nb2
+    //     (the 10⁻⁹ inflation swamps the ≤4-op double relative error
+    //      ~10⁻¹⁵; all inputs are integer-valued doubles < 2⁵³, so the
+    //      rule is IEEE-deterministic and engine-replayable)
     val surv = cand
       .withColumn("__adot", adot)
-      .withColumn("__ub", expr(
-        "cast(cast(__adot as decimal(19,0)) + " +
-          "cast(floor(sqrt(nq2)) + 2 as decimal(19,0)) * " +
-          "cast(floor(sqrt(e2)) + 2 as decimal(19,0)) " +
-          "as decimal(19,0))"))
-      .transform(ppmRuleFilter(_, "__ub", tSq))
+      .withColumn("__ub", col("__adot") +
+        (floor(sqrt(col("nq2"))).cast("double") + lit(2.0)) *
+          (floor(sqrt(col("e2"))).cast("double") + lit(2.0)) + lit(8.0))
+      .where(col("nq2") > 0 && col("nb2") > 0 && col("__ub") >= 0 &&
+        col("__ub") * col("__ub") * lit(1.000000001e12) >=
+          lit(tSq.toDouble) * (col("nq2") * col("nb2")))
     (cand.select(col("id_new"), col("id_existing"), col("cell")),
       surv.select(col("id_new"), col("id_existing"), col("cell")))
   }

@@ -26,6 +26,8 @@ class PlanLintSpec extends SparkSuite {
     "q302_ann_adc_prefilter_report", // one-row candidate/kept/pairs
                                      // count frames (exact report)
     "q304_ann_delete_compact", // postings-total row (share_ppm)
+    "q306_ann_filtered_recall_audit", // one-row truth-count frames
+                                      // (recallOverlap, per band)
     "q55_prototypicality", // centroid list (k cells)
     "q49_semantic_dedup", // centroid TABLE broadcast (k rows by
                           // contract; within-cell pairs are capped —

@@ -420,6 +420,51 @@ class AnnIndexSpec extends SparkSuite {
       .where(col("corpus_id") === 7L).count() === 0L)
   }
 
+  test("attribute-filtered probe: k survivors all satisfy the " +
+    "predicate, nprobe=all recovers filtered brute force, appends " +
+    "carry payloads, and the filter is PUSHED into the postings scan " +
+    "alongside DPP") {
+    val labeled = corpus.withColumn("label",
+      pmod(col("vec_id"), lit(4)).cast("int"))
+    val base = labeled.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = labeled.where(pmod(col("vec_id"), lit(5)) === 0)
+    val seeds = Similarity.hashSeeds(labeled, "vec_id", "embedding", 8)
+    val path = tmpDir("filteredprobe")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
+      "embedding", seeds, "sid", "svec", payloadCols = Seq("label")),
+      path)
+    // the append derives the payload set from the existing postings
+    Similarity.appendToIvfIndex(spark, path, delta, "vec_id",
+      "embedding")
+    val back = Similarity.readIvfIndex(spark, path)
+    assert(back.postings.columns.contains("label"))
+    val queries = labeled.where(col("vec_id") < 3)
+    val filtered = Similarity.probeIvfIndexFiltered(back, queries,
+      "vec_id", "embedding", k = 5, predicate = col("label") === 1,
+      nprobe = 8)
+    val rows = filtered.join(labeled.select(
+        col("vec_id").as("corpus_id"), col("label")), Seq("corpus_id"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("label") == 1))
+    // nprobe = all cells ⇒ exactly filtered brute force
+    val viaProbe = probeRows(filtered)
+    val truth = probeRows(Similarity.bruteForceTopK(
+      labeled.where(col("label") === 1), "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    assert(viaProbe === truth)
+    // plan: payload predicate pushed into the postings scan, DPP intact
+    val narrow = Similarity.probeIvfIndexFiltered(back, queries,
+      "vec_id", "embedding", k = 5, predicate = col("label") === 1,
+      nprobe = 2)
+    val physical = narrow.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("dynamicpruning"),
+      s"DPP lost under the payload filter; plan:\n$physical")
+    assert(physical.contains("EqualTo(label,1)") ||
+      physical.contains("label = 1"),
+      s"payload predicate not pushed into the postings scan; " +
+        s"plan:\n$physical")
+  }
+
   test("consuming merge is pure file moves: names preserved, pending " +
     "tombstones ride along, sources deleted, probe equals the " +
     "rewrite merge") {
