@@ -2378,11 +2378,17 @@ object Similarity {
     val quant = (v: Column) =>
       transform(v, x => round(x.cast("double") * quantScale))
     // norms bound per ROW on each side before the join — the pair loop
-    // below does ONE dot product per pair, not three
+    // below does ONE dot product per pair, not three. The quantized
+    // batch rides a lazy plan barrier: it feeds the probe-cell ranking,
+    // the probe join AND the DPP pruning subquery Spark clones from it,
+    // and an expensive caller lineage (a generator, an upstream
+    // transform chain) would otherwise re-evaluate per reference —
+    // micro-batch-scale blocks, reaped with the result frame.
     val q0 = newRows.select(col(idCol).cast("long").as("id_new"),
         quant(col(vecCol)).as("__qn"))
       .where(col("__qn").isNotNull)
       .withColumn("nq2", dot(col("__qn"), col("__qn")))
+      .truncateLineage(eager = false)
     val probes = q0
       .withColumn("scores", cellScores(col("__qn")))
       .select(col("id_new"), posexplode(col("scores")))
