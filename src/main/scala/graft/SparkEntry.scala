@@ -3988,7 +3988,19 @@ object SparkEntry {
         e.where(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
         "vec_id")
       Similarity.compactIvfIndex(s, path)
-      val rawP = s.read.parquet(path + "/postings")
+      // an empty corpus leaves zero posting files (the partitioned
+      // write of an empty frame) — the empty-input contract still
+      // completes with zero stats rows
+      val rawP =
+        try s.read.parquet(path + "/postings")
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("cell",
+                  org.apache.spark.sql.types.IntegerType))))
+        }
       val per = rawP.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_postings"))
       val tot = per.agg(sum(col("n_postings")).as("n_total"))

@@ -2208,9 +2208,30 @@ object Similarity {
     * globally. */
   def probeIvfIndexFiltered(idx: IvfIndexFrames, queries: DataFrame,
       queryId: String, queryVec: String, k: Int, predicate: Column,
-      nprobe: Int = 4): DataFrame =
-    probeIvfIndex(idx.copy(postings = idx.postings.where(predicate)),
-      queries, queryId, queryVec, k, nprobe)
+      nprobe: Int = 4): DataFrame = {
+    // a FRESH index (centroids written, zero posting files) reads back
+    // with the core-only schema — the declared payload columns exist
+    // only in posting files. Probing that with a payload predicate is
+    // legitimately empty; unknown columns over NON-empty postings are
+    // a caller bug and keep the loud resolution error. Detection is by
+    // forcing analysis: a Spark 4 Column wraps ColumnNodes, so the
+    // referenced names are not introspectable from the Catalyst tree
+    // before resolution.
+    try {
+      val filtered = idx.postings.where(predicate)
+      filtered.queryExecution.analyzed // resolve NOW, not at the action
+      probeIvfIndex(idx.copy(postings = filtered), queries, queryId,
+        queryVec, k, nprobe)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNRESOLVED_COLUMN") &&
+            idx.postings.isEmpty =>
+        queries.limit(0)
+          .select(col(queryId).cast("long").as("query_id"),
+            lit(0L).as("corpus_id"), lit(0.0).as("score"),
+            lit(0).cast("int").as("rank"))
+    }
+  }
 
   /** [[ivfRecallAudit]] under an attribute filter: truth =
     * [[bruteForceTopK]] over the PREDICATE-FILTERED corpus, probe =
