@@ -36,6 +36,63 @@ class KernelDifferentialSpec extends SparkSuite {
     windows.map(w => w.foldLeft(prime)((h, t) => h * prime + t)).toArray
   }
 
+  test("pq encode-with-err / dot-lut / adc-dot kernels == naive " +
+    "per-subspace loops on identical quantized inputs") {
+    val rnd2 = new scala.util.Random(20260816)
+    val inDims = 16; val nSub = 4; val subLen = inDims / nSub
+    val nCodes = 7
+    // quantized-integer-valued doubles, like the production inputs
+    def qvec(): Array[Double] =
+      Array.fill(inDims)((rnd2.nextInt(20001) - 10000).toDouble)
+    val cb: Array[Array[Double]] = Array.fill(nCodes)(qvec())
+    val cbBlock: Array[Array[Array[Double]]] = (0 until nSub).map { s =>
+      cb.map(cv => cv.slice(s * subLen, (s + 1) * subLen))
+    }.toArray
+    val csq: Array[Array[Double]] =
+      cbBlock.map(_.map(b => b.map(x => x * x).sum))
+    def naiveD2(v: Array[Double], s: Int, ci: Int): Double =
+      (0 until subLen).map { j =>
+        val d = v(s * subLen + j) - cbBlock(s)(ci)(j); d * d
+      }.sum
+    for (_ <- 1 to 25) {
+      val v = qvec()
+      val arr = new GenericArrayData(v.map(_.asInstanceOf[Any]))
+      // naive encode: per-subspace argmin d², ties to lowest ci; err2 =
+      // Σ best d²
+      val naiveCodes = (0 until nSub).map { s =>
+        (0 until nCodes).minBy(ci => (naiveD2(v, s, ci), ci))
+      }
+      val naiveErr2 = (0 until nSub)
+        .map(s => naiveD2(v, s, naiveCodes(s))).sum
+      val enc = PqEncodeWithErr(org.apache.spark.sql.catalyst.expressions.Literal(1), cbBlock, csq)
+        .encode(arr)
+      val gotCodes = enc.getArray(0).toIntArray.toSeq
+      assert(gotCodes === naiveCodes)
+      assert(enc.getDouble(1) === naiveErr2) // exact integer doubles
+      // the plain encode kernel must pick the SAME codes
+      val plain = PqEncodeCodes(org.apache.spark.sql.catalyst.expressions.Literal(1), cbBlock, csq).encode(arr)
+      assert(plain.toIntArray.toSeq === naiveCodes)
+      // flat dot-LUT: entry s·nCodes+ci == ⟨q_s, c_s[ci]⟩
+      val q = qvec()
+      val qArr = new GenericArrayData(q.map(_.asInstanceOf[Any]))
+      val lut = PqQueryDotLut(org.apache.spark.sql.catalyst.expressions.Literal(1), cbBlock).lut(qArr)
+      for (s <- 0 until nSub; ci <- 0 until nCodes) {
+        val naiveDot = (0 until subLen)
+          .map(j => q(s * subLen + j) * cbBlock(s)(ci)(j)).sum
+        assert(lut.getDouble(s * nCodes + ci) === naiveDot,
+          s"lut($s,$ci)")
+      }
+      // adc-dot over the flat LUT == ⟨q, x̂⟩ from the naive codes
+      val adc = PqAdcDotFlat(org.apache.spark.sql.catalyst.expressions.Literal(1), org.apache.spark.sql.catalyst.expressions.Literal(1), nCodes)
+        .adc(lut, new GenericArrayData(naiveCodes.toArray))
+      val naiveAdc = (0 until nSub).map { s =>
+        (0 until subLen)
+          .map(j => q(s * subLen + j) * cbBlock(s)(naiveCodes(s))(j)).sum
+      }.sum
+      assert(adc === naiveAdc)
+    }
+  }
+
   test("shingle hashes: kernel == naive sliding-window fold") {
     for (len <- Seq(0, 1, 2, 3, 10, 50); n <- Seq(1, 2, 3)) {
       val tokens = randTokens(len)
