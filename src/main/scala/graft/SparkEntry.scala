@@ -3915,6 +3915,29 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ATTRIBUTE-FILTERED PQ PROBE — the compressed twin of q305: the
+    // PQ index carries `label` as a payload column on the codes, and
+    // the ADC probe filters on it before the top-k. The oracle replays
+    // the whole-corpus encode + ADC probe (q300's replay) with the
+    // candidate side restricted to label = 1.
+    "q307_ann_pq_filtered_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("pqfiltered", dir)
+      Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(e, "vec_id",
+        "embedding", seeds, "sid", "svec", codebookIds = 16L to 23L,
+        inDims = 64, nSub = 8, payloadCols = Seq("label")), path)
+      Similarity.probeIvfPqIndexFiltered(
+        Similarity.readIvfPqIndex(s, path), e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, predicate = col("label") === 1,
+        nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("approx_d2").cast("long").as("approx_d2"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // PER-SELECTIVITY filtered recall audit: recall under an attribute
     // filter does NOT transfer from the unfiltered audit (the filter
     // thins probed cells, shifting the nprobe-recall curve), so each
@@ -7867,6 +7890,74 @@ object SparkEntry {
                // n_candidates
              ELSE 0 END AS BIGINT) AS pruned_candidate_share_ppm
          FROM totals""",
+    // q307: q300's whole-corpus encode + ADC probe replay with the
+    // candidate side restricted to label = 1 — the payload filter
+    // applies before the ADC top-k.
+    "q307_ann_pq_filtered_probe" ->
+      """WITH qd AS (
+           SELECT vec_id, label, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id < 5),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv
+           FROM qd WHERE vec_id IN (16, 17, 18, 19, 20, 21, 22, 23)),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         bd AS (
+           SELECT d.vec_id, sub.s, cb.ci,
+             list_sum(list_transform(range(1, 9),
+               j -> (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                  * (d.qv[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))) AS d
+           FROM qd d, subs sub, cb),
+         codes AS (
+           SELECT vec_id, s, ci FROM (
+             SELECT vec_id, s, ci, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d ASC, ci ASC) AS rk
+             FROM bd) t WHERE rk = 1),
+         cand AS (
+           SELECT p.query_id, co.vec_id AS corpus_id
+           FROM probes p
+           JOIN cellof co ON co.cell = p.cell
+           JOIN qd cq ON cq.vec_id = co.vec_id AND cq.label = 1),
+         approx AS (
+           SELECT c.query_id, c.corpus_id, SUM(l.d) AS approx_d2
+           FROM cand c
+           JOIN codes e ON e.vec_id = c.corpus_id
+           JOIN bd l ON l.vec_id = c.query_id AND l.s = e.s
+             AND l.ci = e.ci
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             CAST(approx_d2 AS BIGINT) AS approx_d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_d2 ASC, corpus_id ASC) AS rank
+           FROM approx)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           approx_d2, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
     // q305: the filtered probe replayed — q303's probe shape with the
     // candidate side restricted to label = 1 (the payload predicate
     // applies before the top-k, so the oracle filters cellof).

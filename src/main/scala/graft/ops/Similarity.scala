@@ -1152,14 +1152,17 @@ object Similarity {
     * prefilter provably lossless; the in-query paths keep the leaner
     * [[pqEncode]]. */
   private def pqEncodeIndexed(base: DataFrame, cb: Seq[Seq[Long]],
-      inDims: Int, nSub: Int): DataFrame = {
+      inDims: Int, nSub: Int,
+      payloadCols: Seq[String] = Nil): DataFrame = {
     val (cbBlock, csq) = pqTables(cb, inDims, nSub)
-    base.select(col("corpus_id"), col("cell"),
-        GraftFunctions.pqEncodeWithErr(col("qv"), cbBlock, csq).as("enc"),
-        dot(col("qv"), col("qv")).as("nb2"))
-      .select(col("corpus_id"), col("cell"),
-        col("enc").getField("codes").as("codes"),
-        col("enc").getField("err2").as("e2"), col("nb2"))
+    val pl = payloadCols.map(col)
+    base.select(col("corpus_id") +: col("cell") +:
+        GraftFunctions.pqEncodeWithErr(col("qv"), cbBlock, csq)
+          .as("enc") +:
+        dot(col("qv"), col("qv")).as("nb2") +: pl: _*)
+      .select(col("corpus_id") +: col("cell") +:
+        col("enc").getField("codes").as("codes") +:
+        col("enc").getField("err2").as("e2") +: col("nb2") +: pl: _*)
       .truncateLineage(eager = false)
   }
 
@@ -2747,7 +2750,12 @@ object Similarity {
   private def coarseAssignQuantized(corpus: DataFrame, corpusId: String,
       corpusVec: String, centTab: Array[Array[Double]],
       cnTab: Array[Double], quantScale: Int, twoLevelThreshold: Int,
-      inDims: Int): DataFrame = {
+      inDims: Int, payloadCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("cell", "corpus_id", "codes", "e2", "nb2", "qv")
+    require(payloadCols.forall(p => !reserved(p)),
+      s"coarseAssignQuantized: payload columns $payloadCols collide " +
+        s"with the codes schema names $reserved")
+    val pl = payloadCols.map(col)
     val assign =
       if (centTab.length >= twoLevelThreshold) {
         val (sc, scn, members) = twoLevelTables(centTab, cnTab)
@@ -2756,11 +2764,12 @@ object Similarity {
       } else GraftFunctions.ivfArgmaxCell(col("qv"), centTab, cnTab,
         null, null, null)
     widenForCompute(corpus)
-      .select(col(corpusId).cast("long").as("corpus_id"),
+      .select(col(corpusId).cast("long").as("corpus_id") +:
         transform(col(corpusVec),
-          x => round(x.cast("double") * quantScale)).as("qv"))
+          x => round(x.cast("double") * quantScale)).as("qv") +: pl: _*)
       .where(col("qv").isNotNull && size(col("qv")) === inDims)
-      .select(col("corpus_id"), col("qv"), assign.as("cell"))
+      .select(col("corpus_id") +: col("qv") +: assign.as("cell") +:
+        pl: _*)
   }
 
   /** Build the PQ index: hash/k-means seed rows become the coarse
@@ -2777,7 +2786,8 @@ object Similarity {
       corpusVec: String, seeds: DataFrame, seedId: String,
       seedVec: String, codebookIds: Seq[Long], inDims: Int, nSub: Int,
       quantScale: Int = 10000,
-      twoLevelThreshold: Int = 4096): IvfPqIndexFrames = {
+      twoLevelThreshold: Int = 4096,
+      payloadCols: Seq[String] = Nil): IvfPqIndexFrames = {
     require(nSub >= 1 && inDims % nSub == 0,
       s"inDims $inDims must divide into nSub $nSub")
     val session = corpus.sparkSession
@@ -2798,10 +2808,11 @@ object Similarity {
         Seq.empty[(Int, Seq[Float])].toDF("cell", "cvec"),
         Seq.empty[(Int, Seq[Float])].toDF("ci", "cv"),
         corpus.limit(0)
-          .select(lit(0).cast("int").as("cell"),
-            col(corpusId).cast("long").as("corpus_id"),
-            array().cast("array<int>").as("codes"),
-            lit(0.0).as("e2"), lit(0.0).as("nb2")),
+          .select(lit(0).cast("int").as("cell") +:
+            col(corpusId).cast("long").as("corpus_id") +:
+            array().cast("array<int>").as("codes") +:
+            lit(0.0).as("e2") +: lit(0.0).as("nb2") +:
+            payloadCols.map(col): _*),
         inDims, nSub, quantScale, twoLevelThreshold)
     }
     val rawSeeds: Seq[(Int, Seq[Float])] = seeds
@@ -2815,11 +2826,13 @@ object Similarity {
     // rounding rule everywhere, no driver-vs-engine divergence
     val cb = collectCodebookFrame(codebookFrame, quantScale)
     val base = coarseAssignQuantized(corpus, corpusId, corpusVec,
-      centTab, cnTab, quantScale, twoLevelThreshold, inDims)
+      centTab, cnTab, quantScale, twoLevelThreshold, inDims,
+      payloadCols)
     IvfPqIndexFrames(rawSeeds.toDF("cell", "cvec"), codebookFrame,
-      pqEncodeIndexed(base, cb, inDims, nSub)
-        .select(col("cell").cast("int").as("cell"), col("corpus_id"),
-          col("codes"), col("e2"), col("nb2")),
+      pqEncodeIndexed(base, cb, inDims, nSub, payloadCols)
+        .select(col("cell").cast("int").as("cell") +: col("corpus_id") +:
+          col("codes") +: col("e2") +: col("nb2") +:
+          payloadCols.map(col): _*),
       inDims, nSub, quantScale, twoLevelThreshold)
   }
 
@@ -2943,14 +2956,24 @@ object Similarity {
     // same resurrection contract as the raw-vector append
     resurrectTombstones(spark, path, delta.select(col(idCol)))
     verifyLease()
+    // payload columns self-describe from the existing codes schema
+    // (same contract as the raw-vector append)
+    val payloadCols: Seq[String] =
+      try spark.read.parquet(path + "/codes").columns.toSeq
+        .filterNot(Set("cell", "corpus_id", "codes", "e2", "nb2"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Seq.empty
+      }
     val base = coarseAssignQuantized(delta, idCol, vecCol, centTab,
-      cnTab, idx.quantScale, idx.twoLevelThreshold, idx.inDims)
+      cnTab, idx.quantScale, idx.twoLevelThreshold, idx.inDims,
+      payloadCols)
     // appends into a pre-margin-column index root (codes without
     // e2/nb2) would leave mixed file schemas behind — compact/rebuild
     // such a root before appending with this version
-    pqEncodeIndexed(base, cb, idx.inDims, idx.nSub)
-      .select(col("cell").cast("int").as("cell"), col("corpus_id"),
-        col("codes"), col("e2"), col("nb2"))
+    pqEncodeIndexed(base, cb, idx.inDims, idx.nSub, payloadCols)
+      .select(col("cell").cast("int").as("cell") +: col("corpus_id") +:
+        col("codes") +: col("e2") +: col("nb2") +:
+        payloadCols.map(col): _*)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path + "/codes")
   }
@@ -2999,6 +3022,34 @@ object Similarity {
     pqAdcScore(idx.codes, q0.select(col("query_id"), col("qv")), probes,
       cb, idx.inDims, idx.nSub, k)
   }
+
+  /** [[probeIvfPqIndex]] with a metadata predicate over the codes'
+    * payload columns — the COMPRESSED twin of [[probeIvfIndexFiltered]]
+    * ("nearest English documents" served from codes-at-rest): declare
+    * payload columns at PQ build/append, and the predicate applies
+    * BEFORE the bounded top-k (all k ADC survivors satisfy it), pushed
+    * into the codes scan alongside DPP. Serving pairs compose
+    * unchanged: [[rerankExactTopK]] over the filtered candidates needs
+    * no filter of its own (candidates are already a subset). A payload
+    * predicate over a FRESH index (no code files to carry the declared
+    * columns) is legitimately empty. */
+  def probeIvfPqIndexFiltered(idx: IvfPqIndexFrames, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, predicate: Column,
+      nprobe: Int = 4): DataFrame =
+    try {
+      val filtered = idx.codes.where(predicate)
+      filtered.queryExecution.analyzed // resolve NOW, not at the action
+      probeIvfPqIndex(idx.copy(codes = filtered), queries, queryId,
+        queryVec, k, nprobe)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNRESOLVED_COLUMN") &&
+            idx.codes.isEmpty =>
+        queries.limit(0)
+          .select(col(queryId).cast("long").as("query_id"),
+            lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
+            lit(0L).as("rank"))
+    }
 
   /** Per-cell posting statistics — the skew report read before trusting
     * an index's probe latency: a cell holding 30% of the corpus makes

@@ -463,6 +463,50 @@ class AnnIndexSpec extends SparkSuite {
       physical.contains("label = 1"),
       s"payload predicate not pushed into the postings scan; " +
         s"plan:\n$physical")
+    // PQ twin: payload columns ride the codes; filtering the codes of
+    // a full build equals building from the filtered corpus (encode is
+    // per-row under the shared quantizer/codebook), append carries the
+    // payload set, and the filter is pushed into the codes scan
+    val pqPath = tmpDir("pqfilteredprobe")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(base,
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = Seq(1L, 2L, 3L, 4L), inDims = dims, nSub = 2,
+      payloadCols = Seq("label")), pqPath)
+    Similarity.appendToIvfPqIndex(spark, pqPath, delta, "vec_id",
+      "embedding")
+    val pqBack = Similarity.readIvfPqIndex(spark, pqPath)
+    assert(pqBack.codes.columns.contains("label"))
+    def pqRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("long"),
+          col("corpus_id").cast("long"), col("approx_d2").cast("long"),
+          col("rank").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(t => (t._1, t._4))
+    val viaFiltered = pqRows(Similarity.probeIvfPqIndexFiltered(pqBack,
+      queries, "vec_id", "embedding", k = 5,
+      predicate = col("label") === 1, nprobe = 8))
+    // reference: build from the filtered corpus UNDER THE SAME
+    // codebook — the codebook rows ride in via the q300 shared-
+    // codebook pattern and their foreign-label codes are dropped after
+    val refIdx0 = Similarity.buildIvfPqIndex(
+      labeled.where(col("label") === 1 ||
+        col("vec_id").isin(1L, 2L, 3L, 4L)),
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = Seq(1L, 2L, 3L, 4L), inDims = dims, nSub = 2)
+    val refIdx = refIdx0.copy(codes =
+      refIdx0.codes.where(pmod(col("corpus_id"), lit(4)) === 1))
+    val viaRef = pqRows(Similarity.probeIvfPqIndex(refIdx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    assert(viaFiltered === viaRef)
+    assert(viaFiltered.nonEmpty)
+    val pqPlan = Similarity.probeIvfPqIndexFiltered(pqBack, queries,
+      "vec_id", "embedding", k = 5, predicate = col("label") === 1,
+      nprobe = 2).queryExecution.executedPlan.toString
+    assert(pqPlan.contains("EqualTo(label,1)") ||
+      pqPlan.contains("label = 1"),
+      s"payload predicate not pushed into the codes scan; " +
+        s"plan:\n$pqPlan")
   }
 
   test("consuming merge is pure file moves: names preserved, pending " +
