@@ -3563,6 +3563,61 @@ object SparkEntry {
           col("id_existing").cast("long").as("id_existing"))
     }),
 
+    // DUAL-INDEX STREAMING DEDUP — q289's exact fixture and output
+    // through the COMPRESSED kernel: the stream carries a PQ index
+    // root alongside the raw one (both pre-trained from ONE seed
+    // frame; the PQ quantizer+codebook built via the shared-codebook
+    // pattern with its bootstrap codes dropped), each micro-batch
+    // probes via the lossless ADC prefilter and is appended to BOTH
+    // indexes. The oracle is q289's replay VERBATIM: identical pair
+    // output is the dual-index mode's contract.
+    "q308_stream_pq_dedup" -> ((s, dir) => {
+      // a 4096-row slice: the dual-index contract (identical pairs) is
+      // scale-free, and the full table's batch sizes make BOTH kernels
+      // run their 10⁷-candidate regime twice per run — q289 already
+      // prices that shape; this row prices the dual-root plumbing
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64
+          && col("vec_id") < 4096)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("pqdedupstream", dir)
+      val (in, idxp, pqp, pairs, chk) = (s"$root/in", s"$root/index",
+        s"$root/pqindex", s"$root/pairs", s"$root/chk")
+      Seq(in, pairs, chk).foreach(rmScratch)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        e.where(lit(false)), "vec_id", "embedding", seeds, "sid", "svec"),
+        idxp)
+      // PQ quantizer+codebook pre-trained, codes EMPTY: the codebook
+      // rows bootstrap the build and are dropped before the write
+      val pq0 = Similarity.buildIvfPqIndex(
+        e.where(col("vec_id") >= 16 && col("vec_id") <= 23), "vec_id",
+        "embedding", seeds, "sid", "svec", codebookIds = 16L to 23L,
+        inDims = 64, nSub = 8)
+      Similarity.writeIvfPqIndex(
+        pq0.copy(codes = pq0.codes.where(lit(false))), pqp)
+      val qset = e
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      qset.where(pmod(col("vec_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      qset.where(pmod(col("vec_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.incrementalAnnDedupStream(stream, "vec_id",
+        "embedding", idxp, pairs, chk, thresholdPpm = 400000L,
+        nprobe = 4, pqIndexPath = pqp)
+        .awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("id_new").cast("long").as("id_new"),
+          col("id_existing").cast("long").as("id_existing"))
+    }),
+
     // Index maintenance pass: build on the base slice, append the
     // delta (leaves a second file set in every touched cell), COMPACT
     // to one file per cell (two-rename staged swap), then report
@@ -7227,6 +7282,60 @@ object SparkEntry {
              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
            FROM embeddings
            WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing)
+         SELECT CAST(id_new AS BIGINT) AS id_new,
+           CAST(id_existing AS BIGINT) AS id_existing
+         FROM vals
+         WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+           AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+             * CAST(1000000000000 AS HUGEINT)
+             >= CAST(400000 AS HUGEINT) * CAST(400000 AS HUGEINT)
+               * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)""",
+    // q308: q289's replay VERBATIM — the dual-index stream promises
+    // IDENTICAL pairs to the single-index stream (the ADC prefilter is
+    // lossless), so a hash match proves the compressed path dropped no
+    // pair and invented none across the batch cadence.
+    "q308_stream_pq_dedup" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64
+             AND vec_id < 4096),
          seeded AS (
            SELECT qv AS cv,
              row_number() OVER (ORDER BY

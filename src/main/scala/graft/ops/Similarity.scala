@@ -2539,6 +2539,26 @@ object Similarity {
     else cappedPairsFromScored(scored, maxPairsPerNew)
   }
 
+  /** [[annNearDupPairsAndDropReport]] through the COMPRESSED path: one
+    * evaluation of the prefiltered exact kernel feeds both the capped
+    * pairs and the cap's drop accounting (the report row is identical
+    * in meaning to the raw kernel's — the prefilter is lossless, so
+    * the admitted-pair universe is the same). */
+  def annNearDupPairsPqAndDropReport(pq: IvfPqIndexFrames,
+      raw: IvfIndexFrames, newRows: DataFrame, idCol: String,
+      vecCol: String, thresholdPpm: Long, maxPairsPerNew: Int,
+      nprobe: Int = 4, excludeIds: DataFrame = null)(
+      emit: (DataFrame, DataFrame) => Unit): Unit = {
+    require(maxPairsPerNew > 0,
+      s"maxPairsPerNew must be > 0, got $maxPairsPerNew")
+    val scored = annNearDupScoredPq(pq, raw, newRows, idCol, vecCol,
+      thresholdPpm, nprobe, excludeIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try emit(cappedPairsFromScored(scored, maxPairsPerNew),
+      dropReportFromScored(scored, maxPairsPerNew))
+    finally { scored.unpersist(); () }
+  }
+
   /** Work accounting for [[annNearDupPairsPq]]'s prefilter — ONE exact
     * row of (n_candidates, n_prefilter_kept, n_pairs,
     * pruned_candidate_share_ppm): how many candidate pairs the probed

@@ -946,12 +946,23 @@ object Streams {
     * ([[graft.ops.Similarity.annNearDupDropReport]] + batch_id) — the
     * q279 no-silent-caps contract for the ANN path: without it one hot
     * cell turns a micro-batch into an unbounded multi-million-pair emit
-    * with no observability. */
+    * with no observability.
+    *
+    * Dual-index mode (`pqIndexPath`): the probe/threshold kernel
+    * routes through the COMPRESSED index
+    * ([[graft.ops.Similarity.annNearDupPairsPq]] — ADC upper-bound
+    * prefilter over the stored per-posting distortion, exact dots only
+    * for unrefuted candidates) and each batch is appended to BOTH
+    * roots so they stay row-aligned. The pair output is IDENTICAL to
+    * single-index mode (the prefilter is lossless); what changes is
+    * the candidate-stage cost in dense cells. Both indexes must share
+    * the frozen quantizer — pre-train them from one seed frame. */
   def incrementalAnnDedupStream(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, pairsPath: String,
       checkpointPath: String, thresholdPpm: Long, nprobe: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxPairsPerNew: Int = 0, dropsPath: String = null): StreamingQuery =
+      maxPairsPerNew: Int = 0, dropsPath: String = null,
+      pqIndexPath: String = null): StreamingQuery =
     stream.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -959,26 +970,57 @@ object Streams {
           val spark = batch.sparkSession
           // readIvfIndex tolerates a fresh index (no posting files yet)
           val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
+          // DUAL-INDEX mode (`pqIndexPath`): the probe/threshold kernel
+          // routes through the PQ codes — the ADC upper-bound prefilter
+          // refutes most candidates before any exact dot, and the pair
+          // output is IDENTICAL (the prefilter is lossless), so
+          // downstream consumers cannot tell the modes apart. Both
+          // indexes must share the frozen quantizer (the build-side
+          // contract of annNearDupPairsPq), and each batch is appended
+          // to BOTH so they stay row-aligned.
+          val pqIdx =
+            if (pqIndexPath == null) None
+            else Some(graft.ops.Similarity.readIvfPqIndex(spark,
+              pqIndexPath))
           val batchDf = batch.toDF()
           val ownIds = batchDf.select(col(idCol).cast("long").as("id"))
-          if (maxPairsPerNew > 0 && dropsPath != null)
+          if (maxPairsPerNew > 0 && dropsPath != null) {
             // one evaluation of the probe/threshold kernel feeds BOTH
             // sinks — running pairs and report separately would score
             // every candidate twice per micro-batch
-            graft.ops.Similarity.annNearDupPairsAndDropReport(idx,
-              batchDf, idCol, vecCol, thresholdPpm, maxPairsPerNew,
-              nprobe, excludeIds = ownIds) { (pairs, report) =>
-                pairs.write.mode("append").parquet(pairsPath)
-                report.withColumn("batch_id", lit(batchId))
-                  .write.mode("append").parquet(dropsPath)
-              }
-          else
-            graft.ops.Similarity.annNearDupPairs(idx, batchDf, idCol,
-              vecCol, thresholdPpm, nprobe, maxPairsPerNew,
-              excludeIds = ownIds)
-              .write.mode("append").parquet(pairsPath)
+            val emit = (pairs: DataFrame, report: DataFrame) => {
+              pairs.write.mode("append").parquet(pairsPath)
+              report.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(dropsPath)
+            }
+            pqIdx match {
+              case Some(pq) =>
+                graft.ops.Similarity.annNearDupPairsPqAndDropReport(pq,
+                  idx, batchDf, idCol, vecCol, thresholdPpm,
+                  maxPairsPerNew, nprobe, excludeIds = ownIds)(emit)
+              case None =>
+                graft.ops.Similarity.annNearDupPairsAndDropReport(idx,
+                  batchDf, idCol, vecCol, thresholdPpm, maxPairsPerNew,
+                  nprobe, excludeIds = ownIds)(emit)
+            }
+          } else {
+            val pairs = pqIdx match {
+              case Some(pq) =>
+                graft.ops.Similarity.annNearDupPairsPq(pq, idx, batchDf,
+                  idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
+                  excludeIds = ownIds)
+              case None =>
+                graft.ops.Similarity.annNearDupPairs(idx, batchDf,
+                  idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
+                  excludeIds = ownIds)
+            }
+            pairs.write.mode("append").parquet(pairsPath)
+          }
           graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
             batchDf, idCol, vecCol)
+          if (pqIndexPath != null)
+            graft.ops.Similarity.appendToIvfPqIndex(spark, pqIndexPath,
+              batchDf, idCol, vecCol)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)

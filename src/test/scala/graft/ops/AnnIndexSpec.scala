@@ -226,6 +226,66 @@ class AnnIndexSpec extends SparkSuite {
     assert(Similarity.readIvfIndex(spark, idxp).postings.count() === 200L)
   }
 
+  test("dual-index dedup stream emits the same pairs as single-index " +
+    "mode and keeps both roots row-aligned") {
+    import spark.implicits._
+    val batch1 = (0L until 100L).map(i => (i, vec(i)))
+    val batch2 = (100L until 150L).map(i => (i, vec(i - 100L))) ++
+      (150L until 200L).map(i => (i, vec(i)))
+    val all = (batch1 ++ batch2).toDF("vec_id", "embedding")
+    val seeds = Similarity.hashSeeds(all, "vec_id", "embedding", 8)
+    def run(pqRoot: Option[String], tag: String): Set[(Long, Long)] = {
+      val root = tmpDir(s"dualdedup$tag")
+      val (in, idxp, pairs, chk) =
+        (s"$root/in", s"$root/index", s"$root/pairs", s"$root/chk")
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        all.where(lit(false)), "vec_id", "embedding", seeds, "sid",
+        "svec"), idxp)
+      pqRoot.foreach { pqp =>
+        // PQ quantizer + codebook pre-trained from the same seed
+        // frame; bootstrap codes dropped before the write
+        val pq0 = Similarity.buildIvfPqIndex(
+          all.where(col("vec_id") < 4), "vec_id", "embedding", seeds,
+          "sid", "svec", codebookIds = Seq(0L, 1L, 2L, 3L),
+          inDims = dims, nSub = 2)
+        Similarity.writeIvfPqIndex(
+          pq0.copy(codes = pq0.codes.where(lit(false))), pqp)
+      }
+      batch1.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      batch2.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in)
+      val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.incrementalAnnDedupStream(stream,
+        "vec_id", "embedding", idxp, pairs, chk,
+        thresholdPpm = 990000L, nprobe = 2,
+        pqIndexPath = pqRoot.orNull)
+        .awaitTermination()
+      pqRoot.foreach { pqp =>
+        // both roots row-aligned after the cadence, margin columns on
+        val pqBack = Similarity.readIvfPqIndex(spark, pqp)
+        assert(pqBack.codes.count() === 200L)
+        assert(pqBack.codes.columns.contains("e2"))
+        assert(Similarity.readIvfIndex(spark, idxp).postings.count()
+          === 200L)
+      }
+      spark.read.parquet(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val pqRoot = tmpDir("dualdeduppq") + "/pq"
+    val viaDual = run(Some(pqRoot), "pq")
+    val viaRaw = run(None, "raw")
+    assert(viaDual === viaRaw)
+    assert(viaDual.nonEmpty)
+  }
+
   test("exact rerank over an all-pairs candidate set reproduces brute " +
     "force, and never invents candidates") {
     import spark.implicits._
