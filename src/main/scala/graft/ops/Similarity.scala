@@ -1678,6 +1678,7 @@ object Similarity {
     val session = idx.centroids.sparkSession
     import session.implicits._
     clearTombstones(session, path) // a rebuild defines the corpus anew
+    clearAppendHwm(session, path) // …and starts a new append history
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(path + "/centroids")
     // self-describing index: the quantization scale and routing
@@ -1700,10 +1701,29 @@ object Similarity {
     * one data file is required when any exist: an external copy or
     * partial overwrite that leaves two meta files would otherwise
     * route appends under an arbitrary (possibly stale) row — the same
-    * broken-root-fails-loudly posture the postings read takes. A field
-    * in `defaults` may be absent from the file (a meta written before
-    * the field existed) and reads as its default; any other field must
-    * be present. */
+    * broken-root-fails-loudly posture the postings read takes.
+    *
+    * META EVOLUTION CONTRACT (r16 directive #7 — every future meta
+    * column follows this, no exceptions):
+    *  1. A NEW meta column MUST ship with a `defaults` entry at every
+    *     read site, and the default MUST equal the behavior indexes
+    *     built before the column existed actually ran under —
+    *     otherwise reopening a legacy root silently changes its
+    *     routing (the corruption class the self-describing meta
+    *     exists to prevent). Example: `two_level_threshold` defaults
+    *     to 4096, the hard-coded routing switch of pre-meta builds.
+    *  2. A field WITHOUT a `defaults` entry is REQUIRED: a meta file
+    *     missing it fails loudly here (IllegalStateException), never
+    *     silently invents a value. Fields that never had a
+    *     pre-history (written since the meta file itself exists, like
+    *     `quant_scale`) stay required.
+    *  3. Unknown EXTRA columns in the file are ignored — a root
+    *     written by a newer version stays readable as long as the
+    *     columns this version needs are present (forward-compatible
+    *     reads; the newer writer guarantees the shared columns mean
+    *     the same thing, by rule 1).
+    * MetaEvolutionSpec pins all three rules against hand-written
+    * legacy meta dirs. */
   private def readMetaRow(spark: org.apache.spark.sql.SparkSession,
       dir: String, fields: Seq[String],
       defaults: Map[String, Int] = Map.empty): Option[Seq[Int]] = {
@@ -1738,11 +1758,16 @@ object Similarity {
   }
 
   /** The persisted (quantScale, twoLevelThreshold) of the index at
-    * `path`; defaults for a pre-meta index. */
+    * `path`; defaults for a pre-meta index. `two_level_threshold`
+    * carries the evolution-contract default (4096 — the hard-coded
+    * routing switch of builds that predate the column), so a legacy
+    * meta holding only `quant_scale` reopens under the behavior it
+    * was built with instead of failing. */
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) =
     readMetaRow(spark, path + "/meta",
-      Seq("quant_scale", "two_level_threshold")) match {
+      Seq("quant_scale", "two_level_threshold"),
+      defaults = Map("two_level_threshold" -> 4096)) match {
       case Some(Seq(qs, tlt)) => (qs, tlt)
       case _ => (10000, 4096)
     }
@@ -1798,6 +1823,19 @@ object Similarity {
   private val leaseConfKey = "spark.graft.annIndexWriterLease"
   private val leaseStaleKey = "spark.graft.annIndexWriterLeaseStaleMs"
 
+  /** Leases this PROCESS currently holds long-term (via
+    * [[acquireWriterLease]]), keyed by the root's qualified URI →
+    * token. Per-operation leases re-enter a held root instead of
+    * colliding with their own maintenance stream's marker; the lease
+    * defends against OTHER processes, while writers inside one process
+    * are serialized by the caller (the single-writer contract). */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qualifiedRoot(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): String =
+    fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
+
   private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
@@ -1810,14 +1848,10 @@ object Similarity {
     } finally in.close()
   }
 
-  /** Run `body` under the (optional) writer lease for `root`. The body
-    * receives a verify callback to invoke immediately before its
-    * commit point; it throws if another writer took the lease over. */
-  private def withWriterLease[T](
-      spark: org.apache.spark.sql.SparkSession, root: String,
-      op: String)(body: (() => Unit) => T): T = {
-    if (!spark.conf.get(leaseConfKey, "false").toBoolean)
-      return body(() => ())
+  /** Create the `_writer` marker on `root` (throwing if a live one
+    * exists, taking over a stale one) and return the held token. */
+  private def acquireMarker(spark: org.apache.spark.sql.SparkSession,
+      root: String, op: String): String = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val marker = new Path(root + "/_writer")
@@ -1844,7 +1878,65 @@ object Similarity {
             "created the _writer marker concurrently", e)
       }
     try out.write(token.getBytes("UTF-8")) finally out.close()
-    def verify(): Unit = {
+    token
+  }
+
+  /** Delete the marker only if it still carries `token` (a takeover's
+    * marker is not ours to delete). */
+  private def releaseMarker(spark: org.apache.spark.sql.SparkSession,
+      root: String, token: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(root + "/_writer")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (fs.exists(marker) && readMarker(fs, marker) == token)
+        fs.delete(marker, false)
+    } catch { case _: java.io.IOException => () }
+    ()
+  }
+
+  /** Acquire and HOLD the writer lease on an index root — the
+    * long-running-writer form the maintenance streams use
+    * (unconditional: no conf gate, because a stream that appends on
+    * every micro-batch is precisely the writer the lease exists for).
+    * Returns the release thunk; until it runs, any other process's
+    * lease-guarded mutation of `root` fails loudly, while THIS
+    * process's per-operation leases ([[withWriterLease]] under
+    * `spark.graft.annIndexWriterLease=true`) re-enter the held lease
+    * instead of colliding with it. Same stale-takeover rule as the
+    * per-operation lease, so a crashed holder cannot brick the root. */
+  def acquireWriterLease(spark: org.apache.spark.sql.SparkSession,
+      root: String, op: String): () => Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val key = qualifiedRoot(fs, root)
+    val token = acquireMarker(spark, root, op)
+    heldLeases.put(key, token)
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () =>
+      if (released.compareAndSet(false, true)) {
+        heldLeases.remove(key, token)
+        releaseMarker(spark, root, token)
+      }
+  }
+
+  /** Run `body` under the (optional) writer lease for `root`. The body
+    * receives a verify callback to invoke immediately before its
+    * commit point; it throws if another writer took the lease over.
+    * When this process already holds the root's lease long-term
+    * ([[acquireWriterLease]]), the operation runs re-entrantly under
+    * the held token and the lease stays held afterwards. */
+  private def withWriterLease[T](
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      op: String)(body: (() => Unit) => T): T = {
+    if (!spark.conf.get(leaseConfKey, "false").toBoolean)
+      return body(() => ())
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(root + "/_writer")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val heldToken = heldLeases.get(qualifiedRoot(fs, root))
+    def verifyAgainst(token: String): Unit = {
       val held =
         try readMarker(fs, marker)
         catch { case _: java.io.IOException => "<missing>" }
@@ -1853,16 +1945,110 @@ object Similarity {
           s"$op: the writer lease on $root was taken over before the " +
             "commit point — aborting with the root untouched")
     }
-    try body(() => verify())
-    finally {
-      // release only if still ours (a takeover's marker is not ours to
-      // delete)
-      try {
-        if (fs.exists(marker) && readMarker(fs, marker) == token)
-          fs.delete(marker, false)
-      } catch { case _: java.io.IOException => () }
-      ()
-    }
+    if (heldToken != null)
+      return body(() => verifyAgainst(heldToken)) // re-entrant, no release
+    val token = acquireMarker(spark, root, op)
+    try body(() => verifyAgainst(token))
+    finally releaseMarker(spark, root, token)
+  }
+
+  // ===== Streaming-append batch high-water mark (exactly-once) ======
+
+  /** The streaming batch-id high-water mark of an index root is encoded
+    * in a marker FILENAME (`_append_hwm-<batchId>`), never in file
+    * content: recording is then ONE atomic create-no-overwrite — no
+    * read-modify-write, no partial-content window — and a crash between
+    * creating the new marker and deleting the superseded one just
+    * leaves two markers, of which reads take the max. The `_` prefix
+    * keeps every data reader (postings scans, merges, meta) blind to
+    * them. */
+  private val appendHwmPrefix = "_append_hwm-"
+
+  /** The highest streaming batch id whose append committed to the index
+    * root, or -1 when none is recorded. Driver-side file listing only —
+    * no Spark job (the same cheap-read posture as the meta row). */
+  def readAppendHwm(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1L
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(appendHwmPrefix))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(appendHwmPrefix).toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Record `batchId` as committed: create the new marker (idempotent —
+    * a replay that lost the race finds it already there), then drop any
+    * superseded markers. */
+  private def recordAppendHwm(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val marker = new Path(root, appendHwmPrefix + batchId)
+    try fs.create(marker, false).close()
+    catch { case _: java.io.IOException => () } // already recorded
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(appendHwmPrefix) &&
+        scala.util.Try(p.getName.stripPrefix(appendHwmPrefix).toLong)
+          .toOption.exists(_ < batchId))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** Drop all high-water-mark markers (rebuild path: a rebuilt index
+    * starts a new append history — a NEW stream checkpoint restarts
+    * batch ids at 0, and a stale mark would silently swallow its first
+    * batches). */
+  private def clearAppendHwm(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(appendHwmPrefix))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** [[appendToIvfIndex]] under foreachBatch's at-least-once replay
+    * contract, made EXACTLY-ONCE per root via the batch-id high-water
+    * mark: the append is skipped (returns false) when `batchId` is
+    * already committed at `path`, else it runs and the mark is
+    * recorded. This is what the index-appending streams call — a full
+    * foreachBatch re-run (restart after a crash that lost the
+    * checkpoint commit) no longer lands duplicate postings that would
+    * spend top-k and pair-cap slots on duplicate ids. Residual window
+    * (documented, not closable without a transactional store): a crash
+    * BETWEEN the postings landing and the mark record replays as one
+    * duplicate append — the pre-r17 at-least-once floor, now confined
+    * to that single boundary. Contract: one stream per root (the
+    * single-writer contract the index already carries) — batch ids are
+    * only monotone within one stream's checkpoint. */
+  def appendToIvfIndexOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Boolean = {
+    if (readAppendHwm(spark, path) >= batchId) return false
+    appendToIvfIndex(spark, path, delta, idCol, vecCol)
+    recordAppendHwm(spark, path, batchId)
+    true
+  }
+
+  /** [[appendToIvfPqIndex]] under the same exactly-once wrapper as
+    * [[appendToIvfIndexOnce]]. In dual-index streaming the two roots
+    * carry INDEPENDENT marks, so a crash between the raw and PQ
+    * appends of one batch replays into "raw skipped, PQ completed" —
+    * closing the transient two-root misalignment window (r16 advice). */
+  def appendToIvfPqIndexOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Boolean = {
+    if (readAppendHwm(spark, path) >= batchId) return false
+    appendToIvfPqIndex(spark, path, delta, idCol, vecCol)
+    recordAppendHwm(spark, path, batchId)
+    true
   }
 
   // ===== Tombstone deletes (right-to-erasure for persisted indexes) ==
@@ -1973,10 +2159,16 @@ object Similarity {
 
   /** Resurrection: remove `deltaIds` from the pending tombstone set
     * (staged rewrite + two-rename swap). Runs BEFORE the postings of an
-    * append land, so a crash between the two steps leaves resurrected-
-    * but-absent ids (harmless: probes just find nothing) rather than
+    * append land, so a crash between the two steps can never leave
     * appended-but-still-tombstoned rows (which would be silently
-    * invisible). No-op when no tombstone intersects the delta. */
+    * invisible). The trade (documented, r16 ADVICE #3): deletes are
+    * logical until compaction, so when a resurrected id still has
+    * surviving PHYSICAL posting rows, a crash in that window re-exposes
+    * the OLD (erased) rows until the append is retried — the streaming
+    * appenders retry automatically (at-least-once foreachBatch), and a
+    * caller needing strict erasure-until-commit should compact the
+    * root before appending previously-deleted ids. No-op when no
+    * tombstone intersects the delta. */
   private def resurrectTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String,
       deltaIds: DataFrame): Unit = {
@@ -2127,10 +2319,12 @@ object Similarity {
     }
     // appending a tombstoned id RESURRECTS it: the tombstone set is
     // rewritten without the delta's ids BEFORE the postings land (a
-    // crash between the steps leaves resurrected-but-absent ids —
-    // harmless — never appended-but-invisible rows)
-    resurrectTombstones(spark, path, delta.select(col(idCol)))
+    // crash between the steps can never leave appended-but-invisible
+    // rows; see resurrectTombstones for the crash contract) — and
+    // AFTER the lease verify, so a taken-over lease aborts with the
+    // root unmutated (r16 ADVICE #3)
     verifyLease()
+    resurrectTombstones(spark, path, delta.select(col(idCol)))
     // payload columns are self-describing too: whatever non-core
     // columns the existing postings carry, the delta must supply under
     // the same names (the select below fails loudly if it can't)
@@ -2212,14 +2406,17 @@ object Similarity {
   def probeIvfIndexFiltered(idx: IvfIndexFrames, queries: DataFrame,
       queryId: String, queryVec: String, k: Int, predicate: Column,
       nprobe: Int = 4): DataFrame = {
-    // a FRESH index (centroids written, zero posting files) reads back
-    // with the core-only schema — the declared payload columns exist
-    // only in posting files. Probing that with a payload predicate is
-    // legitimately empty; unknown columns over NON-empty postings are
-    // a caller bug and keep the loud resolution error. Detection is by
-    // forcing analysis: a Spark 4 Column wraps ColumnNodes, so the
-    // referenced names are not introspectable from the Catalyst tree
-    // before resolution.
+    // a CORE-ONLY postings schema (a fresh index — centroids written,
+    // zero posting files — or one built without payload columns) can
+    // never resolve a payload predicate: the declared payload columns
+    // exist only in posting files. Probing it with one is legitimately
+    // empty; unknown columns over a payload-carrying schema are a
+    // caller bug (a typo'd predicate) and keep the loud resolution
+    // error. Detection is STRUCTURAL (column set == the core postings
+    // schema), not row emptiness — a fully-tombstoned index also reads
+    // back row-empty, and a typo there must stay loud (r16 ADVICE #4).
+    // Analysis is forced eagerly: a Spark 4 Column wraps ColumnNodes,
+    // so the referenced names are not introspectable before resolution.
     try {
       val filtered = idx.postings.where(predicate)
       filtered.queryExecution.analyzed // resolve NOW, not at the action
@@ -2228,9 +2425,13 @@ object Similarity {
     } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("UNRESOLVED_COLUMN") &&
-            idx.postings.isEmpty =>
+            idx.postings.columns.toSet ==
+              postingsSchema.map(_.name).toSet =>
+        // same empty-result schema as probeIvfIndex's empty path:
+        // query_id keeps its original type (no cast), so the two
+        // empty frames union cleanly
         queries.limit(0)
-          .select(col(queryId).cast("long").as("query_id"),
+          .select(col(queryId).as("query_id"),
             lit(0L).as("corpus_id"), lit(0.0).as("score"),
             lit(0).cast("int").as("rank"))
     }
@@ -2590,6 +2791,65 @@ object Similarity {
           .as("pruned_candidate_share_ppm"))
   }
 
+  /** Routing threshold between the raw and ADC-prefiltered dedup
+    * kernels, in MEAN POSTINGS PER CELL — the density statistic that
+    * actually prices the candidate stage (work per batch row ∝ nprobe
+    * × postings-per-probed-cell). Measured on the clustered-corpus
+    * probe (SCALE_r16 dedup-prefilter, re-recorded by the r17
+    * dedup-route probe): the raw kernel wins at ≈224 postings/cell
+    * (50k rows, √N cells — prefilter 7.68 s vs raw 6.27 s), the
+    * prefiltered path wins at ≥500/cell (250k rows) and is 27% faster
+    * at 1000/cell (1M rows), sublinear beyond. 350 sits in the
+    * measured crossover band; the exact value is uncritical because
+    * both paths emit IDENTICAL pairs (the prefilter is lossless) —
+    * routing only moves wall time, never output. */
+  val adcPrefilterRouteMinPostingsPerCell: Double = 350.0
+
+  /** True when dedup against the index at `rawIndexPath` should route
+    * through the PQ codes ([[annNearDupPairsPq]]): mean postings per
+    * cell ≥ [[adcPrefilterRouteMinPostingsPerCell]]. Driver-side
+    * estimate from parquet metadata counts (footer row counts — no
+    * corpus scan; the pending-tombstone overcount is noise at routing
+    * granularity); a fresh index (no posting files) routes raw. */
+  def annNearDupRoutesToPq(spark: org.apache.spark.sql.SparkSession,
+      rawIndexPath: String): Boolean = {
+    val n =
+      try spark.read.parquet(rawIndexPath + "/postings").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val cells =
+      try spark.read.parquet(rawIndexPath + "/centroids").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    cells > 0 &&
+      n.toDouble / cells >= adcPrefilterRouteMinPostingsPerCell
+  }
+
+  /** The self-routing dedup convenience: picks [[annNearDupPairsPq]]
+    * (when a PQ root is supplied AND the index is dense enough for the
+    * prefilter to pay — [[annNearDupRoutesToPq]]) or the raw
+    * [[annNearDupPairs]], logging the choice. Output is identical on
+    * either route (the prefilter is lossless), so callers need no
+    * awareness of which ran — the routing rule the r16 verdict asked
+    * the caller to stop having to know. */
+  def annNearDupPairsAuto(spark: org.apache.spark.sql.SparkSession,
+      rawIndexPath: String, pqIndexPath: String, newRows: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long,
+      nprobe: Int = 4, maxPairsPerNew: Int = 0,
+      excludeIds: DataFrame = null): DataFrame = {
+    val raw = readIvfIndex(spark, rawIndexPath)
+    val usePq = pqIndexPath != null &&
+      annNearDupRoutesToPq(spark, rawIndexPath)
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity").info(
+      s"annNearDupPairsAuto: routing ${if (usePq) "PQ-prefiltered"
+        else "raw"} for $rawIndexPath")
+    if (usePq)
+      annNearDupPairsPq(readIvfPqIndex(spark, pqIndexPath), raw,
+        newRows, idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
+        excludeIds)
+    else
+      annNearDupPairs(raw, newRows, idCol, vecCol, thresholdPpm,
+        nprobe, maxPairsPerNew, excludeIds)
+  }
+
   /** The shared ADC pass of the prefiltered dedup: (candidates,
     * survivors) where candidates = (id_new, id_existing, cell) pairs in
     * probed cells (post exclude-anti-join) and survivors = the subset
@@ -2766,7 +3026,14 @@ object Similarity {
 
   /** (cell INT, corpus_id, qv) coarse assignment keeping the QUANTIZED
     * vector (the PQ-encode input), two-level-routed at high cell
-    * counts like [[assignPostings]]. */
+    * counts like [[assignPostings]]. The corpus vector is cast to
+    * `array<float>` BEFORE quantizing — the same one-float32-rounding
+    * rule [[assignPostings]] applies: quantizing a double-typed corpus
+    * directly can round a component differently than its float32 cast
+    * (0.00005·10⁴ = 0.5 → 1 from double, ≈0.49999998 → 0 from float32),
+    * which would route the same row to DIFFERENT cells in the PQ and
+    * raw indexes and silently break the dual-index survivor semi-join
+    * of [[annNearDupPairsPq]]. */
   private def coarseAssignQuantized(corpus: DataFrame, corpusId: String,
       corpusVec: String, centTab: Array[Array[Double]],
       cnTab: Array[Double], quantScale: Int, twoLevelThreshold: Int,
@@ -2785,7 +3052,7 @@ object Similarity {
         null, null, null)
     widenForCompute(corpus)
       .select(col(corpusId).cast("long").as("corpus_id") +:
-        transform(col(corpusVec),
+        transform(col(corpusVec).cast("array<float>"),
           x => round(x.cast("double") * quantScale)).as("qv") +: pl: _*)
       .where(col("qv").isNotNull && size(col("qv")) === inDims)
       .select(col("corpus_id") +: col("qv") +: assign.as("cell") +:
@@ -2863,6 +3130,7 @@ object Similarity {
     val session = idx.centroids.sparkSession
     import session.implicits._
     clearTombstones(session, path) // a rebuild defines the corpus anew
+    clearAppendHwm(session, path) // …and starts a new append history
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(path + "/centroids")
     idx.codebook.coalesce(1).write.mode("overwrite")
@@ -2973,9 +3241,10 @@ object Similarity {
           "is non-empty — rebuild from a non-empty corpus first")
       return
     }
-    // same resurrection contract as the raw-vector append
-    resurrectTombstones(spark, path, delta.select(col(idCol)))
+    // same resurrection contract (and same verify-before-mutate order)
+    // as the raw-vector append
     verifyLease()
+    resurrectTombstones(spark, path, delta.select(col(idCol)))
     // payload columns self-describe from the existing codes schema
     // (same contract as the raw-vector append)
     val payloadCols: Seq[String] =
@@ -3051,8 +3320,11 @@ object Similarity {
     * into the codes scan alongside DPP. Serving pairs compose
     * unchanged: [[rerankExactTopK]] over the filtered candidates needs
     * no filter of its own (candidates are already a subset). A payload
-    * predicate over a FRESH index (no code files to carry the declared
-    * columns) is legitimately empty. */
+    * predicate over a CORE-ONLY codes schema (a fresh index, or one
+    * built without payload columns — structural detection, same rule
+    * as [[probeIvfIndexFiltered]]) is legitimately empty; over a
+    * payload-carrying schema an unknown column stays a loud
+    * resolution error even when every row is tombstoned away. */
   def probeIvfPqIndexFiltered(idx: IvfPqIndexFrames, queries: DataFrame,
       queryId: String, queryVec: String, k: Int, predicate: Column,
       nprobe: Int = 4): DataFrame =
@@ -3064,7 +3336,9 @@ object Similarity {
     } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("UNRESOLVED_COLUMN") &&
-            idx.codes.isEmpty =>
+            idx.codes.columns.toSet ==
+              Set("cell", "corpus_id", "codes", "e2", "nb2") =>
+        // schema identical to probeIvfPqIndex's own empty path
         queries.limit(0)
           .select(col(queryId).cast("long").as("query_id"),
             lit(0L).as("corpus_id"), lit(0L).as("approx_d2"),
@@ -3121,8 +3395,12 @@ object Similarity {
     * afterwards (the parallel-build fan-in deletes them anyway), the
     * destination's file count is the sum of the sources' (compact it
     * if probes warrant), and a crash mid-move leaves a restartable
-    * half-state — re-running the same merge completes it; the
-    * destination must not be read before the merge returns. With
+    * half-state — re-running the SAME merge (same sources, same
+    * destination) detects the `_merge_intent` marker written before
+    * the first move, skips the now-impossible geometry re-verification
+    * (sources may be partially drained), and completes the remaining
+    * moves; the destination must not be read before the merge
+    * returns. With
     * `consumeSources = false` (default) the sources are left intact
     * and the merge is the one cell-partitioned union rewrite. Both
     * paths verify geometry identically first. */
@@ -3133,62 +3411,119 @@ object Similarity {
     require(!srcPaths.contains(destPath),
       s"mergeIvfIndexes: destPath $destPath must not be a source " +
         "(the overwrite would race its own input)")
-    val idxs = srcPaths.map(p => p -> readIvfIndex(spark, p))
-    val (p0, first) = idxs.head
-    val (t0, _) = collectSeedTable(first.centroids, "cell", "cvec",
-      first.quantScale)
-    idxs.tail.foreach { case (p, i) =>
-      require(i.quantScale == first.quantScale &&
-        i.twoLevelThreshold == first.twoLevelThreshold,
-        s"mergeIvfIndexes: $p meta (${i.quantScale}, " +
-          s"${i.twoLevelThreshold}) contradicts $p0 " +
-          s"(${first.quantScale}, ${first.twoLevelThreshold})")
-      val (t, _) = collectSeedTable(i.centroids, "cell", "cvec",
+    // a matching intent marker at dest means THIS merge already started
+    // and crashed mid-move: geometry was verified by the original
+    // invocation before any file moved, and partially-drained sources
+    // can no longer be re-read for verification — resume the moves
+    val resuming = consumeSources &&
+      checkMergeIntent(spark, destPath, srcPaths, "mergeIvfIndexes")
+    if (!resuming) {
+      val idxs = srcPaths.map(p => p -> readIvfIndex(spark, p))
+      val (p0, first) = idxs.head
+      val (t0, _) = collectSeedTable(first.centroids, "cell", "cvec",
         first.quantScale)
-      require(t.length == t0.length &&
-        t.indices.forall(j => java.util.Arrays.equals(t(j), t0(j))),
-        s"mergeIvfIndexes: $p was built under DIFFERENT centroids than " +
-          s"$p0 — postings routed under different geometry cannot be " +
-          "merged; rebuild one side under the shared quantizer")
-    }
-    withWriterLease(spark, destPath, "mergeIvfIndexes") { verifyLease =>
-      verifyLease()
-      if (consumeSources)
+      idxs.tail.foreach { case (p, i) =>
+        require(i.quantScale == first.quantScale &&
+          i.twoLevelThreshold == first.twoLevelThreshold,
+          s"mergeIvfIndexes: $p meta (${i.quantScale}, " +
+            s"${i.twoLevelThreshold}) contradicts $p0 " +
+            s"(${first.quantScale}, ${first.twoLevelThreshold})")
+        val (t, _) = collectSeedTable(i.centroids, "cell", "cvec",
+          first.quantScale)
+        require(t.length == t0.length &&
+          t.indices.forall(j => java.util.Arrays.equals(t(j), t0(j))),
+          s"mergeIvfIndexes: $p was built under DIFFERENT centroids than " +
+            s"$p0 — postings routed under different geometry cannot be " +
+            "merged; rebuild one side under the shared quantizer")
+      }
+      withWriterLease(spark, destPath, "mergeIvfIndexes") { verifyLease =>
+        verifyLease()
+        if (consumeSources)
+          moveMergeRoots(spark, srcPaths, destPath,
+            dataDir = "postings", smallDirs = Seq("centroids", "meta"),
+            op = "mergeIvfIndexes", resuming = false)
+        else
+          writeIvfIndex(IvfIndexFrames(first.centroids,
+            idxs.map(_._2.postings).reduce(_ unionAll _),
+            first.quantScale, first.twoLevelThreshold), destPath)
+      }
+    } else
+      withWriterLease(spark, destPath, "mergeIvfIndexes") { verifyLease =>
+        verifyLease()
         moveMergeRoots(spark, srcPaths, destPath,
           dataDir = "postings", smallDirs = Seq("centroids", "meta"),
-          op = "mergeIvfIndexes")
-      else
-        writeIvfIndex(IvfIndexFrames(first.centroids,
-          idxs.map(_._2.postings).reduce(_ unionAll _),
-          first.quantScale, first.twoLevelThreshold), destPath)
-    }
+          op = "mergeIvfIndexes", resuming = true)
+      }
+  }
+
+  /** True iff `destPath` carries a `_merge_intent` marker recording
+    * EXACTLY this source list (a prior invocation of the same consuming
+    * merge crashed mid-move); loud failure when the marker records a
+    * DIFFERENT merge — resuming someone else's half-move would
+    * interleave unrelated file sets. */
+  private def checkMergeIntent(spark: org.apache.spark.sql.SparkSession,
+      destPath: String, srcPaths: Seq[String], op: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val intent = new Path(destPath + "/_merge_intent")
+    val fs = intent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(intent)) return false
+    val recorded = readMarker(fs, intent)
+    require(recorded == srcPaths.mkString("\n"),
+      s"$op: $destPath holds a _merge_intent marker from a DIFFERENT " +
+        s"interrupted merge (sources ${recorded.linesIterator.toSeq}); " +
+        "complete or clean up that merge first (remove the marker only " +
+        "if its sources are known fully drained)")
+    true
   }
 
   /** The consuming merge's file mechanics, shared by the raw and PQ
-    * fan-ins: rename `smallDirs` (quantizer artifacts) from the first
-    * source into a FRESH `destPath`, then move every source's cell
-    * directories under `destPath/dataDir` (whole-dir rename when the
-    * destination cell is new — the common disjoint-slice case — else
-    * per-file renames; name collisions get a per-source prefix), move
-    * pending tombstone files along (the union of tombstone sets
-    * filters the union of postings), and delete the drained roots.
-    * Restartable: every file moves exactly once, so re-running the
-    * same merge after a crash completes it. */
+    * fan-ins: record the merge intent (`_merge_intent`, the source
+    * list — the resume token), rename `smallDirs` (quantizer
+    * artifacts) from the first source into a FRESH `destPath`, then
+    * move every source's cell directories under `destPath/dataDir`
+    * (whole-dir rename when the destination cell is new — the common
+    * disjoint-slice case — else per-file renames; name collisions get
+    * a per-source prefix), move pending tombstone files along (the
+    * union of tombstone sets filters the union of postings), delete
+    * the drained roots, and clear the intent marker LAST.
+    * Restartable for real (r16 ADVICE #1): every file moves exactly
+    * once and every step tolerates its own prior completion — a
+    * re-run after a crash anywhere in the sequence detects the
+    * matching intent marker, skips geometry verification (the sources
+    * may be partially drained and unreadable — the original
+    * invocation verified them before the first move), skips
+    * already-moved dirs/files, ignores already-deleted sources, and
+    * completes the merge. */
   private def moveMergeRoots(spark: org.apache.spark.sql.SparkSession,
       srcPaths: Seq[String], destPath: String, dataDir: String,
-      smallDirs: Seq[String], op: String): Unit = {
+      smallDirs: Seq[String], op: String, resuming: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val dest = new Path(destPath)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new Path(destPath + "/" + dataDir)),
-      s"$op: consuming merge needs a fresh destination root — " +
-        s"$destPath already holds a $dataDir dir")
+    if (!resuming)
+      require(!fs.exists(new Path(destPath + "/" + dataDir)),
+        s"$op: consuming merge needs a fresh destination root — " +
+          s"$destPath already holds a $dataDir dir")
     fs.mkdirs(dest)
+    val intent = new Path(destPath + "/_merge_intent")
+    if (!resuming) {
+      // the resume token goes down BEFORE any file moves: a crash at
+      // any later point re-runs as a resume, never as a fresh merge
+      // against a half-populated destination
+      val out = fs.create(intent, false)
+      try out.write(srcPaths.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     smallDirs.foreach { d =>
       val t = new Path(destPath + "/" + d)
-      if (!fs.exists(t))
-        require(fs.rename(new Path(srcPaths.head + "/" + d), t),
+      if (!fs.exists(t)) {
+        val sp = new Path(srcPaths.head + "/" + d)
+        require(fs.exists(sp),
+          s"$op: neither $t nor $sp exists — the destination's $d " +
+            "artifact is unrecoverable; repair the root by hand")
+        require(fs.rename(sp, t),
           s"$op: could not move ${srcPaths.head}/$d to $t")
+      }
     }
     val destData = new Path(destPath + "/" + dataDir)
     fs.mkdirs(destData)
@@ -3231,6 +3566,9 @@ object Similarity {
       }
       fs.delete(new Path(src), true)
     }
+    // intent cleared LAST: anything before this point re-runs as a
+    // resume of the same merge
+    fs.delete(intent, false)
     ()
   }
 
@@ -3256,6 +3594,19 @@ object Similarity {
     require(!srcPaths.contains(destPath),
       s"mergeIvfPqIndexes: destPath $destPath must not be a source " +
         "(the overwrite would race its own input)")
+    // same resume contract as mergeIvfIndexes: a matching intent marker
+    // means a prior invocation of THIS merge crashed mid-move
+    if (consumeSources &&
+        checkMergeIntent(spark, destPath, srcPaths, "mergeIvfPqIndexes")) {
+      withWriterLease(spark, destPath, "mergeIvfPqIndexes") {
+        verifyLease =>
+          verifyLease()
+          moveMergeRoots(spark, srcPaths, destPath, dataDir = "codes",
+            smallDirs = Seq("centroids", "codebook", "meta"),
+            op = "mergeIvfPqIndexes", resuming = true)
+      }
+      return
+    }
     val idxs = srcPaths.map(p => p -> readIvfPqIndex(spark, p))
     val (p0, first) = idxs.head
     val (t0, _) = collectSeedTable(first.centroids, "cell", "cvec",
@@ -3288,7 +3639,7 @@ object Similarity {
       if (consumeSources)
         moveMergeRoots(spark, srcPaths, destPath, dataDir = "codes",
           smallDirs = Seq("centroids", "codebook", "meta"),
-          op = "mergeIvfPqIndexes")
+          op = "mergeIvfPqIndexes", resuming = false)
       else
         writeIvfPqIndex(IvfPqIndexFrames(first.centroids, first.codebook,
           idxs.map(_._2.codes).reduce(_ unionAll _),

@@ -948,15 +948,31 @@ object Streams {
     * cell turns a micro-batch into an unbounded multi-million-pair emit
     * with no observability.
     *
-    * Dual-index mode (`pqIndexPath`): the probe/threshold kernel
-    * routes through the COMPRESSED index
-    * ([[graft.ops.Similarity.annNearDupPairsPq]] — ADC upper-bound
-    * prefilter over the stored per-posting distortion, exact dots only
-    * for unrefuted candidates) and each batch is appended to BOTH
-    * roots so they stay row-aligned. The pair output is IDENTICAL to
-    * single-index mode (the prefilter is lossless); what changes is
-    * the candidate-stage cost in dense cells. Both indexes must share
-    * the frozen quantizer — pre-train them from one seed frame. */
+    * Dual-index mode (`pqIndexPath`): the probe/threshold kernel is
+    * AUTO-ROUTED per micro-batch between the raw kernel and the
+    * COMPRESSED index ([[graft.ops.Similarity.annNearDupPairsPq]] —
+    * ADC upper-bound prefilter over the stored per-posting distortion,
+    * exact dots only for unrefuted candidates) by the index's measured
+    * density ([[graft.ops.Similarity.annNearDupRoutesToPq]]: mean
+    * postings per cell vs the SCALE-measured crossover — the raw
+    * kernel is faster on sparse cells, the prefilter on dense ones),
+    * and each batch is appended to BOTH roots so they stay
+    * row-aligned. The pair output is IDENTICAL on either route (the
+    * prefilter is lossless), so the routing is invisible downstream;
+    * the chosen route is logged per batch. Both indexes must share
+    * the frozen quantizer — pre-train them from one seed frame.
+    *
+    * Exactly-once under replay: each root records a batch-id
+    * high-water mark ([[graft.ops.Similarity.appendToIvfIndexOnce]]),
+    * so a replayed foreachBatch re-appends NOTHING that already
+    * committed — and because the pairs/drops writes precede the raw
+    * append inside the batch, a recorded raw mark also proves the
+    * batch's pairs landed, so the whole probe is skipped on replay
+    * (no duplicate pairs). Residual at-least-once floor: a crash
+    * between the pairs write and the raw append replays the pairs
+    * once (dedup on (id_new, id_existing) downstream if that matters);
+    * a crash between the raw and PQ appends replays into "raw
+    * skipped, PQ completed" — the two roots realign automatically. */
   def incrementalAnnDedupStream(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, pairsPath: String,
       checkpointPath: String, thresholdPpm: Long, nprobe: Int = 4,
@@ -968,59 +984,69 @@ object Streams {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
           val spark = batch.sparkSession
-          // readIvfIndex tolerates a fresh index (no posting files yet)
-          val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
-          // DUAL-INDEX mode (`pqIndexPath`): the probe/threshold kernel
-          // routes through the PQ codes — the ADC upper-bound prefilter
-          // refutes most candidates before any exact dot, and the pair
-          // output is IDENTICAL (the prefilter is lossless), so
-          // downstream consumers cannot tell the modes apart. Both
-          // indexes must share the frozen quantizer (the build-side
-          // contract of annNearDupPairsPq), and each batch is appended
-          // to BOTH so they stay row-aligned.
-          val pqIdx =
-            if (pqIndexPath == null) None
-            else Some(graft.ops.Similarity.readIvfPqIndex(spark,
-              pqIndexPath))
           val batchDf = batch.toDF()
-          val ownIds = batchDf.select(col(idCol).cast("long").as("id"))
-          if (maxPairsPerNew > 0 && dropsPath != null) {
-            // one evaluation of the probe/threshold kernel feeds BOTH
-            // sinks — running pairs and report separately would score
-            // every candidate twice per micro-batch
-            val emit = (pairs: DataFrame, report: DataFrame) => {
+          // replay detection: the pairs (and drops) of this batch land
+          // BEFORE the raw append commits its high-water mark, so a
+          // recorded mark ≥ batchId proves the probe output is already
+          // in the sink — skip it entirely instead of duplicating it
+          val rawCommitted =
+            graft.ops.Similarity.readAppendHwm(spark, indexPath) >=
+              batchId
+          if (!rawCommitted) {
+            // readIvfIndex tolerates a fresh index (no posting files)
+            val idx = graft.ops.Similarity.readIvfIndex(spark, indexPath)
+            // DUAL-INDEX mode: route by measured density — identical
+            // pairs either way, only the candidate-stage cost differs
+            val routePq = pqIndexPath != null &&
+              graft.ops.Similarity.annNearDupRoutesToPq(spark, indexPath)
+            if (pqIndexPath != null)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams")
+                .info(s"incrementalAnnDedupStream batch $batchId: " +
+                  s"routing ${if (routePq) "PQ-prefiltered" else "raw"}")
+            val pqIdx =
+              if (!routePq) None
+              else Some(graft.ops.Similarity.readIvfPqIndex(spark,
+                pqIndexPath))
+            val ownIds = batchDf.select(col(idCol).cast("long").as("id"))
+            if (maxPairsPerNew > 0 && dropsPath != null) {
+              // one evaluation of the probe/threshold kernel feeds BOTH
+              // sinks — running pairs and report separately would score
+              // every candidate twice per micro-batch
+              val emit = (pairs: DataFrame, report: DataFrame) => {
+                pairs.write.mode("append").parquet(pairsPath)
+                report.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(dropsPath)
+              }
+              pqIdx match {
+                case Some(pq) =>
+                  graft.ops.Similarity.annNearDupPairsPqAndDropReport(pq,
+                    idx, batchDf, idCol, vecCol, thresholdPpm,
+                    maxPairsPerNew, nprobe, excludeIds = ownIds)(emit)
+                case None =>
+                  graft.ops.Similarity.annNearDupPairsAndDropReport(idx,
+                    batchDf, idCol, vecCol, thresholdPpm, maxPairsPerNew,
+                    nprobe, excludeIds = ownIds)(emit)
+              }
+            } else {
+              val pairs = pqIdx match {
+                case Some(pq) =>
+                  graft.ops.Similarity.annNearDupPairsPq(pq, idx, batchDf,
+                    idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
+                    excludeIds = ownIds)
+                case None =>
+                  graft.ops.Similarity.annNearDupPairs(idx, batchDf,
+                    idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
+                    excludeIds = ownIds)
+              }
               pairs.write.mode("append").parquet(pairsPath)
-              report.withColumn("batch_id", lit(batchId))
-                .write.mode("append").parquet(dropsPath)
             }
-            pqIdx match {
-              case Some(pq) =>
-                graft.ops.Similarity.annNearDupPairsPqAndDropReport(pq,
-                  idx, batchDf, idCol, vecCol, thresholdPpm,
-                  maxPairsPerNew, nprobe, excludeIds = ownIds)(emit)
-              case None =>
-                graft.ops.Similarity.annNearDupPairsAndDropReport(idx,
-                  batchDf, idCol, vecCol, thresholdPpm, maxPairsPerNew,
-                  nprobe, excludeIds = ownIds)(emit)
-            }
-          } else {
-            val pairs = pqIdx match {
-              case Some(pq) =>
-                graft.ops.Similarity.annNearDupPairsPq(pq, idx, batchDf,
-                  idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
-                  excludeIds = ownIds)
-              case None =>
-                graft.ops.Similarity.annNearDupPairs(idx, batchDf,
-                  idCol, vecCol, thresholdPpm, nprobe, maxPairsPerNew,
-                  excludeIds = ownIds)
-            }
-            pairs.write.mode("append").parquet(pairsPath)
           }
-          graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
-            batchDf, idCol, vecCol)
+          graft.ops.Similarity.appendToIvfIndexOnce(spark, indexPath,
+            batchDf, idCol, vecCol, batchId)
           if (pqIndexPath != null)
-            graft.ops.Similarity.appendToIvfPqIndex(spark, pqIndexPath,
-              batchDf, idCol, vecCol)
+            graft.ops.Similarity.appendToIvfPqIndexOnce(spark,
+              pqIndexPath, batchDf, idCol, vecCol, batchId)
+          ()
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
@@ -1034,55 +1060,116 @@ object Streams {
     * postings are compacted back to one file per cell
     * ([[graft.ops.Similarity.compactIvfIndex]]) so probe cost tracks
     * bytes, not an ever-growing append-file count. The single-writer
-    * contract holds by construction: append and compaction run
-    * serialized inside the same foreachBatch, and micro-batches never
-    * overlap. Probe results after any number of batches equal a batch
-    * build over the union of the deltas (frozen quantizer ⇒
-    * batch-composition-invariant — pinned by StreamsSpec).
-    * At-least-once: a replayed batch re-appends its postings, keyed by
-    * id (dedup downstream on corpus_id if exact-once matters).
-    * `compactEvery <= 0` disables compaction. */
+    * contract holds by construction WITHIN the stream (append and
+    * compaction run serialized inside the same foreachBatch, and
+    * micro-batches never overlap) and is ENFORCED against other
+    * processes: the stream holds the root's writer lease for its whole
+    * lifetime ([[graft.ops.Similarity.acquireWriterLease]] — a
+    * long-running writer is exactly what the lease exists for), so a
+    * second maintenance stream on the same root fails loudly at start;
+    * the lease is released when the stream terminates. Probe results
+    * after any number of batches equal a batch build over the union of
+    * the deltas (frozen quantizer ⇒ batch-composition-invariant —
+    * pinned by StreamsSpec). Exactly-once: a replayed batch is skipped
+    * via the root's batch-id high-water mark
+    * ([[graft.ops.Similarity.appendToIvfIndexOnce]] — the only
+    * remaining duplicate window is a crash between the append and its
+    * mark). `compactEvery <= 0` disables compaction. */
   def indexMaintenanceStream(deltas: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpointPath: String,
       compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    deltas.writeStream
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
-          val spark = batch.sparkSession
-          graft.ops.Similarity.appendToIvfIndex(spark, indexPath,
-            batch.toDF(), idCol, vecCol)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            graft.ops.Similarity.compactIvfIndex(spark, indexPath)
-      }
-      .option("checkpointLocation", checkpointPath)
-      .trigger(trigger)
-      .start()
+    startWithHeldLease(deltas.sparkSession, indexPath,
+      "indexMaintenanceStream") {
+      deltas.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val spark = batch.sparkSession
+            graft.ops.Similarity.appendToIvfIndexOnce(spark, indexPath,
+              batch.toDF(), idCol, vecCol, batchId)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+              graft.ops.Similarity.compactIvfIndex(spark, indexPath)
+        }
+        .option("checkpointLocation", checkpointPath)
+        .trigger(trigger)
+        .start()
+    }
 
   /** [[indexMaintenanceStream]] for a persisted PQ index: each
     * micro-batch PQ-encoded and appended under the FROZEN quantizer and
     * codebook ([[graft.ops.Similarity.appendToIvfPqIndex]] — all
     * parameters from the index's own meta), codes compacted back to one
     * file per cell every `compactEvery` batches
-    * ([[graft.ops.Similarity.compactIvfPqIndex]]). Same single-writer-
-    * by-construction and at-least-once properties as the raw-vector
-    * maintenance stream. */
+    * ([[graft.ops.Similarity.compactIvfPqIndex]]). Same
+    * stream-held-lease, exactly-once-replay and single-writer
+    * properties as the raw-vector maintenance stream. */
   def pqIndexMaintenanceStream(deltas: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpointPath: String,
       compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    deltas.writeStream
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
-          val spark = batch.sparkSession
-          graft.ops.Similarity.appendToIvfPqIndex(spark, indexPath,
-            batch.toDF(), idCol, vecCol)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            graft.ops.Similarity.compactIvfPqIndex(spark, indexPath)
+    startWithHeldLease(deltas.sparkSession, indexPath,
+      "pqIndexMaintenanceStream") {
+      deltas.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val spark = batch.sparkSession
+            graft.ops.Similarity.appendToIvfPqIndexOnce(spark, indexPath,
+              batch.toDF(), idCol, vecCol, batchId)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+              graft.ops.Similarity.compactIvfPqIndex(spark, indexPath)
+        }
+        .option("checkpointLocation", checkpointPath)
+        .trigger(trigger)
+        .start()
+    }
+
+  /** The streams of THIS process currently holding an index root's
+    * writer lease — consulted before acquiring so that a back-to-back
+    * restart on the same root (the previous stream terminated but its
+    * async release hasn't run yet) completes the release inline
+    * instead of colliding with its own stale marker; a still-ACTIVE
+    * prior stream is left alone and the acquire fails loudly, which is
+    * the point of the lease. */
+  private val heldStreamLeases = new java.util.concurrent
+    .ConcurrentHashMap[String, (() => Unit, StreamingQuery)]()
+
+  /** Acquire the index root's writer lease, start the stream, and
+    * release the lease when the stream terminates (stop, completion,
+    * or failure — a daemon waiter owns the release, so no listener
+    * race can leak the marker; an acquire or start failure releases
+    * inline). The per-batch appends inside the stream re-enter the
+    * held lease when the per-operation lease conf is on, and skip
+    * marker checks entirely when it is off — either way they never
+    * collide with their own stream's marker. */
+  private def startWithHeldLease(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      op: String)(start: => StreamingQuery): StreamingQuery =
+    heldStreamLeases.synchronized {
+      val prior = heldStreamLeases.get(indexPath)
+      if (prior != null && !prior._2.isActive) {
+        prior._1() // idempotent; the daemon's own call becomes a no-op
+        heldStreamLeases.remove(indexPath, prior)
       }
-      .option("checkpointLocation", checkpointPath)
-      .trigger(trigger)
-      .start()
+      val release =
+        graft.ops.Similarity.acquireWriterLease(spark, indexPath, op)
+      val query =
+        try start
+        catch { case t: Throwable => release(); throw t }
+      val entry = (release, query)
+      heldStreamLeases.put(indexPath, entry)
+      val waiter = new Thread(() => {
+        try query.awaitTermination()
+        catch { case _: Throwable => () }
+        finally {
+          release()
+          heldStreamLeases.remove(indexPath, entry)
+          ()
+        }
+      }, s"graft-$op-lease-release")
+      waiter.setDaemon(true)
+      waiter.start()
+      query
+    }
 }

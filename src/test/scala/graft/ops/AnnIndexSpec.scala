@@ -1100,6 +1100,136 @@ class AnnIndexSpec extends SparkSuite {
     assert(dr === Set((0L, 0L, 0L, 0L, 0L), (1L, 4L, 2L, 2L, 500000L)))
   }
 
+  private def vecStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  test("a FORCED foreachBatch replay appends nothing and emits no " +
+    "duplicate pairs (single and dual-index modes)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val batch1 = (0L until 100L).map(i => (i, vec(i)))
+    val batch2 = (100L until 150L).map(i => (i, vec(i - 100L))) ++
+      (150L until 200L).map(i => (i, vec(i)))
+    val all = (batch1 ++ batch2).toDF("vec_id", "embedding")
+    val seeds = Similarity.hashSeeds(all, "vec_id", "embedding", 8)
+    def run(withPq: Boolean): Unit = {
+      val tag = if (withPq) "pq" else "raw"
+      val root = tmpDir(s"replay$tag")
+      val (in, idxp, pairsP, chk) =
+        (s"$root/in", s"$root/index", s"$root/pairs", s"$root/chk")
+      val pqp = if (withPq) s"$root/pqindex" else null
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        all.where(lit(false)), "vec_id", "embedding", seeds, "sid",
+        "svec"), idxp)
+      if (withPq) {
+        val pq0 = Similarity.buildIvfPqIndex(
+          all.where(col("vec_id") < 4), "vec_id", "embedding", seeds,
+          "sid", "svec", codebookIds = Seq(0L, 1L, 2L, 3L),
+          inDims = dims, nSub = 2)
+        Similarity.writeIvfPqIndex(
+          pq0.copy(codes = pq0.codes.where(lit(false))), pqp)
+      }
+      batch1.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      batch2.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in)
+      def stream() = spark.readStream.schema(vecStreamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.Streams.incrementalAnnDedupStream(stream(),
+        "vec_id", "embedding", idxp, pairsP, chk,
+        thresholdPpm = 990000L, nprobe = 2, pqIndexPath = pqp)
+        .awaitTermination()
+      def counts(): (Long, Long, Long) = (
+        spark.read.parquet(pairsP).count(),
+        spark.read.parquet(idxp + "/postings").count(),
+        if (withPq) spark.read.parquet(pqp + "/codes").count() else 0L)
+      val before = counts()
+      assert(before._2 === 200L)
+      if (withPq) assert(before._3 === 200L)
+      // force a genuine replay: drop the LAST batch's checkpoint
+      // commit — on restart Spark re-runs that batch id with the same
+      // data (offsets survive), which is exactly the crash-after-
+      // foreachBatch-before-commit window
+      val fs = new Path(chk).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val commits = fs.listStatus(new Path(chk + "/commits"))
+        .map(_.getPath).filter(!_.getName.startsWith("."))
+      val last = commits.map(_.getName.toLong).max
+      assert(fs.delete(new Path(chk + s"/commits/$last"), false))
+      graft.streaming.Streams.incrementalAnnDedupStream(stream(),
+        "vec_id", "embedding", idxp, pairsP, chk,
+        thresholdPpm = 990000L, nprobe = 2, pqIndexPath = pqp)
+        .awaitTermination()
+      // POSTING COUNTS unchanged — not just the pair set (r16
+      // directive #1's acceptance bar)
+      assert(counts() === before, s"replay changed counts in $tag mode")
+    }
+    run(withPq = false)
+    run(withPq = true)
+  }
+
+  test("maintenance streams hold the writer lease for their lifetime: " +
+    "a concurrent second stream fails loudly at start with no conf " +
+    "set, and the lease releases on termination") {
+    import org.apache.hadoop.fs.Path
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val root = tmpDir("maintlease")
+    val (in, idxp, chk, chk2) =
+      (s"$root/in", s"$root/index", s"$root/chk", s"$root/chk2")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      corpus.where(lit(false)), "vec_id", "embedding", seeds, "sid",
+      "svec"), idxp)
+    corpus.coalesce(1).write.mode("overwrite").parquet(in)
+    def stream() = spark.readStream.schema(vecStreamSchema).parquet(in)
+    // first stream: long-running trigger, holds the lease
+    val q1 = graft.streaming.Streams.indexMaintenanceStream(stream(),
+      "vec_id", "embedding", idxp, chk,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+    try {
+      val marker = new Path(idxp + "/_writer")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(marker), "stream must hold the root's lease")
+      // the second maintenance stream on the SAME root fails loudly
+      // BEFORE its first batch — no conf required
+      val ex = intercept[IllegalStateException] {
+        graft.streaming.Streams.indexMaintenanceStream(stream(),
+          "vec_id", "embedding", idxp, chk2)
+      }
+      assert(ex.getMessage.contains("holds the lease"))
+      // …and so does the PQ maintenance twin against the held root
+      val ex2 = intercept[IllegalStateException] {
+        graft.streaming.Streams.pqIndexMaintenanceStream(stream(),
+          "vec_id", "embedding", idxp, chk2)
+      }
+      assert(ex2.getMessage.contains("holds the lease"))
+      // wait for batch 0's append AND its high-water mark before
+      // stopping, so the stop can't land in the documented
+      // append-vs-mark crash window and flake the count below
+      val dl = System.currentTimeMillis() + 30000
+      while (Similarity.readAppendHwm(spark, idxp) < 0L &&
+          System.currentTimeMillis() < dl)
+        Thread.sleep(100)
+      assert(Similarity.readAppendHwm(spark, idxp) === 0L)
+    } finally q1.stop()
+    // release lands when the stream terminates (async waiter)
+    val marker = new java.io.File(idxp + "/_writer")
+    val deadline = System.currentTimeMillis() + 20000
+    while (marker.exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(!marker.exists(), "lease must release on stream stop")
+    // a back-to-back restart on the same root must not trip over its
+    // own released (or releasing) lease, and the appends land
+    graft.streaming.Streams.indexMaintenanceStream(stream(), "vec_id",
+      "embedding", idxp, chk).awaitTermination()
+    assert(Similarity.readIvfIndex(spark, idxp).postings.count() ===
+      200L)
+  }
+
   test("mergeIvfIndexes: merged halves equal one full build; different " +
     "geometry or meta fails loudly") {
     val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
@@ -1199,6 +1329,282 @@ class AnnIndexSpec extends SparkSuite {
         queries, "vec_id", "embedding", k = 5, rerankK = 3,
         nprobes = Seq(1))
     }
+  }
+
+  test("exactly-once append wrapper: a replayed batch id appends " +
+    "nothing, the mark survives compaction, and a rebuild clears it") {
+    val base = corpus.where(col("vec_id") < 100)
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val path = tmpDir("hwm")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    assert(Similarity.readAppendHwm(spark, path) === -1L)
+    val d0 = corpus.where(col("vec_id") >= 100 && col("vec_id") < 150)
+    val d1 = corpus.where(col("vec_id") >= 150)
+    assert(Similarity.appendToIvfIndexOnce(spark, path, d0, "vec_id",
+      "embedding", batchId = 0L))
+    assert(spark.read.parquet(path + "/postings").count() === 150L)
+    // the exactly-once core: a full foreachBatch replay of batch 0
+    // lands ZERO duplicate postings (count, not just pair, equality)
+    assert(!Similarity.appendToIvfIndexOnce(spark, path, d0, "vec_id",
+      "embedding", batchId = 0L))
+    assert(spark.read.parquet(path + "/postings").count() === 150L)
+    assert(Similarity.readAppendHwm(spark, path) === 0L)
+    assert(Similarity.appendToIvfIndexOnce(spark, path, d1, "vec_id",
+      "embedding", batchId = 1L))
+    assert(spark.read.parquet(path + "/postings").count() === 200L)
+    assert(Similarity.readAppendHwm(spark, path) === 1L)
+    // compaction rewrites postings but not the root-level mark
+    Similarity.compactIvfIndex(spark, path)
+    assert(Similarity.readAppendHwm(spark, path) === 1L)
+    // a rebuild starts a NEW append history (a fresh checkpoint
+    // restarts batch ids at 0 — a stale mark would swallow them)
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(base, "vec_id",
+      "embedding", seeds, "sid", "svec"), path)
+    assert(Similarity.readAppendHwm(spark, path) === -1L)
+    // PQ twin carries an independent mark on its own root
+    val pqPath = tmpDir("hwmpq")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(base,
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = Seq(1L, 2L, 3L, 4L), inDims = dims, nSub = 2),
+      pqPath)
+    assert(Similarity.appendToIvfPqIndexOnce(spark, pqPath, d0,
+      "vec_id", "embedding", batchId = 0L))
+    assert(!Similarity.appendToIvfPqIndexOnce(spark, pqPath, d0,
+      "vec_id", "embedding", batchId = 0L))
+    assert(spark.read.parquet(pqPath + "/codes").count() === 150L)
+  }
+
+  test("consuming merge resumes a mid-move crash to completion; a " +
+    "foreign or mismatched half-state fails loudly") {
+    import org.apache.hadoop.fs.Path
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    def buildHalves(root: String): (String, String) = {
+      val (pa, pb) = (s"$root/even", s"$root/odd")
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        corpus.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", seeds, "sid", "svec"), pa)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        corpus.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "embedding", seeds, "sid", "svec"), pb)
+      (pa, pb)
+    }
+    val root = tmpDir("mergeresume")
+    val (pa, pb) = buildHalves(root)
+    val pm = s"$root/merged"
+    val fs = new Path(pm).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // hand-craft exactly the half-state a crash mid-moveMergeRoots
+    // leaves: intent marker down, first source's small dirs moved,
+    // ONE cell dir of the first source moved, everything else pending
+    fs.mkdirs(new Path(pm))
+    val out = fs.create(new Path(pm + "/_merge_intent"), false)
+    try out.write(Seq(pa, pb).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(fs.rename(new Path(pa + "/centroids"),
+      new Path(pm + "/centroids")))
+    assert(fs.rename(new Path(pa + "/meta"), new Path(pm + "/meta")))
+    fs.mkdirs(new Path(pm + "/postings"))
+    val firstCell = fs.listStatus(new Path(pa + "/postings"))
+      .filter(_.isDirectory).head.getPath
+    assert(fs.rename(firstCell,
+      new Path(pm + "/postings/" + firstCell.getName)))
+    // the re-run completes the merge (pre-r17 this threw from
+    // readIvfIndex on the drained first source)
+    Similarity.mergeIvfIndexes(spark, Seq(pa, pb), pm,
+      consumeSources = true)
+    assert(!new java.io.File(pa).exists() &&
+      !new java.io.File(pb).exists())
+    assert(!fs.exists(new Path(pm + "/_merge_intent")))
+    // merged result identical to a fresh rewrite merge
+    val rootB = tmpDir("mergeresumeref")
+    val (qa, qb) = buildHalves(rootB)
+    val pm2 = s"$rootB/merged"
+    Similarity.mergeIvfIndexes(spark, Seq(qa, qb), pm2)
+    val queries = corpus.where(col("vec_id") < 3)
+    def probe(p: String) = probeRows(Similarity.probeIvfIndex(
+      Similarity.readIvfIndex(spark, p), queries, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    assert(probe(pm) === probe(pm2))
+    // a dest holding postings WITHOUT an intent marker is NOT a
+    // resumable half-state — loud refusal, not a silent interleave
+    val rootC = tmpDir("mergeresumec")
+    val (ca, cb) = buildHalves(rootC)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, Seq(ca, cb), ca + "x", {
+        fs.mkdirs(new Path(ca + "x/postings")); true
+      })
+    }
+    assert(ex.getMessage.contains("fresh destination"))
+    // an intent marker recording DIFFERENT sources refuses loudly
+    val pmOther = s"$rootC/merged"
+    fs.mkdirs(new Path(pmOther))
+    val out2 = fs.create(new Path(pmOther + "/_merge_intent"), false)
+    try out2.write("someone/else".getBytes("UTF-8")) finally out2.close()
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, Seq(ca, cb), pmOther,
+        consumeSources = true)
+    }
+    assert(ex2.getMessage.contains("_merge_intent"))
+  }
+
+  test("PQ compaction folds tombstones physically: surviving codes " +
+    "equal a re-encode of the surviving rows, folded files cleared") {
+    import spark.implicits._
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val cbIds = Seq(1L, 2L, 3L, 4L)
+    val pqPath = tmpDir("pqfold")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+      "vec_id", "embedding", seeds, "sid", "svec", cbIds,
+      inDims = dims, nSub = 2), pqPath)
+    Similarity.deleteFromIvfPqIndex(spark, pqPath,
+      corpus.where(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id")), "vec_id")
+    Similarity.compactIvfPqIndex(spark, pqPath)
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cell").cast("int"), col("corpus_id"), col("codes"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+        .sortBy(t => (t._1, t._2))
+    // the RAW codes dir (not the tombstone-filtering reader) holds
+    // exactly the survivors…
+    val folded = codeRows(spark.read.parquet(pqPath + "/codes"))
+    assert(folded.length === 180)
+    assert(folded.forall(_._2 % 10 != 0))
+    // …bit-identical to a from-scratch encode of the surviving rows
+    // under the same quantizer and codebook (encode is per-row, so the
+    // fold must not have touched any surviving code)
+    val ref = Similarity.buildIvfPqIndex(
+      corpus.where(pmod(col("vec_id"), lit(10)) =!= 0 ||
+        col("vec_id").isin(cbIds: _*)),
+      "vec_id", "embedding", seeds, "sid", "svec", cbIds,
+      inDims = dims, nSub = 2)
+    assert(folded === codeRows(
+      ref.codes.where(pmod(col("corpus_id"), lit(10)) =!= 0)))
+    // folded tombstone files cleared (a delete is folded exactly once)
+    val tombFiles = new java.io.File(pqPath + "/tombstones").listFiles()
+    assert(tombFiles == null ||
+      !tombFiles.exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("a double-typed corpus routes to the SAME cells in the raw and " +
+    "PQ indexes (one float32 rounding rule on both paths)") {
+    import spark.implicits._
+    // component 0.00005 quantizes to 1 from double (0.5 rounds up) but
+    // to 0 from its float32 cast (≈0.49999998 rounds down): if either
+    // path skipped the float32 cast, rows near a centroid boundary
+    // would route differently between the two indexes
+    val dcorpus = (0L until 20L).map { i =>
+      (i, (0 until dims).map(j =>
+        if (j == dims - 1) 0.00005 * (i % 3)
+        else vec(i)(j).toDouble))
+    }.toDF("vec_id", "embedding")
+    val seeds = Similarity.hashSeeds(dcorpus, "vec_id", "embedding", 4)
+    val raw = Similarity.buildIvfIndex(dcorpus, "vec_id", "embedding",
+      seeds, "sid", "svec")
+    val pq = Similarity.buildIvfPqIndex(dcorpus, "vec_id", "embedding",
+      seeds, "sid", "svec", codebookIds = Seq(1L, 2L, 3L, 4L),
+      inDims = dims, nSub = 2)
+    val rawCells = raw.postings.select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pqCells = pq.codes.select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rawCells.size === 20)
+    assert(pqCells === rawCells)
+  }
+
+  test("filtered probe on a core-schema index returns a typed empty " +
+    "frame; a typo over payload-carrying postings stays loud even " +
+    "when fully tombstoned") {
+    import spark.implicits._
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    // a NON-EMPTY index without payload columns: a payload predicate
+    // can never resolve — legitimately empty, with the probe's schema
+    val plainPath = tmpDir("fallbackplain")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), plainPath)
+    val plain = Similarity.readIvfIndex(spark, plainPath)
+    val queries = corpus.where(col("vec_id") < 3)
+    val empty = Similarity.probeIvfIndexFiltered(plain, queries,
+      "vec_id", "embedding", k = 5, predicate = col("label") === 1)
+    assert(empty.columns.toSeq ===
+      Seq("query_id", "corpus_id", "score", "rank"))
+    assert(empty.count() === 0L)
+    // payload-carrying index, EVERY row tombstoned: row-empty, but a
+    // typo'd predicate must stay a loud resolution error (the pre-r17
+    // isEmpty detection silently returned nothing here)
+    val labeled = corpus.withColumn("label",
+      pmod(col("vec_id"), lit(4)).cast("int"))
+    val labeledPath = tmpDir("fallbacklabeled")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(labeled, "vec_id",
+      "embedding", seeds, "sid", "svec", payloadCols = Seq("label")),
+      labeledPath)
+    Similarity.deleteFromIvfIndex(spark, labeledPath,
+      corpus.select(col("vec_id")), "vec_id")
+    val tombstoned = Similarity.readIvfIndex(spark, labeledPath)
+    assert(tombstoned.postings.isEmpty)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.probeIvfIndexFiltered(tombstoned, queries, "vec_id",
+        "embedding", k = 5, predicate = col("no_such_column") === 1)
+        .count()
+    }
+    // PQ twin: core-schema fallback carries the probe's full schema
+    // (query_id, corpus_id, approx_d2, rank)
+    val pqPath = tmpDir("fallbackpq")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(corpus,
+      "vec_id", "embedding", seeds, "sid", "svec",
+      codebookIds = Seq(1L, 2L, 3L, 4L), inDims = dims, nSub = 2),
+      pqPath)
+    val pqEmpty = Similarity.probeIvfPqIndexFiltered(
+      Similarity.readIvfPqIndex(spark, pqPath), queries, "vec_id",
+      "embedding", k = 5, predicate = col("label") === 1)
+    assert(pqEmpty.columns.toSeq ===
+      Seq("query_id", "corpus_id", "approx_d2", "rank"))
+    assert(pqEmpty.count() === 0L)
+  }
+
+  test("auto-routed dedup: density picks the PQ path on a dense index " +
+    "and the raw path on a sparse one, with identical pairs") {
+    import spark.implicits._
+    // dense: every row in ONE cell → 400 postings/cell ≥ the 350
+    // routing threshold
+    val dense = (0L until 400L).map(i => (i, vec(i % 50L)))
+      .toDF("vec_id", "embedding")
+    val dseeds = Similarity.hashSeeds(dense, "vec_id", "embedding", 1)
+    val densePath = tmpDir("routedense")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(dense, "vec_id",
+      "embedding", dseeds, "sid", "svec"), densePath)
+    assert(Similarity.annNearDupRoutesToPq(spark, densePath))
+    // sparse: 200 rows over 8 cells → 25/cell → raw
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding", 8)
+    val sparsePath = tmpDir("routesparse")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", seeds, "sid", "svec"), sparsePath)
+    assert(!Similarity.annNearDupRoutesToPq(spark, sparsePath))
+    // the wrapper emits the raw kernel's exact pairs on BOTH routes
+    val densePqPath = tmpDir("routedensepq")
+    Similarity.writeIvfPqIndex(Similarity.buildIvfPqIndex(dense,
+      "vec_id", "embedding", dseeds, "sid", "svec",
+      codebookIds = Seq(0L, 1L, 2L, 3L), inDims = dims, nSub = 2),
+      densePqPath)
+    val batch = (1000L until 1005L).map(i => (i, vec(i % 50L)))
+      .toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_new").cast("long"),
+          col("id_existing").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val viaAuto = pairs(Similarity.annNearDupPairsAuto(spark, densePath,
+      densePqPath, batch, "vec_id", "embedding",
+      thresholdPpm = 990000L, nprobe = 1))
+    val viaRaw = pairs(Similarity.annNearDupPairs(
+      Similarity.readIvfIndex(spark, densePath), batch, "vec_id",
+      "embedding", thresholdPpm = 990000L, nprobe = 1))
+    assert(viaAuto === viaRaw)
+    assert(viaAuto.nonEmpty)
+    // no PQ root supplied → raw route regardless of density
+    assert(pairs(Similarity.annNearDupPairsAuto(spark, densePath, null,
+      batch, "vec_id", "embedding", thresholdPpm = 990000L,
+      nprobe = 1)) === viaRaw)
   }
 
   test("indexMaintenanceStream: append+compact per micro-batch cadence " +
