@@ -144,15 +144,24 @@ object Bench {
       .getOrElse(Nil)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
-    // Per-query progress to STDERR as each finishes: if the run stalls or
-    // the consumer only keeps a log tail, the completed timings are still
-    // on record line-by-line (r6/r7 both lost their BENCH JSON to exactly
-    // that truncation).
-    val firstPass = selected.map { case (name, fn) =>
-      val sec = timeOne(name, fn)
-      System.err.println(f"BENCH DONE $name%-28s $sec%9.3f s")
-      (name, sec)
-    }
+    // DRIFT CONTROL (r16 directive #2): this VM's absolute speed varies
+    // 1.4-1.8x between rounds with zero source changes (measured twice:
+    // SCALE_r16 q157_adjudication and the r16 judge's isolated q47
+    // probes) — enough to trip the 2x total-vs-baseline gate on pure
+    // host noise. Before the timed pass, three DESIGNATED CONTROLS run
+    // (min of 2 reps each, right after warmup where conditions are
+    // closest to the isolated-probe conditions the baselines were
+    // recorded under): q47_dedup_pipeline, q97_fhir_contained_roundtrip,
+    // q142_triangle_count — one per stable family (dedup / FHIR
+    // roundtrip / graphs), sources untouched for many rounds,
+    // CPU/shuffle-bound (a checkpoint-commit-bound query would measure
+    // FS latency, not host speed). control_drift_factor = MEDIAN of
+    // (control sec / its committed baseline). The GATE stays on the RAW
+    // ratio; the drift-NORMALIZED ratio (raw / drift) is printed beside
+    // it so a drift-inflated round adjudicates itself without re-probes.
+    val controlNames =
+      Seq("q47_dedup_pipeline", "q97_fhir_contained_roundtrip",
+        "q142_triangle_count")
     // Per-query regression guard: flag any query slower than
     // max(2x, +2s noise floor) its best recorded time (bench_baseline.json,
     // committed — the local-mode noise band is ~±2s total, well under 2x on
@@ -166,7 +175,10 @@ object Bench {
     // q97 best of 2.08 vs 3.0 isolated) and over-state (scheduler
     // pressure: q161's 2.715 vs 1.9 isolated) the honest number, and
     // either error makes the guard mis-flag for rounds afterward.
-    // Unchanged queries keep their committed best-ever.
+    // Unchanged queries keep their committed best-ever. The designated
+    // drift CONTROLS above must never have their sources touched without
+    // also re-recording their baselines on a verified-quiet host —
+    // the drift factor divides by these three numbers.
     val baseline: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -174,6 +186,35 @@ object Bench {
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Control pass (untimed in the totals; full runs only — a targeted
+    // SPARK_GRAFT_BENCH_ONLY iteration skips it).
+    val controls: Seq[(String, Double, Double)] =
+      if (only.nonEmpty) Nil
+      else controlNames.flatMap { name =>
+        (SparkEntry.queries.get(name), baseline.get(name)) match {
+          case (Some(fn), Some(b)) if b > 0 =>
+            val sec = math.min(timeOne(name, fn), timeOne(name, fn))
+            System.err.println(
+              f"BENCH CTRL $name%-28s $sec%9.3f s (baseline $b%.3f)")
+            if (sec > 0) Some((name, sec, sec / b)) else None
+          case _ => None
+        }
+      }
+    val controlDrift: Double =
+      if (controls.isEmpty) 1.0
+      else {
+        val rs = controls.map(_._3).sorted
+        rs(rs.size / 2) // median (upper median for even sizes)
+      }
+    // Per-query progress to STDERR as each finishes: if the run stalls or
+    // the consumer only keeps a log tail, the completed timings are still
+    // on record line-by-line (r6/r7 both lost their BENCH JSON to exactly
+    // that truncation).
+    val firstPass = selected.map { case (name, fn) =>
+      val sec = timeOne(name, fn)
+      System.err.println(f"BENCH DONE $name%-28s $sec%9.3f s")
+      (name, sec)
+    }
     def overGuard(k: String, v: Double): Boolean =
       v >= 0 && baseline.get(k).exists(b => v > math.max(2 * b, b + 2.0))
     // A regression must REPRODUCE to be reported: this VM intermittently
@@ -212,9 +253,26 @@ object Bench {
     }.mkString("{", ",", "}")
     val maxHeap = if (telemetry.isEmpty) 0L else telemetry.values.map(_._1).max
     val gcTotal = telemetry.values.map(_._2).sum
+    // Both gate ratios in the artifact (r16 directive #2): raw is THE
+    // gate number (total vs the summed baselines of the queries that
+    // actually ran green); normalized divides out the day's measured
+    // host drift for adjudication.
+    val baselineSum = results.collect {
+      case (k, v) if v >= 0 && baseline.contains(k) => baseline(k)
+    }.sum
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val vsRaw = if (baselineSum > 0) r3(total / baselineSum) else -1.0
+    val vsNorm =
+      if (baselineSum > 0 && controlDrift > 0)
+        r3(total / baselineSum / controlDrift)
+      else -1.0
+    val controlsJson = controls.map { case (k, sec, ratio) =>
+      s"\"" + k + s"\":{\"sec\":${r3(sec)},\"baseline\":${baseline(k)}," +
+        s"\"ratio\":${r3(ratio)}}"
+    }.mkString("{", ",", "}")
     // headline fields FIRST, per-query map LAST: if the consumer's log
     // capture truncates the line's tail, the totals still survive
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","max_heap_mb":$maxHeap,"gc_total_ms":$gcTotal,"queries":$qs,"telemetry":$telem}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"subset37_total":$subset37,"control_drift_factor":${r3(controlDrift)},"vs_baseline_raw":$vsRaw,"vs_baseline_normalized":$vsNorm,"controls":$controlsJson,"errors":$errors,"regressions":$regressions,"sf":"$sfDir","max_heap_mb":$maxHeap,"gc_total_ms":$gcTotal,"queries":$qs,"telemetry":$telem}"""
     println(json)
     // The full artifact also lands on DISK, immune to stdout truncation
     // entirely (override the path via SPARK_GRAFT_BENCH_OUT)
@@ -243,7 +301,7 @@ object Bench {
       }
       (all.take(8).mkString("[", ",", "]"), all.size)
     }
-    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"subset37_total":${math.rint(subset37 * 1000) / 1000},"errors":$errors,"n_regressions":${regressionsCapped._2},"regressions":${regressionsCapped._1},"sf":"$sfDir","max_heap_mb":$maxHeap,"gc_total_ms":$gcTotal,"bench_file":"target/bench_last.json"}"""
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"subset37_total":${math.rint(subset37 * 1000) / 1000},"control_drift_factor":${r3(controlDrift)},"vs_baseline_raw":$vsRaw,"vs_baseline_normalized":$vsNorm,"errors":$errors,"n_regressions":${regressionsCapped._2},"regressions":${regressionsCapped._1},"sf":"$sfDir","max_heap_mb":$maxHeap,"gc_total_ms":$gcTotal,"bench_file":"target/bench_last.json"}"""
     println("GRAFT_BENCH_JSON:" + compact)
     println(compact)
     System.out.flush()

@@ -3922,6 +3922,82 @@ object SparkEntry {
             .as("pruned_candidate_share_ppm"))
     }),
 
+    // EXACTLY-ONCE APPEND UNDER REPLAY (r16 directive #1 as an oracle
+    // row): the index records a per-root streaming batch-id high-water
+    // mark, so a replayed foreachBatch append (same batchId) is SKIPPED
+    // instead of landing duplicate postings. The query builds on the
+    // mod-4=0 slice, appends the mod-4=1 slice as batch 0 TWICE (the
+    // crash-replay shape), the mod-4=2 slice as batch 1, then replays
+    // batch 0 a third time with different data (a stale re-delivery) —
+    // exactly 2 of the 4 appends must land. The oracle is the
+    // duplicate-free aggregate over the three slices: a replay that
+    // slipped through doubles n_rows and id_sum and hash-mismatches.
+    "q309_ann_exactly_once_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val path = scratchDir("ivfonce", dir)
+      // the append history (and its high-water mark) must start fresh
+      // on every run of this query
+      rmScratch(path)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        e.where(pmod(col("vec_id"), lit(4)) === 0), "vec_id",
+        "embedding", seeds, "sid", "svec"), path)
+      val b0 = e.where(pmod(col("vec_id"), lit(4)) === 1)
+      val b1 = e.where(pmod(col("vec_id"), lit(4)) === 2)
+      val applied = Seq(
+        Similarity.appendToIvfIndexOnce(s, path, b0, "vec_id",
+          "embedding", batchId = 0L), // lands
+        Similarity.appendToIvfIndexOnce(s, path, b0, "vec_id",
+          "embedding", batchId = 0L), // replay of batch 0: skipped
+        Similarity.appendToIvfIndexOnce(s, path, b1, "vec_id",
+          "embedding", batchId = 1L), // lands
+        Similarity.appendToIvfIndexOnce(s, path, b1, "vec_id",
+          "embedding", batchId = 0L)  // stale re-delivery: skipped
+      ).count(identity)
+      Similarity.readIvfIndex(s, path).postings
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("corpus_id")).cast("long").as("n_ids"),
+          sum(col("corpus_id")).cast("long").as("id_sum"))
+        .withColumn("n_appends_applied", lit(applied).cast("long"))
+        .select("n_rows", "n_ids", "id_sum", "n_appends_applied")
+    }),
+
+    // AUTO-ROUTED ANN DEDUP (r16 directive #3 as an oracle row): the
+    // caller supplies BOTH persisted roots and annNearDupPairsAuto
+    // picks the raw or ADC-prefiltered kernel from the index's measured
+    // density (mean postings per cell vs the SCALE-measured crossover).
+    // Output must be IDENTICAL on either route (the prefilter is
+    // lossless), so the oracle is q301's independent exact-kernel
+    // replay — plus the routing decision itself, recomputed in SQL from
+    // the same density statistic (250 evens / 32 cells ≈ 7.8 < 350 ⇒
+    // raw at this scale), so a threshold or stats regression in the
+    // router hash-mismatches.
+    "q310_ann_auto_route_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val evens = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      val seeds = Similarity.hashSeeds(e, "vec_id", "embedding", 32)
+      val root = scratchDir("autoroute", dir)
+      val (pr, pp) = (s"$root/raw", s"$root/pq")
+      rmScratch(root)
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(evens, "vec_id",
+        "embedding", seeds, "sid", "svec"), pr)
+      val pq = Similarity.buildIvfPqIndex(evens, "vec_id", "embedding",
+        seeds, "sid", "svec", codebookIds = (16L to 46L by 2).toSeq,
+        inDims = 64, nSub = 8)
+      Similarity.writeIvfPqIndex(pq, pp)
+      graft.Lineage.retireDependents(pq.codes)
+      Similarity.annNearDupPairsAuto(s, pr, pp, odds, "vec_id",
+        "embedding", thresholdPpm = 200000L, nprobe = 4,
+        maxPairsPerNew = 2)
+        .select(col("id_new").cast("long").as("id_new"),
+          col("id_existing").cast("long").as("id_existing"))
+        .withColumn("pq_routed",
+          lit(if (Similarity.annNearDupRoutesToPq(s, pr)) 1L else 0L))
+    }),
+
     // End-to-end recall audit of the PERSISTED index (the q217/q182
     // QA parity for the index lifecycle): probeIvfIndex's top-10 over
     // the first 8 queries, per probe budget nprobe ∈ {1,2,4,32},
@@ -7999,6 +8075,85 @@ object SparkEntry {
                // n_candidates
              ELSE 0 END AS BIGINT) AS pruned_candidate_share_ppm
          FROM totals""",
+    // q309: the duplicate-free aggregate over the three slices that
+    // were ever appended (mod 4 in 0,1,2) — a replayed append that
+    // landed twice doubles n_rows/id_sum; exactly 2 of the 4 append
+    // calls must have applied.
+    "q309_ann_exactly_once_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum,
+           CAST(2 AS BIGINT) AS n_appends_applied
+         FROM embeddings
+         WHERE embedding IS NOT NULL AND len(embedding) = 64
+           AND vec_id % 4 IN (0, 1, 2)""",
+    // q310: q301's independent exact-kernel replay (the auto-router
+    // must be invisible in the pairs), plus the routing decision
+    // recomputed from the density statistic itself: evens per cell vs
+    // the 350 postings/cell crossover constant.
+    "q310_ann_auto_route_dedup" ->
+      """WITH qd AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         seeded AS (
+           SELECT qv AS cv,
+             row_number() OVER (ORDER BY
+               substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 || ':' || lpad(CAST(vec_id AS VARCHAR), 20, '0'))
+               - 1 AS cell
+           FROM qd
+           QUALIFY cell < 32),
+         cents AS (
+           SELECT cell, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn
+           FROM seeded),
+         scored_cells AS (
+           SELECT d.vec_id, c.cell,
+             row_number() OVER (PARTITION BY d.vec_id ORDER BY
+               2 * list_sum(list_transform(range(1, len(d.qv) + 1),
+                 j -> d.qv[j] * c.cv[j])) - c.cn DESC, c.cell ASC) AS rk
+           FROM qd d, cents c),
+         cellof AS (SELECT vec_id, cell FROM scored_cells WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS id_new, cell FROM scored_cells
+           WHERE rk <= 4 AND vec_id % 2 = 1),
+         cand AS (
+           SELECT p.id_new, co.vec_id AS id_existing
+           FROM probes p JOIN cellof co ON co.cell = p.cell
+           WHERE co.vec_id % 2 = 0),
+         vals AS (
+           SELECT c.id_new, c.id_existing,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+               j -> a.qv[j] * b.qv[j])) AS dotq,
+             list_sum(list_transform(a.qv, x -> x * x)) AS nq2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+           FROM cand c
+           JOIN qd a ON a.vec_id = c.id_new
+           JOIN qd b ON b.vec_id = c.id_existing),
+         kept AS (
+           SELECT id_new, id_existing,
+             row_number() OVER (PARTITION BY id_new ORDER BY
+               (CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT))
+                 // CAST(nb2 AS HUGEINT) DESC,
+               id_existing ASC) AS rn
+           FROM vals
+           WHERE dotq >= 0 AND nq2 > 0 AND nb2 > 0
+             AND CAST(dotq AS HUGEINT) * CAST(dotq AS HUGEINT)
+               * CAST(1000000000000 AS HUGEINT)
+               >= CAST(200000 AS HUGEINT) * CAST(200000 AS HUGEINT)
+                 * CAST(nq2 AS HUGEINT) * CAST(nb2 AS HUGEINT)),
+         route AS (
+           SELECT CASE WHEN
+               (SELECT CAST(count(*) AS DOUBLE) FROM qd
+                WHERE vec_id % 2 = 0)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM seeded)
+               >= 350.0 THEN 1 ELSE 0 END AS pq_routed)
+         SELECT CAST(k.id_new AS BIGINT) AS id_new,
+           CAST(k.id_existing AS BIGINT) AS id_existing,
+           CAST(r.pq_routed AS BIGINT) AS pq_routed
+         FROM kept k, route r WHERE k.rn <= 2""",
     // q307: q300's whole-corpus encode + ADC probe replay with the
     // candidate side restricted to label = 1 — the payload filter
     // applies before the ADC top-k.

@@ -2795,8 +2795,10 @@ object Similarity {
     * kernels, in MEAN POSTINGS PER CELL — the density statistic that
     * actually prices the candidate stage (work per batch row ∝ nprobe
     * × postings-per-probed-cell). Measured on the clustered-corpus
-    * probe (SCALE_r16 dedup-prefilter, re-recorded by the r17
-    * dedup-route probe): the raw kernel wins at ≈224 postings/cell
+    * probe (SCALE_r16 dedup-prefilter; `ProbeAnn dedup-prefilter`'s
+    * routing fields — postings_per_cell, auto_routes_to_pq,
+    * route_agrees_with_walls — re-record it any round):
+    * the raw kernel wins at ≈224 postings/cell
     * (50k rows, √N cells — prefilter 7.68 s vs raw 6.27 s), the
     * prefiltered path wins at ≥500/cell (250k rows) and is 27% faster
     * at 1000/cell (1M rows), sublinear beyond. 350 sits in the

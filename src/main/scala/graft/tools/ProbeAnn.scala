@@ -160,39 +160,69 @@ object ProbeAnn {
           sin(col("id") * 97.17 + j * 31.7) * 0.05).cast("float")
       }).as("embedding"))
 
+  /** The shared fixture geometry of the dedup evidence subcommands
+    * (dedup-prefilter builds the roots; dedup-decompose re-reads them):
+    * √N cells, one cluster per ~16 rows, and the /tmp root paths keyed
+    * by size — factored (r16 directive #8) so the next dedup probe
+    * lands as a subcommand over this fixture, not a fork of it. */
+  private final case class DedupFixture(n: Long, cells: Int,
+      nClusters: Long, rawPath: String, pqPath: String)
+
+  private def dedupFixture(n: Long): DedupFixture =
+    DedupFixture(n, math.ceil(math.sqrt(n.toDouble)).toInt,
+      math.max(64L, n / 16L), s"/tmp/annpre_$n", s"/tmp/annprepq_$n")
+
+  private def fixtureCorpus(spark: SparkSession,
+      f: DedupFixture): DataFrame =
+    synthClustered(spark, 0L, f.n, f.nClusters)
+
+  /** The fixed 10k probe batch: ids continue id-mod-cluster, so most
+    * batch rows HAVE same-cluster near-duplicates in the corpus. */
+  private def fixtureBatch(spark: SparkSession,
+      f: DedupFixture): DataFrame =
+    synthClustered(spark, f.n, f.n + 10000L, f.nClusters)
+
+  /** Build + persist the fixture's raw and PQ roots (always from
+    * scratch — the build walls are part of the evidence). Returns
+    * (rawBuildSec, pqBuildSec). */
+  private def buildDedupFixture(spark: SparkSession,
+      f: DedupFixture): (Double, Double) = {
+    val corpus = fixtureCorpus(spark, f)
+    val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
+      f.cells)
+    val (tBuildRaw, _) = timeIt {
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus,
+        "vec_id", "embedding", seeds, "sid", "svec",
+        twoLevelThreshold = 1), f.rawPath)
+    }
+    val (tBuildPq, _) = timeIt {
+      val pq = Similarity.buildIvfPqIndex(corpus, "vec_id",
+        "embedding", seeds, "sid", "svec",
+        codebookIds = 0L until 256L, inDims = 64, nSub = 8,
+        twoLevelThreshold = 1)
+      Similarity.writeIvfPqIndex(pq, f.pqPath)
+      graft.Lineage.retireDependents(pq.codes)
+    }
+    (tBuildRaw, tBuildPq)
+  }
+
   /** Raw capped dedup vs the ADC-prefiltered path, fixed 10k batch,
     * growing corpus — the r15 "candidate work is unbounded" finding's
     * fix under measurement. Both paths must emit IDENTICAL pair counts
     * (the prefilter is lossless); the report row shows how much exact
-    * dot-product work the prefilter refused. */
+    * dot-product work the prefilter refused. Also records, per size,
+    * the density statistic (mean postings per cell) and which path
+    * `Similarity.annNearDupRoutesToPq` picks — the measured origin of
+    * `adcPrefilterRouteMinPostingsPerCell` (the routing threshold). */
   private def dedupPrefilter(spark: SparkSession,
       sizes: Seq[Long]): Unit = {
     sizes.foreach { n =>
-      val cells = math.ceil(math.sqrt(n.toDouble)).toInt
-      val nClusters = math.max(64L, n / 16L)
-      val path = s"/tmp/annpre_$n"
-      val pqPath = s"/tmp/annprepq_$n"
-      val corpus = synthClustered(spark, 0L, n, nClusters)
-      val seeds = Similarity.hashSeeds(corpus, "vec_id", "embedding",
-        cells)
-      val (tBuildRaw, _) = timeIt {
-        Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus,
-          "vec_id", "embedding", seeds, "sid", "svec",
-          twoLevelThreshold = 1), path)
-      }
-      val (tBuildPq, _) = timeIt {
-        val pq = Similarity.buildIvfPqIndex(corpus, "vec_id",
-          "embedding", seeds, "sid", "svec",
-          codebookIds = 0L until 256L, inDims = 64, nSub = 8,
-          twoLevelThreshold = 1)
-        Similarity.writeIvfPqIndex(pq, pqPath)
-        graft.Lineage.retireDependents(pq.codes)
-      }
-      val raw = Similarity.readIvfIndex(spark, path)
-      val pq = Similarity.readIvfPqIndex(spark, pqPath)
-      // batch ids continue id-mod-cluster, so most batch rows HAVE
-      // same-cluster near-duplicates in the corpus
-      val batch = synthClustered(spark, n, n + 10000L, nClusters)
+      val f = dedupFixture(n)
+      val (tBuildRaw, tBuildPq) = buildDedupFixture(spark, f)
+      val raw = Similarity.readIvfIndex(spark, f.rawPath)
+      val pq = Similarity.readIvfPqIndex(spark, f.pqPath)
+      val batch = fixtureBatch(spark, f)
+      val cells = f.cells
       // each kernel timed TWICE, minimum kept — this host intermittently
       // stalls whole stages (the Bench.scala retry rationale: a real
       // cost is slow both times, a host stall is not)
@@ -218,12 +248,21 @@ object ProbeAnn {
       }
       require(nRaw == nPre,
         s"LOSSLESS VIOLATION at n=$n: raw=$nRaw prefiltered=$nPre")
+      // the routing evidence: the density statistic the auto-router
+      // reads, its decision, and whether the measured walls agree
+      val postingsPerCell = n.toDouble / cells
+      val routesPq = Similarity.annNearDupRoutesToPq(spark, f.rawPath)
       println(s"""{"n":$n,"cells":$cells,""" +
         f""""build_raw_sec":$tBuildRaw%.2f,""" +
         f""""build_pq_sec":$tBuildPq%.2f,""" +
         f""""dedup_raw_capped_sec":$tRaw%.2f,""" +
         f""""dedup_adc_prefiltered_sec":$tPre%.2f,""" +
         s""""pairs_raw":$nRaw,"pairs_prefiltered":$nPre,""" +
+        f""""postings_per_cell":$postingsPerCell%.1f,""" +
+        s""""route_threshold":${
+          Similarity.adcPrefilterRouteMinPostingsPerCell},""" +
+        s""""auto_routes_to_pq":$routesPq,""" +
+        s""""route_agrees_with_walls":${routesPq == (tPre < tRaw)},""" +
         f""""prefilter_report_sec":$tReport%.2f,""" +
         s""""n_candidates":${rep.getLong(0)},""" +
         s""""n_prefilter_kept":${rep.getLong(1)},""" +
@@ -240,9 +279,9 @@ object ProbeAnn {
     * raw/codes candidate joins, the ADC pass, the exact tail. */
   private def dedupDecompose(spark: SparkSession, n: Long): Unit = {
     import graft.functions.GraftFunctions
-    val nClusters = math.max(64L, n / 16L)
-    val raw = Similarity.readIvfIndex(spark, s"/tmp/annpre_$n")
-    val batch = synthClustered(spark, n, n + 10000L, nClusters)
+    val f = dedupFixture(n)
+    val raw = Similarity.readIvfIndex(spark, f.rawPath)
+    val batch = fixtureBatch(spark, f)
     def stage(name: String)(body: => Long): Unit = {
       val (sec, rows) = timeIt(body)
       println(f"""{"stage":"$name","sec":$sec%.2f,"rows":$rows}""")
@@ -286,7 +325,7 @@ object ProbeAnn {
         .select(GraftFunctions.vectorDot(col("__qn"), col("__bn"))
           .as("d"))
         .agg(sum(col("d"))).collect().length.toLong)
-    val pq = Similarity.readIvfPqIndex(spark, s"/tmp/annprepq_$n")
+    val pq = Similarity.readIvfPqIndex(spark, f.pqPath)
     stage("codes_cand_join")(
       pq.codes.join(broadcast(probes), Seq("cell")).count())
     // the exact quantized-integer rule over the raw candidates — the
