@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.closure.TransitiveClosure
-import graft.ops.{Dedup, Layout, Mixing, Multimodal, Packing, Profiling, Sessions, Similarity, Splits, TextAnalysis}
+import graft.ops.{Dedup, Layout, Mixing, Multimodal, Packing, Profiling, Retrieval, Sessions, Similarity, Splits, TextAnalysis}
 import graft.terminology._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3996,6 +3996,57 @@ object SparkEntry {
           col("id_existing").cast("long").as("id_existing"))
         .withColumn("pq_routed",
           lit(if (Similarity.annNearDupRoutesToPq(s, pr)) 1L else 0L))
+    }),
+
+    // BM25 LEXICAL RETRIEVAL (serving counterpart of the dedup family):
+    // Okapi BM25 with the non-negative idf over whitespace tokens, five
+    // 8-token queries drawn from the corpus itself. Determinism: each
+    // per-term weight is rounded to 6dp and summed in DECIMAL, so the
+    // document score is an order-independent exact sum and the ranking
+    // (score desc, doc_id asc) replays in any engine — only the
+    // per-term ln() is IEEE (the q42 precedent). Corpus never shuffles
+    // on a query key: df is semi-joined down to the query vocabulary
+    // and broadcast back.
+    "q311_bm25_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(filter(split(lower(trim(col("text"))),
+            "\\s+"), tk => length(tk) > 0), 1, 8), " ").as("qtext"))
+      Retrieval.bm25Retrieve(docs, "doc_id", "text", queries, "qid",
+        "qtext", topK = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"), col("bm25"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // HYBRID LEXICAL+VECTOR RETRIEVAL: reciprocal-rank fusion of the
+    // BM25 list (q311's kernel) and the exact cosine list (q26's
+    // kernel) — integer floor-ppm RRF contributions, so the fused
+    // ordering is exact given the two input rankings. The corpus is
+    // documents ⋈ embeddings on id (1:1 by construction of the test
+    // tables); queries are the same five 8-token prefixes plus their
+    // embedding.
+    "q312_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull &&
+          size(col("embedding")) === 64)
+      val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val queries = corpus.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(filter(split(lower(trim(col("text"))),
+            "\\s+"), tk => length(tk) > 0), 1, 8), " ").as("qtext"),
+          col("embedding").as("qvec"))
+      Retrieval.hybridRrfRetrieve(corpus, "doc_id", "text", "embedding",
+        queries, "qid", "qtext", "qvec", perListK = 10, topN = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("fused_rank").cast("long").as("fused_rank"),
+          col("rrf_ppm").cast("long").as("rrf_ppm"),
+          col("n_lists").cast("long").as("n_lists"),
+          col("best_rank").cast("long").as("best_rank"))
     }),
 
     // End-to-end recall audit of the PERSISTED index (the q217/q182
@@ -8154,6 +8205,121 @@ object SparkEntry {
            CAST(k.id_existing AS BIGINT) AS id_existing,
            CAST(r.pq_routed AS BIGINT) AS pq_routed
          FROM kept k, route r WHERE k.rn <= 2""",
+    // q311: full BM25 replay — same tokenization as q42, non-negative
+    // idf, 6dp-rounded per-term weights summed in DECIMAL (order-
+    // independent), ranking on the exact decimal sum (desc, doc_id asc).
+    "q311_bm25_retrieval" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (
+           SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS total),
+         qt AS (
+           SELECT DISTINCT doc_id AS query_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)[1:8]) AS term
+           FROM documents WHERE doc_id < 5),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - CAST(d.df AS DOUBLE) + 0.5)
+                   / (CAST(d.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                             / (s.total / s.n))),
+               6) AS DECIMAL(18,6)) AS wd
+           FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+             JOIN dl USING (doc_id), stats s),
+         bm AS (SELECT query_id, doc_id, sum(wd) AS bm_dec
+                FROM w GROUP BY 1, 2),
+         r AS (
+           SELECT query_id, doc_id, bm_dec,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(bm_dec AS DOUBLE) DESC, doc_id ASC) AS rank
+           FROM bm)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bm_dec AS DOUBLE) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10""",
+    // q312: q311's BM25 replay over the joined corpus + q26's cosine
+    // ranking, fused with exact integer floor-ppm RRF contributions
+    // (1000000 // (60 + rank)); fused order rrf_ppm desc, doc_id asc.
+    "q312_hybrid_retrieval" ->
+      """WITH corpus AS (
+           SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
+         toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS term
+           FROM corpus),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (
+           SELECT (SELECT CAST(count(*) AS DOUBLE) FROM corpus) AS n,
+             (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS total),
+         qt AS (
+           SELECT DISTINCT doc_id AS query_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)[1:8]) AS term
+           FROM corpus WHERE doc_id < 5),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - CAST(d.df AS DOUBLE) + 0.5)
+                   / (CAST(d.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                             / (s.total / s.n))),
+               6) AS DECIMAL(18,6)) AS wd
+           FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+             JOIN dl USING (doc_id), stats s),
+         bm AS (SELECT query_id, doc_id, sum(wd) AS bm_dec
+                FROM w GROUP BY 1, 2),
+         lex AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(bm_dec AS DOUBLE) DESC, doc_id ASC) AS rank
+           FROM bm),
+         vec AS (
+           SELECT q.doc_id AS query_id, c.doc_id,
+             row_number() OVER (PARTITION BY q.doc_id
+               ORDER BY list_cosine_similarity(c.embedding,
+                 q.embedding) DESC, c.doc_id ASC) AS rank
+           FROM corpus c, corpus q WHERE q.doc_id < 5),
+         contrib AS (
+           SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10
+           UNION ALL
+           SELECT query_id, doc_id, rank FROM vec WHERE rank <= 10),
+         fused AS (
+           SELECT query_id, doc_id,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(min(rank) AS BIGINT) AS best_rank,
+             CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+           FROM contrib GROUP BY 1, 2),
+         topn AS (
+           SELECT query_id, doc_id, n_lists, best_rank, rrf_ppm,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_ppm DESC, doc_id ASC) AS fused_rank
+           FROM fused)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(fused_rank AS BIGINT) AS fused_rank, rrf_ppm, n_lists,
+           best_rank
+         FROM topn WHERE fused_rank <= 10""",
     // q307: q300's whole-corpus encode + ADC probe replay with the
     // candidate side restricted to label = 1 — the payload filter
     // applies before the ADC top-k.

@@ -37,6 +37,9 @@ class PlanLintSpec extends SparkSuite {
     "q56_corpus_report", // totals row
     "q26_ann_bruteforce", // the ANN query set (k rows, broadcast by
                           // design: corpus never shuffles, map-side TopK)
+    "q311_bm25_retrieval", // one-row (N, total-tokens) stats frame
+    "q312_hybrid_retrieval", // q311's stats row + q26's broadcast
+                             // query set (both constant-size)
     "q112_margin_mining", // exact-kernel variant: the mining query set
                           // broadcasts (corpus never shuffles); the
                           // 100 TB path feeds IVF/LSH candidates into
