@@ -187,9 +187,12 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     // Control pass (untimed in the totals; full runs only — a targeted
-    // SPARK_GRAFT_BENCH_ONLY iteration skips it).
+    // SPARK_GRAFT_BENCH_ONLY iteration skips it). Only meaningful at
+    // the scale the baselines were recorded at (sf0.1): an sf1 run
+    // against sf0.1 minima would report a ~10x "drift" that is really
+    // the scale factor (observed in the first r17 sf1 run).
     val controls: Seq[(String, Double, Double)] =
-      if (only.nonEmpty) Nil
+      if (only.nonEmpty || !sfDir.contains("sf0.1")) Nil
       else controlNames.flatMap { name =>
         (SparkEntry.queries.get(name), baseline.get(name)) match {
           case (Some(fn), Some(b)) if b > 0 =>
@@ -225,7 +228,16 @@ object Bench {
     // regression is slow BOTH times, while a one-off stall is not, so
     // retrying cannot hide a real regression, only transient noise.
     val results = firstPass.map { case (name, sec) =>
-      if (!overGuard(name, sec)) (name, sec)
+      if (sec < 0) {
+        // An ERROR must also reproduce: a 312-query shared JVM can hit
+        // transient driver-memory conditions a fresh query would not
+        // (observed: q52's broadcast build failing ~280 queries into
+        // the first r17 sf1 pass, while the same query passes isolated
+        // at the same scale in 44 s). One retry; a real failure fails
+        // both times and still lands in `errors`.
+        val retry = timeOne(name, SparkEntry.queries(name))
+        (name, if (retry >= 0) retry else sec)
+      } else if (!overGuard(name, sec)) (name, sec)
       else {
         // a FAILED retry (-1) must not overwrite a valid slow measurement
         val retry = timeOne(name, SparkEntry.queries(name))
