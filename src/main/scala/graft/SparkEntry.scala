@@ -4049,6 +4049,31 @@ object SparkEntry {
           col("best_rank").cast("long").as("best_rank"))
     }),
 
+    // PERSISTED BM25 INDEX PROBE (the lexical twin of the IVF index
+    // lifecycle): build → write (postings/terms partitioned by term
+    // bucket, one-row self-describing meta) → probe with the query
+    // vocabulary's buckets pushed as a partition filter. The oracle is
+    // q311's full BM25 replay VERBATIM — the index must be invisible
+    // in the results; only the corpus-side work changes (pruned reads
+    // instead of a tokenize pass).
+    "q313_bm25_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scratchDir("bm25idx", dir)
+      rmScratch(path)
+      Retrieval.writeBm25Index(
+        Retrieval.buildBm25Index(docs, "doc_id", "text",
+          numBuckets = 16), path)
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(filter(split(lower(trim(col("text"))),
+            "\\s+"), tk => length(tk) > 0), 1, 8), " ").as("qtext"))
+      Retrieval.probeBm25Index(s, path, queries, "qid", "qtext",
+        topK = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"), col("bm25"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // End-to-end recall audit of the PERSISTED index (the q217/q182
     // QA parity for the index lifecycle): probeIvfIndex's top-10 over
     // the first 8 queries, per probe budget nprobe ∈ {1,2,4,32},
@@ -8209,6 +8234,50 @@ object SparkEntry {
     // idf, 6dp-rounded per-term weights summed in DECIMAL (order-
     // independent), ranking on the exact decimal sum (desc, doc_id asc).
     "q311_bm25_retrieval" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (
+           SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS total),
+         qt AS (
+           SELECT DISTINCT doc_id AS query_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)[1:8]) AS term
+           FROM documents WHERE doc_id < 5),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - CAST(d.df AS DOUBLE) + 0.5)
+                   / (CAST(d.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                             / (s.total / s.n))),
+               6) AS DECIMAL(18,6)) AS wd
+           FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+             JOIN dl USING (doc_id), stats s),
+         bm AS (SELECT query_id, doc_id, sum(wd) AS bm_dec
+                FROM w GROUP BY 1, 2),
+         r AS (
+           SELECT query_id, doc_id, bm_dec,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(bm_dec AS DOUBLE) DESC, doc_id ASC) AS rank
+           FROM bm)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bm_dec AS DOUBLE) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10""",
+    // q313: q311's BM25 replay VERBATIM — the persisted index and its
+    // bucket-pruned probe must be invisible in the results.
+    "q313_bm25_index_probe" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(
              regexp_split_to_array(lower(trim(text)), '\s+'),

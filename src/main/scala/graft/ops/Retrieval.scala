@@ -75,10 +75,23 @@ object Retrieval {
     val qdf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val qside = qterms.join(qdf, Seq("term"))
+    scoreBm25(tf, dl, qside, stats, topK, k1, b)
+  }
+
+  /** The shared BM25 scoring tail ([[bm25Retrieve]] computes the input
+    * frames from the corpus; [[probeBm25Index]] reads them from a
+    * persisted index with term-bucket pruning — sharing this tail makes
+    * the two paths identical-by-construction). `tf` is corpus-sized
+    * (doc_id, term, tf); `dl` (doc_id, dl); `qside` is small by
+    * contract (query_id, term, df) and broadcasts; `stats` one row
+    * (n, total). */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame, qside: DataFrame,
+      stats: DataFrame, topK: Int, k1: Double, b: Double): DataFrame = {
     // map-side scoring joins: tf (corpus-keyed) gains (query_id, df)
     // from the broadcast query side, dl by doc_id, stats by cross
     val scored = tf
-      .join(broadcast(qside), Seq("term"))
+      .join(broadcast(qside.select(col("query_id"), col("term"),
+        col("df"))), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
     val nD = col("n").cast("double")
@@ -152,5 +165,146 @@ object Retrieval {
       .join(fused, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("doc_id"), col("fused_rank"),
         col("rrf_ppm"), col("n_lists"), col("best_rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted BM25 inverted index — the lexical twin of the IVF index
+  // family: tokenizing and aggregating the corpus once, serving many
+  // query batches from disk with term-bucket partition pruning. At
+  // 100 TB a probe touches only the partitions holding the query
+  // vocabulary's buckets, never the full posting table.
+  // ---------------------------------------------------------------
+
+  /** In-memory frames + scalars of a built BM25 index (write with
+    * [[writeBm25Index]]). `postings` (bucket, term, doc_id, tf);
+    * `terms` (bucket, term, df); `doclens` (doc_id, dl); the scalars
+    * are the corpus-level statistics BM25 needs (docs with zero tokens
+    * count toward nDocs). */
+  final case class Bm25IndexFrames(postings: DataFrame, terms: DataFrame,
+      doclens: DataFrame, nDocs: Long, totalTokens: Long,
+      numBuckets: Int)
+
+  /** Term → partition bucket. Internal routing only (never crosses an
+    * engine boundary), so the non-portable hash is fine — what matters
+    * is that build and probe share it. */
+  private def bucketOf(term: Column, numBuckets: Int): Column =
+    pmod(xxhash64(term), lit(numBuckets.toLong)).cast("int")
+
+  /** Build the inverted index frames: one tokenize pass feeding the
+    * same map-side-combined aggregations as [[bm25Retrieve]], plus the
+    * per-term bucket for partition layout. The two corpus statistics
+    * are materialized here (two count actions) because they are meta
+    * scalars, not frames — build is an explicitly materializing
+    * operation, like the IVF build. */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 64): Bm25IndexFrames = {
+    require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+      .truncateLineage(eager = false)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), numBuckets))
+    val terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucketOf(col("term"), numBuckets))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nDocs = docs.select(col(idCol)).count()
+    val totalTokens = toks.count()
+    Bm25IndexFrames(tf.select("bucket", "term", "doc_id", "tf"),
+      terms.select("bucket", "term", "df"), dl, nDocs, totalTokens,
+      numBuckets)
+  }
+
+  /** Persist the index: postings and the term table partitioned by
+    * bucket (the probe's pruning key), doc lengths doc-keyed, and a
+    * one-row self-describing meta (the statistics and the bucket count
+    * are properties OF the index — a probe must never have to remember
+    * them; same posture as the IVF meta, including its evolution
+    * contract: new columns ship with defaults matching historical
+    * behavior, missing required columns fail loudly). */
+  def writeBm25Index(idx: Bm25IndexFrames, path: String): Unit = {
+    val session = idx.postings.sparkSession
+    import session.implicits._
+    Seq((idx.nDocs, idx.totalTokens, idx.numBuckets))
+      .toDF("n_docs", "total_tokens", "num_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    idx.postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(path + "/postings")
+    idx.terms.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(path + "/terms")
+    idx.doclens.write.mode("overwrite").parquet(path + "/doclens")
+  }
+
+  /** Read the one-row meta, loudly: exactly one row with the three
+    * required columns or an IllegalStateException — never an invented
+    * default for statistics that change scoring. */
+  private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long, Int) = {
+    val rows = spark.read.parquet(path + "/meta").collect()
+    if (rows.length != 1)
+      throw new IllegalStateException(
+        s"$path/meta: expected exactly one meta row, got ${rows.length}")
+    val r = rows.head
+    def need(f: String): Int =
+      try r.fieldIndex(f)
+      catch {
+        case _: IllegalArgumentException => throw new IllegalStateException(
+          s"$path/meta: required column '$f' missing")
+      }
+    (r.getLong(need("n_docs")), r.getLong(need("total_tokens")),
+      r.getInt(need("num_buckets")))
+  }
+
+  /** Reopen a persisted index (frames stay lazy; only meta is read
+    * driver-side). */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25IndexFrames = {
+    val (n, total, buckets) = readBm25Meta(spark, path)
+    Bm25IndexFrames(spark.read.parquet(path + "/postings"),
+      spark.read.parquet(path + "/terms"),
+      spark.read.parquet(path + "/doclens"), n, total, buckets)
+  }
+
+  /** BM25 top-k over a PERSISTED index — identical output to
+    * [[bm25Retrieve]] on the same corpus (same scoring tail, same
+    * statistics, pinned by the q313 oracle), but the corpus-side work
+    * is a pruned read: the query vocabulary's bucket list (bounded by
+    * the query term count — queries are small by contract, like every
+    * serving batch) is collected driver-side and pushed as a partition
+    * filter, so only the touched buckets' posting files are scanned.
+    * `.explain` shows the bucket IN (...) under PartitionFilters. */
+  def probeBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val (nDocs, totalTokens, numBuckets) = readBm25Meta(spark, path)
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(tokens(col(queryTextCol))).as("term")).distinct()
+      .withColumn("bucket", bucketOf(col("term"), numBuckets))
+      .truncateLineage(eager = false)
+    // bounded driver collect: ≤ min(|query terms|, numBuckets) ints
+    val buckets = qterms.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    // token-less queries keep the NORMAL plan under an always-false
+    // pruning filter: the empty result's schema is derived exactly like
+    // the non-empty one's, never invented (the r16 ADVICE #4 lesson)
+    val bucketFilter =
+      if (buckets.isEmpty) lit(false)
+      else col("bucket").isin(buckets.map(Int.box): _*)
+    val postings = spark.read.parquet(path + "/postings")
+      .where(bucketFilter)
+    val termsF = spark.read.parquet(path + "/terms").where(bucketFilter)
+    // df for the query vocabulary from the pruned term table; the join
+    // output is |query terms| rows, broadcast into scoring
+    val qside = qterms.join(termsF, Seq("bucket", "term"))
+      .select(col("query_id"), col("term"), col("df"))
+    val dl = spark.read.parquet(path + "/doclens")
+    import spark.implicits._
+    val stats = Seq((nDocs, totalTokens)).toDF("n", "total")
+    scoreBm25(postings.select(col("term"), col("doc_id"), col("tf")),
+      dl, qside, stats, topK, k1, b)
   }
 }

@@ -40,6 +40,8 @@ class PlanLintSpec extends SparkSuite {
     "q311_bm25_retrieval", // one-row (N, total-tokens) stats frame
     "q312_hybrid_retrieval", // q311's stats row + q26's broadcast
                              // query set (both constant-size)
+    "q313_bm25_index_probe", // the same one-row stats frame, read
+                             // from the index meta
     "q112_margin_mining", // exact-kernel variant: the mining query set
                           // broadcasts (corpus never shuffles); the
                           // 100 TB path feeds IVF/LSH candidates into

@@ -74,6 +74,68 @@ class RetrievalSpec extends SparkSuite {
     assert(ppm.sameElements(ppm.sortBy(-_)))
   }
 
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("bm25 index: probe over the persisted index emits exactly the " +
+    "direct path's rows, and the query buckets land in the postings " +
+    "scan's partition filters") {
+    val queries = docs.where($"doc_id" < 2)
+      .select($"doc_id".as("qid"), $"text".as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect().toSeq
+    val direct = rows(Retrieval.bm25Retrieve(docs, "doc_id", "text",
+      queries, "qid", "qtext", topK = 10))
+    val path = tmpDir("bm25idx")
+    Retrieval.writeBm25Index(
+      Retrieval.buildBm25Index(docs, "doc_id", "text", numBuckets = 4),
+      path)
+    val probe = Retrieval.probeBm25Index(spark, path, queries, "qid",
+      "qtext", topK = 10)
+    assert(rows(probe) === direct)
+    // pruning: the bucket filter must reach the scan as a PARTITION
+    // filter (pruned directories, not a post-scan predicate)
+    val physical = probe.queryExecution.executedPlan.toString
+    val scans = physical.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.exists(l => l.contains("bucket") &&
+      (l.contains(" IN ") || l.contains("isin") || l.contains("in("))),
+      s"no bucket partition filter in any scan; plan:\n$physical")
+  }
+
+  test("bm25 index: meta is required and loud — a root without meta " +
+    "fails, a probe on a fresh index matches a same-stats rebuild") {
+    val path = tmpDir("bm25meta")
+    intercept[Exception] {
+      Retrieval.readBm25Index(spark, path)
+    }
+    Retrieval.writeBm25Index(
+      Retrieval.buildBm25Index(docs, "doc_id", "text", numBuckets = 2),
+      path)
+    val idx = Retrieval.readBm25Index(spark, path)
+    assert(idx.nDocs === 6L && idx.numBuckets === 2)
+    assert(idx.totalTokens ===
+      docs.select(explode(split(lower(trim($"text")), "\\s+")))
+        .where(length($"col") > 0).count())
+  }
+
+  test("bm25 index: token-less queries return an empty frame in the " +
+    "probe's derived schema") {
+    val path = tmpDir("bm25empty")
+    Retrieval.writeBm25Index(
+      Retrieval.buildBm25Index(docs, "doc_id", "text", numBuckets = 2),
+      path)
+    val q = Seq((0L, "   ")).toDF("qid", "qtext")
+    val out = Retrieval.probeBm25Index(spark, path, q, "qid", "qtext",
+      topK = 5)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq ===
+      Seq("query_id", "doc_id", "bm25", "rank"))
+  }
+
   test("bm25 determinism: two runs emit identical rows") {
     val queries = docs.where($"doc_id" < 2)
       .select($"doc_id".as("qid"), $"text".as("qtext"))
