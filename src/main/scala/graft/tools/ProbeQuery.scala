@@ -20,6 +20,15 @@ object ProbeQuery {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // optional formatted-plan dump (opt r17 evidence artifacts):
+    // SPARK_GRAFT_PROBE_EXPLAIN=<file> writes explain("formatted") of the
+    // query at the probed SF before timing
+    sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").foreach { out =>
+      val txt = fn(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), txt)
+      System.err.println(s"explain written to $out")
+    }
     // warmup at smoke scale (codegen + parquet footers), as Bench does
     try fn(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
