@@ -228,12 +228,25 @@ object Retrieval {
     Seq((idx.nDocs, idx.totalTokens, idx.numBuckets))
       .toDF("n_docs", "total_tokens", "num_buckets")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
-    idx.postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(path + "/postings")
-    idx.terms.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(path + "/terms")
+    if (idx.totalTokens == 0L) {
+      // token-less corpus: every frame is empty, and a partitionBy write
+      // of an empty frame produces NO data files — the read-back then
+      // cannot infer a schema (the q136 lesson). A plain coalesce(1)
+      // write keeps one zero-row schema-bearing file per frame; `bucket`
+      // becomes a physical column, which the probe's bucket filter and
+      // scoring tail (both select by name) treat identically.
+      idx.postings.coalesce(1).write.mode("overwrite")
+        .parquet(path + "/postings")
+      idx.terms.coalesce(1).write.mode("overwrite")
+        .parquet(path + "/terms")
+    } else {
+      idx.postings.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(path + "/postings")
+      idx.terms.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(path + "/terms")
+    }
     idx.doclens.write.mode("overwrite").parquet(path + "/doclens")
   }
 
