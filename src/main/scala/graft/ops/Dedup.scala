@@ -540,30 +540,41 @@ object Dedup {
     val base = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .truncateLineage(eager = false)
-    val dels = expr(
-      "transform(sequence(1, length(s)), " +
-        "i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))")
-    // distinct (id, variant): a run of k identical characters yields the
-    // same deletion k times — deduping here divides the candidate join's
-    // quadratic bucket volume before it exists
+    // ONE equi-join, zero distincts (r18): the old shape deduped
+    // (id, variant) rows, deduped candidate id pairs, then re-attached
+    // both strings — four shuffles of the quadratic candidate volume.
+    // Exactly-once emission needs none of that (the same argument as
+    // [[graft.plans.EditDistanceJoinRewrite]]): DISTINCT strings at edit
+    // distance 1 share EXACTLY ONE variant value, so their single join
+    // match is already unique; only EQUAL strings share the whole
+    // neighborhood, and the witness predicate restricts those to the
+    // self-variant match (v = s_a). Duplicate input rows keep their join
+    // multiplicity exactly as the old attach-join fan-out produced it.
+    // The deletion_variants kernel dedups within a row (a run of k
+    // identical characters deletes to the same variant k times).
     val variants = base.select(col("id"),
-      explode(concat(array(col("s")),
-        when(length(col("s")) > 0, dels).otherwise(array()))).as("v"))
-      .distinct()
-    // candidates as bare id pairs (narrow shuffle rows), deduped before
-    // the strings come back; the verify join re-attaches each side once
-    val cand = variants.select(col("id").as("id_a"), col("v"))
-      .join(variants.select(col("id").as("id_b"), col("v")), Seq("v"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(base.select(col("id").as("id_a"), col("s").as("s_a")),
-        Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("s").as("s_b")),
-        Seq("id_b"))
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .where(col("dist") <= 1)
+      col("s"), explode(graft.functions.GraftFunctions
+        .deletionVariants(col("s"))).as("v"))
+    // NEVER broadcast a deletion-neighborhood side (same reasoning as
+    // the optimizer rule): the explode fans rows out ~|s| times and each
+    // hash match pays the banded verify, so the probe side's true cost
+    // is far beyond its scan-size estimate — size-based planning
+    // collapses a single-split input into ONE broadcast-probe task
+    // (measured at 10x bench scale: 42 s serial vs 4 s shuffled). The
+    // shuffle_merge hint keys both sides on the variant, the
+    // partitioning a 100 TB run wants anyway.
+    variants.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
+      .hint("shuffle_merge")
+      .join(variants.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("v")).hint("shuffle_merge"), Seq("v"))
+      .where(col("id_a") < col("id_b") &&
+        (col("s_a") =!= col("s_b") || col("v") === col("s_a")))
+      // banded verify: the THRESHOLDED levenshtein computes only the
+      // k=1 diagonal band (O(|s|) with early exit, vs the full O(|s|²)
+      // matrix) and returns -1 past the bound — `dist >= 0 ⟺ lev <= 1`,
+      // and dist equals the true distance on every surviving row
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), 1))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
         col("dist"))
   }

@@ -373,9 +373,21 @@ object Similarity {
     val unlabeled = d.where(col("held"))
       .select(col("id").as("uid"), col("qv").as("uqv"),
         col("label").as("true_label"))
-    val scored = labeled.join(broadcast(unlabeled))
-      .select(col("uid"), col("true_label"), col("nid"), col("nlabel"),
-        dot(col("nqv"), col("uqv")).as("d"))
+    // Fused exact scoring kernel (r18, guide §1.2/§4.2): the naive shape
+    // — labeled.join(broadcast(unlabeled)) — materializes every
+    // (labeled × unlabeled) pair as a join row just so the bounded top-k
+    // aggregate can throw almost all of them away; at 10x bench scale
+    // that is 64M rows through the join/project/aggregate machinery for
+    // a 4k×5-row answer (measured 29.7 s). The kernel computes the same
+    // integer-exact dots in a primitive per-partition loop and emits at
+    // most k candidates per (query, partition) — the same partial the
+    // map-side aggregate would keep — then the UNCHANGED topk/vote tail
+    // merges them. Exactness: dots are sums of integer-valued doubles
+    // (≤ 2^53, any order identical), partial top-k per partition under
+    // the aggregate's own total order (TopKHeap: d desc, id asc) is a
+    // lossless partial of global top-k, and null/NaN/dim-mismatch rows
+    // are skipped exactly as vector_dot → topk_by_score would skip them.
+    val scored = knnScoredPartials(labeled, unlabeled, k)
     val neighbors = scored.groupBy(col("uid"), col("true_label"))
       .agg(graft.functions.GraftFunctions.topKByScore(
         col("d").cast("double"), col("nid"), k).as("top"))
@@ -391,6 +403,105 @@ object Similarity {
       .select(col("vec_id"),
         col("w").getField("nlabel").as("predicted_label"),
         col("w").getField("n").as("n_votes"), col("true_label"))
+  }
+
+  /** The scoring front half of [[knnLabelPropagation]] as a fused
+    * per-partition kernel: for every unlabeled query, the ≤ k best
+    * (dot desc, nid asc) labeled candidates FROM EACH PARTITION of the
+    * labeled side — exactly the partial buffers a map-side
+    * `topk_by_score` would keep, without materializing the
+    * labeled × unlabeled join rows the naive plan feeds it. Output
+    * columns (uid, true_label, nid, d); the caller's unchanged
+    * aggregate merges partials into the global top-k.
+    *
+    * Skip semantics match `vector_dot` → `topk_by_score` exactly: null
+    * id/vector, null element, dimension mismatch, or NaN dot → the pair
+    * contributes nothing. Falls back to the broadcast-join shape for id
+    * types whose tie order the kernel does not reproduce (only int/long
+    * ids take the fused path; string order would differ between
+    * UTF8String bytes and java.lang.String chars for supplementary
+    * code points). */
+  private def knnScoredPartials(labeled: DataFrame, unlabeled: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idType = labeled.schema("nid").dataType
+    if (idType != IntegerType && idType != LongType)
+      return labeled.join(broadcast(unlabeled))
+        .select(col("uid"), col("true_label"), col("nid"),
+          dot(col("nqv"), col("uqv")).as("d"))
+    val spark = labeled.sparkSession
+    val uSchema = unlabeled.schema
+    def toVec(r: Row, i: Int): Array[Double] =
+      if (r.isNullAt(i)) null
+      else {
+        val s = r.getAs[scala.collection.Seq[Any]](i)
+        val out = new Array[Double](s.length)
+        var j = 0
+        val it = s.iterator
+        while (it.hasNext) {
+          val v = it.next()
+          if (v == null) return null // null element → dot is null → skip
+          out(j) = v.asInstanceOf[Double]
+          j += 1
+        }
+        out
+      }
+    // the query side is collected exactly as the naive plan's broadcast
+    // would collect it; a query with a null/corrupt vector stays in the
+    // arrays as a null slot so indices keep aligned, and scores nothing
+    val uRows = unlabeled.select(col("uid"), col("true_label"), col("uqv"))
+      .collect()
+    val uids = uRows.map(_.get(0))
+    val ulbls = uRows.map(_.get(1))
+    val uqvs = uRows.map(toVec(_, 2))
+    val bc = spark.sparkContext.broadcast((uids, ulbls, uqvs))
+    val idOrd: Ordering[Any] = (idType match {
+      case IntegerType => Ordering.Int
+      case _ => Ordering.Long
+    }).asInstanceOf[Ordering[Any]]
+    val outSchema = StructType(Seq(
+      StructField("uid", uSchema("uid").dataType),
+      StructField("true_label", uSchema("true_label").dataType),
+      StructField("nid", idType),
+      StructField("d", DoubleType)))
+    val rdd = labeled.select(col("nid"), col("nqv")).rdd
+      .mapPartitions { it =>
+        val (qIds, qLbls, qVecs) = bc.value
+        val n = qIds.length
+        val heaps = new Array[graft.functions.TopKHeap](n)
+        it.foreach { r =>
+          val nid = if (r.isNullAt(0)) null else r.get(0)
+          val nqv = toVec(r, 1)
+          if (nid != null && nqv != null) {
+            var i = 0
+            while (i < n) {
+              val u = qVecs(i)
+              if (u != null && u.length == nqv.length) {
+                // same sequential order as vector_dot's kernel; the
+                // quantized products are integer-valued (≤ 2^53), so
+                // the sum is exact in any order anyway
+                var s = 0.0
+                var j = 0
+                while (j < u.length) { s += u(j) * nqv(j); j += 1 }
+                if (!java.lang.Double.isNaN(s)) {
+                  if (heaps(i) == null)
+                    heaps(i) = new graft.functions.TopKHeap(k, idOrd)
+                  heaps(i).insert(s, nid)
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        (0 until n).iterator.flatMap { i =>
+          val h = heaps(i)
+          if (h == null) Iterator.empty
+          else (0 until h.size).iterator
+            .map(j => Row(qIds(i), qLbls(i), h.ids(j), h.scores(j)))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Exact all-pairs cosine near-duplicates over QUANTIZED embeddings —

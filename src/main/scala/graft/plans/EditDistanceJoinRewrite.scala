@@ -52,7 +52,7 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), _)
           if !hasCrossSideEquality(cond, left, right) =>
         findLevenshteinConjunct(cond, left, right) match {
-          case Some((x, y)) => rewrite(j, x, y)
+          case Some((x, y, conjunct, k)) => rewrite(j, x, y, conjunct, k)
           case None => j
         }
     }
@@ -77,28 +77,33 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
 
   /** Finds a conjunct `levenshtein(x, y) <= 1` (or `<= 0` / `< 1` /
     * `< 2`, either operand orientation) with x, y strings from opposite
-    * sides. Returns (x, y) ordered (left-side, right-side). */
+    * sides. Returns (x, y) ordered (left-side, right-side), the matched
+    * conjunct itself (so the rewrite can swap it for the banded form),
+    * and the effective bound k. */
   private def findLevenshteinConjunct(cond: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] = {
-    def boundedLev(c: Expression): Option[(Expression, Expression)] =
+      right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Int)] = {
+    def boundedLev(c: Expression)
+        : Option[(Expression, Expression, Expression, Int)] =
       c match {
         case LessThanOrEqual(Levenshtein(x, y, None), Literal(k: Int,
-            IntegerType)) if k >= 0 && k <= 1 => Some((x, y))
+            IntegerType)) if k >= 0 && k <= 1 => Some((x, y, c, k))
         case LessThan(Levenshtein(x, y, None), Literal(k: Int,
-            IntegerType)) if k >= 1 && k <= 2 => Some((x, y))
+            IntegerType)) if k >= 1 && k <= 2 => Some((x, y, c, k - 1))
         case GreaterThanOrEqual(Literal(k: Int, IntegerType),
-            Levenshtein(x, y, None)) if k >= 0 && k <= 1 => Some((x, y))
+            Levenshtein(x, y, None)) if k >= 0 && k <= 1 => Some((x, y, c, k))
         case GreaterThan(Literal(k: Int, IntegerType),
-            Levenshtein(x, y, None)) if k >= 1 && k <= 2 => Some((x, y))
+            Levenshtein(x, y, None)) if k >= 1 && k <= 2 =>
+          Some((x, y, c, k - 1))
         case _ => None
       }
     splitConjuncts(cond).iterator.flatMap(boundedLev).collectFirst {
-      case (x, y) if x.dataType == StringType &&
+      case (x, y, c, k) if x.dataType == StringType &&
           y.dataType == StringType &&
-          fromSide(left)(x) && fromSide(right)(y) => (x, y)
-      case (x, y) if x.dataType == StringType &&
+          fromSide(left)(x) && fromSide(right)(y) => (x, y, c, k)
+      case (x, y, c, k) if x.dataType == StringType &&
           y.dataType == StringType &&
-          fromSide(right)(x) && fromSide(left)(y) => (y, x)
+          fromSide(right)(x) && fromSide(left)(y) => (y, x, c, k)
     }
   }
 
@@ -116,7 +121,8 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
     (gen, key)
   }
 
-  private def rewrite(j: Join, x: Expression, y: Expression): LogicalPlan = {
+  private def rewrite(j: Join, x: Expression, y: Expression,
+      levConjunct: Expression, k: Int): LogicalPlan = {
     val (lGen, lKey) =
       sideWithKeys(j.left, x, "__graft_edv_l")
     val (rGen, rKey) =
@@ -134,8 +140,32 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
     // min(intersect): measured 13x slower at 10x blocking density —
     // the array bytes, not the compute, dominated the shuffle.)
     val witness = Or(Not(EqualTo(x, y)), EqualTo(lKey, x))
-    val newCond = And(And(EqualTo(lKey, rKey), witness), j.condition.get)
-    val newJoin = Join(lGen, rGen, Inner, Some(newCond), j.hint)
+    // Candidate verification: the user's unbounded `levenshtein(x, y)`
+    // builds the full O(|x|·|y|) matrix per candidate pair; the
+    // THRESHOLDED form computes only the diagonal band (O(min(|x|,|y|)·k)
+    // with early exit) and returns -1 past the bound, so
+    // `lev(x,y) <= k  ⟺  lev(x,y,k) >= 0` for every input including
+    // nulls (both sides null out together). The cheap remaining
+    // conjuncts (e.g. an id ordering) run BEFORE the banded verify so
+    // most candidates never reach it.
+    val banded = GreaterThanOrEqual(
+      Levenshtein(x, y, Some(Literal(k))), Literal(0))
+    val others =
+      splitConjuncts(j.condition.get).filterNot(_ eq levConjunct)
+    val newCond =
+      (Seq(EqualTo(lKey, rKey), witness) ++ others :+ banded).reduce(And)
+    // NEVER broadcast a deletion-neighborhood side: the generate fans
+    // each input row out ~|s| times and every hash match still pays the
+    // banded verify, so the probe side's real cost is orders of
+    // magnitude beyond its SCAN size estimate. Left to size estimates,
+    // a single-split input collapses the whole candidate join into ONE
+    // broadcast-probe task (measured at 10x bench scale: 110 s of
+    // single-core wall; the shuffled plan does the same work in
+    // seconds). A shuffled join keys BOTH sides on the variant — the
+    // partitioning a 100 TB run needs anyway.
+    val noBhj = HintInfo(strategy = Some(NO_BROADCAST_HASH))
+    val newJoin = Join(lGen, rGen, Inner, Some(newCond),
+      JoinHint(Some(noBhj), Some(noBhj)))
     Project(j.output, newJoin)
   }
 }

@@ -671,6 +671,36 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("knn label propagation fused kernel: ties break by id asc, " +
+      "malformed vectors score nothing (r18 kernel parity)") {
+    import spark.implicits._
+    // queries: ids 0 and 4 (holdoutMod 2 → even ids... use mod 4)
+    // labeled ids 1,2,3,5,6,7. Vectors engineered so dots TIE: labeled
+    // 1,2,3 are identical → equal dots with any query → top-2 must be
+    // ids (1,2) by id-asc tie break. Labeled 5 has a null element,
+    // 6 is wrong-dimensional, 7 is a null vector — none may vote.
+    val rows: Seq[(Long, Seq[java.lang.Float], Int)] = Seq(
+      (0L, Seq[java.lang.Float](1.0f, 0.0f), 9),
+      (4L, Seq[java.lang.Float](0.5f, 0.5f), 8),
+      (1L, Seq[java.lang.Float](0.6f, 0.2f), 1),
+      (2L, Seq[java.lang.Float](0.6f, 0.2f), 2),
+      (3L, Seq[java.lang.Float](0.6f, 0.2f), 1),
+      (5L, Seq[java.lang.Float](0.6f, null), 3),
+      (6L, Seq[java.lang.Float](0.6f, 0.2f, 0.1f), 3),
+      (7L, null, 3))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelPropagation(df, "vec_id", "embedding",
+      "label", holdoutMod = 4, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    // queries 0 and 4; all valid labeled dots tie per query, so top-2 is
+    // ids 1,2 (labels 1,2) → majority vote ties at 1 vote each → label
+    // asc wins → predicted 1 with 1 vote, for both queries
+    assert(out.keySet === Set(0L, 4L))
+    assert(out(0L) === ((1, 1L, 9)))
+    assert(out(4L) === ((1, 1L, 8)))
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // key 7 is hot (60 rows), keys 1..5 cold (2 rows each)
